@@ -1,0 +1,53 @@
+"""Table catalog over the driver's parquet testdata.
+
+``t(spark, sf_dir, name)`` is a plain parquet scan — filters and projections
+written against it reach the scan via Catalyst (PushedFilters / ReadSchema),
+which is the 100 TB story: partition pruning + column pruning are free as long
+as plans stay declarative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}")
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's reader
+    rejects; read it as long (legacy conf) and truncate to microseconds —
+    the same nanos->micros truncation DuckDB applies on read."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer division: epoch-nanos exceed 2^53, double '/' loses micros
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views (for spark.sql-style queries)."""
+    for name in TABLES:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)

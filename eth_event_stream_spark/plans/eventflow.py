@@ -1,0 +1,335 @@
+"""The reference's event-stream semantics over the driver's ``events`` table.
+
+The reference (see SURVEY §2.2) synchronizes N log sources into dense,
+totally-ordered, per-block batches and folds reducers over them. The driver's
+testdata has no blockchain, so this module maps the semantics onto ``events``:
+
+- block        := minute bucket of ``ts`` (monotone event-time -> block height)
+- source       := ``event_type`` (N synchronized sources)
+- log_index    := ``event_id``  (global unique -> total order within block)
+
+Each query is the batch form of a sink behavior, oracle-checked:
+
+- ``flagship_user_netflow``  — B11 netflow fold as an algebraic aggregation.
+- ``sync_watermark``         — B2 min of per-source maxima.
+- ``sync_dense_flush``       — B6 dense per-block emission incl. empty blocks.
+- ``sync_block_batches``     — B7 tumbling count-windows over block height.
+- ``sync_total_order``       — B9 N-way merge to total order.
+- time windows (tumbling / sliding / session) and as-of — the streaming
+  surface's event-time semantics in batch form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import t
+from .registry import register
+
+D = "decimal(18,6)"
+
+# events span 2024-01-01 .. 2024-01-30; minute-bucket "block height"
+SQL_BLOCK = "CAST(FLOOR(epoch(ts) / 60) AS BIGINT)"
+BLOCK0 = 28401120  # floor(epoch('2024-01-01') / 60)
+
+
+def _block():
+    return (F.unix_timestamp("ts") / 60).cast("long")
+
+
+def events_as_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events reinterpreted as a multi-source log stream."""
+    return t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        _block().alias("block"),
+        F.col("event_id").alias("log_index"),
+        F.col("user_id"),
+        F.col("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: netflow (B11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_user_netflow",
+    oracle="""
+    SELECT user_id,
+           CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN -CAST(value AS DECIMAL(18,6))
+                         ELSE  CAST(value AS DECIMAL(18,6)) END) AS DECIMAL(16,4)) AS DOUBLE) AS netflow,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def flagship_user_netflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (reference examples/stream_multi.rs netflow reducer, B11):
+    per-entity signed value flow as a pure algebraic aggregation.
+
+    The stateful fold degenerates to groupBy+sum (SURVEY §7.4.3), which Spark
+    executes with map-side partial aggregation — the 100 TB-safe shape.
+    """
+    ev = t(spark, sf_dir, "events")
+    signed = F.when(
+        F.col("event_type") == "purchase", -F.col("value").cast(D)
+    ).otherwise(F.col("value").cast(D))
+    return ev.groupBy("user_id").agg(
+        F.sum(signed).cast("decimal(16,4)").cast("double").alias("netflow"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "flagship_netflow_counters",
+    oracle="""
+    SELECT COUNT(*) AS n_users,
+           COUNT(*) FILTER (WHERE netflow > 0) AS n_positive,
+           COUNT(*) FILTER (WHERE netflow < 0) AS n_negative
+    FROM (
+      SELECT user_id,
+             CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN -CAST(value AS DECIMAL(18,6))
+                           ELSE  CAST(value AS DECIMAL(18,6)) END) AS DECIMAL(16,4)) AS DOUBLE) AS netflow
+      FROM events GROUP BY user_id) x
+    """,
+)
+def flagship_netflow_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live monitor counters (examples/stream_multi.rs:118-142)."""
+    nf = flagship_user_netflow(spark, sf_dir)
+    return nf.agg(
+        F.count("*").alias("n_users"),
+        F.count_if(F.col("netflow") > 0).alias("n_positive"),
+        F.count_if(F.col("netflow") < 0).alias("n_negative"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sink semantics (B2, B6, B7, B9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sync_watermark",
+    oracle=f"""
+    SELECT MIN(mx) AS watermark, COUNT(*) AS n_sources
+    FROM (SELECT event_type, MAX({SQL_BLOCK}) AS mx
+          FROM events GROUP BY event_type) per_source
+    """,
+)
+def sync_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: synced frontier = min over sources of per-source max block
+    (sink.rs:187-197). Two-level aggregation, both algebraic."""
+    ev = events_as_stream(spark, sf_dir)
+    per_source = ev.groupBy("source").agg(F.max("block").alias("mx"))
+    return per_source.agg(
+        F.min("mx").alias("watermark"), F.count("*").alias("n_sources")
+    )
+
+
+@register(
+    "sync_dense_flush",
+    oracle=f"""
+    SELECT spine.block, COALESCE(g.n_events, 0) AS n_events,
+           COALESCE(g.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
+    FROM (SELECT UNNEST(generate_series({BLOCK0}, {BLOCK0 + 599})) AS block) spine
+    LEFT JOIN (
+      SELECT {SQL_BLOCK} AS block, COUNT(*) AS n_events,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(16,4)) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1) g
+    ON spine.block = g.block
+    """,
+)
+def sync_dense_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 dense flush: every block in [bottom, target] emits a row — empty
+    blocks included (sink.rs:237-241) — via the block-spine left join
+    (SURVEY §7.4.2). Spine is generated, tiny, and broadcast."""
+    ev = events_as_stream(spark, sf_dir)
+    grouped = ev.groupBy("block").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(D)).cast("decimal(16,4)").cast("double").alias("sum_value"),
+    )
+    spine = spark.range(BLOCK0, BLOCK0 + 600).withColumnRenamed("id", "block")
+    return (
+        spine.join(grouped, "block", "left")
+        .select(
+            "block",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "sync_block_batches",
+    oracle=f"""
+    SELECT CAST(FLOOR(({SQL_BLOCK} - {BLOCK0}) / 1000) AS BIGINT) AS batch_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_sources
+    FROM events GROUP BY 1
+    """,
+)
+def sync_block_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: tumbling count-window over block height (step=1000 blocks, the
+    reference's default block_step)."""
+    ev = events_as_stream(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "batch_id", F.floor((F.col("block") - F.lit(BLOCK0)) / 1000).cast("long")
+        )
+        .groupBy("batch_id")
+        .agg(F.count("*").alias("n_events"), F.countDistinct("source").alias("n_sources"))
+    )
+
+
+@register(
+    "sync_total_order",
+    oracle=f"""
+    SELECT {SQL_BLOCK} AS block, event_id AS log_index, event_type AS source, user_id
+    FROM events
+    ORDER BY block, log_index
+    LIMIT 500
+    """,
+)
+def sync_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: N-way merge to total (block, log_index) order (sink.rs:117-119).
+    Bounded output -> TakeOrderedAndProject; unbounded consumers use
+    repartitionByRange + sortWithinPartitions (operators.sync.synced_events)."""
+    ev = events_as_stream(spark, sf_dir)
+    return (
+        ev.select("block", "log_index", "source", "user_id")
+        .orderBy("block", "log_index")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (tumbling / sliding / session) + as-of
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tumbling_window_1h",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS hour_start,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(16,4)) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def tumbling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window — identical code under readStream
+    with a watermark (the batch/stream unification the reference sells)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(D)).cast("decimal(16,4)").cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "sliding_window_1h_30m",
+    oracle="""
+    WITH starts AS (
+      SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS win_start,
+             value FROM events
+      UNION ALL
+      SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP),
+             value FROM events
+    )
+    SELECT win_start, COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(16,4)) AS DOUBLE) AS sum_value
+    FROM starts GROUP BY win_start
+    """,
+)
+def sliding_window_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 30m slide): each event lands in exactly two
+    windows; Spark expands this without self-joining."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(D)).cast("decimal(16,4)").cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "session_window_30m",
+    oracle="""
+    WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 30),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) via the native session_window operator;
+    the oracle is the classic gaps-and-islands rewrite."""
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "last_event", "n_events")
+    )
+
+
+@register(
+    "asof_last_click_before_purchase",
+    oracle="""
+    SELECT p.user_id, p.event_id, p.ts,
+           (SELECT MAX(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                  AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id)))
+             AS last_click_ts
+    FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id < 50
+    """,
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each purchase gets the user's most recent prior
+    click. Expressed as a last-value window over the unioned timeline — one
+    shuffle on user_id, NO range-join row explosion (SURVEY §2.4 as-of)."""
+    ev = t(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 50) & F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_click = ev.withColumn(
+        "last_click_ts",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    return with_click.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "last_click_ts"
+    )

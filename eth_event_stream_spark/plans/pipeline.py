@@ -1,0 +1,530 @@
+"""Large-scale training-data pipeline operators (SURVEY §7.3 phase 7).
+
+Beyond the reference's surface: the operations a 100 TB LLM-data pipeline
+needs, each expressed as a Catalyst plan with an exact DuckDB oracle where the
+semantics are deterministic:
+
+- deduplication: exact (content hash), MinHash+LSH (shingle -> minhash ->
+  band -> bucket self-join), SimHash (bitwise majority sketch), n-gram
+  Jaccard verification, embedding-cosine near-dup (LSH bucketed).
+- similarity search: brute-force cosine top-k (baseline) and an LSH/IVF
+  bucketed variant (the scale path: candidate set bounded per bucket).
+- text analysis: token stats, quality scoring, language-ID heuristic,
+  document fingerprinting.
+
+Determinism strategy: every hash is md5 (identical hex in Spark and DuckDB);
+every similarity is computed element-wise with an explicit left-to-right
+double fold (bit-identical IEEE sequence in both engines); all counters are
+integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import t
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           LEN(string_split(text, ' ')) AS n_tokens,
+           LENGTH(REPLACE(text, ' ', '')) AS n_nonspace,
+           LEN(regexp_extract_all(text, '[0-9]+')) AS n_numbers
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface statistics — all JVM-side string ops."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.split("text", " ", -1)).alias("n_tokens"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"))).alias("n_numbers"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           n_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_chars AS DOUBLE) / n_tokens AS mean_token_span,
+           CASE WHEN n_tokens >= 5 AND CAST(n_stop AS DOUBLE) / n_tokens > 0.05
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM (
+      SELECT doc_id, LENGTH(text) AS n_chars,
+             LEN(string_split(lower(text), ' ')) AS n_tokens,
+             LEN(list_filter(string_split(lower(text), ' '),
+                             w -> w IN ({_SW_SQL}))) AS n_stop
+      FROM documents) s
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword-density heuristics (the standard
+    pretraining-corpus filters), pure column expressions."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ", -1)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    s = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: F.array_contains(sw, w))).alias("n_stop"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        stop_ratio.alias("stopword_ratio"),
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias("mean_token_span"),
+        F.when((F.col("n_tokens") >= 5) & (stop_ratio > 0.05), 1).otherwise(0).alias("quality_pass"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN en_hits >= 1 AND en_hits >= de_hits THEN 'en'
+                WHEN de_hits >= 1 THEN 'de'
+                ELSE 'unknown' END AS pred_lang,
+           en_hits, de_hits
+    FROM (
+      SELECT doc_id,
+             LEN(list_filter(string_split(lower(text), ' '),
+                             w -> w IN ({_SW_SQL}))) AS en_hits,
+             LEN(list_filter(string_split(lower(text), ' '),
+                             w -> w IN ('der','die','das','und','ist','nicht'))) AS de_hits
+      FROM documents) s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword-hit voting (n-gram-free heuristic; the shape
+    generalizes to char-n-gram profiles without changing the plan)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ", -1)
+    en = F.array(*[F.lit(w) for w in STOPWORDS])
+    de = F.array(*[F.lit(w) for w in ("der", "die", "das", "und", "ist", "nicht")])
+    s = d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda w: F.array_contains(en, w))).alias("en_hits"),
+        F.size(F.filter(toks, lambda w: F.array_contains(de, w))).alias("de_hits"),
+    )
+    return s.select(
+        "doc_id",
+        F.when((F.col("en_hits") >= 1) & (F.col("en_hits") >= F.col("de_hits")), "en")
+        .when(F.col("de_hits") >= 1, "de")
+        .otherwise("unknown")
+        .alias("pred_lang"),
+        "en_hits",
+        "de_hits",
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized lowercase text."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, keep the smallest doc_id per content hash.
+    One shuffle on the hash — the 100 TB shape (hash first, never the text)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+N_HASHES = 8
+N_BANDS = 4  # 2 rows per band
+
+_SPARK_SHINGLES = (
+    "transform(sequence(1, size(toks) - 2), "
+    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+)
+_SQL_SHINGLES = (
+    "list_transform(generate_series(1, LEN(toks) - 2), "
+    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])"
+)
+
+
+def _spark_minhash(j: int) -> str:
+    return (
+        f"array_min(transform(shingles, s -> substring(md5(concat('{j}:', s)), 1, 16)))"
+    )
+
+
+def _sql_minhash(j: int) -> str:
+    return f"list_min(list_transform(shingles, s -> substring(md5('{j}:' || s), 1, 16)))"
+
+
+def _minhash_prep_spark(d: DataFrame) -> DataFrame:
+    """doc_id + minhash band keys (word-3-gram shingles, md5 min-hashing)."""
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks")
+    ).filter(F.size("toks") >= 3)
+    sh = toks.select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
+    mh = sh.select(
+        "doc_id", *[F.expr(_spark_minhash(j)).alias(f"h{j}") for j in range(N_HASHES)]
+    )
+    bands = [
+        F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    return mh.select("doc_id", *bands)
+
+
+_SQL_MINHASH_PREP = f"""
+  SELECT doc_id,
+         {", ".join(f"{_sql_minhash(j)} AS h{j}" for j in range(N_HASHES))}
+  FROM (SELECT doc_id, {_SQL_SHINGLES} AS shingles
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+        WHERE LEN(toks) >= 3)
+"""
+
+_SQL_BANDS = f"""
+  SELECT doc_id, {", ".join(f"h{2 * b} || h{2 * b + 1} AS band{b}" for b in range(N_BANDS))}
+  FROM ({_SQL_MINHASH_PREP})
+"""
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"SELECT * FROM ({_SQL_BANDS})",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + LSH band keys per document.
+
+    shingle (word 3-gram) -> 8 md5 min-hashes -> 4 bands of 2 rows. All inside
+    whole-stage codegen (higher-order functions, no Python)."""
+    return _minhash_prep_spark(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH bands AS ({_SQL_BANDS}),
+    pairs AS (
+      {" UNION ALL ".join(
+        f'''SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+            ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id'''
+        for b in range(N_BANDS)
+      )}
+    )
+    SELECT DISTINCT doc_a, doc_b FROM pairs
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on any band.
+
+    Scale shape: the self-join is per-band on the band key — candidate sets
+    are bounded by bucket size, never all-pairs. At 100 TB you'd salt any hot
+    bucket; here AQE skew-join covers it."""
+    bands = _minhash_prep_spark(t(spark, sf_dir, "documents"))
+    pairs = None
+    for b in range(N_BANDS):
+        a = bands.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk"))
+        bb = bands.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk"))
+        p = a.join(bb, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+@register(
+    "dedup_jaccard_verify",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+      WHERE LEN(toks) >= 3),
+    ex AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    j AS (
+      SELECT doc_a, doc_b, n_common,
+             CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, n_common, jaccard FROM j WHERE jaccard >= 0.8
+    """,
+)
+def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard for near-dup pairs (the verify stage after LSH).
+
+    Inverted-index join on distinct shingles (never all-pairs): intersection
+    counts from the shingle join, union by inclusion-exclusion."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    ex = (
+        toks.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+        .distinct()
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= 0.8).select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def _bit_exprs(engine: str) -> list[str]:
+    """Per-bit token contribution expressions, identical integer math in both
+    engines: bit k of a token = bit (k%4) of hex digit k//4 of md5(token)."""
+    out = []
+    for k in range(SIMHASH_BITS):
+        pos, shift = k // 4 + 1, k % 4
+        if engine == "spark":
+            digit = f"(instr('0123456789abcdef', substring(md5(w), {pos}, 1)) - 1)"
+            tok_sum = (
+                f"aggregate(toks, 0, (acc, w) -> acc + "
+                f"((CAST(FLOOR({digit} / {2 ** shift}) AS INT) % 2) * 2 - 1))"
+            )
+        else:
+            digit = f"(strpos('0123456789abcdef', substring(md5(w), {pos}, 1)) - 1)"
+            tok_sum = (
+                f"list_sum(list_transform(toks, w -> "
+                f"((CAST(FLOOR({digit} / {2 ** shift}) AS INT) % 2) * 2 - 1)))"
+            )
+        out.append(f"(CASE WHEN ({tok_sum}) > 0 THEN {2 ** k} ELSE 0 END)")
+    return out
+
+
+_SPARK_SIMHASH = " + ".join(_bit_exprs("spark"))
+_SQL_SIMHASH = " + ".join(_bit_exprs("duckdb"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id, CAST({_SQL_SIMHASH} AS BIGINT) AS simhash
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash sketch: per-bit majority vote over token hashes.
+
+    16-bit variant; near-dups are pairs within small Hamming
+    distance (bucket on the sketch, compare within bucket). Expression
+    generated programmatically — stays in codegen, no UDF."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks"))
+    return toks.select("doc_id", F.expr(_SPARK_SIMHASH).cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+# Explicit left-to-right double fold == bit-identical IEEE sequence in both
+# engines (Spark `aggregate` and DuckDB `list_sum` both fold in index order).
+_SPARK_DOT = (
+    "aggregate(zip_with(CAST(a AS ARRAY<DOUBLE>), CAST(b AS ARRAY<DOUBLE>), "
+    "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_SQL_DOT = (
+    "list_sum(list_transform(generate_series(1, LEN(a)), "
+    "i -> CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE)))"
+)
+
+
+_SQL_COSINE = (
+    f"({_SQL_DOT}) / (sqrt({_SQL_DOT.replace('b[i]', 'a[i]')}) * "
+    f"sqrt({_SQL_DOT.replace('a[i]', 'b[i]').replace('LEN(b)', 'LEN(a)')}))"
+)
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS b FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND({_SQL_COSINE.replace("a[i]", "e.embedding[i]").replace("LEN(a)", "LEN(e.embedding)")}, 6) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id != 0)
+    SELECT vec_id, label, cosine FROM scored
+    ORDER BY cosine DESC, vec_id LIMIT 20
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a query vector (vec_id=0).
+
+    Baseline ANN: broadcast the 1-row query, score every vector with a
+    codegen'd fold (no Python), TakeOrderedAndProject for the top-k. Scales
+    linearly with the corpus and trivially with executors."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("b"))
+    dot = "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(b AS ARRAY<DOUBLE>), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    na = "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    nb = "aggregate(zip_with(CAST(b AS ARRAY<DOUBLE>), CAST(b AS ARRAY<DOUBLE>), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))"), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+_SPARK_BUCKET = (
+    "aggregate(sequence(1, 4), 0, (acc, i) -> acc + "
+    "CASE WHEN element_at(CAST(embedding AS ARRAY<DOUBLE>), i) > 0 "
+    "THEN CAST(pow(2, i - 1) AS INT) ELSE 0 END)"
+)
+_SQL_BUCKET = (
+    "list_sum(list_transform(generate_series(1, 4), i -> "
+    "CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN CAST(2 ** (i - 1) AS INT) ELSE 0 END))"
+)
+
+
+@register(
+    "similarity_topk_lsh",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, label, embedding,
+                      CAST({_SQL_BUCKET} AS BIGINT) AS bucket FROM embeddings),
+    q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label, e.bucket,
+             ROUND({_SQL_COSINE.replace("a[i]", "e.embedding[i]").replace("LEN(a)", "LEN(e.embedding)").replace("b[i]", "qe[i]")}, 6) AS cosine
+      FROM b e, q
+      WHERE e.vec_id != 0 AND e.bucket = q.qb)
+    SELECT vec_id, label, bucket, cosine FROM scored
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: sign-pattern of the first 4 dims = 16 buckets
+    (random-hyperplane LSH with axis planes); the query probes only its own
+    bucket — the IVF scale path (candidate set ~N/16 instead of N)."""
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.expr(_SPARK_BUCKET).cast("bigint")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
+    )
+    dot = "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(qe AS ARRAY<DOUBLE>), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    na = "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    nb = "aggregate(zip_with(CAST(qe AS ARRAY<DOUBLE>), CAST(qe AS ARRAY<DOUBLE>), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("bucket") == F.col("qb"))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))"), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding,
+                      CAST({_SQL_BUCKET} AS BIGINT) AS bucket FROM embeddings)
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           ROUND({_SQL_COSINE.replace("a[i]", "x.embedding[i]").replace("LEN(a)", "LEN(x.embedding)").replace("b[i]", "y.embedding[i]")}, 6) AS cosine
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE ({_SQL_COSINE.replace("a[i]", "x.embedding[i]").replace("LEN(a)", "LEN(x.embedding)").replace("b[i]", "y.embedding[i]")}) >= 0.25
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: LSH bucket self-join + exact cosine verify.
+
+    The all-pairs O(N^2) is avoided structurally: pairs only form inside a
+    bucket. Same shape as MinHash-LSH, over vectors."""
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.expr(_SPARK_BUCKET).cast("bigint")
+    )
+    x = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
+    y = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
+    dot = "aggregate(zip_with(CAST(ea AS ARRAY<DOUBLE>), CAST(eb AS ARRAY<DOUBLE>), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    na = "aggregate(zip_with(CAST(ea AS ARRAY<DOUBLE>), CAST(ea AS ARRAY<DOUBLE>), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    nb = "aggregate(zip_with(CAST(eb AS ARRAY<DOUBLE>), CAST(eb AS ARRAY<DOUBLE>), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    cos = f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+    return (
+        x.join(y, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_raw", F.expr(cos))
+        .filter(F.col("cosine_raw") >= 0.25)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
+    )

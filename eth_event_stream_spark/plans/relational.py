@@ -1,0 +1,910 @@
+"""Stock relational operator surface (SURVEY §7.3 phase 5, §2.4).
+
+The reference implements no general relational operators (SURVEY §2.4); this
+module provides the capability-equivalent surface as idiomatic Catalyst plans:
+joins (inner/left/semi/anti/broadcast), hash aggregation (incl. distinct,
+rollup/cube/grouping sets), window functions (ranking/analytic/frames),
+sort/limit/top-k, set operations, scalar function families (string/date/math/
+json/array/conditional), and subqueries.
+
+Scale notes baked into each plan:
+- dimension joins (region/nation/supplier/part/customer) broadcast — no
+  shuffle of the fact side beyond its own aggregation;
+- aggregations are algebraic -> Catalyst does partial (map-side) aggregation;
+- top-k is ``orderBy().limit(k)`` -> Spark plans TakeOrderedAndProject, a
+  per-partition heap + driver merge, never a global sort;
+- every double aggregate goes through DECIMAL (exact, order-independent) per
+  the registry's numeric convention, so plans stay correct under any degree
+  of parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import t
+from .registry import register
+
+# --- numeric convention helpers (see registry docstring) -------------------
+
+D = "decimal(18,6)"  # exact carrier for double-valued measures
+
+
+def dsum(col, alias: str):
+    """Order-independent exact sum of a double column, surfaced as double."""
+    return F.sum(F.col(col).cast(D)).cast("decimal(16,4)").cast("double").alias(alias)
+
+
+def davg(col, alias: str):
+    """avg = CAST(exact sum AS DOUBLE) / count — one deterministic division."""
+    return (F.sum(F.col(col).cast(D)).cast("decimal(16,4)").cast("double") / F.count(F.col(col))).alias(alias)
+
+
+# SQL-side equivalents (DuckDB)
+def SQL_DSUM(col: str, alias: str) -> str:
+    return f"CAST(CAST(SUM(CAST({col} AS DECIMAL(18,6))) AS DECIMAL(16,4)) AS DOUBLE) AS {alias}"
+
+
+def SQL_DAVG(col: str, alias: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({col} AS DECIMAL(18,6))) AS DECIMAL(16,4)) AS DOUBLE) / COUNT({col}) AS {alias}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_DSUM('l_quantity', 'sum_qty')},
+           {SQL_DSUM('l_extendedprice', 'sum_base_price')},
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(16,4)) AS DOUBLE) AS sum_disc_price,
+           {SQL_DAVG('l_quantity', 'avg_qty')},
+           {SQL_DAVG('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-measure hash aggregation with partial aggregation.
+
+    Map-side combine + 2-key shuffle; at 100 TB the shuffle carries only
+    (2 keys x ~4 groups x partial states), not rows.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice").cast(D) * (F.lit(1) - F.col("l_discount").cast(D))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("decimal(16,4)").cast("double").alias("sum_disc_price"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Catalyst expands to a two-phase aggregate."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(16,4)) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over a broadcast dim join (region+nation are tiny)."""
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal", "sum_acctbal"))
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping-set combinations in one pass."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(16,4)) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL on a temp view."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(16,4)) AS DOUBLE) AS sum_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(16,4)) AS DOUBLE) AS total_spent
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "total_spent"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — sketch, no exact oracle by design.
+
+    The scale path for distinct counting at 100 TB: constant memory per group
+    vs the exact expansion's shuffle of every distinct value.
+    """
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS min_v,
+           CAST(MAX(value) AS DOUBLE) AS max_v,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(16,4)) AS DOUBLE) AS sum_v
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/sum/count family (order-independent measures only)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").cast("double").alias("min_v"),
+            F.max("value").cast("double").alias("max_v"),
+            dsum("value", "sum_v"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 400000
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join; the selective filter is pushed below the join."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_name", "o_totalprice")
+
+
+@register(
+    "join_left_count",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): no row multiplication, build side deduped."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 420000)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no large order."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 420000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(16,4)) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 10
+    GROUP BY p_brand
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x small dim with an explicit broadcast: zero shuffle of lineitem
+    before aggregation — THE join shape for star schemas at 100 TB."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice", "revenue"))
+    )
+
+
+@register(
+    "q3_top_unshipped",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(16,4)) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-03-15'
+          AND l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join + agg + top-k.
+
+    Plan: customer filter broadcast into orders, orders->lineitem shuffle join
+    on orderkey, partial-agg, TakeOrderedAndProject for the limit.
+    """
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp"))
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp"))
+    revenue = F.col("l_extendedprice").cast(D) * (F.lit(1) - F.col("l_discount").cast(D))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("decimal(16,4)").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(16,4)) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; all dims broadcast, one fact shuffle."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice").cast(D) * (F.lit(1) - F.col("l_discount").cast(D))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("decimal(16,4)").cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_topn",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             RANK()       OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) x
+    WHERE rn <= 3
+    """,
+)
+def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N via ROW_NUMBER/RANK (deterministic full-key order).
+
+    At scale Spark rewrites rn<=3 into a per-partition group-limit before the
+    shuffle (WindowGroupLimit), so the full sort never materializes.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(16,4)) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per customer (exact decimal accumulation)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(D)).over(w).cast("decimal(16,4)").cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "window_lead_lag",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           LAG(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events WHERE user_id < 20
+    """,
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD — the per-block suffix pattern-matching analog (SURVEY B10):
+    fixed-length event patterns anchored at every position."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(16,4)) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
+    FROM events WHERE user_id < 20
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over a 3-row frame (exact sum / frame count)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "event_id",
+            (F.sum(F.col("value").cast(D)).over(w).cast("decimal(16,4)").cast("double") / F.count("*").over(w)).alias("mov_avg"),
+        )
+    )
+
+
+@register(
+    "window_ntile_dense",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4)     OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+           DENSE_RANK() OVER (ORDER BY c_mktsegment) AS seg_rank
+    FROM customer
+    """,
+)
+def window_ntile_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE + DENSE_RANK (global windows — fine on dims, avoid on facts)."""
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))).alias("quartile"),
+        F.dense_rank().over(Window.orderBy("c_mktsegment")).alias("seg_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: TakeOrderedAndProject (heap per partition + driver merge)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "distinct_values",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection == group-by-all-columns."""
+    return t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "signup").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT user_id FROM events
+    WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-02'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-02'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    day1 = ev.filter(F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
+    a = day1.filter(F.col("event_type") == "view").select("user_id")
+    b = day1.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.subtract(b)  # distinct EXCEPT (ANSI set semantics)
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT c_custkey AS entity_id, 'customer' AS kind FROM customer WHERE c_acctbal > 9000
+    UNION ALL
+    SELECT s_suppkey AS entity_id, 'supplier' AS kind FROM supplier WHERE s_acctbal > 9000
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("entity_id"), F.lit("customer").alias("kind"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_suppkey").alias("entity_id"), F.lit("supplier").alias("kind"))
+    )
+    return c.unionByName(s)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           LOWER(p_type) AS type_lower,
+           SUBSTRING(p_name, 1, 8) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           TRIM(p_name) AS name_trim
+    FROM part WHERE p_partkey <= 200
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family — all JVM-side, whole-stage codegen."""
+    return (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.lower("p_type").alias("type_lower"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias("brand_size"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+            F.trim(F.col("p_name")).alias("name_trim"),
+        )
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS yr,
+           CAST(MONTH(o_orderdate) AS INT) AS mo,
+           CAST(DAY(o_orderdate) AS INT) AS dy,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("dy"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        )
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS disc_dev,
+           FLOOR(l_extendedprice) AS price_floor,
+           CEIL(l_quantity) AS qty_ceil,
+           CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS price_sq,
+           MOD(l_orderkey, 7) AS key_mod
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family (IEEE-deterministic ops only; no transcendental in the
+    oracle-matched set — libm rounding differs across engines)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        (F.col("l_extendedprice") * F.col("l_extendedprice")).alias("price_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@register(
+    "scalar_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'large'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'small' END AS size_bucket,
+           CASE o_orderstatus WHEN 'F' THEN 'finished' ELSE 'open' END AS status_word
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def scalar_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expressions (searched + simple CASE)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("size_bucket"),
+        F.when(F.col("o_orderstatus") == "F", "finished").otherwise("open").alias("status_word"),
+    )
+
+
+@register(
+    "scalar_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events WHERE event_id < 3000
+    """,
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (get_json_object ~ json_extract_string)."""
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        )
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
+           CAST(list_max(embedding) AS DOUBLE) AS max_elem
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family over the embedding column."""
+    return (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.element_at("embedding", 1).cast("double").alias("first_elem"),
+            F.array_max("embedding").cast("double").alias("max_elem"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+          AND o_orderstatus = 'O'
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery — planned as a left-semi join."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    debtors = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return o.join(F.broadcast(debtors), o.o_custkey == debtors.c_custkey, "left_semi").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@register(
+    "subquery_scalar_agg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(16,4)) AS DOUBLE)
+                                     / COUNT(*) FROM orders)
+    """,
+)
+def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: compare each row to a global aggregate.
+
+    Expressed as a cross join against a 1-row aggregate (broadcast) — the
+    distributed form of a scalar subquery; no driver-side collect.
+    """
+    o = t(spark, sf_dir, "orders")
+    avg_df = o.agg(
+        (F.sum(F.col("o_totalprice").cast(D)).cast("decimal(16,4)").cast("double") / F.count("*")).alias("avg_price")
+    )
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "correlated_exists_agg",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE c_acctbal > (SELECT COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                                            AS DOUBLE), 0.0) / 100000
+                       FROM orders WHERE o_custkey = c.c_custkey)
+    """,
+)
+def correlated_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate subquery — decorrelated to join + groupBy."""
+    c = t(spark, sf_dir, "customer")
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(D)).cast("decimal(16,4)").cast("double").alias("spent"))
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .withColumn("spent", F.coalesce(F.col("spent"), F.lit(0.0)))
+        .filter(F.col("c_acctbal") > F.col("spent") / 100000)
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (single-pass, no value discovery scan)."""
+    out = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    # pivot yields NULL for empty cells; counts should be 0 (matches FILTER)
+    cols = ["click", "view", "purchase", "signup", "error"]
+    return out.select(
+        "user_id", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in cols]
+    )
