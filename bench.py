@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_queries_total", "value": N, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query executes end-to-end into the noop sink (full physical execution,
+no driver-side materialization cost). One untimed warm-up of a small query
+absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from eth_event_stream_spark.plans import QUERIES  # noqa: E402
+from eth_event_stream_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (agg / multi-join / window / stream
+# semantics / dedup / similarity / text), weighted toward shuffle-heavy shapes.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_local_supplier_volume",
+    "flagship_user_netflow",
+    "window_rank_topn",
+    "tumbling_window_1h",
+    "session_window_30m",
+    "sync_dense_flush",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "similarity_topk_bruteforce",
+    "text_quality_score",
+]
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # warm-up: JVM + parquet footer reads, untimed
+    run_query(QUERIES["agg_stats"].fn(spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        run_query(QUERIES[name].fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -205,13 +205,27 @@ def _sql_minhash(j: int) -> str:
 
 
 def _minhash_prep_spark(d: DataFrame) -> DataFrame:
-    """doc_id + minhash band keys (word-3-gram shingles, md5 min-hashing)."""
+    """doc_id + minhash band keys (word-3-gram shingles, md5 min-hashing).
+
+    Shape: explode shingles once, evaluate the 8 salted md5s per shingle row
+    (each md5 computed exactly once), then one partial-aggregated
+    groupBy(doc_id).agg(min x 8). Keeping the shingle array in a projection
+    instead would let Catalyst's projection collapse inline the shingle
+    transform into every minhash expression — 8x the string work — and would
+    bound per-row memory by the longest document."""
     toks = d.select(
         "doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks")
     ).filter(F.size("toks") >= 3)
-    sh = toks.select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
-    mh = sh.select(
-        "doc_id", *[F.expr(_spark_minhash(j)).alias(f"h{j}") for j in range(N_HASHES)]
+    sh = toks.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("s"))), 1, 16).alias(f"mh{j}")
+            for j in range(N_HASHES)
+        ],
+    )
+    mh = hashed.groupBy("doc_id").agg(
+        *[F.min(f"mh{j}").alias(f"h{j}") for j in range(N_HASHES)]
     )
     bands = [
         F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(f"band{b}")
@@ -264,16 +278,39 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs agreeing on any band.
 
-    Scale shape: the self-join is per-band on the band key — candidate sets
-    are bounded by bucket size, never all-pairs. At 100 TB you'd salt any hot
-    bucket; here AQE skew-join covers it."""
+    Scale shape: signatures are computed ONCE, unpivoted to (band_idx, key,
+    doc_id), then a single groupBy(band_idx, key) forms buckets and pairs are
+    generated combinatorially inside each bucket — one shuffle of the tiny
+    signature table, no self-join, no recompute of the md5 work (a band-wise
+    self-join would re-evaluate the minhash expressions once per branch and
+    side: 8x). Candidate sets stay bounded by bucket size, never all-pairs;
+    a hot bucket at 100 TB is capped/salted upstream."""
     bands = _minhash_prep_spark(t(spark, sf_dir, "documents"))
-    pairs = None
-    for b in range(N_BANDS):
-        a = bands.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk"))
-        bb = bands.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk"))
-        p = a.join(bb, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
+    long = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("key"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.key")
+    buckets = (
+        long.groupBy("band_idx", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
     return pairs.distinct()
 
 
@@ -528,3 +565,72 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine_raw") >= 0.25)
         .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal + stateful-reducer surface (plumbing-real, codec-stubbed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 3 = 2
+                THEN CAST(octet_length(encode(text)) % 24 + 1 AS BIGINT) END AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns -> typed features via Arrow-batched mapInPandas.
+
+    The codec is the deterministic fake (real decoders are stubbed — see
+    operators.multimodal); the Spark plumbing (binary payload column, Arrow
+    batch transfer, feature schema) is the real path and is what this query
+    checks end-to-end against the oracle."""
+    from ..operators.multimodal import documents_as_media, extract_features
+
+    media = documents_as_media(t(spark, sf_dir, "documents"))
+    return extract_features(media, codec="fake")
+
+
+@register(
+    "reducer_netflow_batch",
+    oracle="""
+    SELECT user_id AS key,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN -CAST(ROUND(value * 100, 0) AS BIGINT)
+                         ELSE  CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT)
+             AS net_cents,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def reducer_netflow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful EventReducer API (sink.rs:125-151) in batch form:
+    applyInPandas folds block-sorted events per key. State arithmetic is in
+    integer cents — exact, so the Python fold matches the SQL oracle.
+
+    Here to exercise the stateful path end-to-end; the algebraic equivalent
+    (flagship_user_netflow) is the production shape for this fold."""
+    import pandas as pd
+
+    from ..streaming.reducer import CentsNetflowReducer, reduce_events_batch
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("value"),
+        F.when(F.col("event_type") == "purchase", -1).otherwise(1).alias("sign"),
+        (F.unix_timestamp("ts")).alias("block_number"),
+        F.col("event_id").alias("log_index"),
+    )
+    return reduce_events_batch(ev, CentsNetflowReducer(), ["user_id"])

@@ -1,0 +1,244 @@
+"""Custom Spark data source with the reference ``Stream`` semantics.
+
+Re-expresses /root/reference/eth_event_stream/src/stream.rs as a Spark 4
+Python ``DataSource`` over a log table (parquet) standing in for the chain:
+
+- offsets ARE the block frontier (S9/B3): ``latestOffset`` advances to
+  ``min(to_block, head - confirmation_blocks)`` (S3, confirmation lag;
+  default 2 = stream.rs:116) even when the range holds no rows — empty
+  chunks still move the watermark, exactly the reference's punctuation
+  (put_multiple end_block, sink.rs:253-263).
+- per-trigger advance is capped at ``block_step`` blocks (S2 chunking;
+  default 1000 = stream.rs:119), and each micro-batch splits into
+  one task per ``block_step`` range — Spark parallelizes what the
+  reference fetches sequentially (stream.rs:214-226).
+- ``removed`` logs fail the read by default (S7 reorg policy,
+  stream.rs:174-181); ``fail_on_removed=false`` drops them instead.
+- a bounded ``[from_block, to_block]`` plus ``Trigger.AvailableNow`` is the
+  historical drain; an open ``to_block`` is the live tail (S4 unification).
+
+The chain head is ``max(block_number)`` in the backing table, read from
+parquet footer statistics only (no data scan) — the analog of the
+``BlockNotify`` newHeads subscription (S5, data_feed/block.rs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ETH_LOG_SCHEMA = StructType(
+    [
+        StructField("address", StringType()),
+        StructField("topics", ArrayType(StringType())),
+        StructField("data", BinaryType()),
+        StructField("block_number", LongType()),
+        StructField("log_index", LongType()),
+        StructField("transaction_hash", StringType()),
+        StructField("removed", BooleanType()),
+    ]
+)
+
+_COLS = [f.name for f in ETH_LOG_SCHEMA.fields]
+
+
+@dataclass
+class BlockRangePartition(InputPartition):
+    """One fetch chunk: blocks [lo, hi) — the reference's eth_getLogs call."""
+
+    lo: int
+    hi: int
+
+
+class ReorgError(Exception):
+    """A removed (reorged) log was observed below the confirmation frontier."""
+
+
+def _chain_head(path: str) -> int:
+    """max(block_number) from parquet row-group statistics (no data scan)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = [c for c in range(md.num_columns)][
+        [md.schema.column(i).name for i in range(md.num_columns)].index("block_number")
+    ]
+    head = None
+    for rg in range(md.num_row_groups):
+        stats = md.row_group(rg).column(idx).statistics
+        if stats is not None and stats.has_min_max:
+            mx = stats.max
+            head = mx if head is None else max(head, mx)
+    if head is None:  # stats missing: fall back to a scan of the one column
+        import pyarrow.parquet as pq2
+
+        tbl = pq2.read_table(path, columns=["block_number"])
+        head = max(tbl.column(0).to_pylist())
+    return int(head)
+
+
+def _read_range(
+    path: str,
+    lo: int,
+    hi: int,
+    address: str | None,
+    topic0: str | None,
+    fail_on_removed: bool,
+) -> Iterator[tuple]:
+    """Fetch logs in [lo, hi) with source-side predicate pushdown.
+
+    The address/topic0 filters reach the parquet scan (pyarrow pushes them to
+    row groups), mirroring the server-side Filter of stream.rs:94-102.
+    """
+    import pyarrow.parquet as pq
+
+    flt = [("block_number", ">=", lo), ("block_number", "<", hi)]
+    if address is not None:
+        flt.append(("address", "=", address.lower()))
+    tbl = pq.read_table(path, filters=flt)
+    cols = {name: tbl.column(name).to_pylist() for name in _COLS}
+    n = len(cols["block_number"])
+    for i in range(n):
+        if topic0 is not None:
+            topics = cols["topics"][i]
+            if not topics or topics[0].lower() != topic0.lower():
+                continue
+        if cols["removed"][i]:
+            if fail_on_removed:
+                raise ReorgError(
+                    f"removed log at block {cols['block_number'][i]} — "
+                    "increase confirmation_blocks"
+                )
+            continue
+        yield tuple(cols[name][i] for name in _COLS)
+
+
+class EthLogStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.from_block = int(options.get("from_block", 0))
+        self.to_block = int(options["to_block"]) if "to_block" in options else None
+        self.confirmations = int(options.get("confirmation_blocks", 2))
+        self.block_step = int(options.get("block_step", 1000))
+        self.address = options.get("address")
+        self.topic0 = options.get("topic0")
+        self.fail_on_removed = str(options.get("fail_on_removed", "true")).lower() == "true"
+        self._current = self.from_block
+
+    # offsets are dicts {"block": next_unread_block}
+    def initialOffset(self) -> dict:
+        return {"block": self.from_block}
+
+    def latestOffset(self) -> dict:
+        head = _chain_head(self.path)
+        safe = head - self.confirmations  # S3 confirmation lag
+        if self.to_block is not None:
+            safe = min(safe, self.to_block)
+        # per-trigger cap (S2): at most block_step blocks per micro-batch
+        nxt = min(safe + 1, self._current + self.block_step)
+        nxt = max(nxt, self._current)  # never regress
+        self._current = nxt
+        return {"block": nxt}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["block"], end["block"]
+        # restart fast-forward: `start` comes from the committed offset log;
+        # never let the in-memory frontier lag behind it (otherwise a restart
+        # pays one empty catch-up batch per block_step chunk)
+        self._current = max(self._current, lo, hi)
+        if hi <= lo:
+            return [BlockRangePartition(lo, lo)]
+        step = self.block_step
+        return [
+            BlockRangePartition(b, min(b + step, hi)) for b in range(lo, hi, step)
+        ]
+
+    def read(self, partition: BlockRangePartition) -> Iterator[tuple]:
+        if partition.hi <= partition.lo:
+            return iter(())
+        return _read_range(
+            self.path,
+            partition.lo,
+            partition.hi,
+            self.address,
+            self.topic0,
+            self.fail_on_removed,
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offset log persistence is Spark's checkpoint
+
+
+class EthLogBatchReader(DataSourceReader):
+    """Bounded historical read (the stream_historical_logs drain) as a batch
+    scan: one task per block_step chunk, same pushdown."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.from_block = int(options.get("from_block", 0))
+        self.to_block = int(options["to_block"]) if "to_block" in options else None
+        self.block_step = int(options.get("block_step", 1000))
+        self.address = options.get("address")
+        self.topic0 = options.get("topic0")
+        self.fail_on_removed = str(options.get("fail_on_removed", "true")).lower() == "true"
+
+    def partitions(self):
+        hi = (self.to_block if self.to_block is not None else _chain_head(self.path)) + 1
+        step = self.block_step
+        return [
+            BlockRangePartition(b, min(b + step, hi))
+            for b in range(self.from_block, hi, step)
+        ]
+
+    def read(self, partition: BlockRangePartition) -> Iterator[tuple]:
+        return _read_range(
+            self.path,
+            partition.lo,
+            partition.hi,
+            self.address,
+            self.topic0,
+            self.fail_on_removed,
+        )
+
+
+class EthLogDataSource(DataSource):
+    """``spark.read.format("eth_logs")`` / ``spark.readStream.format("eth_logs")``.
+
+    Options: path, from_block, to_block, confirmation_blocks=2, block_step=1000,
+    address, topic0, fail_on_removed=true.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "eth_logs"
+
+    def schema(self) -> StructType:
+        return ETH_LOG_SCHEMA
+
+    def reader(self, schema: StructType) -> EthLogBatchReader:
+        return EthLogBatchReader(self.options)
+
+    def streamReader(self, schema: StructType) -> EthLogStreamReader:
+        return EthLogStreamReader(self.options)
+
+
+def register(spark) -> None:
+    from ..shipping import ship_package
+
+    ship_package(spark)  # workers must import this module to unpickle the source
+    spark.dataSource.register(EthLogDataSource)

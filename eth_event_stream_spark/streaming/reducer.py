@@ -1,0 +1,197 @@
+"""Stateful reducer API — the reference ``EventReducer`` trait, Spark-first.
+
+The reference folds reducers over dense, block-sorted event batches
+(/root/reference/eth_event_stream/src/sink.rs:125-151: ``reduce(&mut self,
+block_number, ordered_events)``), with state living in the reducer struct.
+
+Spark decomposition (SURVEY §7.4.3):
+
+- **Algebraic folds** (netflow, counters) degenerate to ``groupBy().agg()`` —
+  use the plans layer; never pay for ordered state you don't need.
+- **Order-dependent / general state** uses this module:
+  - streaming: ``applyInPandasWithState`` keyed by a partition key, each
+    micro-batch delivering block-sorted rows to ``EventReducer.reduce``;
+  - batch: ``applyInPandas`` over the same key with an in-group sort — the
+    identical reducer code runs in both (the reference's historical/live
+    unification).
+
+State is partitioned by ``key_cols`` — the scale contract: the reference's
+single ``Arc<Mutex<State>>`` becomes N independent shards; anything global
+must be algebraically mergeable downstream.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+class EventReducer(ABC):
+    """Port of the EventReducer trait (sink.rs:125-131), block-batch driven.
+
+    ``reduce`` sees one key's events for a contiguous, sorted span of blocks
+    (the reference calls per block; batching blocks per invocation is the
+    vectorized equivalent — order within and across calls is preserved).
+    """
+
+    @abstractmethod
+    def init_state(self) -> Any: ...
+
+    @abstractmethod
+    def reduce(self, state: Any, events: pd.DataFrame) -> Any:
+        """Fold block-sorted events into state; return the new state."""
+
+    @abstractmethod
+    def emit(self, key: tuple, state: Any) -> pd.DataFrame:
+        """Current aggregate rows for this key (the live-monitor read side,
+        examples/stream_multi.rs:116-143)."""
+
+    @abstractmethod
+    def state_schema(self) -> StructType: ...
+
+    @abstractmethod
+    def output_schema(self) -> StructType: ...
+
+    @abstractmethod
+    def state_to_rows(self, state: Any) -> list[tuple]: ...
+
+    @abstractmethod
+    def rows_to_state(self, rows: list[tuple]) -> Any: ...
+
+
+def _sort_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols = [c for c in ("block_number", "log_index") if c in pdf.columns]
+    return pdf.sort_values(cols) if cols else pdf
+
+
+def reduce_events_stream(
+    df: DataFrame, reducer: EventReducer, key_cols: list[str]
+) -> DataFrame:
+    """Streaming fold: applyInPandasWithState in update mode.
+
+    Each trigger: state <- reduce(state, sorted new events); emit current
+    aggregates. Exactly the consumer loop of sink.rs:134-151 with Spark's
+    state store replacing the Arc<Mutex<..>>.
+    """
+
+    from ..shipping import ship_package
+
+    ship_package(df.sparkSession)
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = reducer.rows_to_state([tuple(state.get)])
+        else:
+            st = reducer.init_state()
+        for pdf in batches:
+            st = reducer.reduce(st, _sort_batch(pdf))
+        rows = reducer.state_to_rows(st)
+        state.update(rows[0])
+        yield reducer.emit(key, st)
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=reducer.output_schema(),
+        stateStructType=reducer.state_schema(),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def reduce_events_batch(
+    df: DataFrame, reducer: EventReducer, key_cols: list[str]
+) -> DataFrame:
+    """Batch fold: the SAME reducer over applyInPandas (historical drain)."""
+    from ..shipping import ship_package
+
+    ship_package(df.sparkSession)
+
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        st = reducer.reduce(reducer.init_state(), _sort_batch(pdf))
+        return reducer.emit(key, st)
+
+    return df.groupBy(*key_cols).applyInPandas(fn, schema=reducer.output_schema())
+
+
+class NetflowReducer(EventReducer):
+    """The reference's flagship reducer (examples/stream_multi.rs:33-70):
+    per-key net value flow plus the event counter, as explicit state.
+
+    Exists to exercise the stateful path; the production shape for this
+    particular (algebraic) fold is plans.eventflow.flagship_user_netflow.
+    Expects columns: value (double), sign (+1/-1), block_number, log_index.
+    """
+
+    def init_state(self):
+        return {"net": 0.0, "n": 0}
+
+    def reduce(self, state, events: pd.DataFrame):
+        state["net"] += float((events["value"] * events["sign"]).sum())
+        state["n"] += int(len(events))
+        return state
+
+    def emit(self, key, state) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": [key[0]], "netflow": [state["net"]], "n_events": [state["n"]]}
+        )
+
+    def state_schema(self) -> StructType:
+        return StructType.fromDDL("net DOUBLE, n BIGINT")
+
+    def output_schema(self) -> StructType:
+        return StructType.fromDDL("key BIGINT, netflow DOUBLE, n_events BIGINT")
+
+    def state_to_rows(self, state) -> list[tuple]:
+        return [(state["net"], state["n"])]
+
+    def rows_to_state(self, rows) -> Any:
+        return {"net": rows[0][0], "n": rows[0][1]}
+
+
+class CentsNetflowReducer(EventReducer):
+    """NetflowReducer with exact integer-cents state — cross-engine-exact
+    (the oracle-checkable variant; SURVEY §7.4.1's "do no worse than the
+    reference's lossy i128" applied to doubles). Expects columns: value
+    (double, 2-decimal), sign (+1/-1)."""
+
+    def init_state(self):
+        return {"cents": 0, "n": 0}
+
+    def reduce(self, state, events: pd.DataFrame):
+        cents = (events["value"] * 100).round().astype("int64") * events["sign"]
+        state["cents"] += int(cents.sum())
+        state["n"] += int(len(events))
+        return state
+
+    def emit(self, key, state) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": [key[0]], "net_cents": [state["cents"]], "n_events": [state["n"]]}
+        )
+
+    def state_schema(self) -> StructType:
+        return StructType.fromDDL("cents BIGINT, n BIGINT")
+
+    def output_schema(self) -> StructType:
+        return StructType.fromDDL("key BIGINT, net_cents BIGINT, n_events BIGINT")
+
+    def state_to_rows(self, state) -> list[tuple]:
+        return [(state["cents"], state["n"])]
+
+    def rows_to_state(self, rows) -> Any:
+        return {"cents": rows[0][0], "n": rows[0][1]}
+
+
+def with_block_watermark(df: DataFrame, delay_blocks: int = 0) -> DataFrame:
+    """Attach an event-time watermark derived from block height (B2 analog
+    for event-time operators; the block frontier itself is offset-based in
+    the source — SURVEY §7.4.5)."""
+    wdf = df.withColumn("block_ts", F.timestamp_seconds(F.col("block_number") * 12))
+    return wdf.withWatermark("block_ts", f"{delay_blocks * 12} seconds")

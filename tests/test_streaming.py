@@ -1,0 +1,215 @@
+"""Streaming surface: custom eth_logs data source (S1-S9) + stateful
+reducers (B10), checked against their batch equivalents — the reference's
+own correctness frame (historical and live must agree; stream.rs:304-375's
+golden-count test is the model)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from eth_event_stream_spark.sources.block_source import register as register_source
+from eth_event_stream_spark.sources.fixtures import ADDR_A, TRANSFER_TOPIC0
+from eth_event_stream_spark.streaming.reducer import (
+    CentsNetflowReducer,
+    reduce_events_batch,
+    reduce_events_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def source_registered(spark):
+    register_source(spark)
+    return spark
+
+
+def test_batch_read_golden_count(source_registered, eth_logs_fixture):
+    """S1/S2 batch form: chunked scan with source-side address+topic0
+    pushdown reproduces the golden count (analog of stream.rs:371)."""
+    spark = source_registered
+    fx, path = eth_logs_fixture
+    df = (
+        spark.read.format("eth_logs")
+        .option("path", path)
+        .option("from_block", fx.from_block)
+        .option("to_block", fx.to_block)
+        .option("block_step", 20)
+        .option("address", ADDR_A)
+        .option("topic0", TRANSFER_TOPIC0)
+        .option("fail_on_removed", "false")
+        .load()
+    )
+    n = df.dropDuplicates(["block_number", "log_index"]).count()
+    assert n == fx.golden_count_a
+
+
+def test_batch_read_reorg_fails(source_registered, eth_logs_fixture):
+    """S7: removed logs fail the read under the default policy."""
+    spark = source_registered
+    fx, path = eth_logs_fixture
+    df = (
+        spark.read.format("eth_logs")
+        .option("path", path)
+        .option("from_block", fx.from_block)
+        .option("to_block", fx.to_block)
+        .load()
+    )
+    with pytest.raises(Exception, match="confirmation_blocks"):
+        df.count()
+
+
+def test_stream_matches_batch(source_registered, eth_logs_fixture, tmp_path):
+    """S3/S4/B3: the live tail (micro-batched, confirmation-lagged,
+    chunk-capped) delivers exactly the historical drain's rows."""
+    spark = source_registered
+    fx, path = eth_logs_fixture
+    stream = (
+        spark.readStream.format("eth_logs")
+        .option("path", path)
+        .option("from_block", fx.from_block)
+        .option("to_block", fx.to_block)
+        .option("block_step", 25)  # force several micro-batches
+        .option("confirmation_blocks", 2)
+        .option("fail_on_removed", "false")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("stream_sink")
+    # confirmation lag: stream stops at to_block - confirmations... unless
+    # to_block caps first; head == to_block here, so frontier = to_block - 2
+    n_stream = got.dropDuplicates(["block_number", "log_index"]).count()
+    batch = (
+        spark.read.format("eth_logs")
+        .option("path", path)
+        .option("from_block", fx.from_block)
+        .option("to_block", fx.to_block - 2)
+        .option("fail_on_removed", "false")
+        .load()
+    )
+    n_batch = batch.dropDuplicates(["block_number", "log_index"]).count()
+    assert n_stream == n_batch
+    assert n_stream > 0
+
+
+def test_stream_empty_ranges_advance(source_registered, eth_logs_fixture, tmp_path):
+    """B3 punctuation: a range with no rows still advances the offset —
+    the query finishes instead of stalling on empty blocks."""
+    spark = source_registered
+    fx, path = eth_logs_fixture
+    # pick a range that provably contains a globally-empty block
+    occupied = {r["block_number"] for r in fx.rows}
+    empty_block = next(
+        b for b in range(fx.from_block, fx.to_block + 1) if b not in occupied
+    )
+    lo = max(fx.from_block, empty_block - 3)
+    stream = (
+        spark.readStream.format("eth_logs")
+        .option("path", path)
+        .option("from_block", lo)
+        .option("to_block", lo + 8)
+        .option("block_step", 1)  # one block per micro-batch -> empty batches
+        .option("confirmation_blocks", 0)
+        .option("fail_on_removed", "false")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("punct_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.recentProgress
+    finally:
+        q.stop()
+    assert len(progress) >= 2  # multiple micro-batches ran
+    # batches with zero rows still committed offsets
+    assert any(p["numInputRows"] == 0 for p in progress)
+
+
+def test_reducer_stream_matches_batch(source_registered, eth_logs_fixture, tmp_path):
+    """B10: the SAME reducer over applyInPandasWithState (stream) and
+    applyInPandas (batch) produces identical state."""
+    spark = source_registered
+    fx, path = eth_logs_fixture
+
+    def prepared(df):
+        # value = low 8 bytes of data (cents stand-in), sign alternates by parity
+        return df.dropDuplicates(["block_number", "log_index"]).select(
+            F.col("address"),
+            (F.conv(F.substring(F.hex("data"), 57, 8), 16, 10).cast("long") % 10000)
+            .cast("double")
+            .alias("raw"),
+            F.when(F.col("log_index") % 2 == 0, 1).otherwise(-1).alias("sign"),
+            "block_number",
+            "log_index",
+        ).withColumn("value", F.col("raw") / 100.0).drop("raw")
+
+    batch = (
+        spark.read.format("eth_logs")
+        .option("path", path)
+        .option("from_block", fx.from_block)
+        .option("to_block", fx.to_block)
+        .option("fail_on_removed", "false")
+        .load()
+    )
+    expected = {
+        r["key"]: (r["net_cents"], r["n_events"])
+        for r in reduce_events_batch(
+            prepared(batch).withColumn("key", F.crc32(F.col("address")).cast("bigint")),
+            CentsNetflowReducer(),
+            ["key"],
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.format("eth_logs")
+        .option("path", path)
+        .option("from_block", fx.from_block)
+        .option("to_block", fx.to_block)
+        .option("block_step", 30)
+        .option("confirmation_blocks", 0)
+        .option("fail_on_removed", "false")
+        .load()
+    )
+    sdf = reduce_events_stream(
+        prepared(stream).withColumn("key", F.crc32(F.col("address")).cast("bigint")),
+        CentsNetflowReducer(),
+        ["key"],
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("reducer_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode appends every emission; the LAST per key is the final state
+    rows = spark.sql(
+        """
+        SELECT key, net_cents, n_events FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY mono DESC) rn
+          FROM (SELECT *, monotonically_increasing_id() AS mono FROM reducer_sink)
+        ) WHERE rn = 1
+        """
+    ).collect()
+    got = {r["key"]: (r["net_cents"], r["n_events"]) for r in rows}
+    assert got == expected
