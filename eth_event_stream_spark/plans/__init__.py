@@ -13,7 +13,7 @@ registry. Modules:
   SimHash/Jaccard), similarity search, text analysis.
 """
 
-from . import eventflow, pipeline, relational  # noqa: F401  (registration side effects)
+from . import eventflow, pipeline, relational, relational2  # noqa: F401  (registration side effects)
 from .registry import QUERIES, oracle_sql_dict, queries_dict
 
 __all__ = ["QUERIES", "queries_dict", "oracle_sql_dict"]

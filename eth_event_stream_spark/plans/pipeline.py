@@ -53,7 +53,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"),
         F.size(F.split("text", " ", -1)).alias("n_tokens"),
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"))).alias("n_numbers"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)).alias("n_numbers"),
     )
 
 
