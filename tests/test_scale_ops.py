@@ -1,0 +1,163 @@
+"""Scale-path operators: skew joins equal their plain equivalents; the full
+streaming pipeline (source -> decode -> windowed netflow) equals batch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eth_event_stream_spark.functions.decode import decode_event
+from eth_event_stream_spark.operators.skew import salted_join, top_keys, two_path_join
+from eth_event_stream_spark.operators.sync import netflow
+from eth_event_stream_spark.sources.block_source import register as register_source
+from eth_event_stream_spark.sources.fixtures import ADDR_A, TRANSFER_DECL
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(customer, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, customer, "o_custkey", num_salts=5).select(
+        "o_orderkey", "c_name"
+    )
+    assert _canon(plain) == _canon(salted)
+
+
+def test_two_path_join_equals_plain(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    hot = top_keys(orders, "o_custkey", k=5, min_count=1)
+    assert hot  # some customers exist
+    plain = orders.join(customer, "o_custkey").select("o_orderkey", "c_name")
+    split = two_path_join(orders, customer, "o_custkey", hot).select(
+        "o_orderkey", "c_name"
+    )
+    assert _canon(plain) == _canon(split)
+
+
+def test_salted_left_join_preserves_unmatched(spark, sf_dir):
+    """Left-join salting must keep probe rows whose key has no build match."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rich = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_acctbal") > 9000)
+        .withColumnRenamed("c_custkey", "o_custkey")
+    )
+    plain = orders.join(rich, "o_custkey", "left").select("o_orderkey", "c_name")
+    salted = salted_join(orders, rich, "o_custkey", num_salts=4, how="left").select(
+        "o_orderkey", "c_name"
+    )
+    assert _canon(plain) == _canon(salted)
+
+
+def test_streaming_decode_netflow_equals_batch(spark, eth_logs_fixture, tmp_path):
+    """The reference's whole flagship path, streaming: source -> dedup ->
+    decode -> netflow, equals the batch computation (stream_multi.rs as one
+    Structured Streaming job)."""
+    register_source(spark)
+    fx, path = eth_logs_fixture
+
+    batch_logs = (
+        spark.read.format("eth_logs")
+        .option("path", path)
+        .option("from_block", fx.from_block)
+        .option("to_block", fx.to_block)
+        .option("fail_on_removed", "false")
+        .load()
+        .dropDuplicates(["block_number", "log_index"])
+    )
+    expected = _canon(
+        netflow(decode_event(batch_logs, TRANSFER_DECL, address=ADDR_A)).filter(
+            F.col("netflow") != 0
+        )
+    )
+
+    stream_logs = (
+        spark.readStream.format("eth_logs")
+        .option("path", path)
+        .option("from_block", fx.from_block)
+        .option("to_block", fx.to_block)
+        .option("block_step", 40)
+        .option("confirmation_blocks", 0)
+        .option("fail_on_removed", "false")
+        .load()
+        .dropDuplicates(["block_number", "log_index"])
+    )
+    decoded = decode_event(stream_logs, TRANSFER_DECL, address=ADDR_A)
+    flows = netflow(decoded)
+    q = (
+        flows.writeStream.format("memory")
+        .queryName("netflow_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = _canon(
+        spark.table("netflow_sink").filter(F.col("netflow") != 0)
+    )
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_partitioned_sink_idempotent_rewrite(spark, eth_logs, tmp_path):
+    """B4/B6 at the storage layer: re-writing a block range replaces exactly
+    that range's partitions; other buckets are untouched; range filters prune
+    bucket directories."""
+    from eth_event_stream_spark.sources.sinks import (
+        read_block_partitioned,
+        write_block_partitioned,
+    )
+
+    out = str(tmp_path / "logs_out")
+    logs = eth_logs.dropDuplicates(["block_number", "log_index"])
+    lo = logs.agg(F.min("block_number")).collect()[0][0]
+
+    write_block_partitioned(logs, out, bucket_blocks=50)
+    n1 = read_block_partitioned(spark, out).count()
+    assert n1 == logs.count()
+
+    # re-ingest only the first bucket (simulating a re-fetch) — counts stable.
+    # The range MUST be bucket-aligned: buckets are absolute floor(block/50)*50
+    # boundaries, and overwriting with a partial bucket would truncate it.
+    from eth_event_stream_spark.sources.sinks import bucket_aligned_range
+
+    b_lo, b_hi = bucket_aligned_range(lo, lo + 50, 50)
+    first_bucket = logs.filter(
+        (F.col("block_number") >= b_lo) & (F.col("block_number") < b_hi)
+    )
+    write_block_partitioned(
+        first_bucket, out, bucket_blocks=50, expect_range=(b_lo, b_hi)
+    )
+    n2 = read_block_partitioned(spark, out).count()
+    assert n2 == n1  # idempotent: same rows, not duplicated
+
+    # the guard fires on an unaligned range
+    with pytest.raises(ValueError, match="not aligned"):
+        write_block_partitioned(
+            first_bucket, out, bucket_blocks=50, expect_range=(lo, lo + 50)
+        )
+
+    # partition pruning: the range-aware reader derives the partition
+    # predicate (a bare block_number filter cannot prune bucket dirs)
+    back = read_block_partitioned(
+        spark, out, block_range=(lo, lo + 10), bucket_blocks=50
+    )
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert back.count() == logs.filter(
+        (F.col("block_number") >= lo) & (F.col("block_number") < lo + 10)
+    ).count()
