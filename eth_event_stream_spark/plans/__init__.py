@@ -13,7 +13,13 @@ registry. Modules:
   SimHash/Jaccard), similarity search, text analysis.
 """
 
-from . import eventflow, pipeline, relational, relational2  # noqa: F401  (registration side effects)
+from . import (  # noqa: F401  (registration side effects)
+    eventflow,
+    pipeline,
+    relational,
+    relational2,
+    vectors,
+)
 from .registry import QUERIES, oracle_sql_dict, queries_dict
 
 __all__ = ["QUERIES", "queries_dict", "oracle_sql_dict"]

@@ -213,3 +213,159 @@ def test_reducer_stream_matches_batch(source_registered, eth_logs_fixture, tmp_p
     ).collect()
     got = {r["key"]: (r["net_cents"], r["n_events"]) for r in rows}
     assert got == expected
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf (absent in this "
+    "container); applyInPandasWithState covers the stateful path here",
+)
+def test_reducer_tws_matches_batch(source_registered, eth_logs_fixture, tmp_path):
+    """B10 on transformWithStateInPandas (RocksDB state store): same state
+    as the batch fold."""
+    spark = source_registered
+    fx, path = eth_logs_fixture
+    from eth_event_stream_spark.streaming.reducer import reduce_events_tws
+
+    def prepared(df):
+        return df.dropDuplicates(["block_number", "log_index"]).select(
+            F.crc32(F.col("address")).cast("bigint").alias("key"),
+            (F.conv(F.substring(F.hex("data"), 57, 8), 16, 10).cast("long") % 10000)
+            .cast("double")
+            .alias("raw"),
+            F.when(F.col("log_index") % 2 == 0, 1).otherwise(-1).alias("sign"),
+            "block_number",
+            "log_index",
+        ).withColumn("value", F.col("raw") / 100.0).drop("raw")
+
+    batch = (
+        spark.read.format("eth_logs")
+        .option("path", path)
+        .option("from_block", fx.from_block)
+        .option("to_block", fx.to_block)
+        .option("fail_on_removed", "false")
+        .load()
+    )
+    expected = {
+        r["key"]: (r["net_cents"], r["n_events"])
+        for r in reduce_events_batch(prepared(batch), CentsNetflowReducer(), ["key"]).collect()
+    }
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.format("eth_logs")
+            .option("path", path)
+            .option("from_block", fx.from_block)
+            .option("to_block", fx.to_block)
+            .option("block_step", 30)
+            .option("confirmation_blocks", 0)
+            .option("fail_on_removed", "false")
+            .load()
+        )
+        sdf = reduce_events_tws(prepared(stream), CentsNetflowReducer(), ["key"])
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("tws_sink")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_tws"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    rows = spark.sql(
+        """
+        SELECT key, net_cents, n_events FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY mono DESC) rn
+          FROM (SELECT *, monotonically_increasing_id() AS mono FROM tws_sink)
+        ) WHERE rn = 1
+        """
+    ).collect()
+    got = {r["key"]: (r["net_cents"], r["n_events"]) for r in rows}
+    assert got == expected
+
+
+def test_stream_watermark_window_dedup(source_registered, eth_logs_fixture, tmp_path):
+    """Event-time path: block-derived watermark + dropDuplicatesWithinWatermark
+    + tumbling window agg over the stream equals the batch computation."""
+    spark = source_registered
+    fx, path = eth_logs_fixture
+    from eth_event_stream_spark.streaming.reducer import with_block_watermark
+
+    batch = (
+        spark.read.format("eth_logs")
+        .option("path", path)
+        .option("from_block", fx.from_block)
+        .option("to_block", fx.to_block)
+        .option("fail_on_removed", "false")
+        .load()
+        .dropDuplicates(["block_number", "log_index"])
+    )
+    # 10-block tumbling windows == 120s windows over block_ts (12s per block)
+    expected = {
+        (r["w"]["start"], r["address"]): r["n"]
+        for r in with_block_watermark(batch)
+        .groupBy(F.window("block_ts", "120 seconds").alias("w"), F.col("address"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    stream = (
+        spark.readStream.format("eth_logs")
+        .option("path", path)
+        .option("from_block", fx.from_block)
+        .option("to_block", fx.to_block)
+        .option("block_step", 30)
+        .option("confirmation_blocks", 0)
+        .option("fail_on_removed", "false")
+        .load()
+    )
+    agg = (
+        with_block_watermark(stream, delay_blocks=5)
+        .dropDuplicatesWithinWatermark(["block_number", "log_index"])
+        .groupBy(F.window("block_ts", "120 seconds").alias("w"), F.col("address"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_sink")
+        .outputMode("append")  # append emits only watermark-closed windows
+        .option("checkpointLocation", str(tmp_path / "ck_wm"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["w"]["start"], r["address"]): r["n"]
+        for r in spark.table("wm_sink").collect()
+    }
+    # append mode withholds windows not yet closed by the watermark at stream
+    # end — everything emitted must match batch, and most windows must emit
+    assert got
+    for k, v in got.items():
+        assert expected.get(k) == v, (k, v, expected.get(k))
+    # withheld = windows still open at stream end: watermark lags max event
+    # time by 60s, so up to ceil(60/120)+1 = 2 windows per address stay open
+    assert len(got) >= len(expected) - 4
