@@ -87,19 +87,61 @@ def slot_to_bool(slot: Column) -> Column:
     return slot_to_long(slot) != 0
 
 
+def slot_to_signed(slot: Column, bits: int) -> Column:
+    """Two's-complement ``intN`` decode. ABI sign-extends to 256 bits, so the
+    sign is the slot's first hex digit (>= '8' means negative).
+
+    - N <= 63: value from the low 16 hex chars as decimal, minus 2^64 when
+      negative (sign-extension makes the low 64 bits the two's complement of
+      the value), surfaced as LongType.
+    - 63 < N <= 122: same construction over the low 128 bits in
+      DECIMAL(38,0) (2^126 < 10^38, so the arithmetic cannot overflow).
+    - N > 122: magnitudes may exceed DECIMAL(38,0) — NULL when out of the
+      +-(10^38-1) range, with the lossless ``_hex`` column alongside (same
+      policy as uint256, SURVEY §7.4.1).
+    """
+    negative = F.substring(slot, 1, 1) >= F.lit("8")
+    if bits <= 63:
+        low64 = F.conv(F.substring(slot, 49, 16), 16, 10).cast("decimal(20,0)")
+        val = F.when(negative, low64 - _dec(str(2**64)).cast("decimal(20,0)")).otherwise(low64)
+        return val.cast("long")
+    # signed value from the low 128 bits with a SIGNED high lane:
+    # hi_signed in [-2^63-ish, 2^63) keeps every intermediate product within
+    # |value| (< 2^122 here), so no sub-expression can overflow DECIMAL(38,0)
+    # under ANSI. (An unsigned-then-subtract formulation overflows on the
+    # hi64 * 2^64 product for negative values.)
+    hi64 = F.conv(F.substring(slot, 33, 16), 16, 10).cast("decimal(38,0)")
+    lo64 = F.conv(F.substring(slot, 49, 16), 16, 10).cast("decimal(38,0)")
+    hi_signed = F.when(negative, hi64 - _dec(str(2**64))).otherwise(hi64)
+    signed = hi_signed * _dec(str(2**64)) + lo64
+    if bits <= 122:
+        return signed
+    # wide ints (may exceed DECIMAL(38,0)): range-check BEFORE any arithmetic,
+    # with pure string compares on the fixed-width lowercase hex (lexicographic
+    # == numeric): sign-extension region must be clean and the low-128
+    # magnitude must fit +-(10^38-1); outside -> NULL (lossless _hex remains).
+    ext = F.substring(slot, 1, 32)
+    low_hex = F.substring(slot, 33, 32)
+    pos_limit = format(10**38 - 1, "x").rjust(32, "0")
+    neg_limit = format(2**128 - (10**38 - 1), "x").rjust(32, "0")
+    pos_ok = (~negative) & (ext == F.lit("0" * 32)) & (low_hex <= F.lit(pos_limit))
+    neg_ok = negative & (ext == F.lit("f" * 32)) & (low_hex >= F.lit(neg_limit))
+    return F.when(pos_ok | neg_ok, signed).otherwise(F.lit(None).cast("decimal(38,0)"))
+
+
 def _decode_slot(slot: Column, abi_type: str) -> Column:
     if abi_type == "address":
         return slot_to_address(slot)
     if abi_type == "bool":
         return slot_to_bool(slot)
-    if abi_type.startswith("uint") or abi_type.startswith("int"):
-        bits = int(abi_type.lstrip("uint").lstrip("int") or "256")
-        # reuse long for small widths (sign-safe: <=63-bit values have zero
-        # high bits; signed small ints are sign-extended, left as hex+decimal
-        # best-effort via the decimal path)
-        if abi_type.startswith("uint") and bits <= 63:
+    if abi_type.startswith("uint"):
+        bits = int(abi_type[4:] or "256")
+        if bits <= 63:
             return slot_to_long(slot)
         return slot_to_decimal(slot)
+    if abi_type.startswith("int"):
+        bits = int(abi_type[3:] or "256")
+        return slot_to_signed(slot, bits)
     if abi_type.startswith("bytes") and abi_type != "bytes":
         n = int(abi_type[5:])
         return F.concat(F.lit("0x"), F.substring(slot, 1, 2 * n))
@@ -117,12 +159,39 @@ def data_slot(data_hex: Column, j: int) -> Column:
     return F.substring(data_hex, j * _SLOT_HEX + 1, _SLOT_HEX)
 
 
+_DYNAMIC_TYPES = ("string", "bytes")
+
+
+def _decode_dynamic(data_hex: Column, head_j: int, abi_type: str) -> Column:
+    """Decode a dynamic ``string``/``bytes`` data param via ABI head/tail.
+
+    The head slot holds the byte offset of the tail (from the start of the
+    data section); the tail is [32-byte length][payload, zero-padded]. All
+    offset arithmetic stays in column expressions, so dynamic decode is as
+    codegen-friendly as the static path. (The reference ``todo!()``s these
+    types — eth_event_macro/src/lib.rs:108-111; we go further.)
+    """
+    head = data_slot(data_hex, head_j)
+    # byte offset -> 1-based hex-char position of the length slot
+    off_chars = (F.conv(head, 16, 10).cast("long") * 2 + 1).cast("int")
+    length_b = F.conv(F.substring(data_hex, off_chars, _SLOT_HEX), 16, 10).cast("long")
+    payload_hex = F.substring(
+        data_hex, off_chars + _SLOT_HEX, (length_b * 2).cast("int")
+    )
+    if abi_type == "string":
+        return F.decode(F.unhex(payload_hex), "UTF-8")
+    return F.unhex(payload_hex)  # bytes -> BinaryType (matches event_schema)
+
+
 def decode_columns(event: EventSchema | str) -> dict[str, Column]:
     """Column expressions decoding a raw-log DataFrame's params.
 
     Expects columns ``topics: array<string>`` and ``data: binary``. Returns a
     dict param-name -> Column (plus ``<name>_hex`` lossless columns for wide
-    numerics), in declaration order.
+    numerics), in declaration order. Static data params decode from their
+    head slot; dynamic (string/bytes) params follow the ABI offset to their
+    tail. Indexed dynamic params are, per the ABI spec, keccak hashes of the
+    value — surfaced as the hex hash.
     """
     if isinstance(event, str):
         event = parse_event_declaration(event)
@@ -134,10 +203,15 @@ def decode_columns(event: EventSchema | str) -> dict[str, Column]:
         if p.indexed:
             slot = topic_slot(F.col("topics"), topic_i)
             topic_i += 1
+            out[p.name] = _decode_slot(slot, p.type)
+        elif p.type in _DYNAMIC_TYPES:
+            out[p.name] = _decode_dynamic(data_hex, data_j, p.type)
+            slot = data_slot(data_hex, data_j)
+            data_j += 1
         else:
             slot = data_slot(data_hex, data_j)
             data_j += 1
-        out[p.name] = _decode_slot(slot, p.type)
+            out[p.name] = _decode_slot(slot, p.type)
         from .schema import _needs_lossless_hex
 
         if _needs_lossless_hex(p.type):

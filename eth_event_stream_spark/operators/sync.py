@@ -179,6 +179,12 @@ def netflow(decoded: DataFrame, value_col: str = "value") -> DataFrame:
     stream_multi.rs:39-70) re-expressed as explode-to-±flow + hash aggregation
     — fully algebraic, so it runs as a partial-aggregated (map-side combined)
     shuffle, no stateful fold needed.
+
+    Overflow contract: sums run in DECIMAL(38,0) under ANSI — aggregating
+    values near 10^38 raises rather than wrapping (the reference wraps
+    silently at 2^127, examples/stream_multi.rs:59). Callers aggregating
+    adversarial uint256 domains bound the amount first; out-of-decimal-range
+    raw values arrive as NULL (skipped by sum) with ``value_hex`` lossless.
     """
     v = F.col(value_col).cast("decimal(38,0)")
     flows = decoded.select(

@@ -94,3 +94,133 @@ def test_decimal_edge_values(spark, eth_logs_fixture, eth_logs):
     assert vals[hx(10**38 - 1)] == Decimal(10**38 - 1)
     assert vals[hx(10**38 + 12345)] is None
     assert vals[hx(2**127 + 7)] is None
+
+
+def test_dynamic_string_and_bytes_decode(spark):
+    """Dynamic ABI types (string/bytes) decode via head/tail offsets — the
+    reference todo!()s these (eth_event_macro/src/lib.rs:108-111)."""
+    decl = "Note(address indexed sender, string message, uint value, bytes blob)"
+
+    def enc_dynamic(payload: bytes) -> bytes:
+        n = len(payload)
+        padded = payload + b"\x00" * ((32 - n % 32) % 32)
+        return n.to_bytes(32, "big") + padded
+
+    def build_data(message: str, value: int, blob: bytes) -> bytes:
+        # heads: [offset(message), value, offset(blob)] then tails in order
+        msg_t = enc_dynamic(message.encode())
+        head_size = 3 * 32
+        off_msg = head_size
+        off_blob = head_size + len(msg_t)
+        return (
+            off_msg.to_bytes(32, "big")
+            + value.to_bytes(32, "big")
+            + off_blob.to_bytes(32, "big")
+            + msg_t
+            + enc_dynamic(blob)
+        )
+
+    from eth_event_stream_spark.functions.schema import parse_event_declaration
+
+    ev = parse_event_declaration(decl)
+    sender = "0x" + "ab" * 20
+    cases = [
+        ("hello world", 12345, b"\x01\x02\x03"),
+        ("", 0, b""),  # empty dynamic values
+        ("x" * 75, 2**64, bytes(range(40))),  # >1 slot payloads
+    ]
+    rows = [
+        {
+            "address": "0x" + "11" * 20,
+            "topics": [ev.topic0, "0x" + "00" * 12 + sender[2:]],
+            "data": build_data(m, v, b),
+            "block_number": 1,
+            "log_index": i,
+            "transaction_hash": f"0x{i:064x}",
+            "removed": False,
+        }
+        for i, (m, v, b) in enumerate(cases)
+    ]
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            pa.field("address", pa.string()),
+            pa.field("topics", pa.list_(pa.string())),
+            pa.field("data", pa.binary()),
+            pa.field("block_number", pa.int64()),
+            pa.field("log_index", pa.int64()),
+            pa.field("transaction_hash", pa.string()),
+            pa.field("removed", pa.bool_()),
+        ]
+    )
+    tbl = pa.table({k: [r[k] for r in rows] for k in schema.names}, schema=schema)
+    df = spark.createDataFrame(tbl.to_pandas(), schema=None)
+
+    out = {r["log_index"]: r for r in decode_event(df, decl).collect()}
+    for i, (m, v, b) in enumerate(cases):
+        r = out[i]
+        assert r["sender"] == sender
+        assert r["message"] == m
+        assert r["value"] == __import__("decimal").Decimal(v)
+        assert bytes(r["blob"] or b"") == b
+
+
+def test_signed_int_decode(spark):
+    """Two's-complement intN decode across width classes (the reference
+    supports no int types at all)."""
+    decl = "Deltas(int8 small, int64 mid, int128 wide, int256 huge)"
+    from eth_event_stream_spark.functions.schema import parse_event_declaration
+
+    ev = parse_event_declaration(decl)
+
+    def slot_signed(v: int) -> bytes:
+        return (v % 2**256).to_bytes(32, "big")
+
+    cases = [
+        (-5, -(2**40), -(2**100), -(2**130)),      # huge out of decimal range? no: 2^130 ~ 1.4e39 > 1e38-1 -> NULL
+        (127, 2**62, 2**120, 10**37),
+        (-128, -(2**62), -(2**120), -(10**37)),
+        (0, 0, 0, 0),
+    ]
+    rows = [
+        {
+            "address": "0x" + "22" * 20,
+            "topics": [ev.topic0],
+            "data": b"".join(slot_signed(v) for v in vs),
+            "block_number": 1,
+            "log_index": i,
+            "transaction_hash": f"0x{i:064x}",
+            "removed": False,
+        }
+        for i, vs in enumerate(cases)
+    ]
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            pa.field("address", pa.string()),
+            pa.field("topics", pa.list_(pa.string())),
+            pa.field("data", pa.binary()),
+            pa.field("block_number", pa.int64()),
+            pa.field("log_index", pa.int64()),
+            pa.field("transaction_hash", pa.string()),
+            pa.field("removed", pa.bool_()),
+        ]
+    )
+    tbl = pa.table({k: [r[k] for r in rows] for k in schema.names}, schema=schema)
+    df = spark.createDataFrame(tbl.to_pandas())
+    out = {r["log_index"]: r for r in decode_event(df, decl).collect()}
+    from decimal import Decimal
+
+    for i, (s, m, w, h) in enumerate(cases):
+        r = out[i]
+        assert r["small"] == s, (i, "small", r["small"])
+        assert r["mid"] == m, (i, "mid", r["mid"])
+        assert r["wide"] == Decimal(w), (i, "wide", r["wide"])
+        if abs(h) <= 10**38 - 1:
+            assert r["huge"] == Decimal(h), (i, "huge", r["huge"])
+        else:
+            assert r["huge"] is None
+        # lossless hex is always present for wide ints
+        assert r["huge_hex"] == "0x" + (h % 2**256).to_bytes(32, "big").hex()

@@ -369,3 +369,47 @@ def test_stream_watermark_window_dedup(source_registered, eth_logs_fixture, tmp_
     # withheld = windows still open at stream end: watermark lags max event
     # time by 60s, so up to ceil(60/120)+1 = 2 windows per address stay open
     assert len(got) >= len(expected) - 4
+
+
+def test_factory_multi_stream_sync(spark, eth_logs_fixture, tmp_path):
+    """S8 fan-in via StreamFactory: two registered streams drain into one
+    deduped union, batch == stream, per-stream golden counts hold."""
+    from eth_event_stream_spark.sources.factory import StreamFactory
+    from eth_event_stream_spark.sources.fixtures import ADDR_B, TRANSFER_DECL
+
+    fx, path = eth_logs_fixture
+    factory = StreamFactory(
+        spark,
+        path=path,
+        from_block=fx.from_block,
+        to_block=fx.to_block,
+        confirmation_blocks=0,
+        block_step=30,
+    )
+    a = factory.make(ADDR_A, TRANSFER_DECL)
+    b = factory.make(ADDR_B, TRANSFER_DECL)
+
+    batch = factory.sink(streaming=False, fail_on_removed=False)
+    per_sig = {
+        r["sig"]: r["n"]
+        for r in batch.groupBy("sig").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_sig[a.signature] == fx.golden_count_a
+    assert set(per_sig) == {a.signature, b.signature}
+
+    stream = factory.sink(streaming=True, fail_on_removed=False)
+    q = (
+        stream.groupBy("sig")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName("factory_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_f"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["sig"]: r["n"] for r in spark.table("factory_sink").collect()}
+    assert got == per_sig
