@@ -32,13 +32,23 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "flagship_user_netflow",
     "window_rank_topn",
+    "window_running_sum",
     "tumbling_window_1h",
     "session_window_30m",
+    "asof_last_click_before_purchase",
     "sync_dense_flush",
+    "sync_total_order",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_jaccard_verify",
     "similarity_topk_bruteforce",
+    "embedding_neardup_pairs",
+    "vector_label_centroids",
     "text_quality_score",
+    "text_tokens_bpe_ish",
+    "multimodal_features",
+    "reducer_netflow_batch",
 ]
 
 

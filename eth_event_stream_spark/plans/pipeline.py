@@ -412,12 +412,34 @@ _SQL_SIMHASH = " + ".join(_bit_exprs("duckdb"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash sketch: per-bit majority vote over token hashes.
 
-    16-bit variant; near-dups are pairs within small Hamming
-    distance (bucket on the sketch, compare within bucket). Expression
-    generated programmatically — stays in codegen, no UDF."""
+    16-bit variant; near-dups are pairs within small Hamming distance
+    (bucket on the sketch, compare within bucket). Shape: explode tokens,
+    hash each token ONCE, derive the 16 bit contributions with integer ops,
+    then one partial-aggregated groupBy(doc) of 16 sums — a per-bit
+    ``aggregate()`` over the token array would recompute md5(token) 16x.
+    Identical integer math to the SQL oracle."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks"))
-    return toks.select("doc_id", F.expr(_SPARK_SIMHASH).cast("bigint").alias("simhash"))
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("w")
+    ).withColumn("h", F.md5("w"))
+    contribs = []
+    for k in range(SIMHASH_BITS):
+        pos, shift = k // 4 + 1, k % 4
+        digit = f"(instr('0123456789abcdef', substring(h, {pos}, 1)) - 1)"
+        contribs.append(
+            F.expr(f"(CAST(FLOOR({digit} / {2 ** shift}) AS INT) % 2) * 2 - 1").alias(
+                f"c{k}"
+            )
+        )
+    per_tok = tok.select("doc_id", *contribs)
+    sums = per_tok.groupBy("doc_id").agg(
+        *[F.sum(f"c{k}").alias(f"s{k}") for k in range(SIMHASH_BITS)]
+    )
+    simhash = None
+    for k in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{k}") > 0, 2**k).otherwise(0)
+        simhash = term if simhash is None else simhash + term
+    return sums.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -537,31 +559,58 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_neardup_pairs",
     oracle=f"""
     WITH b AS (SELECT vec_id, embedding,
-                      CAST({_SQL_BUCKET} AS BIGINT) AS bucket FROM embeddings)
-    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-           ROUND({_SQL_COSINE.replace("a[i]", "x.embedding[i]").replace("LEN(a)", "LEN(x.embedding)").replace("b[i]", "y.embedding[i]")}, 6) AS cosine
-    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-    WHERE ({_SQL_COSINE.replace("a[i]", "x.embedding[i]").replace("LEN(a)", "LEN(x.embedding)").replace("b[i]", "y.embedding[i]")}) >= 0.25
+                      CAST({_SQL_BUCKET} AS BIGINT) AS bucket,
+                      1.0 / sqrt(list_sum(list_transform(generate_series(1, LEN(embedding)),
+                            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+                        AS inv_norm
+               FROM embeddings),
+    scored AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             list_sum(list_transform(generate_series(1, LEN(x.embedding)),
+                 i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+               * x.inv_norm * y.inv_norm AS cosine_raw
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+    SELECT vec_a, vec_b, ROUND(cosine_raw, 6) AS cosine
+    FROM scored WHERE cosine_raw >= 0.25
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: LSH bucket self-join + exact cosine verify.
 
     The all-pairs O(N^2) is avoided structurally: pairs only form inside a
-    bucket. Same shape as MinHash-LSH, over vectors."""
-    e = t(spark, sf_dir, "embeddings").withColumn(
-        "bucket", F.expr(_SPARK_BUCKET).cast("bigint")
+    bucket. Norms are precomputed per ROW before the join (cosine = dot *
+    inv_norm_a * inv_norm_b), so per-pair work is one dot fold — computing
+    norms inside the pair expression would triple the fold cost."""
+    norm2 = (
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+        "CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    x = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
-    y = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
-    dot = "aggregate(zip_with(CAST(ea AS ARRAY<DOUBLE>), CAST(eb AS ARRAY<DOUBLE>), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    na = "aggregate(zip_with(CAST(ea AS ARRAY<DOUBLE>), CAST(ea AS ARRAY<DOUBLE>), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    nb = "aggregate(zip_with(CAST(eb AS ARRAY<DOUBLE>), CAST(eb AS ARRAY<DOUBLE>), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    cos = f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .withColumn("bucket", F.expr(_SPARK_BUCKET).cast("bigint"))
+        .withColumn("inv_norm", F.lit(1.0) / F.sqrt(F.expr(norm2)))
+    )
+    x = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("inv_norm").alias("ina"),
+        "bucket",
+    )
+    y = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("inv_norm").alias("inb"),
+        "bucket",
+    )
+    dot = (
+        "aggregate(zip_with(CAST(ea AS ARRAY<DOUBLE>), CAST(eb AS ARRAY<DOUBLE>), "
+        "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
     return (
         x.join(y, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine_raw", F.expr(cos))
+        .withColumn("cosine_raw", F.expr(dot) * F.col("ina") * F.col("inb"))
         .filter(F.col("cosine_raw") >= 0.25)
         .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
     )
