@@ -683,3 +683,83 @@ def reducer_netflow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("log_index"),
     )
     return reduce_events_batch(ev, CentsNetflowReducer(), ["user_id"])
+
+
+@register(
+    "dedup_char_ngram_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(generate_series(1, LENGTH(lower(text)) - 7),
+                    i -> substring(lower(text), i, 8))) AS g
+      FROM documents WHERE doc_id < 150),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.05
+    """,
+)
+def dedup_char_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 8-gram Jaccard near-dup (robust to word-boundary edits,
+    complements the word-shingle MinHash path). Same inverted-index shape:
+    distinct grams -> join -> inclusion-exclusion union."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(lower(text)) - 7), "
+                    "i -> substring(lower(text), i, 8))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= 0.05).select("doc_a", "doc_b", "jaccard")
+
+
+@register(
+    "join_salted_equivalence",
+    oracle="""
+    SELECT o_orderkey, c_name FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 300000
+    """,
+)
+def join_salted_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted skew join under the correctness gate: its result must be
+    EXACTLY the plain join's (the oracle is the unsalted SQL join)."""
+    from ..operators.skew import salted_join
+
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    customer = t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    return salted_join(orders, customer, "o_custkey", num_salts=6).select(
+        "o_orderkey", "c_name"
+    )

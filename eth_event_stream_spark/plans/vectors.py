@@ -150,3 +150,104 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         F.array_contains(toks, "data").alias("mentions_data"),
     )
+
+
+_BUCKET4 = (
+    "list_sum(list_transform(generate_series(1, 4), i -> "
+    "CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN CAST(2 ** (i - 1) AS INT) ELSE 0 END))"
+)
+_SPARK_BUCKET4 = (
+    "aggregate(sequence(1, 4), 0, (acc, i) -> acc + "
+    "CASE WHEN element_at(CAST(embedding AS ARRAY<DOUBLE>), i) > 0 "
+    "THEN CAST(pow(2, i - 1) AS INT) ELSE 0 END)"
+)
+
+
+@register(
+    "similarity_topk_multiprobe",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, label, embedding,
+                      CAST({_BUCKET4} AS BIGINT) AS bucket,
+                      1.0 / sqrt(list_sum(list_transform(generate_series(1, LEN(embedding)),
+                            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+                        AS inv_norm
+               FROM embeddings),
+    q AS (SELECT embedding AS qe, bucket AS qb, inv_norm AS qn FROM b WHERE vec_id = 0),
+    probes AS (SELECT qb AS pb FROM q
+               UNION ALL SELECT xor(qb, 1) FROM q
+               UNION ALL SELECT xor(qb, 2) FROM q
+               UNION ALL SELECT xor(qb, 4) FROM q
+               UNION ALL SELECT xor(qb, 8) FROM q),
+    scored AS (
+      SELECT e.vec_id, e.label, e.bucket,
+             ROUND(list_sum(list_transform(generate_series(1, LEN(e.embedding)),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+               * e.inv_norm * qn, 6) AS cosine
+      FROM b e JOIN probes p ON e.bucket = p.pb, q
+      WHERE e.vec_id != 0)
+    SELECT vec_id, label, bucket, cosine FROM scored
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def similarity_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: probe the query's bucket plus its 4 Hamming-1
+    neighbors — recovers most of the recall single-probe loses while still
+    scanning ~5/16 of the corpus. The probe list is tiny and broadcast."""
+    norm2 = (
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+        "CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .withColumn("bucket", F.expr(_SPARK_BUCKET4).cast("bigint"))
+        .withColumn("inv_norm", F.lit(1.0) / F.sqrt(F.expr(norm2)))
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"),
+        F.col("inv_norm").alias("qn"),
+    )
+    probes = q.select(
+        F.explode(
+            F.array(
+                F.col("qb"),
+                F.expr("qb ^ 1"),
+                F.expr("qb ^ 2"),
+                F.expr("qb ^ 4"),
+                F.expr("qb ^ 8"),
+            )
+        ).alias("pb")
+    )
+    dot = (
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(qe AS ARRAY<DOUBLE>), "
+        "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), F.col("bucket") == F.col("pb"))
+        .crossJoin(F.broadcast(q.select("qe", "qn")))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(F.expr(dot) * F.col("inv_norm") * F.col("qn"), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register("sketch_approx_percentile", oracle=None)
+def sketch_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-ish sketch) — the constant-memory quantile
+    path for 100 TB (exact rank-based percentiles shuffle every row; the
+    sketch mergese per partition). Sketch output — rows-only check, like
+    approx_count_distinct; the exact twin is percentile_disc_via_rank."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts")
+        )
+    )

@@ -149,8 +149,13 @@ class EthLogStreamReader(DataSourceStreamReader):
         safe = head - self.confirmations  # S3 confirmation lag
         if self.to_block is not None:
             safe = min(safe, self.to_block)
-        # per-trigger cap (S2): at most block_step blocks per micro-batch
-        nxt = min(safe + 1, self._current + self.block_step)
+        # per-trigger cap (S2), ALIGNED to absolute block_step multiples: the
+        # first chunk may be short, every later chunk ends on a multiple.
+        # Alignment makes micro-batch replay map exactly onto block-bucket
+        # partition overwrite downstream (sinks.write_block_partitioned with
+        # bucket_blocks == block_step) — idempotent file output for free.
+        aligned_next = (self._current // self.block_step + 1) * self.block_step
+        nxt = min(safe + 1, aligned_next)
         nxt = max(nxt, self._current)  # never regress
         self._current = nxt
         return {"block": nxt}
@@ -164,8 +169,16 @@ class EthLogStreamReader(DataSourceStreamReader):
         if hi <= lo:
             return [BlockRangePartition(lo, lo)]
         step = self.block_step
+        # chunk on absolute step boundaries (same alignment as latestOffset)
+        bounds = [lo]
+        b = (lo // step + 1) * step
+        while b < hi:
+            bounds.append(b)
+            b += step
+        bounds.append(hi)
         return [
-            BlockRangePartition(b, min(b + step, hi)) for b in range(lo, hi, step)
+            BlockRangePartition(bounds[i], bounds[i + 1])
+            for i in range(len(bounds) - 1)
         ]
 
     def read(self, partition: BlockRangePartition) -> Iterator[tuple]:

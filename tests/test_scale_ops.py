@@ -161,3 +161,58 @@ def test_partitioned_sink_idempotent_rewrite(spark, eth_logs, tmp_path):
     assert back.count() == logs.filter(
         (F.col("block_number") >= lo) & (F.col("block_number") < lo + 10)
     ).count()
+
+
+def test_streaming_to_partitioned_sink(spark, eth_logs_fixture, tmp_path):
+    """End-to-end exactly-once file pipeline: stream -> foreachBatch ->
+    block-partitioned parquet. The source aligns micro-batch chunks to
+    ABSOLUTE block_step multiples, so with bucket_blocks == block_step every
+    batch covers whole buckets — replaying a batch overwrites exactly its
+    own partitions (no partial-bucket truncation)."""
+    from eth_event_stream_spark.sources.block_source import register as reg
+    from eth_event_stream_spark.sources.sinks import write_block_partitioned
+
+    reg(spark)
+    fx, path = eth_logs_fixture
+    out = str(tmp_path / "stream_out")
+
+    stream = (
+        spark.readStream.format("eth_logs")
+        .option("path", path)
+        .option("from_block", fx.from_block)
+        .option("to_block", fx.to_block)
+        .option("block_step", 25)
+        .option("confirmation_blocks", 0)
+        .option("fail_on_removed", "false")
+        .load()
+        .dropDuplicates(["block_number", "log_index"])
+    )
+
+    def write_batch(df, epoch_id):
+        write_block_partitioned(df, out, bucket_blocks=25, mode="overwrite")
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "ck_file"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    written = spark.read.parquet(out)
+    batch = (
+        spark.read.format("eth_logs")
+        .option("path", path)
+        .option("from_block", fx.from_block)
+        .option("to_block", fx.to_block)
+        .option("fail_on_removed", "false")
+        .load()
+        .dropDuplicates(["block_number", "log_index"])
+    )
+    assert written.count() == batch.count()
+    # same (block, log_index) key set
+    a = {(r["block_number"], r["log_index"]) for r in written.select("block_number", "log_index").collect()}
+    b = {(r["block_number"], r["log_index"]) for r in batch.select("block_number", "log_index").collect()}
+    assert a == b
