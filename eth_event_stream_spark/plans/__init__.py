@@ -18,6 +18,7 @@ from . import (  # noqa: F401  (registration side effects)
     pipeline,
     relational,
     relational2,
+    relational3,
     vectors,
 )
 from .registry import QUERIES, oracle_sql_dict, queries_dict

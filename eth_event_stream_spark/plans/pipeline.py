@@ -194,12 +194,6 @@ _SQL_SHINGLES = (
 )
 
 
-def _spark_minhash(j: int) -> str:
-    return (
-        f"array_min(transform(shingles, s -> substring(md5(concat('{j}:', s)), 1, 16)))"
-    )
-
-
 def _sql_minhash(j: int) -> str:
     return f"list_min(list_transform(shingles, s -> substring(md5('{j}:' || s), 1, 16)))"
 
@@ -376,30 +370,23 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 16
 
 
-def _bit_exprs(engine: str) -> list[str]:
-    """Per-bit token contribution expressions, identical integer math in both
-    engines: bit k of a token = bit (k%4) of hex digit k//4 of md5(token)."""
+def _sql_simhash_bits() -> list[str]:
+    """Per-bit token contributions for the DuckDB oracle — the same integer
+    math the Spark plan computes (bit k of a token = bit (k%4) of hex digit
+    k//4 of md5(token)), folded per bit over the token list."""
     out = []
     for k in range(SIMHASH_BITS):
         pos, shift = k // 4 + 1, k % 4
-        if engine == "spark":
-            digit = f"(instr('0123456789abcdef', substring(md5(w), {pos}, 1)) - 1)"
-            tok_sum = (
-                f"aggregate(toks, 0, (acc, w) -> acc + "
-                f"((CAST(FLOOR({digit} / {2 ** shift}) AS INT) % 2) * 2 - 1))"
-            )
-        else:
-            digit = f"(strpos('0123456789abcdef', substring(md5(w), {pos}, 1)) - 1)"
-            tok_sum = (
-                f"list_sum(list_transform(toks, w -> "
-                f"((CAST(FLOOR({digit} / {2 ** shift}) AS INT) % 2) * 2 - 1)))"
-            )
+        digit = f"(strpos('0123456789abcdef', substring(md5(w), {pos}, 1)) - 1)"
+        tok_sum = (
+            f"list_sum(list_transform(toks, w -> "
+            f"((CAST(FLOOR({digit} / {2 ** shift}) AS INT) % 2) * 2 - 1)))"
+        )
         out.append(f"(CASE WHEN ({tok_sum}) > 0 THEN {2 ** k} ELSE 0 END)")
     return out
 
 
-_SPARK_SIMHASH = " + ".join(_bit_exprs("spark"))
-_SQL_SIMHASH = " + ".join(_bit_exprs("duckdb"))
+_SQL_SIMHASH = " + ".join(_sql_simhash_bits())
 
 
 @register(

@@ -216,3 +216,24 @@ def test_streaming_to_partitioned_sink(spark, eth_logs_fixture, tmp_path):
     a = {(r["block_number"], r["log_index"]) for r in written.select("block_number", "log_index").collect()}
     b = {(r["block_number"], r["log_index"]) for r in batch.select("block_number", "log_index").collect()}
     assert a == b
+
+
+def test_parquet_schema_evolution(spark, eth_logs, tmp_path):
+    """Lake reality at 100 TB: new columns appear over time. mergeSchema
+    unions old and new file schemas; old files read the new column as NULL."""
+    out = str(tmp_path / "evolving")
+    v1 = eth_logs.select("block_number", "log_index", "address")
+    v1.write.parquet(out + "/part=v1")
+    v2 = eth_logs.select(
+        "block_number", "log_index", "address",
+        F.lit("mainnet").alias("chain"),  # the newly-added column
+    )
+    v2.write.parquet(out + "/part=v2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"block_number", "log_index", "address", "chain", "part"}
+    n_total = merged.count()
+    assert n_total == v1.count() + v2.count()
+    # old files surface NULL for the new column; new files carry the value
+    assert merged.filter(F.col("part") == "v1").filter(F.col("chain").isNull()).count() == v1.count()
+    assert merged.filter(F.col("part") == "v2").filter(F.col("chain") == "mainnet").count() == v2.count()
