@@ -91,9 +91,9 @@ def slot_to_signed(slot: Column, bits: int) -> Column:
     """Two's-complement ``intN`` decode. ABI sign-extends to 256 bits, so the
     sign is the slot's first hex digit (>= '8' means negative).
 
-    - N <= 63: value from the low 16 hex chars as decimal, minus 2^64 when
+    - N <= 64: value from the low 16 hex chars as decimal, minus 2^64 when
       negative (sign-extension makes the low 64 bits the two's complement of
-      the value), surfaced as LongType.
+      the value), surfaced as LongType (int64's full range IS LongType).
     - 63 < N <= 122: same construction over the low 128 bits in
       DECIMAL(38,0) (2^126 < 10^38, so the arithmetic cannot overflow).
     - N > 122: magnitudes may exceed DECIMAL(38,0) — NULL when out of the
@@ -101,7 +101,7 @@ def slot_to_signed(slot: Column, bits: int) -> Column:
       policy as uint256, SURVEY §7.4.1).
     """
     negative = F.substring(slot, 1, 1) >= F.lit("8")
-    if bits <= 63:
+    if bits <= 64:
         low64 = F.conv(F.substring(slot, 49, 16), 16, 10).cast("decimal(20,0)")
         val = F.when(negative, low64 - _dec(str(2**64)).cast("decimal(20,0)")).otherwise(low64)
         return val.cast("long")
@@ -141,6 +141,9 @@ def _decode_slot(slot: Column, abi_type: str) -> Column:
         return slot_to_decimal(slot)
     if abi_type.startswith("int"):
         bits = int(abi_type[3:] or "256")
+        # <= 64 (not 63): int64's full two's-complement range IS LongType,
+        # and abi_to_spark_type declares LongType for int bits <= 64 — the
+        # decoded column must match the declared schema
         return slot_to_signed(slot, bits)
     if abi_type.startswith("bytes") and abi_type != "bytes":
         n = int(abi_type[5:])
@@ -197,7 +200,9 @@ def decode_columns(event: EventSchema | str) -> dict[str, Column]:
         event = parse_event_declaration(event)
     data_hex = F.lower(F.hex(F.col("data")))
     out: dict[str, Column] = {}
-    topic_i = 1  # topics[0] is the signature hash (sink.rs:40)
+    # topics[0] is the signature hash (sink.rs:40) — EXCEPT for anonymous
+    # events, which carry no signature topic: indexed params start at 0
+    topic_i = 0 if event.anonymous else 1
     data_j = 0
     for p in event.params:
         if p.indexed:
@@ -236,7 +241,12 @@ def decode_event(
     callers wanting fail-fast semantics use ``assert_no_removed``.
     """
     event = parse_event_declaration(declaration)
-    cond = F.element_at(F.col("topics"), 1) == F.lit(event.topic0)
+    if event.anonymous:
+        # anonymous events have no topic0 signature — selection is by
+        # address (and topic count as a weak shape check)
+        cond = F.size(F.col("topics")) == len(event.indexed_params)
+    else:
+        cond = F.element_at(F.col("topics"), 1) == F.lit(event.topic0)
     if address is not None:
         cond = cond & (F.col("address") == F.lit(address.lower()))
     if drop_removed and "removed" in df.columns:

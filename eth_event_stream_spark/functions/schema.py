@@ -97,7 +97,14 @@ class EventSchema:
                 T.StructField("log_index", T.LongType(), False),
             ]
         for p in self.params:
-            fields.append(T.StructField(p.name, abi_to_spark_type(p.type), True))
+            if p.indexed and p.type in ("string", "bytes"):
+                # per the ABI spec an indexed dynamic param's topic is the
+                # keccak hash of the value — surfaced as a hex string, and
+                # declared as such (matching what decode_columns produces)
+                typ: T.DataType = T.StringType()
+            else:
+                typ = abi_to_spark_type(p.type)
+            fields.append(T.StructField(p.name, typ, True))
             if _needs_lossless_hex(p.type):
                 fields.append(T.StructField(f"{p.name}_hex", T.StringType(), True))
         return T.StructType(fields)

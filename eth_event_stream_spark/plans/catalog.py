@@ -35,7 +35,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's reader
     rejects; read it as long (legacy conf) and truncate to microseconds —
-    the same nanos->micros truncation DuckDB applies on read."""
+    the same nanos->micros truncation DuckDB applies on read.
+
+    The legacy conf stays set for the session (deliberate): it must hold at
+    EXECUTION time, not just planning, so a scoped set/restore would break
+    collect(). Side effect: other TIMESTAMP(NANOS) parquet columns in this
+    session also read as LongType instead of erroring."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     from pyspark.sql import functions as F

@@ -679,7 +679,7 @@ def reducer_netflow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id,
              UNNEST(list_transform(generate_series(1, LENGTH(lower(text)) - 7),
                     i -> substring(lower(text), i, 8))) AS g
-      FROM documents WHERE doc_id < 150),
+      FROM documents WHERE doc_id < 150 AND LENGTH(text) >= 8),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -696,7 +696,11 @@ def dedup_char_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character 8-gram Jaccard near-dup (robust to word-boundary edits,
     complements the word-shingle MinHash path). Same inverted-index shape:
     distinct grams -> join -> inclusion-exclusion union."""
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    # length guard: Spark's sequence(1, n) DESCENDS for n < 1 and would emit
+    # phantom grams for sub-8-char texts (DuckDB's generate_series is empty)
+    d = t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 150) & (F.length("text") >= 8)
+    )
     grams = (
         d.select(
             "doc_id",

@@ -112,12 +112,16 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over event-time: trailing 1-hour count per user (the
-    sliding-window-per-row shape; state is the frame, not a shuffle)."""
+    sliding-window-per-row shape; state is the frame, not a shuffle).
+
+    Ordered by MICROsecond epoch, not seconds: the oracle's RANGE INTERVAL
+    runs at full timestamp precision, and second-truncated ordering would
+    make same-second events frame-peers on one side only."""
     ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 25)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "user_id", "event_id", "ts", F.count("*").over(w).alias("events_last_hour")

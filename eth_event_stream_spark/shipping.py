@@ -18,7 +18,7 @@ import tempfile
 import zipfile
 
 _SHIPPED: set[int] = set()  # id(sparkContext) already handled
-_BY_VALUE_DONE = False
+_BY_VALUE: set[str] = set()  # module names already registered
 
 
 def _register_by_value() -> None:
@@ -28,22 +28,28 @@ def _register_by_value() -> None:
     planner worker (python_streaming_source_runner) unpickles the source
     before any pyFiles are on its path. By-value pickling makes every
     pickled class/closure self-contained — no import needed anywhere.
+
+    Re-scans sys.modules on EVERY call: modules imported after the first
+    ship_package (e.g. the data source registered later than the first
+    pandas-UDF operator) must still be covered — a one-shot flag would
+    silently skip them and reintroduce worker ModuleNotFoundError.
     """
-    global _BY_VALUE_DONE
-    if _BY_VALUE_DONE:
-        return
     import sys
 
     from pyspark import cloudpickle
 
     for name, mod in list(sys.modules.items()):
-        if name.startswith("eth_event_stream_spark") and mod is not None:
+        if (
+            name.startswith("eth_event_stream_spark")
+            and mod is not None
+            and name not in _BY_VALUE
+        ):
             cloudpickle.register_pickle_by_value(mod)
-    _BY_VALUE_DONE = True
+            _BY_VALUE.add(name)
 
 
 def ship_package(spark) -> None:
-    _register_by_value()
+    _register_by_value()  # every call — late-imported modules must register
     sc = spark.sparkContext
     if id(sc) in _SHIPPED:
         return

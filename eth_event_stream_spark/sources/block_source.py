@@ -75,9 +75,8 @@ def _chain_head(path: str) -> int:
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
-    idx = [c for c in range(md.num_columns)][
-        [md.schema.column(i).name for i in range(md.num_columns)].index("block_number")
-    ]
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    idx = names.index("block_number")
     head = None
     for rg in range(md.num_row_groups):
         stats = md.row_group(rg).column(idx).statistics

@@ -86,6 +86,4 @@ class StreamFactory:
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
-        if streaming:
-            return out.dropDuplicates(["sig", "block_number", "log_index"])
         return out.dropDuplicates(["sig", "block_number", "log_index"])

@@ -224,3 +224,52 @@ def test_signed_int_decode(spark):
             assert r["huge"] is None
         # lossless hex is always present for wide ints
         assert r["huge_hex"] == "0x" + (h % 2**256).to_bytes(32, "big").hex()
+
+
+def test_anonymous_event_decode(spark):
+    """Anonymous events carry no signature topic: selection is by shape, and
+    indexed params start at topics[0]."""
+    decl = "Ping(uint32 indexed code, uint64 n) anonymous"
+    rows = [
+        {
+            "address": "0x" + "44" * 20,
+            "topics": ["0x" + format(7, "x").rjust(64, "0")],  # indexed code=7 at [0]
+            "data": (99).to_bytes(32, "big"),
+            "block_number": 1,
+            "log_index": 0,
+            "transaction_hash": "0x0",
+            "removed": False,
+        }
+    ]
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            pa.field("address", pa.string()),
+            pa.field("topics", pa.list_(pa.string())),
+            pa.field("data", pa.binary()),
+            pa.field("block_number", pa.int64()),
+            pa.field("log_index", pa.int64()),
+            pa.field("transaction_hash", pa.string()),
+            pa.field("removed", pa.bool_()),
+        ]
+    )
+    tbl = pa.table({k: [r[k] for r in rows] for k in schema.names}, schema=schema)
+    df = spark.createDataFrame(tbl.to_pandas())
+    out = decode_event(df, decl).collect()
+    assert len(out) == 1
+    assert out[0]["code"] == 7
+    assert out[0]["n"] == 99
+
+
+def test_decoded_schema_matches_declared(spark, eth_logs):
+    """The decode output's param types must equal event_schema's declaration
+    (int64 -> LongType; indexed dynamic -> StringType hash)."""
+    from eth_event_stream_spark.functions.schema import event_schema
+
+    decl = "Mix(int64 a, uint256 v, string indexed s)"
+    declared = event_schema(decl, include_fixed=False)
+    decoded = decode_event(eth_logs.limit(0), decl)  # schema only
+    got = {f.name: f.dataType for f in decoded.schema.fields}
+    for f in declared.fields:
+        assert got[f.name] == f.dataType, (f.name, got[f.name], f.dataType)

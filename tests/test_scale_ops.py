@@ -237,3 +237,31 @@ def test_parquet_schema_evolution(spark, eth_logs, tmp_path):
     # old files surface NULL for the new column; new files carry the value
     assert merged.filter(F.col("part") == "v1").filter(F.col("chain").isNull()).count() == v1.count()
     assert merged.filter(F.col("part") == "v2").filter(F.col("chain") == "mainnet").count() == v2.count()
+
+
+def test_salted_join_rejects_build_preserving(spark, sf_dir):
+    """right/full outer would duplicate unmatched build rows — fail fast."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    with pytest.raises(ValueError, match="probe-preserving"):
+        salted_join(orders, customer, "o_custkey", how="full_outer")
+
+
+def test_two_path_join_preserves_null_keys(spark, sf_dir):
+    """NULL-key probe rows must survive a left two-path join."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 97 == 0, None).otherwise(F.col("o_custkey")),
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    hot = top_keys(orders, "o_custkey", k=3, min_count=1)
+    plain = orders.join(customer, "o_custkey", "left").select("o_orderkey", "c_name")
+    split = two_path_join(orders, customer, "o_custkey", hot, how="left").select(
+        "o_orderkey", "c_name"
+    )
+    assert _canon(plain) == _canon(split)
+    assert orders.filter(F.col("o_custkey").isNull()).count() > 0  # test is real
