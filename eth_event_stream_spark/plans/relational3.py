@@ -154,3 +154,24 @@ def scalar_greatest_least(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
         F.least(F.col("l_quantity"), F.col("l_extendedprice") / 1000).alias("l"),
     )
+
+
+_Q1_PORTABLE_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(16,4)) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_interface_q1", oracle=_Q1_PORTABLE_SQL)
+def sql_interface_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end surface: Spark executes the IDENTICAL ANSI SQL text
+    the oracle runs (dialect-portable subset) over registered views —
+    demonstrating spark.sql() parity with the DataFrame plans."""
+    from .catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q1_PORTABLE_SQL)

@@ -78,7 +78,36 @@ def main() -> None:
 
     total = logs.count()
     print(f"synced events across both streams: {total}")
+
+    if "--live" in sys.argv:
+        run_live(spark, factory)
     spark.stop()
+
+
+def run_live(spark, factory) -> None:
+    """The live tail: the same sink() as a streaming query, with the
+    reference's per-interval monitor (stream_multi.rs:116-143) as a
+    foreachBatch progress printer."""
+    import tempfile
+
+    stream = factory.sink(streaming=True, fail_on_removed=False)
+
+    def monitor(batch_df, epoch_id):
+        decoded = decode_event(batch_df, TRANSFER_DECL)
+        n = decoded.count()
+        if n:
+            print(f"[epoch {epoch_id}] +{n} transfers")
+
+    q = (
+        stream.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    q.processAllAvailable()  # bounded range -> drains and returns (B5)
+    q.stop()
+    # note: the live tail holds back `confirmation_blocks` behind the head
+    # (S3) — a few tip transfers stay unconfirmed until more blocks land
+    print("live drain complete")
 
 
 if __name__ == "__main__":
