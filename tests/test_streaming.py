@@ -413,3 +413,67 @@ def test_factory_multi_stream_sync(spark, eth_logs_fixture, tmp_path):
         q.stop()
     got = {r["sig"]: r["n"] for r in spark.table("factory_sink").collect()}
     assert got == per_sig
+
+
+def test_stream_stream_join(source_registered, eth_logs_fixture, tmp_path):
+    """Stream-stream inner join with watermarks: transfers of contract A
+    joined to same-block transfers of contract B — a capability the
+    reference lacks entirely (SURVEY §2.4: no joins), natively available
+    once streams are DataFrames. Equals the batch join."""
+    from eth_event_stream_spark.sources.fixtures import ADDR_B
+    from eth_event_stream_spark.streaming.reducer import with_block_watermark
+
+    spark = source_registered
+    fx, path = eth_logs_fixture
+
+    def side(reader, addr, alias):
+        df = (
+            reader.format("eth_logs")
+            .option("path", path)
+            .option("from_block", fx.from_block)
+            .option("to_block", fx.to_block)
+            .option("block_step", 30)
+            .option("confirmation_blocks", 0)
+            .option("address", addr)
+            .option("fail_on_removed", "false")
+            .load()
+            .dropDuplicates(["block_number", "log_index"])
+        )
+        return with_block_watermark(df, delay_blocks=2).select(
+            F.col("block_number").alias(f"{alias}_block"),
+            F.col("log_index").alias(f"{alias}_idx"),
+            F.col("block_ts").alias(f"{alias}_ts"),
+        )
+
+    def join_them(a, b):
+        # same-block pairing via equal event-time plus the time-range bound
+        # Spark requires for stream-stream state cleanup
+        return a.join(
+            b,
+            (F.col("a_block") == F.col("b_block"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts")),
+        ).select("a_block", "a_idx", "b_idx")
+
+    batch = join_them(
+        side(spark.read, ADDR_A, "a"), side(spark.read, ADDR_B, "b")
+    )
+    expected = sorted(tuple(r) for r in batch.collect())
+    assert expected  # interleaved blocks exist in the fixture
+
+    stream = join_them(
+        side(spark.readStream, ADDR_A, "a"), side(spark.readStream, ADDR_B, "b")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ss_join_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ss"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.table("ss_join_sink").collect())
+    assert got == expected
