@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Training-data pipeline example: the 100 TB curation flow, end to end.
+
+documents -> quality filter -> exact dedup -> MinHash-LSH candidates ->
+Jaccard verify -> clean corpus written bucket-partitioned; embeddings ->
+LSH-bucketed ANN index + a sample query. Every stage is a plan from the
+oracle-checked query registry — this script just composes them the way a
+curation job would.
+
+Run: python examples/training_pipeline.py [sf_dir]   (default sf0.01)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from eth_event_stream_spark.plans import QUERIES
+from eth_event_stream_spark.plans.catalog import t
+from eth_event_stream_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="training_pipeline", shuffle_partitions=16)
+    run = lambda name: QUERIES[name].fn(spark, sf_dir)  # noqa: E731
+
+    docs = t(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. quality gate
+    quality = run("text_quality_score").filter(F.col("quality_pass") == 1)
+    n1 = quality.count()
+
+    # 2. exact dedup: survivors keep the smallest doc_id per content hash
+    keep_exact = run("dedup_exact").select(F.col("keep_doc_id").alias("doc_id"))
+    n2 = keep_exact.count()
+
+    # 3. near-dup removal: LSH candidates -> exact Jaccard >= 0.8 -> drop the
+    #    higher doc_id of each verified pair
+    near_dups = run("dedup_jaccard_verify").select(F.col("doc_b").alias("doc_id")).distinct()
+    n_near = near_dups.count()
+
+    clean = (
+        docs.join(quality.select("doc_id"), "doc_id", "left_semi")
+        .join(keep_exact, "doc_id", "left_semi")
+        .join(near_dups, "doc_id", "left_anti")
+    )
+    n3 = clean.count()
+    print(
+        f"corpus: {n0} -> quality {n1} -> exact-dedup keepers {n2} "
+        f"-> near-dups removed {n_near} -> clean {n3}"
+    )
+
+    # 4. write the clean corpus partitioned by source (the lake layout)
+    out = os.path.join(tempfile.mkdtemp(), "clean_corpus")
+    clean.repartition("source").write.partitionBy("source").parquet(out)
+    n_back = spark.read.parquet(out).count()
+    print(f"written {n_back} rows to {out} ({len(os.listdir(out))} source partitions)")
+
+    # 5. similarity: ANN over embeddings (bucketed probe)
+    topk = run("similarity_topk_multiprobe").collect()
+    print("ANN top-3 for vec_id=0:", [(r["vec_id"], r["cosine"]) for r in topk[:3]])
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
