@@ -31,7 +31,13 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 from pyspark.sql.types import (
     ArrayType,
@@ -60,10 +66,14 @@ _COLS = [f.name for f in ETH_LOG_SCHEMA.fields]
 
 @dataclass
 class BlockRangePartition(InputPartition):
-    """One fetch chunk: blocks [lo, hi) — the reference's eth_getLogs call."""
+    """One fetch chunk: blocks [lo, hi) — the reference's eth_getLogs call.
+
+    Carries the effective address filter so ``read`` never consults reader
+    state that query-scoped filter pushdown may have touched."""
 
     lo: int
     hi: int
+    address: str | None = None
 
 
 class ReorgError(Exception):
@@ -208,13 +218,63 @@ class EthLogBatchReader(DataSourceReader):
         self.address = options.get("address")
         self.topic0 = options.get("topic0")
         self.fail_on_removed = str(options.get("fail_on_removed", "true")).lower() == "true"
+        self.pushdown_enabled = str(options.get("pushdown", "false")).lower() == "true"
+
+    _pending: tuple[int, int | None, str | None] | None = None  # per-query pushdown
+
+    def pushFilters(self, filters: list[Filter]):
+        """V2-style predicate pushdown (SupportsPushDownFilters analog —
+        SURVEY §4): ``WHERE`` clauses on block_number tighten the scanned
+        range and an address equality narrows the pyarrow scan, WITHOUT the
+        caller threading them through reader options. Anything else is
+        returned for Spark to evaluate post-scan.
+
+        Opt-in via ``option("pushdown", "true")`` with a one-query-per-load
+        contract: Spark caches the planned (pushed) scan on the shared
+        relation node, so a SIBLING DataFrame derived from the same load()
+        would silently reuse this query's narrowed scan (verified: an
+        unfiltered sibling returned the filtered row set; a fresh load() is
+        always clean — each planning worker builds a fresh reader, the
+        caching is JVM-side). Default off = always safe."""
+        if not self.pushdown_enabled:
+            return filters  # decline everything; Spark evaluates post-scan
+        lo, hi, addr = self.from_block, self.to_block, self.address
+        remaining: list[Filter] = []
+        for f in filters:
+            col = f.attribute[0] if isinstance(f.attribute, tuple) else f.attribute
+            if col == "block_number" and isinstance(
+                f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo)
+            ):
+                v = int(f.value)
+                if isinstance(f, GreaterThan):
+                    lo = max(lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    lo = max(lo, v)
+                elif isinstance(f, LessThan):
+                    hi = v - 1 if hi is None else min(hi, v - 1)
+                elif isinstance(f, LessThanOrEqual):
+                    hi = v if hi is None else min(hi, v)
+                else:  # EqualTo
+                    lo = max(lo, v)
+                    hi = v if hi is None else min(hi, v)
+            elif col == "address" and isinstance(f, EqualTo) and addr is None:
+                addr = str(f.value)
+            else:
+                remaining.append(f)
+        self._pending = (lo, hi, addr)
+        return remaining
 
     def partitions(self):
-        hi = (self.to_block if self.to_block is not None else _chain_head(self.path)) + 1
+        if self._pending is not None:
+            lo, to_b, addr = self._pending
+            self._pending = None  # consumed: next (filterless) query is clean
+        else:
+            lo, to_b, addr = self.from_block, self.to_block, self.address
+        hi = (to_b if to_b is not None else _chain_head(self.path)) + 1
         step = self.block_step
         return [
-            BlockRangePartition(b, min(b + step, hi))
-            for b in range(self.from_block, hi, step)
+            BlockRangePartition(b, min(b + step, hi), addr)
+            for b in range(lo, hi, step)
         ]
 
     def read(self, partition: BlockRangePartition) -> Iterator[tuple]:
@@ -222,7 +282,7 @@ class EthLogBatchReader(DataSourceReader):
             self.path,
             partition.lo,
             partition.hi,
-            self.address,
+            partition.address,
             self.topic0,
             self.fail_on_removed,
         )
@@ -253,4 +313,6 @@ def register(spark) -> None:
     from ..shipping import ship_package
 
     ship_package(spark)  # workers must import this module to unpickle the source
+    # allow WHERE clauses to reach pushFilters (off by default in Spark 4.1)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(EthLogDataSource)

@@ -477,3 +477,58 @@ def test_stream_stream_join(source_registered, eth_logs_fixture, tmp_path):
         q.stop()
     got = sorted(tuple(r) for r in spark.table("ss_join_sink").collect())
     assert got == expected
+
+
+def test_batch_source_filter_pushdown(source_registered, eth_logs_fixture):
+    """V2 pushFilters (opt-in): a WHERE on block_number/address tightens the
+    scan itself — fewer partitions, same rows as an option-configured narrow
+    read. One-query-per-load contract (see pushFilters docstring)."""
+    spark = source_registered
+    fx, path = eth_logs_fixture
+    mid = (fx.from_block + fx.to_block) // 2
+
+    def load(**extra):
+        r = (
+            spark.read.format("eth_logs")
+            .option("path", path)
+            .option("from_block", fx.from_block)
+            .option("to_block", fx.to_block)
+            .option("block_step", 10)
+            .option("fail_on_removed", "false")
+        )
+        for k, v in extra.items():
+            r = r.option(k, v)
+        return r.load()
+
+    pushed = load(pushdown="true").filter(
+        (F.col("block_number") >= mid) & (F.col("address") == ADDR_A)
+    )
+    narrow = (
+        spark.read.format("eth_logs")
+        .option("path", path)
+        .option("from_block", mid)
+        .option("to_block", fx.to_block)
+        .option("address", ADDR_A)
+        .option("block_step", 10)
+        .option("fail_on_removed", "false")
+        .load()
+    )
+    a = sorted((r["block_number"], r["log_index"]) for r in pushed.collect())
+    b = sorted((r["block_number"], r["log_index"]) for r in narrow.collect())
+    assert a == b
+    assert len(a) > 0
+    # scan-shape: pushed plan reads fewer partitions than a full fresh load
+    assert pushed.rdd.getNumPartitions() < load().rdd.getNumPartitions()
+    # plan surface: the pushed filters are visible in the scan node
+    plan = pushed._sc._jvm.PythonSQLUtils.explainString(
+        pushed._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "block_number" in plan
+    # default-off safety: without the option, a filtered sibling does NOT
+    # contaminate an unfiltered one (Spark caches the planned scan on the
+    # shared relation; pushdown-off declines all filters so both plans scan
+    # the full range)
+    shared = load()
+    n_before = shared.count()
+    _ = shared.filter(F.col("block_number") >= mid).count()
+    assert shared.count() == n_before
