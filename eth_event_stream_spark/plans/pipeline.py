@@ -754,3 +754,85 @@ def join_salted_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(orders, customer, "o_custkey", num_salts=6).select(
         "o_orderkey", "c_name"
     )
+
+
+@register(
+    "dedup_lsh_then_verify",
+    oracle=f"""
+    WITH bands AS ({_SQL_BANDS}),
+    cands AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        {" UNION ALL ".join(
+          f'''SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+              ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id'''
+          for b in range(N_BANDS)
+        )}
+      )
+    ),
+    sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+      WHERE LEN(toks) >= 3),
+    ex AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN ex a ON a.doc_id = c.doc_a
+      JOIN ex b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    """,
+)
+def dedup_lsh_then_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed two-stage near-dup pipeline — the 100 TB shape:
+
+    1. LSH bands nominate candidate pairs (bounded by bucket size);
+    2. exact Jaccard verifies ONLY the candidates: the shingle inverted
+       index is semi-joined down to candidate docs before the intersection
+       join, so verify cost scales with candidates, not the corpus.
+
+    (dedup_jaccard_verify is the standalone exact operator over all pairs
+    sharing a shingle; this one is what a production dedup job runs.)"""
+    d = t(spark, sf_dir, "documents")
+    cands = dedup_minhash_lsh_pairs(spark, sf_dir)
+
+    toks = d.select("doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    ex = toks.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s")).distinct()
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ex_c = ex.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+
+    a = ex_c.select(F.col("doc_id").alias("doc_a"), "s")
+    b = ex_c.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        F.broadcast(cands)
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= 0.8).select("doc_a", "doc_b", "jaccard")
