@@ -52,6 +52,25 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def t_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + small-input parallelism guard, for CPU-heavy map work
+    (shingle explodes, per-row hashing, Arrow-batched Python) that runs
+    BEFORE the first shuffle.
+
+    Parquet scan parallelism == file splits; tiny testdata tables are ONE
+    split, which serializes all pre-shuffle map work onto one core no matter
+    the cluster size. When the scan yields fewer splits than cores,
+    redistribute once (round-robin, row-count-balanced) so the expensive map
+    fans out. At real scale the scan has >= cores splits and this branch
+    never triggers — crucially we do NOT pay a corpus-wide shuffle at 100 TB
+    just to help the local small-file case."""
+    df = t(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views (for spark.sql-style queries)."""
     for name in TABLES:

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import t
+from .catalog import t, t_parallel
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -195,7 +195,13 @@ _SQL_SHINGLES = (
 
 
 def _sql_minhash(j: int) -> str:
-    return f"list_min(list_transform(shingles, s -> substring(md5('{j}:' || s), 1, 16)))"
+    # 8 x 32-bit minhashes carved out of TWO md5 digests (4 x 8-hex slices
+    # each) — a quarter of the hash work of 8 independently-salted md5s, and
+    # 32 bits is ample for a min-hash (collision odds 2^-32 per pair per row)
+    return (
+        f"list_min(list_transform(shingles, "
+        f"s -> substring(md5('{j // 4}:' || s), {8 * (j % 4) + 1}, 8)))"
+    )
 
 
 def _minhash_prep_spark(d: DataFrame) -> DataFrame:
@@ -211,10 +217,16 @@ def _minhash_prep_spark(d: DataFrame) -> DataFrame:
         "doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks")
     ).filter(F.size("toks") >= 3)
     sh = toks.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+    # two salted digests per shingle; each yields four 8-hex (32-bit)
+    # minhash lanes — subexpression elimination evaluates each md5 once
     hashed = sh.select(
         "doc_id",
         *[
-            F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("s"))), 1, 16).alias(f"mh{j}")
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j // 4}:"), F.col("s"))),
+                8 * (j % 4) + 1,
+                8,
+            ).alias(f"mh{j}")
             for j in range(N_HASHES)
         ],
     )
@@ -251,7 +263,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shingle (word 3-gram) -> 8 md5 min-hashes -> 4 bands of 2 rows. All inside
     whole-stage codegen (higher-order functions, no Python)."""
-    return _minhash_prep_spark(t(spark, sf_dir, "documents"))
+    return _minhash_prep_spark(t_parallel(spark, sf_dir, "documents"))
 
 
 @register(
@@ -279,7 +291,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join would re-evaluate the minhash expressions once per branch and
     side: 8x). Candidate sets stay bounded by bucket size, never all-pairs;
     a hot bucket at 100 TB is capped/salted upstream."""
-    bands = _minhash_prep_spark(t(spark, sf_dir, "documents"))
+    bands = _minhash_prep_spark(t_parallel(spark, sf_dir, "documents"))
     long = bands.select(
         "doc_id",
         F.explode(
@@ -335,7 +347,7 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Inverted-index join on distinct shingles (never all-pairs): intersection
     counts from the shingle join, union by inclusion-exclusion."""
-    d = t(spark, sf_dir, "documents")
+    d = t_parallel(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks")).filter(
         F.size("toks") >= 3
     )
@@ -405,7 +417,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     then one partial-aggregated groupBy(doc) of 16 sums — a per-bit
     ``aggregate()`` over the token array would recompute md5(token) 16x.
     Identical integer math to the SQL oracle."""
-    d = t(spark, sf_dir, "documents")
+    d = t_parallel(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("w")
     ).withColumn("h", F.md5("w"))
@@ -635,6 +647,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks end-to-end against the oracle."""
     from ..operators.multimodal import documents_as_media, extract_features
 
+    # deliberately NOT t_parallel: fanning the Arrow/Python path out to
+    # `cores` workers costs more in worker startup + per-batch transfer than
+    # the fake codec's row work saves; the guard pays off only when per-row
+    # Python work dominates (real decoders) — flip to t_parallel then
     media = documents_as_media(t(spark, sf_dir, "documents"))
     return extract_features(media, codec="fake")
 
@@ -698,7 +714,7 @@ def dedup_char_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct grams -> join -> inclusion-exclusion union."""
     # length guard: Spark's sequence(1, n) DESCENDS for n < 1 and would emit
     # phantom grams for sub-8-char texts (DuckDB's generate_series is empty)
-    d = t(spark, sf_dir, "documents").filter(
+    d = t_parallel(spark, sf_dir, "documents").filter(
         (F.col("doc_id") < 150) & (F.length("text") >= 8)
     )
     grams = (
@@ -800,7 +816,7 @@ def dedup_lsh_then_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (dedup_jaccard_verify is the standalone exact operator over all pairs
     sharing a shingle; this one is what a production dedup job runs.)"""
-    d = t(spark, sf_dir, "documents")
+    d = t_parallel(spark, sf_dir, "documents")
     cands = dedup_minhash_lsh_pairs(spark, sf_dir)
 
     toks = d.select("doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks")).filter(
