@@ -532,3 +532,76 @@ def test_batch_source_filter_pushdown(source_registered, eth_logs_fixture):
     n_before = shared.count()
     _ = shared.filter(F.col("block_number") >= mid).count()
     assert shared.count() == n_before
+
+
+def test_late_data_drop_metrics(spark, tmp_path):
+    """Late-data contract (S5/B7 event-time path): rows that arrive BEHIND
+    the watermark are dropped from stateful windowed aggregation — visible
+    in the numRowsDroppedByWatermark progress metric — and on-time windows
+    emit with only the on-time rows.
+
+    The eth_logs source can't produce this case (blocks arrive in ascending
+    order, so event time is monotone); a file stream with a deliberately
+    out-of-order second file exercises the generic watermark semantics the
+    windowed queries in plans/eventflow.py rely on."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = "ts timestamp, user string"
+
+    def add_file(name: str, rows: list[tuple]) -> None:
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    add_file("f1_ontime", [
+        (t0, "a"),
+        (t0 + dt.timedelta(minutes=2), "b"),
+        (t0 + dt.timedelta(minutes=8), "c"),
+    ])
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    agg = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_late"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # watermark -> 10:08 - 5m = 10:03
+        # 09:00 is an hour behind the watermark: must be dropped, not merged
+        add_file("f2_late", [(t0 - dt.timedelta(hours=1), "z")])
+        q.processAllAvailable()
+        # advance the watermark past 10:10 so the on-time window closes
+        add_file("f3_advance", [(t0 + dt.timedelta(minutes=30), "d")])
+        q.processAllAvailable()
+        add_file("f4_flush", [(t0 + dt.timedelta(minutes=40), "e")])
+        q.processAllAvailable()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+    finally:
+        q.stop()
+
+    assert dropped == 1, f"expected exactly the late row dropped, got {dropped}"
+    emitted = {r["w"]["start"]: r["n"] for r in spark.table("late_sink").collect()}
+    # the on-time window holds its 3 on-time rows — the late row neither
+    # resurrected the 09:00 window nor contaminated the 10:00 one
+    assert emitted.get(t0) == 3, emitted
+    assert t0 - dt.timedelta(hours=1) not in emitted, emitted
