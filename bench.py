@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_jaccard_verify",
     "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
     "embedding_neardup_pairs",
     "vector_label_centroids",
     "text_quality_score",
