@@ -90,3 +90,20 @@ def test_q1_scan_prunes_columns(spark, sf_dir):
         "l_linestatus",
         "l_shipdate",
     }
+
+
+def test_ivf_plan_broadcasts_and_stays_jvm(spark, sf_dir):
+    """IVF ANN (learned centroids): the centroid table and probe list must
+    BROADCAST (K rows each — a shuffle join on them would be absurd at any
+    scale), the per-vector argmin must be a partial-aggregable HashAggregate
+    (min_by), NOT a window sort over the N x K distance matrix, and the whole
+    index build + search must stay JVM-side (no Python eval)."""
+    p = plan_of(spark, sf_dir, "similarity_topk_ivf")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p[:2000]
+    assert "HashAggregate" in p, p[:2000]
+    # the argmin must not be a running-rank window over the distance matrix
+    assert "Window" not in p, f"window sort leaked into the IVF argmin\n{p[:2000]}"
+    assert "SortMergeJoin" not in p, f"centroid join degraded to SMJ\n{p[:2000]}"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:2000]
+    # final top-k is heap+merge, not a global sort
+    assert "TakeOrderedAndProject" in p, p[:2000]
