@@ -19,6 +19,7 @@ from . import (  # noqa: F401  (registration side effects)
     relational,
     relational2,
     relational3,
+    relational4,
     vectors,
 )
 from .registry import QUERIES, oracle_sql_dict, queries_dict

@@ -1,0 +1,230 @@
+"""Relational batch 4: multiset set ops, right-outer join, edit-distance
+fuzzy matching, corpus term statistics, and correlation via exact moments.
+
+Determinism notes follow the registry convention: counts and edit distances
+are exact integers in both engines; the one floating-point result (corr) is
+derived from exact bigint moments with a fixed double expression tree, so
+every IEEE operation sees identical operands in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import t
+from .registry import register
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'click'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (bag difference — each occurrence cancels one
+    matching occurrence). The distinct twin is ``set_except``; Spark's
+    ``exceptAll`` == SQL EXCEPT ALL, while ``subtract`` is ANSI EXCEPT."""
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "click").select("user_id")
+    return a.exceptAll(b)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    INTERSECT ALL
+    SELECT user_id FROM events WHERE event_type = 'click'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL (bag intersection: min of per-side counts)."""
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "click").select("user_id")
+    return a.intersectAll(b)
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey
+    FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal < -900
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-outer join: every qualifying customer survives, order columns
+    NULL where no big order matches. The preserved (right) side can't be
+    broadcast — Spark must keep it streamable; the filtered left side can."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < -900)
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@register(
+    "text_levenshtein_pairs",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < 120 AND b.p_partkey < 120
+      AND levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def text_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching — the classic dedup for short keys
+    (names, titles) where token shingles are useless. Both engines run the
+    exact Wagner-Fischer DP, so distances are identical integers.
+
+    Scale shape: all-pairs is bounded here by the key filter; at corpus
+    scale the pair generation upstream is an LSH/length-bucket nomination
+    (same shape as dedup_lsh_then_verify) and this operator is the verify
+    stage only."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") < 120)
+    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("key_a", "key_b", "edit_dist")
+    )
+
+
+@register(
+    "corpus_top_terms",
+    oracle="""
+    SELECT w AS token, COUNT(*) AS n
+    FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
+    WHERE w != ''
+    GROUP BY w
+    ORDER BY n DESC, token ASC
+    LIMIT 50
+    """,
+)
+def corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-k (the vocabulary head — the first
+    statistic any corpus audit computes). Explode -> partial-aggregated
+    count -> heap top-k; one shuffle keyed by token, counts combine
+    map-side so the shuffle carries one row per distinct token per task,
+    not one per occurrence."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@register(
+    "doc_term_freq",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, w AS token, COUNT(*) AS cnt
+      FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w
+            FROM documents WHERE doc_id < 100)
+      WHERE w != ''
+      GROUP BY doc_id, w),
+    tot AS (SELECT doc_id, SUM(cnt) AS n_tokens FROM tf GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, token, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, token ASC) AS rn
+      FROM tf)
+    SELECT r.doc_id, r.token AS top_token, r.cnt AS n_occurrences,
+           CAST(r.cnt AS DOUBLE) / t.n_tokens AS tf_ratio
+    FROM ranked r JOIN tot t ON r.doc_id = t.doc_id
+    WHERE r.rn = 1
+    """,
+)
+def doc_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dominant term + its term-frequency ratio (the TF side
+    of TF-IDF; the IDF log is left out deliberately — libm log is not
+    bit-portable across engines, integer counts and one exact division
+    are). Tie-break on token keeps the argmax deterministic."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_tokens"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("token"))
+    top = tf.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return top.join(tot, "doc_id").select(
+        "doc_id",
+        F.col("token").alias("top_token"),
+        F.col("cnt").alias("n_occurrences"),
+        (F.col("cnt").cast("double") / F.col("n_tokens")).alias("tf_ratio"),
+    )
+
+
+@register(
+    "agg_corr_via_moments",
+    oracle="""
+    SELECT event_type, n,
+           CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_num,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS corr_cents_hour
+    FROM (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(cents) AS sx, SUM(hr) AS sy,
+             SUM(cents * cents) AS sxx, SUM(hr * hr) AS syy,
+             SUM(cents * hr) AS sxy
+      FROM (SELECT event_type,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+                   CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr
+            FROM events) v
+      GROUP BY event_type) m
+    """,
+)
+def agg_corr_via_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact integer moments (cents x hour-of-day
+    per event type). The engines' native ``corr`` accumulators are
+    order-dependent in floating point; summing bigint moments is exact and
+    order-free, and the final expression applies IEEE ops to identical
+    operands in both engines — same rewrite as agg_stddev_via_moments."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hr = F.hour("ts").cast("bigint")
+    v = ev.select("event_type", cents.alias("cents"), hr.alias("hr"))
+    m = v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum("hr").alias("sy"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+        F.sum(F.col("hr") * F.col("hr")).alias("syy"),
+        F.sum(F.col("cents") * F.col("hr")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_num = nd * F.col("sxy") - sx * sy
+    return m.select(
+        "event_type",
+        "n",
+        cov_num.alias("cov_num"),
+        (
+            cov_num
+            / (
+                F.sqrt(nd * F.col("sxx") - sx * sx)
+                * F.sqrt(nd * F.col("syy") - sy * sy)
+            )
+        ).alias("corr_cents_hour"),
+    )
