@@ -107,3 +107,55 @@ def test_ivf_plan_broadcasts_and_stays_jvm(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:2000]
     # final top-k is heap+merge, not a global sort
     assert "TakeOrderedAndProject" in p, p[:2000]
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """The repeated-join story at 100 TB: pre-bucket both sides on the join
+    key and the join runs with ZERO Exchange — each task reads matching
+    buckets directly. This is the plan-level proof for the README's
+    'pre-bucket both sides when a join repeats across jobs' guidance."""
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.plans.catalog import t
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{tmp_path / 'bucketdb'}'"
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the non-broadcast path: we are asserting the co-located
+        # shuffle-free SMJ, the shape fact-fact joins take at scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t(spark, sf_dir, "orders").write.bucketBy(8, "o_custkey").sortBy(
+            "o_custkey"
+        ).mode("overwrite").saveAsTable("bucketdb.orders_b")
+        t(spark, sf_dir, "customer").withColumnRenamed(
+            "c_custkey", "o_custkey"
+        ).write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+            "overwrite"
+        ).saveAsTable("bucketdb.customer_b")
+
+        joined = spark.table("bucketdb.orders_b").join(
+            spark.table("bucketdb.customer_b"), "o_custkey"
+        )
+        p = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in p, p[:2000]
+        assert "Exchange" not in p, f"bucketed join still shuffles\n{p[:2000]}"
+
+        # and it computes the same thing as the plain join
+        plain = (
+            t(spark, sf_dir, "orders")
+            .join(
+                t(spark, sf_dir, "customer").withColumnRenamed(
+                    "c_custkey", "o_custkey"
+                ),
+                "o_custkey",
+            )
+            .count()
+        )
+        assert joined.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
