@@ -772,9 +772,7 @@ def join_salted_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_lsh_then_verify",
-    oracle=f"""
+_SQL_LSH_THEN_VERIFY = f"""
     WITH bands AS ({_SQL_BANDS}),
     cands AS (
       SELECT DISTINCT doc_a, doc_b FROM (
@@ -804,8 +802,10 @@ def join_salted_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
-    """,
-)
+    """
+
+
+@register("dedup_lsh_then_verify", oracle=_SQL_LSH_THEN_VERIFY)
 def dedup_lsh_then_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed two-stage near-dup pipeline — the 100 TB shape:
 
@@ -852,3 +852,46 @@ def dedup_lsh_then_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(F.col("jaccard") >= 0.8).select("doc_a", "doc_b", "jaccard")
+
+
+@register(
+    "dedup_canonical_assign",
+    oracle=f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({_SQL_LSH_THEN_VERIFY})),
+    edges AS (
+      SELECT doc_a AS doc_id, doc_b AS nbr FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_a AS nbr FROM pairs),
+    mins AS (SELECT doc_id, MIN(nbr) AS mn FROM edges GROUP BY doc_id)
+    SELECT d.doc_id,
+           LEAST(d.doc_id, mn) AS canonical_id,
+           CAST(CASE WHEN mn IS NOT NULL AND mn < d.doc_id
+                     THEN 1 ELSE 0 END AS INT) AS is_duplicate
+    FROM documents d LEFT JOIN mins ON mins.doc_id = d.doc_id
+    """,
+)
+def dedup_canonical_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final dedup step: assign each document a canonical id — the minimum
+    over itself and its verified near-dup neighbors (one propagation step).
+
+    Exact for the dominant real-world cluster shape (every member of a
+    duplicate group pairs with the group minimum, since near-identical docs
+    share bands pairwise); transitive chains of diameter > 2 need the
+    iterated fixpoint — repeat the edges-min join until no canonical_id
+    changes, each round one shuffle (the standard large-graph min-label
+    propagation; rounds = graph diameter, 2-3 for dedup graphs in practice).
+    Both engines ignore NULL in LEAST, so no-neighbor docs keep doc_id."""
+    pairs = dedup_lsh_then_verify(spark, sf_dir).select("doc_a", "doc_b")
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    edges = pairs.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr")).union(
+        pairs.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr"))
+    )
+    mins = edges.groupBy("doc_id").agg(F.min("nbr").alias("mn"))
+    return docs.join(mins, "doc_id", "left").select(
+        "doc_id",
+        F.least(F.col("doc_id"), F.col("mn")).alias("canonical_id"),
+        F.when(F.col("mn").isNotNull() & (F.col("mn") < F.col("doc_id")), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_duplicate"),
+    )
