@@ -895,3 +895,37 @@ def dedup_canonical_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_duplicate"),
     )
+
+
+@register(
+    "dedup_groups_connected",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_SQL_LSH_THEN_VERIFY})),
+    sym AS (
+      SELECT doc_a AS x, doc_b AS y FROM pairs
+      UNION ALL
+      SELECT doc_b AS x, doc_a AS y FROM pairs),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS r FROM documents
+      UNION
+      SELECT s.y AS node, reach.r FROM sym s JOIN reach ON reach.node = s.x)
+    SELECT node AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY node
+    """,
+)
+def dedup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full connected-components dedup grouping: every document labeled with
+    the minimum doc_id of its near-dup cluster, via iterative min-label
+    propagation (operators.graph) to the fixpoint — exact for ANY cluster
+    shape, unlike the one-hop dedup_canonical_assign.
+
+    The DuckDB oracle computes the same components with a recursive CTE, so
+    the driver's value-hash check covers the distributed iteration."""
+    from ..operators.graph import min_label_propagation
+
+    pairs = dedup_lsh_then_verify(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = min_label_propagation(nodes, edges)
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))

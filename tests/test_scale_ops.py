@@ -265,3 +265,23 @@ def test_two_path_join_preserves_null_keys(spark, sf_dir):
     )
     assert _canon(plain) == _canon(split)
     assert orders.filter(F.col("o_custkey").isNull()).count() > 0  # test is real
+
+
+def test_min_label_propagation_chain(spark):
+    """A diameter-9 chain must converge to the global min (one-hop would be
+    wrong for every node past the second), plus a disjoint pair and an
+    isolated node; early-exit happens at the sum fixpoint."""
+    from eth_event_stream_spark.operators.graph import min_label_propagation
+
+    chain = [(i, i + 1) for i in range(10, 19)]  # 10-11-...-19
+    extra = [(30, 31)]
+    all_edges = chain + extra
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(10, 20)) + [30, 31, 99]], "id BIGINT"
+    )
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in all_edges] + [(b, a) for a, b in all_edges],
+        "src BIGINT, dst BIGINT",
+    )
+    got = {r["id"]: r["label"] for r in min_label_propagation(nodes, edges).collect()}
+    assert got == {**{i: 10 for i in range(10, 20)}, 30: 30, 31: 30, 99: 99}
