@@ -228,3 +228,30 @@ def agg_corr_via_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("corr_cents_hour"),
     )
+
+
+_LATERAL_TOPN_SQL = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) o ON TRUE
+    WHERE c.c_custkey <= 200
+"""
+
+
+@register("join_lateral_topn", oracle=_LATERAL_TOPN_SQL)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: per-customer top-2 orders, the SAME ANSI
+    text executed by spark.sql and the DuckDB oracle. Catalyst decorrelates
+    the per-row subquery into a window-rank + filter (check .explain:
+    WindowGroupLimit pushes the limit below the shuffle) — the user writes
+    the correlated form, the engine runs the distributed one."""
+    from .catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPN_SQL)

@@ -285,3 +285,31 @@ def test_min_label_propagation_chain(spark):
     )
     got = {r["id"]: r["label"] for r in min_label_propagation(nodes, edges).collect()}
     assert got == {**{i: 10 for i in range(10, 20)}, 30: 30, 31: 30, 99: 99}
+
+
+def test_csv_json_source_roundtrip(spark, sf_dir, tmp_path):
+    """Source-format breadth: the same relation read back from CSV and JSON
+    matches the parquet source row-for-row (schema applied explicitly, as
+    headerless interchange files have no embedded types)."""
+    from eth_event_stream_spark.plans.catalog import t
+
+    src = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    expected = sorted(tuple(r) for r in src.collect())
+    schema = "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, c_mktsegment STRING"
+
+    csv_path = str(tmp_path / "cust_csv")
+    src.write.mode("overwrite").option("header", "true").csv(csv_path)
+    got_csv = sorted(
+        tuple(r)
+        for r in spark.read.schema(schema).option("header", "true").csv(csv_path).collect()
+    )
+    assert got_csv == expected
+
+    json_path = str(tmp_path / "cust_json")
+    src.write.mode("overwrite").json(json_path)
+    got_json = sorted(
+        tuple(r) for r in spark.read.schema(schema).json(json_path).collect()
+    )
+    assert got_json == expected
