@@ -346,7 +346,15 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard for near-dup pairs (the verify stage after LSH).
 
     Inverted-index join on distinct shingles (never all-pairs): intersection
-    counts from the shingle join, union by inclusion-exclusion."""
+    counts from the shingle join, union by inclusion-exclusion.
+
+    Bound-based pruning: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so J >= 0.8
+    requires 5*min >= 4*max — pairs failing the size-ratio test are cut at
+    the join output, BEFORE the (doc_a, doc_b) aggregation shuffle, which is
+    the expensive intermediate. Sizes ride along the join rows (the size
+    table is one row per doc; broadcast here, a shuffle join at the scale
+    where it stops fitting), so the final jaccard needs no further joins.
+    Lossless: the oracle is the unpruned SQL."""
     d = t_parallel(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks")).filter(
         F.size("toks") >= 3
@@ -356,23 +364,21 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = ex.select(F.col("doc_id").alias("doc_a"), "s")
-    b = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    exs = ex.join(F.broadcast(sizes), "doc_id")
+    a = exs.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+    b = exs.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
     inter = (
         a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.least("na", "nb") * 5 >= F.greatest("na", "nb") * 4)
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    j = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common")),
-        )
+    j = inter.withColumn(
+        "jaccard",
+        F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common")),
     )
     return j.filter(F.col("jaccard") >= 0.8).select("doc_a", "doc_b", "n_common", "jaccard")
 
