@@ -41,15 +41,17 @@ def main() -> None:
     keep_exact = run("dedup_exact").select(F.col("keep_doc_id").alias("doc_id"))
     n2 = keep_exact.count()
 
-    # 3. near-dup removal: LSH candidates -> exact Jaccard >= 0.8 -> drop the
-    #    higher doc_id of each verified pair
-    near_dups = run("dedup_jaccard_verify").select(F.col("doc_b").alias("doc_id")).distinct()
-    n_near = near_dups.count()
+    # 3. near-dup removal, cluster-correct: LSH candidates -> exact Jaccard
+    #    verify -> connected components -> keep one canonical doc per cluster
+    #    (pairwise doc_b-dropping would over-remove inside chained clusters)
+    groups = run("dedup_groups_connected")
+    survivors = groups.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id")
+    n_near = groups.filter(F.col("doc_id") != F.col("canonical_id")).count()
 
     clean = (
         docs.join(quality.select("doc_id"), "doc_id", "left_semi")
         .join(keep_exact, "doc_id", "left_semi")
-        .join(near_dups, "doc_id", "left_anti")
+        .join(survivors, "doc_id", "left_semi")
     )
     n3 = clean.count()
     print(
@@ -63,9 +65,11 @@ def main() -> None:
     n_back = spark.read.parquet(out).count()
     print(f"written {n_back} rows to {out} ({len(os.listdir(out))} source partitions)")
 
-    # 5. similarity: ANN over embeddings (bucketed probe)
+    # 5. similarity: ANN over embeddings — multiprobe LSH and learned-centroid IVF
     topk = run("similarity_topk_multiprobe").collect()
-    print("ANN top-3 for vec_id=0:", [(r["vec_id"], r["cosine"]) for r in topk[:3]])
+    print("LSH ANN top-3 for vec_id=0:", [(r["vec_id"], r["cosine"]) for r in topk[:3]])
+    topk_ivf = run("similarity_topk_ivf").collect()
+    print("IVF ANN top-3 for vec_id=0:", [(r["vec_id"], r["cosine"]) for r in topk_ivf[:3]])
 
     spark.stop()
 
