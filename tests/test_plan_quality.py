@@ -38,6 +38,11 @@ PLAN_EXPECTATIONS = {
     "window_rank_topn": [r"WindowGroupLimit"],
     "flagship_user_netflow": [r"HashAggregate"],
     "dedup_minhash_lsh_pairs": [r"HashAggregate"],
+    # global token counts must partial-aggregate and top-k via heap
+    "corpus_top_terms": [r"HashAggregate", r"TakeOrderedAndProject"],
+    # the correlated LATERAL subquery must decorrelate to a per-partition
+    # group limit, not execute per outer row
+    "join_lateral_topn": [r"WindowGroupLimit"],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
