@@ -34,7 +34,10 @@ def min_label_propagation(
     nodes: one column ``id`` (distinct).
     edges: columns ``src``, ``dst`` — DIRECTED; pass both directions for an
         undirected graph.
-    max_rounds: safety bound; the loop exits early at the fixpoint.
+    max_rounds: upper bound on rounds; must exceed the graph diameter.
+        Raises ``RuntimeError`` if the fixpoint is not reached — silently
+        returning partially-propagated labels would hand callers WRONG
+        component ids.
 
     Returns ``DataFrame[id, label]`` with ``label`` = min id reachable.
     """
@@ -54,6 +57,10 @@ def min_label_propagation(
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
-            break
+            return labels
         prev_sum = new_sum
-    return labels
+    raise RuntimeError(
+        f"min_label_propagation did not converge in {max_rounds} rounds; "
+        "the component diameter exceeds max_rounds — raise it (labels at "
+        "this point would be incorrect for the deepest chains)"
+    )

@@ -141,23 +141,35 @@ def test_stream_empty_ranges_advance(source_registered, eth_logs_fixture, tmp_pa
     assert any(p["numInputRows"] == 0 for p in progress)
 
 
-def test_reducer_stream_matches_batch(source_registered, eth_logs_fixture, tmp_path):
-    """B10: the SAME reducer over applyInPandasWithState (stream) and
-    applyInPandas (batch) produces identical state."""
-    spark = source_registered
-    fx, path = eth_logs_fixture
-
-    def prepared(df):
-        # value = low 8 bytes of data (cents stand-in), sign alternates by parity
-        return df.dropDuplicates(["block_number", "log_index"]).select(
-            F.col("address"),
+def _prep_cents(df):
+    """Shared reducer input: value = low 8 bytes of data (cents stand-in),
+    sign alternates by log_index parity, key = crc32(address). One
+    definition — four tests compare stream vs batch folds of EXACTLY this
+    pipeline, so a drifted copy would silently compare different queries."""
+    return (
+        df.dropDuplicates(["block_number", "log_index"])
+        .select(
+            "address",
             (F.conv(F.substring(F.hex("data"), 57, 8), 16, 10).cast("long") % 10000)
             .cast("double")
             .alias("raw"),
             F.when(F.col("log_index") % 2 == 0, 1).otherwise(-1).alias("sign"),
             "block_number",
             "log_index",
-        ).withColumn("value", F.col("raw") / 100.0).drop("raw")
+        )
+        .withColumn("value", F.col("raw") / 100.0)
+        .drop("raw")
+        .withColumn("key", F.crc32(F.col("address")).cast("bigint"))
+    )
+
+
+def test_reducer_stream_matches_batch(source_registered, eth_logs_fixture, tmp_path):
+    """B10: the SAME reducer over applyInPandasWithState (stream) and
+    applyInPandas (batch) produces identical state."""
+    spark = source_registered
+    fx, path = eth_logs_fixture
+
+    prepared = _prep_cents
 
     batch = (
         spark.read.format("eth_logs")
@@ -170,7 +182,7 @@ def test_reducer_stream_matches_batch(source_registered, eth_logs_fixture, tmp_p
     expected = {
         r["key"]: (r["net_cents"], r["n_events"])
         for r in reduce_events_batch(
-            prepared(batch).withColumn("key", F.crc32(F.col("address")).cast("bigint")),
+            prepared(batch),
             CentsNetflowReducer(),
             ["key"],
         ).collect()
@@ -187,7 +199,7 @@ def test_reducer_stream_matches_batch(source_registered, eth_logs_fixture, tmp_p
         .load()
     )
     sdf = reduce_events_stream(
-        prepared(stream).withColumn("key", F.crc32(F.col("address")).cast("bigint")),
+        prepared(stream),
         CentsNetflowReducer(),
         ["key"],
     )
@@ -236,16 +248,7 @@ def test_reducer_tws_matches_batch(source_registered, eth_logs_fixture, tmp_path
     fx, path = eth_logs_fixture
     from eth_event_stream_spark.streaming.reducer import reduce_events_tws
 
-    def prepared(df):
-        return df.dropDuplicates(["block_number", "log_index"]).select(
-            F.crc32(F.col("address")).cast("bigint").alias("key"),
-            (F.conv(F.substring(F.hex("data"), 57, 8), 16, 10).cast("long") % 10000)
-            .cast("double")
-            .alias("raw"),
-            F.when(F.col("log_index") % 2 == 0, 1).otherwise(-1).alias("sign"),
-            "block_number",
-            "log_index",
-        ).withColumn("value", F.col("raw") / 100.0).drop("raw")
+    prepared = _prep_cents
 
     batch = (
         spark.read.format("eth_logs")
@@ -631,21 +634,7 @@ def test_reducer_rocksdb_state_store(source_registered, eth_logs_fixture, tmp_pa
             .option("fail_on_removed", "false")
             .load()
         )
-        prepped = (
-            stream.dropDuplicates(["block_number", "log_index"])
-            .select(
-                "address",
-                (F.conv(F.substring(F.hex("data"), 57, 8), 16, 10).cast("long") % 10000)
-                .cast("double")
-                .alias("raw"),
-                F.when(F.col("log_index") % 2 == 0, 1).otherwise(-1).alias("sign"),
-                "block_number",
-                "log_index",
-            )
-            .withColumn("value", F.col("raw") / 100.0)
-            .drop("raw")
-            .withColumn("key", F.crc32(F.col("address")).cast("bigint"))
-        )
+        prepped = _prep_cents(stream)
         sdf = reduce_events_stream(prepped, CentsNetflowReducer(), ["key"])
         q = (
             sdf.writeStream.format("memory")
@@ -657,9 +646,19 @@ def test_reducer_rocksdb_state_store(source_registered, eth_logs_fixture, tmp_pa
         try:
             q.processAllAvailable()
             # the running query must actually be on RocksDB, not silently
-            # falling back: the state-operator metrics carry provider info
-            progress = [p for p in q.recentProgress if p.get("stateOperators")]
-            assert progress, "no stateful progress recorded"
+            # falling back: only the RocksDB provider emits rocksdb* custom
+            # metrics on its state operators
+            ops = [
+                op
+                for p in q.recentProgress
+                for op in p.get("stateOperators", [])
+            ]
+            assert ops, "no stateful progress recorded"
+            assert any(
+                k.lower().startswith("rocksdb")
+                for op in ops
+                for k in (op.get("customMetrics") or {})
+            ), f"state operator metrics show no RocksDB provider: {ops[-1]}"
         finally:
             q.stop()
         got = {
@@ -689,21 +688,7 @@ def test_reducer_rocksdb_state_store(source_registered, eth_logs_fixture, tmp_pa
         .option("fail_on_removed", "false")
         .load()
     )
-    bprep = (
-        batch.dropDuplicates(["block_number", "log_index"])
-        .select(
-            "address",
-            (F.conv(F.substring(F.hex("data"), 57, 8), 16, 10).cast("long") % 10000)
-            .cast("double")
-            .alias("raw"),
-            F.when(F.col("log_index") % 2 == 0, 1).otherwise(-1).alias("sign"),
-            "block_number",
-            "log_index",
-        )
-        .withColumn("value", F.col("raw") / 100.0)
-        .drop("raw")
-        .withColumn("key", F.crc32(F.col("address")).cast("bigint"))
-    )
+    bprep = _prep_cents(batch)
     expected = {
         r["key"]: (r["net_cents"], r["n_events"])
         for r in reduce_events_batch(bprep, CentsNetflowReducer(), ["key"]).collect()
