@@ -255,3 +255,51 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_TOPN_SQL)
+
+
+_FILTER_AGG_SQL = """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS n_views,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_cents
+    FROM events
+    GROUP BY user_id
+"""
+
+
+@register("agg_filter_clause", oracle=_FILTER_AGG_SQL)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation with the ANSI FILTER clause — the IDENTICAL
+    text runs through spark.sql and the DuckDB oracle. Catalyst compiles
+    each FILTER into a conditional partial aggregate (one pass, map-side
+    combined), not one scan per condition."""
+    from .catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_FILTER_AGG_SQL)
+
+
+@register(
+    "agg_string_concat_ordered",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(c_name, '|' ORDER BY c_name) AS names
+    FROM customer WHERE c_custkey <= 60
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg / string_agg): deterministic via
+    the explicit WITHIN GROUP order — an UNORDERED listagg would hash-vary
+    with partitioning and could never pass a cross-engine value check."""
+    from .catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_mktsegment,
+               listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name) AS names
+        FROM customer WHERE c_custkey <= 60
+        GROUP BY c_mktsegment
+    """)
