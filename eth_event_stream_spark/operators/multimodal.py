@@ -127,3 +127,49 @@ def sample_frames(df: DataFrame, every_n: int = 8) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("new_width", LongType(), False),
+        StructField("new_height", LongType(), False),
+    ]
+)
+
+
+def resize_images(df: DataFrame, max_w: int = 320, max_h: int = 240) -> DataFrame:
+    """Aspect-preserving resize plumbing for image rows (mapInPandas).
+
+    Target-dimension math is INTEGER-ONLY (compare w*max_h vs h*max_w to
+    pick the binding edge, then floor-divide) so it is bit-reproducible and
+    oracle-checkable; the pixel resample itself is the stubbed codec layer
+    (wire Pillow's thumbnail here), which does not change the plan: decode ->
+    compute dims -> resample, all inside one Arrow batch pass, no shuffle.
+    """
+    from ..shipping import ship_package
+
+    ship_package(df.sparkSession)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "image":
+                    continue
+                d = _decode_fake(kind, payload if payload is not None else b"")
+                w, h = d["width"], d["height"]
+                if w <= max_w and h <= max_h:
+                    nw, nh = w, h
+                elif w * max_h >= h * max_w:  # width-bound
+                    nw, nh = max_w, max(1, (h * max_w) // w)
+                else:
+                    nw, nh = max(1, (w * max_h) // h), max_h
+                rows.append((mid, w, h, nw, nh))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(fn, schema=RESIZE_SCHEMA)

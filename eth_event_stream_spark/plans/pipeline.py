@@ -935,3 +935,56 @@ def dedup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = min_label_propagation(nodes, edges)
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))
+
+
+@register(
+    "multimodal_resize_dims",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+             CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height
+      FROM documents WHERE doc_id % 3 = 0)
+    SELECT media_id, width, height,
+           CAST(CASE WHEN width <= 320 AND height <= 240 THEN width
+                     WHEN width * 240 >= height * 320 THEN 320
+                     ELSE GREATEST(1, (width * 240) // height) END AS BIGINT)
+             AS new_width,
+           CAST(CASE WHEN width <= 320 AND height <= 240 THEN height
+                     WHEN width * 240 >= height * 320
+                       THEN GREATEST(1, (height * 320) // width)
+                     ELSE 240 END AS BIGINT) AS new_height
+    FROM img
+    """,
+)
+def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing (operators.multimodal.resize_images): decode ->
+    integer aspect-fit into 320x240 -> (stubbed) resample, one Arrow pass,
+    no shuffle. The dimension math is integer-only so the oracle replays it
+    exactly; a real codec changes only the resample body, not the plan."""
+    from ..operators.multimodal import documents_as_media, resize_images
+
+    media = documents_as_media(t(spark, sf_dir, "documents"))
+    return resize_images(media, max_w=320, max_h=240)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH vid AS (
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) % 24 + 1 AS BIGINT) AS n_frames
+      FROM documents WHERE doc_id % 3 = 2)
+    SELECT media_id, CAST(UNNEST(generate_series(0, n_frames - 1, 8)) AS BIGINT)
+             AS frame_idx
+    FROM vid
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (operators.multimodal.sample_frames): every 8th
+    frame index per video, exploded to one row per sampled frame — the
+    fan-out shape per-frame feature extraction runs over at scale."""
+    from ..operators.multimodal import documents_as_media, sample_frames
+
+    media = documents_as_media(t(spark, sf_dir, "documents"))
+    return sample_frames(media, every_n=8)
