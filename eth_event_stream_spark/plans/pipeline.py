@@ -988,3 +988,37 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(t(spark, sf_dir, "documents"))
     return sample_frames(media, every_n=8)
+
+
+@register(
+    "reducer_sequence_batch",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS prev_type
+      FROM events)
+    SELECT user_id AS key,
+           CAST(COUNT(*) FILTER (WHERE prev_type = 'view'
+                                   AND event_type = 'purchase') AS BIGINT)
+             AS n_matches,
+           COUNT(*) AS n_events
+    FROM o GROUP BY user_id
+    """,
+)
+def reducer_sequence_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The suffix-anchored pattern reducer (sink.rs:139-148) in batch form:
+    count view -> purchase transitions per user in (seconds, event_id)
+    order. The oracle is the stateless LAG rewrite — valid in batch because
+    the whole history is one 'batch'; the stateful reducer additionally
+    counts patterns straddling micro-batch boundaries when streamed (see
+    tests/test_streaming.py::test_sequence_reducer_stream_matches_batch)."""
+    from ..streaming.reducer import SequenceCountReducer, reduce_events_batch
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("block_number"),
+        F.col("event_id").alias("log_index"),
+    )
+    return reduce_events_batch(ev, SequenceCountReducer(), ["user_id"])

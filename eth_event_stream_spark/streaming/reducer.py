@@ -243,3 +243,52 @@ def reduce_events_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+class SequenceCountReducer(EventReducer):
+    """Suffix-anchored pattern matching — the reference's EventReducer use
+    case beyond folds (sink.rs:139-148 hands every suffix of the sorted
+    block to the reducer precisely so it can match sequences anchored at
+    each position; README.md:56-60's example matches on the head).
+
+    Counts adjacent ``view -> purchase`` transitions per key in total
+    (block_number, log_index) order. State carries the last event type
+    across batch (and trigger) boundaries, so a pattern straddling two
+    micro-batches is still counted — the part a stateless window cannot do.
+    Expects an ``event_type`` string column."""
+
+    def init_state(self):
+        return {"last_type": "", "n_matches": 0, "n": 0}
+
+    def reduce(self, state, events: pd.DataFrame):
+        types = events["event_type"]
+        matched = (types == "purchase") & (types.shift(1) == "view")
+        n = int(matched.sum())
+        if state["last_type"] == "view" and len(types) and types.iloc[0] == "purchase":
+            n += 1
+        state["n_matches"] += n
+        state["n"] += int(len(types))
+        if len(types):
+            state["last_type"] = str(types.iloc[-1])
+        return state
+
+    def emit(self, key, state) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_matches": [state["n_matches"]],
+                "n_events": [state["n"]],
+            }
+        )
+
+    def state_schema(self) -> StructType:
+        return StructType.fromDDL("last_type STRING, n_matches BIGINT, n BIGINT")
+
+    def output_schema(self) -> StructType:
+        return StructType.fromDDL("key BIGINT, n_matches BIGINT, n_events BIGINT")
+
+    def state_to_rows(self, state) -> list[tuple]:
+        return [(state["last_type"], state["n_matches"], state["n"])]
+
+    def rows_to_state(self, rows) -> Any:
+        return {"last_type": rows[0][0], "n_matches": rows[0][1], "n": rows[0][2]}

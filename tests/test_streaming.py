@@ -694,3 +694,74 @@ def test_reducer_rocksdb_state_store(source_registered, eth_logs_fixture, tmp_pa
         for r in reduce_events_batch(bprep, CentsNetflowReducer(), ["key"]).collect()
     }
     assert got == expected
+
+
+def test_sequence_reducer_stream_matches_batch(
+    source_registered, eth_logs_fixture, tmp_path
+):
+    """B10 suffix-anchored pattern matching: the stateful sequence counter
+    produces the same per-key transition counts whether the history arrives
+    as one batch or as several micro-batches — state carries the last event
+    type across trigger boundaries, so straddling patterns are not lost."""
+    from eth_event_stream_spark.streaming.reducer import SequenceCountReducer
+
+    spark = source_registered
+    fx, path = eth_logs_fixture
+
+    def typed(df):
+        # derive a two-type event stream from log parity
+        return _prep_cents(df).withColumn(
+            "event_type",
+            F.when(F.col("sign") == 1, "view").otherwise("purchase"),
+        )
+
+    batch = (
+        spark.read.format("eth_logs")
+        .option("path", path)
+        .option("from_block", fx.from_block)
+        .option("to_block", fx.to_block)
+        .option("fail_on_removed", "false")
+        .load()
+    )
+    expected = {
+        r["key"]: (r["n_matches"], r["n_events"])
+        for r in reduce_events_batch(
+            typed(batch), SequenceCountReducer(), ["key"]
+        ).collect()
+    }
+    assert any(v[0] > 0 for v in expected.values()), "fixture yields no patterns"
+
+    stream = (
+        spark.readStream.format("eth_logs")
+        .option("path", path)
+        .option("from_block", fx.from_block)
+        .option("to_block", fx.to_block)
+        .option("block_step", 3)  # many tiny micro-batches -> straddling
+        .option("confirmation_blocks", 0)
+        .option("fail_on_removed", "false")
+        .load()
+    )
+    sdf = reduce_events_stream(typed(stream), SequenceCountReducer(), ["key"])
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("seq_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_seq"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["key"]: (r["n_matches"], r["n_events"])
+        for r in spark.sql(
+            """
+            SELECT key, n_matches, n_events FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY mono DESC) rn
+              FROM (SELECT *, monotonically_increasing_id() AS mono FROM seq_sink)
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    assert got == expected
