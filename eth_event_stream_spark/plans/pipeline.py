@@ -1022,3 +1022,65 @@ def reducer_sequence_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("log_index"),
     )
     return reduce_events_batch(ev, SequenceCountReducer(), ["user_id"])
+
+
+LSH_BUCKET_CAP = 8
+
+
+@register(
+    "dedup_minhash_lsh_pairs_capped",
+    oracle=f"""
+    WITH bands AS ({_SQL_BANDS}),
+    long AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS key FROM bands"
+        for b in range(N_BANDS)
+      )}
+    ),
+    buckets AS (
+      SELECT band_idx, key, list_sort(list(doc_id)) AS ids
+      FROM long GROUP BY band_idx, key
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {LSH_BUCKET_CAP}),
+    pairs AS (
+      SELECT x.i AS doc_a, y.i AS doc_b
+      FROM buckets, UNNEST(ids) AS x(i), UNNEST(ids) AS y(i)
+      WHERE x.i < y.i)
+    SELECT DISTINCT doc_a, doc_b FROM pairs
+    """,
+)
+def dedup_minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with the HOT-BUCKET CAP applied — the guard the
+    uncapped query's docstring promises for 100 TB. A degenerate band key
+    (boilerplate text, empty-ish docs) can put millions of docs in one
+    bucket, turning candidate generation into O(bucket^2); capping drops
+    such buckets entirely (their members are then handled by the remaining
+    bands or an upstream exact-hash pass). The cap is part of the query
+    semantics, so the oracle applies the identical HAVING bound —
+    deterministic and value-checked, not a silent truncation."""
+    bands = _minhash_prep_spark(t_parallel(spark, sf_dir, "documents"))
+    long = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("key"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.key")
+    buckets = (
+        long.groupBy("band_idx", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= LSH_BUCKET_CAP))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.distinct()

@@ -313,3 +313,54 @@ def test_csv_json_source_roundtrip(spark, sf_dir, tmp_path):
         tuple(r) for r in spark.read.schema(schema).json(json_path).collect()
     )
     assert got_json == expected
+
+
+def test_min_label_propagation_random_graphs(spark):
+    """Randomized cross-check: label propagation equals DuckDB's recursive-
+    CTE connected components on seeded random graphs (sparse, dense, and
+    with isolated nodes)."""
+    import random
+
+    import duckdb
+
+    from eth_event_stream_spark.operators.graph import min_label_propagation
+
+    for seed, n_nodes, n_edges in ((1, 20, 10), (2, 30, 45), (3, 25, 5)):
+        rng = random.Random(seed)
+        node_ids = list(range(n_nodes))
+        edge_list = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        edge_list = [(a, b) for a, b in edge_list if a != b]
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE nodes(id BIGINT)")
+        con.executemany("INSERT INTO nodes VALUES (?)", [(i,) for i in node_ids])
+        con.execute("CREATE TABLE e(a BIGINT, b BIGINT)")
+        if edge_list:
+            con.executemany("INSERT INTO e VALUES (?, ?)", edge_list)
+        expected = dict(
+            con.execute(
+                """
+                WITH RECURSIVE sym AS (
+                  SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+                reach AS (
+                  SELECT id AS node, id AS r FROM nodes
+                  UNION
+                  SELECT s.y, reach.r FROM sym s JOIN reach ON reach.node = s.x)
+                SELECT node, MIN(r) FROM reach GROUP BY node
+                """
+            ).fetchall()
+        )
+
+        nodes = spark.createDataFrame([(i,) for i in node_ids], "id BIGINT")
+        edges_rows = [(a, b) for a, b in edge_list] + [(b, a) for a, b in edge_list]
+        edges = (
+            spark.createDataFrame(edges_rows, "src BIGINT, dst BIGINT")
+            if edges_rows
+            else spark.createDataFrame([], "src BIGINT, dst BIGINT")
+        )
+        got = {
+            r["id"]: r["label"] for r in min_label_propagation(nodes, edges).collect()
+        }
+        assert got == expected, f"seed {seed}"
