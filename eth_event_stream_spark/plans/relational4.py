@@ -303,3 +303,27 @@ def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer WHERE c_custkey <= 60
         GROUP BY c_mktsegment
     """)
+
+
+_RANGE_INTERVAL_SQL = """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS trailing_7d_spend
+    FROM orders WHERE o_custkey <= 300
+"""
+
+
+@register("window_range_interval_7d", oracle=_RANGE_INTERVAL_SQL)
+def window_range_interval_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval RANGE frame: per-customer trailing-7-day spend,
+    the IDENTICAL text in both engines. RANGE frames are tie-insensitive
+    (all peers of the current order date are always in the frame), so the
+    decimal-funneled sum is deterministic even though (custkey, date) is
+    not a unique key — a ROWS frame here would be order-dependent and
+    unverifiable."""
+    from .catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RANGE_INTERVAL_SQL)
