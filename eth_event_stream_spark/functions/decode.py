@@ -130,6 +130,11 @@ def slot_to_signed(slot: Column, bits: int) -> Column:
 
 
 def _decode_slot(slot: Column, abi_type: str) -> Column:
+    if abi_type.endswith("[]"):
+        # an ARRAY in a topic is the keccak hash of its encoding (ABI spec);
+        # surface the raw slot — must be checked before the uint/int
+        # prefixes or "uint256[]" would parse as a numeric width
+        return F.concat(F.lit("0x"), slot)
     if abi_type == "address":
         return slot_to_address(slot)
     if abi_type == "bool":
@@ -186,6 +191,33 @@ def _decode_dynamic(data_hex: Column, head_j: int, abi_type: str) -> Column:
     return F.unhex(payload_hex)  # bytes -> BinaryType (matches event_schema)
 
 
+def _decode_dynamic_array(data_hex: Column, head_j: int, abi_type: str) -> Column:
+    """Decode a dynamic ``T[]`` data param (static element type T) via ABI
+    head/tail: the head slot points at [32-byte count][elem slots...]; each
+    element decodes with the same static-slot rules as a scalar of type T.
+    All offset math stays in column expressions (codegen-friendly, like the
+    string/bytes path). The reference relies on ethabi for this; its macro
+    cast layer predates arrays — we surface them as typed Spark arrays."""
+    from .schema import abi_to_spark_type
+
+    elem_type = abi_type[:-2]
+    head = data_slot(data_hex, head_j)
+    off_chars = (F.conv(head, 16, 10).cast("long") * 2 + 1).cast("int")
+    n = F.conv(data_hex.substr(off_chars, F.lit(_SLOT_HEX)), 16, 10).cast("int")
+    first = off_chars + _SLOT_HEX
+    elems = F.transform(
+        # sequence(1, 0) DESCENDS in Spark — the n = 0 case is handled below
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: _decode_slot(
+            data_hex.substr(first + (i - 1) * _SLOT_HEX, F.lit(_SLOT_HEX)), elem_type
+        ),
+    )
+    from pyspark.sql.types import ArrayType
+
+    empty = F.array().cast(ArrayType(abi_to_spark_type(elem_type)))
+    return F.when(n > 0, elems).otherwise(empty)
+
+
 def decode_columns(event: EventSchema | str) -> dict[str, Column]:
     """Column expressions decoding a raw-log DataFrame's params.
 
@@ -211,6 +243,10 @@ def decode_columns(event: EventSchema | str) -> dict[str, Column]:
             out[p.name] = _decode_slot(slot, p.type)
         elif p.type in _DYNAMIC_TYPES:
             out[p.name] = _decode_dynamic(data_hex, data_j, p.type)
+            slot = data_slot(data_hex, data_j)
+            data_j += 1
+        elif p.type.endswith("[]"):
+            out[p.name] = _decode_dynamic_array(data_hex, data_j, p.type)
             slot = data_slot(data_hex, data_j)
             data_j += 1
         else:

@@ -97,7 +97,7 @@ class EventSchema:
                 T.StructField("log_index", T.LongType(), False),
             ]
         for p in self.params:
-            if p.indexed and p.type in ("string", "bytes"):
+            if p.indexed and (p.type in ("string", "bytes") or p.type.endswith("[]")):
                 # per the ABI spec an indexed dynamic param's topic is the
                 # keccak hash of the value — surfaced as a hex string, and
                 # declared as such (matching what decode_columns produces)
@@ -114,8 +114,19 @@ def canonical_abi_type(raw: str) -> str:
     """Canonicalize an ABI type name; raise on unsupported syntax.
 
     ``uint`` -> ``uint256``, ``int`` -> ``int256``; validates bit widths.
+    One-level dynamic arrays of static element types (``uint256[]``,
+    ``address[]``, ...) canonicalize recursively; the keccak signature uses
+    this canonical form, so ``uint[] -> uint256[]`` matters for topic0.
     """
     raw = raw.strip()
+    if raw.endswith("[]"):
+        elem = canonical_abi_type(raw[:-2])
+        if elem in ("string", "bytes") or elem.endswith("]"):
+            raise EventDeclarationError(
+                f"unsupported ABI type: {raw!r} (only one-level arrays of "
+                "static element types)"
+            )
+        return f"{elem}[]"
     if raw == "address":
         return "address"
     if raw == "bool":
@@ -147,6 +158,14 @@ def canonical_abi_type(raw: str) -> str:
 
 def abi_to_spark_type(abi_type: str) -> T.DataType:
     """Canonical ABI type -> Spark type (SURVEY §1.2 mapping)."""
+    if abi_type.endswith("[]"):
+        elem = abi_type[:-2]
+        if elem.endswith("]") or elem in ("string", "bytes"):
+            raise EventDeclarationError(
+                f"unsupported ABI type: {abi_type!r} (only one-level arrays "
+                "of static element types)"
+            )
+        return T.ArrayType(abi_to_spark_type(elem))
     if abi_type == "address":
         return T.StringType()  # lowercase 0x-hex; join- and oracle-friendly
     if abi_type == "bool":

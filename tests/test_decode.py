@@ -273,3 +273,77 @@ def test_decoded_schema_matches_declared(spark, eth_logs):
     got = {f.name: f.dataType for f in decoded.schema.fields}
     for f in declared.fields:
         assert got[f.name] == f.dataType, (f.name, got[f.name], f.dataType)
+
+
+def test_dynamic_array_decode(spark):
+    """Dynamic T[] params decode to typed Spark arrays via head/tail offsets
+    — beyond the reference macro's cast layer (ethabi parses them; the
+    macro's cast helpers predate arrays). Covers uint256[] + address[]
+    alongside another dynamic tail, and the empty-array edge (where Spark's
+    descending sequence() would otherwise fabricate elements)."""
+    decl = "Sweep(address indexed who, uint256[] amounts, address[] targets)"
+
+    def enc_array(elems: list[bytes]) -> bytes:
+        return len(elems).to_bytes(32, "big") + b"".join(elems)
+
+    def build_data(amounts: list[int], targets: list[str]) -> bytes:
+        a_t = enc_array([v.to_bytes(32, "big") for v in amounts])
+        t_t = enc_array([bytes(12) + bytes.fromhex(t[2:]) for t in targets])
+        head = 2 * 32
+        return (
+            head.to_bytes(32, "big")
+            + (head + len(a_t)).to_bytes(32, "big")
+            + a_t
+            + t_t
+        )
+
+    from eth_event_stream_spark.functions.schema import parse_event_declaration
+
+    ev = parse_event_declaration(decl)
+    who = "0x" + "cd" * 20
+    t1, t2 = "0x" + "1a" * 20, "0x" + "2b" * 20
+    cases = [
+        ([1, 2**120, 3], [t1, t2]),
+        ([], []),  # empty arrays
+        ([2**256 - 1], [t2]),  # > DECIMAL(38,0): element decodes NULL
+    ]
+    rows = [
+        {
+            "address": "0x" + "11" * 20,
+            "topics": [ev.topic0, "0x" + "00" * 12 + who[2:]],
+            "data": build_data(a, t),
+            "block_number": 1,
+            "log_index": i,
+            "transaction_hash": f"0x{i:064x}",
+            "removed": False,
+        }
+        for i, (a, t) in enumerate(cases)
+    ]
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            pa.field("address", pa.string()),
+            pa.field("topics", pa.list_(pa.string())),
+            pa.field("data", pa.binary()),
+            pa.field("block_number", pa.int64()),
+            pa.field("log_index", pa.int64()),
+            pa.field("transaction_hash", pa.string()),
+            pa.field("removed", pa.bool_()),
+        ]
+    )
+    tbl = pa.table({k: [r[k] for r in rows] for k in schema.names}, schema=schema)
+    df = spark.createDataFrame(tbl.to_pandas(), schema=None)
+
+    out = {r["log_index"]: r for r in decode_event(df, decl).collect()}
+    from decimal import Decimal
+
+    r0 = out[0]
+    assert r0["who"] == who
+    assert r0["amounts"] == [Decimal(1), Decimal(2**120), Decimal(3)]
+    assert r0["targets"] == [t1, t2]
+    assert out[1]["amounts"] == [] and out[1]["targets"] == []
+    # uint256 beyond 10^38-1 -> NULL element (lossy-range policy, same as
+    # the scalar path; the raw data stays available upstream)
+    assert out[2]["amounts"] == [None]
+    assert out[2]["targets"] == [t2]
