@@ -53,12 +53,22 @@ def _encode_data(params: list[tuple[str, object]]) -> bytes:
             offset = head_size + sum(len(t) for t in tails)
             heads.append(offset.to_bytes(32, "big"))
             tails.append(_enc_dynamic(payload))
+        elif typ.endswith("[]"):
+            elem_t = typ[:-2]
+            tail = len(v).to_bytes(32, "big") + b"".join(
+                _enc_static(elem_t, e) for e in v
+            )
+            offset = head_size + sum(len(t) for t in tails)
+            heads.append(offset.to_bytes(32, "big"))
+            tails.append(tail)
         else:
             heads.append(_enc_static(typ, v))
     return b"".join(heads) + b"".join(tails)
 
 
 def _rand_value(rng: random.Random, typ: str):
+    if typ.endswith("[]"):
+        return [_rand_value(rng, typ[:-2]) for _ in range(rng.randint(0, 5))]
     if typ == "address":
         return f"0x{rng.getrandbits(160):040x}"
     if typ == "bool":
@@ -79,12 +89,16 @@ def _rand_value(rng: random.Random, typ: str):
     if typ == "string":
         return "".join(rng.choice("abcdef ∆é") for _ in range(rng.randint(0, 70)))
     if typ == "bytes":
-        return rng.getrandbits(8 * rng.randint(0, 70)).to_bytes(rng.randint(0, 70), "big") if rng.random() < 0.9 else b""
+        # one length draw — two independent draws overflowed to_bytes
+        n = rng.randint(0, 70)
+        return rng.getrandbits(8 * n).to_bytes(n, "big") if rng.random() < 0.9 else b""
     raise AssertionError(typ)
 
 
 def _expected(typ: str, v):
     """What the decoder should surface for a value of this type."""
+    if typ.endswith("[]"):
+        return [_expected(typ[:-2], e) for e in v]
     if typ == "address":
         return v.lower()
     if typ == "bool":
@@ -126,9 +140,13 @@ TYPES = [
     "bytes32",
     "string",
     "bytes",
+    "uint256[]",
+    "address[]",
+    "uint64[]",
+    "bool[]",
 ]
 # indexed dynamic params are keccak hashes per the ABI spec — exclude them
-INDEXABLE = [t for t in TYPES if t not in ("string", "bytes")]
+INDEXABLE = [t for t in TYPES if t not in ("string", "bytes") and not t.endswith("[]")]
 
 
 @pytest.mark.parametrize("case_seed", [SEED, SEED + 1, SEED + 2])
