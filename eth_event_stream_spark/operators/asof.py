@@ -1,0 +1,79 @@
+"""Generic as-of (temporal) join — an operator Spark lacks natively.
+
+``asof_join_backward(left, right, ...)`` attaches, to every left row, the
+most recent right row with ``right_ts <= left_ts`` within the same key —
+the standard point-in-time enrichment (trades->quotes, clicks->purchases,
+block events->oracle prices).
+
+Shape chosen for scale: tag both sides, UNION, and run ONE window pass
+(``last(ignorenulls=True)`` over rows up to the current one) partitioned by
+key and ordered by (ts, side) — right rows sort before left rows at equal
+timestamps, so exact-timestamp matches are included. This is a single
+shuffle on the key with a per-partition sort; the alternative range join
+explodes into O(left x right) pairs per key before filtering, which dies at
+scale. (pandas.merge_asof is the single-node reference semantics; the test
+checks against it.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_on: str,
+    right_on: str,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Left rows + the latest right ``value_cols`` as of ``left_on``.
+
+    ``by``: equality keys present on both sides. ``left_on``/``right_on``:
+    orderable timestamp (or block-number) columns. ``value_cols``: right
+    columns to attach (default: all right columns except keys and ts);
+    attached columns are NULL when no right row precedes the left row.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*by, right_on)]
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"value_cols {sorted(overlap)} collide with left columns; "
+            "rename before joining"
+        )
+
+    l_tag = left.select(
+        *by,
+        F.col(left_on).alias("_asof_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in left.columns if c not in by],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    r_tag = right.select(
+        *by,
+        F.col(right_on).alias("_asof_ts"),
+        F.lit(0).alias("_is_left"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in by
+        ],
+        *[F.col(c) for c in value_cols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_asof_ts", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *by,
+        "_asof_ts",
+        "_is_left",
+        *[F.col(c) for c in left.columns if c not in by],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return filled.filter(F.col("_is_left") == 1).drop("_is_left", "_asof_ts")

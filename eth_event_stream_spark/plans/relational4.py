@@ -374,3 +374,39 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "asof_enrich_operator",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, MAX(value) AS last_view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+    p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id,
+           (SELECT v.last_view_value FROM v
+            WHERE v.user_id = p.user_id AND v.ts <= p.ts
+            ORDER BY v.ts DESC LIMIT 1) AS last_view_value
+    FROM p
+    """,
+)
+def asof_enrich_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic as-of join OPERATOR (operators.asof) under the gate:
+    enrich each purchase with the value of the user's latest prior (or
+    simultaneous) view. One shuffle + one window pass; the oracle is the
+    correlated point-in-time subquery (right side pre-deduped per (user,
+    ts) so the pick is unambiguous in both engines)."""
+    from ..operators.asof import asof_join_backward
+
+    ev = t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_view_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join_backward(
+        purchases, views, by=["user_id"], left_on="ts", right_on="ts"
+    ).select("user_id", "event_id", "last_view_value")

@@ -364,3 +364,48 @@ def test_min_label_propagation_random_graphs(spark):
             r["id"]: r["label"] for r in min_label_propagation(nodes, edges).collect()
         }
         assert got == expected, f"seed {seed}"
+
+
+def test_asof_join_backward_matches_pandas(spark):
+    """The generic as-of join equals pandas.merge_asof (backward, exact
+    matches allowed) on seeded random data with ties, keys missing from one
+    side, and left rows before any right row."""
+    import random
+
+    import pandas as pd
+
+    from eth_event_stream_spark.operators.asof import asof_join_backward
+
+    rng = random.Random(7)
+    lrows = [
+        (rng.choice(["a", "b", "c", "d"]), rng.randint(0, 50), i)
+        for i in range(200)
+    ]
+    rrows = [
+        (rng.choice(["a", "b", "c"]), rng.randint(0, 50), round(rng.random(), 3))
+        for _ in range(80)
+    ]
+    left = spark.createDataFrame(lrows, "k STRING, ts BIGINT, lid BIGINT")
+    right = spark.createDataFrame(rrows, "k STRING, ts BIGINT, px DOUBLE")
+    # dedupe right per (k, ts): merge_asof picks the LAST among equal keys,
+    # window last() does too, but make it unambiguous for the comparison
+    right = right.groupBy("k", "ts").agg(F.max("px").alias("px"))
+
+    got = {
+        (r["k"], r["lid"]): r["px"]
+        for r in asof_join_backward(
+            left, right, by=["k"], left_on="ts", right_on="ts"
+        ).collect()
+    }
+
+    lpdf = pd.DataFrame(lrows, columns=["k", "ts", "lid"]).sort_values("ts")
+    rpdf = (
+        right.toPandas().sort_values("ts")
+    )
+    merged = pd.merge_asof(
+        lpdf, rpdf, on="ts", by="k", direction="backward", allow_exact_matches=True
+    )
+    expected = {
+        (r.k, r.lid): (None if pd.isna(r.px) else r.px) for r in merged.itertuples()
+    }
+    assert got == expected
