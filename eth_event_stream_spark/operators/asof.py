@@ -28,6 +28,7 @@ def asof_join_backward(
     left_on: str,
     right_on: str,
     value_cols: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left rows + the latest right ``value_cols`` as of ``left_on``.
 
@@ -35,7 +36,13 @@ def asof_join_backward(
     orderable timestamp (or block-number) columns. ``value_cols``: right
     columns to attach (default: all right columns except keys and ts);
     attached columns are NULL when no right row precedes the left row.
+    ``direction``: ``backward`` = latest right row at-or-before the left
+    row; ``forward`` = earliest right row at-or-after it. Exact-timestamp
+    matches are included in both directions (the side-order tiebreak places
+    right rows inside the frame at equal timestamps).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*by, right_on)]
     overlap = set(value_cols) & set(left.columns)
@@ -45,9 +52,13 @@ def asof_join_backward(
             "rename before joining"
         )
 
+    # at equal timestamps the right row must fall INSIDE the left row's
+    # frame: before it for backward (preceding frame), after for forward
+    left_order, right_order = (1, 0) if direction == "backward" else (0, 1)
     l_tag = left.select(
         *by,
         F.col(left_on).alias("_asof_ts"),
+        F.lit(left_order).alias("_side_order"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in left.columns if c not in by],
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
@@ -55,6 +66,7 @@ def asof_join_backward(
     r_tag = right.select(
         *by,
         F.col(right_on).alias("_asof_ts"),
+        F.lit(right_order).alias("_side_order"),
         F.lit(0).alias("_is_left"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -64,16 +76,18 @@ def asof_join_backward(
         *[F.col(c) for c in value_cols],
     )
     unioned = l_tag.unionByName(r_tag)
-    w = (
-        Window.partitionBy(*by)
-        .orderBy("_asof_ts", "_is_left")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy(*by).orderBy("_asof_ts", "_side_order")
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     filled = unioned.select(
         *by,
         "_asof_ts",
         "_is_left",
         *[F.col(c) for c in left.columns if c not in by],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        *[pick(c).alias(c) for c in value_cols],
     )
     return filled.filter(F.col("_is_left") == 1).drop("_is_left", "_asof_ts")

@@ -391,21 +391,22 @@ def test_asof_join_backward_matches_pandas(spark):
     # window last() does too, but make it unambiguous for the comparison
     right = right.groupBy("k", "ts").agg(F.max("px").alias("px"))
 
-    got = {
-        (r["k"], r["lid"]): r["px"]
-        for r in asof_join_backward(
-            left, right, by=["k"], left_on="ts", right_on="ts"
-        ).collect()
-    }
-
     lpdf = pd.DataFrame(lrows, columns=["k", "ts", "lid"]).sort_values("ts")
-    rpdf = (
-        right.toPandas().sort_values("ts")
-    )
-    merged = pd.merge_asof(
-        lpdf, rpdf, on="ts", by="k", direction="backward", allow_exact_matches=True
-    )
-    expected = {
-        (r.k, r.lid): (None if pd.isna(r.px) else r.px) for r in merged.itertuples()
-    }
-    assert got == expected
+    rpdf = right.toPandas().sort_values("ts")
+    for direction in ("backward", "forward"):
+        got = {
+            (r["k"], r["lid"]): r["px"]
+            for r in asof_join_backward(
+                left, right, by=["k"], left_on="ts", right_on="ts",
+                direction=direction,
+            ).collect()
+        }
+        merged = pd.merge_asof(
+            lpdf, rpdf, on="ts", by="k", direction=direction,
+            allow_exact_matches=True,
+        )
+        expected = {
+            (r.k, r.lid): (None if pd.isna(r.px) else r.px)
+            for r in merged.itertuples()
+        }
+        assert got == expected, direction
