@@ -34,6 +34,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_unshipped",
     "q5_local_supplier_volume",
+    "q10_returned_items",
     "flagship_user_netflow",
     "window_rank_topn",
     "window_running_sum",
@@ -44,6 +45,7 @@ HEADLINE = [
     "sync_total_order",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
+    "dedup_lsh_then_verify",
     "dedup_simhash",
     "dedup_jaccard_verify",
     "similarity_topk_bruteforce",
