@@ -410,3 +410,80 @@ def asof_enrich_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join_backward(
         purchases, views, by=["user_id"], left_on="ts", right_on="ts"
     ).select("user_id", "event_id", "last_view_value")
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 212)
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(16,4))
+                AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: self-referential HAVING subquery (orders whose line
+    quantity sum exceeds a threshold) semi-joined back into the fact, then
+    re-aggregated with dims and top-k'd. The 'big' keys are few — Spark
+    broadcasts the semi-join side after the first aggregation."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 212)
+        .select("l_orderkey")
+    )
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("decimal(16,4)")
+            .cast("double")
+            .alias("total_qty")
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "scalar_json_typed",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS k_bucket,
+           COUNT(*) AS n,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
+    FROM events
+    GROUP BY 1
+    """,
+)
+def scalar_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json with an explicit schema (vs the
+    stringly get_json_object in scalar_json_funcs) — parse ONCE into a
+    struct, then aggregate on the typed field. At scale the parse cost is
+    paid once per row instead of once per extraction."""
+    ev = t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") / 10).cast("int").alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
