@@ -214,8 +214,15 @@ def _decode_dynamic_array(data_hex: Column, head_j: int, abi_type: str) -> Colum
     )
     from pyspark.sql.types import ArrayType
 
-    empty = F.array().cast(ArrayType(abi_to_spark_type(elem_type)))
-    return F.when(n > 0, elems).otherwise(empty)
+    arr_type = ArrayType(abi_to_spark_type(elem_type))
+    empty = F.array().cast(arr_type)
+    # NULL/truncated data -> n is NULL: surface NULL (same as the scalar
+    # dynamic path), never a fake empty array that masks corruption
+    return (
+        F.when(n.isNull(), F.lit(None).cast(arr_type))
+        .when(n > 0, elems)
+        .otherwise(empty)
+    )
 
 
 def decode_columns(event: EventSchema | str) -> dict[str, Column]:

@@ -6,9 +6,10 @@ the standard point-in-time enrichment (trades->quotes, clicks->purchases,
 block events->oracle prices).
 
 Shape chosen for scale: tag both sides, UNION, and run ONE window pass
-(``last(ignorenulls=True)`` over rows up to the current one) partitioned by
-key and ordered by (ts, side) — right rows sort before left rows at equal
-timestamps, so exact-timestamp matches are included. This is a single
+(``last(ignorenulls=True)`` of the right row packed as a single struct,
+over rows up to the current one) partitioned by key and ordered by
+(ts, side) — right rows sort before left rows at equal timestamps, so
+exact-timestamp matches are included. This is a single
 shuffle on the key with a per-partition sort; the alternative range join
 explodes into O(left x right) pairs per key before filtering, which dies at
 scale. (pandas.merge_asof is the single-node reference semantics; the test
@@ -55,13 +56,21 @@ def asof_join_backward(
     # at equal timestamps the right row must fall INSIDE the left row's
     # frame: before it for backward (preceding frame), after for forward
     left_order, right_order = (1, 0) if direction == "backward" else (0, 1)
+    # the matched right row travels as ONE struct: per-column last/first
+    # with ignorenulls would skip a NULL field of the latest right row and
+    # substitute a staler value — stitching together a "row" that never
+    # existed; picking the struct is atomic (and NULL only on left rows)
+    val_struct = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    struct_type = (
+        right.select(val_struct.alias("_asof_vals")).schema["_asof_vals"].dataType
+    )
     l_tag = left.select(
         *by,
         F.col(left_on).alias("_asof_ts"),
         F.lit(left_order).alias("_side_order"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in left.columns if c not in by],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(struct_type).alias("_asof_vals"),
     )
     r_tag = right.select(
         *by,
@@ -73,21 +82,21 @@ def asof_join_backward(
             for c in left.columns
             if c not in by
         ],
-        *[F.col(c) for c in value_cols],
+        val_struct.alias("_asof_vals"),
     )
     unioned = l_tag.unionByName(r_tag)
     base = Window.partitionBy(*by).orderBy("_asof_ts", "_side_order")
     if direction == "backward":
         w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        picked = F.last("_asof_vals", ignorenulls=True).over(w)
     else:
         w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+        picked = F.first("_asof_vals", ignorenulls=True).over(w)
     filled = unioned.select(
         *by,
         "_asof_ts",
         "_is_left",
         *[F.col(c) for c in left.columns if c not in by],
-        *[pick(c).alias(c) for c in value_cols],
+        *[picked.getField(c).alias(c) for c in value_cols],
     )
     return filled.filter(F.col("_is_left") == 1).drop("_is_left", "_asof_ts")

@@ -266,6 +266,42 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_prep_spark(t_parallel(spark, sf_dir, "documents"))
 
 
+def _lsh_candidate_pairs(bands: DataFrame, cap: int | None = None) -> DataFrame:
+    """Unpivot band keys -> bucket by (band_idx, key) -> combinatorial pairs
+    inside each bucket -> distinct. ``cap`` drops buckets larger than the
+    bound (the hot-bucket guard); the capped and uncapped queries share this
+    one body so the tricky slice/transform pair generator cannot drift."""
+    long = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("key"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.key")
+    size_ok = F.size("ids") > 1
+    if cap is not None:
+        size_ok = size_ok & (F.size("ids") <= cap)
+    buckets = (
+        long.groupBy("band_idx", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(size_ok)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.distinct()
+
+
 @register(
     "dedup_minhash_lsh_pairs",
     oracle=f"""
@@ -292,32 +328,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     side: 8x). Candidate sets stay bounded by bucket size, never all-pairs;
     a hot bucket at 100 TB is capped/salted upstream."""
     bands = _minhash_prep_spark(t_parallel(spark, sf_dir, "documents"))
-    long = bands.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("key"))
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band_idx", "b.key")
-    buckets = (
-        long.groupBy("band_idx", "key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                "y -> struct(x AS doc_a, y AS doc_b))))"
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
-    return pairs.distinct()
+    return _lsh_candidate_pairs(bands)
 
 
 @register(
@@ -1058,29 +1069,4 @@ def dedup_minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFram
     semantics, so the oracle applies the identical HAVING bound —
     deterministic and value-checked, not a silent truncation."""
     bands = _minhash_prep_spark(t_parallel(spark, sf_dir, "documents"))
-    long = bands.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("key"))
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band_idx", "b.key")
-    buckets = (
-        long.groupBy("band_idx", "key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= LSH_BUCKET_CAP))
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                "y -> struct(x AS doc_a, y AS doc_b))))"
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
-    return pairs.distinct()
+    return _lsh_candidate_pairs(bands, cap=LSH_BUCKET_CAP)

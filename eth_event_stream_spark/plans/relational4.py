@@ -307,10 +307,10 @@ def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RANGE_INTERVAL_SQL = """
     SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate
              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
-             AS DOUBLE) AS trailing_7d_spend
+             AS DECIMAL(16,4)) AS DOUBLE) AS trailing_7d_spend
     FROM orders WHERE o_custkey <= 300
 """
 
@@ -480,7 +480,9 @@ def scalar_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.from_json("props", "k INT").getField("k")
     return (
         ev.select(k.alias("k"))
-        .groupBy((F.col("k") / 10).cast("int").alias("k_bucket"))
+        # floor(), not a bare int cast: cast truncates toward zero and would
+        # disagree with the oracle's // (floor division) for negative k
+        .groupBy(F.floor(F.col("k") / 10).cast("int").alias("k_bucket"))
         .agg(
             F.count("*").alias("n"),
             F.min("k").alias("k_min"),

@@ -91,8 +91,16 @@ def reduce_events_stream(
             st = reducer.rows_to_state([tuple(state.get)])
         else:
             st = reducer.init_state()
-        for pdf in batches:
-            st = reducer.reduce(st, _sort_batch(pdf))
+        # a key's micro-batch arrives as MULTIPLE Arrow chunks in
+        # shuffled-partition order — sorting each chunk independently would
+        # hand order-sensitive reducers (sequence matching) out-of-order
+        # seams; concatenate the trigger's rows and sort ONCE. Memory bound:
+        # one key's one-trigger rows (already the applyInPandasWithState
+        # unit of work).
+        pdfs = list(batches)
+        if pdfs:
+            whole = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+            st = reducer.reduce(st, _sort_batch(whole))
         rows = reducer.state_to_rows(st)
         state.update(rows[0])
         yield reducer.emit(key, st)
@@ -229,8 +237,14 @@ def reduce_events_tws(
                 st = red.rows_to_state([tuple(self._state.get())])
             else:
                 st = red.init_state()
-            for pdf in rows:
-                st = red.reduce(st, _sort_batch(pdf))
+            # same cross-chunk ordering contract as reduce_events_stream:
+            # concatenate the trigger's chunks and sort once
+            pdfs = list(rows)
+            if pdfs:
+                whole = (
+                    pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+                )
+                st = red.reduce(st, _sort_batch(whole))
             self._state.update(red.state_to_rows(st)[0])
             yield red.emit(key, st)
 

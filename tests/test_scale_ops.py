@@ -410,3 +410,20 @@ def test_asof_join_backward_matches_pandas(spark):
             for r in merged.itertuples()
         }
         assert got == expected, direction
+
+
+def test_asof_join_null_right_values_row_atomic(spark):
+    """The matched right row is picked ATOMICALLY: a NULL field in the
+    latest right row stays NULL (no staler value substituted), and multiple
+    value columns always come from the same right row."""
+    from eth_event_stream_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([("k", 3, 1)], "k STRING, ts BIGINT, lid BIGINT")
+    right = spark.createDataFrame(
+        [("k", 1, 5.0, 10), ("k", 2, None, 7)],
+        "k STRING, ts BIGINT, px DOUBLE, qty BIGINT",
+    )
+    [r] = asof_join_backward(
+        left, right, by=["k"], left_on="ts", right_on="ts"
+    ).collect()
+    assert r["px"] is None and r["qty"] == 7, r
