@@ -40,6 +40,14 @@ PLAN_EXPECTATIONS = {
     "dedup_minhash_lsh_pairs": [r"HashAggregate"],
     # global token counts must partial-aggregate and top-k via heap
     "corpus_top_terms": [r"HashAggregate", r"TakeOrderedAndProject"],
+    # date window pushed to the orders scan; nation dim broadcast; heap top-k
+    "q10_returned_items": [
+        r"PushedFilters: .*o_orderdate",
+        r"BroadcastHashJoin",
+        r"TakeOrderedAndProject",
+    ],
+    # the HAVING-derived key set must broadcast into the fact semi-join
+    "q18_large_orders": [r"BroadcastHashJoin LeftSemi", r"TakeOrderedAndProject"],
     # the correlated LATERAL subquery must decorrelate to a per-partition
     # group limit, not execute per outer row
     "join_lateral_topn": [r"WindowGroupLimit"],
