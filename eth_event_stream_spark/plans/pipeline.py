@@ -1070,3 +1070,55 @@ def dedup_minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFram
     deterministic and value-checked, not a silent truncation."""
     bands = _minhash_prep_spark(t_parallel(spark, sf_dir, "documents"))
     return _lsh_candidate_pairs(bands, cap=LSH_BUCKET_CAP)
+
+
+@register(
+    "split_hash_assign",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                     < 'd' THEN 'train' ELSE 'holdout' END AS split
+    FROM documents
+    """,
+)
+def split_hash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/holdout split by content-independent key hash —
+    the reproducible alternative to RNG sampling (engine RNGs are not
+    portable; md5 is). First hex digit < 'd' => train (13/16 ~ 81%).
+    Stable across runs, engines, and cluster sizes; adding data never
+    reassigns an existing id."""
+    d = t(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1)
+    return d.select(
+        "doc_id",
+        F.when(digit < "d", "train").otherwise("holdout").alias("split"),
+    )
+
+
+@register(
+    "sample_balanced_per_source",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 10
+    """,
+)
+def sample_balanced_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced subsample: up to 10 docs per source, chosen in
+    md5-of-id order — a deterministic pseudo-random draw (uniform over ids,
+    reproducible everywhere, no RNG state). The WindowGroupLimit rank
+    filter keeps only ~10 rows per group flowing past the shuffle."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source")
+    )
