@@ -1122,3 +1122,144 @@ def sample_balanced_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("doc_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination (benchmark-leakage checks)
+# ---------------------------------------------------------------------------
+
+# stand-in benchmark set: the low-id documents (a real pipeline would load
+# the eval suites here); what matters is the plan shape, which is identical
+_BENCH_FILTER = "doc_id < 20"
+
+
+@register(
+    "decontaminate_exact",
+    oracle=f"""
+    WITH bench AS (
+      SELECT DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+      FROM documents WHERE {_BENCH_FILTER})
+    SELECT d.doc_id,
+           CAST(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS contaminated
+    FROM (SELECT doc_id,
+                 md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+          FROM documents WHERE NOT ({_BENCH_FILTER})) d
+    LEFT JOIN bench b ON b.fp = d.fp
+    """,
+)
+def decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decontamination: flag training docs whose normalized-content
+    fingerprint appears in the benchmark set. The benchmark fingerprints
+    are a broadcast build side (eval suites are tiny next to the corpus);
+    the corpus is scanned once — the 100 TB shape is hash-then-broadcast-
+    lookup, never text comparison."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    bench = (
+        d.filter(F.col("doc_id") < 20)
+        .select(fp.alias("fp"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = d.filter(~(F.col("doc_id") < 20)).select("doc_id", fp.alias("fp"))
+    return train.join(F.broadcast(bench), "fp", "left").select(
+        "doc_id",
+        F.when(F.col("hit").isNotNull(), 1).otherwise(0).cast("int").alias("contaminated"),
+    )
+
+
+@register(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH btoks AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                   FROM documents WHERE {_BENCH_FILTER}),
+    bgrams AS (
+      SELECT DISTINCT UNNEST(list_transform(generate_series(1, LEN(toks) - 7),
+                      i -> list_aggregate(toks[i:i+7], 'string_agg', ' ')))
+               AS g
+      FROM btoks WHERE LEN(toks) >= 8),
+    ttoks AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents WHERE NOT ({_BENCH_FILTER})),
+    tgrams AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(generate_series(1, LEN(toks) - 7),
+                    i -> list_aggregate(toks[i:i+7], 'string_agg', ' '))) AS g
+      FROM ttoks WHERE LEN(toks) >= 8)
+    SELECT t.doc_id, COUNT(b.g) AS n_shared_8grams
+    FROM tgrams t JOIN bgrams b ON t.g = b.g
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram decontamination: training docs sharing any word 8-gram with
+    the benchmark set, with the shared-gram count (the standard leakage
+    test for long verbatim overlaps that survive light edits). The
+    benchmark gram set broadcasts; the corpus grams stream past it — no
+    corpus-side self-join."""
+    d = t_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ", -1)
+    gram8 = (
+        "transform(sequence(1, size(toks) - 7), "
+        "i -> array_join(slice(toks, i, 8), ' '))"
+    )
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 8)
+    bgrams = (
+        base.filter(F.col("doc_id") < 20)
+        .select(F.explode(F.expr(gram8)).alias("g"))
+        .distinct()
+    )
+    tgrams = (
+        base.filter(~(F.col("doc_id") < 20))
+        .select("doc_id", F.explode(F.expr(gram8)).alias("g"))
+        .distinct()
+    )
+    return (
+        tgrams.join(F.broadcast(bgrams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_8grams"))
+    )
+
+
+@register(
+    "embedding_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding,
+             CAST({_SQL_BUCKET} AS BIGINT) AS bucket,
+             1.0 / sqrt(list_sum(list_transform(generate_series(1, LEN(embedding)),
+                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+               AS inv_norm
+      FROM embeddings),
+    pairs AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      WHERE list_sum(list_transform(generate_series(1, LEN(x.embedding)),
+              i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+            * x.inv_norm * y.inv_norm >= 0.25),
+    sym AS (SELECT vec_a AS x, vec_b AS y FROM pairs
+            UNION ALL SELECT vec_b, vec_a FROM pairs),
+    reach AS (
+      SELECT vec_id AS node, vec_id AS r FROM embeddings
+      UNION
+      SELECT s.y, reach.r FROM sym s JOIN reach ON reach.node = s.x)
+    SELECT node AS vec_id, MIN(r) AS canonical_id FROM reach GROUP BY node
+    """,
+)
+def embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup clusters: LSH-bucketed cosine near-dup pairs
+    (embedding_neardup_pairs' nomination + verify) fed into min-label
+    propagation — each vector labeled with its cluster's minimum id, exact
+    for any cluster shape via the iterated fixpoint; the oracle replays it
+    with a recursive CTE."""
+    from ..operators.graph import min_label_propagation
+
+    pairs = embedding_neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    nodes = t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("id"))
+    edges = pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")).union(
+        pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+    )
+    labels = min_label_propagation(nodes, edges)
+    return labels.select(
+        F.col("id").alias("vec_id"), F.col("label").alias("canonical_id")
+    )
