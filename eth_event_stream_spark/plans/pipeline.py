@@ -1263,3 +1263,87 @@ def embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("id").alias("vec_id"), F.col("label").alias("canonical_id")
     )
+
+
+@register(
+    "text_redact_pii",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           LEN(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.-]+')) AS n_emails,
+           LEN(regexp_extract_all(t, '\\+1-[0-9]{3}-[0-9]{4}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(t,
+                 '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+                 '\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: detect-and-redact emails and phone numbers with pure
+    JVM regexes (the pre-training privacy pass). The fixture corpus has no
+    PII, so the query plants a deterministic email+phone per doc and the
+    oracle verifies the exact redacted output via md5 — the operator under
+    test is the regex pipeline, which is what runs at 100 TB."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email_re = "[a-z0-9._]+@[a-z0-9.-]+"
+    phone_re = "\\+1-[0-9]{3}-[0-9]{4}"
+    t_aug = aug.alias("t")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t_aug, F.lit(email_re), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t_aug, F.lit(phone_re), 0)).alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace(t_aug, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+            )
+        ).alias("redacted_md5"),
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    SELECT doc_id, n_grams, n_distinct,
+           1.0 - CAST(n_distinct AS DOUBLE) / n_grams AS rep_ratio
+    FROM (
+      SELECT doc_id,
+             LEN(grams) AS n_grams,
+             LEN(list_distinct(grams)) AS n_distinct
+      FROM (SELECT doc_id,
+                   list_transform(generate_series(1, LEN(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                  FROM documents)
+            WHERE LEN(toks) >= 3) g)
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (the Gopher-style quality signal):
+    duplicate word-3-gram fraction per doc. All array ops, no shuffle —
+    a pure map over the corpus; integer counts -> one exact division."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks")
+    ).filter(F.size("toks") >= 3)
+    g = toks.select("doc_id", F.expr(_SPARK_SHINGLES).alias("grams"))
+    return g.select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.size(F.array_distinct("grams")).alias("n_distinct"),
+        (
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double") / F.col("n_grams")
+        ).alias("rep_ratio"),
+    )
