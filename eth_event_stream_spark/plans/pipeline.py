@@ -1347,3 +1347,87 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("n_distinct").cast("double") / F.col("n_grams")
         ).alias("rep_ratio"),
     )
+
+
+CHUNK_TOKENS = 64
+PACK_TOKENS = 2048
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    SELECT doc_id, i AS chunk_idx,
+           list_aggregate(toks[i * {CHUNK_TOKENS} + 1 : (i + 1) * {CHUNK_TOKENS}],
+                          'string_agg', ' ') AS chunk_text,
+           LEN(toks[i * {CHUNK_TOKENS} + 1 : (i + 1) * {CHUNK_TOKENS}])
+             AS n_chunk_tokens
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+          FROM documents WHERE doc_id < 300),
+         UNNEST(generate_series(0,
+             CAST(CEIL(LEN(toks) / {CHUNK_TOKENS}.0) AS INT) - 1)) AS u(i)
+    WHERE LEN(toks) >= 1
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunking: split each document into {CHUNK}-token pieces
+    with positional ids — the fan-out every context-window pipeline runs
+    before tokenization. Pure explode-over-sequence, no shuffle; chunk
+    boundaries are deterministic functions of the token array."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks")
+    ).filter(F.size("toks") >= 1)
+    n_chunks = F.ceil(F.size("toks") / F.lit(float(CHUNK_TOKENS))).cast("int")
+    ex = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(
+        F.col("toks"), F.col("chunk_idx") * CHUNK_TOKENS + 1, CHUNK_TOKENS
+    )
+    return ex.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // {PACK_TOKENS} AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM (SELECT doc_id, CAST(LEN(string_split(lower(text), ' ')) AS BIGINT)
+                     AS n_tokens
+            FROM documents) s) c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to ~{PACK}-token training packs by
+    the running token total in id order (a doc belongs to the pack its
+    START offset falls in) — the deterministic streaming formulation of
+    greedy packing, one window pass over exact integer counts. At scale the
+    global running sum becomes per-shard packing (partition by shard key,
+    same expression), since pack identity only needs local contiguity."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), " ", -1)).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = s.withColumn("cum", F.sum("n_tokens").over(w))
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / PACK_TOKENS)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
