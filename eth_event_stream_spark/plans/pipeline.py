@@ -5,12 +5,18 @@ needs, each expressed as a Catalyst plan with an exact DuckDB oracle where the
 semantics are deterministic:
 
 - deduplication: exact (content hash), MinHash+LSH (shingle -> minhash ->
-  band -> bucket self-join), SimHash (bitwise majority sketch), n-gram
-  Jaccard verification, embedding-cosine near-dup (LSH bucketed).
-- similarity search: brute-force cosine top-k (baseline) and an LSH/IVF
-  bucketed variant (the scale path: candidate set bounded per bucket).
-- text analysis: token stats, quality scoring, language-ID heuristic,
-  document fingerprinting.
+  band -> bucket pairs, with a hot-bucket cap), SimHash (bitwise majority
+  sketch), n-gram Jaccard verification with size-ratio pruning, the
+  composed LSH-then-verify pipeline, one-hop canonical assignment, and
+  full connected-components grouping (iterative min-label propagation).
+- similarity search: brute-force cosine top-k (baseline) and LSH-bucketed
+  variants (the scale path: candidate set bounded per bucket).
+- decontamination: exact fingerprint and shared-8-gram checks against a
+  broadcast benchmark set.
+- text analysis & quality: token stats, quality scoring, language-ID,
+  fingerprinting, repetition ratio, PII redaction.
+- corpus mechanics: deterministic hash splits, md5-ordered balanced
+  subsampling, fixed-size chunking, running-total sequence packing.
 
 Determinism strategy: every hash is md5 (identical hex in Spark and DuckDB);
 every similarity is computed element-wise with an explicit left-to-right

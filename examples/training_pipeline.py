@@ -59,6 +59,26 @@ def main() -> None:
         f"-> near-dups removed {n_near} -> clean {n3}"
     )
 
+    # 3b. decontamination: drop training docs leaking benchmark content
+    contaminated = (
+        run("decontaminate_exact")
+        .filter(F.col("contaminated") == 1)
+        .select("doc_id")
+    )
+    clean = clean.join(contaminated, "doc_id", "left_anti")
+    n3b = clean.count()
+
+    # 3c. deterministic split assignment (reproducible, id-stable)
+    splits = run("split_hash_assign")
+    split_counts = {
+        r["split"]: r["n"]
+        for r in clean.join(splits, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    print(f"decontaminated: {n3b}; splits: {split_counts}")
+
     # 4. write the clean corpus partitioned by source (the lake layout)
     out = os.path.join(tempfile.mkdtemp(), "clean_corpus")
     clean.repartition("source").write.partitionBy("source").parquet(out)
