@@ -577,10 +577,10 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_neardup_pairs",
-    oracle=f"""
-    WITH b AS (SELECT vec_id, embedding,
+# shared oracle fragment: bucketed candidate generation + exact-cosine cut
+# at 0.25 — interpolated into embedding_neardup_pairs AND
+# embedding_dedup_groups so threshold/bucketing changes cannot fork them
+_SQL_NEARDUP_CTES = f"""b AS (SELECT vec_id, embedding,
                       CAST({_SQL_BUCKET} AS BIGINT) AS bucket,
                       1.0 / sqrt(list_sum(list_transform(generate_series(1, LEN(embedding)),
                             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
@@ -591,9 +591,16 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_sum(list_transform(generate_series(1, LEN(x.embedding)),
                  i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
                * x.inv_norm * y.inv_norm AS cosine_raw
-      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
-    SELECT vec_a, vec_b, ROUND(cosine_raw, 6) AS cosine
-    FROM scored WHERE cosine_raw >= 0.25
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+    neardup_pairs AS (
+      SELECT vec_a, vec_b, cosine_raw FROM scored WHERE cosine_raw >= 0.25)"""
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    WITH {_SQL_NEARDUP_CTES}
+    SELECT vec_a, vec_b, ROUND(cosine_raw, 6) AS cosine FROM neardup_pairs
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1163,12 +1170,12 @@ def decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
     bench = (
-        d.filter(F.col("doc_id") < 20)
+        d.filter(F.expr(_BENCH_FILTER))
         .select(fp.alias("fp"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    train = d.filter(~(F.col("doc_id") < 20)).select("doc_id", fp.alias("fp"))
+    train = d.filter(~F.expr(_BENCH_FILTER)).select("doc_id", fp.alias("fp"))
     return train.join(F.broadcast(bench), "fp", "left").select(
         "doc_id",
         F.when(F.col("hit").isNotNull(), 1).otherwise(0).cast("int").alias("contaminated"),
@@ -1211,12 +1218,12 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 8)
     bgrams = (
-        base.filter(F.col("doc_id") < 20)
+        base.filter(F.expr(_BENCH_FILTER))
         .select(F.explode(F.expr(gram8)).alias("g"))
         .distinct()
     )
     tgrams = (
-        base.filter(~(F.col("doc_id") < 20))
+        base.filter(~F.expr(_BENCH_FILTER))
         .select("doc_id", F.explode(F.expr(gram8)).alias("g"))
         .distinct()
     )
@@ -1230,21 +1237,9 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_dedup_groups",
     oracle=f"""
-    WITH RECURSIVE b AS (
-      SELECT vec_id, embedding,
-             CAST({_SQL_BUCKET} AS BIGINT) AS bucket,
-             1.0 / sqrt(list_sum(list_transform(generate_series(1, LEN(embedding)),
-                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
-               AS inv_norm
-      FROM embeddings),
-    pairs AS (
-      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
-      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-      WHERE list_sum(list_transform(generate_series(1, LEN(x.embedding)),
-              i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
-            * x.inv_norm * y.inv_norm >= 0.25),
-    sym AS (SELECT vec_a AS x, vec_b AS y FROM pairs
-            UNION ALL SELECT vec_b, vec_a FROM pairs),
+    WITH RECURSIVE {_SQL_NEARDUP_CTES},
+    sym AS (SELECT vec_a AS x, vec_b AS y FROM neardup_pairs
+            UNION ALL SELECT vec_b, vec_a FROM neardup_pairs),
     reach AS (
       SELECT vec_id AS node, vec_id AS r FROM embeddings
       UNION
@@ -1371,18 +1366,19 @@ PACK_TOKENS = 2048
           FROM documents WHERE doc_id < 300),
          UNNEST(generate_series(0,
              CAST(CEIL(LEN(toks) / {CHUNK_TOKENS}.0) AS INT) - 1)) AS u(i)
-    WHERE LEN(toks) >= 1
     """,
 )
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-size chunking: split each document into {CHUNK}-token pieces
+    """Fixed-size chunking: split each document into 64-token pieces
     with positional ids — the fan-out every context-window pipeline runs
     before tokenization. Pure explode-over-sequence, no shuffle; chunk
     boundaries are deterministic functions of the token array."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # no empty-array guard: split() always yields >= 1 token (an empty text
+    # tokenizes to ['']), so every doc emits at least one chunk
     toks = d.select(
         "doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks")
-    ).filter(F.size("toks") >= 1)
+    )
     n_chunks = F.ceil(F.size("toks") / F.lit(float(CHUNK_TOKENS))).cast("int")
     ex = toks.select(
         "doc_id",
@@ -1415,7 +1411,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: assign documents to ~{PACK}-token training packs by
+    """Sequence packing: assign documents to ~2048-token training packs by
     the running token total in id order (a doc belongs to the pack its
     START offset falls in) — the deterministic streaming formulation of
     greedy packing, one window pass over exact integer counts. At scale the
@@ -1430,10 +1426,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     c = s.withColumn("cum", F.sum("n_tokens").over(w))
+    # integer `div`, NOT `/`: the cumulative sum is unbounded at scale and
+    # double promotion would round before the floor (conventions: cross-
+    # engine exactness requires integer division on bigint lanes)
     return c.select(
         "doc_id",
         "n_tokens",
-        F.floor((F.col("cum") - F.col("n_tokens")) / PACK_TOKENS)
-        .cast("bigint")
-        .alias("pack_id"),
+        F.expr(f"(cum - n_tokens) div {PACK_TOKENS}").cast("bigint").alias("pack_id"),
     )

@@ -59,13 +59,16 @@ def main() -> None:
         f"-> near-dups removed {n_near} -> clean {n3}"
     )
 
-    # 3b. decontamination: drop training docs leaking benchmark content
+    # 3b. decontamination: drop the benchmark docs THEMSELVES (they must
+    #     never train) plus any training doc that duplicates their content
     contaminated = (
         run("decontaminate_exact")
         .filter(F.col("contaminated") == 1)
         .select("doc_id")
     )
-    clean = clean.join(contaminated, "doc_id", "left_anti")
+    clean = clean.filter(~F.expr("doc_id < 20")).join(
+        contaminated, "doc_id", "left_anti"
+    )
     n3b = clean.count()
 
     # 3c. deterministic split assignment (reproducible, id-stable)
