@@ -832,3 +832,60 @@ def test_checkpoint_restart_exactly_once(source_registered, eth_logs_fixture, tm
         .count()
         == 0
     )
+
+
+def test_available_now_incremental_runs(source_registered, eth_logs_fixture, tmp_path):
+    """Incremental-batch pattern: repeated trigger(availableNow=True) runs
+    sharing one checkpoint each self-terminate after advancing the frontier
+    and together drain the full range exactly once. (With a rate-limited
+    Python DataSourceStreamReader each run snapshots latestOffset() once —
+    one chunk per run; the Python API has no SupportsAdmissionControl, so a
+    single availableNow run is NOT a full drain. processAllAvailable
+    remains the single-run bounded-drain barrier, used by the other
+    tests.)"""
+    spark = source_registered
+    fx, path = eth_logs_fixture
+    ck = str(tmp_path / "ck_an")
+    out = str(tmp_path / "an_out")
+    counts = []
+    for _ in range(40):
+        stream = (
+            spark.readStream.format("eth_logs")
+            .option("path", path)
+            .option("from_block", fx.from_block)
+            .option("to_block", fx.to_block)
+            .option("block_step", 7)
+            .option("confirmation_blocks", 0)
+            .option("fail_on_removed", "false")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "availableNow run did not self-terminate"
+        n = (
+            spark.read.parquet(out)
+            .dropDuplicates(["block_number", "log_index"])
+            .count()
+        )
+        if counts and n == counts[-1]:
+            break  # frontier stopped advancing: fully drained
+        counts.append(n)
+    batch = (
+        spark.read.format("eth_logs")
+        .option("path", path)
+        .option("from_block", fx.from_block)
+        .option("to_block", fx.to_block)
+        .option("fail_on_removed", "false")
+        .load()
+        .dropDuplicates(["block_number", "log_index"])
+    )
+    # the parquet sink accumulates across runs; the union of all incremental
+    # runs must equal the batch read with no duplicates
+    assert counts[-1] == batch.count(), counts
+    assert len(counts) > 1  # genuinely incremental (several bounded runs)
