@@ -103,3 +103,22 @@ def test_type_canonicalization():
 def test_rejects(bad):
     with pytest.raises(EventDeclarationError):
         parse_event_declaration(bad)
+
+
+def test_query_catalog_is_current():
+    """QUERIES.md must match the registry — regenerate with
+    tools/gen_query_catalog.py after adding or renaming queries."""
+    import os
+    import re
+
+    from eth_event_stream_spark.plans import QUERIES
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "QUERIES.md")) as f:
+        md = f.read()
+    listed = set(re.findall(r"^\| `([a-z0-9_]+)` \|", md, re.M))
+    registered = set(QUERIES)
+    assert listed == registered, (
+        f"QUERIES.md stale: missing {sorted(registered - listed)}, "
+        f"extra {sorted(listed - registered)} — run tools/gen_query_catalog.py"
+    )
