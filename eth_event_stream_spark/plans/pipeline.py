@@ -337,14 +337,48 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_candidate_pairs(bands)
 
 
-@register(
-    "dedup_jaccard_verify",
-    oracle=f"""
+# Document-frequency cap for the verify stage's inverted index: a shingle
+# present in more than SHINGLE_DF_CAP documents is dropped BEFORE the
+# shingle-equality join. A boilerplate shingle in 10^6 docs would otherwise
+# create a 10^12-row join group (the same skew failure LSH_BUCKET_CAP guards
+# one layer up) while carrying ~no Jaccard signal. The cap is part of the
+# capped queries' semantics — the oracle applies the identical cut, and the
+# Jaccard denominator uses the capped shingle sets on both sides, so the
+# metric stays a true Jaccard over the filtered universe. 5 binds at test
+# scale (max df is 7-9 there); production would size it ~10^3-10^4.
+SHINGLE_DF_CAP = 5
+JACCARD_THRESHOLD = 0.8
+LSH_BUCKET_CAP = 8
+
+
+def _df_capped_shingles(ex: DataFrame, cap: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``cap``.
+
+    The hot set is tiny by construction (only shingles with df > cap), so it
+    broadcasts; the corpus-sized index streams past in a left-anti join —
+    no shuffle of the big side on `s`."""
+    hot = (
+        ex.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > cap)
+        .select("s")
+    )
+    return ex.join(F.broadcast(hot), "s", "left_anti")
+
+
+def _sql_jaccard_verify(df_cap: int | None) -> str:
+    ex_ctes = "ex AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh)"
+    if df_cap is not None:
+        ex_ctes = f"""exd AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
+    keep AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM exd GROUP BY s)
+             WHERE df <= {df_cap}),
+    ex AS (SELECT exd.doc_id, exd.s FROM exd JOIN keep USING (s))"""
+    return f"""
     WITH sh AS (
       SELECT doc_id, {_SQL_SHINGLES} AS shingles
       FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
       WHERE LEN(toks) >= 3),
-    ex AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
+    {ex_ctes},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -356,30 +390,22 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM inter
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b)
-    SELECT doc_a, doc_b, n_common, jaccard FROM j WHERE jaccard >= 0.8
-    """,
-)
-def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard for near-dup pairs (the verify stage after LSH).
+    SELECT doc_a, doc_b, n_common, jaccard FROM j
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    """
 
-    Inverted-index join on distinct shingles (never all-pairs): intersection
-    counts from the shingle join, union by inclusion-exclusion.
 
-    Bound-based pruning: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so J >= 0.8
-    requires 5*min >= 4*max — pairs failing the size-ratio test are cut at
-    the join output, BEFORE the (doc_a, doc_b) aggregation shuffle, which is
-    the expensive intermediate. Sizes ride along the join rows (the size
-    table is one row per doc; broadcast here, a shuffle join at the scale
-    where it stops fitting), so the final jaccard needs no further joins.
-    Lossless: the oracle is the unpruned SQL."""
-    d = t_parallel(spark, sf_dir, "documents")
+def _distinct_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, s) — each document's DISTINCT word-3-gram shingles."""
     toks = d.select("doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks")).filter(
         F.size("toks") >= 3
     )
-    ex = (
-        toks.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
-        .distinct()
-    )
+    return toks.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s")).distinct()
+
+
+def _jaccard_verify_spark(ex: DataFrame) -> DataFrame:
+    """Inverted-index Jaccard over a (doc_id, s) shingle index — shared by
+    the capped and uncapped queries so the join/pruning logic cannot drift."""
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     exs = ex.join(F.broadcast(sizes), "doc_id")
     a = exs.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
@@ -397,7 +423,39 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard",
         F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common")),
     )
-    return j.filter(F.col("jaccard") >= 0.8).select("doc_a", "doc_b", "n_common", "jaccard")
+    return j.filter(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD)).select(
+        "doc_a", "doc_b", "n_common", "jaccard"
+    )
+
+
+@register("dedup_jaccard_verify", oracle=_sql_jaccard_verify(None))
+def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard for near-dup pairs (the verify stage after LSH).
+
+    Inverted-index join on distinct shingles (never all-pairs): intersection
+    counts from the shingle join, union by inclusion-exclusion.
+
+    Bound-based pruning: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so J >= 0.8
+    requires 5*min >= 4*max — pairs failing the size-ratio test are cut at
+    the join output, BEFORE the (doc_a, doc_b) aggregation shuffle, which is
+    the expensive intermediate. Sizes ride along the join rows (the size
+    table is one row per doc; broadcast here, a shuffle join at the scale
+    where it stops fitting), so the final jaccard needs no further joins.
+    Lossless: the oracle is the unpruned SQL. At 100 TB use the _capped
+    variant — a hot shingle makes this one's join group quadratic."""
+    ex = _distinct_shingles(t_parallel(spark, sf_dir, "documents"))
+    return _jaccard_verify_spark(ex)
+
+
+@register("dedup_jaccard_verify_capped", oracle=_sql_jaccard_verify(SHINGLE_DF_CAP))
+def dedup_jaccard_verify_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_jaccard_verify with the hot-shingle document-frequency cap —
+    the 100 TB shape. Shingles with df > SHINGLE_DF_CAP are dropped before
+    the inverted-index join (bounding every join group at cap^2 pairs) and
+    excluded from BOTH documents' shingle sets, so the reported jaccard is
+    exact over the capped universe; the oracle applies the identical cut."""
+    ex = _distinct_shingles(t_parallel(spark, sf_dir, "documents"))
+    return _jaccard_verify_spark(_df_capped_shingles(ex, SHINGLE_DF_CAP))
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -802,9 +860,11 @@ def join_salted_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_LSH_THEN_VERIFY = f"""
-    WITH bands AS ({_SQL_BANDS}),
-    cands AS (
+def _sql_lsh_then_verify(bucket_cap: int | None, df_cap: int | None) -> str:
+    """Oracle SQL for the composed LSH->verify pipeline, parameterized by the
+    two hot-key guards so the capped and uncapped oracles share one body."""
+    if bucket_cap is None:
+        cands = f"""
       SELECT DISTINCT doc_a, doc_b FROM (
         {" UNION ALL ".join(
           f'''SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -812,13 +872,35 @@ _SQL_LSH_THEN_VERIFY = f"""
               ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id'''
           for b in range(N_BANDS)
         )}
-      )
-    ),
+      )"""
+    else:
+        cands = f"""
+      WITH long AS (
+        {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_idx, band{b} AS key FROM bands"
+          for b in range(N_BANDS)
+        )}
+      ), buckets AS (
+        SELECT band_idx, key, list_sort(list(doc_id)) AS ids
+        FROM long GROUP BY band_idx, key
+        HAVING COUNT(*) > 1 AND COUNT(*) <= {bucket_cap})
+      SELECT DISTINCT x.i AS doc_a, y.i AS doc_b
+      FROM buckets, UNNEST(ids) AS x(i), UNNEST(ids) AS y(i)
+      WHERE x.i < y.i"""
+    ex_ctes = "ex AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh)"
+    if df_cap is not None:
+        ex_ctes = f"""exd AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
+    keep AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM exd GROUP BY s)
+             WHERE df <= {df_cap}),
+    ex AS (SELECT exd.doc_id, exd.s FROM exd JOIN keep USING (s))"""
+    return f"""
+    WITH bands AS ({_SQL_BANDS}),
+    cands AS ({cands}),
     sh AS (
       SELECT doc_id, {_SQL_SHINGLES} AS shingles
       FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
       WHERE LEN(toks) >= 3),
-    ex AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
+    {ex_ctes},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
@@ -831,28 +913,27 @@ _SQL_LSH_THEN_VERIFY = f"""
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
     """
 
 
-@register("dedup_lsh_then_verify", oracle=_SQL_LSH_THEN_VERIFY)
-def dedup_lsh_then_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed two-stage near-dup pipeline — the 100 TB shape:
+_SQL_LSH_THEN_VERIFY = _sql_lsh_then_verify(None, None)
 
-    1. LSH bands nominate candidate pairs (bounded by bucket size);
-    2. exact Jaccard verifies ONLY the candidates: the shingle inverted
-       index is semi-joined down to candidate docs before the intersection
-       join, so verify cost scales with candidates, not the corpus.
 
-    (dedup_jaccard_verify is the standalone exact operator over all pairs
-    sharing a shingle; this one is what a production dedup job runs.)"""
+def _lsh_then_verify_spark(
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_cap: int | None,
+    df_cap: int | None,
+) -> DataFrame:
+    """Composed LSH->verify plan, shared by the capped and uncapped queries."""
     d = t_parallel(spark, sf_dir, "documents")
-    cands = dedup_minhash_lsh_pairs(spark, sf_dir)
+    bands = _minhash_prep_spark(d)
+    cands = _lsh_candidate_pairs(bands, cap=bucket_cap)
 
-    toks = d.select("doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks")).filter(
-        F.size("toks") >= 3
-    )
-    ex = toks.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s")).distinct()
+    ex = _distinct_shingles(d)
+    if df_cap is not None:
+        ex = _df_capped_shingles(ex, df_cap)
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .union(cands.select(F.col("doc_b").alias("doc_id")))
@@ -881,7 +962,43 @@ def dedup_lsh_then_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("na") + F.col("nb") - F.col("n_common")),
         )
     )
-    return j.filter(F.col("jaccard") >= 0.8).select("doc_a", "doc_b", "jaccard")
+    return j.filter(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD)).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+@register("dedup_lsh_then_verify", oracle=_SQL_LSH_THEN_VERIFY)
+def dedup_lsh_then_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed two-stage near-dup pipeline — the 100 TB shape:
+
+    1. LSH bands nominate candidate pairs (bounded by bucket size);
+    2. exact Jaccard verifies ONLY the candidates: the shingle inverted
+       index is semi-joined down to candidate docs before the intersection
+       join, so verify cost scales with candidates, not the corpus.
+
+    (dedup_jaccard_verify is the standalone exact operator over all pairs
+    sharing a shingle; this one is what a production dedup job runs. For
+    the skew-hardened production form see dedup_lsh_then_verify_capped.)"""
+    return _lsh_then_verify_spark(spark, sf_dir, None, None)
+
+
+@register(
+    "dedup_lsh_then_verify_capped",
+    oracle=_sql_lsh_then_verify(LSH_BUCKET_CAP, SHINGLE_DF_CAP),
+)
+def dedup_lsh_then_verify_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_lsh_then_verify with BOTH hot-key guards engaged — what a 100 TB
+    run must use:
+
+    - LSH buckets larger than LSH_BUCKET_CAP are dropped at nomination
+      (bounds candidate generation at cap^2 per bucket);
+    - shingles with document frequency > SHINGLE_DF_CAP are dropped from the
+      verify index (bounds every intersection join group — the candidate
+      semi-join shields volume, but a single boilerplate shingle would still
+      fan out quadratically inside the `s`-equality join without this).
+
+    Both caps are query semantics: the oracle applies the identical cuts."""
+    return _lsh_then_verify_spark(spark, sf_dir, LSH_BUCKET_CAP, SHINGLE_DF_CAP)
 
 
 @register(
@@ -1046,9 +1163,6 @@ def reducer_sequence_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("log_index"),
     )
     return reduce_events_batch(ev, SequenceCountReducer(), ["user_id"])
-
-
-LSH_BUCKET_CAP = 8
 
 
 @register(
