@@ -1528,9 +1528,13 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign documents to ~2048-token training packs by
     the running token total in id order (a doc belongs to the pack its
     START offset falls in) — the deterministic streaming formulation of
-    greedy packing, one window pass over exact integer counts. At scale the
-    global running sum becomes per-shard packing (partition by shard key,
-    same expression), since pack identity only needs local contiguity."""
+    greedy packing, one window pass over exact integer counts.
+
+    SCALE WARNING: the unpartitioned window funnels the whole corpus
+    through one task — fine for a single shard, a scale-killer for a
+    corpus. Production uses pack_sequences_sharded (per-shard windows,
+    embarrassingly parallel), since pack identity only needs local
+    contiguity."""
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
@@ -1546,5 +1550,63 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "doc_id",
         "n_tokens",
+        F.expr(f"(cum - n_tokens) div {PACK_TOKENS}").cast("bigint").alias("pack_id"),
+    )
+
+
+# Documents per packing shard. Each shard packs independently (its own
+# running sum from zero), so the window is partitioned and every task
+# handles ~PACK_SHARD_DOCS docs regardless of corpus size. 100 binds at
+# test scale (500 docs -> 5 shards); production sizes it so a shard's
+# (doc_id, n_tokens) rows fit one task comfortably, e.g. 10^6.
+PACK_SHARD_DOCS = 100
+
+
+@register(
+    "pack_sequences_sharded",
+    oracle=f"""
+    SELECT doc_id, n_tokens, shard_id,
+           CAST((cum - n_tokens) // {PACK_TOKENS} AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, n_tokens, shard_id,
+             SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM (SELECT doc_id,
+                   doc_id // {PACK_SHARD_DOCS} AS shard_id,
+                   CAST(LEN(string_split(lower(text), ' ')) AS BIGINT)
+                     AS n_tokens
+            FROM documents) s) c
+    """,
+)
+def pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, the 100 TB shape: documents are partitioned into
+    fixed shards of PACK_SHARD_DOCS ids and each shard packs independently
+    with its own running token total — the cumulative-sum window is
+    PARTITIONED, so no single task ever sees more than one shard (the
+    unsharded pack_sequences funnels the corpus through one task).
+
+    A pack is identified by (shard_id, pack_id); packs never span shards —
+    the only semantic difference from the global formulation is at most one
+    underfull pack per shard boundary, which greedy packing tolerates by
+    construction. Deterministic: shard assignment is integer division on
+    doc_id, so results are stable across cluster sizes and engines."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.expr(f"doc_id div {PACK_SHARD_DOCS}").alias("shard_id"),
+        F.size(F.split(F.lower(F.col("text")), " ", -1)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = s.withColumn("cum", F.sum("n_tokens").over(w))
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "shard_id",
         F.expr(f"(cum - n_tokens) div {PACK_TOKENS}").cast("bigint").alias("pack_id"),
     )

@@ -89,6 +89,21 @@ def test_dim_joins_broadcast(spark, sf_dir, name):
     assert "SortMergeJoin" not in p, f"{name}: dim join degraded to SortMergeJoin"
 
 
+def test_pack_sequences_sharded_window_is_partitioned(spark, sf_dir):
+    """The packing cumulative sum must run per-shard: the plan's window sort
+    must be a hash-partitioned exchange on shard_id, never the SinglePartition
+    funnel the unsharded variant pays (the round-1 scale-killer)."""
+    p = plan_of(spark, sf_dir, "pack_sequences_sharded")
+    assert "Window" in p, p[:2000]
+    assert "SinglePartition" not in p, (
+        f"sharded packing still funnels through one task\n{p[:2000]}"
+    )
+    assert re.search(r"hashpartitioning\(shard_id", p), p[:2000]
+    # and the unsharded one IS the funnel (documents the contrast)
+    p0 = plan_of(spark, sf_dir, "pack_sequences")
+    assert "SinglePartition" in p0
+
+
 def test_q1_scan_prunes_columns(spark, sf_dir):
     """The scan must read exactly the 6 referenced columns of 11."""
     p = plan_of(spark, sf_dir, "q1_pricing_summary")
