@@ -635,23 +635,73 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# shared oracle fragment: bucketed candidate generation + exact-cosine cut
-# at 0.25 — interpolated into embedding_neardup_pairs AND
+# --- embedding LSH knobs ---------------------------------------------------
+# Random-hyperplane LSH for the near-dup/dedup-groups pipeline, MinHash-style
+# multi-band: EMB_LSH_BANDS bands of EMB_LSH_BITS sign bits each (band b reads
+# dims b*bits+1 .. (b+1)*bits — axis-aligned planes keep the key a pure
+# column expression identical in both engines; production swaps in a seeded
+# random projection matrix, same plan shape). 2^bits buckets per band, so
+# bucket occupancy ~N/2^bits stays bounded by raising bits with N; a pair is
+# nominated if ANY band agrees (multi-band recall, like the MinHash bands).
+# EMB_BUCKET_CAP drops degenerate buckets (near-zero or boilerplate
+# embeddings collapsing to one sign pattern) before pair generation — the
+# oracle applies the identical HAVING cut. 8/2/5 bind at test scale (500
+# 64-dim vectors; max bucket 6-7); at 100 TB: 16-32 bits, 4-8 bands.
+EMB_LSH_BITS = 8
+EMB_LSH_BANDS = 2
+EMB_BUCKET_CAP = 5
+EMB_COSINE_T = 0.25
+
+
+def _emb_band_spark(b: int) -> str:
+    lo = b * EMB_LSH_BITS + 1
+    return (
+        f"aggregate(sequence({lo}, {lo + EMB_LSH_BITS - 1}), 0, (acc, i) -> acc + "
+        f"CASE WHEN element_at(CAST(embedding AS ARRAY<DOUBLE>), i) > 0 "
+        f"THEN CAST(pow(2, i - {lo}) AS INT) ELSE 0 END)"
+    )
+
+
+def _emb_band_sql(b: int) -> str:
+    lo = b * EMB_LSH_BITS + 1
+    return (
+        f"list_sum(list_transform(generate_series({lo}, {lo + EMB_LSH_BITS - 1}), "
+        f"i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 "
+        f"THEN CAST(2 ** (i - {lo}) AS INT) ELSE 0 END))"
+    )
+
+
+# shared oracle fragment: multi-band bucketed nomination (bucket-capped) +
+# exact-cosine verify — interpolated into embedding_neardup_pairs AND
 # embedding_dedup_groups so threshold/bucketing changes cannot fork them
 _SQL_NEARDUP_CTES = f"""b AS (SELECT vec_id, embedding,
-                      CAST({_SQL_BUCKET} AS BIGINT) AS bucket,
+                      {", ".join(f"CAST({_emb_band_sql(b)} AS BIGINT) AS band{b}" for b in range(EMB_LSH_BANDS))},
                       1.0 / sqrt(list_sum(list_transform(generate_series(1, LEN(embedding)),
                             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
                         AS inv_norm
                FROM embeddings),
+    lsh_long AS (
+      {" UNION ALL ".join(f"SELECT vec_id, {b} AS band_idx, band{b} AS key FROM b" for b in range(EMB_LSH_BANDS))}
+    ),
+    lsh_buckets AS (
+      SELECT band_idx, key, list_sort(list(vec_id)) AS ids
+      FROM lsh_long GROUP BY band_idx, key
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {EMB_BUCKET_CAP}),
+    cand AS (
+      SELECT DISTINCT x.i AS vec_a, y.i AS vec_b
+      FROM lsh_buckets, UNNEST(ids) AS x(i), UNNEST(ids) AS y(i)
+      WHERE x.i < y.i),
     scored AS (
-      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+      SELECT c.vec_a, c.vec_b,
              list_sum(list_transform(generate_series(1, LEN(x.embedding)),
                  i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
                * x.inv_norm * y.inv_norm AS cosine_raw
-      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      FROM cand c
+      JOIN b x ON x.vec_id = c.vec_a
+      JOIN b y ON y.vec_id = c.vec_b),
     neardup_pairs AS (
-      SELECT vec_a, vec_b, cosine_raw FROM scored WHERE cosine_raw >= 0.25)"""
+      SELECT vec_a, vec_b, cosine_raw FROM scored
+      WHERE cosine_raw >= {EMB_COSINE_T})"""
 
 
 @register(
@@ -662,12 +712,16 @@ _SQL_NEARDUP_CTES = f"""b AS (SELECT vec_id, embedding,
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: LSH bucket self-join + exact cosine verify.
+    """Embedding near-dup pairs: multi-band sign-LSH nomination + exact
+    cosine verify — the MinHash-LSH shape applied to vectors.
 
     The all-pairs O(N^2) is avoided structurally: pairs only form inside a
-    bucket. Norms are precomputed per ROW before the join (cosine = dot *
-    inv_norm_a * inv_norm_b), so per-pair work is one dot fold — computing
-    norms inside the pair expression would triple the fold cost."""
+    band bucket, bucket size is capped (EMB_BUCKET_CAP, oracle-matched), and
+    bucket count scales as 2^EMB_LSH_BITS per band, so raising the bits knob
+    holds occupancy ~constant as N grows. Candidates are distinct across
+    bands BEFORE the verify join, so a pair agreeing on every band is scored
+    once. Norms are precomputed per ROW before the join (cosine = dot *
+    inv_norm_a * inv_norm_b), so per-pair work is one dot fold."""
     norm2 = (
         "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
         "CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), "
@@ -675,30 +729,65 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = (
         t(spark, sf_dir, "embeddings")
-        .withColumn("bucket", F.expr(_SPARK_BUCKET).cast("bigint"))
         .withColumn("inv_norm", F.lit(1.0) / F.sqrt(F.expr(norm2)))
+        .select(
+            "vec_id",
+            "embedding",
+            "inv_norm",
+            *[
+                F.expr(_emb_band_spark(b)).cast("bigint").alias(f"band{b}")
+                for b in range(EMB_LSH_BANDS)
+            ],
+        )
+    )
+    long = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("key"))
+                    for b in range(EMB_LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "b.band_idx", "b.key")
+    buckets = (
+        long.groupBy("band_idx", "key")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= EMB_BUCKET_CAP))
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS vec_a, y AS vec_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.vec_a", "p.vec_b")
+        .distinct()
     )
     x = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         F.col("inv_norm").alias("ina"),
-        "bucket",
     )
     y = e.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
         F.col("inv_norm").alias("inb"),
-        "bucket",
     )
     dot = (
         "aggregate(zip_with(CAST(ea AS ARRAY<DOUBLE>), CAST(eb AS ARRAY<DOUBLE>), "
         "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     return (
-        x.join(y, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
         .withColumn("cosine_raw", F.expr(dot) * F.col("ina") * F.col("inb"))
-        .filter(F.col("cosine_raw") >= 0.25)
+        .filter(F.col("cosine_raw") >= F.lit(EMB_COSINE_T))
         .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
     )
 
