@@ -41,8 +41,11 @@ def min_label_propagation(
 
     Returns ``DataFrame[id, label]`` with ``label`` = min id reachable.
     """
+    # the convergence probe sums labels in DECIMAL(38,0): BIGINT sum would
+    # overflow LONG at ~10^9 nodes with large ids (ANSI mode raises mid-job)
+    probe = F.sum(F.col("label").cast("decimal(38,0)"))
     labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_sum = labels.agg(probe).collect()[0][0]
     for _ in range(max_rounds):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -55,7 +58,7 @@ def min_label_propagation(
             .select("id", F.least("label", "nbr_label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = labels.agg(probe).collect()[0][0]
         if new_sum == prev_sum:
             return labels
         prev_sum = new_sum

@@ -287,6 +287,30 @@ def test_min_label_propagation_chain(spark):
     assert got == {**{i: 10 for i in range(10, 20)}, 30: 30, 31: 30, 99: 99}
 
 
+def test_min_label_propagation_near_overflow_ids(spark):
+    """Node ids near LONG max: the convergence probe sums labels, and a
+    BIGINT sum of even two such ids overflows (ANSI would raise mid-job) —
+    the decimal(38,0) probe must not. Three huge-id nodes in one component
+    plus an isolated huge id; labels converge to the component min."""
+    from eth_event_stream_spark.operators.graph import min_label_propagation
+
+    top = 2**62
+    ids = [top + 1, top + 2, top + 3, top + 7]
+    pairs = [(top + 1, top + 2), (top + 2, top + 3)]
+    nodes = spark.createDataFrame([(i,) for i in ids], "id BIGINT")
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src BIGINT, dst BIGINT",
+    )
+    got = {r["id"]: r["label"] for r in min_label_propagation(nodes, edges).collect()}
+    assert got == {
+        top + 1: top + 1,
+        top + 2: top + 1,
+        top + 3: top + 1,
+        top + 7: top + 7,
+    }
+
+
 def test_csv_json_source_roundtrip(spark, sf_dir, tmp_path):
     """Source-format breadth: the same relation read back from CSV and JSON
     matches the parquet source row-for-row (schema applied explicitly, as
