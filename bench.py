@@ -56,6 +56,7 @@ HEADLINE = [
     "text_tokens_bpe_ish",
     "multimodal_features",
     "reducer_netflow_batch",
+    "reducer_netflow_arrow",
 ]
 
 

@@ -866,6 +866,35 @@ def reducer_netflow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "reducer_netflow_arrow",
+    oracle="""
+    SELECT user_id AS key,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN -CAST(ROUND(value * 100, 0) AS BIGINT)
+                         ELSE  CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT)
+             AS net_cents,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def reducer_netflow_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reducer_netflow_batch's Arrow twin: the same keyed fold over
+    applyInArrow (ArrowEventReducer), skipping the per-group Arrow->pandas
+    materialization — the cheaper floor when the fold itself is columnar.
+    Same oracle as the pandas path: the two must agree bit-for-bit."""
+    from ..streaming.reducer import CentsNetflowArrowReducer, reduce_events_batch_arrow
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("value"),
+        F.when(F.col("event_type") == "purchase", -1).otherwise(1).alias("sign"),
+        (F.unix_timestamp("ts")).alias("block_number"),
+        F.col("event_id").alias("log_index"),
+    )
+    return reduce_events_batch_arrow(ev, CentsNetflowArrowReducer(), ["user_id"])
+
+
+@register(
     "dedup_char_ngram_pairs",
     oracle="""
     WITH sh AS (

@@ -197,6 +197,92 @@ class CentsNetflowReducer(EventReducer):
         return {"cents": rows[0][0], "n": rows[0][1]}
 
 
+class ArrowEventReducer(ABC):
+    """The EventReducer contract over Arrow data — same fold semantics
+    (init -> reduce over block-sorted events -> emit), but ``reduce`` sees a
+    ``pyarrow.Table`` and ``emit`` returns one. Skips the Arrow->pandas
+    materialization ``applyInPandas`` pays on every group (index build,
+    block consolidation, object boxing for strings) — the fold itself runs
+    on the same Arrow buffers Spark transferred."""
+
+    @abstractmethod
+    def init_state(self) -> Any: ...
+
+    @abstractmethod
+    def reduce(self, state: Any, events: "pa.Table") -> Any:
+        """Fold block-sorted events into state; return the new state."""
+
+    @abstractmethod
+    def emit(self, key: tuple, state: Any) -> "pa.Table":
+        """Current aggregate rows for this key (``key`` is a tuple of
+        ``pyarrow.Scalar``)."""
+
+    @abstractmethod
+    def output_schema(self) -> StructType: ...
+
+
+def _sort_table(tbl: "pa.Table") -> "pa.Table":
+    cols = [c for c in ("block_number", "log_index") if c in tbl.column_names]
+    return tbl.sort_by([(c, "ascending") for c in cols]) if cols else tbl
+
+
+def reduce_events_batch_arrow(
+    df: DataFrame, reducer: ArrowEventReducer, key_cols: list[str]
+) -> DataFrame:
+    """Batch fold over ``applyInArrow`` — the keyed-state shape of
+    ``reduce_events_batch`` without the pandas conversion floor.
+
+    Same scale contract: state shards by ``key_cols``, each task folds its
+    keys' sorted rows; Arrow batches go worker->Python with zero-copy column
+    access, so the per-group overhead is the fold itself."""
+    from ..shipping import ship_package
+
+    ship_package(df.sparkSession)
+
+    def fn(key: tuple, tbl: "pa.Table") -> "pa.Table":
+        st = reducer.reduce(reducer.init_state(), _sort_table(tbl))
+        return reducer.emit(key, st)
+
+    return df.groupBy(*key_cols).applyInArrow(fn, schema=reducer.output_schema())
+
+
+class CentsNetflowArrowReducer(ArrowEventReducer):
+    """Arrow twin of CentsNetflowReducer: identical integer-cents state
+    arithmetic (round-half-to-even of value*100, signed sum — bit-identical
+    to the pandas/numpy fold), computed with pyarrow.compute kernels.
+    Expects columns: value (double, 2-decimal), sign (+1/-1)."""
+
+    def init_state(self):
+        return {"cents": 0, "n": 0}
+
+    def reduce(self, state, events: "pa.Table"):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.round(pc.multiply(events.column("value"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        signed = pc.multiply(cents, pc.cast(events.column("sign"), pa.int64()))
+        state["cents"] += pc.sum(signed).as_py() or 0
+        state["n"] += events.num_rows
+        return state
+
+    def emit(self, key, state) -> "pa.Table":
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "key": pa.array([key[0].as_py()], pa.int64()),
+                "net_cents": pa.array([state["cents"]], pa.int64()),
+                "n_events": pa.array([state["n"]], pa.int64()),
+            }
+        )
+
+    def output_schema(self) -> StructType:
+        return StructType.fromDDL("key BIGINT, net_cents BIGINT, n_events BIGINT")
+
+
 def with_block_watermark(df: DataFrame, delay_blocks: int = 0) -> DataFrame:
     """Attach an event-time watermark derived from block height (B2 analog
     for event-time operators; the block frontier itself is offset-based in
