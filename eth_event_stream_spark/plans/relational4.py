@@ -175,6 +175,88 @@ def doc_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_tfidf",
+    oracle="""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+    tf AS (
+      SELECT doc_id, w AS token, COUNT(*) AS cnt
+      FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM docs)
+      WHERE w != ''
+      GROUP BY doc_id, w),
+    tot AS (SELECT doc_id, SUM(cnt) AS n_tokens FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    nd AS (SELECT COUNT(*) AS n_docs FROM docs),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.cnt, dfreq.df,
+             ROUND((CAST(tf.cnt AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE))
+                   * LN((1.0 + CAST(nd.n_docs AS DOUBLE))
+                        / (1.0 + CAST(dfreq.df AS DOUBLE))), 4) AS tfidf
+      FROM tf JOIN tot ON tot.doc_id = tf.doc_id
+              JOIN dfreq ON dfreq.token = tf.token
+              CROSS JOIN nd),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, token ASC) AS rn
+      FROM scored)
+    SELECT doc_id, token, cnt, df, tfidf FROM ranked WHERE rn <= 3
+    """,
+)
+def corpus_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the corpus statistic completing
+    doc_term_freq (TF) and corpus_top_terms (global counts).
+
+    Cross-engine determinism: counts are exact integers; tf is one IEEE
+    division of identical operands; the smoothed idf ln((1+N)/(1+df)) is
+    the one transcendental — JVM Math.log and libm disagree by 1 ulp on
+    ~4% of arguments (measured), so the SCORE IS DEFINED as rounded to 4
+    decimals in both engines, collapsing ulp noise (a value would need to
+    sit within ~1e-15 of a 5e-5 rounding boundary to differ). Ranking uses
+    the rounded score with a token tiebreak, so row selection is stable.
+
+    Scale shape: tf is one partial-aggregated shuffle on (doc_id, token);
+    df reuses tf (one more shuffle on token, carrying one row per distinct
+    (doc, term)); N broadcasts as a 1-row cross join; top-3 per doc is a
+    WindowGroupLimit, so only ~3 rows per doc survive the rank shuffle."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_tokens"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    nd = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(tot, "doc_id")
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "token",
+            "cnt",
+            "df",
+            F.round(
+                (F.col("cnt").cast("double") / F.col("n_tokens").cast("double"))
+                * F.log(
+                    (F.lit(1.0) + F.col("n_docs").cast("double"))
+                    / (F.lit(1.0) + F.col("df").cast("double"))
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "cnt", "df", "tfidf")
+    )
+
+
+@register(
     "agg_corr_via_moments",
     oracle="""
     SELECT event_type, n,
