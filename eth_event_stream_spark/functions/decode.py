@@ -130,10 +130,10 @@ def slot_to_signed(slot: Column, bits: int) -> Column:
 
 
 def _decode_slot(slot: Column, abi_type: str) -> Column:
-    if abi_type.endswith("[]"):
-        # an ARRAY in a topic is the keccak hash of its encoding (ABI spec);
-        # surface the raw slot — must be checked before the uint/int
-        # prefixes or "uint256[]" would parse as a numeric width
+    if abi_type.endswith("[]") or abi_type.startswith("("):
+        # an ARRAY or TUPLE in a topic is the keccak hash of its encoding
+        # (ABI spec); surface the raw slot — must be checked before the
+        # uint/int prefixes or "uint256[]" would parse as a numeric width
         return F.concat(F.lit("0x"), slot)
     if abi_type == "address":
         return slot_to_address(slot)
@@ -225,6 +225,69 @@ def _decode_dynamic_array(data_hex: Column, head_j: int, abi_type: str) -> Colum
     )
 
 
+def _decode_dynamic_elem_array(data_hex: Column, head_j: int, abi_type: str) -> Column:
+    """Decode a ``string[]`` / ``bytes[]`` data param — a dynamic array OF
+    dynamic elements, the two-level ABI head/tail:
+
+    head slot -> [32-byte count][per-element offset slots][element tails],
+    where each element offset is relative to the start of the offset area
+    (just past the count) and each element tail is [32-byte length][payload,
+    zero-padded]. All offset math is column expressions, same as the scalar
+    dynamic path. (The reference ``todo!()``s all dynamic types —
+    eth_event_macro/src/lib.rs:108-111; this extends the superset.)"""
+    from pyspark.sql.types import ArrayType, BinaryType, StringType
+
+    elem_type = abi_type[:-2]
+    head = data_slot(data_hex, head_j)
+    # 1-based hex-char position of the array's count slot
+    base = (F.conv(head, 16, 10).cast("long") * 2 + 1).cast("int")
+    n = F.conv(data_hex.substr(base, F.lit(_SLOT_HEX)), 16, 10).cast("int")
+    first = base + _SLOT_HEX  # element-offset area (ABI offsets are relative to it)
+
+    def elem(i: Column) -> Column:
+        off = (
+            F.conv(
+                data_hex.substr(first + (i - 1) * _SLOT_HEX, F.lit(_SLOT_HEX)), 16, 10
+            ).cast("long")
+            * 2
+        ).cast("int")
+        tail = first + off
+        length_b = F.conv(data_hex.substr(tail, F.lit(_SLOT_HEX)), 16, 10).cast("long")
+        payload_hex = data_hex.substr(tail + _SLOT_HEX, (length_b * 2).cast("int"))
+        if elem_type == "string":
+            return F.decode(F.unhex(payload_hex), "UTF-8")
+        return F.unhex(payload_hex)
+
+    elems = F.transform(
+        # sequence(1, 0) DESCENDS in Spark — the n = 0 case is handled below
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        elem,
+    )
+    arr_type = ArrayType(StringType() if elem_type == "string" else BinaryType())
+    empty = F.array().cast(arr_type)
+    return (
+        F.when(n.isNull(), F.lit(None).cast(arr_type))
+        .when(n > 0, elems)
+        .otherwise(empty)
+    )
+
+
+def _decode_static_tuple(data_hex: Column, head_j: int, abi_type: str) -> Column:
+    """Decode a flat tuple of static scalar types — ABI-inline: a static
+    tuple's components occupy ``k`` consecutive head slots (no offset
+    indirection), so each decodes with the scalar slot rules into a struct
+    field ``f0..fk`` (positional — event signatures carry no component
+    names)."""
+    from .schema import tuple_components
+
+    return F.struct(
+        *[
+            _decode_slot(data_slot(data_hex, head_j + i), ct).alias(f"f{i}")
+            for i, ct in enumerate(tuple_components(abi_type))
+        ]
+    )
+
+
 def decode_columns(event: EventSchema | str) -> dict[str, Column]:
     """Column expressions decoding a raw-log DataFrame's params.
 
@@ -253,9 +316,20 @@ def decode_columns(event: EventSchema | str) -> dict[str, Column]:
             slot = data_slot(data_hex, data_j)
             data_j += 1
         elif p.type.endswith("[]"):
-            out[p.name] = _decode_dynamic_array(data_hex, data_j, p.type)
+            if p.type[:-2] in _DYNAMIC_TYPES:
+                out[p.name] = _decode_dynamic_elem_array(data_hex, data_j, p.type)
+            else:
+                out[p.name] = _decode_dynamic_array(data_hex, data_j, p.type)
             slot = data_slot(data_hex, data_j)
             data_j += 1
+        elif p.type.startswith("("):
+            from .schema import tuple_components
+
+            k = len(tuple_components(p.type))
+            out[p.name] = _decode_static_tuple(data_hex, data_j, p.type)
+            # lossless hex = the tuple's FULL k-slot inline encoding
+            slot = F.concat(*[data_slot(data_hex, data_j + i) for i in range(k)])
+            data_j += k
         else:
             slot = data_slot(data_hex, data_j)
             data_j += 1

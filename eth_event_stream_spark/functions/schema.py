@@ -97,7 +97,11 @@ class EventSchema:
                 T.StructField("log_index", T.LongType(), False),
             ]
         for p in self.params:
-            if p.indexed and (p.type in ("string", "bytes") or p.type.endswith("[]")):
+            if p.indexed and (
+                p.type in ("string", "bytes")
+                or p.type.endswith("[]")
+                or p.type.startswith("(")
+            ):
                 # per the ABI spec an indexed dynamic param's topic is the
                 # keccak hash of the value — surfaced as a hex string, and
                 # declared as such (matching what decode_columns produces)
@@ -110,21 +114,61 @@ class EventSchema:
         return T.StructType(fields)
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at parenthesis depth 0 (tuple-aware)."""
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in s:
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def tuple_components(abi_type: str) -> tuple[str, ...]:
+    """Component types of a canonical tuple type ``(T1,T2,...)``."""
+    inner = abi_type[1:-1]
+    return tuple(_split_top_level(inner)) if inner else ()
+
+
 def canonical_abi_type(raw: str) -> str:
     """Canonicalize an ABI type name; raise on unsupported syntax.
 
     ``uint`` -> ``uint256``, ``int`` -> ``int256``; validates bit widths.
-    One-level dynamic arrays of static element types (``uint256[]``,
-    ``address[]``, ...) canonicalize recursively; the keccak signature uses
-    this canonical form, so ``uint[] -> uint256[]`` matters for topic0.
+    One-level dynamic arrays (``uint256[]``, ``string[]``, ``bytes[]``, ...)
+    and flat tuples of static scalar types (``(uint256,address)`` — the ABI
+    form of a Solidity struct param) canonicalize recursively; the keccak
+    signature uses this canonical form, so ``uint[] -> uint256[]`` and
+    ``(uint, bool) -> (uint256,bool)`` matter for topic0.
     """
     raw = raw.strip()
+    if raw.startswith("("):
+        if not raw.endswith(")"):
+            raise EventDeclarationError(f"unbalanced tuple type: {raw!r}")
+        inner = raw[1:-1].strip()
+        if not inner:
+            raise EventDeclarationError(f"empty tuple type: {raw!r}")
+        comps = [canonical_abi_type(c) for c in _split_top_level(inner)]
+        for c in comps:
+            if c in ("string", "bytes") or c.endswith("]") or c.startswith("("):
+                raise EventDeclarationError(
+                    f"unsupported ABI type: {raw!r} (only flat tuples of "
+                    "static scalar component types)"
+                )
+        return f"({','.join(comps)})"
     if raw.endswith("[]"):
         elem = canonical_abi_type(raw[:-2])
-        if elem in ("string", "bytes") or elem.endswith("]"):
+        if elem.endswith("]") or elem.startswith("("):
             raise EventDeclarationError(
                 f"unsupported ABI type: {raw!r} (only one-level arrays of "
-                "static element types)"
+                "scalar element types)"
             )
         return f"{elem}[]"
     if raw == "address":
@@ -157,13 +201,26 @@ def canonical_abi_type(raw: str) -> str:
 
 
 def abi_to_spark_type(abi_type: str) -> T.DataType:
-    """Canonical ABI type -> Spark type (SURVEY §1.2 mapping)."""
+    """Canonical ABI type -> Spark type (SURVEY §1.2 mapping).
+
+    Tuples map to StructType with positional field names ``f0..fk`` (the
+    ABI carries no component names at the event-signature level); wide
+    numeric components rely on the whole-tuple lossless ``<name>_hex``
+    column rather than per-component hex fields.
+    """
+    if abi_type.startswith("("):
+        return T.StructType(
+            [
+                T.StructField(f"f{i}", abi_to_spark_type(c), True)
+                for i, c in enumerate(tuple_components(abi_type))
+            ]
+        )
     if abi_type.endswith("[]"):
         elem = abi_type[:-2]
-        if elem.endswith("]") or elem in ("string", "bytes"):
+        if elem.endswith("]") or elem.startswith("("):
             raise EventDeclarationError(
                 f"unsupported ABI type: {abi_type!r} (only one-level arrays "
-                "of static element types)"
+                "of scalar element types)"
             )
         return T.ArrayType(abi_to_spark_type(elem))
     if abi_type == "address":
@@ -188,6 +245,10 @@ def abi_to_spark_type(abi_type: str) -> T.DataType:
 
 
 def _needs_lossless_hex(abi_type: str) -> bool:
+    if abi_type.startswith("("):
+        # the tuple's hex column carries its FULL k-slot encoding — lossless
+        # for every component, including wide numerics that null on overflow
+        return any(_needs_lossless_hex(c) for c in tuple_components(abi_type))
     m = _UINT_RE.match(abi_type)
     if m and int(m.group(1) or 256) > 63:
         return True
@@ -228,16 +289,37 @@ def parse_event_declaration(decl: str) -> EventSchema:
     params: list[EventParam] = []
     if body:
         seen: set[str] = set()
-        for raw in body.split(","):
-            toks = raw.strip().split()
+        for raw in _split_top_level(body):
+            raw_s = raw.strip()
+            if raw_s.startswith("("):
+                # tuple-typed param: the type itself contains commas/spaces —
+                # take the balanced-paren prefix (plus any [] suffix) as the
+                # type, the remainder as [indexed] name
+                depth = 0
+                end = -1
+                for idx, ch in enumerate(raw_s):
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth == 0:
+                            end = idx
+                            break
+                if end < 0:
+                    raise EventDeclarationError(f"bad parameter: {raw_s!r}")
+                while raw_s[end + 1 : end + 3] == "[]":
+                    end += 2
+                toks = [raw_s[: end + 1]] + raw_s[end + 1 :].split()
+            else:
+                toks = raw_s.split()
             if len(toks) == 2:
                 if toks[1] == "indexed":  # "address indexed" — name missing
-                    raise EventDeclarationError(f"bad parameter: {raw.strip()!r}")
+                    raise EventDeclarationError(f"bad parameter: {raw_s!r}")
                 typ, indexed, pname = toks[0], False, toks[1]
             elif len(toks) == 3 and toks[1] == "indexed":
                 typ, indexed, pname = toks[0], True, toks[2]
             else:
-                raise EventDeclarationError(f"bad parameter: {raw.strip()!r}")
+                raise EventDeclarationError(f"bad parameter: {raw_s!r}")
             if not _NAME_RE.match(pname):
                 raise EventDeclarationError(f"invalid parameter name: {pname!r}")
             if pname in seen:

@@ -23,7 +23,13 @@ from eth_event_stream_spark.functions.schema import parse_event_declaration
 SEED = 20260813
 
 
+def _tuple_comps(typ: str) -> list[str]:
+    return typ[1:-1].split(",")
+
+
 def _enc_static(typ: str, v) -> bytes:
+    if typ.startswith("("):  # flat static tuple: components inline
+        return b"".join(_enc_static(ct, cv) for ct, cv in zip(_tuple_comps(typ), v))
     if typ == "address":
         return bytes(12) + bytes.fromhex(v[2:])
     if typ == "bool":
@@ -46,13 +52,34 @@ def _enc_dynamic(payload: bytes) -> bytes:
 def _encode_data(params: list[tuple[str, object]]) -> bytes:
     """Standard ABI head/tail encoding of non-indexed params."""
     heads, tails = [], []
-    head_size = 32 * len(params)
+    # a static tuple occupies k head slots, everything else one
+    head_size = sum(
+        32 * (len(_tuple_comps(t)) if t.startswith("(") else 1) for t, _ in params
+    )
     for typ, v in params:
         if typ in ("string", "bytes"):
             payload = v.encode() if typ == "string" else v
             offset = head_size + sum(len(t) for t in tails)
             heads.append(offset.to_bytes(32, "big"))
             tails.append(_enc_dynamic(payload))
+        elif typ.endswith("[]") and typ[:-2] in ("string", "bytes"):
+            # dynamic elements: [count][elem offsets (relative to the area
+            # after the count)][elem tails]
+            elem_t = typ[:-2]
+            payloads = [e.encode() if elem_t == "string" else e for e in v]
+            elem_tails = [_enc_dynamic(p) for p in payloads]
+            elem_heads, off = [], 32 * len(v)
+            for et in elem_tails:
+                elem_heads.append(off.to_bytes(32, "big"))
+                off += len(et)
+            tail = (
+                len(v).to_bytes(32, "big")
+                + b"".join(elem_heads)
+                + b"".join(elem_tails)
+            )
+            offset = head_size + sum(len(t) for t in tails)
+            heads.append(offset.to_bytes(32, "big"))
+            tails.append(tail)
         elif typ.endswith("[]"):
             elem_t = typ[:-2]
             tail = len(v).to_bytes(32, "big") + b"".join(
@@ -67,6 +94,8 @@ def _encode_data(params: list[tuple[str, object]]) -> bytes:
 
 
 def _rand_value(rng: random.Random, typ: str):
+    if typ.startswith("("):
+        return tuple(_rand_value(rng, ct) for ct in _tuple_comps(typ))
     if typ.endswith("[]"):
         return [_rand_value(rng, typ[:-2]) for _ in range(rng.randint(0, 5))]
     if typ == "address":
@@ -97,6 +126,8 @@ def _rand_value(rng: random.Random, typ: str):
 
 def _expected(typ: str, v):
     """What the decoder should surface for a value of this type."""
+    if typ.startswith("("):
+        return tuple(_expected(ct, cv) for ct, cv in zip(_tuple_comps(typ), v))
     if typ.endswith("[]"):
         return [_expected(typ[:-2], e) for e in v]
     if typ == "address":
@@ -144,12 +175,93 @@ TYPES = [
     "address[]",
     "uint64[]",
     "bool[]",
+    "string[]",
+    "bytes[]",
+    "(uint256,address)",
+    "(uint64,bool,bytes4)",
+    "(int128,uint8,address)",
 ]
-# indexed dynamic params are keccak hashes per the ABI spec — exclude them
-INDEXABLE = [t for t in TYPES if t not in ("string", "bytes") and not t.endswith("[]")]
+# indexed dynamic params and tuples are keccak hashes per the ABI spec —
+# exclude them
+INDEXABLE = [
+    t
+    for t in TYPES
+    if t not in ("string", "bytes") and not t.endswith("[]") and not t.startswith("(")
+]
 
 
-@pytest.mark.parametrize("case_seed", [SEED, SEED + 1, SEED + 2])
+def test_tuple_and_dynamic_array_roundtrip(spark):
+    """Deterministic pin of the round-2 type extensions: string[]/bytes[]
+    (two-level head/tail) and flat static tuples (inline k-slot encoding,
+    incl. a wide numeric component -> whole-tuple lossless hex), mixed with
+    scalars so head-slot accounting across multi-slot tuples is exercised."""
+    decl = (
+        "Evt((uint256,address) pair, string[] names, uint64 n, "
+        "bytes[] blobs, (uint32,bool,bytes4) trip)"
+    )
+    vals = {
+        "pair": (10**38 + 7, "0x" + "ab" * 20),  # uint256 beyond decimal range
+        "names": ["alice", "", "b∆b"],
+        "n": 7,
+        "blobs": [b"\x01\x02", b"", b"\xff" * 40],
+        "trip": (2**31, True, b"\xde\xad\xbe\xef"),
+    }
+    types = {
+        "pair": "(uint256,address)",
+        "names": "string[]",
+        "n": "uint64",
+        "blobs": "bytes[]",
+        "trip": "(uint32,bool,bytes4)",
+    }
+    ev = parse_event_declaration(decl)
+    data = _encode_data([(types[n], vals[n]) for n in vals])
+    row = {
+        "address": "0x" + "aa" * 20,
+        "topics": [ev.topic0],
+        "data": data,
+        "block_number": 1,
+        "log_index": 0,
+        "transaction_hash": "0x0",
+        "removed": False,
+    }
+    schema = pa.schema(
+        [
+            pa.field("address", pa.string()),
+            pa.field("topics", pa.list_(pa.string())),
+            pa.field("data", pa.binary()),
+            pa.field("block_number", pa.int64()),
+            pa.field("log_index", pa.int64()),
+            pa.field("transaction_hash", pa.string()),
+            pa.field("removed", pa.bool_()),
+        ]
+    )
+    tbl = pa.table({k: [row[k]] for k in schema.names}, schema=schema)
+    df = spark.createDataFrame(tbl.to_pandas())
+    r = decode_event(df, decl).collect()[0]
+
+    for name in vals:
+        assert _norm(r[name]) == _expected(types[name], vals[name]), name
+    # the out-of-decimal-range uint256 component nulls, but the tuple's
+    # lossless hex carries the full 2-slot inline encoding
+    assert r["pair"]["f0"] is None
+    assert r["pair_hex"] == "0x" + _enc_static(types["pair"], vals["pair"]).hex()
+    # and the trip tuple (no wide numerics) gets no hex column
+    assert "trip_hex" not in r.asDict()
+
+
+def _norm(x):
+    """Canonicalize collected cells: bytearray -> bytes, Row -> tuple,
+    recursively (bytes[] yields lists of bytearray; tuples yield Rows)."""
+    if isinstance(x, bytearray):
+        return bytes(x)
+    if isinstance(x, list):
+        return [_norm(e) for e in x]
+    if isinstance(x, tuple):  # includes Row
+        return tuple(_norm(e) for e in x)
+    return x
+
+
+@pytest.mark.parametrize("case_seed", [SEED, SEED + 1, SEED + 2, SEED + 3, SEED + 4])
 def test_random_roundtrip(spark, case_seed):
     rng = random.Random(case_seed)
     # one random event shape per seed, many random rows decoded in one pass
@@ -203,7 +315,4 @@ def test_random_roundtrip(spark, case_seed):
     for li, exp in enumerate(expected):
         r = got[li]
         for name, want in exp.items():
-            have = r[name]
-            if isinstance(have, bytearray):
-                have = bytes(have)
-            assert have == want, (decl, li, name, have, want)
+            assert _norm(r[name]) == want, (decl, li, name, _norm(r[name]), want)
