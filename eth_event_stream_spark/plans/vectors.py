@@ -241,126 +241,154 @@ def similarity_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 K_CELLS = 8
 EMB_DIM = 64
 N_PROBE = 2
+# Lloyd refinement rounds after seeding. Each round = assign (broadcast
+# cross join + min_by partial agg) + recompute (exact micro-unit means);
+# deterministic, so the oracle replays the identical rounds.
+LLOYD_ROUNDS = 2
 
-_SQL_L2 = (
-    "list_sum(list_transform(generate_series(1, 64), "
-    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
-    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+_SQL_L2D = (
+    f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+    "i -> (CAST({a}[i] AS DOUBLE) - {b}[i])"
+    " * (CAST({a}[i] AS DOUBLE) - {b}[i])))"
 )
 
 
-@register(
-    "similarity_topk_ivf",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-    seeds AS (SELECT vec_id AS cid, embedding AS ce FROM e
-              WHERE vec_id BETWEEN 1 AND {K_CELLS}),
-    d0 AS (SELECT e.vec_id, s.cid,
-             {_SQL_L2.format(a="e.embedding", b="s.ce")} AS dist
-           FROM e, seeds s),
-    members AS (SELECT vec_id, cid FROM (
-        SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        FROM d0) WHERE rn = 1),
-    cent AS (SELECT m.cid, i AS dim,
+def _sql_ivf(rounds: int) -> str:
+    """Oracle SQL for the learned-IVF search with ``rounds`` Lloyd rounds —
+    generated so the round count is one knob shared with the Spark plan."""
+    ctes = [
+        "e AS (SELECT vec_id, label, embedding FROM embeddings)",
+        f"""cent_arr0 AS (SELECT vec_id AS cid,
+           list_transform(generate_series(1, {EMB_DIM}),
+                          i -> CAST(embedding[i] AS DOUBLE)) AS ce
+           FROM e WHERE vec_id BETWEEN 1 AND {K_CELLS})""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"cent_arr{r - 1}"
+        ctes += [
+            f"""d{r} AS (SELECT e.vec_id, c.cid,
+               {_SQL_L2D.format(a="e.embedding", b="c.ce")} AS dist
+               FROM e, {prev} c)""",
+            f"""members{r} AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY dist, cid) AS rn
+               FROM d{r}) WHERE rn = 1)""",
+            f"""cent{r} AS (SELECT m.cid, i AS dim,
                (CAST(SUM(CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * 1000000, 0)
                               AS BIGINT)) AS DOUBLE) / COUNT(*)) / 1000000 AS c
-             FROM members m JOIN e USING (vec_id),
-                  UNNEST(generate_series(1, {EMB_DIM})) AS t(i)
-             GROUP BY m.cid, i),
-    cent_arr AS (SELECT cid, list(c ORDER BY dim) AS ce FROM cent GROUP BY cid),
-    d1 AS (SELECT e.vec_id, c.cid,
+               FROM members{r} m JOIN e USING (vec_id),
+                    UNNEST(generate_series(1, {EMB_DIM})) AS t(i)
+               GROUP BY m.cid, i)""",
+            f"""cent_arr{r} AS (SELECT cid, list(c ORDER BY dim) AS ce
+               FROM cent{r} GROUP BY cid)""",
+        ]
+    final = f"cent_arr{rounds}"
+    ctes += [
+        f"""df AS (SELECT e.vec_id, c.cid,
+           {_SQL_L2D.format(a="e.embedding", b="c.ce")} AS dist
+           FROM e, {final} c)""",
+        """cells AS (SELECT vec_id, cid AS cell FROM (
+           SELECT vec_id, cid,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           FROM df) WHERE rn = 1)""",
+        f"""probes AS (SELECT cid AS cell FROM (
+           SELECT cid, ROW_NUMBER() OVER (ORDER BY dist, cid) AS rn
+           FROM df WHERE vec_id = 0) WHERE rn <= {N_PROBE})""",
+        """cand AS (SELECT c.vec_id, c.cell FROM cells c
+           JOIN probes p ON c.cell = p.cell WHERE c.vec_id != 0)""",
+        "q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0)",
+        f"""scored AS (SELECT cand.vec_id, e.label, cand.cell,
+           ROUND(
              list_sum(list_transform(generate_series(1, {EMB_DIM}),
-               i -> (CAST(e.embedding[i] AS DOUBLE) - c.ce[i])
-                  * (CAST(e.embedding[i] AS DOUBLE) - c.ce[i]))) AS dist
-           FROM e, cent_arr c),
-    cells AS (SELECT vec_id, cid AS cell FROM (
-        SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        FROM d1) WHERE rn = 1),
-    probes AS (SELECT cid AS cell FROM (
-        SELECT cid, ROW_NUMBER() OVER (ORDER BY dist, cid) AS rn
-        FROM d1 WHERE vec_id = 0) WHERE rn <= {N_PROBE}),
-    cand AS (SELECT c.vec_id, c.cell FROM cells c
-             JOIN probes p ON c.cell = p.cell WHERE c.vec_id != 0),
-    q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
-    scored AS (SELECT cand.vec_id, e.label, cand.cell,
-        ROUND(
-          list_sum(list_transform(generate_series(1, {EMB_DIM}),
-            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(generate_series(1, {EMB_DIM}),
-               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
-           * sqrt(list_sum(list_transform(generate_series(1, {EMB_DIM}),
-               i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))), 6) AS cosine
-      FROM cand JOIN e ON e.vec_id = cand.vec_id, q)
-    SELECT vec_id, label, cell, cosine FROM scored
-    ORDER BY cosine DESC, vec_id LIMIT 10
-    """,
-)
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                  i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))), 6) AS cosine
+           FROM cand JOIN e ON e.vec_id = cand.vec_id, q)""",
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n"
+        "    SELECT vec_id, label, cell, cosine FROM scored\n"
+        "    ORDER BY cosine DESC, vec_id LIMIT 10"
+    )
+
+
+@register("similarity_topk_ivf", oracle=_sql_ivf(LLOYD_ROUNDS))
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with LEARNED centroids — the production-scale path beyond the
     static-hyperplane LSH variants.
 
-    Index build (one k-means/Lloyd step, fully distributed):
+    Index build (LLOYD_ROUNDS k-means rounds, fully distributed):
       1. seed K=8 centroids deterministically (vec_id 1..8);
-      2. assign every vector to its nearest seed via a broadcast cross join +
-         ``min_by`` partial aggregation (map-side combine, NO window sort —
-         the N x K distance matrix never shuffles, only (vec_id, argmin));
-      3. recompute centroids as per-dimension means in integer micro-units
-         (exact, order-independent sums -> bit-deterministic doubles).
+      2. per round: assign every vector to its nearest centroid via a
+         broadcast cross join + ``min_by`` partial aggregation (map-side
+         combine, NO window sort — the N x K distance matrix never shuffles,
+         only (vec_id, argmin)), then recompute centroids as per-dimension
+         means in integer micro-units (exact, order-independent sums ->
+         bit-deterministic doubles; ties break on cid).
     Query: probe the ``N_PROBE=2`` cells nearest the query vector and score
     candidates with the exact cosine — candidate set ~ 2N/K instead of N.
     At 100 TB the same plan holds: centroids stay a broadcast table (K rows),
-    assignment is an embarrassingly-parallel map + partial agg, and more
-    Lloyd rounds are just repetitions of steps 2-3.
+    each round is an embarrassingly-parallel map + partial agg, and deeper
+    refinement is just a larger LLOYD_ROUNDS (production would checkpoint
+    the K-row centroid table between rounds to cut lineage; at K rows the
+    recompute here is noise).
 
-    The DuckDB oracle replays the identical arithmetic (sequential L2 folds,
-    micro-unit means, the same deterministic tie-breaks), so the driver's
-    value-hash check covers index build AND search."""
+    The DuckDB oracle is GENERATED for the same round count, replaying the
+    identical arithmetic (sequential L2 folds, micro-unit means, the same
+    deterministic tie-breaks), so the driver's value-hash check covers the
+    iterated index build AND the search."""
     from pyspark.sql.types import ArrayType, DoubleType
 
     e = t(spark, sf_dir, "embeddings")
     emb_d = F.col("embedding").cast(ArrayType(DoubleType()))
 
+    # centroid side ce is already ARRAY<DOUBLE>; embedding side casts
     l2 = (
-        "aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>), "
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), ce, "
         "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
-    seeds = (
+    cent_arr = (
         e.filter(F.col("vec_id").between(1, K_CELLS))
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .select(F.col("vec_id").alias("cid"), emb_d.alias("ce"))
     )
-    d0 = e.crossJoin(F.broadcast(seeds)).select(
-        "vec_id", "cid", F.expr(l2.format(a="embedding", b="ce")).alias("dist")
+    for _ in range(LLOYD_ROUNDS):
+        d = e.crossJoin(F.broadcast(cent_arr)).select(
+            "vec_id", "cid", F.expr(l2).alias("dist")
+        )
+        # argmin per vector: min_by over a (dist, cid) struct =
+        # partial-aggregable, deterministic tie-break — no window sort
+        members = d.groupBy("vec_id").agg(
+            F.min_by("cid", F.struct("dist", "cid")).alias("cid")
+        )
+        m = members.join(e, "vec_id").select(
+            "cid", F.posexplode(emb_d).alias("dim", "x")
+        )
+        cent = m.groupBy("cid", "dim").agg(
+            (
+                (
+                    F.sum(F.round(F.col("x") * 1000000, 0).cast("bigint")).cast("double")
+                    / F.count("*")
+                )
+                / 1000000
+            ).alias("c")
+        )
+        cent_arr = cent.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("ce")
+        )
+    df_ = e.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "cid", F.expr(l2).alias("dist")
     )
-    # argmin per vector: min_by over a (dist, cid) struct = partial-aggregable,
-    # deterministic tie-break — the window-sort-free assignment shape
-    members = d0.groupBy("vec_id").agg(
-        F.min_by("cid", F.struct("dist", "cid")).alias("cid")
-    )
-    m = members.join(e, "vec_id").select(
-        "cid", F.posexplode(emb_d).alias("dim", "x")
-    )
-    cent = m.groupBy("cid", "dim").agg(
-        (
-            (F.sum(F.round(F.col("x") * 1000000, 0).cast("bigint")).cast("double") / F.count("*"))
-            / 1000000
-        ).alias("c")
-    )
-    cent_arr = cent.groupBy("cid").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
-        ).alias("ce")
-    )
-    d1 = e.crossJoin(F.broadcast(cent_arr)).select(
-        "vec_id", "cid", F.expr(l2.format(a="embedding", b="ce")).alias("dist")
-    )
-    cells = d1.groupBy("vec_id").agg(
+    cells = df_.groupBy("vec_id").agg(
         F.min_by("cid", F.struct("dist", "cid")).alias("cell")
     )
     probes = (
-        d1.filter(F.col("vec_id") == 0)
+        df_.filter(F.col("vec_id") == 0)
         .orderBy("dist", "cid")
         .limit(N_PROBE)
         .select(F.col("cid").alias("cell"))

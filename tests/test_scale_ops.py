@@ -311,6 +311,21 @@ def test_min_label_propagation_near_overflow_ids(spark):
     }
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """The iterated-Lloyd IVF must return a meaningful fraction of the TRUE
+    top-10 (brute-force cosine) while probing only N_PROBE of K_CELLS cells.
+    Measured: 5-6/10 at both test scales with 2 rounds / nprobe 2 of 8
+    (~25% of the corpus scanned); 4/10 is the regression floor."""
+    from eth_event_stream_spark.plans import QUERIES
+
+    brute = [
+        r["vec_id"]
+        for r in QUERIES["similarity_topk_bruteforce"].fn(spark, sf_dir).collect()
+    ][:10]
+    ivf = [r["vec_id"] for r in QUERIES["similarity_topk_ivf"].fn(spark, sf_dir).collect()]
+    assert len(set(brute) & set(ivf)) >= 4
+
+
 def test_csv_json_source_roundtrip(spark, sf_dir, tmp_path):
     """Source-format breadth: the same relation read back from CSV and JSON
     matches the parquet source row-for-row (schema applied explicitly, as
