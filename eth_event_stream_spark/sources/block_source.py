@@ -69,11 +69,16 @@ class BlockRangePartition(InputPartition):
     """One fetch chunk: blocks [lo, hi) — the reference's eth_getLogs call.
 
     Carries the effective address filter so ``read`` never consults reader
-    state that query-scoped filter pushdown may have touched."""
+    state that query-scoped filter pushdown may have touched.
+    ``address_exact`` marks a pushdown-sourced address, matched VERBATIM
+    (Spark re-evaluates the predicate post-scan with its own case
+    semantics); an option-sourced address is normalized to lowercase (the
+    source's documented contract, matching how the chain stores them)."""
 
     lo: int
     hi: int
     address: str | None = None
+    address_exact: bool = False
 
 
 class ReorgError(Exception):
@@ -101,6 +106,32 @@ def _chain_head(path: str) -> int:
     return int(head)
 
 
+def _fetch_table(path: str, flt: list):
+    """The one I/O call of a range fetch — the retry unit (and the seam
+    tests use to inject transient failures)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path, filters=flt)
+
+
+def _fetch_with_retry(path: str, flt: list, attempts: int, base_s: float):
+    """Exponential-backoff retry around the fetch — the reference's S6
+    policy (stream.rs:148-155, data_feed/block.rs:25-26: 10 ms base,
+    4 attempts, doubling). Re-raises the last error once attempts are
+    exhausted; a real RPC gateway source drops in here unchanged."""
+    import time
+
+    attempt = 0
+    while True:
+        try:
+            return _fetch_table(path, flt)
+        except Exception:
+            attempt += 1
+            if attempt >= attempts:
+                raise
+            time.sleep(base_s * (2 ** (attempt - 1)))
+
+
 def _read_range(
     path: str,
     lo: int,
@@ -108,18 +139,22 @@ def _read_range(
     address: str | None,
     topic0: str | None,
     fail_on_removed: bool,
+    address_exact: bool = False,
+    retry_attempts: int = 4,
+    retry_base_s: float = 0.01,
 ) -> Iterator[tuple]:
     """Fetch logs in [lo, hi) with source-side predicate pushdown.
 
     The address/topic0 filters reach the parquet scan (pyarrow pushes them to
     row groups), mirroring the server-side Filter of stream.rs:94-102.
+    An option-sourced address is lowercased (source contract); a
+    pushdown-sourced one (``address_exact``) is matched verbatim so the
+    pushed predicate is semantically identical to the declined one.
     """
-    import pyarrow.parquet as pq
-
     flt = [("block_number", ">=", lo), ("block_number", "<", hi)]
     if address is not None:
-        flt.append(("address", "=", address.lower()))
-    tbl = pq.read_table(path, filters=flt)
+        flt.append(("address", "=", address if address_exact else address.lower()))
+    tbl = _fetch_with_retry(path, flt, retry_attempts, retry_base_s)
     cols = {name: tbl.column(name).to_pylist() for name in _COLS}
     n = len(cols["block_number"])
     for i in range(n):
@@ -147,6 +182,8 @@ class EthLogStreamReader(DataSourceStreamReader):
         self.address = options.get("address")
         self.topic0 = options.get("topic0")
         self.fail_on_removed = str(options.get("fail_on_removed", "true")).lower() == "true"
+        self.retry_attempts = int(options.get("retry_attempts", 4))
+        self.retry_base_s = float(options.get("retry_base_ms", 10)) / 1000.0
         self._current = self.from_block
 
     # offsets are dicts {"block": next_unread_block}
@@ -200,6 +237,8 @@ class EthLogStreamReader(DataSourceStreamReader):
             self.address,
             self.topic0,
             self.fail_on_removed,
+            retry_attempts=self.retry_attempts,
+            retry_base_s=self.retry_base_s,
         )
 
     def commit(self, end: dict) -> None:
@@ -219,6 +258,8 @@ class EthLogBatchReader(DataSourceReader):
         self.topic0 = options.get("topic0")
         self.fail_on_removed = str(options.get("fail_on_removed", "true")).lower() == "true"
         self.pushdown_enabled = str(options.get("pushdown", "false")).lower() == "true"
+        self.retry_attempts = int(options.get("retry_attempts", 4))
+        self.retry_base_s = float(options.get("retry_base_ms", 10)) / 1000.0
 
     _pending: tuple[int, int | None, str | None] | None = None  # per-query pushdown
 
@@ -258,7 +299,13 @@ class EthLogBatchReader(DataSourceReader):
                     lo = max(lo, v)
                     hi = v if hi is None else min(hi, v)
             elif col == "address" and isinstance(f, EqualTo) and addr is None:
+                # narrow the scan with the VERBATIM value but keep the filter
+                # in `remaining`: Spark re-evaluates it post-scan, so pushed
+                # semantics are identical to declined semantics (an
+                # option-style .lower() here would silently match rows the
+                # vanilla predicate rejects, and vice versa)
                 addr = str(f.value)
+                remaining.append(f)
             else:
                 remaining.append(f)
         self._pending = (lo, hi, addr)
