@@ -118,14 +118,18 @@ def _fetch_with_retry(path: str, flt: list, attempts: int, base_s: float):
     """Exponential-backoff retry around the fetch — the reference's S6
     policy (stream.rs:148-155, data_feed/block.rs:25-26: 10 ms base,
     4 attempts, doubling). Re-raises the last error once attempts are
-    exhausted; a real RPC gateway source drops in here unchanged."""
+    exhausted; a real RPC gateway source drops in here unchanged.
+
+    Only transient I/O errors are retried (OSError covers
+    pyarrow.lib.ArrowIOError); deterministic failures — bad filter, schema
+    mismatch, programming errors — surface immediately without backoff."""
     import time
 
     attempt = 0
     while True:
         try:
             return _fetch_table(path, flt)
-        except Exception:
+        except OSError:
             attempt += 1
             if attempt >= attempts:
                 raise
@@ -261,7 +265,8 @@ class EthLogBatchReader(DataSourceReader):
         self.retry_attempts = int(options.get("retry_attempts", 4))
         self.retry_base_s = float(options.get("retry_base_ms", 10)) / 1000.0
 
-    _pending: tuple[int, int | None, str | None] | None = None  # per-query pushdown
+    # per-query pushdown: (lo, hi, addr, addr_is_pushed)
+    _pending: tuple[int, int | None, str | None, bool] | None = None
 
     def pushFilters(self, filters: list[Filter]):
         """V2-style predicate pushdown (SupportsPushDownFilters analog —
@@ -280,6 +285,7 @@ class EthLogBatchReader(DataSourceReader):
         if not self.pushdown_enabled:
             return filters  # decline everything; Spark evaluates post-scan
         lo, hi, addr = self.from_block, self.to_block, self.address
+        addr_pushed = False
         remaining: list[Filter] = []
         for f in filters:
             col = f.attribute[0] if isinstance(f.attribute, tuple) else f.attribute
@@ -305,22 +311,28 @@ class EthLogBatchReader(DataSourceReader):
                 # option-style .lower() here would silently match rows the
                 # vanilla predicate rejects, and vice versa)
                 addr = str(f.value)
+                addr_pushed = True
                 remaining.append(f)
             else:
                 remaining.append(f)
-        self._pending = (lo, hi, addr)
+        self._pending = (lo, hi, addr, addr_pushed)
         return remaining
 
     def partitions(self):
         if self._pending is not None:
-            lo, to_b, addr = self._pending
+            lo, to_b, addr, addr_exact = self._pending
             self._pending = None  # consumed: next (filterless) query is clean
         else:
-            lo, to_b, addr = self.from_block, self.to_block, self.address
+            lo, to_b, addr, addr_exact = (
+                self.from_block,
+                self.to_block,
+                self.address,
+                False,
+            )
         hi = (to_b if to_b is not None else _chain_head(self.path)) + 1
         step = self.block_step
         return [
-            BlockRangePartition(b, min(b + step, hi), addr)
+            BlockRangePartition(b, min(b + step, hi), addr, addr_exact)
             for b in range(lo, hi, step)
         ]
 
@@ -332,6 +344,9 @@ class EthLogBatchReader(DataSourceReader):
             partition.address,
             self.topic0,
             self.fail_on_removed,
+            address_exact=partition.address_exact,
+            retry_attempts=self.retry_attempts,
+            retry_base_s=self.retry_base_s,
         )
 
 

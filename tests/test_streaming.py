@@ -238,8 +238,11 @@ def _protobuf_available() -> bool:
 
 @pytest.mark.skipif(
     not _protobuf_available(),
-    reason="transformWithStateInPandas needs google.protobuf (absent in this "
-    "container); applyInPandasWithState covers the stateful path here",
+    reason="transformWithStateInPandas needs google.protobuf — verified absent "
+    "again this round (`import google.protobuf` -> ModuleNotFoundError) and the "
+    "environment forbids pip/apt installs, so the dependency cannot be added or "
+    "vendored; applyInPandasWithState covers the stateful contract here (its "
+    "stream==batch parity tests exercise the same reducer semantics)",
 )
 def test_reducer_tws_matches_batch(source_registered, eth_logs_fixture, tmp_path):
     """B10 on transformWithStateInPandas (RocksDB state store): same state
@@ -889,3 +892,141 @@ def test_available_now_incremental_runs(source_registered, eth_logs_fixture, tmp
     # runs must equal the batch read with no duplicates
     assert counts[-1] == batch.count(), counts
     assert len(counts) > 1  # genuinely incremental (several bounded runs)
+
+
+# --- S6 retry policy + pushdown address semantics (unit level, no session) ---
+
+
+def _write_logs_parquet(path: str, addresses: list[str]) -> None:
+    """Tiny eth_logs-shaped parquet: one log per address, block i."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(addresses)
+    tbl = pa.table(
+        {
+            "address": pa.array(addresses, pa.string()),
+            "topics": pa.array([["0xt0"]] * n, pa.list_(pa.string())),
+            "data": pa.array([b""] * n, pa.binary()),
+            "block_number": pa.array(list(range(n)), pa.int64()),
+            "log_index": pa.array([0] * n, pa.int64()),
+            "transaction_hash": pa.array(["0xh"] * n, pa.string()),
+            "removed": pa.array([False] * n, pa.bool_()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def test_retry_transient_then_success(tmp_path, monkeypatch):
+    """S6 (stream.rs:148-155): transient I/O failures are retried with
+    backoff; the fetch succeeds once the fault clears."""
+    from eth_event_stream_spark.sources import block_source as bs
+
+    path = str(tmp_path / "logs.parquet")
+    _write_logs_parquet(path, ["0xaa", "0xbb"])
+    real = bs._fetch_table
+    calls = {"n": 0}
+
+    def flaky(p, flt):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient: connection reset")
+        return real(p, flt)
+
+    monkeypatch.setattr(bs, "_fetch_table", flaky)
+    rows = list(bs._read_range(path, 0, 10, None, None, True, retry_base_s=0.001))
+    assert calls["n"] == 3
+    assert len(rows) == 2
+
+
+def test_retry_exhaustion_reraises(tmp_path, monkeypatch):
+    """S6: after `attempts` transient failures the last error surfaces."""
+    from eth_event_stream_spark.sources import block_source as bs
+
+    path = str(tmp_path / "logs.parquet")
+    _write_logs_parquet(path, ["0xaa"])
+    calls = {"n": 0}
+
+    def always_down(p, flt):
+        calls["n"] += 1
+        raise OSError("still down")
+
+    monkeypatch.setattr(bs, "_fetch_table", always_down)
+    with pytest.raises(OSError):
+        list(bs._read_range(path, 0, 10, None, None, True,
+                            retry_attempts=4, retry_base_s=0.001))
+    assert calls["n"] == 4
+
+
+def test_retry_fails_fast_on_deterministic_error(tmp_path, monkeypatch):
+    """Deterministic failures (bad filter/schema — not OSError) surface
+    immediately without burning backoff attempts."""
+    from eth_event_stream_spark.sources import block_source as bs
+
+    path = str(tmp_path / "logs.parquet")
+    _write_logs_parquet(path, ["0xaa"])
+    calls = {"n": 0}
+
+    def bad_query(p, flt):
+        calls["n"] += 1
+        raise ValueError("no such column")
+
+    monkeypatch.setattr(bs, "_fetch_table", bad_query)
+    with pytest.raises(ValueError):
+        list(bs._read_range(path, 0, 10, None, None, True, retry_base_s=0.001))
+    assert calls["n"] == 1
+
+
+def test_batch_reader_honors_retry_options(tmp_path, monkeypatch):
+    """EthLogBatchReader.read forwards retry_attempts/retry_base_ms to the
+    fetch (previously only the stream reader did)."""
+    from eth_event_stream_spark.sources import block_source as bs
+
+    path = str(tmp_path / "logs.parquet")
+    _write_logs_parquet(path, ["0xaa"])
+    calls = {"n": 0}
+
+    def always_down(p, flt):
+        calls["n"] += 1
+        raise OSError("down")
+
+    monkeypatch.setattr(bs, "_fetch_table", always_down)
+    reader = bs.EthLogBatchReader(
+        {"path": path, "to_block": "9", "retry_attempts": "2",
+         "retry_base_ms": "1"}
+    )
+    [part] = reader.partitions()
+    with pytest.raises(OSError):
+        list(reader.read(part))
+    assert calls["n"] == 2  # option-configured, not the hardcoded 4
+
+
+def test_pushdown_address_is_exact_option_address_is_lowercased(tmp_path):
+    """A pushdown-sourced address narrows the scan with the VERBATIM value
+    (Spark re-checks post-scan); an option-sourced address is lowercased
+    (source contract). The store here holds a mixed-case address, so the
+    two paths legitimately differ — exactly the semantic the pushed filter
+    must preserve."""
+    from pyspark.sql.datasource import EqualTo
+
+    from eth_event_stream_spark.sources import block_source as bs
+
+    path = str(tmp_path / "logs.parquet")
+    _write_logs_parquet(path, ["0xAbCd", "0xabcd", "0xother"])
+
+    # pushdown path: partitions carry address_exact=True and read() matches
+    # the store's mixed-case row only
+    reader = bs.EthLogBatchReader({"path": path, "pushdown": "true", "to_block": "9"})
+    remaining = reader.pushFilters([EqualTo(("address",), "0xAbCd")])
+    assert len(remaining) == 1  # filter retained for Spark's post-scan check
+    parts = reader.partitions()
+    assert all(p.address == "0xAbCd" and p.address_exact for p in parts)
+    rows = [r for p in parts for r in reader.read(p)]
+    assert [r[0] for r in rows] == ["0xAbCd"]
+
+    # option path: the same string is lowercased before the scan
+    reader2 = bs.EthLogBatchReader({"path": path, "address": "0xAbCd", "to_block": "9"})
+    parts2 = reader2.partitions()
+    assert all(p.address == "0xAbCd" and not p.address_exact for p in parts2)
+    rows2 = [r for p in parts2 for r in reader2.read(p)]
+    assert [r[0] for r in rows2] == ["0xabcd"]
