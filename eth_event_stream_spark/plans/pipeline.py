@@ -428,9 +428,10 @@ def _jaccard_verify_spark(ex: DataFrame) -> DataFrame:
     )
 
 
-@register("dedup_jaccard_verify", oracle=_sql_jaccard_verify(None))
-def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard for near-dup pairs (the verify stage after LSH).
+@register("dedup_jaccard_verify_uncapped_baseline", oracle=_sql_jaccard_verify(None))
+def dedup_jaccard_verify_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE (not the production entry): exact n-gram Jaccard with NO
+    hot-shingle cap — lossless over all pairs sharing any shingle.
 
     Inverted-index join on distinct shingles (never all-pairs): intersection
     counts from the shingle join, union by inclusion-exclusion.
@@ -441,19 +442,27 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the expensive intermediate. Sizes ride along the join rows (the size
     table is one row per doc; broadcast here, a shuffle join at the scale
     where it stops fitting), so the final jaccard needs no further joins.
-    Lossless: the oracle is the unpruned SQL. At 100 TB use the _capped
-    variant — a hot shingle makes this one's join group quadratic."""
+
+    SCALE WARNING: a single boilerplate shingle shared by 10^6 docs makes
+    one join group produce 10^12 pairs. Registered only as the lossless
+    reference; ``dedup_jaccard_verify`` (the primary name) applies the
+    document-frequency cap and is what a 100 TB run uses."""
     ex = _distinct_shingles(t_parallel(spark, sf_dir, "documents"))
     return _jaccard_verify_spark(ex)
 
 
+@register("dedup_jaccard_verify", oracle=_sql_jaccard_verify(SHINGLE_DF_CAP))
 @register("dedup_jaccard_verify_capped", oracle=_sql_jaccard_verify(SHINGLE_DF_CAP))
-def dedup_jaccard_verify_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_jaccard_verify with the hot-shingle document-frequency cap —
-    the 100 TB shape. Shingles with df > SHINGLE_DF_CAP are dropped before
-    the inverted-index join (bounding every join group at cap^2 pairs) and
+def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard for near-dup pairs — the PRIMARY production
+    entry, with the hot-shingle document-frequency cap engaged (the 100 TB
+    shape). Shingles with df > SHINGLE_DF_CAP are dropped before the
+    inverted-index join (bounding every join group at cap^2 pairs) and
     excluded from BOTH documents' shingle sets, so the reported jaccard is
-    exact over the capped universe; the oracle applies the identical cut."""
+    exact over the capped universe; the oracle applies the identical cut.
+    Registered under both the primary name and ``_capped`` (the latter for
+    continuity with earlier rounds); the lossless uncapped formulation is
+    ``dedup_jaccard_verify_uncapped_baseline``."""
     ex = _distinct_shingles(t_parallel(spark, sf_dir, "documents"))
     return _jaccard_verify_spark(_df_capped_shingles(ex, SHINGLE_DF_CAP))
 
@@ -1036,6 +1045,7 @@ def _sql_lsh_then_verify(bucket_cap: int | None, df_cap: int | None) -> str:
 
 
 _SQL_LSH_THEN_VERIFY = _sql_lsh_then_verify(None, None)
+_SQL_LSH_THEN_VERIFY_CAPPED = _sql_lsh_then_verify(LSH_BUCKET_CAP, SHINGLE_DF_CAP)
 
 
 def _lsh_then_verify_spark(
@@ -1085,28 +1095,28 @@ def _lsh_then_verify_spark(
     )
 
 
-@register("dedup_lsh_then_verify", oracle=_SQL_LSH_THEN_VERIFY)
-def dedup_lsh_then_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed two-stage near-dup pipeline — the 100 TB shape:
+@register("dedup_lsh_then_verify_uncapped_baseline", oracle=_SQL_LSH_THEN_VERIFY)
+def dedup_lsh_then_verify_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE (not the production entry): the composed two-stage near-dup
+    pipeline with NO hot-key guards:
 
     1. LSH bands nominate candidate pairs (bounded by bucket size);
     2. exact Jaccard verifies ONLY the candidates: the shingle inverted
        index is semi-joined down to candidate docs before the intersection
        join, so verify cost scales with candidates, not the corpus.
 
-    (dedup_jaccard_verify is the standalone exact operator over all pairs
-    sharing a shingle; this one is what a production dedup job runs. For
-    the skew-hardened production form see dedup_lsh_then_verify_capped.)"""
+    SCALE WARNING: without the bucket/df caps, one hot LSH bucket or one
+    boilerplate shingle makes a join group quadratic. Registered only as
+    the lossless reference; ``dedup_lsh_then_verify`` (the primary name)
+    engages both caps and is what a production dedup job runs."""
     return _lsh_then_verify_spark(spark, sf_dir, None, None)
 
 
-@register(
-    "dedup_lsh_then_verify_capped",
-    oracle=_sql_lsh_then_verify(LSH_BUCKET_CAP, SHINGLE_DF_CAP),
-)
-def dedup_lsh_then_verify_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_lsh_then_verify with BOTH hot-key guards engaged — what a 100 TB
-    run must use:
+@register("dedup_lsh_then_verify", oracle=_SQL_LSH_THEN_VERIFY_CAPPED)
+@register("dedup_lsh_then_verify_capped", oracle=_SQL_LSH_THEN_VERIFY_CAPPED)
+def dedup_lsh_then_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed two-stage near-dup pipeline — the PRIMARY production
+    entry, with BOTH hot-key guards engaged (the 100 TB shape):
 
     - LSH buckets larger than LSH_BUCKET_CAP are dropped at nomination
       (bounds candidate generation at cap^2 per bucket);
@@ -1122,7 +1132,7 @@ def dedup_lsh_then_verify_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_canonical_assign",
     oracle=f"""
-    WITH pairs AS (SELECT doc_a, doc_b FROM ({_SQL_LSH_THEN_VERIFY})),
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({_SQL_LSH_THEN_VERIFY_CAPPED})),
     edges AS (
       SELECT doc_a AS doc_id, doc_b AS nbr FROM pairs
       UNION ALL
@@ -1165,7 +1175,7 @@ def dedup_canonical_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_groups_connected",
     oracle=f"""
-    WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_SQL_LSH_THEN_VERIFY})),
+    WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_SQL_LSH_THEN_VERIFY_CAPPED})),
     sym AS (
       SELECT doc_a AS x, doc_b AS y FROM pairs
       UNION ALL
@@ -1629,7 +1639,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "pack_sequences",
+    "pack_sequences_unsharded_baseline",
     oracle=f"""
     SELECT doc_id, n_tokens,
            CAST((cum - n_tokens) // {PACK_TOKENS} AS BIGINT) AS pack_id
@@ -1642,17 +1652,17 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents) s) c
     """,
 )
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: assign documents to ~2048-token training packs by
-    the running token total in id order (a doc belongs to the pack its
-    START offset falls in) — the deterministic streaming formulation of
-    greedy packing, one window pass over exact integer counts.
+def pack_sequences_unsharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE (not the production entry): sequence packing with ONE global
+    running token total in id order (a doc belongs to the pack its START
+    offset falls in) — the deterministic streaming formulation of greedy
+    packing, one window pass over exact integer counts.
 
     SCALE WARNING: the unpartitioned window funnels the whole corpus
     through one task — fine for a single shard, a scale-killer for a
-    corpus. Production uses pack_sequences_sharded (per-shard windows,
-    embarrassingly parallel), since pack identity only needs local
-    contiguity."""
+    corpus. ``pack_sequences`` (the primary name) partitions the window by
+    shard, since pack identity only needs local contiguity; this global
+    formulation is kept solely as the single-shard reference."""
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
@@ -1680,9 +1690,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_SHARD_DOCS = 100
 
 
-@register(
-    "pack_sequences_sharded",
-    oracle=f"""
+_SQL_PACK_SHARDED = f"""
     SELECT doc_id, n_tokens, shard_id,
            CAST((cum - n_tokens) // {PACK_TOKENS} AS BIGINT) AS pack_id
     FROM (
@@ -1694,14 +1702,19 @@ PACK_SHARD_DOCS = 100
                    CAST(LEN(string_split(lower(text), ' ')) AS BIGINT)
                      AS n_tokens
             FROM documents) s) c
-    """,
-)
-def pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing, the 100 TB shape: documents are partitioned into
-    fixed shards of PACK_SHARD_DOCS ids and each shard packs independently
-    with its own running token total — the cumulative-sum window is
-    PARTITIONED, so no single task ever sees more than one shard (the
-    unsharded pack_sequences funnels the corpus through one task).
+    """
+
+
+@register("pack_sequences", oracle=_SQL_PACK_SHARDED)
+@register("pack_sequences_sharded", oracle=_SQL_PACK_SHARDED)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the PRIMARY production entry, the 100 TB shape:
+    documents are partitioned into fixed shards of PACK_SHARD_DOCS ids and
+    each shard packs independently with its own running token total — the
+    cumulative-sum window is PARTITIONED, so no single task ever sees more
+    than one shard (pack_sequences_unsharded_baseline funnels the corpus
+    through one task). Registered under both the primary name and
+    ``_sharded`` (the latter for continuity with earlier rounds).
 
     A pack is identified by (shard_id, pack_id); packs never span shards —
     the only semantic difference from the global formulation is at most one

@@ -89,19 +89,69 @@ def test_dim_joins_broadcast(spark, sf_dir, name):
     assert "SortMergeJoin" not in p, f"{name}: dim join degraded to SortMergeJoin"
 
 
-def test_pack_sequences_sharded_window_is_partitioned(spark, sf_dir):
-    """The packing cumulative sum must run per-shard: the plan's window sort
+def test_pack_sequences_primary_window_is_partitioned(spark, sf_dir):
+    """The PRIMARY packing entry must run per-shard: the plan's window sort
     must be a hash-partitioned exchange on shard_id, never the SinglePartition
-    funnel the unsharded variant pays (the round-1 scale-killer)."""
-    p = plan_of(spark, sf_dir, "pack_sequences_sharded")
-    assert "Window" in p, p[:2000]
-    assert "SinglePartition" not in p, (
-        f"sharded packing still funnels through one task\n{p[:2000]}"
-    )
-    assert re.search(r"hashpartitioning\(shard_id", p), p[:2000]
-    # and the unsharded one IS the funnel (documents the contrast)
-    p0 = plan_of(spark, sf_dir, "pack_sequences")
+    funnel the unsharded baseline pays (the round-1 scale-killer)."""
+    for name in ("pack_sequences", "pack_sequences_sharded"):
+        p = plan_of(spark, sf_dir, name)
+        assert "Window" in p, p[:2000]
+        assert "SinglePartition" not in p, (
+            f"{name} still funnels through one task\n{p[:2000]}"
+        )
+        assert re.search(r"hashpartitioning\(shard_id", p), p[:2000]
+    # and the explicitly-named baseline IS the funnel (documents the contrast)
+    p0 = plan_of(spark, sf_dir, "pack_sequences_unsharded_baseline")
     assert "SinglePartition" in p0
+
+
+# ---- headline scale-safety gates -----------------------------------------
+# The bench headline is the repo's public performance claim; every entry must
+# be a shape that survives 100 TB. The known scale-killers are registered
+# ONLY under explicit *_baseline names and must never reappear in the
+# headline, and no headline plan may funnel a window through one task.
+
+UNCAPPED_BASELINES = {
+    "dedup_jaccard_verify_uncapped_baseline",
+    "dedup_lsh_then_verify_uncapped_baseline",
+    "pack_sequences_unsharded_baseline",
+}
+
+
+def _bench_headline() -> list[str]:
+    import bench
+
+    return list(bench.HEADLINE)
+
+
+def test_headline_contains_no_uncapped_baseline():
+    names = set(_bench_headline())
+    leaked = names & UNCAPPED_BASELINES
+    assert not leaked, f"uncapped funnels back in the bench headline: {leaked}"
+    # the conflated build+search entry is replaced by the ivf_build /
+    # ivf_search split rows emitted by bench.time_ivf_split
+    assert "similarity_topk_ivf" not in names
+
+
+def test_baseline_variants_stay_registered_and_flagged():
+    """The lossless baselines remain available (they are the oracle-exact
+    reference shapes) but must be explicitly named as baselines."""
+    for name in UNCAPPED_BASELINES:
+        assert name in QUERIES, f"{name} dropped from the registry"
+        assert "baseline" in name
+
+
+@pytest.mark.parametrize("name", sorted(set(_bench_headline())))
+def test_headline_window_never_single_partition(spark, sf_dir, name):
+    """No headline query may compute a window function over a SinglePartition
+    exchange — the whole-corpus-through-one-task funnel. (Non-window global
+    aggregates legitimately finish on one partition of partial-agg output;
+    the funnel risk is windows, which carry full rows.)"""
+    p = plan_of(spark, sf_dir, name)
+    if "Window" in p:
+        assert "SinglePartition" not in p, (
+            f"{name}: window funnels through one task\n{p[:2000]}"
+        )
 
 
 def test_q1_scan_prunes_columns(spark, sf_dir):
