@@ -117,18 +117,27 @@ def _fetch_table(path: str, flt: list):
 def _fetch_with_retry(path: str, flt: list, attempts: int, base_s: float):
     """Exponential-backoff retry around the fetch — the reference's S6
     policy (stream.rs:148-155, data_feed/block.rs:25-26: 10 ms base,
-    4 attempts, doubling). Re-raises the last error once attempts are
-    exhausted; a real RPC gateway source drops in here unchanged.
+    doubling). ``attempts`` counts TOTAL calls (4 by default); the
+    reference's ``Retry::spawn`` with ``.take(4)`` performs an initial call
+    plus 4 retries = 5 total — an intentional off-by-one difference kept
+    because "4 attempts" reads as 4 calls in options. Re-raises the last
+    error once attempts are exhausted; a real RPC gateway source drops in
+    here unchanged.
 
     Only transient I/O errors are retried (OSError covers
-    pyarrow.lib.ArrowIOError); deterministic failures — bad filter, schema
-    mismatch, programming errors — surface immediately without backoff."""
+    pyarrow.lib.ArrowIOError). Deterministic failures surface immediately
+    without backoff: non-OSError (bad filter, schema mismatch, programming
+    errors) and FileNotFoundError — an OSError subclass, but a missing path
+    never heals, so burning the backoff budget on it only delays the
+    report."""
     import time
 
     attempt = 0
     while True:
         try:
             return _fetch_table(path, flt)
+        except FileNotFoundError:
+            raise  # deterministic: a bad path never becomes readable
         except OSError:
             attempt += 1
             if attempt >= attempts:
@@ -232,7 +241,7 @@ class EthLogStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: BlockRangePartition) -> Iterator[tuple]:
-        if partition.hi <= partition.lo:
+        if partition is None or partition.hi <= partition.lo:
             return iter(())
         return _read_range(
             self.path,
@@ -331,12 +340,23 @@ class EthLogBatchReader(DataSourceReader):
             )
         hi = (to_b if to_b is not None else _chain_head(self.path)) + 1
         step = self.block_step
+        if hi <= lo:
+            # pushed predicates can narrow the range to empty (e.g.
+            # block_number = 5 with from_block = 10). An empty partition
+            # list is NOT safe: PySpark substitutes [None] and calls
+            # read(None). Return one empty sentinel chunk instead — the
+            # same hi<=lo convention the stream reader uses.
+            return [BlockRangePartition(lo, lo, addr, addr_exact)]
         return [
             BlockRangePartition(b, min(b + step, hi), addr, addr_exact)
             for b in range(lo, hi, step)
         ]
 
     def read(self, partition: BlockRangePartition) -> Iterator[tuple]:
+        # belt-and-braces for the empty-range sentinel (and for a None
+        # partition should a PySpark version hand one through anyway)
+        if partition is None or partition.hi <= partition.lo:
+            return iter(())
         return _read_range(
             self.path,
             partition.lo,

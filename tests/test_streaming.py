@@ -1001,6 +1001,70 @@ def test_batch_reader_honors_retry_options(tmp_path, monkeypatch):
     assert calls["n"] == 2  # option-configured, not the hardcoded 4
 
 
+def test_retry_fails_fast_on_missing_file(tmp_path, monkeypatch):
+    """FileNotFoundError is an OSError, but a bad path never heals — it must
+    surface on the FIRST call instead of burning the backoff budget."""
+    from eth_event_stream_spark.sources import block_source as bs
+
+    path = str(tmp_path / "logs.parquet")
+    _write_logs_parquet(path, ["0xaa"])
+    calls = {"n": 0}
+
+    def missing(p, flt):
+        calls["n"] += 1
+        raise FileNotFoundError(p)
+
+    monkeypatch.setattr(bs, "_fetch_table", missing)
+    with pytest.raises(FileNotFoundError):
+        list(bs._read_range(path, 0, 10, None, None, True, retry_base_s=0.001))
+    assert calls["n"] == 1
+
+
+def test_batch_partitions_never_empty_on_empty_range(tmp_path):
+    """Pushed predicates narrowing the block range to EMPTY must yield one
+    empty sentinel partition, never [] — PySpark substitutes [None] for an
+    empty partition list and read(None) would crash. read() on the sentinel
+    (and on a defensive None) yields no rows."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from eth_event_stream_spark.sources import block_source as bs
+
+    path = str(tmp_path / "logs.parquet")
+    _write_logs_parquet(path, ["0xaa", "0xbb", "0xcc"])
+
+    # block_number = 1 AND block_number > 5 -> empty [max(2,1), 1] range
+    reader = bs.EthLogBatchReader({"path": path, "pushdown": "true", "to_block": "9"})
+    reader.pushFilters([EqualTo(("block_number",), 1), GreaterThan(("block_number",), 5)])
+    parts = reader.partitions()
+    assert len(parts) == 1 and parts[0].hi <= parts[0].lo
+    assert list(reader.read(parts[0])) == []
+    assert list(reader.read(None)) == []
+
+    # from_block beyond to_block via options hits the same sentinel path
+    reader2 = bs.EthLogBatchReader({"path": path, "from_block": "10", "to_block": "5"})
+    parts2 = reader2.partitions()
+    assert len(parts2) == 1
+    assert list(reader2.read(parts2[0])) == []
+
+
+def test_batch_empty_pushed_range_end_to_end(source_registered, tmp_path):
+    """The ADVICE repro verbatim: WHERE block_number = N below from_block
+    ran read(None) and crashed; it must now return an empty DataFrame."""
+    spark = source_registered
+    path = str(tmp_path / "logs.parquet")
+    _write_logs_parquet(path, ["0xaa", "0xbb", "0xcc"])
+    df = (
+        spark.read.format("eth_logs")
+        .option("path", path)
+        .option("pushdown", "true")
+        .option("from_block", "10")
+        .option("to_block", "20")
+        .load()
+        .filter("block_number = 5")
+    )
+    assert df.count() == 0
+
+
 def test_pushdown_address_is_exact_option_address_is_lowercased(tmp_path):
     """A pushdown-sourced address narrows the scan with the VERBATIM value
     (Spark re-checks post-scan); an option-sourced address is lowercased
