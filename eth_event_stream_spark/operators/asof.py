@@ -20,6 +20,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Spark can ORDER BY a column of this type (maps cannot)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join_backward(
@@ -30,6 +42,7 @@ def asof_join_backward(
     right_on: str,
     value_cols: list[str] | None = None,
     direction: str = "backward",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Left rows + the latest right ``value_cols`` as of ``left_on``.
 
@@ -41,9 +54,21 @@ def asof_join_backward(
     row; ``forward`` = earliest right row at-or-after it. Exact-timestamp
     matches are included in both directions (the side-order tiebreak places
     right rows inside the frame at equal timestamps).
+
+    Duplicate right rows on ``(by, right_on)`` resolve DETERMINISTICALLY:
+    ``tiebreak`` (a right column name, e.g. a unique id) is appended to the
+    window order, so the attached row is the one with the greatest tiebreak
+    (backward) / least (forward) among the tied timestamps — stable across
+    partitionings and retries, never whichever row the shuffle happened to
+    sort last. Without ``tiebreak`` the packed value struct itself is the
+    tie-break key (field-by-field comparison), which requires every value
+    column to be orderable (no maps) — pass an explicit ``tiebreak`` for
+    unorderable payloads.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if tiebreak is not None and tiebreak not in right.columns:
+        raise ValueError(f"tiebreak column {tiebreak!r} not in right columns")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*by, right_on)]
     overlap = set(value_cols) & set(left.columns)
@@ -64,6 +89,15 @@ def asof_join_backward(
     struct_type = (
         right.select(val_struct.alias("_asof_vals")).schema["_asof_vals"].dataType
     )
+    if tiebreak is not None:
+        tb_col, tb_type = F.col(tiebreak), right.schema[tiebreak].dataType
+    else:
+        if not _orderable(struct_type):
+            raise ValueError(
+                "value struct contains an unorderable type (map); pass an "
+                "explicit tiebreak column for deterministic tie resolution"
+            )
+        tb_col, tb_type = val_struct, struct_type
     l_tag = left.select(
         *by,
         F.col(left_on).alias("_asof_ts"),
@@ -71,6 +105,7 @@ def asof_join_backward(
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in left.columns if c not in by],
         F.lit(None).cast(struct_type).alias("_asof_vals"),
+        F.lit(None).cast(tb_type).alias("_asof_tb"),
     )
     r_tag = right.select(
         *by,
@@ -83,9 +118,13 @@ def asof_join_backward(
             if c not in by
         ],
         val_struct.alias("_asof_vals"),
+        tb_col.alias("_asof_tb"),
     )
     unioned = l_tag.unionByName(r_tag)
-    base = Window.partitionBy(*by).orderBy("_asof_ts", "_side_order")
+    # _asof_tb last: it only disambiguates RIGHT rows tied on (ts); sides
+    # are already separated by _side_order, and left rows' NULL tiebreak
+    # cannot reorder them relative to right rows
+    base = Window.partitionBy(*by).orderBy("_asof_ts", "_side_order", "_asof_tb")
     if direction == "backward":
         w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         picked = F.last("_asof_vals", ignorenulls=True).over(w)

@@ -451,6 +451,75 @@ def test_asof_join_backward_matches_pandas(spark):
         assert got == expected, direction
 
 
+def test_asof_join_duplicate_ts_ties_are_deterministic(spark):
+    """Duplicate right rows on (key, ts) must resolve to ONE deterministic
+    row — greatest tiebreak for backward, least for forward — stable across
+    repartitionings (previously the attached struct was whichever tied row
+    the shuffle sorted last)."""
+    from eth_event_stream_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [("k", 5, 1), ("k", 2, 2), ("j", 5, 3)], "k STRING, ts BIGINT, lid BIGINT"
+    )
+    dup_rows = [
+        ("k", 2, 10.0, "r1"),
+        ("k", 2, 30.0, "r3"),
+        ("k", 2, 20.0, "r2"),
+        ("j", 7, 1.0, "r4"),
+        ("j", 7, 2.0, "r5"),
+    ]
+    for nparts in (1, 3, 7):
+        right = spark.createDataFrame(
+            dup_rows, "k STRING, ts BIGINT, px DOUBLE, rid STRING"
+        ).repartition(nparts)
+        # explicit unique tiebreak column
+        back = {
+            r["lid"]: (r["px"], r["rid"])
+            for r in asof_join_backward(
+                left, right, by=["k"], left_on="ts", right_on="ts", tiebreak="rid"
+            ).collect()
+        }
+        assert back[1] == (30.0, "r3"), back  # greatest rid among ts=2 ties
+        assert back[2] == (30.0, "r3"), back  # exact match included
+        assert back[3] == (None, None), back  # no prior right row
+        fwd = {
+            r["lid"]: (r["px"], r["rid"])
+            for r in asof_join_backward(
+                left, right, by=["k"], left_on="ts", right_on="ts",
+                direction="forward", tiebreak="rid",
+            ).collect()
+        }
+        assert fwd[3] == (1.0, "r4"), fwd  # least rid among ts=7 ties
+        # default tiebreak: the packed value struct (field order px, rid)
+        back_default = {
+            r["lid"]: (r["px"], r["rid"])
+            for r in asof_join_backward(
+                left, right, by=["k"], left_on="ts", right_on="ts"
+            ).collect()
+        }
+        assert back_default[1] == (30.0, "r3"), back_default  # max struct
+
+
+def test_asof_join_unorderable_payload_requires_tiebreak(spark):
+    """A map-typed value column cannot be the implicit struct tiebreak; the
+    operator must demand an explicit one instead of failing in Catalyst."""
+    import pytest as _pytest
+
+    from eth_event_stream_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([("k", 3, 1)], "k STRING, ts BIGINT, lid BIGINT")
+    right = spark.createDataFrame(
+        [("k", 1, {"a": 1.0}, "r1")],
+        "k STRING, ts BIGINT, m MAP<STRING,DOUBLE>, rid STRING",
+    )
+    with _pytest.raises(ValueError, match="tiebreak"):
+        asof_join_backward(left, right, by=["k"], left_on="ts", right_on="ts")
+    [r] = asof_join_backward(
+        left, right, by=["k"], left_on="ts", right_on="ts", tiebreak="rid"
+    ).collect()
+    assert r["m"] == {"a": 1.0} and r["rid"] == "r1"
+
+
 def test_asof_join_null_right_values_row_atomic(spark):
     """The matched right row is picked ATOMICALLY: a NULL field in the
     latest right row stays NULL (no staler value substituted), and multiple
