@@ -13,6 +13,7 @@ is the deployment story, not a test shim.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -48,28 +49,53 @@ def _register_by_value() -> None:
             _BY_VALUE.add(name)
 
 
+def build_pkg_zip(pkg_dir: str, out_dir: str | None = None) -> str:
+    """Zip ``pkg_dir`` (as a top-level package) into a CONTENT-ADDRESSED
+    archive and return its path.
+
+    The zip filename embeds a hash of the sorted (relpath, size, mtime)
+    manifest, so staleness is structural, not newest-mtime: deleting or
+    renaming a module changes the manifest, changes the hash, and builds a
+    fresh archive — a newest-mtime check would happily keep serving a zip
+    that still contains the deleted module (workers could import the ghost).
+    Distinct users/checkouts also get distinct filenames instead of
+    colliding on one world-shared /tmp path. Existing archive for the same
+    hash = identical content, reused as-is; builds write to a temp file and
+    rename into place, so concurrent builders race benignly.
+    """
+    pkg_dir = os.path.abspath(pkg_dir)
+    root = os.path.dirname(pkg_dir)
+    files: list[tuple[str, str]] = []
+    manifest = hashlib.sha256()
+    for dirpath, dirs, names in os.walk(pkg_dir):
+        dirs.sort()  # deterministic walk order -> deterministic hash
+        for f in sorted(names):
+            if f.endswith(".py"):
+                full = os.path.join(dirpath, f)
+                rel = os.path.relpath(full, root)
+                files.append((full, rel))
+                st = os.stat(full)
+                manifest.update(
+                    f"{rel}\x00{st.st_size}\x00{st.st_mtime_ns}\x01".encode()
+                )
+    digest = manifest.hexdigest()[:16]
+    out_dir = out_dir or tempfile.gettempdir()
+    zpath = os.path.join(out_dir, f"eth_event_stream_spark_pkg_{digest}.zip")
+    if not os.path.exists(zpath):
+        fd, tmp = tempfile.mkstemp(suffix=".zip", dir=out_dir)
+        os.close(fd)
+        with zipfile.ZipFile(tmp, "w") as z:
+            for full, rel in files:
+                z.write(full, rel)
+        os.replace(tmp, zpath)  # atomic: readers never see a partial zip
+    return zpath
+
+
 def ship_package(spark) -> None:
     _register_by_value()  # every call — late-imported modules must register
     sc = spark.sparkContext
     if id(sc) in _SHIPPED:
         return
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    root = os.path.dirname(pkg_dir)
-    zpath = os.path.join(tempfile.gettempdir(), "eth_event_stream_spark_pkg.zip")
-
-    newest = 0.0
-    files: list[tuple[str, str]] = []
-    for dirpath, _, names in os.walk(pkg_dir):
-        for f in names:
-            if f.endswith(".py"):
-                full = os.path.join(dirpath, f)
-                files.append((full, os.path.relpath(full, root)))
-                newest = max(newest, os.path.getmtime(full))
-
-    if not os.path.exists(zpath) or os.path.getmtime(zpath) < newest:
-        with zipfile.ZipFile(zpath, "w") as z:
-            for full, rel in files:
-                z.write(full, rel)
-
+    zpath = build_pkg_zip(os.path.dirname(os.path.abspath(__file__)))
     sc.addPyFile(zpath)
     _SHIPPED.add(id(sc))
