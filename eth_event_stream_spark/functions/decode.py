@@ -20,9 +20,13 @@ per-field column expressions to stay in codegen"). Each 32-byte slot is a
 - ``bool``: low 64 bits != 0.
 - ``bytesN``: the slot's first N bytes as 0x-hex.
 
-Dynamic types (``string``/``bytes``) in *data* use the ABI head/tail encoding;
-we decode them via offset-following expressions. Indexed dynamic params are,
-per the ABI spec, a keccak hash of the value — surfaced as the hex hash.
+Dynamic and composite types in *data* use the ABI head/tail encoding, decoded
+by ONE offset-following recursion (``_decode_value``) over the full type
+lattice: ``string``/``bytes``, arrays of any element type including nested
+``T[][]`` and arrays of tuples, and tuples with static or dynamic components
+at any nesting depth. Indexed dynamic/array/tuple params are, per the ABI
+spec, a keccak hash of the value — surfaced once as the hex hash (no
+redundant ``_hex`` twin).
 """
 
 from __future__ import annotations
@@ -170,122 +174,102 @@ def data_slot(data_hex: Column, j: int) -> Column:
 _DYNAMIC_TYPES = ("string", "bytes")
 
 
-def _decode_dynamic(data_hex: Column, head_j: int, abi_type: str) -> Column:
-    """Decode a dynamic ``string``/``bytes`` data param via ABI head/tail.
+def _at(data_hex: Column, pos: Column, n_chars: Column | int) -> Column:
+    """Hex substring of ``n_chars`` starting at 1-based char position
+    ``pos`` (LongType arithmetic upstream; Substring wants ints)."""
+    n = F.lit(n_chars) if isinstance(n_chars, int) else n_chars
+    return data_hex.substr(pos.cast("int"), n.cast("int"))
 
-    The head slot holds the byte offset of the tail (from the start of the
-    data section); the tail is [32-byte length][payload, zero-padded]. All
-    offset arithmetic stays in column expressions, so dynamic decode is as
-    codegen-friendly as the static path. (The reference ``todo!()``s these
-    types — eth_event_macro/src/lib.rs:108-111; we go further.)
+
+def _decode_value(data_hex: Column, pos: Column, abi_type: str) -> Column:
+    """Decode the value whose ABI encoding starts at hex-char ``pos``
+    (1-based) — THE general recursion over the full type lattice, covering
+    what the reference ``todo!()``s entirely (eth_event_macro/src/lib.rs:
+    108-111): dynamic string/bytes, arrays of any element type including
+    nested ``T[][]`` and tuples, and tuples with static or dynamic
+    components at any nesting depth.
+
+    ``pos`` points at a static value's inline slots, or a dynamic value's
+    tail. Layouts (ABI spec):
+
+    - string/bytes tail: [32-byte length][payload, zero-padded];
+    - ``T[]`` tail: [32-byte count][body], where the body is the tuple
+      encoding of the k elements (inline for static T; per-element offset
+      slots relative to the body start, then element tails, for dynamic T);
+    - tuple: a head area — static components inline (their slot count),
+      dynamic components as offset slots relative to the tuple's own
+      encoding start — followed by the dynamic components' tails.
+
+    Everything is column expressions (conv/substr/transform), so arbitrary
+    nesting stays inside whole-stage codegen — no Python in the hot path.
     """
-    head = data_slot(data_hex, head_j)
-    # byte offset -> 1-based hex-char position of the length slot
-    off_chars = (F.conv(head, 16, 10).cast("long") * 2 + 1).cast("int")
-    length_b = F.conv(F.substring(data_hex, off_chars, _SLOT_HEX), 16, 10).cast("long")
-    payload_hex = F.substring(
-        data_hex, off_chars + _SLOT_HEX, (length_b * 2).cast("int")
-    )
-    if abi_type == "string":
-        return F.decode(F.unhex(payload_hex), "UTF-8")
-    return F.unhex(payload_hex)  # bytes -> BinaryType (matches event_schema)
-
-
-def _decode_dynamic_array(data_hex: Column, head_j: int, abi_type: str) -> Column:
-    """Decode a dynamic ``T[]`` data param (static element type T) via ABI
-    head/tail: the head slot points at [32-byte count][elem slots...]; each
-    element decodes with the same static-slot rules as a scalar of type T.
-    All offset math stays in column expressions (codegen-friendly, like the
-    string/bytes path). The reference relies on ethabi for this; its macro
-    cast layer predates arrays — we surface them as typed Spark arrays."""
-    from .schema import abi_to_spark_type
-
-    elem_type = abi_type[:-2]
-    head = data_slot(data_hex, head_j)
-    off_chars = (F.conv(head, 16, 10).cast("long") * 2 + 1).cast("int")
-    n = F.conv(data_hex.substr(off_chars, F.lit(_SLOT_HEX)), 16, 10).cast("int")
-    first = off_chars + _SLOT_HEX
-    elems = F.transform(
-        # sequence(1, 0) DESCENDS in Spark — the n = 0 case is handled below
-        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-        lambda i: _decode_slot(
-            data_hex.substr(first + (i - 1) * _SLOT_HEX, F.lit(_SLOT_HEX)), elem_type
-        ),
-    )
     from pyspark.sql.types import ArrayType
 
-    arr_type = ArrayType(abi_to_spark_type(elem_type))
-    empty = F.array().cast(arr_type)
-    # NULL/truncated data -> n is NULL: surface NULL (same as the scalar
-    # dynamic path), never a fake empty array that masks corruption
-    return (
-        F.when(n.isNull(), F.lit(None).cast(arr_type))
-        .when(n > 0, elems)
-        .otherwise(empty)
+    from .schema import (
+        abi_to_spark_type,
+        is_dynamic_type,
+        static_head_slots,
+        tuple_components,
     )
 
-
-def _decode_dynamic_elem_array(data_hex: Column, head_j: int, abi_type: str) -> Column:
-    """Decode a ``string[]`` / ``bytes[]`` data param — a dynamic array OF
-    dynamic elements, the two-level ABI head/tail:
-
-    head slot -> [32-byte count][per-element offset slots][element tails],
-    where each element offset is relative to the start of the offset area
-    (just past the count) and each element tail is [32-byte length][payload,
-    zero-padded]. All offset math is column expressions, same as the scalar
-    dynamic path. (The reference ``todo!()``s all dynamic types —
-    eth_event_macro/src/lib.rs:108-111; this extends the superset.)"""
-    from pyspark.sql.types import ArrayType, BinaryType, StringType
-
-    elem_type = abi_type[:-2]
-    head = data_slot(data_hex, head_j)
-    # 1-based hex-char position of the array's count slot
-    base = (F.conv(head, 16, 10).cast("long") * 2 + 1).cast("int")
-    n = F.conv(data_hex.substr(base, F.lit(_SLOT_HEX)), 16, 10).cast("int")
-    first = base + _SLOT_HEX  # element-offset area (ABI offsets are relative to it)
-
-    def elem(i: Column) -> Column:
-        off = (
-            F.conv(
-                data_hex.substr(first + (i - 1) * _SLOT_HEX, F.lit(_SLOT_HEX)), 16, 10
-            ).cast("long")
-            * 2
-        ).cast("int")
-        tail = first + off
-        length_b = F.conv(data_hex.substr(tail, F.lit(_SLOT_HEX)), 16, 10).cast("long")
-        payload_hex = data_hex.substr(tail + _SLOT_HEX, (length_b * 2).cast("int"))
-        if elem_type == "string":
+    if abi_type in _DYNAMIC_TYPES:
+        length_b = F.conv(_at(data_hex, pos, _SLOT_HEX), 16, 10).cast("long")
+        payload_hex = _at(data_hex, pos + _SLOT_HEX, length_b * 2)
+        if abi_type == "string":
             return F.decode(F.unhex(payload_hex), "UTF-8")
-        return F.unhex(payload_hex)
+        return F.unhex(payload_hex)  # bytes -> BinaryType (matches schema)
 
-    elems = F.transform(
+    if abi_type.endswith("[]"):
+        elem_t = abi_type[:-2]
+        n = F.conv(_at(data_hex, pos, _SLOT_HEX), 16, 10).cast("long")
+        body = pos + _SLOT_HEX  # ABI: element offsets are relative to here
+        if is_dynamic_type(elem_t):
+            fn = lambda i: _decode_value(  # noqa: E731
+                data_hex,
+                body
+                + F.conv(
+                    _at(data_hex, body + (i.cast("long") - 1) * _SLOT_HEX, _SLOT_HEX),
+                    16,
+                    10,
+                ).cast("long")
+                * 2,
+                elem_t,
+            )
+        else:
+            k = static_head_slots(elem_t)
+            fn = lambda i: _decode_value(  # noqa: E731
+                data_hex, body + (i.cast("long") - 1) * (k * _SLOT_HEX), elem_t
+            )
         # sequence(1, 0) DESCENDS in Spark — the n = 0 case is handled below
-        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-        elem,
-    )
-    arr_type = ArrayType(StringType() if elem_type == "string" else BinaryType())
-    empty = F.array().cast(arr_type)
-    return (
-        F.when(n.isNull(), F.lit(None).cast(arr_type))
-        .when(n > 0, elems)
-        .otherwise(empty)
-    )
+        elems = F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1)).cast("int")), fn
+        )
+        arr_type = ArrayType(abi_to_spark_type(elem_t))
+        # NULL/truncated data -> n is NULL: surface NULL, never a fake empty
+        # array that masks corruption
+        return (
+            F.when(n.isNull(), F.lit(None).cast(arr_type))
+            .when(n > 0, elems)
+            .otherwise(F.array().cast(arr_type))
+        )
 
+    if abi_type.startswith("("):
+        fields, off_slots = [], 0
+        for i, ct in enumerate(tuple_components(abi_type)):
+            comp_head = pos + off_slots * _SLOT_HEX
+            if is_dynamic_type(ct):
+                # offset slot, relative to the tuple's own encoding start
+                tail = pos + F.conv(
+                    _at(data_hex, comp_head, _SLOT_HEX), 16, 10
+                ).cast("long") * 2
+                fields.append(_decode_value(data_hex, tail, ct).alias(f"f{i}"))
+                off_slots += 1
+            else:
+                fields.append(_decode_value(data_hex, comp_head, ct).alias(f"f{i}"))
+                off_slots += static_head_slots(ct)
+        return F.struct(*fields)
 
-def _decode_static_tuple(data_hex: Column, head_j: int, abi_type: str) -> Column:
-    """Decode a flat tuple of static scalar types — ABI-inline: a static
-    tuple's components occupy ``k`` consecutive head slots (no offset
-    indirection), so each decodes with the scalar slot rules into a struct
-    field ``f0..fk`` (positional — event signatures carry no component
-    names)."""
-    from .schema import tuple_components
-
-    return F.struct(
-        *[
-            _decode_slot(data_slot(data_hex, head_j + i), ct).alias(f"f{i}")
-            for i, ct in enumerate(tuple_components(abi_type))
-        ]
-    )
+    return _decode_slot(_at(data_hex, pos, _SLOT_HEX), abi_type)
 
 
 def decode_columns(event: EventSchema | str) -> dict[str, Column]:
@@ -298,6 +282,13 @@ def decode_columns(event: EventSchema | str) -> dict[str, Column]:
     tail. Indexed dynamic params are, per the ABI spec, keccak hashes of the
     value — surfaced as the hex hash.
     """
+    from .schema import (
+        _needs_lossless_hex,
+        is_dynamic_type,
+        static_head_slots,
+        topic_is_hash,
+    )
+
     if isinstance(event, str):
         event = parse_event_declaration(event)
     data_hex = F.lower(F.hex(F.col("data")))
@@ -305,39 +296,36 @@ def decode_columns(event: EventSchema | str) -> dict[str, Column]:
     # topics[0] is the signature hash (sink.rs:40) — EXCEPT for anonymous
     # events, which carry no signature topic: indexed params start at 0
     topic_i = 0 if event.anonymous else 1
-    data_j = 0
+    data_j = 0  # head-slot cursor in the data section
     for p in event.params:
+        hex_slot: Column | None = None
         if p.indexed:
             slot = topic_slot(F.col("topics"), topic_i)
             topic_i += 1
             out[p.name] = _decode_slot(slot, p.type)
-        elif p.type in _DYNAMIC_TYPES:
-            out[p.name] = _decode_dynamic(data_hex, data_j, p.type)
-            slot = data_slot(data_hex, data_j)
+            if not topic_is_hash(p.type):
+                # hashed topics (dynamic/array/tuple) are surfaced verbatim
+                # as <name>; a _hex twin would merely duplicate that hash
+                hex_slot = slot
+        elif is_dynamic_type(p.type):
+            head = data_slot(data_hex, data_j)
+            pos = F.conv(head, 16, 10).cast("long") * 2 + 1
+            out[p.name] = _decode_value(data_hex, pos, p.type)
             data_j += 1
-        elif p.type.endswith("[]"):
-            if p.type[:-2] in _DYNAMIC_TYPES:
-                out[p.name] = _decode_dynamic_elem_array(data_hex, data_j, p.type)
-            else:
-                out[p.name] = _decode_dynamic_array(data_hex, data_j, p.type)
-            slot = data_slot(data_hex, data_j)
-            data_j += 1
-        elif p.type.startswith("("):
-            from .schema import tuple_components
-
-            k = len(tuple_components(p.type))
-            out[p.name] = _decode_static_tuple(data_hex, data_j, p.type)
-            # lossless hex = the tuple's FULL k-slot inline encoding
-            slot = F.concat(*[data_slot(data_hex, data_j + i) for i in range(k)])
-            data_j += k
+            # head slot is an offset, not the value — no lossless hex
         else:
-            slot = data_slot(data_hex, data_j)
-            data_j += 1
-            out[p.name] = _decode_slot(slot, p.type)
-        from .schema import _needs_lossless_hex
-
-        if _needs_lossless_hex(p.type):
-            out[f"{p.name}_hex"] = F.concat(F.lit("0x"), slot)
+            k = static_head_slots(p.type)
+            pos = F.lit(data_j * _SLOT_HEX + 1).cast("long")
+            out[p.name] = _decode_value(data_hex, pos, p.type)
+            # lossless hex = the value's FULL k-slot inline encoding
+            hex_slot = (
+                F.concat(*[data_slot(data_hex, data_j + i) for i in range(k)])
+                if k > 1
+                else data_slot(data_hex, data_j)
+            )
+            data_j += k
+        if hex_slot is not None and _needs_lossless_hex(p.type):
+            out[f"{p.name}_hex"] = F.concat(F.lit("0x"), hex_slot)
     return out
 
 

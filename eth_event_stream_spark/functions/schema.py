@@ -97,19 +97,18 @@ class EventSchema:
                 T.StructField("log_index", T.LongType(), False),
             ]
         for p in self.params:
-            if p.indexed and (
-                p.type in ("string", "bytes")
-                or p.type.endswith("[]")
-                or p.type.startswith("(")
-            ):
-                # per the ABI spec an indexed dynamic param's topic is the
-                # keccak hash of the value — surfaced as a hex string, and
-                # declared as such (matching what decode_columns produces)
+            hashed = p.indexed and topic_is_hash(p.type)
+            if hashed:
+                # per the ABI spec an indexed dynamic/array/tuple param's
+                # topic is the keccak hash of the value — surfaced as a hex
+                # string, and declared as such (matching decode_columns)
                 typ: T.DataType = T.StringType()
             else:
                 typ = abi_to_spark_type(p.type)
             fields.append(T.StructField(p.name, typ, True))
-            if _needs_lossless_hex(p.type):
+            if _needs_lossless_hex(p.type) and not hashed:
+                # a hashed topic already IS the only recoverable encoding —
+                # a `_hex` column would merely duplicate it
                 fields.append(T.StructField(f"{p.name}_hex", T.StringType(), True))
         return T.StructType(fields)
 
@@ -138,6 +137,39 @@ def tuple_components(abi_type: str) -> tuple[str, ...]:
     return tuple(_split_top_level(inner)) if inner else ()
 
 
+def is_dynamic_type(abi_type: str) -> bool:
+    """ABI 'dynamic' predicate: string/bytes, every ``T[]`` array, and any
+    tuple with a dynamic component. Dynamic types occupy ONE head slot (an
+    offset to their tail); static types encode inline."""
+    if abi_type in ("string", "bytes") or abi_type.endswith("[]"):
+        return True
+    if abi_type.startswith("("):
+        return any(is_dynamic_type(c) for c in tuple_components(abi_type))
+    return False
+
+
+def static_head_slots(abi_type: str) -> int:
+    """Head slots a type occupies in a head area: 1 for dynamic (the
+    offset) and for static scalars; the component-slot sum for static
+    tuples (their components inline)."""
+    if is_dynamic_type(abi_type):
+        return 1
+    if abi_type.startswith("("):
+        return sum(static_head_slots(c) for c in tuple_components(abi_type))
+    return 1
+
+
+def topic_is_hash(abi_type: str) -> bool:
+    """Per the ABI spec, an INDEXED param of dynamic, array, or tuple type
+    puts keccak(encoding) in the topic — the value itself is unrecoverable
+    from the log."""
+    return (
+        abi_type in ("string", "bytes")
+        or abi_type.endswith("[]")
+        or abi_type.startswith("(")
+    )
+
+
 def canonical_abi_type(raw: str) -> str:
     """Canonicalize an ABI type name; raise on unsupported syntax.
 
@@ -149,28 +181,22 @@ def canonical_abi_type(raw: str) -> str:
     ``(uint, bool) -> (uint256,bool)`` matter for topic0.
     """
     raw = raw.strip()
-    if raw.startswith("("):
-        if not raw.endswith(")"):
-            raise EventDeclarationError(f"unbalanced tuple type: {raw!r}")
-        inner = raw[1:-1].strip()
+    if raw.startswith("(") and raw.rstrip("[]").endswith(")"):
+        # tuple, possibly with [] suffixes: canonicalize inner, keep suffix
+        suffix_at = raw.rfind(")") + 1
+        suffix = raw[suffix_at:]
+        if suffix and suffix != "[]" * (len(suffix) // 2):
+            raise EventDeclarationError(f"bad array suffix: {raw!r}")
+        body = raw[:suffix_at]
+        inner = body[1:-1].strip()
         if not inner:
             raise EventDeclarationError(f"empty tuple type: {raw!r}")
         comps = [canonical_abi_type(c) for c in _split_top_level(inner)]
-        for c in comps:
-            if c in ("string", "bytes") or c.endswith("]") or c.startswith("("):
-                raise EventDeclarationError(
-                    f"unsupported ABI type: {raw!r} (only flat tuples of "
-                    "static scalar component types)"
-                )
-        return f"({','.join(comps)})"
+        return f"({','.join(comps)}){suffix}"
+    if raw.startswith("("):
+        raise EventDeclarationError(f"unbalanced tuple type: {raw!r}")
     if raw.endswith("[]"):
-        elem = canonical_abi_type(raw[:-2])
-        if elem.endswith("]") or elem.startswith("("):
-            raise EventDeclarationError(
-                f"unsupported ABI type: {raw!r} (only one-level arrays of "
-                "scalar element types)"
-            )
-        return f"{elem}[]"
+        return f"{canonical_abi_type(raw[:-2])}[]"
     if raw == "address":
         return "address"
     if raw == "bool":
@@ -208,6 +234,8 @@ def abi_to_spark_type(abi_type: str) -> T.DataType:
     numeric components rely on the whole-tuple lossless ``<name>_hex``
     column rather than per-component hex fields.
     """
+    if abi_type.endswith("[]"):  # before the tuple check: "(T,U)[]" is an array
+        return T.ArrayType(abi_to_spark_type(abi_type[:-2]))
     if abi_type.startswith("("):
         return T.StructType(
             [
@@ -215,14 +243,6 @@ def abi_to_spark_type(abi_type: str) -> T.DataType:
                 for i, c in enumerate(tuple_components(abi_type))
             ]
         )
-    if abi_type.endswith("[]"):
-        elem = abi_type[:-2]
-        if elem.endswith("]") or elem.startswith("("):
-            raise EventDeclarationError(
-                f"unsupported ABI type: {abi_type!r} (only one-level arrays "
-                "of scalar element types)"
-            )
-        return T.ArrayType(abi_to_spark_type(elem))
     if abi_type == "address":
         return T.StringType()  # lowercase 0x-hex; join- and oracle-friendly
     if abi_type == "bool":
@@ -245,9 +265,15 @@ def abi_to_spark_type(abi_type: str) -> T.DataType:
 
 
 def _needs_lossless_hex(abi_type: str) -> bool:
+    if abi_type.endswith("[]"):
+        # array elements null individually on overflow; no single inline
+        # encoding slot exists to surface (the head slot is an offset)
+        return False
     if abi_type.startswith("("):
-        # the tuple's hex column carries its FULL k-slot encoding — lossless
-        # for every component, including wide numerics that null on overflow
+        if is_dynamic_type(abi_type):
+            return False  # head slot is an offset, not the value's encoding
+        # a STATIC tuple's hex column carries its FULL k-slot inline encoding
+        # — lossless for every component, incl. wide numerics that null
         return any(_needs_lossless_hex(c) for c in tuple_components(abi_type))
     m = _UINT_RE.match(abi_type)
     if m and int(m.group(1) or 256) > 63:

@@ -24,11 +24,38 @@ SEED = 20260813
 
 
 def _tuple_comps(typ: str) -> list[str]:
-    return typ[1:-1].split(",")
+    """Top-level comma split of a tuple type (nested tuples carry commas)."""
+    parts, depth, cur = [], 0, []
+    for ch in typ[1:-1]:
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        depth += ch == "("
+        depth -= ch == ")"
+        cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _is_dyn(typ: str) -> bool:
+    if typ in ("string", "bytes") or typ.endswith("[]"):
+        return True
+    if typ.startswith("("):
+        return any(_is_dyn(c) for c in _tuple_comps(typ))
+    return False
+
+
+def _head_slots(typ: str) -> int:
+    if _is_dyn(typ):
+        return 1
+    if typ.startswith("("):
+        return sum(_head_slots(c) for c in _tuple_comps(typ))
+    return 1
 
 
 def _enc_static(typ: str, v) -> bytes:
-    if typ.startswith("("):  # flat static tuple: components inline
+    if typ.startswith("("):  # static tuple: components inline
         return b"".join(_enc_static(ct, cv) for ct, cv in zip(_tuple_comps(typ), v))
     if typ == "address":
         return bytes(12) + bytes.fromhex(v[2:])
@@ -49,55 +76,49 @@ def _enc_dynamic(payload: bytes) -> bytes:
     return n.to_bytes(32, "big") + payload + bytes((32 - n % 32) % 32)
 
 
-def _encode_data(params: list[tuple[str, object]]) -> bytes:
-    """Standard ABI head/tail encoding of non-indexed params."""
+def _enc_value(typ: str, v) -> bytes:
+    """Full encoding of one value: a static value's inline slots, or a
+    dynamic value's tail (what its offset points at)."""
+    if typ == "string":
+        return _enc_dynamic(v.encode())
+    if typ == "bytes":
+        return _enc_dynamic(v)
+    if typ.endswith("[]"):
+        # [count][tuple-encoding of the k elements]
+        return len(v).to_bytes(32, "big") + _enc_members(
+            [(typ[:-2], e) for e in v]
+        )
+    if typ.startswith("(") and _is_dyn(typ):
+        return _enc_members(list(zip(_tuple_comps(typ), v)))
+    return _enc_static(typ, v)
+
+
+def _enc_members(members: list[tuple[str, object]]) -> bytes:
+    """ABI tuple encoding: head area (static inline, dynamic as offsets
+    relative to the area start) + concatenated dynamic tails."""
+    head_size = 32 * sum(_head_slots(t) for t, _ in members)
     heads, tails = [], []
-    # a static tuple occupies k head slots, everything else one
-    head_size = sum(
-        32 * (len(_tuple_comps(t)) if t.startswith("(") else 1) for t, _ in params
-    )
-    for typ, v in params:
-        if typ in ("string", "bytes"):
-            payload = v.encode() if typ == "string" else v
+    for typ, v in members:
+        if _is_dyn(typ):
             offset = head_size + sum(len(t) for t in tails)
             heads.append(offset.to_bytes(32, "big"))
-            tails.append(_enc_dynamic(payload))
-        elif typ.endswith("[]") and typ[:-2] in ("string", "bytes"):
-            # dynamic elements: [count][elem offsets (relative to the area
-            # after the count)][elem tails]
-            elem_t = typ[:-2]
-            payloads = [e.encode() if elem_t == "string" else e for e in v]
-            elem_tails = [_enc_dynamic(p) for p in payloads]
-            elem_heads, off = [], 32 * len(v)
-            for et in elem_tails:
-                elem_heads.append(off.to_bytes(32, "big"))
-                off += len(et)
-            tail = (
-                len(v).to_bytes(32, "big")
-                + b"".join(elem_heads)
-                + b"".join(elem_tails)
-            )
-            offset = head_size + sum(len(t) for t in tails)
-            heads.append(offset.to_bytes(32, "big"))
-            tails.append(tail)
-        elif typ.endswith("[]"):
-            elem_t = typ[:-2]
-            tail = len(v).to_bytes(32, "big") + b"".join(
-                _enc_static(elem_t, e) for e in v
-            )
-            offset = head_size + sum(len(t) for t in tails)
-            heads.append(offset.to_bytes(32, "big"))
-            tails.append(tail)
+            tails.append(_enc_value(typ, v))
         else:
-            heads.append(_enc_static(typ, v))
+            heads.append(_enc_value(typ, v))
     return b"".join(heads) + b"".join(tails)
 
 
+def _encode_data(params: list[tuple[str, object]]) -> bytes:
+    """Standard ABI head/tail encoding of non-indexed params (the data
+    section is the tuple of those params)."""
+    return _enc_members(params)
+
+
 def _rand_value(rng: random.Random, typ: str):
+    if typ.endswith("[]"):  # before the tuple check: "(T,U)[]" is an array
+        return [_rand_value(rng, typ[:-2]) for _ in range(rng.randint(0, 5))]
     if typ.startswith("("):
         return tuple(_rand_value(rng, ct) for ct in _tuple_comps(typ))
-    if typ.endswith("[]"):
-        return [_rand_value(rng, typ[:-2]) for _ in range(rng.randint(0, 5))]
     if typ == "address":
         return f"0x{rng.getrandbits(160):040x}"
     if typ == "bool":
@@ -126,10 +147,10 @@ def _rand_value(rng: random.Random, typ: str):
 
 def _expected(typ: str, v):
     """What the decoder should surface for a value of this type."""
+    if typ.endswith("[]"):  # before the tuple check: "(T,U)[]" is an array
+        return [_expected(typ[:-2], e) for e in v]
     if typ.startswith("("):
         return tuple(_expected(ct, cv) for ct, cv in zip(_tuple_comps(typ), v))
-    if typ.endswith("[]"):
-        return [_expected(typ[:-2], e) for e in v]
     if typ == "address":
         return v.lower()
     if typ == "bool":
@@ -180,6 +201,18 @@ TYPES = [
     "(uint256,address)",
     "(uint64,bool,bytes4)",
     "(int128,uint8,address)",
+    # round-4 extensions: dynamic-component tuples, nested arrays, arrays of
+    # tuples, nested tuples — the types the reference todo!()s entirely
+    "(uint64,string)",
+    "(string,address,bytes)",
+    "(uint256,uint64[])",
+    "(address,(uint64,bool))",
+    "uint64[][]",
+    "address[][]",
+    "string[][]",
+    "(uint64,bool)[]",
+    "(uint256,address)[]",
+    "(uint64,string)[]",
 ]
 # indexed dynamic params and tuples are keccak hashes per the ABI spec —
 # exclude them
@@ -247,6 +280,91 @@ def test_tuple_and_dynamic_array_roundtrip(spark):
     assert r["pair_hex"] == "0x" + _enc_static(types["pair"], vals["pair"]).hex()
     # and the trip tuple (no wide numerics) gets no hex column
     assert "trip_hex" not in r.asDict()
+
+
+def test_nested_and_dynamic_composite_roundtrip(spark):
+    """Deterministic pin of the round-4 type extensions: tuples with dynamic
+    components, nested arrays (T[][]), arrays of tuples (static and dynamic
+    components), nested tuples — plus the indexed-composite hex policy: a
+    hashed topic is surfaced once as <name>, never duplicated as <name>_hex."""
+    import pyspark.sql.types as T
+
+    from eth_event_stream_spark.functions.schema import event_schema
+
+    decl = (
+        "Evt((uint256,string) a, uint64[][] m, (uint256,address)[] pairs, "
+        "(address,(uint64,bool)) nest, (uint256,address) indexed key, "
+        "(uint64,string)[] tagged, string s)"
+    )
+    addr1, addr2, addr3 = ("0x" + c * 40 for c in "abc")
+    vals = {
+        "a": (10**38 + 5, "héllo"),  # wide comp beyond decimal range
+        "m": [[1, 2, 3], [], [5]],
+        "pairs": [(10**38 + 5, addr1), (3, addr2)],
+        "nest": (addr3, (9, True)),
+        "tagged": [(7, "x"), (8, ""), (9, "yz∆")],
+        "s": "tail",
+    }
+    types = {
+        "a": "(uint256,string)",
+        "m": "uint64[][]",
+        "pairs": "(uint256,address)[]",
+        "nest": "(address,(uint64,bool))",
+        "tagged": "(uint64,string)[]",
+        "s": "string",
+    }
+    ev = parse_event_declaration(decl)
+    key_hash = "0x" + "7e" * 32  # an indexed tuple's topic IS a keccak hash
+    data = _encode_data([(types[n], vals[n]) for n in vals])
+    row = {
+        "address": "0x" + "aa" * 20,
+        "topics": [ev.topic0, key_hash],
+        "data": data,
+        "block_number": 1,
+        "log_index": 0,
+        "transaction_hash": "0x0",
+        "removed": False,
+    }
+    schema = pa.schema(
+        [
+            pa.field("address", pa.string()),
+            pa.field("topics", pa.list_(pa.string())),
+            pa.field("data", pa.binary()),
+            pa.field("block_number", pa.int64()),
+            pa.field("log_index", pa.int64()),
+            pa.field("transaction_hash", pa.string()),
+            pa.field("removed", pa.bool_()),
+        ]
+    )
+    tbl = pa.table({k: [row[k]] for k in schema.names}, schema=schema)
+    df = spark.createDataFrame(tbl.to_pandas())
+    r = decode_event(df, decl).collect()[0]
+
+    for name in vals:
+        assert _norm(r[name]) == _expected(types[name], vals[name]), name
+    # the out-of-range uint256 components null individually; neighbors intact
+    assert r["a"]["f0"] is None and r["a"]["f1"] == "héllo"
+    assert r["pairs"][0]["f0"] is None and r["pairs"][1]["f0"] == 3
+    # indexed composite: the hash itself, surfaced ONCE (no _hex duplicate)
+    assert r["key"] == key_hash
+    d = r.asDict()
+    assert "key_hex" not in d
+    # dynamic tuples carry no _hex either (their head slot is an offset)
+    assert "a_hex" not in d and "pairs_hex" not in d
+    # and the declared schema agrees with what was decoded
+    st = event_schema(decl)
+    assert st["key"].dataType == T.StringType()
+    assert "key_hex" not in st.names and "a_hex" not in st.names
+    # uint64 > 63 bits -> DecimalType(38,0) per the width policy
+    assert st["m"].dataType == T.ArrayType(T.ArrayType(T.DecimalType(38, 0)))
+    assert st["pairs"].dataType == T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("f0", T.DecimalType(38, 0), True),
+                T.StructField("f1", T.StringType(), True),
+            ]
+        )
+    )
 
 
 def _norm(x):
