@@ -185,6 +185,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_exact_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    event_time_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``dedup_exact``: md5 content-hash dedup with
+    watermark-bounded state.
+
+    Keeps the FIRST arrival per content hash via
+    ``dropDuplicatesWithinWatermark`` and evicts a hash's state once the
+    watermark passes it + ``delay`` — state is bounded by the duplicate
+    horizon (how late a copy may arrive), not the corpus, which is what
+    makes exact dedup viable on an unbounded ingest. The batch
+    ``dedup_exact`` answers the same question corpus-wide (min doc_id per
+    hash); this form answers it incrementally for a pipeline ingesting
+    documents continuously. Stream==batch parity:
+    tests/test_streaming.py::test_stream_exact_dedup_content_hash_parity.
+    """
+    return (
+        df.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withWatermark(event_time_col, delay)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
 # --- MinHash + LSH ---------------------------------------------------------
 
 N_HASHES = 8

@@ -405,6 +405,65 @@ def test_min_label_propagation_random_graphs(spark):
         assert got == expected, f"seed {seed}"
 
 
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """The HLL++ sketch (agg_approx_distinct) must land within 5% relative
+    error of the exact per-group distinct count — the accuracy contract that
+    justifies trading exactness for constant memory at 100 TB (the sketch is
+    configured with rsd=0.01; 5% is 5 sigma of headroom)."""
+    from eth_event_stream_spark.plans import QUERIES
+    from eth_event_stream_spark.plans.catalog import t
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        rel = abs(approx[k] - n) / n
+        assert rel < 0.05, (k, approx[k], n, rel)
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """The quantile sketch (sketch_approx_percentile, accuracy 10000) must
+    sit within the exact value at rank +-0.1% of n for each requested
+    percentile — the documented approx_percentile accuracy contract (error
+    <= 1/accuracy of the rank), checked against the true sorted values."""
+    import bisect
+
+    from eth_event_stream_spark.plans import QUERIES
+    from eth_event_stream_spark.plans.catalog import t
+
+    approx = {
+        r["event_type"]: r["approx_pcts"]
+        for r in QUERIES["sketch_approx_percentile"].fn(spark, sf_dir).collect()
+    }
+    vals = {}
+    for r in t(spark, sf_dir, "events").select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    assert set(approx) == set(vals)
+    for k, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        for p, got in zip((0.5, 0.9, 0.99), approx[k]):
+            # rank window: the sketch may return any value whose rank is
+            # within n/accuracy of the target rank
+            target = p * (n - 1)
+            slack = max(1.0, n / 10000.0)
+            lo = xs[max(0, int(target - slack) - 1)]
+            hi = xs[min(n - 1, int(target + slack) + 1)]
+            assert lo <= got <= hi, (k, p, got, lo, hi)
+            # and the sketch value is an ACTUAL data value, not interpolated
+            i = bisect.bisect_left(xs, got)
+            assert i < n and xs[i] == got, (k, p, got)
+
+
 def test_asof_join_backward_matches_pandas(spark):
     """The generic as-of join equals pandas.merge_asof (backward, exact
     matches allowed) on seeded random data with ties, keys missing from one

@@ -894,6 +894,58 @@ def test_available_now_incremental_runs(source_registered, eth_logs_fixture, tmp
     assert len(counts) > 1  # genuinely incremental (several bounded runs)
 
 
+def test_stream_exact_dedup_content_hash_parity(spark, sf_dir, tmp_path):
+    """Streaming twin of dedup_exact (content-hash dedup): ingesting the
+    documents corpus incrementally (one file per micro-batch) through
+    dropDuplicatesWithinWatermark keeps exactly one FIRST-arrival row per
+    content hash — the same distinct-hash set the batch dedup computes."""
+    from eth_event_stream_spark.plans.pipeline import dedup_exact_stream
+
+    src = tmp_path / "docs_stream"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # re-ingest every 10th document under a new id: genuine content
+    # duplicates spread across files/micro-batches
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    docs.unionByName(dupes).repartition(4).write.parquet(str(src))
+    batch_df = spark.read.parquet(str(src))
+    expected_hashes = {
+        r["h"] for r in batch_df.select(F.md5("text").alias("h")).distinct().collect()
+    }
+    n_docs = batch_df.count()
+    assert len(expected_hashes) < n_docs, "fixture has no duplicate texts"
+
+    sdf = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)  # several genuine micro-batches
+        .parquet(str(src))
+        # duplicates keep their original's event time (doc_id mod the
+        # re-ingest offset): all arrivals stay inside the 1-hour duplicate
+        # horizon, so no state evicts mid-run and parity is exact. +1: an
+        # event time of exactly epoch 0 equals the INITIAL watermark and is
+        # discarded as late before any state exists
+        .withColumn("ts", F.timestamp_seconds(F.col("doc_id") % 100000 + 1))
+    )
+    q = (
+        dedup_exact_stream(sdf, text_col="text", event_time_col="ts")
+        .writeStream.format("memory")
+        .queryName("dedup_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("dedup_stream_sink").select("content_hash", "doc_id").collect()
+    got_hashes = [r["content_hash"] for r in got]
+    # exactly one emitted row per distinct content hash, matching batch
+    assert len(got_hashes) == len(set(got_hashes)) == len(expected_hashes)
+    assert set(got_hashes) == expected_hashes
+
+
 # --- S6 retry policy + pushdown address semantics (unit level, no session) ---
 
 
