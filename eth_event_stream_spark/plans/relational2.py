@@ -116,11 +116,16 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ordered by MICROsecond epoch, not seconds: the oracle's RANGE INTERVAL
     runs at full timestamp precision, and second-truncated ordering would
-    make same-second events frame-peers on one side only."""
+    make same-second events frame-peers on one side only.
+
+    The cast to TIMESTAMP makes the epoch extraction storage-tolerant:
+    parquet without timezone metadata loads as TIMESTAMP_NTZ (which
+    unix_micros rejects), and with the session pinned to UTC the cast maps
+    NTZ wall-clock to exactly the naive-as-UTC epoch the oracle computes."""
     ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 25)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
