@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_lsh_then_verify_capped",
+    "dedup_collapse_then_lsh_verify",
     "dedup_simhash",
     "dedup_jaccard_verify_capped",
     "pack_sequences_sharded",

@@ -1079,9 +1079,12 @@ def _lsh_then_verify_spark(
     sf_dir: str,
     bucket_cap: int | None,
     df_cap: int | None,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
-    """Composed LSH->verify plan, shared by the capped and uncapped queries."""
-    d = t_parallel(spark, sf_dir, "documents")
+    """Composed LSH->verify plan, shared by the capped and uncapped queries.
+    ``docs`` overrides the corpus (must carry doc_id, text) — used by the
+    collapse-then-near composition to run on exact-dup representatives."""
+    d = docs if docs is not None else t_parallel(spark, sf_dir, "documents")
     bands = _minhash_prep_spark(d)
     cands = _lsh_candidate_pairs(bands, cap=bucket_cap)
 
@@ -1153,6 +1156,56 @@ def dedup_lsh_then_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both caps are query semantics: the oracle applies the identical cuts."""
     return _lsh_then_verify_spark(spark, sf_dir, LSH_BUCKET_CAP, SHINGLE_DF_CAP)
+
+
+@register(
+    "dedup_collapse_then_lsh_verify",
+    oracle=f"""
+    WITH documents AS (
+      -- shadows the base view: main.documents is the pre-collapse corpus,
+      -- every reference below (incl. the generated pipeline SQL) sees reps
+      SELECT MIN(doc_id) AS doc_id, MIN(text) AS text, COUNT(*) AS n_copies
+      FROM main.documents GROUP BY md5(text)),
+    pairs AS (SELECT * FROM ({_SQL_LSH_THEN_VERIFY_CAPPED}))
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           ra.n_copies AS copies_a, rb.n_copies AS copies_b
+    FROM pairs p
+    JOIN documents ra ON ra.doc_id = p.doc_a
+    JOIN documents rb ON rb.doc_id = p.doc_b
+    """,
+)
+def dedup_collapse_then_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production dedup composition: EXACT-collapse first, then the
+    capped LSH->verify near-dup on unique texts only.
+
+    Verbatim copies are the dominant duplicate class in web-scale corpora,
+    and they are poison for near-dup machinery: k exact copies form a
+    k-clique whose pair space grows k^2 inside every LSH bucket and shingle
+    join group (measured in BENCH_SF1.md: a 10x-replicated corpus drove the
+    standalone capped verify to 6.3x). Collapsing by content hash FIRST — one
+    cheap shuffle — reduces every clique to one representative carrying its
+    copy count, so the expensive stage sees each distinct text once. Output:
+    near-dup pairs between representatives with both sides' copy counts
+    (duplicate-weighted near-dup mass; expanding back to all doc_ids is the
+    one-hop join on content_hash). The oracle shadows the corpus with the
+    identical collapse CTE, so the driver hash-checks the composition."""
+    d = t_parallel(spark, sf_dir, "documents")
+    reps = d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("text").alias("text"),
+        F.count("*").alias("n_copies"),
+    )
+    pairs = _lsh_then_verify_spark(
+        spark, sf_dir, LSH_BUCKET_CAP, SHINGLE_DF_CAP,
+        docs=reps.select("doc_id", "text"),
+    )
+    ca = reps.select(F.col("doc_id").alias("doc_a"), F.col("n_copies").alias("copies_a"))
+    cb = reps.select(F.col("doc_id").alias("doc_b"), F.col("n_copies").alias("copies_b"))
+    return (
+        pairs.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .select("doc_a", "doc_b", "jaccard", "copies_a", "copies_b")
+    )
 
 
 @register(
