@@ -20,6 +20,12 @@ Python ``DataSource`` over a log table (parquet) standing in for the chain:
 The chain head is ``max(block_number)`` in the backing table, read from
 parquet footer statistics only (no data scan) — the analog of the
 ``BlockNotify`` newHeads subscription (S5, data_feed/block.rs).
+
+Two interchangeable transports behind the same options/semantics:
+``path`` reads a parquet log table (the deterministic test stand-in), and
+``rpc_url`` talks live JSON-RPC (``eth_getLogs`` per chunk +
+``eth_blockNumber`` for the head — sources/rpc.py, the reference's real
+I/O). Chunking, pushdown, retry, and reorg policy are identical on both.
 """
 
 from __future__ import annotations
@@ -48,6 +54,13 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+# module-level (not function-local) so cloudpickle's by-value registration
+# (shipping._register_by_value) captures the rpc module alongside this one:
+# the streaming planner worker unpickles the reader before any pyFiles are
+# on its path, and a lazy `from .rpc import ...` there would
+# ModuleNotFoundError
+from .rpc import JsonRpcLogFetcher, TransientRpcError
 
 ETH_LOG_SCHEMA = StructType(
     [
@@ -145,6 +158,34 @@ def _fetch_with_retry(path: str, flt: list, attempts: int, base_s: float):
             time.sleep(base_s * (2 ** (attempt - 1)))
 
 
+def _post_filter(
+    rows: Iterator[tuple],
+    topic0: str | None,
+    fail_on_removed: bool,
+    address: str | None = None,
+    address_exact: bool = False,
+) -> Iterator[tuple]:
+    """Client-side re-check shared by both transports: topic0 match
+    (case-insensitive hex), the S7 reorg policy on ``removed``, and —
+    when the transport could not enforce it exactly — the address contract
+    (verbatim for pushdown-sourced, lowercased for option-sourced)."""
+    want = None if address is None else (address if address_exact else address.lower())
+    for row in rows:
+        if want is not None and row[0] != want:
+            continue
+        if topic0 is not None:
+            topics = row[1]
+            if not topics or topics[0].lower() != topic0.lower():
+                continue
+        if row[6]:  # removed
+            if fail_on_removed:
+                raise ReorgError(
+                    f"removed log at block {row[3]} — increase confirmation_blocks"
+                )
+            continue
+        yield row
+
+
 def _read_range(
     path: str,
     lo: int,
@@ -169,25 +210,65 @@ def _read_range(
         flt.append(("address", "=", address if address_exact else address.lower()))
     tbl = _fetch_with_retry(path, flt, retry_attempts, retry_base_s)
     cols = {name: tbl.column(name).to_pylist() for name in _COLS}
-    n = len(cols["block_number"])
-    for i in range(n):
-        if topic0 is not None:
-            topics = cols["topics"][i]
-            if not topics or topics[0].lower() != topic0.lower():
-                continue
-        if cols["removed"][i]:
-            if fail_on_removed:
-                raise ReorgError(
-                    f"removed log at block {cols['block_number'][i]} — "
-                    "increase confirmation_blocks"
-                )
-            continue
-        yield tuple(cols[name][i] for name in _COLS)
+    rows = (
+        tuple(cols[name][i] for name in _COLS)
+        for i in range(len(cols["block_number"]))
+    )
+    # address already enforced exactly by the scan filter; only topic0 and
+    # the reorg policy remain client-side
+    return _post_filter(rows, topic0, fail_on_removed)
+
+
+def _read_range_rpc(
+    rpc_url: str,
+    lo: int,
+    hi: int,
+    address: str | None,
+    topic0: str | None,
+    fail_on_removed: bool,
+    address_exact: bool = False,
+    retry_attempts: int = 4,
+    retry_base_s: float = 0.01,
+) -> Iterator[tuple]:
+    """Fetch logs in [lo, hi) over live JSON-RPC — one ``eth_getLogs`` per
+    chunk, exactly the reference's S1 call (stream.rs:159-183), with the S6
+    transient-only retry policy around it. The node evaluates the
+    address/topic0 filter server-side; ``_post_filter`` re-checks both so
+    the source's exact/lowercase address contract holds regardless of node
+    case behavior (real nodes compare 20-byte binary, i.e. caseless)."""
+    import time
+
+    fetcher = JsonRpcLogFetcher(rpc_url)
+    send_addr = None if address is None else (address if address_exact else address.lower())
+    attempt = 0
+    while True:
+        try:
+            rows = fetcher.get_logs(lo, hi - 1, address=send_addr, topic0=topic0)
+            break
+        except TransientRpcError:
+            attempt += 1
+            if attempt >= retry_attempts:
+                raise
+            time.sleep(retry_base_s * (2 ** (attempt - 1)))
+    return _post_filter(
+        rows, topic0, fail_on_removed, address=address, address_exact=address_exact
+    )
+
+
+def _head_of(path: str | None, rpc_url: str | None) -> int:
+    """Chain head from whichever backend is configured: parquet footer
+    stats (the test stand-in) or a live eth_blockNumber call (S5)."""
+    if rpc_url is not None:
+        return JsonRpcLogFetcher(rpc_url).block_number()
+    return _chain_head(path)
 
 
 class EthLogStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
-        self.path = options["path"]
+        self.rpc_url = options.get("rpc_url")
+        self.path = options.get("path")
+        if self.path is None and self.rpc_url is None:
+            raise ValueError("eth_logs source needs a 'path' or 'rpc_url' option")
         self.from_block = int(options.get("from_block", 0))
         self.to_block = int(options["to_block"]) if "to_block" in options else None
         self.confirmations = int(options.get("confirmation_blocks", 2))
@@ -204,7 +285,7 @@ class EthLogStreamReader(DataSourceStreamReader):
         return {"block": self.from_block}
 
     def latestOffset(self) -> dict:
-        head = _chain_head(self.path)
+        head = _head_of(self.path, self.rpc_url)
         safe = head - self.confirmations  # S3 confirmation lag
         if self.to_block is not None:
             safe = min(safe, self.to_block)
@@ -243,6 +324,17 @@ class EthLogStreamReader(DataSourceStreamReader):
     def read(self, partition: BlockRangePartition) -> Iterator[tuple]:
         if partition is None or partition.hi <= partition.lo:
             return iter(())
+        if self.rpc_url is not None:
+            return _read_range_rpc(
+                self.rpc_url,
+                partition.lo,
+                partition.hi,
+                self.address,
+                self.topic0,
+                self.fail_on_removed,
+                retry_attempts=self.retry_attempts,
+                retry_base_s=self.retry_base_s,
+            )
         return _read_range(
             self.path,
             partition.lo,
@@ -263,7 +355,10 @@ class EthLogBatchReader(DataSourceReader):
     scan: one task per block_step chunk, same pushdown."""
 
     def __init__(self, options: dict):
-        self.path = options["path"]
+        self.rpc_url = options.get("rpc_url")
+        self.path = options.get("path")
+        if self.path is None and self.rpc_url is None:
+            raise ValueError("eth_logs source needs a 'path' or 'rpc_url' option")
         self.from_block = int(options.get("from_block", 0))
         self.to_block = int(options["to_block"]) if "to_block" in options else None
         self.block_step = int(options.get("block_step", 1000))
@@ -338,7 +433,7 @@ class EthLogBatchReader(DataSourceReader):
                 self.address,
                 False,
             )
-        hi = (to_b if to_b is not None else _chain_head(self.path)) + 1
+        hi = (to_b if to_b is not None else _head_of(self.path, self.rpc_url)) + 1
         step = self.block_step
         if hi <= lo:
             # pushed predicates can narrow the range to empty (e.g.
@@ -357,8 +452,9 @@ class EthLogBatchReader(DataSourceReader):
         # partition should a PySpark version hand one through anyway)
         if partition is None or partition.hi <= partition.lo:
             return iter(())
-        return _read_range(
-            self.path,
+        read_fn = _read_range_rpc if self.rpc_url is not None else _read_range
+        return read_fn(
+            self.rpc_url if self.rpc_url is not None else self.path,
             partition.lo,
             partition.hi,
             partition.address,
@@ -373,8 +469,10 @@ class EthLogBatchReader(DataSourceReader):
 class EthLogDataSource(DataSource):
     """``spark.read.format("eth_logs")`` / ``spark.readStream.format("eth_logs")``.
 
-    Options: path, from_block, to_block, confirmation_blocks=2, block_step=1000,
-    address, topic0, fail_on_removed=true.
+    Options: path OR rpc_url (parquet stand-in vs live JSON-RPC node —
+    identical chunking/pushdown/retry/reorg semantics on both transports),
+    from_block, to_block, confirmation_blocks=2, block_step=1000, address,
+    topic0, fail_on_removed=true, retry_attempts=4, retry_base_ms=10.
     """
 
     @classmethod

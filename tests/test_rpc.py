@@ -1,0 +1,225 @@
+"""Live JSON-RPC transport (sources/rpc.py + the eth_logs rpc_url option),
+tested against a loopback HTTP node serving the deterministic fixture — the
+network-free equivalent of the reference's live integration test
+(stream.rs:304-375: fixed range, golden count, real eth_getLogs calls).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from eth_event_stream_spark.sources import block_source as bs
+from eth_event_stream_spark.sources.block_source import register as register_source
+from eth_event_stream_spark.sources.fixtures import (
+    ADDR_A,
+    TRANSFER_TOPIC0,
+    generate_eth_logs,
+)
+from eth_event_stream_spark.sources.rpc import (
+    JsonRpcLogFetcher,
+    RpcError,
+    TransientRpcError,
+)
+
+
+def _json_log(row: dict) -> dict:
+    return {
+        "address": row["address"],
+        "topics": row["topics"],
+        "data": "0x" + row["data"].hex(),
+        "blockNumber": hex(row["block_number"]),
+        "logIndex": hex(row["log_index"]),
+        "transactionHash": row["transaction_hash"],
+        "removed": row["removed"],
+    }
+
+
+class _FakeNode:
+    """In-process Ethereum node: eth_blockNumber + eth_getLogs over fixture
+    rows, with injectable transient failures and a call log."""
+
+    def __init__(self, rows: list[dict], head: int):
+        self.logs = [_json_log(r) for r in rows]
+        self.head = head
+        self.calls: list[str] = []
+        self.fail_next = 0  # serve this many HTTP 500s before recovering
+        node = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence request logging
+                pass
+
+            def do_POST(self):
+                body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+                node.calls.append(body["method"])
+                if node.fail_next > 0:
+                    node.fail_next -= 1
+                    self.send_response(500)
+                    self.end_headers()
+                    return
+                out = node.handle(body)
+                payload = json.dumps(out).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+        self.server = HTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.server.server_port}"
+        self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self.thread.start()
+
+    def handle(self, body: dict) -> dict:
+        method, params = body["method"], body.get("params", [])
+        if method == "eth_blockNumber":
+            return {"jsonrpc": "2.0", "id": body["id"], "result": hex(self.head)}
+        if method == "eth_getLogs":
+            f = params[0]
+            lo, hi = int(f["fromBlock"], 16), int(f["toBlock"], 16)
+            addr = f.get("address")
+            topics = f.get("topics") or []
+            out = []
+            for lg in self.logs:
+                b = int(lg["blockNumber"], 16)
+                if not (lo <= b <= hi):
+                    continue
+                # real nodes compare the 20-byte address -> caseless on hex
+                if addr is not None and lg["address"].lower() != addr.lower():
+                    continue
+                if topics and (
+                    not lg["topics"] or lg["topics"][0].lower() != topics[0].lower()
+                ):
+                    continue
+                out.append(lg)
+            return {"jsonrpc": "2.0", "id": body["id"], "result": out}
+        return {
+            "jsonrpc": "2.0",
+            "id": body["id"],
+            "error": {"code": -32601, "message": f"unknown method {method}"},
+        }
+
+    def stop(self):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+@pytest.fixture(scope="module")
+def node():
+    fx = generate_eth_logs()
+    n = _FakeNode(fx.rows, head=fx.to_block)
+    yield fx, n
+    n.stop()
+
+
+def test_fetcher_block_number_and_get_logs(node):
+    fx, n = node
+    f = JsonRpcLogFetcher(n.url)
+    assert f.block_number() == fx.to_block
+    rows = f.get_logs(fx.from_block, fx.to_block, address=ADDR_A, topic0=TRANSFER_TOPIC0)
+    # raw fetch includes removed rows and upsert duplicates; schema order holds
+    assert all(r[0] == ADDR_A and r[1][0] == TRANSFER_TOPIC0 for r in rows)
+    non_removed_distinct = {(r[3], r[4]) for r in rows if not r[6]}
+    assert len(non_removed_distinct) == fx.golden_count_a
+    assert isinstance(rows[0][2], bytes) and len(rows[0][2]) == 32
+
+
+def test_rpc_read_range_retries_transient_then_succeeds(node):
+    fx, n = node
+    n.fail_next = 2
+    before = len(n.calls)
+    rows = list(
+        bs._read_range_rpc(
+            n.url, fx.from_block, fx.from_block + 10, ADDR_A, TRANSFER_TOPIC0,
+            fail_on_removed=False, retry_attempts=4, retry_base_s=0.001,
+        )
+    )
+    assert len(n.calls) - before == 3  # 2 transient failures + 1 success
+    assert all(not r[6] for r in rows)
+
+
+def test_rpc_fails_fast_on_node_error(node):
+    fx, n = node
+    f = JsonRpcLogFetcher(n.url)
+    before = len(n.calls)
+    with pytest.raises(RpcError) as ei:
+        f._call("eth_noSuchMethod", [])
+    assert not isinstance(ei.value, TransientRpcError)  # deterministic class
+    assert len(n.calls) - before == 1
+
+
+def test_rpc_exhaustion_reraises_transient(node):
+    fx, n = node
+    n.fail_next = 99
+    before = len(n.calls)
+    with pytest.raises(TransientRpcError):
+        list(
+            bs._read_range_rpc(
+                n.url, fx.from_block, fx.from_block + 1, None, None,
+                fail_on_removed=False, retry_attempts=3, retry_base_s=0.001,
+            )
+        )
+    assert len(n.calls) - before == 3
+    n.fail_next = 0
+
+
+def test_batch_read_over_rpc_golden_count(spark, node):
+    """The reference's golden-count integration test over the LIVE transport:
+    chunked eth_getLogs through Spark executors reproduces the fixture's
+    count, identically to the parquet transport (stream.rs:371 analog)."""
+    fx, n = node
+    register_source(spark)
+    df = (
+        spark.read.format("eth_logs")
+        .option("rpc_url", n.url)
+        .option("from_block", fx.from_block)
+        .option("to_block", fx.to_block)
+        .option("block_step", 20)  # several eth_getLogs chunks
+        .option("address", ADDR_A.upper().replace("0X", "0x"))  # option -> lowercased
+        .option("topic0", TRANSFER_TOPIC0)
+        .option("fail_on_removed", "false")
+        .load()
+    )
+    n_rows = df.dropDuplicates(["block_number", "log_index"]).count()
+    assert n_rows == fx.golden_count_a
+    assert n.calls.count("eth_getLogs") >= 5  # genuinely chunked
+
+
+def test_stream_read_over_rpc_golden_count(spark, node, tmp_path):
+    """Historical drain over RPC as a bounded stream: processAllAvailable
+    (the bounded-drain barrier — see test_available_now_incremental_runs for
+    why a single availableNow run is one chunk) drains [from_block,
+    to_block] via per-trigger eth_getLogs chunks, head from eth_blockNumber,
+    and matches the batch count exactly (S4 unification on the live path)."""
+    fx, n = node
+    register_source(spark)
+    stream = (
+        spark.readStream.format("eth_logs")
+        .option("rpc_url", n.url)
+        .option("from_block", fx.from_block)
+        .option("to_block", fx.to_block)
+        .option("block_step", 30)
+        .option("confirmation_blocks", 0)
+        .option("address", ADDR_A)
+        .option("topic0", TRANSFER_TOPIC0)
+        .option("fail_on_removed", "false")
+        .load()
+    )
+    q = (
+        stream.dropDuplicates(["block_number", "log_index"])
+        .writeStream.format("memory")
+        .queryName("rpc_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_rpc"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.table("rpc_stream_sink").count() == fx.golden_count_a
+    assert n.calls.count("eth_blockNumber") >= 1
