@@ -39,18 +39,24 @@ class StreamHandle:
 class StreamFactory:
     """``StreamFactory::new(url, from, to, confirmations, step)`` analog.
 
-    ``path`` replaces the node URL (the graft's chain is a log table).
+    ``path`` reads a parquet log table (the deterministic stand-in);
+    ``rpc_url`` talks a live JSON-RPC node (sources/rpc.py) — exactly the
+    reference's node URL. Pass one of the two; every stream the factory
+    makes shares the transport.
     """
 
     spark: SparkSession
-    path: str
-    from_block: int
-    to_block: int
+    path: str | None = None
+    from_block: int = 0
+    to_block: int = 0
     confirmation_blocks: int = 2  # stream.rs:116 default
     block_step: int = 1000  # stream.rs:119 default
+    rpc_url: str | None = None
     streams: list[StreamHandle] = field(default_factory=list)
 
     def __post_init__(self) -> None:
+        if self.path is None and self.rpc_url is None:
+            raise ValueError("StreamFactory needs a path or rpc_url")
         _register_source(self.spark)
 
     def make(self, address: str, declaration: str) -> StreamHandle:
@@ -61,9 +67,13 @@ class StreamFactory:
 
     def _one(self, h: StreamHandle, streaming: bool, fail_on_removed: bool) -> DataFrame:
         reader = self.spark.readStream if streaming else self.spark.read
+        reader = reader.format("eth_logs")
+        if self.rpc_url is not None:
+            reader = reader.option("rpc_url", self.rpc_url)
+        else:
+            reader = reader.option("path", self.path)
         df = (
-            reader.format("eth_logs")
-            .option("path", self.path)
+            reader
             .option("from_block", self.from_block)
             .option("to_block", self.to_block)
             .option("confirmation_blocks", self.confirmation_blocks)

@@ -11,6 +11,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
 import pytest
+from pyspark.sql import functions as F
 
 from eth_event_stream_spark.sources import block_source as bs
 from eth_event_stream_spark.sources.block_source import register as register_source
@@ -187,6 +188,93 @@ def test_batch_read_over_rpc_golden_count(spark, node):
     n_rows = df.dropDuplicates(["block_number", "log_index"]).count()
     assert n_rows == fx.golden_count_a
     assert n.calls.count("eth_getLogs") >= 5  # genuinely chunked
+
+
+def test_factory_fan_in_over_rpc(spark, node):
+    """S8 over the live transport: a two-stream factory (USDC+USDT analogs)
+    pointed at the node URL drains both signatures through the shared sink
+    with per-stream server-side filters — the reference's flagship wiring
+    (examples/stream_multi.rs:90-106) against real eth_getLogs calls."""
+    from eth_event_stream_spark.sources.factory import StreamFactory
+    from eth_event_stream_spark.sources.fixtures import ADDR_B, TRANSFER_DECL
+
+    fx, n = node
+    factory = StreamFactory(
+        spark,
+        rpc_url=n.url,
+        from_block=fx.from_block,
+        to_block=fx.to_block,
+        confirmation_blocks=0,
+        block_step=40,
+    )
+    a = factory.make(ADDR_A, TRANSFER_DECL)
+    factory.make(ADDR_B, TRANSFER_DECL)
+    merged = factory.sink(streaming=False, fail_on_removed=False)
+    per_sig = {
+        r["sig"]: r["n"]
+        for r in merged.groupBy("sig").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_sig[a.signature] == fx.golden_count_a
+    assert len(per_sig) == 2 and all(v > 0 for v in per_sig.values())
+    assert merged.count() == fx.total_events
+
+
+def test_stream_live_tail_follows_rpc_head(spark, node, tmp_path):
+    """S3/S4 live semantics on the live transport: with the node's head
+    BELOW to_block, the stream drains only up to head − confirmation_blocks
+    (the confirmation lag); when the head advances, the next drain picks up
+    exactly the newly-safe blocks — the historical→live unification the
+    reference sells, driven by eth_blockNumber."""
+    fx, n = node
+    register_source(spark)
+    mid = fx.from_block + 40
+    confirmations = 2
+    real_head = n.head
+    n.head = mid  # chain has only advanced to mid so far
+    try:
+        stream = (
+            spark.readStream.format("eth_logs")
+            .option("rpc_url", n.url)
+            .option("from_block", fx.from_block)
+            .option("to_block", fx.to_block)
+            .option("block_step", 15)
+            .option("confirmation_blocks", confirmations)
+            .option("fail_on_removed", "false")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("rpc_live_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_live"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got1 = spark.table("rpc_live_sink")
+            max1 = got1.agg(F.max("block_number")).collect()[0][0]
+            n_below_frontier = got1.count()
+            assert max1 <= mid - confirmations  # lag respected
+            assert max1 > fx.from_block  # and something was ingested
+
+            n.head = real_head  # the chain advances
+            q.processAllAvailable()
+            got2 = spark.table("rpc_live_sink")
+            max2 = got2.agg(F.max("block_number")).collect()[0][0]
+            assert max2 > max1  # tail followed the head
+            assert max2 <= min(fx.to_block, real_head - confirmations)
+            # the frontier is exclusive: the second drain added only blocks
+            # PAST the first frontier — nothing below it was re-ingested
+            # (the fixture itself plants same-key duplicates, so the check
+            # is on the frontier, not global key uniqueness)
+            assert (
+                got2.filter(F.col("block_number") <= max1).count()
+                == n_below_frontier
+            )
+        finally:
+            q.stop()
+    finally:
+        n.head = real_head
 
 
 def test_stream_read_over_rpc_golden_count(spark, node, tmp_path):
