@@ -8,6 +8,12 @@ and the live monitor prints the counters the reference prints
 
 Run: python examples/stream_multi.py  (self-contained; writes a deterministic
 fixture to a temp dir — no network, same semantics).
+
+Against a real node (the reference's own invocation shape —
+stream_multi.rs:90 takes a node URL):
+    python examples/stream_multi.py --rpc-url http://node:8545 \
+        --from-block N --to-block M
+Same code path; only the transport option changes.
 """
 
 from __future__ import annotations
@@ -32,21 +38,34 @@ from eth_event_stream_spark.sources.fixtures import (
 )
 
 
+def _arg(flag: str, default=None):
+    return sys.argv[sys.argv.index(flag) + 1] if flag in sys.argv else default
+
+
 def main() -> None:
     spark = get_spark(app_name="stream_multi", shuffle_partitions=8)
 
-    # "chain": deterministic synthetic logs (golden counts known)
-    fx = generate_eth_logs()
-    path = os.path.join(tempfile.mkdtemp(), "eth_logs.parquet")
-    fx.write_parquet(path)
+    rpc_url = _arg("--rpc-url")
+    if rpc_url is not None:
+        # live node: the reference's invocation shape (node URL + range)
+        transport = {"rpc_url": rpc_url}
+        from_block = int(_arg("--from-block", 0))
+        to_block = int(_arg("--to-block", from_block + 99))
+    else:
+        # "chain": deterministic synthetic logs (golden counts known)
+        fx = generate_eth_logs()
+        path = os.path.join(tempfile.mkdtemp(), "eth_logs.parquet")
+        fx.write_parquet(path)
+        transport = {"path": path}
+        from_block, to_block = fx.from_block, fx.to_block
 
     factory = StreamFactory(
         spark,
-        path=path,
-        from_block=fx.from_block,
-        to_block=fx.to_block,
+        from_block=from_block,
+        to_block=to_block,
         confirmation_blocks=2,
         block_step=1000,
+        **transport,
     )
     usdc = factory.make(ADDR_A, TRANSFER_DECL)
     usdt = factory.make(ADDR_B, TRANSFER_DECL)

@@ -51,6 +51,10 @@ PLAN_EXPECTATIONS = {
     # the correlated LATERAL subquery must decorrelate to a per-partition
     # group limit, not execute per outer row
     "join_lateral_topn": [r"WindowGroupLimit"],
+    # the production dedup composition: hash aggregates (collapse + minhash
+    # + intersection counts) with the tiny sides broadcast — a SortMergeJoin
+    # anywhere in it means a size estimate degraded
+    "dedup_collapse_then_lsh_verify": [r"HashAggregate", r"BroadcastHashJoin"],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -131,6 +135,10 @@ def test_headline_contains_no_uncapped_baseline():
     # the conflated build+search entry is replaced by the ivf_build /
     # ivf_search split rows emitted by bench.time_ivf_split
     assert "similarity_topk_ivf" not in names
+    # every headline name must resolve — a typo here crashes the driver's
+    # per-round bench run, which is far more expensive than this test
+    missing = names - set(QUERIES)
+    assert not missing, f"headline names not in the registry: {missing}"
 
 
 def test_baseline_variants_stay_registered_and_flagged():
