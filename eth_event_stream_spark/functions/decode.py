@@ -22,11 +22,11 @@ per-field column expressions to stay in codegen"). Each 32-byte slot is a
 
 Dynamic and composite types in *data* use the ABI head/tail encoding, decoded
 by ONE offset-following recursion (``_decode_value``) over the full type
-lattice: ``string``/``bytes``, arrays of any element type including nested
-``T[][]`` and arrays of tuples, and tuples with static or dynamic components
-at any nesting depth. Indexed dynamic/array/tuple params are, per the ABI
-spec, a keccak hash of the value — surfaced once as the hex hash (no
-redundant ``_hex`` twin).
+lattice: ``string``/``bytes``, dynamic ``T[]`` and fixed-size ``T[k]`` arrays
+of any element type including nested ``T[][]``/``T[k][]`` and arrays of
+tuples, and tuples with static or dynamic components at any nesting depth.
+Indexed dynamic/array/tuple params are, per the ABI spec, a keccak hash of
+the value — surfaced once as the hex hash (no redundant ``_hex`` twin).
 """
 
 from __future__ import annotations
@@ -134,10 +134,11 @@ def slot_to_signed(slot: Column, bits: int) -> Column:
 
 
 def _decode_slot(slot: Column, abi_type: str) -> Column:
-    if abi_type.endswith("[]") or abi_type.startswith("("):
-        # an ARRAY or TUPLE in a topic is the keccak hash of its encoding
-        # (ABI spec); surface the raw slot — must be checked before the
-        # uint/int prefixes or "uint256[]" would parse as a numeric width
+    if abi_type.endswith("]") or abi_type.startswith("("):
+        # an ARRAY (dynamic or fixed-size) or TUPLE in a topic is the keccak
+        # hash of its encoding (ABI spec); surface the raw slot — must be
+        # checked before the uint/int prefixes or "uint256[]" would parse as
+        # a numeric width
         return F.concat(F.lit("0x"), slot)
     if abi_type == "address":
         return slot_to_address(slot)
@@ -208,6 +209,7 @@ def _decode_value(data_hex: Column, pos: Column, abi_type: str) -> Column:
     from .schema import (
         abi_to_spark_type,
         is_dynamic_type,
+        split_array,
         static_head_slots,
         tuple_components,
     )
@@ -219,8 +221,9 @@ def _decode_value(data_hex: Column, pos: Column, abi_type: str) -> Column:
             return F.decode(F.unhex(payload_hex), "UTF-8")
         return F.unhex(payload_hex)  # bytes -> BinaryType (matches schema)
 
-    if abi_type.endswith("[]"):
-        elem_t = abi_type[:-2]
+    arr = split_array(abi_type)
+    if arr is not None and arr[1] is None:  # dynamic T[]
+        elem_t = arr[0]
         n = F.conv(_at(data_hex, pos, _SLOT_HEX), 16, 10).cast("long")
         body = pos + _SLOT_HEX  # ABI: element offsets are relative to here
         if is_dynamic_type(elem_t):
@@ -252,6 +255,22 @@ def _decode_value(data_hex: Column, pos: Column, abi_type: str) -> Column:
             .when(n > 0, elems)
             .otherwise(F.array().cast(arr_type))
         )
+
+    if arr is not None:  # fixed-size T[k]: enc(X) = enc((X[0],...,X[k-1]))
+        elem_t, k = arr
+        elems = []
+        if is_dynamic_type(elem_t):
+            # per-element offset slots relative to the array's encoding start
+            for i in range(k):
+                off = F.conv(
+                    _at(data_hex, pos + i * _SLOT_HEX, _SLOT_HEX), 16, 10
+                ).cast("long")
+                elems.append(_decode_value(data_hex, pos + off * 2, elem_t))
+        else:
+            es = static_head_slots(elem_t)
+            for i in range(k):
+                elems.append(_decode_value(data_hex, pos + i * es * _SLOT_HEX, elem_t))
+        return F.array(*elems).cast(ArrayType(abi_to_spark_type(elem_t)))
 
     if abi_type.startswith("("):
         fields, off_slots = [], 0

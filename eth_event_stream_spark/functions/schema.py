@@ -137,12 +137,32 @@ def tuple_components(abi_type: str) -> tuple[str, ...]:
     return tuple(_split_top_level(inner)) if inner else ()
 
 
+_ARRAY_SUFFIX_RE = re.compile(r"^(.*)\[(\d*)\]$")
+
+
+def split_array(abi_type: str) -> tuple[str, int | None] | None:
+    """Strip ONE trailing array suffix: ``uint256[3][]`` -> ("uint256[3]",
+    None); ``uint256[3]`` -> ("uint256", 3). None for non-array types."""
+    if not abi_type.endswith("]"):
+        return None
+    m = _ARRAY_SUFFIX_RE.match(abi_type)
+    if not m:
+        return None
+    base, n = m.group(1), m.group(2)
+    return (base, int(n) if n else None)
+
+
 def is_dynamic_type(abi_type: str) -> bool:
-    """ABI 'dynamic' predicate: string/bytes, every ``T[]`` array, and any
-    tuple with a dynamic component. Dynamic types occupy ONE head slot (an
-    offset to their tail); static types encode inline."""
-    if abi_type in ("string", "bytes") or abi_type.endswith("[]"):
+    """ABI 'dynamic' predicate: string/bytes, every ``T[]`` array, a fixed
+    ``T[k]`` array of dynamic T, and any tuple with a dynamic component.
+    Dynamic types occupy ONE head slot (an offset to their tail); static
+    types encode inline."""
+    if abi_type in ("string", "bytes"):
         return True
+    arr = split_array(abi_type)
+    if arr is not None:
+        base, k = arr
+        return True if k is None else is_dynamic_type(base)
     if abi_type.startswith("("):
         return any(is_dynamic_type(c) for c in tuple_components(abi_type))
     return False
@@ -150,10 +170,14 @@ def is_dynamic_type(abi_type: str) -> bool:
 
 def static_head_slots(abi_type: str) -> int:
     """Head slots a type occupies in a head area: 1 for dynamic (the
-    offset) and for static scalars; the component-slot sum for static
-    tuples (their components inline)."""
+    offset) and for static scalars; k x element slots for static fixed
+    arrays; the component-slot sum for static tuples (both inline)."""
     if is_dynamic_type(abi_type):
         return 1
+    arr = split_array(abi_type)
+    if arr is not None:
+        base, k = arr
+        return k * static_head_slots(base)
     if abi_type.startswith("("):
         return sum(static_head_slots(c) for c in tuple_components(abi_type))
     return 1
@@ -165,7 +189,7 @@ def topic_is_hash(abi_type: str) -> bool:
     from the log."""
     return (
         abi_type in ("string", "bytes")
-        or abi_type.endswith("[]")
+        or abi_type.endswith("]")
         or abi_type.startswith("(")
     )
 
@@ -181,22 +205,25 @@ def canonical_abi_type(raw: str) -> str:
     ``(uint, bool) -> (uint256,bool)`` matter for topic0.
     """
     raw = raw.strip()
-    if raw.startswith("(") and raw.rstrip("[]").endswith(")"):
-        # tuple, possibly with [] suffixes: canonicalize inner, keep suffix
-        suffix_at = raw.rfind(")") + 1
-        suffix = raw[suffix_at:]
-        if suffix and suffix != "[]" * (len(suffix) // 2):
+    if raw.endswith("]"):
+        # peel ONE array suffix (dynamic [] or fixed [k]) and recurse
+        m = _ARRAY_SUFFIX_RE.match(raw)
+        if not m:
             raise EventDeclarationError(f"bad array suffix: {raw!r}")
-        body = raw[:suffix_at]
-        inner = body[1:-1].strip()
+        base, n = m.group(1).strip(), m.group(2)
+        if n == "":
+            return f"{canonical_abi_type(base)}[]"
+        if int(n) < 1:
+            raise EventDeclarationError(f"invalid array size: {raw!r}")
+        return f"{canonical_abi_type(base)}[{int(n)}]"
+    if raw.startswith("("):
+        if not raw.endswith(")"):
+            raise EventDeclarationError(f"unbalanced tuple type: {raw!r}")
+        inner = raw[1:-1].strip()
         if not inner:
             raise EventDeclarationError(f"empty tuple type: {raw!r}")
         comps = [canonical_abi_type(c) for c in _split_top_level(inner)]
-        return f"({','.join(comps)}){suffix}"
-    if raw.startswith("("):
-        raise EventDeclarationError(f"unbalanced tuple type: {raw!r}")
-    if raw.endswith("[]"):
-        return f"{canonical_abi_type(raw[:-2])}[]"
+        return f"({','.join(comps)})"
     if raw == "address":
         return "address"
     if raw == "bool":
@@ -234,8 +261,9 @@ def abi_to_spark_type(abi_type: str) -> T.DataType:
     numeric components rely on the whole-tuple lossless ``<name>_hex``
     column rather than per-component hex fields.
     """
-    if abi_type.endswith("[]"):  # before the tuple check: "(T,U)[]" is an array
-        return T.ArrayType(abi_to_spark_type(abi_type[:-2]))
+    arr = split_array(abi_type)  # before the tuple check: "(T,U)[...]" is an array
+    if arr is not None:
+        return T.ArrayType(abi_to_spark_type(arr[0]))
     if abi_type.startswith("("):
         return T.StructType(
             [
@@ -265,13 +293,15 @@ def abi_to_spark_type(abi_type: str) -> T.DataType:
 
 
 def _needs_lossless_hex(abi_type: str) -> bool:
-    if abi_type.endswith("[]"):
-        # array elements null individually on overflow; no single inline
-        # encoding slot exists to surface (the head slot is an offset)
+    if is_dynamic_type(abi_type):
+        # the head slot is an offset, not the value's encoding — nothing
+        # lossless to surface inline (string/bytes/T[]/dynamic composites)
         return False
+    arr = split_array(abi_type)
+    if arr is not None:
+        # STATIC fixed array: inline k x slots, same policy as static tuples
+        return _needs_lossless_hex(arr[0])
     if abi_type.startswith("("):
-        if is_dynamic_type(abi_type):
-            return False  # head slot is an offset, not the value's encoding
         # a STATIC tuple's hex column carries its FULL k-slot inline encoding
         # — lossless for every component, incl. wide numerics that null
         return any(_needs_lossless_hex(c) for c in tuple_components(abi_type))
@@ -333,8 +363,8 @@ def parse_event_declaration(decl: str) -> EventSchema:
                             break
                 if end < 0:
                     raise EventDeclarationError(f"bad parameter: {raw_s!r}")
-                while raw_s[end + 1 : end + 3] == "[]":
-                    end += 2
+                sfx = re.match(r"(\[\d*\])*", raw_s[end + 1 :])
+                end += len(sfx.group(0)) if sfx else 0
                 toks = [raw_s[: end + 1]] + raw_s[end + 1 :].split()
             else:
                 toks = raw_s.split()

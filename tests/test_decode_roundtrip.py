@@ -38,9 +38,25 @@ def _tuple_comps(typ: str) -> list[str]:
     return parts
 
 
+import re as _re
+
+_ARR_RE = _re.compile(r"^(.*)\[(\d*)\]$")
+
+
+def _split_arr(typ: str):
+    """("uint256[3]") -> ("uint256", 3); ("T[]") -> ("T", None); else None."""
+    if not typ.endswith("]"):
+        return None
+    m = _ARR_RE.match(typ)
+    return (m.group(1), int(m.group(2)) if m.group(2) else None)
+
+
 def _is_dyn(typ: str) -> bool:
-    if typ in ("string", "bytes") or typ.endswith("[]"):
+    if typ in ("string", "bytes"):
         return True
+    arr = _split_arr(typ)
+    if arr is not None:
+        return True if arr[1] is None else _is_dyn(arr[0])
     if typ.startswith("("):
         return any(_is_dyn(c) for c in _tuple_comps(typ))
     return False
@@ -49,12 +65,18 @@ def _is_dyn(typ: str) -> bool:
 def _head_slots(typ: str) -> int:
     if _is_dyn(typ):
         return 1
+    arr = _split_arr(typ)
+    if arr is not None:
+        return arr[1] * _head_slots(arr[0])
     if typ.startswith("("):
         return sum(_head_slots(c) for c in _tuple_comps(typ))
     return 1
 
 
 def _enc_static(typ: str, v) -> bytes:
+    arr = _split_arr(typ)
+    if arr is not None:  # static fixed array: elements inline
+        return b"".join(_enc_static(arr[0], e) for e in v)
     if typ.startswith("("):  # static tuple: components inline
         return b"".join(_enc_static(ct, cv) for ct, cv in zip(_tuple_comps(typ), v))
     if typ == "address":
@@ -83,11 +105,14 @@ def _enc_value(typ: str, v) -> bytes:
         return _enc_dynamic(v.encode())
     if typ == "bytes":
         return _enc_dynamic(v)
-    if typ.endswith("[]"):
-        # [count][tuple-encoding of the k elements]
-        return len(v).to_bytes(32, "big") + _enc_members(
-            [(typ[:-2], e) for e in v]
-        )
+    arr = _split_arr(typ)
+    if arr is not None and arr[1] is None:
+        # dynamic T[]: [count][tuple-encoding of the k elements]
+        return len(v).to_bytes(32, "big") + _enc_members([(arr[0], e) for e in v])
+    if arr is not None and _is_dyn(typ):
+        # fixed T[k] of dynamic T: tuple encoding, NO count slot (ABI spec:
+        # enc(X[k]) = enc((X[0],...,X[k-1])))
+        return _enc_members([(arr[0], e) for e in v])
     if typ.startswith("(") and _is_dyn(typ):
         return _enc_members(list(zip(_tuple_comps(typ), v)))
     return _enc_static(typ, v)
@@ -115,8 +140,10 @@ def _encode_data(params: list[tuple[str, object]]) -> bytes:
 
 
 def _rand_value(rng: random.Random, typ: str):
-    if typ.endswith("[]"):  # before the tuple check: "(T,U)[]" is an array
-        return [_rand_value(rng, typ[:-2]) for _ in range(rng.randint(0, 5))]
+    arr = _split_arr(typ)  # before the tuple check: "(T,U)[...]" is an array
+    if arr is not None:
+        n = rng.randint(0, 5) if arr[1] is None else arr[1]
+        return [_rand_value(rng, arr[0]) for _ in range(n)]
     if typ.startswith("("):
         return tuple(_rand_value(rng, ct) for ct in _tuple_comps(typ))
     if typ == "address":
@@ -147,8 +174,9 @@ def _rand_value(rng: random.Random, typ: str):
 
 def _expected(typ: str, v):
     """What the decoder should surface for a value of this type."""
-    if typ.endswith("[]"):  # before the tuple check: "(T,U)[]" is an array
-        return [_expected(typ[:-2], e) for e in v]
+    arr = _split_arr(typ)  # before the tuple check: "(T,U)[...]" is an array
+    if arr is not None:
+        return [_expected(arr[0], e) for e in v]
     if typ.startswith("("):
         return tuple(_expected(ct, cv) for ct, cv in zip(_tuple_comps(typ), v))
     if typ == "address":
@@ -213,13 +241,22 @@ TYPES = [
     "(uint64,bool)[]",
     "(uint256,address)[]",
     "(uint64,string)[]",
+    # fixed-size arrays: static (inline slots) and dynamic-element (tuple
+    # encoding without a count slot) forms
+    "uint256[3]",
+    "address[2]",
+    "bytes4[3]",
+    "string[2]",
+    "(uint64,bool)[2]",
+    "uint64[2][]",
+    "uint32[2][3]",
 ]
 # indexed dynamic params and tuples are keccak hashes per the ABI spec —
 # exclude them
 INDEXABLE = [
     t
     for t in TYPES
-    if t not in ("string", "bytes") and not t.endswith("[]") and not t.startswith("(")
+    if t not in ("string", "bytes") and not t.endswith("]") and not t.startswith("(")
 ]
 
 
@@ -365,6 +402,65 @@ def test_nested_and_dynamic_composite_roundtrip(spark):
             ]
         )
     )
+
+
+def test_fixed_size_array_roundtrip(spark):
+    """Deterministic pin for fixed-size arrays: static T[k] (inline k x slot
+    encoding, with the whole-array lossless hex when elements are wide
+    numerics), dynamic-element T[k] (tuple encoding, no count slot), and a
+    nested fixed-of-fixed shape."""
+    decl = (
+        "Evt(uint256[2] amounts, string[2] labels, uint32[2][3] grid, "
+        "address[2] indexed whitelist, uint64 tailn)"
+    )
+    vals = {
+        "amounts": [10**38 + 9, 5],  # first element beyond decimal range
+        "labels": ["a∆", ""],
+        "grid": [[1, 2], [3, 4], [5, 6]],
+        "tailn": 11,
+    }
+    types = {
+        "amounts": "uint256[2]",
+        "labels": "string[2]",
+        "grid": "uint32[2][3]",
+        "tailn": "uint64",
+    }
+    ev = parse_event_declaration(decl)
+    whitelist_hash = "0x" + "5a" * 32  # indexed array topic IS a hash
+    data = _encode_data([(types[n], vals[n]) for n in vals])
+    row = {
+        "address": "0x" + "aa" * 20,
+        "topics": [ev.topic0, whitelist_hash],
+        "data": data,
+        "block_number": 1,
+        "log_index": 0,
+        "transaction_hash": "0x0",
+        "removed": False,
+    }
+    schema = pa.schema(
+        [
+            pa.field("address", pa.string()),
+            pa.field("topics", pa.list_(pa.string())),
+            pa.field("data", pa.binary()),
+            pa.field("block_number", pa.int64()),
+            pa.field("log_index", pa.int64()),
+            pa.field("transaction_hash", pa.string()),
+            pa.field("removed", pa.bool_()),
+        ]
+    )
+    tbl = pa.table({k: [row[k]] for k in schema.names}, schema=schema)
+    df = spark.createDataFrame(tbl.to_pandas())
+    r = decode_event(df, decl).collect()[0]
+
+    for name in vals:
+        assert _norm(r[name]) == _expected(types[name], vals[name]), name
+    # static fixed array of wide numerics: out-of-range element nulls, and
+    # the lossless hex carries the FULL inline 2-slot encoding
+    assert r["amounts"][0] is None and r["amounts"][1] == 5
+    assert r["amounts_hex"] == "0x" + _enc_static("uint256[2]", vals["amounts"]).hex()
+    # indexed fixed array: the hash once, no _hex duplicate
+    assert r["whitelist"] == whitelist_hash
+    assert "whitelist_hex" not in r.asDict()
 
 
 def _norm(x):
