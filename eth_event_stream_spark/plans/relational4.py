@@ -571,3 +571,225 @@ def scalar_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shape batch 2 (round 4): the plan shapes the first batch lacked —
+# correlated-EXISTS semi-join with a non-equi predicate (q4), pure
+# filter-pushdown aggregation (q6), conditional-ratio aggregation over a
+# broadcast dim join (q14), disjunctive multi-bracket predicates (q19), and
+# a scalar-subquery threshold + anti-join (q22). Adapted to the synthetic
+# schema (no partsupp/commitdate columns); the SHAPE, not the constants, is
+# what each one pins.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_priority_semijoin",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one late-shipped line (> 60 days
+    after the order date), counted per priority. The correlated EXISTS must
+    plan as ONE left-semi hash join carrying the non-equi date predicate —
+    never a per-order subquery execution; the semi join also deduplicates
+    multi-line matches for free (no DISTINCT pass)."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(16,4)) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.08
+      AND l_quantity < 30
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate — the query that lives
+    or dies on predicate pushdown. All four predicates must reach the
+    parquet scan (row-group pruning on the shipdate range); the aggregate is
+    a single partial-agg lane with no shuffle of data rows at all."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.04, 0.08)
+        & (F.col("l_quantity") < 30)
+    )
+    rev = (
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)") * F.col("l_discount").cast("decimal(18,6)"))
+        .cast("decimal(16,4)")
+        .cast("double")
+        .alias("revenue")
+    )
+    return li.agg(rev, F.count("*").alias("n_lines"))
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(16,4)) AS DOUBLE)
+           * 100.0
+           / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(16,4)) AS DOUBLE)
+             AS promo_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-ratio aggregation over a dim join — the
+    promo share of discounted revenue in a date window. The part table
+    broadcasts; both sums are exact decimal lanes of ONE aggregation pass
+    (no second scan for the denominator); the final percentage is a single
+    double division of identical operands in both engines."""
+    d18 = "decimal(18,6)"
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice").cast(d18) * (F.lit(1) - F.col("l_discount").cast(d18))
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast(d18)))
+        .cast("decimal(16,4)")
+        .cast("double")
+        .alias("_promo"),
+        F.sum(disc).cast("decimal(16,4)").cast("double").alias("_total"),
+    )
+    return agg.select(
+        (F.col("_promo") * 100.0 / F.col("_total")).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(16,4)) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 5 AND 30)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 10 AND 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-bracket predicates spanning both
+    join sides. Catalyst cannot push the OR across the join as-is, but it
+    CAN derive the per-side implied filters (brand/size union on part,
+    quantity union on lineitem) and evaluate the residual OR post-join on a
+    broadcast hash join — the shape this pins via the oracle equality."""
+    d18 = "decimal(18,6)"
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(5, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(10, 40)
+        )
+    )
+    disc = F.col("l_extendedprice").cast(d18) * (F.lit(1) - F.col("l_discount").cast(d18))
+    return j.filter(bracket).agg(
+        F.sum(disc).cast("decimal(16,4)").cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q22_idle_balances",
+    oracle="""
+    WITH cutoff AS (
+      SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(16,4)) AS DOUBLE)
+             / COUNT(*) AS m
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_nationkey,
+           COUNT(*) AS n_cust,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(16,4)) AS DOUBLE)
+             AS total_bal
+    FROM customer c, cutoff
+    WHERE c.c_acctbal > cutoff.m
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: a scalar-subquery threshold (mean positive balance,
+    exact decimal sum -> one double division) gating an ANTI join (customers
+    with no urgent orders), then a per-nation aggregate. The one-row cutoff
+    must broadcast (never shuffle the customer table against it) and the
+    NOT EXISTS must plan as a left-anti hash join, not a per-row probe."""
+    c = t(spark, sf_dir, "customer")
+    cutoff = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+                .cast("decimal(16,4)")
+                .cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+    )
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    kept = (
+        c.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("m"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return kept.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_cust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+        .cast("decimal(16,4)")
+        .cast("double")
+        .alias("total_bal"),
+    )

@@ -55,11 +55,33 @@ PLAN_EXPECTATIONS = {
     # + intersection counts) with the tiny sides broadcast — a SortMergeJoin
     # anywhere in it means a size estimate degraded
     "dedup_collapse_then_lsh_verify": [r"HashAggregate", r"BroadcastHashJoin"],
+    # correlated EXISTS must decorrelate to ONE semi join (never a per-order
+    # subquery execution)
+    "q4_priority_semijoin": [r"LeftSemi", r"HashAggregate"],
+    # q6 lives on pushdown: the date range AND the measure predicates must
+    # reach the parquet scan
+    "q6_forecast_revenue": [
+        r"GreaterThanOrEqual\(l_shipdate",
+        r"GreaterThanOrEqual\(l_discount",
+        r"LessThan\(l_quantity",
+    ],
+    "q14_promo_revenue": [r"BroadcastHashJoin", r"LessThan\(l_shipdate"],
+    # the disjunctive brackets must yield IMPLIED per-side filters pushed to
+    # BOTH scans (the classic q19 optimization), residual OR post-join
+    "q19_disjunctive_revenue": [
+        r"Or\(Or\(And\(EqualTo\(p_brand",
+        r"GreaterThanOrEqual\(l_quantity",
+        r"BroadcastHashJoin",
+    ],
+    # NOT EXISTS -> left-anti hash join; the scalar cutoff broadcasts
+    "q22_idle_balances": [r"LeftAnti", r"GreaterThan\(c_acctbal,0.0\)"],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
 JVM_ONLY = [
     "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q19_disjunctive_revenue",
     "q5_local_supplier_volume",
     "flagship_user_netflow",
     "dedup_minhash_lsh_pairs",
