@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_lsh_then_verify_capped",
     "dedup_collapse_then_lsh_verify",
+    "pipeline_prepare_corpus",
     "dedup_simhash",
     "dedup_jaccard_verify_capped",
     "pack_sequences_sharded",

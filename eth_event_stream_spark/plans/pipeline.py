@@ -39,6 +39,10 @@ from .registry import register
 STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
 _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+# stand-in benchmark set for decontamination: the low-id documents (a real
+# pipeline would load the eval suites here); what matters is the plan shape
+_BENCH_FILTER = "doc_id < 20"
+
 
 @register(
     "text_stats",
@@ -1209,6 +1213,109 @@ def dedup_collapse_then_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "pipeline_prepare_corpus",
+    oracle=f"""
+    WITH documents AS (
+      -- stage 1+2: drop the benchmark set, keep quality passes, collapse
+      -- exact duplicates to their min-id representative (shadows the base
+      -- view: the generated near-dup SQL below sees ONLY these reps)
+      SELECT MIN(doc_id) AS doc_id, MIN(text) AS text, COUNT(*) AS n_copies
+      FROM main.documents
+      WHERE NOT ({_BENCH_FILTER})
+        AND LEN(string_split(lower(text), ' ')) >= 5
+        AND CAST(LEN(list_filter(string_split(lower(text), ' '),
+                                 w -> w IN ({_SW_SQL}))) AS DOUBLE)
+            / LEN(string_split(lower(text), ' ')) > 0.05
+      GROUP BY md5(text)),
+    pairs AS (SELECT doc_a, doc_b FROM ({_SQL_LSH_THEN_VERIFY_CAPPED})),
+    nbr_min AS (
+      SELECT doc_id, MIN(nbr) AS mn FROM (
+        SELECT doc_a AS doc_id, doc_b AS nbr FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id, doc_a AS nbr FROM pairs) e
+      GROUP BY doc_id),
+    bench AS (
+      SELECT DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+      FROM main.documents WHERE {_BENCH_FILTER})
+    SELECT d.doc_id, d.n_copies,
+           CASE WHEN substring(md5('split:' || CAST(d.doc_id AS VARCHAR)), 1, 1)
+                     < 'd' THEN 'train' ELSE 'holdout' END AS split
+    FROM documents d
+    LEFT JOIN nbr_min nm ON nm.doc_id = d.doc_id
+    LEFT JOIN bench b
+      ON b.fp = md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))
+    WHERE (nm.mn IS NULL OR nm.mn > d.doc_id)
+      AND b.fp IS NULL
+    """,
+)
+def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data prep pipeline as one composed query — what a
+    user of this engine actually runs, end to end:
+
+    1. drop the benchmark/eval set (here the _BENCH_FILTER stand-in);
+    2. quality filter (length + stopword-density, text_quality_score's
+       exact predicate);
+    3. exact-collapse verbatim copies by content hash (min-id rep carries
+       its copy count) — one cheap shuffle that shields every later stage
+       from duplicate cliques (BENCH_SF1.md);
+    4. near-dup removal on the unique reps via the capped LSH->verify
+       pipeline: a rep survives only if it has no verified near-dup with a
+       smaller id (one-hop canonical keep);
+    5. exact decontamination against the benchmark fingerprints (broadcast
+       lookup, never text comparison);
+    6. deterministic md5 train/holdout split of the survivors.
+
+    Every stage is the registered operator's exact logic; the DuckDB oracle
+    chains the same stage SQLs over a collapse CTE that shadows the corpus,
+    so the driver hash-checks the full composition, not just the parts.
+    Output: one row per surviving representative (doc_id, n_copies, split).
+    """
+    d = t_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ", -1)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
+    train = d.filter(~F.expr(_BENCH_FILTER)).filter(
+        (n_tokens >= 5) & (n_stop.cast("double") / n_tokens > 0.05)
+    )
+    reps = train.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("text").alias("text"),
+        F.count("*").alias("n_copies"),
+    )
+    pairs = _lsh_then_verify_spark(
+        spark, sf_dir, LSH_BUCKET_CAP, SHINGLE_DF_CAP,
+        docs=reps.select("doc_id", "text"),
+    ).select("doc_a", "doc_b")
+    edges = pairs.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr")).union(
+        pairs.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr"))
+    )
+    mins = edges.groupBy("doc_id").agg(F.min("nbr").alias("mn"))
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    bench = (
+        d.filter(F.expr(_BENCH_FILTER))
+        .select(fp.alias("fp"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    kept = (
+        reps.join(mins, "doc_id", "left")
+        .filter(F.col("mn").isNull() | (F.col("mn") > F.col("doc_id")))
+        .withColumn("fp", fp)
+        .join(F.broadcast(bench), "fp", "left")
+        .filter(F.col("hit").isNull())
+    )
+    digit = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    return kept.select(
+        "doc_id",
+        "n_copies",
+        F.when(digit < "d", "train").otherwise("holdout").alias("split"),
+    )
+
+
+@register(
     "dedup_canonical_assign",
     oracle=f"""
     WITH pairs AS (SELECT doc_a, doc_b FROM ({_SQL_LSH_THEN_VERIFY_CAPPED})),
@@ -1461,11 +1568,6 @@ def sample_balanced_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Decontamination (benchmark-leakage checks)
 # ---------------------------------------------------------------------------
-
-# stand-in benchmark set: the low-id documents (a real pipeline would load
-# the eval suites here); what matters is the plan shape, which is identical
-_BENCH_FILTER = "doc_id < 20"
-
 
 @register(
     "decontaminate_exact",
