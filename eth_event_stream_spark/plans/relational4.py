@@ -793,3 +793,108 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_bal"),
     )
+
+
+@register(
+    "q7_bilateral_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           EXTRACT(YEAR FROM l_shipdate) AS ship_year,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(16,4)) AS DOUBLE)
+             AS volume,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON l_orderkey = o_orderkey
+    JOIN customer c ON o_custkey = c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON l_suppkey = s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE (cn.n_name = 'NATION_11' AND sn.n_name = 'NATION_20')
+       OR (cn.n_name = 'NATION_19' AND sn.n_name = 'NATION_18')
+    GROUP BY cn.n_name, sn.n_name, EXTRACT(YEAR FROM l_shipdate)
+    """,
+)
+def q7_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between nation PAIRS — a
+    five-way join where the selective predicate spans TWO dimension chains
+    (customer-side nation x supplier-side nation), grouped by shipping
+    year. Every dimension (customer, supplier, both nation aliases)
+    broadcasts; lineitem-orders is the one fact-fact join (shuffled on the
+    order key — or shuffle-free when both sides are pre-bucketed on it, the
+    repeated-join story in README); the pair disjunction evaluates after
+    both chains resolve."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    d18 = "decimal(18,6)"
+    j = (
+        # no broadcast hint on orders: it is a FACT table — at scale this
+        # join shuffles on the order key (Catalyst may still broadcast it
+        # at test sf, which is fine; forcing it would be wrong at 100 TB)
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .filter(
+            ((F.col("cust_nation") == "NATION_11") & (F.col("supp_nation") == "NATION_20"))
+            | ((F.col("cust_nation") == "NATION_19") & (F.col("supp_nation") == "NATION_18"))
+        )
+    )
+    disc = F.col("l_extendedprice").cast(d18) * (F.lit(1) - F.col("l_discount").cast(d18))
+    return j.groupBy(
+        "cust_nation", "supp_nation", F.year("l_shipdate").cast("long").alias("ship_year")
+    ).agg(
+        F.sum(disc).cast("decimal(16,4)").cast("double").alias("volume"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey AS pk,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(16,4)) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT COUNT(*) AS n_lines,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(16,4)) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.pk
+    WHERE l.l_quantity < 0.5 * pa.avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated scalar-AVG subquery ("lines below
+    half their part's average quantity"), decorrelated into ONE per-part
+    aggregate joined back to the fact — the classic rewrite that turns a
+    per-row subquery into a single shuffle on the correlation key. The
+    per-part average uses the exact decimal sum -> one double division, so
+    the 0.5x threshold compares identical doubles in both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("decimal(16,4)")
+            .cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    )
+    j = li.join(pa, F.col("l_partkey") == F.col("pk")).filter(
+        F.col("l_quantity") < 0.5 * F.col("avg_qty")
+    )
+    return j.agg(
+        F.count("*").alias("n_lines"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("decimal(16,4)")
+            .cast("double")
+            / 7.0
+        ).alias("avg_yearly"),
+    )
