@@ -122,6 +122,13 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                # membership stamp: the headline set was recomposed in round 4
+                # (capped twins replaced uncapped funnels; ivf split into
+                # build/search; see BASELINE.md "Round-4 headline
+                # recomposition") — totals are comparable only within the
+                # same set version; compare per-query across versions.
+                "headline_set": "r4-recomposed",
+                "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -171,8 +171,15 @@ def _post_filter(
     (verbatim for pushdown-sourced, lowercased for option-sourced)."""
     want = None if address is None else (address if address_exact else address.lower())
     for row in rows:
-        if want is not None and row[0] != want:
-            continue
+        if want is not None:
+            # option-sourced contract is caseless (like the chain's 20-byte
+            # compare): lowercase BOTH sides, so a node returning EIP-55
+            # checksummed addresses still matches — mirroring the topic0
+            # comparison below. Pushdown-sourced stays verbatim (Spark
+            # re-evaluates the exact predicate post-scan anyway).
+            got = row[0] if address_exact else row[0].lower()
+            if got != want:
+                continue
         if topic0 is not None:
             topics = row[1]
             if not topics or topics[0].lower() != topic0.lower():

@@ -48,7 +48,7 @@ class StreamFactory:
     spark: SparkSession
     path: str | None = None
     from_block: int = 0
-    to_block: int = 0
+    to_block: int | None = None  # None = unbounded: batch reads to head, stream tails
     confirmation_blocks: int = 2  # stream.rs:116 default
     block_step: int = 1000  # stream.rs:119 default
     rpc_url: str | None = None
@@ -72,10 +72,11 @@ class StreamFactory:
             reader = reader.option("rpc_url", self.rpc_url)
         else:
             reader = reader.option("path", self.path)
+        reader = reader.option("from_block", self.from_block)
+        if self.to_block is not None:  # omit => unbounded (head-following)
+            reader = reader.option("to_block", self.to_block)
         df = (
             reader
-            .option("from_block", self.from_block)
-            .option("to_block", self.to_block)
             .option("confirmation_blocks", self.confirmation_blocks)
             .option("block_step", self.block_step)
             .option("address", h.address)

@@ -68,7 +68,16 @@ class JsonRpcLogFetcher:
 
     def block_number(self) -> int:
         """Chain head — the S5 block feed, pull form."""
-        return int(self._call("eth_blockNumber", []), 16)
+        result = self._call("eth_blockNumber", [])
+        # a null/missing/malformed result must surface through the RpcError
+        # taxonomy (deterministic protocol failure), not a raw TypeError that
+        # bypasses the transient/deterministic classification
+        if not isinstance(result, str):
+            raise RpcError(f"eth_blockNumber: non-hex result {result!r}")
+        try:
+            return int(result, 16)
+        except ValueError as e:
+            raise RpcError(f"eth_blockNumber: non-hex result {result!r}") from e
 
     def get_logs(
         self,

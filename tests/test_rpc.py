@@ -168,6 +168,60 @@ def test_rpc_exhaustion_reraises_transient(node):
     n.fail_next = 0
 
 
+def test_post_filter_accepts_checksummed_node_addresses():
+    """A node returning EIP-55 checksummed addresses must not have its rows
+    silently dropped by the client-side re-check: the option-sourced
+    contract is caseless on both sides, like the topic0 comparison (and like
+    the chain's 20-byte address compare)."""
+    checksummed = "0xA0b86991c6218b36c1d19D4a2e9Eb0cE3606eB48"
+    row = (checksummed, [TRANSFER_TOPIC0], b"\x00" * 32, 5, 0, "0xabc", False)
+    out = list(
+        bs._post_filter(
+            iter([row]), TRANSFER_TOPIC0, fail_on_removed=True,
+            address=checksummed.lower(), address_exact=False,
+        )
+    )
+    assert out == [row]
+    # pushdown-sourced stays verbatim: a case mismatch is NOT matched
+    out_exact = list(
+        bs._post_filter(
+            iter([row]), TRANSFER_TOPIC0, fail_on_removed=True,
+            address=checksummed.lower(), address_exact=True,
+        )
+    )
+    assert out_exact == []
+
+
+def test_block_number_null_result_is_rpc_error(monkeypatch):
+    """A null/malformed eth_blockNumber result surfaces as RpcError (the
+    deterministic protocol class), not a raw TypeError that would bypass the
+    transient/deterministic retry classification."""
+    f = JsonRpcLogFetcher("http://127.0.0.1:9")
+    for bad in (None, 123, "not-hex"):
+        monkeypatch.setattr(
+            JsonRpcLogFetcher, "_call", lambda self, m, p, _bad=bad: _bad
+        )
+        with pytest.raises(RpcError) as ei:
+            f.block_number()
+        assert not isinstance(ei.value, TransientRpcError)
+
+
+def test_factory_unbounded_to_block_tails_head(spark, node):
+    """StreamFactory without to_block must read to the chain head (the
+    unbounded/head-following default), not silently cap at block 0."""
+    from eth_event_stream_spark.sources.factory import StreamFactory
+    from eth_event_stream_spark.sources.fixtures import ADDR_B, TRANSFER_DECL
+
+    fx, n = node
+    factory = StreamFactory(
+        spark, rpc_url=n.url, from_block=fx.from_block, block_step=40
+    )
+    factory.make(ADDR_A, TRANSFER_DECL)
+    factory.make(ADDR_B, TRANSFER_DECL)
+    merged = factory.sink(streaming=False, fail_on_removed=False)
+    assert merged.count() == fx.total_events
+
+
 def test_batch_read_over_rpc_golden_count(spark, node):
     """The reference's golden-count integration test over the LIVE transport:
     chunked eth_getLogs through Spark executors reproduces the fixture's
