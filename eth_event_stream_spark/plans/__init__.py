@@ -20,6 +20,7 @@ from . import (  # noqa: F401  (registration side effects)
     relational2,
     relational3,
     relational4,
+    relational5,
     vectors,
 )
 from .registry import QUERIES, oracle_sql_dict, queries_dict

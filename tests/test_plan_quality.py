@@ -75,6 +75,23 @@ PLAN_EXPECTATIONS = {
     ],
     # NOT EXISTS -> left-anti hash join; the scalar cutoff broadcasts
     "q22_idle_balances": [r"LeftAnti", r"GreaterThan\(c_acctbal,0.0\)"],
+    # correlated scalar-MIN against a join tree: the supplier->nation->region
+    # dim chain broadcasts, the per-part min is ONE hash aggregate (never a
+    # per-part subquery), and the top-100 is heap+merge
+    "q2_min_cost_supplier": [
+        r"BroadcastHashJoin",
+        r"HashAggregate",
+        r"TakeOrderedAndProject",
+    ],
+    # outer-join count distribution: the LEFT join must survive (no rewrite
+    # to inner), and both aggregation levels are hash-based
+    "q13_order_count_distribution": [r"LeftOuter", r"HashAggregate"],
+    # nested semi-join over a correlated aggregate threshold: the date window
+    # is pushed to the scan and the supplier gate is ONE left-semi hash join
+    "q20_excess_shippers": [r"PushedFilters: .*l_shipdate", r"LeftSemi"],
+    # EXISTS + NOT EXISTS pair: one left-semi and one left-anti hash join on
+    # the order key — never per-row subquery execution
+    "q21_waiting_suppliers": [r"LeftSemi", r"LeftAnti", r"HashAggregate"],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -89,6 +106,10 @@ JVM_ONLY = [
     "similarity_topk_bruteforce",
     "text_quality_score",
     "sync_dense_flush",
+    "q2_min_cost_supplier",
+    "q13_order_count_distribution",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]
