@@ -205,6 +205,74 @@ def test_headline_window_never_single_partition(spark, sf_dir, name):
         )
 
 
+def _single_partition_windows(plan: str) -> bool:
+    """True iff some Window operator in the formatted plan is fed by an
+    Exchange whose distribution is SinglePartition — i.e. a GLOBAL
+    (unpartitioned) window that funnels all rows through one task.
+
+    Precision matters: a plan can legitimately contain both a partitioned
+    window AND a SinglePartition exchange elsewhere (the 1-row global-count
+    aggregate in corpus_tfidf, say), so co-occurrence is not enough. We walk
+    the window's direct unary input chain (Sort/Project/Filter/
+    WindowGroupLimit) to the exchange that establishes its distribution."""
+    lines = plan.splitlines()
+    tree: list[tuple[int, str, int]] = []  # (indent, opname, id)
+    for ln in lines:
+        m = re.match(r"^([ :+\-*]*)([A-Za-z][^()]*)\((\d+)\)\s*$", ln)
+        if m:
+            tree.append((len(m.group(1)), m.group(2).strip(), int(m.group(3))))
+    # operator-details blocks: id -> full text
+    details: dict[int, str] = {}
+    cur = None
+    for ln in lines:
+        m = re.match(r"^\((\d+)\) ", ln)
+        if m:
+            cur = int(m.group(1))
+            details[cur] = ""
+        elif cur is not None:
+            details[cur] += ln + "\n"
+    pass_through = ("Sort", "Project", "Filter", "WindowGroupLimit")
+    for i, (_indent, name, _oid) in enumerate(tree):
+        if not name.startswith("Window"):
+            continue
+        j = i + 1
+        while j < len(tree) and tree[j][1].startswith(pass_through):
+            j += 1
+        if j < len(tree) and tree[j][1].startswith("Exchange"):
+            if "SinglePartition" in details.get(tree[j][2], ""):
+                return True
+    return False
+
+
+FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+
+# global-window queries explicitly allowed: named baselines (the documented
+# scale-killer contrast shapes) — nothing else may join this list without a
+# *_baseline name
+GLOBAL_WINDOW_ALLOWED = {"pack_sequences_unsharded_baseline"}
+
+
+def test_no_registered_query_globally_windows_a_fact_table(spark, sf_dir):
+    """Registry-wide structural gate: NO registered query may run a window
+    over a SinglePartition exchange while scanning a fact table — the
+    whole-corpus-through-one-task funnel. Dim-only global windows (quartiles
+    over customer, say) are tolerated; fact-table ones must either be
+    rewritten or registered under an explicit *_baseline name."""
+    offenders = []
+    for name, q in sorted(QUERIES.items()):
+        if name in GLOBAL_WINDOW_ALLOWED:
+            assert "baseline" in name, f"{name}: allowlisted without _baseline name"
+            continue
+        p = plan_of(spark, sf_dir, name)
+        if _single_partition_windows(p):
+            facts = [t for t in FACT_TABLES if f"{t}.parquet" in p]
+            if facts:
+                offenders.append((name, facts))
+    assert not offenders, (
+        f"global (SinglePartition) windows over fact tables: {offenders}"
+    )
+
+
 def test_q1_scan_prunes_columns(spark, sf_dir):
     """The scan must read exactly the 6 referenced columns of 11."""
     p = plan_of(spark, sf_dir, "q1_pricing_summary")
