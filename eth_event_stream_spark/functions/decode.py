@@ -77,6 +77,59 @@ def slot_to_decimal(slot: Column) -> Column:
     return F.when(slot < F.lit(_DEC38_LIMIT_HEX), value).otherwise(F.lit(None))
 
 
+def sum_uint256(df: DataFrame, hex_col: str = "value_hex") -> DataFrame:
+    """EXACT uint256 aggregation over a lossless ``<name>_hex`` column —
+    the SURVEY §7.4.1 close-out.
+
+    ``slot_to_decimal`` NULLs values >= 10^38 (a sum then silently skips
+    them), and the reference wraps at 2^127 (examples/stream_multi.rs:59).
+    This helper is exact over the FULL uint256 domain: each value splits
+    into three lanes (bits [0,96), [96,192), [192,256) — every lane < 2^96
+    fits DECIMAL(38,0) with room for ~10^9 summands), the lanes sum
+    independently (partial-aggregable, map-side combined, no shuffle of
+    values), and one carry pass normalizes the three-limb result:
+
+        total = sum_top * 2^192 + sum_hi * 2^96 + sum_lo
+        0 <= sum_lo < 2^96,  0 <= sum_hi < 2^96
+
+    Returns one row ``(n_values, sum_top, sum_hi, sum_lo)`` (limbs
+    DECIMAL(38,0)). Exact for up to ~1.26e9 values per aggregation (the
+    lane-sum bound N * 2^96 < 10^38); beyond that ANSI decimal overflow
+    RAISES rather than wrapping or skipping — pre-bucket (e.g. per block
+    range) and re-aggregate limbs to go bigger. Every step is a codegen'd
+    JVM expression; the carry divisions are exact ((s - s mod 2^96) / 2^96
+    is an integer well inside the result type's precision).
+    """
+    slot = F.lower(F.regexp_replace(F.col(hex_col), "^0x", ""))
+    p64 = _dec(_POW[64])
+    d38 = "decimal(38,0)"
+
+    def chunk(start: int, width: int) -> Column:
+        return F.conv(F.substring(slot, start, width), 16, 10).cast(d38)
+
+    lane0 = (chunk(49, 16) + chunk(41, 8) * p64).alias("l0")  # bits [0,96)
+    lane1 = (chunk(25, 16) + chunk(17, 8) * p64).alias("l1")  # bits [96,192)
+    lane2 = chunk(1, 16).alias("l2")  # bits [192,256)
+    s = df.select(F.col(hex_col), lane0, lane1, lane2).agg(
+        F.count(hex_col).alias("n_values"),
+        F.coalesce(F.sum("l0"), F.lit(0).cast(d38)).alias("s0"),
+        F.coalesce(F.sum("l1"), F.lit(0).cast(d38)).alias("s1"),
+        F.coalesce(F.sum("l2"), F.lit(0).cast(d38)).alias("s2"),
+    )
+    p96 = _dec(str(2**96))
+    r0 = F.pmod(F.col("s0"), p96)
+    c0 = ((F.col("s0") - r0) / p96).cast(d38)
+    t1 = (F.col("s1") + c0).cast(d38)
+    r1 = F.pmod(t1, p96)
+    c1 = ((t1 - r1) / p96).cast(d38)
+    return s.select(
+        "n_values",
+        (F.col("s2") + c1).cast(d38).alias("sum_top"),
+        r1.cast(d38).alias("sum_hi"),
+        r0.cast(d38).alias("sum_lo"),
+    )
+
+
 def slot_to_long(slot: Column) -> Column:
     """Low 64 bits of a slot as a (signed) long — for ABI types <= 63 bits."""
     return _chunk_long(slot, _SLOT_HEX - _UINT64_HEX, _UINT64_HEX)

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.decode import sum_uint256
 from .catalog import t
 from .registry import register
 
@@ -209,6 +210,61 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(excess_sks, F.col("s_suppkey") == F.col("sk"), "left_semi")
         .select("s_name", "s_acctbal")
     )
+
+
+@register(
+    "sum_uint256_exact",
+    oracle="""
+    WITH vals AS (
+      SELECT concat(repeat('0', 32), '8000000000000000',
+                    lpad(lower(to_hex(l_orderkey)), 16, '0')) AS h
+      FROM lineitem WHERE l_orderkey < 400),
+    lanes AS (
+      SELECT
+        CAST(CAST(concat('0x', substr(h, 49, 16)) AS UBIGINT) AS HUGEINT)
+          + CAST(CAST(concat('0x', substr(h, 41, 8)) AS UBIGINT) AS HUGEINT)
+            * CAST('18446744073709551616' AS HUGEINT) AS l0,
+        CAST(CAST(concat('0x', substr(h, 25, 16)) AS UBIGINT) AS HUGEINT)
+          + CAST(CAST(concat('0x', substr(h, 17, 8)) AS UBIGINT) AS HUGEINT)
+            * CAST('18446744073709551616' AS HUGEINT) AS l1,
+        CAST(CAST(concat('0x', substr(h, 1, 16)) AS UBIGINT) AS HUGEINT) AS l2
+      FROM vals),
+    s AS (SELECT COUNT(*) AS n, SUM(l0) AS s0, SUM(l1) AS s1, SUM(l2) AS s2
+          FROM lanes),
+    carry0 AS (
+      SELECT n, s0 % CAST('79228162514264337593543950336' AS HUGEINT) AS r0,
+             s0 // CAST('79228162514264337593543950336' AS HUGEINT) AS c0,
+             s1, s2
+      FROM s),
+    carry1 AS (
+      SELECT n, r0,
+             (s1 + c0) % CAST('79228162514264337593543950336' AS HUGEINT) AS r1,
+             (s1 + c0) // CAST('79228162514264337593543950336' AS HUGEINT) AS c1,
+             s2
+      FROM carry0)
+    SELECT n AS n_values,
+           CAST(s2 + c1 AS DECIMAL(38,0)) AS sum_top,
+           CAST(r1 AS DECIMAL(38,0)) AS sum_hi,
+           CAST(r0 AS DECIMAL(38,0)) AS sum_lo
+    FROM carry1
+    """,
+)
+def sum_uint256_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-limb EXACT uint256 aggregation (SURVEY §7.4.1 close-out): every
+    summed value here is 2^127 + l_orderkey — ABOVE both the reference's
+    silent i128 wrap point (examples/stream_multi.rs:59) and our decode
+    surface's DECIMAL(38,0) NULL threshold — yet the sum is exact:
+    per-row 96/96/64-bit hex lanes, three partial-aggregated decimal lane
+    sums, one carry pass, result as (sum_top, sum_hi, sum_lo) with
+    total = sum_top * 2^192 + sum_hi * 2^96 + sum_lo. The oracle replays
+    the identical limb algebra in DuckDB HUGEINT. No shuffle moves values —
+    only the three lane partials."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    hx = F.concat(
+        F.lit("0x" + "0" * 32 + "8000000000000000"),
+        F.lpad(F.lower(F.conv(F.col("l_orderkey").cast("string"), 10, 16)), 16, "0"),
+    )
+    return sum_uint256(li.select(hx.alias("value_hex")), "value_hex")
 
 
 @register(

@@ -347,3 +347,56 @@ def test_dynamic_array_decode(spark):
     # the scalar path; the raw data stays available upstream)
     assert out[2]["amounts"] == [None]
     assert out[2]["targets"] == [t2]
+
+
+def test_sum_uint256_exact_full_domain(spark):
+    """sum_uint256 is exact over the full uint256 domain — including the
+    values slot_to_decimal NULLs (>= 10^38) and the reference wraps
+    (>= 2^127, examples/stream_multi.rs:59). Oracle: Python bignum."""
+    import random
+
+    from eth_event_stream_spark.functions.decode import sum_uint256
+
+    rng = random.Random(20260814)
+    vals = [
+        0,
+        1,
+        2**64 - 1,
+        10**38 - 1,
+        10**38,  # first NULL of the decode surface
+        2**127,  # the reference's wrap point
+        2**128 - 1,
+        2**255,
+        2**256 - 1,
+    ] + [rng.getrandbits(rng.choice([32, 64, 96, 128, 160, 224, 256])) for _ in range(50)]
+    rows = [("0x" + format(v, "x").rjust(64, "0"),) for v in vals]
+    df = spark.createDataFrame(rows, "value_hex string")
+    got = sum_uint256(df, "value_hex").collect()[0]
+    expected = sum(vals)
+    assert got["n_values"] == len(vals)
+    total = (
+        int(got["sum_top"]) * 2**192
+        + int(got["sum_hi"]) * 2**96
+        + int(got["sum_lo"])
+    )
+    assert total == expected
+    assert 0 <= int(got["sum_lo"]) < 2**96
+    assert 0 <= int(got["sum_hi"]) < 2**96
+
+
+def test_sum_uint256_empty_and_null(spark):
+    from eth_event_stream_spark.functions.decode import sum_uint256
+
+    empty = spark.createDataFrame([], "value_hex string")
+    row = sum_uint256(empty, "value_hex").collect()[0]
+    assert (
+        row["n_values"], int(row["sum_top"]), int(row["sum_hi"]), int(row["sum_lo"])
+    ) == (0, 0, 0, 0)
+
+    with_null = spark.createDataFrame(
+        [("0x" + format(7, "x").rjust(64, "0"),), (None,)], "value_hex string"
+    )
+    row = sum_uint256(with_null, "value_hex").collect()[0]
+    assert (
+        row["n_values"], int(row["sum_top"]), int(row["sum_hi"]), int(row["sum_lo"])
+    ) == (1, 0, 0, 7)
