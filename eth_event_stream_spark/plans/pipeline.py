@@ -1528,9 +1528,20 @@ def split_hash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable; md5 is). First hex digit < 'd' => train (13/16 ~ 81%).
     Stable across runs, engines, and cluster sizes; adding data never
     reassigns an existing id."""
-    d = t(spark, sf_dir, "documents")
-    digit = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1)
-    return d.select(
+    return split_assign(t(spark, sf_dir, "documents"))
+
+
+def split_assign(df: DataFrame) -> DataFrame:
+    """The split_hash_assign core as a DataFrame-in/DataFrame-out transform.
+
+    STATELESS (the assignment depends only on the row's id), so the same
+    expression runs unchanged as a streaming twin — new documents arriving
+    on a stream get the identical split a batch re-run would give them
+    (tested for parity in test_streaming.py)."""
+    digit = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    return df.select(
         "doc_id",
         F.when(digit < "d", "train").otherwise("holdout").alias("split"),
     )
@@ -1591,15 +1602,32 @@ def decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is scanned once — the 100 TB shape is hash-then-broadcast-
     lookup, never text comparison."""
     d = t(spark, sf_dir, "documents")
-    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
-    bench = (
-        d.filter(F.expr(_BENCH_FILTER))
-        .select(fp.alias("fp"))
+    bench = bench_fingerprints(d)
+    return decontaminate_against(d.filter(~F.expr(_BENCH_FILTER)), bench)
+
+
+def _content_fp() -> Column:
+    """Normalized-content fingerprint (whitespace-collapsed lowercase md5)."""
+    return F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+
+
+def bench_fingerprints(docs: DataFrame) -> DataFrame:
+    """Distinct benchmark fingerprints — the tiny static broadcast side."""
+    return (
+        docs.filter(F.expr(_BENCH_FILTER))
+        .select(_content_fp().alias("fp"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    train = d.filter(~F.expr(_BENCH_FILTER)).select("doc_id", fp.alias("fp"))
-    return train.join(F.broadcast(bench), "fp", "left").select(
+
+
+def decontaminate_against(docs: DataFrame, bench: DataFrame) -> DataFrame:
+    """The decontaminate_exact core as a transform over any docs frame —
+    batch or STREAMING (a stream-static broadcast join is stateless: each
+    micro-batch probes the fixed benchmark set; parity with the batch run
+    is tested in test_streaming.py)."""
+    probe = docs.select("doc_id", _content_fp().alias("fp"))
+    return probe.join(F.broadcast(bench), "fp", "left").select(
         "doc_id",
         F.when(F.col("hit").isNotNull(), 1).otherwise(0).cast("int").alias("contaminated"),
     )

@@ -1146,3 +1146,98 @@ def test_pushdown_address_is_exact_option_address_is_lowercased(tmp_path):
     assert all(p.address == "0xAbCd" and not p.address_exact for p in parts2)
     rows2 = [r for p in parts2 for r in reader2.read(p)]
     assert [r[0] for r in rows2] == ["0xabcd"]
+
+
+def test_stream_split_assign_parity(spark, sf_dir, tmp_path):
+    """Streaming twin of split_hash_assign: documents arriving file-by-file
+    get the IDENTICAL train/holdout assignment the batch query computes —
+    the split is a pure function of the id, so stream and batch can never
+    disagree (and this test pins that the streaming plan stays stateless:
+    append mode with no watermark requirement)."""
+    from eth_event_stream_spark.plans.pipeline import split_assign
+
+    src = tmp_path / "docs_split_stream"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(4).write.parquet(str(src))
+    batch = {
+        (r["doc_id"], r["split"])
+        for r in split_assign(spark.read.parquet(str(src))).collect()
+    }
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        split_assign(sdf)
+        .writeStream.format("memory")
+        .queryName("split_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_split"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["doc_id"], r["split"])
+        for r in spark.table("split_stream_sink").collect()
+    }
+    assert got == batch
+
+
+def test_stream_decontaminate_exact_parity(spark, sf_dir, tmp_path):
+    """Streaming twin of decontaminate_exact: the benchmark fingerprint set
+    is STATIC (computed once, broadcast); the training corpus streams past
+    it file-by-file in a stream-static join. Every micro-batch flags the
+    same rows the batch query flags — including at least one genuine
+    contamination hit, so the parity is not vacuous."""
+    from eth_event_stream_spark.plans.pipeline import (
+        _BENCH_FILTER,
+        bench_fingerprints,
+        decontaminate_against,
+    )
+
+    src = tmp_path / "docs_decon_stream"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # plant a guaranteed leak: one benchmark doc's text re-ingested under a
+    # fresh training id (small fixtures may hold no natural collisions)
+    leak = (
+        docs.filter(F.expr(_BENCH_FILTER))
+        .limit(1)
+        .withColumn("doc_id", F.lit(987654).cast(docs.schema["doc_id"].dataType))
+    )
+    train_docs = docs.filter(~F.expr(_BENCH_FILTER)).unionByName(leak)
+    train_docs.repartition(4).write.parquet(str(src))
+    bench = bench_fingerprints(docs)
+
+    batch = {
+        (r["doc_id"], r["contaminated"])
+        for r in decontaminate_against(spark.read.parquet(str(src)), bench).collect()
+    }
+    assert any(c == 1 for _, c in batch), "fixture has no contamination hits"
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        decontaminate_against(sdf, bench)
+        .writeStream.format("memory")
+        .queryName("decon_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_decon"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["doc_id"], r["contaminated"])
+        for r in spark.table("decon_stream_sink").collect()
+    }
+    assert got == batch
