@@ -450,6 +450,62 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search_topk(spark, sf_dir, ivf_build_centroids(spark, sf_dir))
 
 
+def _recall_oracle() -> str:
+    """Compose the recall@10 oracle from the ANN variants' own oracles —
+    one source of truth per search method (a drifted copy here could
+    silently pass while the underlying method changed)."""
+    from .registry import QUERIES
+
+    brute = QUERIES["similarity_topk_bruteforce"].oracle
+    lsh = QUERIES["similarity_topk_lsh"].oracle
+    ivf = _sql_ivf(LLOYD_ROUNDS)
+    return f"""
+    WITH brute_all AS ({brute}),
+    brute10 AS (SELECT vec_id FROM brute_all ORDER BY cosine DESC, vec_id LIMIT 10),
+    ivf AS ({ivf}),
+    lsh AS ({lsh})
+    SELECT 'ivf' AS method,
+           CAST((SELECT COUNT(*) FROM ivf
+                 WHERE vec_id IN (SELECT vec_id FROM brute10)) AS DOUBLE) / 10.0
+             AS recall_at_10
+    UNION ALL
+    SELECT 'lsh' AS method,
+           CAST((SELECT COUNT(*) FROM lsh
+                 WHERE vec_id IN (SELECT vec_id FROM brute10)) AS DOUBLE) / 10.0
+    """
+
+
+@register("similarity_ann_recall", oracle=_recall_oracle())
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the approximate searches (learned-IVF, single-probe
+    sign-LSH) against the exact brute-force top-10 — the measured
+    quality/cost trade-off for the ANN surface. Everything is
+    deterministic (fixed seeds, full tie-break keys), so DuckDB replays
+    the identical three searches and the driver value-hash covers the
+    METRIC, not just the mechanics. Each semi-join probes a broadcast
+    10-row id set; cost is the two ANN searches themselves."""
+    from .pipeline import similarity_topk_bruteforce, similarity_topk_lsh
+
+    brute10 = (
+        similarity_topk_bruteforce(spark, sf_dir)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+
+    def recall(ann: DataFrame, method: str) -> DataFrame:
+        return (
+            ann.select("vec_id")
+            .join(F.broadcast(brute10), "vec_id", "left_semi")
+            .agg((F.count("*") / F.lit(10.0)).alias("recall_at_10"))
+            .select(F.lit(method).alias("method"), "recall_at_10")
+        )
+
+    ivf = similarity_topk_ivf(spark, sf_dir)
+    lsh = similarity_topk_lsh(spark, sf_dir)
+    return recall(ivf, "ivf").unionByName(recall(lsh, "lsh"))
+
+
 @register("sketch_approx_percentile", oracle=None)
 def sketch_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-ish sketch) — the constant-memory quantile
