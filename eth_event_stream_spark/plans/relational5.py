@@ -212,6 +212,79 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# distinct-name buckets above this size are dropped before pair generation
+# (hot-key guard, part of the query semantics — the oracle applies the
+# identical HAVING cut, so it is never a silent truncation)
+LEV_BUCKET_CAP = 20
+
+
+@register(
+    "dedup_levenshtein_nominated",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name, MIN(p_partkey) AS rep_key FROM part GROUP BY p_name),
+    tagged AS (
+      SELECT p_name, rep_key,
+             string_split(p_name, ' ')[-1] AS noun,
+             CAST(FLOOR(LEN(p_name) / 4) AS BIGINT) AS lb
+      FROM names),
+    ok AS (SELECT noun, lb FROM tagged
+           GROUP BY noun, lb HAVING COUNT(*) <= {LEV_BUCKET_CAP}),
+    cand AS (
+      SELECT a.rep_key AS key_a, b.rep_key AS key_b,
+             a.p_name AS name_a, b.p_name AS name_b
+      FROM tagged a
+      JOIN tagged b ON a.noun = b.noun AND a.lb = b.lb
+                   AND a.rep_key < b.rep_key
+      JOIN ok ON ok.noun = a.noun AND ok.lb = a.lb)
+    SELECT key_a, key_b, levenshtein(name_a, name_b) AS edit_dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 3
+    """,
+)
+def dedup_levenshtein_nominated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance dedup as a PRODUCTION composition (the shape
+    text_levenshtein_pairs' docstring promises): exact-collapse first
+    (distinct names with a min-key representative — kills the duplicate-
+    clique k-squared blowup exactly like dedup_collapse_then_lsh_verify),
+    nominate pairs only within (last-token, length-bucket) buckets, drop
+    buckets above LEV_BUCKET_CAP (hot-key guard in oracle semantics), and
+    run the Wagner-Fischer verify ONLY on nominated pairs. At 100 TB the
+    quadratic stage is bounded by cap^2 per bucket; the all-pairs scan
+    exists only in the key-filtered text_levenshtein_pairs baseline."""
+    names = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("rep_key"))
+    )
+    tagged = names.select(
+        "p_name",
+        "rep_key",
+        F.element_at(F.split("p_name", " "), -1).alias("noun"),
+        F.floor(F.length("p_name") / 4).cast("long").alias("lb"),
+    )
+    ok = (
+        tagged.groupBy("noun", "lb")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= LEV_BUCKET_CAP)
+        .select("noun", "lb")
+    )
+    bounded = tagged.join(F.broadcast(ok), ["noun", "lb"])
+    a = bounded.select(
+        "noun", "lb", F.col("rep_key").alias("key_a"), F.col("p_name").alias("name_a")
+    )
+    b = bounded.select(
+        "noun", "lb", F.col("rep_key").alias("key_b"), F.col("p_name").alias("name_b")
+    )
+    return (
+        a.join(b, ["noun", "lb"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("key_a", "key_b", "edit_dist")
+    )
+
+
 @register(
     "sum_uint256_exact",
     oracle="""

@@ -92,6 +92,10 @@ PLAN_EXPECTATIONS = {
     # EXISTS + NOT EXISTS pair: one left-semi and one left-anti hash join on
     # the order key — never per-row subquery execution
     "q21_waiting_suppliers": [r"LeftSemi", r"LeftAnti", r"HashAggregate"],
+    # production Levenshtein: exact-collapse is a hash aggregate and the
+    # bucket-cap filter broadcasts into the nomination join (a SortMergeJoin
+    # means the distinct-name side was misestimated as large)
+    "dedup_levenshtein_nominated": [r"HashAggregate", r"BroadcastHashJoin"],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
