@@ -365,3 +365,58 @@ def test_stream_read_over_rpc_golden_count(spark, node, tmp_path):
         q.stop()
     assert spark.table("rpc_stream_sink").count() == fx.golden_count_a
     assert n.calls.count("eth_blockNumber") >= 1
+
+
+def test_block_notify_watch_semantics(node):
+    """BlockNotify (data_feed/block.rs analog): late subscribers see the
+    current head immediately, wait_for blocks until the chain reaches a
+    target, and the head is monotonic across node regressions."""
+    from eth_event_stream_spark.sources.notify import BlockNotify
+
+    fx, n = node
+    real_head = n.head
+    feed = BlockNotify(n.url, poll_interval_s=0.02)
+    try:
+        got = feed.wait_for(real_head, timeout_s=10.0)
+        assert got >= real_head
+        # late joiner: latest() is immediately available, no waiting
+        assert feed.latest() >= real_head
+        # a node answering with a LOWER height must not move the head back
+        n.head = real_head - 50
+        import time
+
+        time.sleep(0.1)
+        assert feed.latest() >= real_head
+        # the chain advances: the feed follows
+        n.head = real_head + 7
+        assert feed.wait_for(real_head + 7, timeout_s=10.0) >= real_head + 7
+    finally:
+        n.head = real_head
+        feed.stop()
+
+
+def test_block_notify_reconnects_through_transient_failures(node):
+    """The reconnect-forever contract (block.rs:25-26): a burst of transient
+    HTTP 500s is retried with backoff and the feed keeps serving."""
+    from eth_event_stream_spark.sources.notify import BlockNotify
+
+    fx, n = node
+    n.fail_next = 3
+    feed = BlockNotify(n.url, poll_interval_s=0.02, retry_base_s=0.001)
+    try:
+        assert feed.wait_for(n.head, timeout_s=10.0) >= n.head
+        assert feed.error is None
+    finally:
+        feed.stop()
+
+
+def test_block_notify_wait_timeout(node):
+    from eth_event_stream_spark.sources.notify import BlockNotify
+
+    fx, n = node
+    feed = BlockNotify(n.url, poll_interval_s=0.02)
+    try:
+        with pytest.raises(TimeoutError):
+            feed.wait_for(n.head + 10**6, timeout_s=0.3)
+    finally:
+        feed.stop()
