@@ -21,6 +21,7 @@ from . import (  # noqa: F401  (registration side effects)
     relational3,
     relational4,
     relational5,
+    relational6,
     vectors,
 )
 from .registry import QUERIES, oracle_sql_dict, queries_dict

@@ -96,6 +96,33 @@ PLAN_EXPECTATIONS = {
     # bucket-cap filter broadcasts into the nomination join (a SortMergeJoin
     # means the distinct-name side was misestimated as large)
     "dedup_levenshtein_nominated": [r"HashAggregate", r"BroadcastHashJoin"],
+    # eight-way market-share join: ONE fact scan, every dim broadcast, the
+    # order-date window pushed to the orders scan
+    "q8_national_market_share": [
+        r"BroadcastHashJoin",
+        r"PushedFilters: .*o_orderdate",
+        r"HashAggregate",
+    ],
+    # profit mart: name-filtered part dim broadcasts (pushed StringContains),
+    # one aggregation pass carrying both lanes
+    "q9_product_type_profit": [r"BroadcastHashJoin", r"HashAggregate"],
+    # global-scalar group filter: the 1-row total joins via broadcast
+    # nested-loop, never a per-group subquery
+    "q11_important_stock": [r"BroadcastNestedLoopJoin", r"HashAggregate"],
+    # fact-fact join with the ship-date window pushed to the lineitem scan
+    "q12_late_priority_lines": [r"PushedFilters: .*l_shipdate", r"HashAggregate"],
+    # argmax-by-scalar-subquery: Catalyst extracts the equality filter over
+    # the 1-row max into an equi-condition, so BOTH the max join and the
+    # supplier lookup are broadcast HASH joins (no nested loop at all)
+    "q15_top_supplier": [
+        r"BroadcastHashJoin",
+        r"PushedFilters: .*l_shipdate",
+    ],
+    # NOT IN -> LEFT ANTI against the broadcast excluded set; distinct count
+    # plans as expand + two-level hash aggregate
+    "q16_supplier_relation_counts": [r"BroadcastHashJoin LeftAnti", r"HashAggregate"],
+    # HAVING-gated per-order aggregate then enrichment joins
+    "q18_large_volume_customers": [r"HashAggregate", r"BroadcastHashJoin"],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -114,6 +141,13 @@ JVM_ONLY = [
     "q13_order_count_distribution",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
+    "q8_national_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_late_priority_lines",
+    "q15_top_supplier",
+    "q16_supplier_relation_counts",
+    "q18_large_volume_customers",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]
