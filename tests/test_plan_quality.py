@@ -123,6 +123,16 @@ PLAN_EXPECTATIONS = {
     "q16_supplier_relation_counts": [r"BroadcastHashJoin LeftAnti", r"HashAggregate"],
     # HAVING-gated per-order aggregate then enrichment joins
     "q18_large_volume_customers": [r"HashAggregate", r"BroadcastHashJoin"],
+    # incremental ingest dedup: the batch side broadcasts into the band
+    # probe and candidate joins; the corpus index streams past (hot-bucket
+    # and hot-shingle guards are broadcast LEFT ANTIs)
+    "dedup_incremental_pairs": [
+        r"BroadcastHashJoin",
+        r"BroadcastHashJoin LeftAnti",
+        r"HashAggregate",
+    ],
+    # the accept decision is a LEFT ANTI of rejected ids against the batch
+    "dedup_incremental_accept": [r"BroadcastHashJoin LeftAnti"],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
