@@ -47,6 +47,7 @@ from .pipeline import (
     SHINGLE_DF_CAP,
     _distinct_shingles,
     _minhash_prep_spark,
+    _SPARK_SHINGLES,
     _sql_minhash,
     _SQL_SHINGLES,
 )
@@ -150,32 +151,86 @@ def _unpivot_bands(bands: DataFrame) -> DataFrame:
     ).select("doc_id", "b.band_idx", "b.key")
 
 
-def _incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus, batch = _split(spark, sf_dir)
-
-    # probe: batch signatures (small, broadcast) against the corpus band
-    # index (streams past — at scale this is a stored table, not recomputed)
+def corpus_band_index(corpus: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, key) LSH index of the curated corpus with the
+    hot-bucket guard applied — the artifact a production cycle PERSISTS
+    (here recomputed from the corpus table). The hot set is tiny by
+    construction, so the guard is a broadcast LEFT ANTI; the index itself
+    is never shuffled by the probe."""
     clong = _unpivot_bands(_minhash_prep_spark(corpus))
-    blong = _unpivot_bands(_minhash_prep_spark(batch))
     hot_buckets = (
         clong.groupBy("band_idx", "key")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > LSH_BUCKET_CAP)
         .select("band_idx", "key")
     )
-    probe = blong.select(
+    return clong.join(F.broadcast(hot_buckets), ["band_idx", "key"], "left_anti")
+
+
+def batch_band_rows(new_docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, key) band rows of a NEW batch, computed as a pure
+    per-row PROJECTION (no explode/groupBy): each salt's md5 digests are
+    materialized once per document as an array column, then each minhash
+    lane is an array_min over 8-hex slices. Identical signatures to the
+    corpus side's explode+aggregate form (same strings, same min), but
+    STATELESS — which is what lets the nomination run on an unbounded
+    stream with zero streaming state (see dedup_incremental_nominate_stream).
+    The explode form remains the corpus-side choice because it bounds
+    per-row memory by shingle count for pathological documents."""
+    toks = new_docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks")
+    ).filter(F.size("toks") >= 3)
+    sh = toks.select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
+    digs = sh.select(
+        "doc_id",
+        *[
+            F.expr(f"transform(shingles, s -> md5(concat('{d}:', s)))").alias(f"d{d}")
+            for d in range(2)
+        ],
+    )
+    lanes = digs.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform(d{j // 4}, "
+                f"x -> substring(x, {8 * (j % 4) + 1}, 8)))"
+            ).alias(f"h{j}")
+            for j in range(8)
+        ],
+    )
+    bands = lanes.select(
+        "doc_id",
+        *[
+            F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(f"band{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+    return _unpivot_bands(bands)
+
+
+def _nominate(corpus: DataFrame, batch: DataFrame) -> DataFrame:
+    """Distinct (doc_new, doc_corpus) candidates: the batch band rows
+    (small, broadcast) probe the guarded corpus index (streams past)."""
+    probe = batch_band_rows(batch).select(
         "band_idx", "key", F.col("doc_id").alias("doc_new")
     )
-    cands = (
-        clong.join(F.broadcast(hot_buckets), ["band_idx", "key"], "left_anti")
+    return (
+        corpus_band_index(corpus)
         .join(F.broadcast(probe), ["band_idx", "key"])
         .select("doc_new", F.col("doc_id").alias("doc_corpus"))
         .distinct()
     )
 
-    # verify: df-cap statistic from the CORPUS only (the persisted artifact),
-    # applied to both sides; corpus shingle index semi-joined down to probed
-    # candidates before the intersection join
+
+def verify_pairs(cands: DataFrame, corpus: DataFrame, batch: DataFrame) -> DataFrame:
+    """Capped-Jaccard verify of nominated (doc_new, doc_corpus) pairs.
+
+    The df-cap statistic comes from the CORPUS only (the persisted artifact
+    of the previous cycle — a new batch never updates it mid-cycle), is
+    applied to BOTH sides' shingle sets, and the corpus shingle index is
+    semi-joined down to the probed candidates before the intersection join.
+    Shared by the batch query and the per-micro-batch verify of the
+    streaming cycle (``foreachBatch`` in the parity test)."""
     cex = _distinct_shingles(corpus)
     bex = _distinct_shingles(batch)
     hot_shingles = (
@@ -217,6 +272,14 @@ def _incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, batch = _split(spark, sf_dir)
+    # probe: batch signatures (small, broadcast) against the corpus band
+    # index (streams past — at scale this is a stored table, not recomputed)
+    cands = _nominate(corpus, batch)
+    return verify_pairs(cands, corpus, batch)
+
+
 @register(
     "dedup_incremental_pairs",
     oracle=f"""{_SQL_INCREMENTAL_BODY}
@@ -253,3 +316,32 @@ def dedup_incremental_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_new").alias("doc_id")
     )
     return batch.select("doc_id").join(rejected, "doc_id", "left_anti")
+
+
+def dedup_incremental_nominate_stream(
+    new_docs: DataFrame, corpus_index: DataFrame
+) -> DataFrame:
+    """Streaming twin of the nomination stage: an UNBOUNDED stream of new
+    documents probes the static corpus band index with ZERO streaming state.
+
+    The per-row projection signature (``batch_band_rows``) has no
+    aggregation, so the whole nomination is a stateless stream-static inner
+    join — append mode, no watermark, no state store; Spark re-plans the
+    static side per micro-batch. Emits one row per (new doc, corpus doc,
+    band) agreement; the downstream verify (per micro-batch via
+    ``foreachBatch``, where it is plain batch work over the nominated pairs
+    only) dedupes band multiplicity. At 100 TB the static index is a
+    bucketed table on (band_idx, key) so the per-trigger join prunes to
+    matching buckets; a micro-batch of new docs is small, so the join is a
+    broadcast of the stream side in practice.
+
+    Stream==batch parity:
+    tests/test_streaming.py::test_incremental_nominate_stream_parity.
+    """
+    probe = batch_band_rows(new_docs).select(
+        F.col("doc_id").alias("doc_new"), "band_idx", "key"
+    )
+    return probe.join(
+        corpus_index.withColumnRenamed("doc_id", "doc_corpus"),
+        ["band_idx", "key"],
+    ).select("doc_new", "doc_corpus", "band_idx")

@@ -1241,3 +1241,74 @@ def test_stream_decontaminate_exact_parity(spark, sf_dir, tmp_path):
         for r in spark.table("decon_stream_sink").collect()
     }
     assert got == batch
+
+
+def test_incremental_nominate_stream_parity(spark, sf_dir, tmp_path):
+    """Streaming twin of the incremental ingest dedup cycle: new documents
+    arrive as a file stream (one file per micro-batch), the stateless
+    per-row projection signature probes the STATIC corpus band index (a
+    stream-static inner join — append mode, no watermark, no state store),
+    and each micro-batch's nominations are verified by the shared
+    ``verify_pairs`` inside foreachBatch (plain batch work over that
+    batch's candidates only). The union over all micro-batches must equal
+    the batch query exactly — nominations and verified pairs both."""
+    from eth_event_stream_spark.plans.incremental import (
+        _incremental_pairs,
+        _nominate,
+        _split,
+        corpus_band_index,
+        dedup_incremental_nominate_stream,
+        verify_pairs,
+    )
+
+    corpus, batch = _split(spark, sf_dir)
+    src = tmp_path / "new_docs"
+    batch.repartition(4).write.parquet(str(src))
+    static_batch = spark.read.parquet(str(src))
+
+    expected_noms = {
+        (r["doc_new"], r["doc_corpus"]) for r in _nominate(corpus, batch).collect()
+    }
+    expected_pairs = {
+        (r["doc_new"], r["doc_corpus"], r["jaccard"])
+        for r in _incremental_pairs(spark, sf_dir).collect()
+    }
+    assert expected_noms, "fixture produced no candidates — test is vacuous"
+
+    idx = corpus_band_index(corpus)
+    sdf = (
+        spark.readStream.schema(static_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    noms = dedup_incremental_nominate_stream(sdf, idx)
+
+    got_noms: set[tuple] = set()
+    got_pairs: list = []
+
+    def cycle(bdf, _epoch):
+        cands = bdf.select("doc_new", "doc_corpus").distinct()
+        got_noms.update((r["doc_new"], r["doc_corpus"]) for r in cands.collect())
+        # production: fetch texts for nominated ids; here the static parquet
+        # read IS that id->text lookup
+        got_pairs.extend(verify_pairs(cands, corpus, static_batch).collect())
+
+    q = (
+        noms.writeStream.foreachBatch(cycle)
+        .option("checkpointLocation", str(tmp_path / "ck_inc"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.lastProgress
+    finally:
+        q.stop()
+
+    # the nomination stage must be STATELESS (the 100 TB property: no
+    # streaming state grows with the corpus or the stream)
+    assert progress is not None and progress["stateOperators"] == []
+    assert got_noms == expected_noms
+    # a doc_new lives in exactly one file/micro-batch, so the union has no
+    # cross-batch duplicates and must match the batch pairs exactly
+    got = {(r["doc_new"], r["doc_corpus"], r["jaccard"]) for r in got_pairs}
+    assert got == expected_pairs
