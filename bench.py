@@ -59,6 +59,12 @@ HEADLINE = [
     "multimodal_features",
     "reducer_netflow_batch",
     "reducer_netflow_arrow",
+    # round-5 additions (headline_set bumps to r5-extended): the widest
+    # TPC-H join shapes and the incremental-ingest dedup cycle
+    "q8_national_market_share",
+    "q13_order_count_distribution",
+    "q18_large_volume_customers",
+    "dedup_incremental_pairs",
 ]
 
 
@@ -122,12 +128,13 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                # membership stamp: the headline set was recomposed in round 4
-                # (capped twins replaced uncapped funnels; ivf split into
-                # build/search; see BASELINE.md "Round-4 headline
-                # recomposition") — totals are comparable only within the
-                # same set version; compare per-query across versions.
-                "headline_set": "r4-recomposed",
+                # membership stamp: recomposed in round 4 (capped twins
+                # replaced uncapped funnels; ivf split into build/search),
+                # EXTENDED in round 5 (+q8/+q13/+q18_large_volume_customers/
+                # +dedup_incremental_pairs; see BASELINE.md) — totals are
+                # comparable only within the same set version; compare
+                # per-query across versions.
+                "headline_set": "r5-extended",
                 "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
