@@ -100,7 +100,7 @@ def sum_uint256(df: DataFrame, hex_col: str = "value_hex") -> DataFrame:
     JVM expression; the carry divisions are exact ((s - s mod 2^96) / 2^96
     is an integer well inside the result type's precision).
     """
-    slot = F.lower(F.regexp_replace(F.col(hex_col), "^0x", ""))
+    slot = F.regexp_replace(F.lower(F.col(hex_col)), "^0x", "")
     p64 = _dec(_POW[64])
     d38 = "decimal(38,0)"
 

@@ -241,11 +241,15 @@ def verify_pairs(cands: DataFrame, corpus: DataFrame, batch: DataFrame) -> DataF
     )
     cexk = cex.join(F.broadcast(hot_shingles), "s", "left_anti")
     bexk = bex.join(F.broadcast(hot_shingles), "s", "left_anti")
-    csizes = cexk.groupBy("doc_id").agg(F.count("*").alias("nc"))
     bsizes = bexk.groupBy("doc_id").agg(F.count("*").alias("nb"))
 
     cand_corpus = cands.select(F.col("doc_corpus").alias("doc_id")).distinct()
     cexc = cexk.join(F.broadcast(cand_corpus), "doc_id", "left_semi")
+    # corpus-side sizes AFTER the candidate semi-join: the semi-join keeps
+    # every shingle row of a retained doc, so the counts are identical to
+    # full-corpus sizes for the only docs whose size is ever consumed — and
+    # the broadcast below ships O(candidates), never O(corpus)
+    csizes = cexc.groupBy("doc_id").agg(F.count("*").alias("nc"))
 
     a = bexk.select(F.col("doc_id").alias("doc_new"), "s")
     b = cexc.select(F.col("doc_id").alias("doc_corpus"), "s")

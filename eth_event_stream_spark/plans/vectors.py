@@ -458,7 +458,7 @@ def _recall_oracle() -> str:
 
     brute = QUERIES["similarity_topk_bruteforce"].oracle
     lsh = QUERIES["similarity_topk_lsh"].oracle
-    ivf = _sql_ivf(LLOYD_ROUNDS)
+    ivf = QUERIES["similarity_topk_ivf"].oracle
     return f"""
     WITH brute_all AS ({brute}),
     brute10 AS (SELECT vec_id FROM brute_all ORDER BY cosine DESC, vec_id LIMIT 10),
@@ -483,20 +483,25 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (fixed seeds, full tie-break keys), so DuckDB replays
     the identical three searches and the driver value-hash covers the
     METRIC, not just the mechanics. Each semi-join probes a broadcast
-    10-row id set; cost is the two ANN searches themselves."""
+    10-row id set; cost is the two ANN searches themselves — the exact
+    brute-force scan runs ONCE, its 10-row answer collected to the driver
+    and re-broadcast as a literal id set (re-using the DataFrame in both
+    union branches would execute the full corpus scan twice)."""
     from .pipeline import similarity_topk_bruteforce, similarity_topk_lsh
 
-    brute10 = (
-        similarity_topk_bruteforce(spark, sf_dir)
+    brute10_ids = [
+        r["vec_id"]
+        for r in similarity_topk_bruteforce(spark, sf_dir)
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
         .select("vec_id")
-    )
+        .collect()
+    ]
 
     def recall(ann: DataFrame, method: str) -> DataFrame:
         return (
             ann.select("vec_id")
-            .join(F.broadcast(brute10), "vec_id", "left_semi")
+            .filter(F.col("vec_id").isin(brute10_ids))
             .agg((F.count("*") / F.lit(10.0)).alias("recall_at_10"))
             .select(F.lit(method).alias("method"), "recall_at_10")
         )

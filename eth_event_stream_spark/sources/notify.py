@@ -130,7 +130,14 @@ class BlockNotify:
                 self._cond.wait(timeout=remaining)
 
     def stop(self) -> None:
+        """Stop the feed and wait for the poll thread to exit.
+
+        The join allowance covers one in-flight RPC: the thread may be
+        blocked inside ``block_number()`` for up to the fetcher's HTTP
+        timeout, and joining for less would return with the thread still
+        alive — free to set ``error`` or hit the endpoint once more after
+        the caller believes the feed released it."""
         with self._cond:
             self._stopped = True
             self._cond.notify_all()
-        self._thread.join(timeout=5.0)
+        self._thread.join(timeout=self._fetcher.timeout_s + 1.0)

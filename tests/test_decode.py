@@ -400,3 +400,28 @@ def test_sum_uint256_empty_and_null(spark):
     assert (
         row["n_values"], int(row["sum_top"]), int(row["sum_hi"]), int(row["sum_lo"])
     ) == (1, 0, 0, 7)
+
+
+def test_sum_uint256_case_insensitive_prefix_and_digits(spark):
+    """'0X'-prefixed and uppercase-digit hex sum identically to lowercase —
+    the prefix strip must run on the LOWERCASED string (an un-stripped '0X'
+    would shift every lane offset by 2 and silently mis-sum)."""
+    from eth_event_stream_spark.functions.decode import sum_uint256
+
+    vals = [2**255 + 12345, 2**96 - 1, 7]
+    variants = [
+        [("0x" + format(v, "x").rjust(64, "0"),) for v in vals],
+        [("0X" + format(v, "X").rjust(64, "0"),) for v in vals],
+        [(format(v, "x").rjust(64, "0"),) for v in vals],  # bare, no prefix
+    ]
+    results = []
+    for rows in variants:
+        got = sum_uint256(
+            spark.createDataFrame(rows, "value_hex string"), "value_hex"
+        ).collect()[0]
+        results.append(
+            (got["n_values"], int(got["sum_top"]), int(got["sum_hi"]), int(got["sum_lo"]))
+        )
+    assert results[0] == results[1] == results[2]
+    total = results[0][1] * 2**192 + results[0][2] * 2**96 + results[0][3]
+    assert total == sum(vals)
