@@ -1,0 +1,311 @@
+"""Corpus-curation operators, round-5 continuation of ``pipeline.py``.
+
+Three shapes every production pretraining-data pipeline runs that the
+round-4 surface still lacked:
+
+- **span scrub** (``dedup_chunk_scrub``): C4-style removal of globally
+  repeated spans — every fixed-size token chunk that occurs elsewhere in
+  the corpus is dropped except its first occurrence, and the surviving
+  chunks are reassembled per document. Unlike document-level dedup (which
+  keeps or kills whole docs) this rewrites document *content*, which is
+  what boilerplate/footer removal actually needs.
+- **sampled global quantile filter** (``quality_quantile_filter``): the
+  scale-honest way to apply a "drop the bottom decile" rule — an exact
+  global quantile needs a global sort, so production derives the threshold
+  from a bounded deterministic sample and broadcast-filters the corpus.
+- **co-occurrence lift** (``text_cooccur_lift``): PMI-ordered token-pair
+  association over a capped vocabulary — the standard corpus-analysis /
+  phrase-mining primitive. All arithmetic is integer (lift in ppm via
+  integer division), so the ordering is exactly PMI's without a single
+  float op crossing engines.
+
+Same determinism conventions as ``pipeline.py``: md5 for hashing, integer
+arithmetic on every compared lane, ties broken by unique ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import t
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# C4-style span scrub
+# ---------------------------------------------------------------------------
+
+SCRUB_CHUNK_TOKENS = 16
+
+
+_SQL_CHUNK_SCRUB = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, i AS chunk_idx,
+             list_aggregate(
+               toks[i * {SCRUB_CHUNK_TOKENS} + 1 : (i + 1) * {SCRUB_CHUNK_TOKENS}],
+               'string_agg', ' ') AS chunk
+      FROM toks,
+           UNNEST(generate_series(0,
+             CAST(CEIL(LEN(toks) / {SCRUB_CHUNK_TOKENS}.0) AS INT) - 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT doc_id, chunk_idx, chunk FROM (
+        SELECT doc_id, chunk_idx, chunk,
+               ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM ch) r
+      WHERE rn = 1
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id),
+    kg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY chunk_idx) AS scrubbed_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(kg.scrubbed_text, '') AS scrubbed_text,
+           COALESCE(kg.n_kept, 0) AS n_kept,
+           t.n_chunks - COALESCE(kg.n_kept, 0) AS n_removed
+    FROM tot t LEFT JOIN kg USING (doc_id)
+    """
+
+
+@register("dedup_chunk_scrub", oracle=_SQL_CHUNK_SCRUB)
+def dedup_chunk_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span scrub: drop every 16-token chunk that repeats anywhere
+    in the corpus except its FIRST occurrence (min (doc_id, chunk_idx)),
+    then reassemble each document from its surviving chunks in order.
+
+    100 TB shape: chunks are keyed by md5 (fixed-width shuffle key — the
+    chunk text never travels to the aggregate); the first-occurrence table
+    is one partial-aggregated ``min(struct(doc_id, chunk_idx))`` per hash
+    (map-side combine keeps a corpus-wide boilerplate chunk from funneling
+    its billion copies to one task — the reason this is an agg + join, not
+    a window over the chunk key); the keep decision is a same-key shuffle
+    join; reassembly groups by doc_id. Three shuffles total, each on a
+    uniform key.
+
+    The reference has no corpus surface at all; this extends the
+    training-data pipeline family (SURVEY §7.3 phase 7).
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks")
+    )
+    n_chunks = F.ceil(F.size("toks") / F.lit(float(SCRUB_CHUNK_TOKENS))).cast("int")
+    ex = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(
+        F.col("toks"), F.col("chunk_idx") * SCRUB_CHUNK_TOKENS + 1, SCRUB_CHUNK_TOKENS
+    )
+    chunks = ex.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(piece, " ").alias("chunk"),
+        F.md5(F.array_join(piece, " ")).alias("h"),
+    )
+    # first occurrence = min over a DECIMAL-encoded (doc_id, chunk_idx) key:
+    # min(struct(...)) only SortAggregates (struct has no mutable agg
+    # buffer), which would sort the full chunk stream per partition at
+    # scale; the monotone encoding doc_id * 10^10 + chunk_idx (chunk_idx
+    # can't reach 10^10 within one document) keeps the same order and
+    # HashAggregates with map-side combine
+    enc = F.expr(
+        "CAST(doc_id AS DECIMAL(28,0)) * 10000000000 + chunk_idx"
+    )
+    firsts = chunks.groupBy("h").agg(F.min(enc).alias("first_key"))
+    kept = (
+        chunks.join(firsts, "h")
+        .filter(enc == F.col("first_key"))
+        .select("doc_id", "chunk_idx", "chunk")
+    )
+    tot = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    kg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s.chunk,
+            ),
+            " ",
+        ).alias("scrubbed_text"),
+    )
+    return tot.join(kg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0).cast("long"))).alias(
+            "n_removed"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampled global quantile filter
+# ---------------------------------------------------------------------------
+
+QUANTILE_SAMPLE = 100  # bounded sample size; production: ~100k rows, still one task
+QUANTILE_K = 10  # threshold = K-th smallest metric in the sample (P10 of 100)
+
+
+_SQL_QUANTILE_FILTER = f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(LEN(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    samp AS (
+      SELECT doc_id, n_tokens FROM s
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {QUANTILE_SAMPLE}
+    ),
+    thr AS (
+      SELECT MAX(n_tokens) AS thr FROM (
+        SELECT n_tokens FROM samp ORDER BY n_tokens, doc_id LIMIT {QUANTILE_K}
+      )
+    )
+    SELECT s.doc_id, s.n_tokens, thr.thr
+    FROM s, thr WHERE s.n_tokens >= thr.thr
+    """
+
+
+@register("quality_quantile_filter", oracle=_SQL_QUANTILE_FILTER)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-quantile length filter, the scale-honest way: an exact corpus
+    quantile needs a global sort, so the P10 threshold is computed from a
+    bounded deterministic sample (the QUANTILE_SAMPLE docs with smallest
+    md5(doc_id) — a seeded uniform draw both engines replay bit-identically)
+    and the corpus is filtered against the broadcast scalar.
+
+    Plan: TakeOrderedAndProject (sample) -> TakeOrdered (K smallest) ->
+    1-row max -> broadcast nested loop against the corpus scan. No global
+    sort, no quantile state over N rows; the only full pass is the filter
+    itself. The metric lane is pure BIGINT — no float crosses engines.
+    """
+    d = t(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), " ", -1)).cast("bigint").alias("n_tokens"),
+    )
+    samp = s.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id").limit(
+        QUANTILE_SAMPLE
+    )
+    thr = (
+        samp.orderBy("n_tokens", "doc_id")
+        .limit(QUANTILE_K)
+        .agg(F.max("n_tokens").alias("thr"))
+    )
+    return s.crossJoin(F.broadcast(thr)).filter(
+        F.col("n_tokens") >= F.col("thr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence lift (integer-exact PMI ordering)
+# ---------------------------------------------------------------------------
+
+COOCCUR_VOCAB = 20  # pair generation capped to the top-V tokens by doc freq
+COOCCUR_TOPK = 50
+
+
+_SQL_COOCCUR_LIFT = f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+    ),
+    vocab AS (
+      SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok
+      ORDER BY df DESC, tok LIMIT {COOCCUR_VOCAB}
+    ),
+    vt AS (SELECT dt.doc_id, dt.tok, v.df FROM dt JOIN vocab v USING (tok)),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    pairs AS (
+      SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS c_xy,
+             MIN(a.df) AS c_x, MIN(b.df) AS c_y
+      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok
+    )
+    SELECT t1, t2, c_xy, c_x, c_y,
+           (c_xy * n.n_docs * 1000000) // (c_x * c_y) AS lift_ppm
+    FROM pairs, n
+    ORDER BY lift_ppm DESC, t1, t2 LIMIT {COOCCUR_TOPK}
+    """
+
+
+@register("text_cooccur_lift", oracle=_SQL_COOCCUR_LIFT)
+def text_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-pair association by lift (= PMI without the log, so the
+    ordering is identical): top pairs of the COOCCUR_VOCAB most document-
+    frequent tokens ranked by ``P(x,y) / (P(x) P(y))`` in parts-per-million
+    via pure integer division — no float ever crosses engines.
+
+    100 TB shape: the vocabulary cap is the scale guard — pair generation
+    is a self-join of the (doc, vocab-token) incidence list, so each doc
+    contributes at most V(V-1)/2 pairs regardless of corpus size, and the
+    vocab itself is a TakeOrdered top-V broadcast. Doc frequencies ride
+    along the broadcast (no second join against the counts). lift in ppm
+    overflows BIGINT only past ~9e12 doc-pair mass; production would lift
+    the multiply into DECIMAL(38,0) limbs (same trick as sum_uint256).
+    """
+    d = t(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " ", -1))).alias("tok")
+    )
+    # materialize the V-row vocab once (localCheckpoint, same pattern as
+    # operators/graph.py): it feeds three places (the incidence semi-join,
+    # c_x, c_y) and without materialization each reference would re-run
+    # the full corpus scan + aggregation behind it
+    vocab = (
+        dt.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "tok")
+        .limit(COOCCUR_VOCAB)
+        .localCheckpoint()
+    )
+    # single corpus pass: per-doc sorted vocab-token set, pairs generated
+    # in-row (<= V(V-1)/2 per doc, V a constant) — a vt-self-join would
+    # re-scan the corpus AND re-run the vocab aggregation for each side
+    vt = (
+        dt.join(F.broadcast(vocab.select("tok")), "tok")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("tok")).alias("vts"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "vts",
+            lambda x, i: F.transform(
+                F.slice(F.col("vts"), i + F.lit(2), F.size("vts")),
+                lambda y: F.struct(x.alias("t1"), y.alias("t2")),
+            ),
+        )
+    )
+    pairs = (
+        vt.select(F.explode(pair_structs).alias("p"))
+        .select("p.t1", "p.t2")
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    n = d.agg(F.count_distinct("doc_id").alias("n_docs"))
+    vx = vocab.select(F.col("tok").alias("t1"), F.col("df").alias("c_x"))
+    vy = vocab.select(F.col("tok").alias("t2"), F.col("df").alias("c_y"))
+    return (
+        pairs.join(F.broadcast(vx), "t1")
+        .join(F.broadcast(vy), "t2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "t1",
+            "t2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr("(c_xy * n_docs * 1000000) div (c_x * c_y)").alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "t1", "t2")
+        .limit(COOCCUR_TOPK)
+    )

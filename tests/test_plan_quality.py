@@ -133,6 +133,16 @@ PLAN_EXPECTATIONS = {
     ],
     # the accept decision is a LEFT ANTI of rejected ids against the batch
     "dedup_incremental_accept": [r"BroadcastHashJoin LeftAnti"],
+    # span scrub: the first-occurrence table must HASH-aggregate (the
+    # decimal-encoded min key exists precisely so min(struct)'s
+    # SortAggregate never sorts the full chunk stream)
+    "dedup_chunk_scrub": [r"HashAggregate"],
+    # sampled quantile: threshold via heap top-k, then a 1-row broadcast
+    # against the corpus scan — never a global sort or quantile state
+    "quality_quantile_filter": [r"TakeOrderedAndProject", r"BroadcastNestedLoopJoin"],
+    # capped-vocab co-occurrence: vocab is a heap top-V broadcast; the
+    # doc-frequency lookups are broadcast hash joins
+    "text_cooccur_lift": [r"TakeOrderedAndProject", r"BroadcastHashJoin"],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -158,6 +168,9 @@ JVM_ONLY = [
     "q15_top_supplier",
     "q16_supplier_relation_counts",
     "q18_large_volume_customers",
+    "dedup_chunk_scrub",
+    "quality_quantile_filter",
+    "text_cooccur_lift",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]
@@ -335,6 +348,17 @@ def test_q1_scan_prunes_columns(spark, sf_dir):
         "l_linestatus",
         "l_shipdate",
     }
+
+
+def test_chunk_scrub_first_occurrence_hash_aggregates(spark, sf_dir):
+    """The span scrub's first-occurrence table must never SortAggregate:
+    min(struct(doc_id, chunk_idx)) has no mutable agg buffer and falls back
+    to sorting every partition of the full chunk stream by hash — the
+    DECIMAL-encoded min key exists to keep this a partial-agg HashAggregate
+    (a corpus-wide boilerplate chunk combines map-side instead of funneling
+    its copies through a sort)."""
+    p = plan_of(spark, sf_dir, "dedup_chunk_scrub")
+    assert "SortAggregate" not in p, p[:2000]
 
 
 def test_ivf_plan_broadcasts_and_stays_jvm(spark, sf_dir):
