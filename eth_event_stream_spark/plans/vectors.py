@@ -524,3 +524,204 @@ def sketch_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compact codes + asymmetric-distance search
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (EMB_DIM // PQ_M dims each)
+PQ_SUB = EMB_DIM // PQ_M
+PQ_K = 8  # codebook entries per subspace (seeded from vec_id 1..PQ_K)
+PQ_CAND = 40  # ADC candidates reranked with the exact cosine
+
+# row-local L2 over one PQ subspace — sequential fold, identical order in
+# both engines (same convention as _SQL_L2D)
+_SQL_PQ_L2 = (
+    f"list_sum(list_transform(generate_series(1, {PQ_SUB}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+_SQL_PQ_COMMON = f"""
+    e AS (SELECT vec_id, label, embedding FROM embeddings),
+    cb AS (SELECT m, vec_id AS j,
+             list_transform(generate_series(1, {PQ_SUB}),
+                            i -> CAST(embedding[m * {PQ_SUB} + i] AS DOUBLE)) AS ce
+           FROM e, UNNEST(generate_series(0, {PQ_M} - 1)) AS t(m)
+           WHERE vec_id BETWEEN 1 AND {PQ_K}),
+    sub AS (SELECT vec_id, m,
+              list_transform(generate_series(1, {PQ_SUB}),
+                             i -> CAST(embedding[m * {PQ_SUB} + i] AS DOUBLE)) AS sv
+            FROM e, UNNEST(generate_series(0, {PQ_M} - 1)) AS t(m)),
+    d AS (SELECT s.vec_id, s.m, c.j,
+             {_SQL_PQ_L2.format(a="sv", b="ce")} AS dist
+          FROM sub s JOIN cb c USING (m)),
+    codes AS (SELECT vec_id, m, CAST(enc % 16 AS BIGINT) AS code FROM (
+        SELECT vec_id, m,
+               MIN(CAST(ROUND(dist * 1000000, 0) AS BIGINT) * 16 + j) AS enc
+        FROM d GROUP BY vec_id, m) g)
+"""
+
+_SQL_PQ_CODES = (
+    "WITH " + _SQL_PQ_COMMON + f"""
+    SELECT vec_id, list(code ORDER BY m) AS codes FROM codes GROUP BY vec_id
+    """
+)
+
+
+_SQL_PQ_SEARCH = (
+    "WITH " + _SQL_PQ_COMMON + f""",
+    dtab AS (SELECT s.m, c.j,
+               CAST(ROUND({_SQL_PQ_L2.format(a="sv", b="ce")} * 1000000, 0)
+                    AS BIGINT) AS qd
+             FROM sub s JOIN cb c USING (m) WHERE s.vec_id = 0),
+    approx AS (SELECT k.vec_id, SUM(t.qd) AS adist_micro
+               FROM codes k JOIN dtab t ON k.m = t.m AND k.code = t.j
+               WHERE k.vec_id != 0
+               GROUP BY k.vec_id),
+    cand AS (SELECT vec_id, adist_micro FROM approx
+             ORDER BY adist_micro, vec_id LIMIT {PQ_CAND}),
+    q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0)
+    SELECT cand.vec_id, e.label, cand.adist_micro,
+           ROUND(
+             list_sum(list_transform(generate_series(1, {EMB_DIM}),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                  i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))), 6) AS cosine
+    FROM cand JOIN e USING (vec_id), q
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+)
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str):
+    """(codes, codebook, e): PQ-encode every vector.
+
+    Codebook = the PQ_K seed vectors sliced into PQ_M subvectors (static
+    codebook — the Lloyd-refined variant would reuse ivf_build_centroids'
+    loop per subspace). Encoding is a broadcast join against the M*K-row
+    codebook + a min_by partial aggregation per (vector, subspace) — the
+    N x M x K distance tensor never shuffles, only the (vec_id, m, code)
+    triples."""
+    e = t(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    cb = (
+        e.filter(F.col("vec_id").between(1, PQ_K))
+        .select(F.col("vec_id").alias("j"), emb_d.alias("emb"))
+        .select("j", "emb", ms)
+        .select(
+            "m", "j", F.slice("emb", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("ce")
+        )
+    )
+    sub = (
+        e.select("vec_id", emb_d.alias("emb"))
+        .select("vec_id", "emb", ms)
+        .select(
+            "vec_id", "m", F.slice("emb", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("sv")
+        )
+    )
+    l2 = (
+        "aggregate(zip_with(sv, ce, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    d = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "j", F.expr(l2).alias("dist")
+    )
+    # argmin over the BIGINT-encoded (micro-rounded dist, j) key: min_by
+    # with a struct ordering key only SortAggregates (no mutable buffer);
+    # the encoding keeps the aggregate a partial-agg HashAggregate. The
+    # micro quantization (ties -> smaller j) IS the assignment semantics,
+    # replayed identically by the oracle.
+    codes = (
+        d.groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.expr("CAST(ROUND(dist * 1000000, 0) AS BIGINT) * 16 + j")
+            ).alias("enc")
+        )
+        .select("vec_id", "m", F.expr("enc % 16").alias("code"))
+    )
+    return codes, cb, e
+
+
+@register("vector_pq_codes", oracle=_SQL_PQ_CODES)
+def vector_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode: every 64-dim vector compressed to PQ_M=8 codebook indices
+    (8 bytes/vector instead of 256 — the memory step that makes
+    billion-vector search fit a cluster). Static codebook from the PQ_K
+    seed vectors; assignment via broadcast join + min_by partial agg with
+    (dist, j) tie-breaks — deterministic, so DuckDB replays it exactly."""
+    codes, _, _ = _pq_codes(spark, sf_dir)
+    return codes.groupBy("vec_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
+        ).alias("codes")
+    )
+
+
+@register("similarity_topk_pq", oracle=_SQL_PQ_SEARCH)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC): the query builds
+    an M x K table of subspace distances to the codebook (M*K rows — a
+    broadcast), every encoded vector's approximate distance is the SUM of
+    M table lookups (integer micro-units: order-independent, exact), the
+    PQ_CAND best candidates come off a heap top-k, and only those are
+    reranked with the exact cosine.
+
+    100 TB shape: the corpus-side scan touches only the (vec_id, m, code)
+    triples (8 small ints per vector — the compressed index IS the scan);
+    both the codebook and the query distance table are K-row broadcasts;
+    the only shuffle is the per-vector partial-agg SUM of 8 lookups.
+    Exact-rerank I/O is bounded by PQ_CAND."""
+    codes, cb, e = _pq_codes(spark, sf_dir)
+    emb_d = F.col("embedding").cast("array<double>")
+    qsub = (
+        e.filter(F.col("vec_id") == 0)
+        .select(emb_d.alias("emb"))
+        .select("emb", F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"))
+        .select("m", F.slice("emb", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("sv"))
+    )
+    l2 = (
+        "aggregate(zip_with(sv, ce, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    dtab = qsub.join(F.broadcast(cb), "m").select(
+        "m",
+        F.col("j").alias("code"),
+        F.round(F.expr(l2) * 1000000, 0).cast("bigint").alias("qd"),
+    )
+    approx = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(dtab), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("adist_micro"))
+    )
+    cand = approx.orderBy("adist_micro", "vec_id").limit(PQ_CAND)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dot = (
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(qe AS ARRAY<DOUBLE>), "
+        "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = (
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>), "
+        "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nb = (
+        "aggregate(zip_with(CAST(qe AS ARRAY<DOUBLE>), CAST(qe AS ARRAY<DOUBLE>), "
+        "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        cand.join(e, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "adist_micro",
+            F.round(F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))"), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -143,6 +143,14 @@ PLAN_EXPECTATIONS = {
     # capped-vocab co-occurrence: vocab is a heap top-V broadcast; the
     # doc-frequency lookups are broadcast hash joins
     "text_cooccur_lift": [r"TakeOrderedAndProject", r"BroadcastHashJoin"],
+    # PQ ADC search: codebook + query distance table broadcast, candidate
+    # cut via heap top-k, code assignment a partial-agg HashAggregate
+    "similarity_topk_pq": [
+        r"BroadcastHashJoin",
+        r"TakeOrderedAndProject",
+        r"HashAggregate",
+    ],
+    "vector_pq_codes": [r"BroadcastHashJoin", r"HashAggregate"],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -171,6 +179,8 @@ JVM_ONLY = [
     "dedup_chunk_scrub",
     "quality_quantile_filter",
     "text_cooccur_lift",
+    "similarity_topk_pq",
+    "vector_pq_codes",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]
@@ -359,6 +369,17 @@ def test_chunk_scrub_first_occurrence_hash_aggregates(spark, sf_dir):
     its copies through a sort)."""
     p = plan_of(spark, sf_dir, "dedup_chunk_scrub")
     assert "SortAggregate" not in p, p[:2000]
+
+
+def test_pq_code_assignment_hash_aggregates(spark, sf_dir):
+    """PQ code assignment must never SortAggregate: min_by over a
+    (dist, j) struct has no mutable agg buffer, so the argmin is encoded
+    as min over a single BIGINT (micro-rounded dist * 16 + j) that
+    partial-agg HashAggregates — the N x M x K distance tensor reduces
+    map-side to one code per (vector, subspace)."""
+    for name in ("similarity_topk_pq", "vector_pq_codes"):
+        p = plan_of(spark, sf_dir, name)
+        assert "SortAggregate" not in p, (name, p[:2000])
 
 
 def test_ivf_plan_broadcasts_and_stays_jvm(spark, sf_dir):
