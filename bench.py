@@ -65,6 +65,9 @@ HEADLINE = [
     "q13_order_count_distribution",
     "q18_large_volume_customers",
     "dedup_incremental_pairs",
+    # round-5 continuation: C4-style span scrub and PQ/ADC search
+    "dedup_chunk_scrub",
+    "similarity_topk_pq",
 ]
 
 
@@ -134,7 +137,7 @@ def main() -> None:
                 # +dedup_incremental_pairs; see BASELINE.md) — totals are
                 # comparable only within the same set version; compare
                 # per-query across versions.
-                "headline_set": "r5-extended",
+                "headline_set": "r5-extended2",
                 "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -450,82 +450,6 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search_topk(spark, sf_dir, ivf_build_centroids(spark, sf_dir))
 
 
-def _recall_oracle() -> str:
-    """Compose the recall@10 oracle from the ANN variants' own oracles —
-    one source of truth per search method (a drifted copy here could
-    silently pass while the underlying method changed)."""
-    from .registry import QUERIES
-
-    brute = QUERIES["similarity_topk_bruteforce"].oracle
-    lsh = QUERIES["similarity_topk_lsh"].oracle
-    ivf = QUERIES["similarity_topk_ivf"].oracle
-    return f"""
-    WITH brute_all AS ({brute}),
-    brute10 AS (SELECT vec_id FROM brute_all ORDER BY cosine DESC, vec_id LIMIT 10),
-    ivf AS ({ivf}),
-    lsh AS ({lsh})
-    SELECT 'ivf' AS method,
-           CAST((SELECT COUNT(*) FROM ivf
-                 WHERE vec_id IN (SELECT vec_id FROM brute10)) AS DOUBLE) / 10.0
-             AS recall_at_10
-    UNION ALL
-    SELECT 'lsh' AS method,
-           CAST((SELECT COUNT(*) FROM lsh
-                 WHERE vec_id IN (SELECT vec_id FROM brute10)) AS DOUBLE) / 10.0
-    """
-
-
-@register("similarity_ann_recall", oracle=_recall_oracle())
-def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the approximate searches (learned-IVF, single-probe
-    sign-LSH) against the exact brute-force top-10 — the measured
-    quality/cost trade-off for the ANN surface. Everything is
-    deterministic (fixed seeds, full tie-break keys), so DuckDB replays
-    the identical three searches and the driver value-hash covers the
-    METRIC, not just the mechanics. Each semi-join probes a broadcast
-    10-row id set; cost is the two ANN searches themselves — the exact
-    brute-force scan runs ONCE, its 10-row answer collected to the driver
-    and re-broadcast as a literal id set (re-using the DataFrame in both
-    union branches would execute the full corpus scan twice)."""
-    from .pipeline import similarity_topk_bruteforce, similarity_topk_lsh
-
-    brute10_ids = [
-        r["vec_id"]
-        for r in similarity_topk_bruteforce(spark, sf_dir)
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(10)
-        .select("vec_id")
-        .collect()
-    ]
-
-    def recall(ann: DataFrame, method: str) -> DataFrame:
-        return (
-            ann.select("vec_id")
-            .filter(F.col("vec_id").isin(brute10_ids))
-            .agg((F.count("*") / F.lit(10.0)).alias("recall_at_10"))
-            .select(F.lit(method).alias("method"), "recall_at_10")
-        )
-
-    ivf = similarity_topk_ivf(spark, sf_dir)
-    lsh = similarity_topk_lsh(spark, sf_dir)
-    return recall(ivf, "ivf").unionByName(recall(lsh, "lsh"))
-
-
-@register("sketch_approx_percentile", oracle=None)
-def sketch_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (KLL-ish sketch) — the constant-memory quantile
-    path for 100 TB (exact rank-based percentiles shuffle every row; the
-    sketch mergese per partition). Sketch output — rows-only check, like
-    approx_count_distinct; the exact twin is percentile_disc_via_rank."""
-    return (
-        t(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts")
-        )
-    )
-
-
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): compact codes + asymmetric-distance search
 # ---------------------------------------------------------------------------
@@ -724,4 +648,91 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+def _recall_oracle() -> str:
+    """Compose the recall@10 oracle from the ANN variants' own oracles —
+    one source of truth per search method (a drifted copy here could
+    silently pass while the underlying method changed)."""
+    from .registry import QUERIES
+
+    brute = QUERIES["similarity_topk_bruteforce"].oracle
+    lsh = QUERIES["similarity_topk_lsh"].oracle
+    ivf = QUERIES["similarity_topk_ivf"].oracle
+    pq = QUERIES["similarity_topk_pq"].oracle
+    return f"""
+    WITH brute_all AS ({brute}),
+    brute10 AS (SELECT vec_id FROM brute_all ORDER BY cosine DESC, vec_id LIMIT 10),
+    ivf AS ({ivf}),
+    lsh AS ({lsh}),
+    pq AS ({pq})
+    SELECT 'ivf' AS method,
+           CAST((SELECT COUNT(*) FROM ivf
+                 WHERE vec_id IN (SELECT vec_id FROM brute10)) AS DOUBLE) / 10.0
+             AS recall_at_10
+    UNION ALL
+    SELECT 'lsh' AS method,
+           CAST((SELECT COUNT(*) FROM lsh
+                 WHERE vec_id IN (SELECT vec_id FROM brute10)) AS DOUBLE) / 10.0
+    UNION ALL
+    SELECT 'pq' AS method,
+           CAST((SELECT COUNT(*) FROM pq
+                 WHERE vec_id IN (SELECT vec_id FROM brute10)) AS DOUBLE) / 10.0
+    """
+
+
+@register("similarity_ann_recall", oracle=_recall_oracle())
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the approximate searches (learned-IVF, single-probe
+    sign-LSH, PQ/ADC) against the exact brute-force top-10 — the measured
+    quality/cost trade-off for the ANN surface. Everything is
+    deterministic (fixed seeds, full tie-break keys), so DuckDB replays
+    the identical four searches and the driver value-hash covers the
+    METRIC, not just the mechanics. Each semi-join probes a broadcast
+    10-row id set; cost is the ANN searches themselves — the exact
+    brute-force scan runs ONCE, its 10-row answer collected to the driver
+    and re-broadcast as a literal id set (re-using the DataFrame in both
+    union branches would execute the full corpus scan twice)."""
+    from .pipeline import similarity_topk_bruteforce, similarity_topk_lsh
+
+    brute10_ids = [
+        r["vec_id"]
+        for r in similarity_topk_bruteforce(spark, sf_dir)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+        .collect()
+    ]
+
+    def recall(ann: DataFrame, method: str) -> DataFrame:
+        return (
+            ann.select("vec_id")
+            .filter(F.col("vec_id").isin(brute10_ids))
+            .agg((F.count("*") / F.lit(10.0)).alias("recall_at_10"))
+            .select(F.lit(method).alias("method"), "recall_at_10")
+        )
+
+    ivf = similarity_topk_ivf(spark, sf_dir)
+    lsh = similarity_topk_lsh(spark, sf_dir)
+    pq = similarity_topk_pq(spark, sf_dir)
+    return (
+        recall(ivf, "ivf")
+        .unionByName(recall(lsh, "lsh"))
+        .unionByName(recall(pq, "pq"))
+    )
+
+
+@register("sketch_approx_percentile", oracle=None)
+def sketch_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-ish sketch) — the constant-memory quantile
+    path for 100 TB (exact rank-based percentiles shuffle every row; the
+    sketch mergese per partition). Sketch output — rows-only check, like
+    approx_count_distinct; the exact twin is percentile_disc_via_rank."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts")
+        )
     )
