@@ -1392,6 +1392,45 @@ def dedup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))
 
 
+def _sql_groups_connected() -> str:
+    from .registry import QUERIES
+
+    return QUERIES["dedup_groups_connected"].oracle
+
+
+@register(
+    "split_leakage_safe",
+    oracle=f"""
+    SELECT g.doc_id, g.canonical_id,
+           CASE WHEN substring(md5('split:' || CAST(g.canonical_id AS VARCHAR)), 1, 1)
+                     < 'd' THEN 'train' ELSE 'holdout' END AS split
+    FROM ({_sql_groups_connected()}) g
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/holdout split: hash the near-dup GROUP's canonical
+    id, not the document's own id, so no near-duplicate pair ever straddles
+    the split boundary — the contamination mode a per-document hash split
+    (split_hash_assign) cannot prevent: doc A in train and its 95%-identical
+    twin B in holdout silently leaks training content into evaluation.
+
+    Composition: connected-components grouping (min-label propagation to
+    the fixpoint, one shuffle per round) -> the same md5 split rule applied
+    to canonical_id. Group members agree on canonical_id by construction,
+    so agreement on split needs no extra join or window. Oracle composed
+    from dedup_groups_connected's own recursive-CTE SQL — one source of
+    truth for the grouping."""
+    groups = dedup_groups_connected(spark, sf_dir)
+    digit = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("canonical_id").cast("string"))), 1, 1
+    )
+    return groups.select(
+        "doc_id",
+        "canonical_id",
+        F.when(digit < "d", "train").otherwise("holdout").alias("split"),
+    )
+
+
 @register(
     "multimodal_resize_dims",
     oracle="""

@@ -594,3 +594,47 @@ def test_asof_join_null_right_values_row_atomic(spark):
         left, right, by=["k"], left_on="ts", right_on="ts"
     ).collect()
     assert r["px"] is None and r["qty"] == 7, r
+
+
+def test_leakage_safe_split_never_straddles_near_dup_pairs(spark, sf_dir):
+    """The property the operator exists for: every verified near-dup pair
+    lands in the SAME split (a per-document hash split provably violates
+    this whenever a pair's ids hash to different buckets)."""
+    from eth_event_stream_spark.plans.pipeline import (
+        dedup_lsh_then_verify,
+        split_hash_assign,
+    )
+    from eth_event_stream_spark.plans.pipeline import split_leakage_safe
+
+    pairs = dedup_lsh_then_verify(spark, sf_dir).select("doc_a", "doc_b")
+    safe = split_leakage_safe(spark, sf_dir)
+    straddle = (
+        pairs.join(
+            safe.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            safe.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert straddle == 0
+
+    # sanity: the naive per-document split DOES straddle on this data
+    # (otherwise the test proves nothing)
+    naive = split_hash_assign(spark, sf_dir)
+    naive_straddle = (
+        pairs.join(
+            naive.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            naive.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert naive_straddle > 0
