@@ -1432,6 +1432,49 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({_SQL_LSH_THEN_VERIFY_CAPPED})),
+    lab AS (
+      SELECT LEAST(sa.source, sb.source) AS src_lo,
+             GREATEST(sa.source, sb.source) AS src_hi
+      FROM pairs p
+      JOIN documents sa ON sa.doc_id = p.doc_a
+      JOIN documents sb ON sb.doc_id = p.doc_b)
+    SELECT src_lo, src_hi, COUNT(*) AS n_pairs
+    FROM lab GROUP BY src_lo, src_hi
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: verified near-dup pair counts per
+    unordered source pair — the standard curation question ("is Common
+    Crawl re-serving my books corpus?") answered from the pair list the
+    dedup funnel already produces. Source pairs are canonicalized with
+    least/greatest so the matrix is upper-triangular regardless of pair
+    orientation.
+
+    100 TB shape: the pair list is output of the capped funnel (bounded
+    per hot key), orders of magnitude smaller than the corpus; the two
+    source lookups are joins on doc_id against the pruned (doc_id, source)
+    projection, and the final matrix aggregate is |sources|^2 rows at
+    most. No new pair generation happens here."""
+    pairs = dedup_lsh_then_verify(spark, sf_dir).select("doc_a", "doc_b")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("src_lo"),
+            F.greatest("sa", "sb").alias("src_hi"),
+        )
+        .groupBy("src_lo", "src_hi")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
     "multimodal_resize_dims",
     oracle="""
     WITH img AS (
