@@ -309,3 +309,41 @@ def text_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_ppm"), "t1", "t2")
         .limit(COOCCUR_TOPK)
     )
+
+
+def length_threshold(docs: DataFrame) -> int:
+    """Driver-side scalar twin of quality_quantile_filter's in-plan
+    threshold: the K-th smallest token count among the QUANTILE_SAMPLE docs
+    with smallest md5(doc_id). Bounded work (two heap top-ks over a
+    fixed-size sample), so collecting the single scalar is driver metadata
+    in the same sense as skew hot keys (operators/skew.py) — a production
+    pipeline computes it once per corpus release and pins it in config.
+
+    Exists for the STREAMING twin: a live ingest filter needs the threshold
+    as a literal (stream-static cross joins of unbounded streams against
+    1-row frames are not a supported stream shape), and a pure filter on a
+    literal is stateless — trivially append-mode streamable."""
+    s = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), " ", -1)).cast("bigint").alias("n_tokens"),
+    )
+    samp = s.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id").limit(
+        QUANTILE_SAMPLE
+    )
+    row = (
+        samp.orderBy("n_tokens", "doc_id")
+        .limit(QUANTILE_K)
+        .agg(F.max("n_tokens").alias("thr"))
+        .collect()
+    )
+    return int(row[0]["thr"])
+
+
+def filter_min_tokens(df: DataFrame, thr: int) -> DataFrame:
+    """Stateless length filter against a pinned threshold — the streaming
+    body of quality_quantile_filter (same output schema, thr as literal)."""
+    return df.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), " ", -1)).cast("bigint").alias("n_tokens"),
+        F.lit(thr).cast("bigint").alias("thr"),
+    ).filter(F.col("n_tokens") >= thr)

@@ -449,3 +449,45 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
+def test_runtime_bloom_filter_injects_on_shuffled_fact_fact_join(spark, sf_dir):
+    """At 100 TB a selective fact-fact join never broadcasts; Spark's
+    runtime bloom-filter injection (on by default) is what keeps the big
+    side's shuffle bounded — the selective side's keys build a bloom filter
+    that pre-filters the probe scan (semi-join reduction). The size
+    thresholds that gate injection are tuned for real deployments
+    (creation side < 100 MB, application scan > 10 GB), so this test
+    lowers them to the fixture's scale and pins that OUR join shape
+    qualifies: Catalyst injects might_contain on the lineitem side of a
+    shuffled orders-lineitem join. If this stops injecting (join rewritten,
+    filter no longer selective-side, non-equi condition), the at-scale
+    deployment silently loses the reduction."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            lineitem.join(o, lineitem["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in p, p[:3000]
+        assert "bloom_filter_agg" in p, p[:3000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

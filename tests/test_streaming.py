@@ -1312,3 +1312,50 @@ def test_incremental_nominate_stream_parity(spark, sf_dir, tmp_path):
     # cross-batch duplicates and must match the batch pairs exactly
     got = {(r["doc_new"], r["doc_corpus"], r["jaccard"]) for r in got_pairs}
     assert got == expected_pairs
+
+
+def test_stream_quantile_filter_parity(spark, sf_dir, tmp_path):
+    """Streaming twin of quality_quantile_filter: the global-quantile
+    threshold is a corpus-release-time scalar (bounded-sample computation,
+    collected once like the skew hot keys); the live ingest stream filters
+    against it as a literal — stateless, append mode, and every micro-batch
+    admits exactly the rows the batch query admits."""
+    from eth_event_stream_spark.plans.curation import (
+        filter_min_tokens,
+        length_threshold,
+        quality_quantile_filter,
+    )
+
+    src = tmp_path / "docs_qf_stream"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(4).write.parquet(str(src))
+
+    batch = {
+        (r["doc_id"], r["n_tokens"], r["thr"])
+        for r in quality_quantile_filter(spark, sf_dir).collect()
+    }
+    assert batch, "quantile filter admitted nothing; fixture unusable"
+
+    thr = length_threshold(spark.read.parquet(str(src)))
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        filter_min_tokens(sdf, thr)
+        .writeStream.format("memory")
+        .queryName("qf_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_qf"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["doc_id"], r["n_tokens"], r["thr"])
+        for r in spark.table("qf_stream_sink").collect()
+    }
+    assert got == batch
