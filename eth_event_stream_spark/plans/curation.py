@@ -347,3 +347,123 @@ def filter_min_tokens(df: DataFrame, thr: int) -> DataFrame:
         F.size(F.split(F.lower(F.col("text")), " ", -1)).cast("bigint").alias("n_tokens"),
         F.lit(thr).cast("bigint").alias("thr"),
     ).filter(F.col("n_tokens") >= thr)
+
+
+# ---------------------------------------------------------------------------
+# Incremental span scrub (ingest-cycle regime)
+# ---------------------------------------------------------------------------
+
+_SQL_CHUNKS_OF = """
+    SELECT doc_id, i AS chunk_idx,
+           list_aggregate(
+             toks[i * {n} + 1 : (i + 1) * {n}],
+             'string_agg', ' ') AS chunk
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM {src}),
+         UNNEST(generate_series(0,
+           CAST(CEIL(LEN(toks) / {n}.0) AS INT) - 1)) AS u(i)
+"""
+
+_SQL_CHUNK_SCRUB_INCR = f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+    batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    cch AS ({_SQL_CHUNKS_OF.format(n=SCRUB_CHUNK_TOKENS, src="corpus")}),
+    bch AS ({_SQL_CHUNKS_OF.format(n=SCRUB_CHUNK_TOKENS, src="batch")}),
+    cidx AS (SELECT DISTINCT md5(chunk) AS h FROM cch),
+    fresh AS (
+      SELECT b.doc_id, b.chunk_idx, b.chunk
+      FROM bch b LEFT JOIN cidx ON md5(b.chunk) = cidx.h
+      WHERE cidx.h IS NULL),
+    kept AS (
+      SELECT doc_id, chunk_idx, chunk FROM (
+        SELECT doc_id, chunk_idx, chunk,
+               ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM fresh) r
+      WHERE rn = 1),
+    tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM bch GROUP BY doc_id),
+    kg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY chunk_idx) AS scrubbed_text
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(kg.scrubbed_text, '') AS scrubbed_text,
+           COALESCE(kg.n_kept, 0) AS n_kept,
+           t.n_chunks - COALESCE(kg.n_kept, 0) AS n_removed
+    FROM tot t LEFT JOIN kg USING (doc_id)
+    """
+
+
+def _chunks(d: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, chunk, h): fixed-size token chunks of every doc."""
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks")
+    )
+    n_chunks = F.ceil(F.size("toks") / F.lit(float(SCRUB_CHUNK_TOKENS))).cast("int")
+    ex = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(
+        F.col("toks"), F.col("chunk_idx") * SCRUB_CHUNK_TOKENS + 1, SCRUB_CHUNK_TOKENS
+    )
+    return ex.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(piece, " ").alias("chunk"),
+        F.md5(F.array_join(piece, " ")).alias("h"),
+    )
+
+
+_ENC_FIRST = "CAST(doc_id AS DECIMAL(28,0)) * 10000000000 + chunk_idx"
+
+
+@register("dedup_chunk_scrub_incremental", oracle=_SQL_CHUNK_SCRUB_INCR)
+def dedup_chunk_scrub_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-cycle span scrub: a NEW batch (doc_id % 5 == 0, the
+    incremental.py convention) has every chunk already present in the
+    curated corpus's chunk index removed, plus within-batch first-occurrence
+    dedup, then reassembles — boilerplate removal at ingest time without
+    re-scrubbing the corpus.
+
+    O(batch) against an O(corpus) index, same trick as
+    plans/incremental.py: an anti-join of the small batch against the huge
+    index can't build-broadcast (LeftAnti builds right), so the corpus
+    index STREAMS past a broadcast of the batch's distinct chunk hashes
+    (inner join — output is at most |batch| hit hashes), and the actual
+    anti-join runs against that SMALL broadcast hit list. The corpus chunk
+    index is recomputed here for the oracle; production persists it and
+    appends accepted batches' chunks each cycle."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    bch = _chunks(batch)
+    cidx = _chunks(corpus).select("h").distinct()
+    hits = cidx.join(F.broadcast(bch.select("h").distinct()), "h")
+    fresh = bch.join(F.broadcast(hits), "h", "left_anti")
+    enc = F.expr(_ENC_FIRST)
+    firsts = fresh.groupBy("h").agg(F.min(enc).alias("first_key"))
+    kept = (
+        fresh.join(firsts, "h")
+        .filter(enc == F.col("first_key"))
+        .select("doc_id", "chunk_idx", "chunk")
+    )
+    tot = bch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    kg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s.chunk,
+            ),
+            " ",
+        ).alias("scrubbed_text"),
+    )
+    return tot.join(kg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0).cast("long"))).alias(
+            "n_removed"
+        ),
+    )

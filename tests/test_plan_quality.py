@@ -151,6 +151,12 @@ PLAN_EXPECTATIONS = {
         r"HashAggregate",
     ],
     "vector_pq_codes": [r"BroadcastHashJoin", r"HashAggregate"],
+    # incremental span scrub: the corpus index streams past a BROADCAST of
+    # the batch hashes; the anti decision runs against the small hit list
+    "dedup_chunk_scrub_incremental": [
+        r"BroadcastHashJoin LeftAnti",
+        r"HashAggregate",
+    ],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -181,6 +187,7 @@ JVM_ONLY = [
     "text_cooccur_lift",
     "similarity_topk_pq",
     "vector_pq_codes",
+    "dedup_chunk_scrub_incremental",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]
