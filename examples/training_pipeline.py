@@ -71,16 +71,28 @@ def main() -> None:
     )
     n3b = clean.count()
 
-    # 3c. deterministic split assignment (reproducible, id-stable)
-    splits = run("split_hash_assign")
+    # 3c. content-level curation (round-5 continuation): global-quantile
+    #     length floor, then C4-style repeated-span scrub of what survives
+    long_enough = run("quality_quantile_filter").select("doc_id")
+    clean = clean.join(long_enough, "doc_id", "left_semi")
+    scrubbed = run("dedup_chunk_scrub").join(clean.select("doc_id"), "doc_id", "left_semi")
+    n_spans = scrubbed.agg(F.sum("n_removed").alias("s")).collect()[0]["s"]
+
+    # 3d. LEAKAGE-SAFE split: hash the near-dup group's canonical id, so no
+    #     near-duplicate pair can straddle train/holdout
+    splits = run("split_leakage_safe")
     split_counts = {
         r["split"]: r["n"]
-        for r in clean.join(splits, "doc_id")
+        for r in clean.join(splits.select("doc_id", "split"), "doc_id")
         .groupBy("split")
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    print(f"decontaminated: {n3b}; splits: {split_counts}")
+    n3b = clean.count()
+    print(
+        f"decontaminated+length-floored: {n3b}; repeated spans scrubbed: "
+        f"{n_spans}; leakage-safe splits: {split_counts}"
+    )
 
     # 4. write the clean corpus partitioned by source (the lake layout)
     out = os.path.join(tempfile.mkdtemp(), "clean_corpus")
@@ -93,6 +105,10 @@ def main() -> None:
     print("LSH ANN top-3 for vec_id=0:", [(r["vec_id"], r["cosine"]) for r in topk[:3]])
     topk_ivf = run("similarity_topk_ivf").collect()
     print("IVF ANN top-3 for vec_id=0:", [(r["vec_id"], r["cosine"]) for r in topk_ivf[:3]])
+    topk_pq = run("similarity_topk_pq").collect()
+    print("PQ ANN top-3 for vec_id=0:", [(r["vec_id"], r["cosine"]) for r in topk_pq[:3]])
+    recall = {r["method"]: r["recall_at_10"] for r in run("similarity_ann_recall").collect()}
+    print("ANN recall@10 vs brute force:", recall)
 
     spark.stop()
 
