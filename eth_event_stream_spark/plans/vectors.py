@@ -466,39 +466,74 @@ _SQL_PQ_L2 = (
     "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
 )
 
-_SQL_PQ_COMMON = f"""
-    e AS (SELECT vec_id, label, embedding FROM embeddings),
-    cb AS (SELECT m, vec_id AS j,
+def _sql_pq_common(rounds: int) -> tuple[str, str]:
+    """CTE block for PQ with ``rounds`` Lloyd refinements of the codebook
+    per subspace. Returns (cte_sql, final_codebook_name) — generated so the
+    round count is one knob shared with the Spark plan (same pattern as
+    ``_sql_ivf``). Refined codebook means are per-dimension integer
+    micro-unit means (exact, order-independent); empty cells drop out of
+    the GROUP BY identically in both engines."""
+    ctes = [
+        "e AS (SELECT vec_id, label, embedding FROM embeddings)",
+        f"""cb0 AS (SELECT m, vec_id AS j,
              list_transform(generate_series(1, {PQ_SUB}),
                             i -> CAST(embedding[m * {PQ_SUB} + i] AS DOUBLE)) AS ce
            FROM e, UNNEST(generate_series(0, {PQ_M} - 1)) AS t(m)
-           WHERE vec_id BETWEEN 1 AND {PQ_K}),
-    sub AS (SELECT vec_id, m,
+           WHERE vec_id BETWEEN 1 AND {PQ_K})""",
+        f"""sub AS (SELECT vec_id, m,
               list_transform(generate_series(1, {PQ_SUB}),
                              i -> CAST(embedding[m * {PQ_SUB} + i] AS DOUBLE)) AS sv
-            FROM e, UNNEST(generate_series(0, {PQ_M} - 1)) AS t(m)),
-    d AS (SELECT s.vec_id, s.m, c.j,
+            FROM e, UNNEST(generate_series(0, {PQ_M} - 1)) AS t(m))""",
+    ]
+    prev = "cb0"
+    for r in range(1, rounds + 1):
+        ctes += [
+            f"""d{r - 1} AS (SELECT s.vec_id, s.m, c.j,
+                 {_SQL_PQ_L2.format(a="sv", b="ce")} AS dist
+               FROM sub s JOIN {prev} c USING (m))""",
+            f"""a{r - 1} AS (SELECT vec_id, m, CAST(enc % 16 AS BIGINT) AS j FROM (
+               SELECT vec_id, m,
+                      MIN(CAST(ROUND(dist * 1000000, 0) AS BIGINT) * 16 + j) AS enc
+               FROM d{r - 1} GROUP BY vec_id, m) g)""",
+            f"""cbm{r} AS (SELECT a.m, a.j, t.i,
+                 (CAST(SUM(CAST(ROUND(s.sv[t.i] * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                    / COUNT(*)) / 1000000 AS c
+               FROM a{r - 1} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+                    UNNEST(generate_series(1, {PQ_SUB})) AS t(i)
+               GROUP BY a.m, a.j, t.i)""",
+            f"""cb{r} AS (SELECT m, j, list(c ORDER BY i) AS ce
+               FROM cbm{r} GROUP BY m, j)""",
+        ]
+        prev = f"cb{r}"
+    ctes += [
+        f"""d AS (SELECT s.vec_id, s.m, c.j,
              {_SQL_PQ_L2.format(a="sv", b="ce")} AS dist
-          FROM sub s JOIN cb c USING (m)),
-    codes AS (SELECT vec_id, m, CAST(enc % 16 AS BIGINT) AS code FROM (
+          FROM sub s JOIN {prev} c USING (m))""",
+        """codes AS (SELECT vec_id, m, CAST(enc % 16 AS BIGINT) AS code FROM (
         SELECT vec_id, m,
                MIN(CAST(ROUND(dist * 1000000, 0) AS BIGINT) * 16 + j) AS enc
-        FROM d GROUP BY vec_id, m) g)
-"""
+        FROM d GROUP BY vec_id, m) g)""",
+    ]
+    return ",\n    ".join(ctes), prev
 
-_SQL_PQ_CODES = (
-    "WITH " + _SQL_PQ_COMMON + f"""
+
+def _sql_pq_codes(rounds: int) -> str:
+    common, _ = _sql_pq_common(rounds)
+    return (
+        "WITH " + common + """
     SELECT vec_id, list(code ORDER BY m) AS codes FROM codes GROUP BY vec_id
     """
-)
+    )
 
 
-_SQL_PQ_SEARCH = (
-    "WITH " + _SQL_PQ_COMMON + f""",
+def _sql_pq_search(rounds: int) -> str:
+    common, final_cb = _sql_pq_common(rounds)
+    return (
+        "WITH " + common + f""",
     dtab AS (SELECT s.m, c.j,
                CAST(ROUND({_SQL_PQ_L2.format(a="sv", b="ce")} * 1000000, 0)
                     AS BIGINT) AS qd
-             FROM sub s JOIN cb c USING (m) WHERE s.vec_id = 0),
+             FROM sub s JOIN {final_cb} c USING (m) WHERE s.vec_id = 0),
     approx AS (SELECT k.vec_id, SUM(t.qd) AS adist_micro
                FROM codes k JOIN dtab t ON k.m = t.m AND k.code = t.j
                WHERE k.vec_id != 0
@@ -520,15 +555,16 @@ _SQL_PQ_SEARCH = (
 )
 
 
-def _pq_codes(spark: SparkSession, sf_dir: str):
+def _pq_codes(spark: SparkSession, sf_dir: str, rounds: int = 0):
     """(codes, codebook, e): PQ-encode every vector.
 
-    Codebook = the PQ_K seed vectors sliced into PQ_M subvectors (static
-    codebook — the Lloyd-refined variant would reuse ivf_build_centroids'
-    loop per subspace). Encoding is a broadcast join against the M*K-row
-    codebook + a min_by partial aggregation per (vector, subspace) — the
-    N x M x K distance tensor never shuffles, only the (vec_id, m, code)
-    triples."""
+    Codebook = the PQ_K seed vectors sliced into PQ_M subvectors, then
+    ``rounds`` Lloyd refinements per subspace (assign by encoded argmin,
+    recompute per-dimension means in integer micro-units — the
+    ivf_build_centroids loop applied per subspace; empty cells drop).
+    Encoding is a broadcast join against the M*K-row codebook + a
+    partial-agg argmin per (vector, subspace) — the N x M x K distance
+    tensor never shuffles, only the (vec_id, m, code) triples."""
     e = t(spark, sf_dir, "embeddings")
     emb_d = F.col("embedding").cast("array<double>")
     ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
@@ -551,6 +587,40 @@ def _pq_codes(spark: SparkSession, sf_dir: str):
         "aggregate(zip_with(sv, ce, (x, y) -> (x - y) * (x - y)), "
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
+    enc16 = "CAST(ROUND(dist * 1000000, 0) AS BIGINT) * 16 + j"
+    # Lloyd refinement per subspace: assign by encoded argmin, recompute
+    # per-dimension means in integer micro-units (exact, order-independent;
+    # the ivf_build_centroids loop applied per subspace)
+    for _ in range(rounds):
+        d0 = sub.join(F.broadcast(cb), "m").select(
+            "vec_id", "m", "j", F.expr(l2).alias("dist")
+        )
+        assign = (
+            d0.groupBy("vec_id", "m")
+            .agg(F.min(F.expr(enc16)).alias("enc"))
+            .select("vec_id", "m", F.expr("enc % 16").alias("j"))
+        )
+        cbm = (
+            assign.join(sub, ["vec_id", "m"])
+            .select("m", "j", F.posexplode("sv").alias("i", "x"))
+            .groupBy("m", "j", "i")
+            .agg(
+                (
+                    (
+                        F.sum(F.round(F.col("x") * 1000000, 0).cast("bigint")).cast(
+                            "double"
+                        )
+                        / F.count("*")
+                    )
+                    / 1000000
+                ).alias("c")
+            )
+        )
+        cb = cbm.groupBy("m", "j").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+            ).alias("ce")
+        )
     d = sub.join(F.broadcast(cb), "m").select(
         "vec_id", "m", "j", F.expr(l2).alias("dist")
     )
@@ -561,17 +631,13 @@ def _pq_codes(spark: SparkSession, sf_dir: str):
     # replayed identically by the oracle.
     codes = (
         d.groupBy("vec_id", "m")
-        .agg(
-            F.min(
-                F.expr("CAST(ROUND(dist * 1000000, 0) AS BIGINT) * 16 + j")
-            ).alias("enc")
-        )
+        .agg(F.min(F.expr(enc16)).alias("enc"))
         .select("vec_id", "m", F.expr("enc % 16").alias("code"))
     )
     return codes, cb, e
 
 
-@register("vector_pq_codes", oracle=_SQL_PQ_CODES)
+@register("vector_pq_codes", oracle=_sql_pq_codes(0))
 def vector_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encode: every 64-dim vector compressed to PQ_M=8 codebook indices
     (8 bytes/vector instead of 256 — the memory step that makes
@@ -586,8 +652,7 @@ def vector_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_topk_pq", oracle=_SQL_PQ_SEARCH)
-def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_search(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
     """PQ ANN with asymmetric distance computation (ADC): the query builds
     an M x K table of subspace distances to the codebook (M*K rows — a
     broadcast), every encoded vector's approximate distance is the SUM of
@@ -600,7 +665,7 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     both the codebook and the query distance table are K-row broadcasts;
     the only shuffle is the per-vector partial-agg SUM of 8 lookups.
     Exact-rerank I/O is bounded by PQ_CAND."""
-    codes, cb, e = _pq_codes(spark, sf_dir)
+    codes, cb, e = _pq_codes(spark, sf_dir, rounds)
     emb_d = F.col("embedding").cast("array<double>")
     qsub = (
         e.filter(F.col("vec_id") == 0)
@@ -651,6 +716,25 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("similarity_topk_pq", oracle=_sql_pq_search(0))
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC search with the static seed codebook (see _pq_search)."""
+    return _pq_search(spark, sf_dir, rounds=0)
+
+
+@register("similarity_topk_pq_refined", oracle=_sql_pq_search(1))
+def similarity_topk_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC search with a Lloyd-refined codebook: one refinement round
+    per subspace (assign -> per-dimension micro-unit means) before
+    encoding — the production index-build step that recovers quantization
+    error the static seed codebook leaves on the table. Same ADC search
+    plan; only the codebook build deepens (each round is a broadcast
+    distance join + two partial aggregations, embarrassingly parallel).
+    The oracle is GENERATED for the same round count (``_sql_pq_common``),
+    so the driver hash covers the iterated build."""
+    return _pq_search(spark, sf_dir, rounds=1)
+
+
 def _recall_oracle() -> str:
     """Compose the recall@10 oracle from the ANN variants' own oracles —
     one source of truth per search method (a drifted copy here could
@@ -661,12 +745,14 @@ def _recall_oracle() -> str:
     lsh = QUERIES["similarity_topk_lsh"].oracle
     ivf = QUERIES["similarity_topk_ivf"].oracle
     pq = QUERIES["similarity_topk_pq"].oracle
+    pq_r1 = QUERIES["similarity_topk_pq_refined"].oracle
     return f"""
     WITH brute_all AS ({brute}),
     brute10 AS (SELECT vec_id FROM brute_all ORDER BY cosine DESC, vec_id LIMIT 10),
     ivf AS ({ivf}),
     lsh AS ({lsh}),
-    pq AS ({pq})
+    pq AS ({pq}),
+    pq_r1 AS ({pq_r1})
     SELECT 'ivf' AS method,
            CAST((SELECT COUNT(*) FROM ivf
                  WHERE vec_id IN (SELECT vec_id FROM brute10)) AS DOUBLE) / 10.0
@@ -678,6 +764,10 @@ def _recall_oracle() -> str:
     UNION ALL
     SELECT 'pq' AS method,
            CAST((SELECT COUNT(*) FROM pq
+                 WHERE vec_id IN (SELECT vec_id FROM brute10)) AS DOUBLE) / 10.0
+    UNION ALL
+    SELECT 'pq_r1' AS method,
+           CAST((SELECT COUNT(*) FROM pq_r1
                  WHERE vec_id IN (SELECT vec_id FROM brute10)) AS DOUBLE) / 10.0
     """
 
@@ -716,10 +806,12 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = similarity_topk_ivf(spark, sf_dir)
     lsh = similarity_topk_lsh(spark, sf_dir)
     pq = similarity_topk_pq(spark, sf_dir)
+    pq_r1 = similarity_topk_pq_refined(spark, sf_dir)
     return (
         recall(ivf, "ivf")
         .unionByName(recall(lsh, "lsh"))
         .unionByName(recall(pq, "pq"))
+        .unionByName(recall(pq_r1, "pq_r1"))
     )
 
 

@@ -150,6 +150,11 @@ PLAN_EXPECTATIONS = {
         r"TakeOrderedAndProject",
         r"HashAggregate",
     ],
+    "similarity_topk_pq_refined": [
+        r"BroadcastHashJoin",
+        r"TakeOrderedAndProject",
+        r"HashAggregate",
+    ],
     "vector_pq_codes": [r"BroadcastHashJoin", r"HashAggregate"],
     # incremental span scrub: the corpus index streams past a BROADCAST of
     # the batch hashes; the anti decision runs against the small hit list
@@ -186,6 +191,7 @@ JVM_ONLY = [
     "quality_quantile_filter",
     "text_cooccur_lift",
     "similarity_topk_pq",
+    "similarity_topk_pq_refined",
     "vector_pq_codes",
     "dedup_chunk_scrub_incremental",
 ]
@@ -384,7 +390,11 @@ def test_pq_code_assignment_hash_aggregates(spark, sf_dir):
     as min over a single BIGINT (micro-rounded dist * 16 + j) that
     partial-agg HashAggregates — the N x M x K distance tensor reduces
     map-side to one code per (vector, subspace)."""
-    for name in ("similarity_topk_pq", "vector_pq_codes"):
+    for name in (
+        "similarity_topk_pq",
+        "similarity_topk_pq_refined",
+        "vector_pq_codes",
+    ):
         p = plan_of(spark, sf_dir, name)
         assert "SortAggregate" not in p, (name, p[:2000])
 
