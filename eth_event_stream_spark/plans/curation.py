@@ -1,7 +1,7 @@
 """Corpus-curation operators, round-5 continuation of ``pipeline.py``.
 
-Three shapes every production pretraining-data pipeline runs that the
-round-4 surface still lacked:
+Shapes every production pretraining-data pipeline runs that the round-4
+surface still lacked:
 
 - **span scrub** (``dedup_chunk_scrub``): C4-style removal of globally
   repeated spans — every fixed-size token chunk that occurs elsewhere in
@@ -18,6 +18,13 @@ round-4 surface still lacked:
   phrase-mining primitive. All arithmetic is integer (lift in ppm via
   integer division), so the ordering is exactly PMI's without a single
   float op crossing engines.
+- **incremental span scrub** (``dedup_chunk_scrub_incremental``): the
+  ingest-cycle twin of the span scrub — a new batch scrubbed against the
+  corpus chunk index in O(batch) (broadcast batch-hash probe, anti-join
+  against the small hit list).
+- streaming body of the quantile filter (``length_threshold`` /
+  ``filter_min_tokens``): the threshold as a corpus-release-time scalar,
+  the live filter stateless (parity-tested in test_streaming.py).
 
 Same determinism conventions as ``pipeline.py``: md5 for hashing, integer
 arithmetic on every compared lane, ties broken by unique ids.
@@ -91,41 +98,34 @@ def dedup_chunk_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference has no corpus surface at all; this extends the
     training-data pipeline family (SURVEY §7.3 phase 7).
     """
-    d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks")
-    )
-    n_chunks = F.ceil(F.size("toks") / F.lit(float(SCRUB_CHUNK_TOKENS))).cast("int")
-    ex = toks.select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
-    )
-    piece = F.slice(
-        F.col("toks"), F.col("chunk_idx") * SCRUB_CHUNK_TOKENS + 1, SCRUB_CHUNK_TOKENS
-    )
-    chunks = ex.select(
-        "doc_id",
-        "chunk_idx",
-        F.array_join(piece, " ").alias("chunk"),
-        F.md5(F.array_join(piece, " ")).alias("h"),
-    )
+    return chunk_scrub(t(spark, sf_dir, "documents"))
+
+
+def chunk_scrub(docs: DataFrame) -> DataFrame:
+    """The dedup_chunk_scrub core as a DataFrame-in/DataFrame-out transform
+    (the split_assign pattern): scrub any (doc_id, text) frame."""
+    chunks = _chunks(docs)
     # first occurrence = min over a DECIMAL-encoded (doc_id, chunk_idx) key:
     # min(struct(...)) only SortAggregates (struct has no mutable agg
     # buffer), which would sort the full chunk stream per partition at
     # scale; the monotone encoding doc_id * 10^10 + chunk_idx (chunk_idx
     # can't reach 10^10 within one document) keeps the same order and
     # HashAggregates with map-side combine
-    enc = F.expr(
-        "CAST(doc_id AS DECIMAL(28,0)) * 10000000000 + chunk_idx"
-    )
+    enc = F.expr(_ENC_FIRST)
     firsts = chunks.groupBy("h").agg(F.min(enc).alias("first_key"))
     kept = (
         chunks.join(firsts, "h")
         .filter(enc == F.col("first_key"))
         .select("doc_id", "chunk_idx", "chunk")
     )
-    tot = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    return _reassemble(chunks, kept)
+
+
+def _reassemble(all_chunks: DataFrame, kept: DataFrame) -> DataFrame:
+    """(doc_id, scrubbed_text, n_kept, n_removed): rebuild each document
+    from its surviving chunks in order; docs whose every chunk was
+    scrubbed keep a row with empty text."""
+    tot = all_chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
     kg = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
         F.array_join(
@@ -448,22 +448,4 @@ def dedup_chunk_scrub_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(enc == F.col("first_key"))
         .select("doc_id", "chunk_idx", "chunk")
     )
-    tot = bch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
-    kg = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
-                lambda s: s.chunk,
-            ),
-            " ",
-        ).alias("scrubbed_text"),
-    )
-    return tot.join(kg, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
-        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
-        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0).cast("long"))).alias(
-            "n_removed"
-        ),
-    )
+    return _reassemble(bch, kept)

@@ -638,3 +638,39 @@ def test_leakage_safe_split_never_straddles_near_dup_pairs(spark, sf_dir):
         .count()
     )
     assert naive_straddle > 0
+
+
+def test_chunk_scrub_edge_shapes(spark):
+    """Span-scrub semantics on constructed edge shapes the parquet fixtures
+    can't guarantee: an empty text (one '' chunk), a verbatim duplicate
+    document (all chunks scrubbed -> empty row, not a dropped row), and a
+    doc sharing only its first chunk with an earlier doc."""
+    from eth_event_stream_spark.plans.curation import SCRUB_CHUNK_TOKENS, chunk_scrub
+
+    w = "tok"
+    chunk_a = " ".join([w] * SCRUB_CHUNK_TOKENS)          # doc 1 chunk 0
+    chunk_b = " ".join(["other"] * SCRUB_CHUNK_TOKENS)    # doc 1 chunk 1
+    chunk_c = " ".join(["third"] * SCRUB_CHUNK_TOKENS)    # doc 3's own tail
+    docs = spark.createDataFrame(
+        [
+            (0, ""),                                # empty text
+            (1, f"{chunk_a} {chunk_b}"),            # the original
+            (2, f"{chunk_a} {chunk_b}"),            # verbatim duplicate
+            (3, f"{chunk_a} {chunk_c}"),            # shares only chunk 0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in chunk_scrub(docs).collect()}
+
+    assert set(rows) == {0, 1, 2, 3}, "every input doc must keep a row"
+    # empty text tokenizes to [''] -> one unique chunk, kept
+    assert rows[0]["n_kept"] == 1 and rows[0]["n_removed"] == 0
+    # the original keeps both chunks in order
+    assert rows[1]["scrubbed_text"] == f"{chunk_a} {chunk_b}"
+    assert rows[1]["n_removed"] == 0
+    # the verbatim duplicate loses everything but keeps its (empty) row
+    assert rows[2]["n_kept"] == 0 and rows[2]["n_removed"] == 2
+    assert rows[2]["scrubbed_text"] == ""
+    # the partial overlap loses exactly the shared chunk
+    assert rows[3]["scrubbed_text"] == chunk_c
+    assert rows[3]["n_kept"] == 1 and rows[3]["n_removed"] == 1
