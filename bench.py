@@ -106,6 +106,37 @@ def time_ivf_split(spark, timings: dict[str, float]) -> None:
     timings["ivf_search"] = round(best_search, 3)
 
 
+def time_pq_split(spark, timings: dict[str, float]) -> None:
+    """Time the PQ index BUILD and the ADC SEARCH separately (mirrors
+    time_ivf_split). Build = one Lloyd refinement round + encoding every
+    vector, codes persisted to parquet (the index a production engine
+    serves from) and the M*K codebook collected; search = ADC + exact
+    rerank against the PERSISTED index — no build work in the search
+    number."""
+    import tempfile
+
+    from eth_event_stream_spark.plans.vectors import _pq_codes, pq_search_topk
+
+    idx_dir = tempfile.mkdtemp(prefix="pq_index_")
+    best_build, cb_rows = float("inf"), None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        codes, cb, _ = _pq_codes(spark, SF_DIR, rounds=1)
+        codes.write.mode("overwrite").parquet(f"{idx_dir}/codes.parquet")
+        cb_rows = cb.collect()  # M*K rows
+        best_build = min(best_build, time.perf_counter() - t0)
+    timings["pq_build"] = round(best_build, 3)
+
+    codes = spark.read.parquet(f"{idx_dir}/codes.parquet")
+    cb = spark.createDataFrame(cb_rows, "m int, j bigint, ce array<double>")
+    best_search = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_query(pq_search_topk(spark, SF_DIR, codes, cb))
+        best_search = min(best_search, time.perf_counter() - t0)
+    timings["pq_search"] = round(best_search, 3)
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -123,6 +154,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     time_ivf_split(spark, timings)
+    time_pq_split(spark, timings)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -134,7 +166,9 @@ def main() -> None:
                 # membership stamp: recomposed in round 4 (capped twins
                 # replaced uncapped funnels; ivf split into build/search),
                 # EXTENDED in round 5 (+q8/+q13/+q18_large_volume_customers/
-                # +dedup_incremental_pairs; see BASELINE.md) — totals are
+                # +dedup_incremental_pairs, then +dedup_chunk_scrub/
+                # +similarity_topk_pq/+pq_build/+pq_search; see BASELINE.md)
+                # — totals are
                 # comparable only within the same set version; compare
                 # per-query across versions.
                 "headline_set": "r5-extended2",

@@ -665,7 +665,19 @@ def _pq_search(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
     both the codebook and the query distance table are K-row broadcasts;
     the only shuffle is the per-vector partial-agg SUM of 8 lookups.
     Exact-rerank I/O is bounded by PQ_CAND."""
-    codes, cb, e = _pq_codes(spark, sf_dir, rounds)
+    codes, cb, _ = _pq_codes(spark, sf_dir, rounds)
+    return pq_search_topk(spark, sf_dir, codes, cb)
+
+
+def pq_search_topk(
+    spark: SparkSession, sf_dir: str, codes: DataFrame, cb: DataFrame
+) -> DataFrame:
+    """ADC search against a PREBUILT PQ index: ``codes`` (vec_id, m, code)
+    and ``cb`` (m, j, ce) may come straight off _pq_codes or be read back
+    from a persisted index — a production engine builds once and serves
+    many queries (bench.py times the stages separately as pq_build /
+    pq_search, mirroring the IVF split)."""
+    e = t(spark, sf_dir, "embeddings")
     emb_d = F.col("embedding").cast("array<double>")
     qsub = (
         e.filter(F.col("vec_id") == 0)
