@@ -17,6 +17,7 @@ from . import (  # noqa: F401  (registration side effects)
     curation,
     eventflow,
     incremental,
+    layout,
     pipeline,
     relational,
     relational2,

@@ -1,0 +1,108 @@
+"""Storage-layout operators: multi-dimensional clustering for data skipping.
+
+At 100 TB, partition pruning on ONE column is free (directory pruning), but
+queries filtering on a second dimension still scan every file of a matching
+partition. Z-order clustering — sort by the bit-interleaving of two (or
+more) key columns — keeps BOTH dimensions locally dense in every file, so
+parquet min/max footer stats prune files for either predicate (the layout
+behind Delta's OPTIMIZE ZORDER; plain open-source Spark gets the same
+effect with ``repartitionByRange(zvalue)`` + sortWithinPartitions before a
+write).
+
+Everything here is pure integer bit arithmetic (shifts, masks, exact
+bigint sums), so DuckDB replays it bit-identically and the driver hash
+covers the curve math — not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import t
+from .registry import register
+
+ZBITS = 16  # bits per dimension interleaved (32-bit z-values)
+
+
+def zorder2(x: str, y: str) -> Column:
+    """Bit-interleave two non-negative int columns (< 2^ZBITS) into one
+    z-value: bit i of x lands at position 2i, bit i of y at 2i+1. A sort by
+    this single BIGINT is the 2-D Morton curve order. JVM-side fold over a
+    constant 16-element sequence — whole-stage-codegen friendly, no UDF.
+    Disjoint bit positions make + and | identical; + is used so no
+    operator-precedence difference can creep in between engines."""
+    return F.expr(
+        f"aggregate(sequence(0, {ZBITS - 1}), CAST(0 AS BIGINT), (acc, i) -> "
+        f"acc + shiftleft(shiftright({x}, i) & 1, 2 * i) "
+        f"+ shiftleft(shiftright({y}, i) & 1, 2 * i + 1))"
+    )
+
+
+def _sql_z(x: str, y: str) -> str:
+    """The identical interleave in DuckDB SQL (same fold, same bit ops)."""
+    return (
+        f"list_sum(list_transform(generate_series(0, {ZBITS - 1}), i -> "
+        f"((({x} >> i) & 1) << (2 * i)) + ((({y} >> i) & 1) << (2 * i + 1))))"
+    )
+
+
+# bucket = top bits of the z-value: 2^(2*ZBITS - ZBUCKET_SHIFT) buckets;
+# within a bucket BOTH dimensions are confined to a small aligned square —
+# the property the locality report below proves per bucket
+ZBUCKET_SHIFT = 16
+
+
+@register(
+    "zorder_cluster_ranges",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % 65536 AS BIGINT) AS x,
+             CAST(datediff('day', DATE '1992-01-01', o_orderdate) % 65536
+                  AS BIGINT) AS y
+      FROM orders),
+    z AS (SELECT o_orderkey, x, y,
+                 CAST({_sql_z("x", "y")} AS BIGINT) AS zval
+          FROM src)
+    SELECT zval >> {ZBUCKET_SHIFT} AS zbucket,
+           COUNT(*) AS n_rows,
+           MIN(x) AS x_lo, MAX(x) AS x_hi,
+           MIN(y) AS y_lo, MAX(y) AS y_hi,
+           MAX(x) - MIN(x) AS x_span,
+           MAX(y) - MIN(y) AS y_span
+    FROM z GROUP BY zval >> {ZBUCKET_SHIFT}
+    """,
+)
+def zorder_cluster_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order locality report: orders keyed by (customer, order-day), each
+    row's z-value computed by bit interleaving, rows grouped into z-buckets
+    (the files a clustered write would produce), and per-bucket min/max of
+    BOTH dimensions — the exact numbers parquet footers would carry.
+
+    The payoff this proves: every bucket's x_span and y_span are bounded by
+    the z-curve's aligned-square property (< 2^(ZBUCKET_SHIFT/2) = 256 each), so a
+    predicate on EITHER dimension prunes most buckets; a single-column sort
+    gives tight spans on one dimension and full-range spans on the other.
+    At 100 TB the same plan is the `repartitionByRange(zval) +
+    sortWithinPartitions + write` layout job; this query is its
+    verification report. Pure integer bit math — the oracle replays the
+    curve exactly, so the driver hash checks the interleave itself."""
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).cast("long").alias("x"),
+        (F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) % 65536)
+        .cast("long")
+        .alias("y"),
+    )
+    z = src.select("o_orderkey", "x", "y", zorder2("x", "y").alias("zval"))
+    b = F.shiftright(F.col("zval"), ZBUCKET_SHIFT).alias("zbucket")
+    return z.groupBy(b).agg(
+        F.count("*").alias("n_rows"),
+        F.min("x").alias("x_lo"),
+        F.max("x").alias("x_hi"),
+        F.min("y").alias("y_lo"),
+        F.max("y").alias("y_hi"),
+        (F.max("x") - F.min("x")).alias("x_span"),
+        (F.max("y") - F.min("y")).alias("y_span"),
+    )

@@ -674,3 +674,25 @@ def test_chunk_scrub_edge_shapes(spark):
     # the partial overlap loses exactly the shared chunk
     assert rows[3]["scrubbed_text"] == chunk_c
     assert rows[3]["n_kept"] == 1 and rows[3]["n_removed"] == 1
+
+
+def test_zorder_buckets_are_aligned_squares(spark, sf_dir):
+    """The property data skipping rests on: every z-bucket confines BOTH
+    dimensions to an aligned square of side 2^(ZBUCKET_SHIFT/2) — so the
+    parquet min/max stats of a z-clustered file prune on either predicate.
+    A single-column sort would show tight spans on one axis and near-full
+    range on the other."""
+    from eth_event_stream_spark.plans.layout import (
+        ZBUCKET_SHIFT,
+        zorder_cluster_ranges,
+    )
+
+    side = 1 << (ZBUCKET_SHIFT // 2)
+    rows = zorder_cluster_ranges(spark, sf_dir).collect()
+    assert len(rows) > 1
+    for r in rows:
+        assert r["x_span"] < side, (r["zbucket"], r["x_span"])
+        assert r["y_span"] < side, (r["zbucket"], r["y_span"])
+        # aligned: the whole bucket lives in one side-sized window per axis
+        assert r["x_hi"] // side == r["x_lo"] // side
+        assert r["y_hi"] // side == r["y_lo"] // side
