@@ -25,6 +25,10 @@ surface still lacked:
 - streaming body of the quantile filter (``length_threshold`` /
   ``filter_min_tokens``): the threshold as a corpus-release-time scalar,
   the live filter stateless (parity-tested in test_streaming.py).
+- streaming body of the scrub (``scrub_against_index`` over
+  ``corpus_chunk_index``): per-document corpus-hit removal — chunk explode
+  + stream-static LEFT ANTI are stateless, reassembly per micro-batch,
+  parity with batch exact because documents are independent.
 
 Same determinism conventions as ``pipeline.py``: md5 for hashing, integer
 arithmetic on every compared lane, ties broken by unique ids.
@@ -449,3 +453,26 @@ def dedup_chunk_scrub_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", "chunk_idx", "chunk")
     )
     return _reassemble(bch, kept)
+
+
+def scrub_against_index(new_docs: DataFrame, corpus_index: DataFrame) -> DataFrame:
+    """Per-document scrub against a STATIC corpus chunk index (column
+    ``h``): drop every chunk whose hash the index contains, reassemble.
+    No within-batch cross-document dedup — each document's result depends
+    only on itself and the index, which is what makes this the STREAMING
+    body of the incremental scrub: the chunk explode and the anti-join are
+    stateless (append mode, stream-static left anti), and the per-document
+    reassembly runs inside each micro-batch (foreachBatch), never across
+    batches. Parity with a batch run of the same function is exact because
+    documents are independent (tested in test_streaming.py)."""
+    ch = _chunks(new_docs)
+    kept = ch.join(corpus_index.select("h"), "h", "left_anti").select(
+        "doc_id", "chunk_idx", "chunk"
+    )
+    return _reassemble(ch, kept)
+
+
+def corpus_chunk_index(corpus: DataFrame) -> DataFrame:
+    """The persisted artifact the incremental/streaming scrub probes:
+    distinct md5 of every corpus chunk, one column ``h``."""
+    return _chunks(corpus).select("h").distinct()

@@ -1359,3 +1359,58 @@ def test_stream_quantile_filter_parity(spark, sf_dir, tmp_path):
         for r in spark.table("qf_stream_sink").collect()
     }
     assert got == batch
+
+
+def test_stream_scrub_against_index_parity(spark, sf_dir, tmp_path):
+    """Streaming twin of the incremental span scrub: new documents arrive
+    file-by-file and each is scrubbed against the STATIC corpus chunk
+    index. The chunk explode + stream-static LEFT ANTI are stateless
+    (append mode); reassembly runs per micro-batch via foreachBatch.
+    Because each document's scrub depends only on itself and the index,
+    the union over micro-batches equals one batch run exactly."""
+    from eth_event_stream_spark.plans.curation import (
+        corpus_chunk_index,
+        scrub_against_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    index = corpus_chunk_index(corpus)
+
+    src = tmp_path / "docs_scrub_stream"
+    batch_docs.repartition(4).write.parquet(str(src))
+
+    expected = {
+        (r["doc_id"], r["scrubbed_text"], r["n_kept"], r["n_removed"])
+        for r in scrub_against_index(
+            spark.read.parquet(str(src)), index
+        ).collect()
+    }
+    assert any(n_removed > 0 for _, _, _, n_removed in expected), (
+        "fixture has no corpus-hit chunks; parity would be vacuous"
+    )
+
+    got = set()
+
+    def handle(mb_df, _epoch):
+        got.update(
+            (r["doc_id"], r["scrubbed_text"], r["n_kept"], r["n_removed"])
+            for r in scrub_against_index(mb_df, index).collect()
+        )
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ck_scrub"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got == expected
