@@ -31,7 +31,16 @@ def zorder2(x: str, y: str) -> Column:
     this single BIGINT is the 2-D Morton curve order. JVM-side fold over a
     constant 16-element sequence — whole-stage-codegen friendly, no UDF.
     Disjoint bit positions make + and | identical; + is used so no
-    operator-precedence difference can creep in between engines."""
+    operator-precedence difference can creep in between engines.
+
+    PREREQUISITE the layout job must honor: normalize each dimension to
+    the full 2^ZBITS range first (rank or range scaling — what Delta's
+    OPTIMIZE ZORDER does by range-bucketing each column). If one column
+    occupies far fewer bits than the other, its high bits are constant
+    zero and the curve degenerates into a plain sort on the wider column
+    — tests/test_scale_ops.py::test_zorder_write_enables_footer_pruning
+    measured exactly that (zero skipping on the narrow dimension) before
+    normalizing."""
     return F.expr(
         f"aggregate(sequence(0, {ZBITS - 1}), CAST(0 AS BIGINT), (acc, i) -> "
         f"acc + shiftleft(shiftright({x}, i) & 1, 2 * i) "

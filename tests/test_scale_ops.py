@@ -696,3 +696,76 @@ def test_zorder_buckets_are_aligned_squares(spark, sf_dir):
         # aligned: the whole bucket lives in one side-sized window per axis
         assert r["x_hi"] // side == r["x_lo"] // side
         assert r["y_hi"] // side == r["y_lo"] // side
+
+
+def test_zorder_write_enables_footer_pruning(spark, sf_dir, tmp_path):
+    """End-to-end proof of the layout claim: write orders z-clustered
+    (repartitionByRange(zval) + sortWithinPartitions — the exact 100 TB
+    layout job) and unclustered, then read BOTH sets of parquet footers
+    with pyarrow and measure what fraction of row groups a 2-D predicate
+    could skip on min/max stats alone. The clustered layout must let a
+    narrow x-window OR y-window skip most row groups; the unclustered
+    layout can skip (almost) none."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from eth_event_stream_spark.plans.layout import zorder2
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).cast("long").alias("x"),
+        (F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) % 65536)
+        .cast("long")
+        .alias("y"),
+    )
+    # normalize both dims to the full 16-bit range before interleaving —
+    # the step every production z-order runs (Delta range-buckets each
+    # column first): with raw values the narrower dimension's high bits
+    # are constant zero and the curve degenerates to a sort on the wider
+    # one (measured: zero x-skipping without this)
+    mx, my = src.agg(F.max("x"), F.max("y")).collect()[0]
+    z = src.select(
+        "*",
+        F.expr(f"CAST(x * 65536 div {mx + 1} AS BIGINT)").alias("x16"),
+        F.expr(f"CAST(y * 65536 div {my + 1} AS BIGINT)").alias("y16"),
+    ).withColumn("zval", zorder2("x16", "y16"))
+
+    clustered = str(tmp_path / "clustered")
+    unclustered = str(tmp_path / "unclustered")
+    # 64 range partitions ~ 6 top z-bits ~ 3 bits per dimension per file:
+    # enough curve depth that EACH dimension is confined per file (8 files
+    # would only constrain the topmost bits of one dimension)
+    (
+        z.repartitionByRange(64, "zval")
+        .sortWithinPartitions("zval")
+        .write.parquet(clustered)
+    )
+    # adversarial baseline: hash-scatter rows so every file sees the full range
+    z.repartition(8, "o_orderkey").write.parquet(unclustered)
+
+    def skippable_fraction(path: str, col: str, lo: int, hi: int) -> float:
+        total = kept = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            ci = names[col]
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                total += 1
+                if st.max < lo or st.min > hi:
+                    continue  # row group skipped
+                kept += 1
+        assert total > 0
+        return 1.0 - kept / total
+
+    # a ~10%-of-range window around each dim's median
+    qx = src.approxQuantile("x", [0.5], 0.01)[0]
+    qy = src.approxQuantile("y", [0.5], 0.01)[0]
+    for col, mid, rng in (("x", qx, mx), ("y", qy, my)):
+        half = max(1, int(rng) // 20)
+        lo, hi = int(mid) - half, int(mid) + half
+        skip_c = skippable_fraction(clustered, col, lo, hi)
+        skip_u = skippable_fraction(unclustered, col, lo, hi)
+        assert skip_u < 0.01, (col, skip_u)  # scatter layout can't skip
+        assert skip_c > 0.5, (col, skip_c)  # z-layout skips most groups
