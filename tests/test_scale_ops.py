@@ -769,3 +769,28 @@ def test_zorder_write_enables_footer_pruning(spark, sf_dir, tmp_path):
         skip_u = skippable_fraction(unclustered, col, lo, hi)
         assert skip_u < 0.01, (col, skip_u)  # scatter layout can't skip
         assert skip_c > 0.5, (col, skip_c)  # z-layout skips most groups
+
+
+def test_orc_source_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC is Spark's other built-in columnar format: the same relation
+    written to ORC reads back row-identical, and a predicate against the
+    ORC scan is pushed down (PushedFilters in the scan node), so the lake
+    can mix parquet and ORC without losing skipping."""
+    from eth_event_stream_spark.plans.catalog import t
+
+    src = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    expected = sorted(tuple(r) for r in src.collect())
+
+    orc_path = str(tmp_path / "cust_orc")
+    src.write.mode("overwrite").orc(orc_path)
+    back = spark.read.orc(orc_path)
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == expected
+
+    flt = back.filter(F.col("c_acctbal") > 0.0).select("c_custkey")
+    plan = flt._sc._jvm.PythonSQLUtils.explainString(
+        flt._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "c_acctbal" in plan.split("PushedFilters")[1][:200], plan[:1500]
