@@ -1432,6 +1432,54 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_dup_stats",
+    oracle=f"""
+    WITH g AS (SELECT md5(text) AS ch, COUNT(*) AS c
+               FROM documents GROUP BY md5(text)),
+    p AS (SELECT COUNT(*) AS n_near_pairs
+          FROM ({_SQL_LSH_THEN_VERIFY_CAPPED}))
+    SELECT (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM g) AS n_docs,
+           (SELECT COUNT(*) FROM g) AS n_unique_texts,
+           (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM g WHERE c > 1)
+             AS n_docs_in_dup_groups,
+           (SELECT MAX(c) FROM g) AS max_clique,
+           p.n_near_pairs
+    FROM p
+    """,
+)
+def corpus_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile — the diagnostic a pipeline runs BEFORE
+    choosing its dedup strategy (and the one that explains cross-round
+    bench drift on the pair-generating funnels): document count, unique
+    texts, docs living in exact-dup groups, the largest exact clique, and
+    the capped near-dup pair count. One row of exact integers.
+
+    100 TB shape: one hash-groupBy (same single shuffle as dedup_exact —
+    the text never travels), three scalar aggregates over the group-size
+    table, and the pair funnel count the production composition would run
+    anyway. All 1-row frames combine via broadcast."""
+    d = t(spark, sf_dir, "documents")
+    g = (
+        d.select(F.md5("text").alias("ch"))
+        .groupBy("ch")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = g.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_docs"),
+        F.count("*").alias("n_unique_texts"),
+        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_docs_in_dup_groups"),
+        F.max("c").alias("max_clique"),
+    )
+    pairs = (
+        dedup_lsh_then_verify(spark, sf_dir)
+        .agg(F.count("*").alias("n_near_pairs"))
+    )
+    return stats.crossJoin(F.broadcast(pairs))
+
+
+@register(
     "dedup_cross_source_matrix",
     oracle=f"""
     WITH pairs AS (SELECT doc_a, doc_b FROM ({_SQL_LSH_THEN_VERIFY_CAPPED})),
