@@ -508,3 +508,20 @@ def test_runtime_bloom_filter_injects_on_shuffled_fact_fact_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
+    """Registry-wide scale gate: no registered query may plan a
+    CartesianProduct — the physical operator Spark falls back to when a
+    join has no keys AND neither side is broadcastable, which is
+    all-pairs-shuffled quadratic work at any real scale. Every legitimate
+    small-side cross join in this repo (query vectors, centroid tables,
+    scalar thresholds) must stay a BroadcastNestedLoopJoin; if size
+    estimation ever degrades one into a CartesianProduct, this catches it
+    for ALL queries, not just the plan-gated subset."""
+    offenders = []
+    for name in sorted(QUERIES):
+        p = plan_of(spark, sf_dir, name)
+        if "CartesianProduct" in p:
+            offenders.append(name)
+    assert not offenders, f"CartesianProduct planned in: {offenders}"

@@ -794,3 +794,30 @@ def test_orc_source_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
         flt._jdf.queryExecution(), "formatted"
     )
     assert "PushedFilters" in plan and "c_acctbal" in plan.split("PushedFilters")[1][:200], plan[:1500]
+
+
+def test_zorder_interleave_matches_python_reference(spark):
+    """Pin the JVM-side Morton interleave bit-for-bit against an
+    independent pure-Python implementation over seeded random points,
+    including the extremes of the 16-bit domain."""
+    import random
+
+    from eth_event_stream_spark.plans.layout import ZBITS, zorder2
+
+    def z_ref(x: int, y: int) -> int:
+        z = 0
+        for i in range(ZBITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rng = random.Random(42)
+    pts = [(rng.randrange(1 << ZBITS), rng.randrange(1 << ZBITS)) for _ in range(200)]
+    pts += [(0, 0), (0, 65535), (65535, 0), (65535, 65535)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder2("x", "y").alias("z")).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == z_ref(x, y), (x, y, got[(x, y)], z_ref(x, y))
