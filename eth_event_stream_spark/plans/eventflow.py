@@ -333,3 +333,119 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     return with_click.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", "ts", "last_click_ts"
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-analytics classics: ordered funnel and retention cohorts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_funnel_stages",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t_view
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+      GROUP BY e.user_id)
+    SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+           CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+                WHEN s2.t_click IS NOT NULL THEN 2
+                ELSE 1 END AS stage
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def event_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase, each step strictly after
+    the previous): per user, the earliest time each stage was reached IN
+    ORDER, and the furthest stage. The canonical product-analytics query.
+
+    100 TB shape: one cascade of three keyed aggregations, each a partial-
+    aggregable MIN shuffled on user_id — the same key every time, so AQE
+    reuses the partitioning; no window over a user's full history, no
+    per-user array materialization. Strictly-after semantics come from the
+    previous stage's min riding along the join, a filter, never a
+    correlated subquery."""
+    e = t(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .otherwise(1)
+            .alias("stage"),
+        )
+    )
+
+
+@register(
+    "event_retention_cohorts",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT f.cohort_day,
+           datediff('day', f.cohort_day, a.day) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM active a JOIN first_day f USING (user_id)
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention by signup cohort: users bucketed by their first active
+    day, counted on each later day offset — the other canonical
+    product-analytics query (the triangle retention matrix).
+
+    100 TB shape: first-activity is a MIN per user (partial agg); the
+    distinct (user, day) activity set collapses before the join (dedup at
+    source granularity, not event granularity); both shuffles key on
+    user_id, then one count-distinct per (cohort, offset) cell."""
+    e = t(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts"))
+    first_day = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    active = e.select("user_id", day.alias("day")).distinct()
+    return (
+        active.join(first_day, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -156,6 +156,11 @@ PLAN_EXPECTATIONS = {
         r"HashAggregate",
     ],
     "vector_pq_codes": [r"BroadcastHashJoin", r"HashAggregate"],
+    # ordered funnel: three keyed MIN aggregations on the same key — all
+    # hash-based, no window over per-user history
+    "event_funnel_stages": [r"HashAggregate"],
+    # retention cohorts: per-user min + distinct-day collapse, hash aggs
+    "event_retention_cohorts": [r"HashAggregate"],
     # incremental span scrub: the corpus index streams past a BROADCAST of
     # the batch hashes; the anti decision runs against the small hit list
     "dedup_chunk_scrub_incremental": [
@@ -194,6 +199,8 @@ JVM_ONLY = [
     "similarity_topk_pq_refined",
     "vector_pq_codes",
     "dedup_chunk_scrub_incremental",
+    "event_funnel_stages",
+    "event_retention_cohorts",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]
