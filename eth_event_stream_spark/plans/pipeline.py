@@ -872,6 +872,58 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "reducer_funnel_batch",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t_view
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t_click
+      GROUP BY e.user_id)
+    SELECT u.user_id AS key,
+           CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+                WHEN s2.t_click IS NOT NULL THEN 2
+                WHEN s1.t_view IS NOT NULL THEN 1
+                ELSE 0 END AS stage,
+           s1.t_view AS t_view_us,
+           s2.t_click AS t_click_us,
+           s3.t_purchase AS t_purchase_us
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
+)
+def reducer_funnel_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered funnel through the stateful EventReducer API — an
+    ORDER-SENSITIVE fold (first qualifying event per stage in block order),
+    unlike the commutative netflow sum, so it exercises the API's sorted-
+    delivery contract for real. The oracle is the equivalent min-cascade
+    (first-in-order == min over qualifying), covering the Python fold with
+    a driver value-hash. Production shape: event_funnel_stages (algebraic,
+    JVM-only); this is the API-parity twin."""
+    from ..streaming.reducer import FunnelReducer, reduce_events_batch
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("event_type"),
+        # ts is TIMESTAMP_NTZ; the session timezone is pinned UTC
+        # (session.py), so the cast is wall-clock identity and unix_micros
+        # equals DuckDB's epoch_us over the same naive value
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("block_number"),
+        F.col("event_id").alias("log_index"),
+    )
+    return reduce_events_batch(ev, FunnelReducer(), ["user_id"])
+
+
+@register(
     "reducer_netflow_batch",
     oracle="""
     SELECT user_id AS key,

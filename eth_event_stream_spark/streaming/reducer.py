@@ -197,6 +197,69 @@ class CentsNetflowReducer(EventReducer):
         return {"cents": rows[0][0], "n": rows[0][1]}
 
 
+class FunnelReducer(EventReducer):
+    """Ordered-funnel fold (view -> click -> purchase, each strictly after
+    the previous): the stateful-API twin of plans.eventflow's
+    event_funnel_stages min-cascade — a genuinely ORDER-SENSITIVE fold
+    (unlike netflow's commutative sum), exercising the contract that
+    reduce() sees events block-sorted. Expects columns: event_type,
+    block_number (epoch micros — the sort key), log_index.
+
+    Equivalence to the min-cascade: processing in (ts, tie) order, the
+    first click with ts strictly greater than t_view IS min(ts of such
+    clicks), and likewise for purchase. Streaming caveat: the fold is
+    order-sensitive across triggers, so the stream path requires per-key
+    in-order delivery (the source's total-order contract, B1/B9)."""
+
+    def init_state(self):
+        return {"v": None, "c": None, "p": None}
+
+    def reduce(self, state, events: pd.DataFrame):
+        v, c, p = state["v"], state["c"], state["p"]
+        for ts_us, et in zip(events["block_number"], events["event_type"]):
+            ts_us = int(ts_us)
+            if v is None:
+                if et == "view":
+                    v = ts_us
+            elif c is None:
+                if et == "click" and ts_us > v:
+                    c = ts_us
+            elif p is None:
+                if et == "purchase" and ts_us > c:
+                    p = ts_us
+        state["v"], state["c"], state["p"] = v, c, p
+        return state
+
+    def emit(self, key, state) -> pd.DataFrame:
+        stage = 3 if state["p"] is not None else (
+            2 if state["c"] is not None else (1 if state["v"] is not None else 0)
+        )
+        return pd.DataFrame(
+            {
+                "key": [key[0]],
+                "stage": [stage],
+                "t_view_us": [state["v"]],
+                "t_click_us": [state["c"]],
+                "t_purchase_us": [state["p"]],
+            }
+        )
+
+    def state_schema(self) -> StructType:
+        return StructType.fromDDL("v BIGINT, c BIGINT, p BIGINT")
+
+    def output_schema(self) -> StructType:
+        return StructType.fromDDL(
+            "key BIGINT, stage INT, t_view_us BIGINT, t_click_us BIGINT, "
+            "t_purchase_us BIGINT"
+        )
+
+    def state_to_rows(self, state) -> list[tuple]:
+        return [(state["v"], state["c"], state["p"])]
+
+    def rows_to_state(self, rows) -> Any:
+        return {"v": rows[0][0], "c": rows[0][1], "p": rows[0][2]}
+
+
 class ArrowEventReducer(ABC):
     """The EventReducer contract over Arrow data — same fold semantics
     (init -> reduce over block-sorted events -> emit), but ``reduce`` sees a
