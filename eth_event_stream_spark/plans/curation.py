@@ -476,3 +476,41 @@ def corpus_chunk_index(corpus: DataFrame) -> DataFrame:
     """The persisted artifact the incremental/streaming scrub probes:
     distinct md5 of every corpus chunk, one column ``h``."""
     return _chunks(corpus).select("h").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Stratified fractional sampling
+# ---------------------------------------------------------------------------
+
+# per-stratum keep fractions in sixteenths (md5 first hex digit < bound):
+# 'en' keeps 8/16 = 50%, every other language 4/16 = 25%
+STRAT_BOUND_EN = "8"
+STRAT_BOUND_OTHER = "4"
+
+
+@register(
+    "sample_stratified_fraction",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 1)
+          < CASE WHEN lang = 'en' THEN '{STRAT_BOUND_EN}'
+                 ELSE '{STRAT_BOUND_OTHER}' END
+    """,
+)
+def sample_stratified_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-stratum fractions (the language-
+    rebalancing step of corpus assembly: keep 50% of English, 25% of
+    everything else) — deterministic hash thresholds instead of RNG, so
+    the sample is reproducible across runs, engines, and cluster sizes,
+    and adding data never reassigns an existing id (same contract as
+    split_hash_assign). Pure map-side filter: no shuffle, no sampling
+    state, trivially streamable."""
+    d = t(spark, sf_dir, "documents")
+    digit = F.substring(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    bound = F.when(F.col("lang") == "en", STRAT_BOUND_EN).otherwise(
+        STRAT_BOUND_OTHER
+    )
+    return d.filter(digit < bound).select("doc_id", "lang")

@@ -449,3 +449,59 @@ def event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "events_value_outliers",
+    oracle="""
+    WITH st AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS s,
+             SUM(CAST(ROUND(value * 100, 0) AS HUGEINT)
+                 * CAST(ROUND(value * 100, 0) AS HUGEINT)) AS q
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           CAST(ROUND(e.value * 100, 0) AS BIGINT) AS cents,
+           st.n
+    FROM events e JOIN st USING (event_type)
+    WHERE CAST(CAST(ROUND(e.value * 100, 0) AS HUGEINT) * st.n - st.s AS HUGEINT)
+          * CAST(CAST(ROUND(e.value * 100, 0) AS HUGEINT) * st.n - st.s AS HUGEINT)
+          * (st.n - 1)
+          > 9 * st.n * (st.n * q - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+    """,
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 3-sigma outlier flags on event values — the monitoring
+    query every event engine runs — computed ENTIRELY in exact integer
+    arithmetic: the z-score test |x - mean| > 3*stddev is cross-multiplied
+    into (c*n - S)^2 * (n-1) > 9 * n * (n*Q - S^2) over integer cents
+    (c = value cents, S/Q = per-type sum and sum of squares), so no
+    float division or sqrt ever crosses engines.
+
+    100 TB shape: one partial-agg pass builds the 5-row (type, n, S, Q)
+    stats table, which BROADCASTS back onto the event scan; the flag is a
+    map-side predicate. Wide products run in DECIMAL(38,0) (HUGEINT in
+    the oracle) — bounded well under 10^38 for any realistic n."""
+    e = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    st = (
+        e.select("event_type", cents.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("q"),
+        )
+    )
+    joined = e.select("event_id", "event_type", cents.alias("cents")).join(
+        F.broadcast(st), "event_type"
+    )
+    dev = "CAST(cents AS DECIMAL(38,0)) * n - s"
+    cond = (
+        f"({dev}) * ({dev}) * (n - 1) > "
+        "9 * n * (n * q - CAST(s AS DECIMAL(38,0)) * s)"
+    )
+    return joined.filter(F.expr(cond)).select(
+        "event_id", "event_type", "cents", "n"
+    )
