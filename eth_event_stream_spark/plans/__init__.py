@@ -18,6 +18,7 @@ from . import (  # noqa: F401  (registration side effects)
     eventflow,
     incremental,
     layout,
+    ledger,
     pipeline,
     relational,
     relational2,

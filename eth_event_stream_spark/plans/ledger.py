@@ -1,0 +1,249 @@
+"""Ledger-style analytics over the event stream: state reconstruction.
+
+The reference's users fold event logs into *state* (examples/stream_multi.rs
+keeps per-address netflow counters). Two canonical extensions of that fold
+are implemented here, mapped onto the driver's ``events`` table with the same
+block convention as ``plans.eventflow`` (block := minute bucket of ``ts``):
+
+- ``balance_snapshot_topk`` — the balance sheet *at a block height*: replay
+  signed flows up to a cutoff and take the top holders. The filter is a plain
+  predicate on ``ts`` so it reaches the parquet scan (partition pruning at
+  100 TB: a cutoff prunes every later block-range file), and the top-k is a
+  ``TakeOrderedAndProject`` (per-partition heaps, no global sort).
+- ``balance_twab`` — time(block)-weighted average balance per entity, the
+  DeFi "TWAB" primitive (used for fair reward distribution): integrate the
+  step function of each entity's running balance over the block range. One
+  hash shuffle to per-(entity, block) deltas, then a window partitioned by
+  entity (never ``SinglePartition``) for the running sum and holding
+  duration. All arithmetic is DECIMAL/BIGINT — exact and order-independent,
+  so partial aggregation order cannot change a bit of the result.
+
+Plus one iterative algorithm on the relational side:
+
+- ``graph_pagerank`` — fixed-iteration PageRank over the undirected
+  customer-supplier trade graph (the same shape a crawl-graph importance
+  score takes in a training-data pipeline). Ranks are BIGINT scaled by 1e12
+  with floor division everywhere, so five Spark join+agg rounds and five
+  unrolled DuckDB CTE rounds produce bit-identical integers — an exactly
+  oracle-checkable iterative algorithm (the usual float PageRank cannot be
+  hash-compared across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import t
+from .eventflow import D, SQL_BLOCK, _block
+from .registry import register
+
+# one block past the last event minute: events span 2024-01-01 .. 2024-01-30,
+# so the integration range is closed at floor(epoch('2024-01-31')/60)
+BLOCK_END = 28444320
+
+_SIGNED_SQL = """CASE WHEN event_type = 'purchase'
+                 THEN -CAST(value AS DECIMAL(18,6))
+                 ELSE  CAST(value AS DECIMAL(18,6)) END"""
+
+
+def _signed():
+    return F.when(
+        F.col("event_type") == "purchase", -F.col("value").cast(D)
+    ).otherwise(F.col("value").cast(D))
+
+
+@register(
+    "balance_snapshot_topk",
+    oracle=f"""
+    SELECT user_id,
+           CAST(CAST(SUM({_SIGNED_SQL}) AS DECIMAL(28,6)) AS DOUBLE) AS balance,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY user_id
+    ORDER BY balance DESC, user_id
+    LIMIT 25
+    """,
+)
+def balance_snapshot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance sheet at a block height: replay signed flows up to the cutoff,
+    return the top 25 holders (ties broken by entity id — deterministic).
+
+    100 TB shape: the ``ts`` predicate is pushed to the scan (prunes every
+    file after the cutoff), the aggregation is map-side partial, and the
+    top-k is TakeOrderedAndProject — no global sort materializes N rows.
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(_signed()).cast("decimal(28,6)").cast("double").alias("balance"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.col("balance").desc(), F.col("user_id"))
+        .limit(25)
+    )
+
+
+@register(
+    "balance_twab",
+    oracle=f"""
+    WITH flows AS (
+      SELECT user_id,
+             {SQL_BLOCK} AS block,
+             SUM({_SIGNED_SQL}) AS delta
+      FROM events
+      GROUP BY user_id, {SQL_BLOCK}
+    ),
+    series AS (
+      SELECT user_id, block,
+             SUM(delta) OVER (PARTITION BY user_id ORDER BY block) AS bal,
+             LEAD(block, 1, {BLOCK_END}) OVER (PARTITION BY user_id ORDER BY block)
+               - block AS dur
+      FROM flows
+    )
+    SELECT user_id,
+           CAST(CAST(SUM(bal * dur) AS DECIMAL(38,6)) AS DOUBLE) AS twab_num,
+           CAST(SUM(dur) AS BIGINT) AS span_blocks,
+           CAST(CAST(SUM(bal * dur) AS DECIMAL(38,6)) AS DOUBLE)
+             / CAST(CAST(SUM(dur) AS BIGINT) AS DOUBLE) AS twab
+    FROM series
+    GROUP BY user_id
+    """,
+)
+def balance_twab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-weighted average balance per entity (the DeFi TWAB primitive):
+    integrate each entity's running-balance step function from its first
+    event to the end of the range.
+
+    Exactness: deltas, running balances, and balance*duration products are
+    all DECIMAL — addition is order-independent, so Spark's partial
+    aggregation and DuckDB's single-threaded sum agree bit-for-bit; the
+    final ``twab`` is ONE IEEE division of identical operands. The window
+    is partitioned by entity (hashpartitioning, never SinglePartition).
+    """
+    ev = t(spark, sf_dir, "events")
+    flows = (
+        ev.groupBy("user_id", _block().alias("block"))
+        .agg(F.sum(_signed()).alias("delta"))
+    )
+    w = Window.partitionBy("user_id").orderBy("block")
+    series = flows.select(
+        "user_id",
+        "block",
+        F.sum("delta").over(w).alias("bal"),
+        (F.lead("block", 1, BLOCK_END).over(w) - F.col("block")).alias("dur"),
+    )
+    num = F.sum(F.col("bal") * F.col("dur")).cast("decimal(38,6)").cast("double")
+    span = F.sum("dur").cast("bigint")
+    return series.groupBy("user_id").agg(
+        num.alias("twab_num"),
+        span.alias("span_blocks"),
+        (num / span.cast("double")).alias("twab"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration integer-exact PageRank
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000_000  # rank fixed-point scale (1e12)
+_PR_BASE = 150_000_000_000  # (1 - d) * scale with d = 0.85
+_PR_ROUNDS = 5
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled recursive CTE: r0 .. r5, each round one join + group-by.
+
+    DuckDB's ``//`` and Spark's ``div`` both truncate toward zero; every
+    operand here is positive, so the floor semantics agree exactly.
+    """
+    head = f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || CAST(s AS VARCHAR) AS src, 'c' || CAST(c AS VARCHAR) AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank_scaled, outdeg FROM deg)"""
+    rounds = []
+    for i in range(1, _PR_ROUNDS + 1):
+        rounds.append(f"""
+    r{i}_agg AS (
+      SELECT e.dst AS node,
+             CAST({_PR_BASE} + (85 * SUM(r.rank_scaled // r.outdeg)) // 100 AS BIGINT)
+               AS rank_scaled
+      FROM edges e JOIN r{i - 1} r ON r.node = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT a.node, a.rank_scaled, d.outdeg
+      FROM r{i}_agg a JOIN deg d ON d.node = a.node
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(rounds)
+        + f"\n    SELECT node, rank_scaled FROM r{_PR_ROUNDS}"
+    )
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 5 rounds) over the undirected customer-supplier
+    trade graph, in BIGINT fixed-point (scale 1e12) with floor division —
+    bit-identical across engines, unlike float PageRank whose sum order
+    changes low bits.
+
+    Scale shape: the edge list is materialized once (``localCheckpoint`` —
+    without it every round re-executes the orders-lineitem join from the
+    scan up, the same lineage blowup ``operators.graph`` cuts); each round
+    is one shuffle (join on src + groupBy dst, both algebraic). In the
+    undirected graph every node has in-edges, so no outer join is needed to
+    keep rank mass for sinks. At ~10^9 nodes the 85*sum step approaches
+    LONG range — promote ``rank_scaled`` to DECIMAL(38,0) there (documented,
+    not needed at any test SF).
+    """
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    c_node = F.concat(F.lit("c"), F.col("c").cast("string"))
+    s_node = F.concat(F.lit("s"), F.col("s").cast("string"))
+    edges = (
+        pairs.select(c_node.alias("src"), s_node.alias("dst"))
+        .unionByName(pairs.select(s_node.alias("src"), c_node.alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("outdeg")
+    )
+    ranks = deg.select(
+        "node", F.lit(_PR_SCALE).cast("bigint").alias("rank_scaled"), "outdeg"
+    ).localCheckpoint(eager=True)
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .groupBy(edges["dst"].alias("node"))
+            .agg(F.sum(F.expr("rank_scaled div outdeg")).alias("mass"))
+        )
+        ranks = (
+            contrib.join(deg, "node")
+            .select(
+                "node",
+                F.expr(f"CAST({_PR_BASE} + (85 * mass) div 100 AS BIGINT)").alias(
+                    "rank_scaled"
+                ),
+                "outdeg",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank_scaled")

@@ -167,6 +167,15 @@ PLAN_EXPECTATIONS = {
         r"BroadcastHashJoin LeftAnti",
         r"HashAggregate",
     ],
+    # snapshot cutoff must reach the scan (file pruning at scale) and the
+    # top-k must be heap+merge, never a global sort
+    "balance_snapshot_topk": [
+        r"PushedFilters: .*LessThan\(ts",
+        r"TakeOrderedAndProject",
+        r"HashAggregate",
+    ],
+    # the running-balance window is partitioned by entity, never global
+    "balance_twab": [r"hashpartitioning\(user_id", r"HashAggregate"],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -201,6 +210,9 @@ JVM_ONLY = [
     "dedup_chunk_scrub_incremental",
     "event_funnel_stages",
     "event_retention_cohorts",
+    "balance_snapshot_topk",
+    "balance_twab",
+    "graph_pagerank",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]
