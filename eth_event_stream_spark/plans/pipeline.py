@@ -87,10 +87,16 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / stopword-density heuristics (the standard
     pretraining-corpus filters), pure column expressions."""
-    d = t(spark, sf_dir, "documents")
+    return quality_score_of(t(spark, sf_dir, "documents"))
+
+
+def quality_score_of(docs: DataFrame) -> DataFrame:
+    """df-level core of ``text_quality_score`` — a pure stateless map, so
+    the same expressions run unchanged over a streaming DataFrame (append
+    mode, no watermark; parity pinned in test_streaming)."""
     toks = F.split(F.lower(F.col("text")), " ", -1)
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
-    s = d.select(
+    s = docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
         F.size(toks).alias("n_tokens"),
@@ -2006,10 +2012,16 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     with positional ids — the fan-out every context-window pipeline runs
     before tokenization. Pure explode-over-sequence, no shuffle; chunk
     boundaries are deterministic functions of the token array."""
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return chunk_of(t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+
+
+def chunk_of(docs: DataFrame) -> DataFrame:
+    """df-level core of ``chunk_documents`` — stateless per-row fan-out
+    (explode over a sequence), so it runs unchanged over a stream (append
+    mode, no watermark; parity pinned in test_streaming)."""
     # no empty-array guard: split() always yields >= 1 token (an empty text
     # tokenizes to ['']), so every doc emits at least one chunk
-    toks = d.select(
+    toks = docs.select(
         "doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks")
     )
     n_chunks = F.ceil(F.size("toks") / F.lit(float(CHUNK_TOKENS))).cast("int")

@@ -1148,6 +1148,80 @@ def test_pushdown_address_is_exact_option_address_is_lowercased(tmp_path):
     assert [r[0] for r in rows2] == ["0xabcd"]
 
 
+def test_stream_quality_score_parity(spark, sf_dir, tmp_path):
+    """Streaming twin of text_quality_score: the quality filter is a pure
+    per-row map, so scoring documents as they arrive (append mode, no
+    watermark, no state) yields byte-identical scores to the batch sweep —
+    the ingest-time formulation of the pretraining quality gate."""
+    from eth_event_stream_spark.plans.pipeline import quality_score_of
+
+    src = tmp_path / "docs_quality_stream"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(4).write.parquet(str(src))
+    batch = {
+        tuple(r) for r in quality_score_of(spark.read.parquet(str(src))).collect()
+    }
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        quality_score_of(sdf)
+        .writeStream.format("memory")
+        .queryName("quality_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_quality"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.table("quality_stream_sink").collect()}
+    assert got == batch
+
+
+def test_stream_chunk_documents_parity(spark, sf_dir, tmp_path):
+    """Streaming twin of chunk_documents: fixed-size chunking is a
+    stateless per-row fan-out (explode over a sequence), so chunking at
+    ingest produces exactly the batch chunk set — ids, boundaries, and
+    text alike."""
+    from eth_event_stream_spark.plans.pipeline import chunk_of
+
+    src = tmp_path / "docs_chunk_stream"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(4).write.parquet(str(src))
+    batch = {
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_of(spark.read.parquet(str(src))).collect()
+    }
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        chunk_of(sdf)
+        .writeStream.format("memory")
+        .queryName("chunk_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_chunk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in spark.table("chunk_stream_sink").collect()
+    }
+    assert got == batch
+
+
 def test_stream_split_assign_parity(spark, sf_dir, tmp_path):
     """Streaming twin of split_hash_assign: documents arriving file-by-file
     get the IDENTICAL train/holdout assignment the batch query computes —
