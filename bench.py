@@ -68,6 +68,11 @@ HEADLINE = [
     # round-5 continuation: C4-style span scrub and PQ/ADC search
     "dedup_chunk_scrub",
     "similarity_topk_pq",
+    # round-5 continuation 2 (headline_set bumps to r5-extended3, additions
+    # only): state reconstruction (windowed running-balance integration)
+    # and the iterative fixed-point join loop
+    "balance_twab",
+    "graph_pagerank",
 ]
 
 
@@ -171,7 +176,7 @@ def main() -> None:
                 # — totals are
                 # comparable only within the same set version; compare
                 # per-query across versions.
-                "headline_set": "r5-extended2",
+                "headline_set": "r5-extended3",
                 "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -354,6 +354,75 @@ def test_csv_json_source_roundtrip(spark, sf_dir, tmp_path):
     assert got_json == expected
 
 
+def test_gzip_jsonl_with_corrupt_record_policy(spark, sf_dir, tmp_path):
+    """The web-crawl ingest reality: gzipped JSONL with the occasional
+    broken line. Three contracts pinned:
+
+    - .jsonl.gz reads transparently (codec inferred from the extension) and
+      matches the parquet relation row-for-row;
+    - PERMISSIVE mode (the scale default — one bad line must not kill a
+      100 TB ingest) lands the raw broken line in the designated corrupt
+      column with every typed field NULL, and keeps all good rows;
+    - FAILFAST raises, for pipelines that prefer loud schema drift.
+    """
+    import glob
+    import gzip
+
+    from eth_event_stream_spark.plans.catalog import t
+
+    src = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    expected = sorted(tuple(r) for r in src.collect())
+    schema = "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
+
+    plain = str(tmp_path / "docs_jsonl")
+    src.coalesce(2).write.mode("overwrite").json(plain)
+    gz_dir = tmp_path / "docs_jsonl_gz"
+    gz_dir.mkdir()
+    bad_line = '{"doc_id": 999999, "lang": "en", "n_chars": BROKEN'
+    for i, part in enumerate(sorted(glob.glob(f"{plain}/part-*"))):
+        with open(part, "rb") as fh:
+            payload = fh.read()
+        if i == 0:  # plant the broken line in the first shard
+            payload += bad_line.encode() + b"\n"
+        with gzip.open(gz_dir / f"part-{i}.jsonl.gz", "wb") as gz:
+            gz.write(payload)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.schema(schema).json(str(gz_dir)).collect()
+        if r["doc_id"] != 999999 and r["doc_id"] is not None
+    )
+    assert got == expected
+
+    # cache() is REQUIRED, not an optimization: Spark refuses filters that
+    # reference only the corrupt-record column on a raw JSON scan
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — parse once, then query
+    permissive = (
+        spark.read.schema(schema + ", _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(gz_dir))
+        .cache()
+    )
+    try:
+        corrupt = permissive.filter(F.col("_corrupt_record").isNotNull()).collect()
+        assert len(corrupt) == 1
+        assert corrupt[0]["_corrupt_record"] == bad_line
+        assert corrupt[0]["doc_id"] is None  # typed fields NULL on the bad row
+        assert (
+            permissive.filter(F.col("_corrupt_record").isNull()).count()
+            == len(expected)
+        )
+    finally:
+        permissive.unpersist()
+
+    try:
+        spark.read.schema(schema).option("mode", "FAILFAST").json(str(gz_dir)).collect()
+        raise AssertionError("FAILFAST accepted a corrupt line")
+    except Exception as exc:  # surfaces as a raw Py4J-wrapped SparkException
+        assert "FAILED_READ_FILE" in str(exc) or "Malformed" in str(exc), exc
+
+
 def test_min_label_propagation_random_graphs(spark):
     """Randomized cross-check: label propagation equals DuckDB's recursive-
     CTE connected components on seeded random graphs (sparse, dense, and
