@@ -144,6 +144,84 @@ def balance_twab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "balance_daily_holders",
+    oracle=f"""
+    WITH deltas AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM({_SIGNED_SQL}) AS delta
+      FROM events
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    spine AS (
+      SELECT u.user_id, CAST(s.d AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM events) u,
+           UNNEST(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                  INTERVAL 1 DAY)) AS s(d)
+    ),
+    dense AS (
+      SELECT sp.user_id, sp.day,
+             SUM(COALESCE(d.delta, CAST(0 AS DECIMAL(18,6))))
+               OVER (PARTITION BY sp.user_id ORDER BY sp.day) AS eod_balance
+      FROM spine sp LEFT JOIN deltas d
+        ON d.user_id = sp.user_id AND d.day = sp.day
+    )
+    SELECT day,
+           CAST(SUM(CASE WHEN eod_balance > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_holders,
+           CAST(CAST(SUM(eod_balance) AS DECIMAL(38,6)) AS DOUBLE)
+             AS total_balance
+    FROM dense
+    GROUP BY day
+    """,
+)
+def balance_daily_holders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily holders timeline: for every calendar day, how many entities
+    close the day with a positive balance, and the total balance held —
+    the end-of-day state series every chain-analytics dashboard plots.
+
+    The day spine is DENSE (an entity with no events on a day still holds
+    its balance), built the ``sync_dense_flush`` way: a per-entity
+    ``explode(sequence(...))`` fan-out — never a cartesian join — then a
+    left join onto the sparse per-day deltas and a per-entity running sum
+    (missing days contribute zero, which IS the forward-fill). Exact
+    DECIMAL arithmetic throughout; the window partitions by entity.
+    """
+    ev = t(spark, sf_dir, "events")
+    deltas = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(_signed()).alias("delta")
+    )
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01").cast("date"),
+                    F.lit("2024-01-30").cast("date"),
+                )
+            ).alias("day"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    dense = (
+        spine.join(deltas, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("delta"), F.lit(0).cast(D)).alias("delta"),
+        )
+        .select("user_id", "day", F.sum("delta").over(w).alias("eod_balance"))
+    )
+    return dense.groupBy("day").agg(
+        F.sum(F.when(F.col("eod_balance") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_holders"),
+        F.sum("eod_balance").cast("decimal(38,6)").cast("double").alias("total_balance"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fixed-iteration integer-exact PageRank
 # ---------------------------------------------------------------------------
@@ -208,6 +286,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep rank mass for sinks. At ~10^9 nodes the 85*sum step approaches
     LONG range — promote ``rank_scaled`` to DECIMAL(38,0) there (documented,
     not needed at any test SF).
+
+    Measured alternative (rejected): chaining all 5 rounds into one lazy
+    plan is ~1 s faster at sf0.1 (3.5 s vs 4.5 s steady-state) — but the
+    gain is fixed per-job overhead, and the chained plan re-derives the
+    degree table per round (20 SortMergeJoins, no exchange reuse) and
+    recomputes every prior round on task failure. Per-round
+    materialization is the canonical iterative shape at scale: bounded
+    recovery, each round's input read once.
     """
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")

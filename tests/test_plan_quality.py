@@ -176,6 +176,13 @@ PLAN_EXPECTATIONS = {
     ],
     # the running-balance window is partitioned by entity, never global
     "balance_twab": [r"hashpartitioning\(user_id", r"HashAggregate"],
+    # dense day spine fans out via explode (the cartesian gate proves no
+    # CartesianProduct); the running sum partitions by entity
+    "balance_daily_holders": [
+        r"Generate",
+        r"hashpartitioning\(user_id",
+        r"HashAggregate",
+    ],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -212,6 +219,7 @@ JVM_ONLY = [
     "event_retention_cohorts",
     "balance_snapshot_topk",
     "balance_twab",
+    "balance_daily_holders",
     "graph_pagerank",
 ]
 
