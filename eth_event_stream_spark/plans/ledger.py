@@ -128,12 +128,19 @@ def balance_twab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", _block().alias("block"))
         .agg(F.sum(_signed()).alias("delta"))
     )
+    return twab_of(flows, BLOCK_END)
+
+
+def twab_of(flows: DataFrame, block_end: int) -> DataFrame:
+    """df-level core of ``balance_twab``: ``flows`` has one row per
+    (user_id, block) with a DECIMAL ``delta``; integrates the running
+    balance from each entity's first block to ``block_end``."""
     w = Window.partitionBy("user_id").orderBy("block")
     series = flows.select(
         "user_id",
         "block",
         F.sum("delta").over(w).alias("bal"),
-        (F.lead("block", 1, BLOCK_END).over(w) - F.col("block")).alias("dur"),
+        (F.lead("block", 1, block_end).over(w) - F.col("block")).alias("dur"),
     )
     num = F.sum(F.col("bal") * F.col("dur")).cast("decimal(38,6)").cast("double")
     span = F.sum("dur").cast("bigint")
@@ -304,18 +311,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c_node = F.concat(F.lit("c"), F.col("c").cast("string"))
     s_node = F.concat(F.lit("s"), F.col("s").cast("string"))
-    edges = (
-        pairs.select(c_node.alias("src"), s_node.alias("dst"))
-        .unionByName(pairs.select(s_node.alias("src"), c_node.alias("dst")))
-        .localCheckpoint(eager=True)
+    edges = pairs.select(c_node.alias("src"), s_node.alias("dst")).unionByName(
+        pairs.select(s_node.alias("src"), c_node.alias("dst"))
     )
+    return pagerank_of(edges)
+
+
+def pagerank_of(edges: DataFrame, rounds: int = _PR_ROUNDS) -> DataFrame:
+    """df-level core of ``graph_pagerank``: ``edges`` is a DIRECTED edge
+    list (src, dst) — pass both directions for an undirected graph; every
+    node must appear as a src (true for undirected edges)."""
+    edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("outdeg")
     )
     ranks = deg.select(
         "node", F.lit(_PR_SCALE).cast("bigint").alias("rank_scaled"), "outdeg"
     ).localCheckpoint(eager=True)
-    for _ in range(_PR_ROUNDS):
+    for _ in range(rounds):
         contrib = (
             edges.join(ranks, edges["src"] == ranks["node"])
             .groupBy(edges["dst"].alias("node"))

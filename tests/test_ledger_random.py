@@ -1,0 +1,129 @@
+"""Randomized cross-checks for the ledger analytics.
+
+The DuckDB oracles in ``plans/ledger.py`` share the *query structure* with
+the Spark plans (window + lead for TWAB, join + group-by rounds for
+PageRank), so a structural misconception would hit both sides identically.
+These tests check the Spark cores against brute-force Python simulations
+that share NO structure: TWAB by literally walking every block of the
+range, PageRank by dict-based dense iteration.
+"""
+
+from __future__ import annotations
+
+import random
+from decimal import Decimal
+from fractions import Fraction
+
+from eth_event_stream_spark.plans.ledger import (
+    _PR_BASE,
+    _PR_SCALE,
+    pagerank_of,
+    twab_of,
+)
+
+
+def _sim_twab(flows, block_end):
+    """Brute force: walk EVERY block from the entity's first event to
+    block_end, accumulating the running balance — O(range), no windows."""
+    by_user = {}
+    for uid, blk, delta in flows:
+        by_user.setdefault(uid, {}).setdefault(blk, Decimal(0))
+        by_user[uid][blk] += delta
+    out = {}
+    for uid, deltas in by_user.items():
+        first = min(deltas)
+        bal, num = Decimal(0), Decimal(0)
+        for blk in range(first, block_end):
+            bal += deltas.get(blk, Decimal(0))
+            num += bal
+        span = block_end - first
+        out[uid] = (num, span, float(num) / float(span))
+    return out
+
+
+def test_twab_matches_blockwise_simulation(spark):
+    rng = random.Random(20240814)
+    flows = []
+    block_end = 250
+    for uid in range(1, 13):
+        first = rng.randint(0, 200)
+        for _ in range(rng.randint(1, 15)):
+            blk = rng.randint(first, 240)
+            # scale(6) decimals, signed
+            delta = Decimal(rng.randint(-500_000_000, 500_000_000)) / Decimal(10**6)
+            flows.append((uid, blk, delta))
+    df = spark.createDataFrame(
+        flows, "user_id bigint, block bigint, delta decimal(18,6)"
+    ).groupBy("user_id", "block").agg({"delta": "sum"}).withColumnRenamed(
+        "sum(delta)", "delta"
+    )
+    got = {
+        r["user_id"]: (r["twab_num"], r["span_blocks"], r["twab"])
+        for r in twab_of(df, block_end).collect()
+    }
+    want = _sim_twab(flows, block_end)
+    assert set(got) == set(want)
+    for uid in want:
+        num, span, twab = want[uid]
+        assert got[uid][0] == float(num), (uid, got[uid], want[uid])
+        assert got[uid][1] == span
+        assert got[uid][2] == twab
+
+
+def _sim_pagerank(edges, rounds):
+    """Dense dict iteration with the same integer contract (floor division,
+    scale 1e12) but none of the join/group-by structure."""
+    out_nbrs = {}
+    for s, d in edges:
+        out_nbrs.setdefault(s, []).append(d)
+    ranks = {n: _PR_SCALE for n in out_nbrs}
+    for _ in range(rounds):
+        mass = {n: 0 for n in out_nbrs}
+        for s, nbrs in out_nbrs.items():
+            share = ranks[s] // len(nbrs)
+            for d in nbrs:
+                mass[d] += share
+        ranks = {n: _PR_BASE + (85 * mass[n]) // 100 for n in out_nbrs}
+    return ranks
+
+
+def test_pagerank_matches_dense_simulation(spark):
+    rng = random.Random(77)
+    # random undirected bipartite-ish graph, some multi-edges collapsed
+    pairs = {
+        (f"a{rng.randint(0, 15)}", f"b{rng.randint(0, 9)}") for _ in range(60)
+    }
+    edges = [(s, d) for s, d in pairs] + [(d, s) for s, d in pairs]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank_scaled"] for r in pagerank_of(df, rounds=4).collect()}
+    want = _sim_pagerank(edges, rounds=4)
+    assert got == want
+
+
+def test_pagerank_ranks_degree_monotone_on_star(spark):
+    """On a star graph the hub must outrank every leaf, and all leaves tie
+    — the qualitative property PageRank exists to deliver."""
+    leaves = [f"leaf{i}" for i in range(8)]
+    edges = [("hub", l) for l in leaves] + [(l, "hub") for l in leaves]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank_scaled"] for r in pagerank_of(df).collect()}
+    hub = got.pop("hub")
+    assert len(set(got.values())) == 1  # leaves tie exactly
+    assert hub > max(got.values())
+    # and the exact-arithmetic fixpoint bound: total mass never exceeds N
+    assert sum([hub, *got.values()]) <= 9 * _PR_SCALE
+
+
+def test_twab_constant_balance_is_exact(spark):
+    """One deposit at block 0, nothing after: TWAB == the deposit (the
+    integral of a constant), bit-for-bit down to the documented rounding:
+    the exact decimal numerator rounds to double ONCE, then one IEEE
+    division — no accumulated float error, no tolerance needed."""
+    df = spark.createDataFrame(
+        [(1, 0, Decimal("123.456789"))], "user_id bigint, block bigint, delta decimal(18,6)"
+    )
+    row = twab_of(df, 1000).collect()[0]
+    exact_num = Decimal("123.456789") * 1000
+    assert Fraction(row["twab_num"]) == Fraction(float(exact_num))
+    assert row["span_blocks"] == 1000
+    assert Fraction(row["twab"]) == Fraction(float(exact_num) / 1000.0)
