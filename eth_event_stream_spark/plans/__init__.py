@@ -19,6 +19,7 @@ from . import (  # noqa: F401  (registration side effects)
     incremental,
     layout,
     ledger,
+    modern,
     pipeline,
     relational,
     relational2,
