@@ -73,6 +73,11 @@ HEADLINE = [
     # and the iterative fixed-point join loop
     "balance_twab",
     "graph_pagerank",
+    # round-5 continuation 3 (r5-extended4, additions only): dense state
+    # timeline, SQL recursion, and variant-typed JSON extraction
+    "balance_daily_holders",
+    "sql_recursive_ancestors",
+    "scalar_variant_json",
 ]
 
 
@@ -176,7 +181,7 @@ def main() -> None:
                 # — totals are
                 # comparable only within the same set version; compare
                 # per-query across versions.
-                "headline_set": "r5-extended3",
+                "headline_set": "r5-extended4",
                 "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -328,21 +328,22 @@ def pagerank_of(edges: DataFrame, rounds: int = _PR_ROUNDS) -> DataFrame:
     ranks = deg.select(
         "node", F.lit(_PR_SCALE).cast("bigint").alias("rank_scaled"), "outdeg"
     ).localCheckpoint(eager=True)
-    for _ in range(rounds):
+    for rnd in range(rounds):
         contrib = (
             edges.join(ranks, edges["src"] == ranks["node"])
             .groupBy(edges["dst"].alias("node"))
             .agg(F.sum(F.expr("rank_scaled div outdeg")).alias("mass"))
         )
-        ranks = (
-            contrib.join(deg, "node")
-            .select(
-                "node",
-                F.expr(f"CAST({_PR_BASE} + (85 * mass) div 100 AS BIGINT)").alias(
-                    "rank_scaled"
-                ),
-                "outdeg",
-            )
-            .localCheckpoint(eager=True)
+        ranks = contrib.join(deg, "node").select(
+            "node",
+            F.expr(f"CAST({_PR_BASE} + (85 * mass) div 100 AS BIGINT)").alias(
+                "rank_scaled"
+            ),
+            "outdeg",
         )
+        # materialize BETWEEN rounds (bounded recovery, input read once);
+        # the final round flows straight into the consumer — checkpointing
+        # it would materialize a result the very next action re-reads
+        if rnd < rounds - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank_scaled")

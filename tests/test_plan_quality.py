@@ -221,6 +221,8 @@ JVM_ONLY = [
     "balance_twab",
     "balance_daily_holders",
     "graph_pagerank",
+    "sql_recursive_ancestors",
+    "scalar_variant_json",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]
