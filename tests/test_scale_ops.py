@@ -890,3 +890,23 @@ def test_zorder_interleave_matches_python_reference(spark):
     }
     for x, y in pts:
         assert got[(x, y)] == z_ref(x, y), (x, y, got[(x, y)], z_ref(x, y))
+
+
+def test_variant_malformed_input_policy(spark):
+    """The VARIANT ingest contract mirrors the JSONL corrupt-record one:
+    ``try_parse_json`` maps a malformed document to NULL (the PERMISSIVE
+    analog — one bad blob must not kill a 100 TB parse), while
+    ``parse_json`` raises (the FAILFAST analog). Pinned here because the
+    registered ``scalar_variant_json`` query only sees well-formed props."""
+    row = spark.sql(
+        "SELECT variant_get(try_parse_json('not json'), '$.k', 'int') AS k, "
+        "try_parse_json('not json') IS NULL AS is_null, "
+        "variant_get(try_parse_json('{\"k\": 7}'), '$.k', 'int') AS good"
+    ).collect()[0]
+    assert row["k"] is None and row["is_null"] and row["good"] == 7
+
+    try:
+        spark.sql("SELECT parse_json('not json') AS v").collect()
+        raise AssertionError("parse_json accepted malformed input")
+    except Exception as exc:
+        assert "MALFORMED_RECORD_IN_PARSING" in str(exc), exc
