@@ -18,6 +18,7 @@ from eth_event_stream_spark.plans.ledger import (
     _PR_BASE,
     _PR_SCALE,
     pagerank_of,
+    pagerank_weighted_of,
     twab_of,
 )
 
@@ -98,6 +99,64 @@ def test_pagerank_matches_dense_simulation(spark):
     got = {r["node"]: r["rank_scaled"] for r in pagerank_of(df, rounds=4).collect()}
     want = _sim_pagerank(edges, rounds=4)
     assert got == want
+
+
+def _sim_pagerank_weighted(edges, rounds):
+    """Dense dict iteration of the weighted contract: contribution u->v is
+    (rank_u * w_uv) // W_u."""
+    out_edges = {}
+    for s, d, w in edges:
+        out_edges.setdefault(s, []).append((d, w))
+    wout = {s: sum(w for _, w in nbrs) for s, nbrs in out_edges.items()}
+    ranks = {n: _PR_SCALE for n in out_edges}
+    for _ in range(rounds):
+        mass = {n: 0 for n in out_edges}
+        for s, nbrs in out_edges.items():
+            for d, w in nbrs:
+                mass[d] += (ranks[s] * w) // wout[s]
+        ranks = {n: _PR_BASE + (85 * mass[n]) // 100 for n in out_edges}
+    return ranks
+
+
+def test_pagerank_weighted_matches_dense_simulation(spark):
+    rng = random.Random(1234)
+    pairs = {}
+    for _ in range(70):
+        key = (f"a{rng.randint(0, 12)}", f"b{rng.randint(0, 7)}")
+        pairs[key] = rng.randint(1, 9)
+    edges = [(s, d, w) for (s, d), w in pairs.items()] + [
+        (d, s, w) for (s, d), w in pairs.items()
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w bigint")
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_weighted_of(df, rounds=4).collect()
+    }
+    want = _sim_pagerank_weighted(edges, rounds=4)
+    assert got == want
+
+
+def test_pagerank_weighted_uniform_weights_equal_unweighted(spark):
+    """With every edge weight equal, the weighted fold must reproduce the
+    unweighted ranks EXACTLY: (rank * w) // (deg * w) == rank // deg only
+    when w divides evenly — which uniform w=1 guarantees."""
+    rng = random.Random(9)
+    pairs = {(f"x{rng.randint(0, 10)}", f"y{rng.randint(0, 6)}") for _ in range(40)}
+    plain = [(s, d) for s, d in pairs] + [(d, s) for s, d in pairs]
+    weighted = [(s, d, 1) for s, d in plain]
+    a = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_of(
+            spark.createDataFrame(plain, "src string, dst string")
+        ).collect()
+    }
+    b = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_weighted_of(
+            spark.createDataFrame(weighted, "src string, dst string, w bigint")
+        ).collect()
+    }
+    assert a == b
 
 
 def test_pagerank_ranks_degree_monotone_on_star(spark):

@@ -221,6 +221,7 @@ JVM_ONLY = [
     "balance_twab",
     "balance_daily_holders",
     "graph_pagerank",
+    "graph_pagerank_weighted",
     "sql_recursive_ancestors",
     "scalar_variant_json",
 ]
