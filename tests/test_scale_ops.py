@@ -910,3 +910,90 @@ def test_variant_malformed_input_policy(spark):
         raise AssertionError("parse_json accepted malformed input")
     except Exception as exc:
         assert "MALFORMED_RECORD_IN_PARSING" in str(exc), exc
+
+
+def test_streaming_observe_metrics(spark, sf_dir, tmp_path):
+    """Production observability: ``observe()`` attaches named aggregate
+    metrics to a streaming query, surfaced per micro-batch in the query
+    progress — row counts and sums arrive WITHOUT a second job over the
+    data. The observed totals must equal the batch ground truth."""
+    src = tmp_path / "docs_observe"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(3).write.parquet(str(src))
+    truth_rows = docs.count()
+    truth_chars = docs.agg(F.sum("n_chars")).collect()[0][0]
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .observe(
+            "ingest_metrics",
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+    q = (
+        sdf.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck_observe"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.recentProgress
+    finally:
+        q.stop()
+
+    observed = [
+        p["observedMetrics"]["ingest_metrics"]
+        for p in progress
+        if p.get("observedMetrics", {}).get("ingest_metrics")
+    ]
+    assert len(observed) >= 2  # one per non-empty micro-batch
+    assert sum(m["rows"] for m in observed) == truth_rows
+    assert sum(m["chars"] for m in observed) == truth_chars
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The runtime answer to key skew: with AQE skew-join on, a sort-merge
+    join whose build of one key dwarfs the median is split at runtime —
+    the final adaptive plan marks the join ``skew=true``. This is the
+    mechanism the docs point moderate-skew users to BEFORE reaching for
+    manual salting (operators/skew.py handles the degenerate cases)."""
+    pad = "x" * 200
+    # 30k rows of key 0 (the hot key) + keys 1..1999 one row each
+    left = spark.range(0, 32_000).select(
+        F.when(F.col("id") < 30_000, F.lit(0))
+        .otherwise(F.col("id") - 30_000 + 1)
+        .alias("k"),
+        F.concat(F.lit(pad), F.col("id").cast("string")).alias("payload"),
+    )
+    right = spark.range(0, 2_000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit(pad), F.lit("r")).alias("rpayload"),
+    )
+    conf_keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf_keys}
+    try:
+        for k, v in conf_keys.items():
+            spark.conf.set(k, v)
+        joined = left.join(right, "k")
+        # collect() executes THIS DataFrame's plan (a .count() would build a
+        # different query and leave this one's adaptive plan unfinalized)
+        assert len(joined.collect()) == 30_000 + 1_999  # hot key + matched tail
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
