@@ -57,8 +57,12 @@ _BENCH_FILTER = "doc_id < 20"
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document surface statistics — all JVM-side string ops."""
-    d = t(spark, sf_dir, "documents")
-    return d.select(
+    return stats_of(t(spark, sf_dir, "documents"))
+
+
+def stats_of(docs: DataFrame) -> DataFrame:
+    """df-level core of ``text_stats`` (stateless map; streams as-is)."""
+    return docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
         F.size(F.split("text", " ", -1)).alias("n_tokens"),
@@ -132,11 +136,15 @@ def quality_score_of(docs: DataFrame) -> DataFrame:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID by stopword-hit voting (n-gram-free heuristic; the shape
     generalizes to char-n-gram profiles without changing the plan)."""
-    d = t(spark, sf_dir, "documents")
+    return lang_id_of(t(spark, sf_dir, "documents"))
+
+
+def lang_id_of(docs: DataFrame) -> DataFrame:
+    """df-level core of ``text_lang_id`` (stateless map; streams as-is)."""
     toks = F.split(F.lower(F.col("text")), " ", -1)
     en = F.array(*[F.lit(w) for w in STOPWORDS])
     de = F.array(*[F.lit(w) for w in ("der", "die", "das", "und", "ist", "nicht")])
-    s = d.select(
+    s = docs.select(
         "doc_id",
         F.size(F.filter(toks, lambda w: F.array_contains(en, w))).alias("en_hits"),
         F.size(F.filter(toks, lambda w: F.array_contains(de, w))).alias("de_hits"),
@@ -162,8 +170,12 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: md5 over whitespace-normalized lowercase text."""
-    d = t(spark, sf_dir, "documents")
-    return d.select(
+    return fingerprint_of(t(spark, sf_dir, "documents"))
+
+
+def fingerprint_of(docs: DataFrame) -> DataFrame:
+    """df-level core of ``text_fingerprint`` (stateless map; streams as-is)."""
+    return docs.select(
         "doc_id",
         F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")).alias("fingerprint"),
     )
@@ -1973,8 +1985,12 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (the Gopher-style quality signal):
     duplicate word-3-gram fraction per doc. All array ops, no shuffle —
     a pure map over the corpus; integer counts -> one exact division."""
-    d = t(spark, sf_dir, "documents")
-    toks = d.select(
+    return repetition_of(t(spark, sf_dir, "documents"))
+
+
+def repetition_of(docs: DataFrame) -> DataFrame:
+    """df-level core of ``text_repetition_ratio`` (stateless; streams as-is)."""
+    toks = docs.select(
         "doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks")
     ).filter(F.size("toks") >= 3)
     g = toks.select("doc_id", F.expr(_SPARK_SHINGLES).alias("grams"))

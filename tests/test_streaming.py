@@ -1148,6 +1148,51 @@ def test_pushdown_address_is_exact_option_address_is_lowercased(tmp_path):
     assert [r[0] for r in rows2] == ["0xabcd"]
 
 
+def _stateless_core(name):
+    from eth_event_stream_spark.plans import pipeline as pl
+
+    return {
+        "stats": pl.stats_of,
+        "lang_id": pl.lang_id_of,
+        "fingerprint": pl.fingerprint_of,
+        "repetition": pl.repetition_of,
+    }[name]
+
+
+@pytest.mark.parametrize("core", ["stats", "lang_id", "fingerprint", "repetition"])
+def test_stream_stateless_text_stage_parity(spark, sf_dir, tmp_path, core):
+    """Every stateless text-analysis stage streams as-is: the df-level core
+    applied to a file-by-file stream (append mode, no watermark, no state)
+    emits exactly the batch result. Together with the quality/chunk/split/
+    decontaminate/scrub twins this makes the whole stateless half of the
+    curation pipeline provably ingest-time-runnable."""
+    fn = _stateless_core(core)
+    src = tmp_path / f"docs_{core}_stream"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(4).write.parquet(str(src))
+    batch = {tuple(r) for r in fn(spark.read.parquet(str(src))).collect()}
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        fn(sdf)
+        .writeStream.format("memory")
+        .queryName(f"{core}_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ck_{core}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.table(f"{core}_stream_sink").collect()}
+    assert got == batch
+
+
 def test_stream_quality_score_parity(spark, sf_dir, tmp_path):
     """Streaming twin of text_quality_score: the quality filter is a pure
     per-row map, so scoring documents as they arrive (append mode, no
