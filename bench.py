@@ -175,12 +175,12 @@ def main() -> None:
                 "unit": "sec",
                 # membership stamp: recomposed in round 4 (capped twins
                 # replaced uncapped funnels; ivf split into build/search),
-                # EXTENDED in round 5 (+q8/+q13/+q18_large_volume_customers/
-                # +dedup_incremental_pairs, then +dedup_chunk_scrub/
-                # +similarity_topk_pq/+pq_build/+pq_search; see BASELINE.md)
-                # — totals are
-                # comparable only within the same set version; compare
-                # per-query across versions.
+                # EXTENDED additions-only through round 5 (r5-extended ..
+                # r5-extended4 — TPC-H wide joins, incremental dedup, span
+                # scrub, PQ, ledger state reconstruction, PageRank, SQL
+                # recursion, variant extraction; full history in
+                # BASELINE.md). Totals are comparable only within the same
+                # set version; compare per-query across versions.
                 "headline_set": "r5-extended4",
                 "n_queries": len(timings),
                 "queries": timings,
