@@ -297,10 +297,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured alternative (rejected): chaining all 5 rounds into one lazy
     plan is ~1 s faster at sf0.1 (3.5 s vs 4.5 s steady-state) — but the
     gain is fixed per-job overhead, and the chained plan re-derives the
-    degree table per round (20 SortMergeJoins, no exchange reuse) and
-    recomputes every prior round on task failure. Per-round
-    materialization is the canonical iterative shape at scale: bounded
-    recovery, each round's input read once.
+    degree table per round (20 SortMergeJoins, no exchange reuse). Per-
+    round materialization reads each round's input once. Caveat stated
+    plainly: ``localCheckpoint`` truncates lineage but is NOT fault-
+    tolerant — an executor loss fails the job, which then retries from
+    the start; acceptable for 5 bounded rounds. A long-running iterative
+    job on a real cluster should use ``spark.sparkContext.setCheckpointDir``
+    + ``DataFrame.checkpoint()`` (reliable storage) instead — same plan
+    shape, durable intermediate state.
     """
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
