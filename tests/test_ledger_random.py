@@ -186,3 +186,37 @@ def test_twab_constant_balance_is_exact(spark):
     assert Fraction(row["twab_num"]) == Fraction(float(exact_num))
     assert row["span_blocks"] == 1000
     assert Fraction(row["twab"]) == Fraction(float(exact_num) / 1000.0)
+
+
+def test_recursive_ancestors_matches_python_walk(spark, sf_dir):
+    """Structure-free check for the WITH RECURSIVE query: recompute every
+    seed's ancestor chain with a plain Python while-loop over the same
+    parquet keys and compare all four aggregates."""
+    import duckdb
+
+    keys = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT o_orderkey FROM '{sf_dir}/orders.parquet'"
+        ).fetchall()
+    }
+    want = {}
+    for root in sorted(k for k in keys if k <= 200):
+        node, depth, chain = root, 0, [root]
+        while node // 2 >= 1:
+            node //= 2
+            depth += 1
+            chain.append(node)
+        want[root] = (
+            depth,
+            sum(chain),
+            sum(1 for n in chain[1:] if n in keys),
+        )
+
+    from eth_event_stream_spark.plans import QUERIES
+
+    got = {
+        r["root"]: (r["chain_len"], r["key_path_sum"], r["n_real_ancestors"])
+        for r in QUERIES["sql_recursive_ancestors"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
