@@ -514,3 +514,93 @@ def sample_stratified_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         STRAT_BOUND_OTHER
     )
     return d.filter(digit < bound).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters (deterministic, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+CM_LANES = 4
+CM_HEX = 2  # bucket id = first 2 md5 hex chars -> 256 buckets per lane
+
+
+def _cm_bucket_sql(lane: str, expr: str) -> str:
+    return f"substring(md5({lane} || ':' || {expr}), 1, {CM_HEX})"
+
+
+@register(
+    "sketch_countmin_heavyhitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    lanes AS (
+      {" UNION ALL ".join(
+          f"SELECT {j} AS lane, {_cm_bucket_sql(repr(str(j)), 'tok')} AS bucket FROM toks"
+          for j in range(CM_LANES)
+      )}
+    ),
+    sketch AS (
+      SELECT lane, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lanes GROUP BY lane, bucket
+    ),
+    topk AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM toks GROUP BY tok
+      ORDER BY exact_count DESC, tok LIMIT 20
+    ),
+    probes AS (
+      {" UNION ALL ".join(
+          f"SELECT tok, exact_count, {j} AS lane, "
+          f"{_cm_bucket_sql(repr(str(j)), 'tok')} AS bucket FROM topk"
+          for j in range(CM_LANES)
+      )}
+    )
+    SELECT p.tok, p.exact_count, CAST(MIN(s.c) AS BIGINT) AS cm_estimate
+    FROM probes p JOIN sketch s ON s.lane = p.lane AND s.bucket = p.bucket
+    GROUP BY p.tok, p.exact_count
+    """,
+)
+def sketch_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch as a DataFrame composition: estimate the corpus's
+    top-20 token frequencies from a {CM_LANES}x256 sketch and report them
+    against the exact counts (``cm_estimate >= exact_count`` always; the
+    gap IS the sketch's collision error, visible in the result).
+
+    Why it matters at 100 TB: the sketch is a CONSTANT-size (lanes x 256)
+    table produced by one partial-aggregating shuffle over the token
+    stream — heavy-hitter frequency queries then cost a broadcast probe,
+    never a second corpus pass. Determinism: bucket ids are md5-hex
+    prefixes (identical strings in Spark and DuckDB), no modulo, no
+    integer-conversion divergence; lane fan-out is a ``stack``, never a
+    cartesian join.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("tok")
+    )
+
+    def bucket(j: int, col: str) -> str:
+        return f"substring(md5(concat('{j}:', {col})), 1, {CM_HEX})"
+
+    stack_args = ", ".join(f"{j}, {bucket(j, 'tok')}" for j in range(CM_LANES))
+    lanes = toks.selectExpr(f"stack({CM_LANES}, {stack_args}) AS (lane, bucket)")
+    sketch = lanes.groupBy("lane", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
+    topk = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("tok"))
+        .limit(20)
+    )
+    probe_stack = ", ".join(f"{j}, {bucket(j, 'tok')}" for j in range(CM_LANES))
+    probes = topk.selectExpr(
+        "tok", "exact_count", f"stack({CM_LANES}, {probe_stack}) AS (lane, bucket)"
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["lane", "bucket"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("c").cast("bigint").alias("cm_estimate"))
+    )

@@ -183,6 +183,13 @@ PLAN_EXPECTATIONS = {
         r"hashpartitioning\(user_id",
         r"HashAggregate",
     ],
+    # the constant-size sketch broadcasts into the probe join; the top-k
+    # candidate set is heap+merge, never a global sort
+    "sketch_countmin_heavyhitters": [
+        r"BroadcastHashJoin",
+        r"TakeOrderedAndProject",
+        r"HashAggregate",
+    ],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -224,6 +231,7 @@ JVM_ONLY = [
     "graph_pagerank_weighted",
     "sql_recursive_ancestors",
     "scalar_variant_json",
+    "sketch_countmin_heavyhitters",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]
