@@ -123,28 +123,32 @@ def time_pq_split(spark, timings: dict[str, float]) -> None:
     serves from) and the M*K codebook collected; search = ADC + exact
     rerank against the PERSISTED index — no build work in the search
     number."""
+    import shutil
     import tempfile
 
     from eth_event_stream_spark.plans.vectors import _pq_codes, pq_search_topk
 
     idx_dir = tempfile.mkdtemp(prefix="pq_index_")
-    best_build, cb_rows = float("inf"), None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        codes, cb, _ = _pq_codes(spark, SF_DIR, rounds=1)
-        codes.write.mode("overwrite").parquet(f"{idx_dir}/codes.parquet")
-        cb_rows = cb.collect()  # M*K rows
-        best_build = min(best_build, time.perf_counter() - t0)
-    timings["pq_build"] = round(best_build, 3)
+    try:
+        best_build, cb_rows = float("inf"), None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            codes, cb, _ = _pq_codes(spark, SF_DIR, rounds=1)
+            codes.write.mode("overwrite").parquet(f"{idx_dir}/codes.parquet")
+            cb_rows = cb.collect()  # M*K rows
+            best_build = min(best_build, time.perf_counter() - t0)
+        timings["pq_build"] = round(best_build, 3)
 
-    codes = spark.read.parquet(f"{idx_dir}/codes.parquet")
-    cb = spark.createDataFrame(cb_rows, "m int, j bigint, ce array<double>")
-    best_search = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        run_query(pq_search_topk(spark, SF_DIR, codes, cb))
-        best_search = min(best_search, time.perf_counter() - t0)
-    timings["pq_search"] = round(best_search, 3)
+        codes = spark.read.parquet(f"{idx_dir}/codes.parquet")
+        cb = spark.createDataFrame(cb_rows, "m int, j bigint, ce array<double>")
+        best_search = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_query(pq_search_topk(spark, SF_DIR, codes, cb))
+            best_search = min(best_search, time.perf_counter() - t0)
+        timings["pq_search"] = round(best_search, 3)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
 
 
 def main() -> None:

@@ -236,7 +236,8 @@ _SQL_COOCCUR_LIFT = f"""
       GROUP BY a.tok, b.tok
     )
     SELECT t1, t2, c_xy, c_x, c_y,
-           (c_xy * n.n_docs * 1000000) // (c_x * c_y) AS lift_ppm
+           CAST((CAST(c_xy AS HUGEINT) * n.n_docs * 1000000)
+                // (CAST(c_x AS HUGEINT) * c_y) AS BIGINT) AS lift_ppm
     FROM pairs, n
     ORDER BY lift_ppm DESC, t1, t2 LIMIT {COOCCUR_TOPK}
     """
@@ -308,7 +309,15 @@ def text_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_xy",
             "c_x",
             "c_y",
-            F.expr("(c_xy * n_docs * 1000000) div (c_x * c_y)").alias("lift_ppm"),
+            # the numerator is computed in DECIMAL(38,0) limbs (the
+            # sum_uint256 pattern): c_xy * n_docs * 1e6 passes ~9e12
+            # doc-pair mass at real corpus sizes, where a BIGINT product
+            # would make ANSI mode fail the job; the quotient is a ratio
+            # of counts, always back in LONG range
+            F.expr(
+                "CAST((CAST(c_xy AS DECIMAL(38,0)) * n_docs * 1000000)"
+                " div (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
         .orderBy(F.desc("lift_ppm"), "t1", "t2")
         .limit(COOCCUR_TOPK)
@@ -340,6 +349,11 @@ def length_threshold(docs: DataFrame) -> int:
         .agg(F.max("n_tokens").alias("thr"))
         .collect()
     )
+    if row[0]["thr"] is None:
+        raise ValueError(
+            "length_threshold: empty corpus — the quantile sample has no "
+            "rows, so no threshold exists; pin one explicitly for ingest"
+        )
     return int(row[0]["thr"])
 
 

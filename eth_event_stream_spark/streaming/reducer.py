@@ -209,15 +209,27 @@ class FunnelReducer(EventReducer):
     first click with ts strictly greater than t_view IS min(ts of such
     clicks), and likewise for purchase. Streaming caveat: the fold is
     order-sensitive across triggers, so the stream path requires per-key
-    in-order delivery (the source's total-order contract, B1/B9)."""
+    in-order delivery (the source's total-order contract, B1/B9) — and the
+    state ENFORCES it: ``m`` tracks the max block seen per key, and a later
+    trigger delivering an earlier block raises instead of silently folding
+    a wrong funnel (within one trigger the harness sorts, so only genuine
+    cross-trigger regressions trip it)."""
 
     def init_state(self):
-        return {"v": None, "c": None, "p": None}
+        return {"v": None, "c": None, "p": None, "m": None}
 
     def reduce(self, state, events: pd.DataFrame):
-        v, c, p = state["v"], state["c"], state["p"]
+        v, c, p, m = state["v"], state["c"], state["p"], state["m"]
         for ts_us, et in zip(events["block_number"], events["event_type"]):
             ts_us = int(ts_us)
+            if m is not None and ts_us < m:
+                raise ValueError(
+                    f"FunnelReducer: out-of-order delivery — block {ts_us} "
+                    f"arrived after state already folded block {m}; the fold "
+                    "is order-sensitive, so the source must deliver each "
+                    "key's events in block order across triggers (B1/B9)"
+                )
+            m = ts_us
             if v is None:
                 if et == "view":
                     v = ts_us
@@ -227,7 +239,7 @@ class FunnelReducer(EventReducer):
             elif p is None:
                 if et == "purchase" and ts_us > c:
                     p = ts_us
-        state["v"], state["c"], state["p"] = v, c, p
+        state["v"], state["c"], state["p"], state["m"] = v, c, p, m
         return state
 
     def emit(self, key, state) -> pd.DataFrame:
@@ -245,7 +257,7 @@ class FunnelReducer(EventReducer):
         )
 
     def state_schema(self) -> StructType:
-        return StructType.fromDDL("v BIGINT, c BIGINT, p BIGINT")
+        return StructType.fromDDL("v BIGINT, c BIGINT, p BIGINT, m BIGINT")
 
     def output_schema(self) -> StructType:
         return StructType.fromDDL(
@@ -254,10 +266,15 @@ class FunnelReducer(EventReducer):
         )
 
     def state_to_rows(self, state) -> list[tuple]:
-        return [(state["v"], state["c"], state["p"])]
+        return [(state["v"], state["c"], state["p"], state["m"])]
 
     def rows_to_state(self, rows) -> Any:
-        return {"v": rows[0][0], "c": rows[0][1], "p": rows[0][2]}
+        return {
+            "v": rows[0][0],
+            "c": rows[0][1],
+            "p": rows[0][2],
+            "m": rows[0][3],
+        }
 
 
 class ArrowEventReducer(ABC):

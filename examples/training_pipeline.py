@@ -69,7 +69,6 @@ def main() -> None:
     clean = clean.filter(~F.expr("doc_id < 20")).join(
         contaminated, "doc_id", "left_anti"
     )
-    n3b = clean.count()
 
     # 3c. content-level curation (round-5 continuation): global-quantile
     #     length floor, then C4-style repeated-span scrub of what survives
