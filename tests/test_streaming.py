@@ -1533,3 +1533,176 @@ def test_stream_scrub_against_index_parity(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def _funnel_projection(df):
+    """The reducer_funnel_batch input projection (plans/pipeline.py), shared
+    verbatim by the batch-expected and stream-under-test sides so the parity
+    compares folds, not projections."""
+    return df.select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("block_number"),
+        F.col("event_id").alias("log_index"),
+    )
+
+
+def test_funnel_reducer_stream_restart_matches_batch(spark, sf_dir, tmp_path):
+    """The ORDER-SENSITIVE stateful fold on the real streaming path
+    (sink.rs:125-151 — the reference's reducer contract is inherently
+    streaming): FunnelReducer runs through applyInPandasWithState over the
+    events fixture delivered in three time-ordered slices across multiple
+    triggers, WITH a checkpoint stop mid-stream and a NEW query resumed
+    from the same checkpoint — final per-key state must equal the batch
+    fold (reducer_funnel_batch's exact input projection).
+
+    In-order delivery across triggers is arranged the way a production
+    source provides it (B1/B9 total-order contract): slice i holds all
+    events with ts <= t_i, so no key ever sees an earlier block after a
+    later one — and the reducer's out-of-order guard doubles as proof the
+    delivery really was ordered (a violation raises, failing the test)."""
+    from eth_event_stream_spark.streaming.reducer import (
+        FunnelReducer,
+        reduce_events_batch,
+        reduce_events_stream,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _funnel_projection(events)
+    expected = {
+        r["key"]: (r["stage"], r["t_view_us"], r["t_click_us"], r["t_purchase_us"])
+        for r in reduce_events_batch(ev, FunnelReducer(), ["user_id"]).collect()
+    }
+    assert any(st[0] == 3 for st in expected.values()), (
+        "fixture has no completed funnels; parity would be vacuous"
+    )
+
+    # three time-ordered slices (strict boundaries: slice i+1 strictly
+    # after slice i, so per-key cross-trigger order holds by construction)
+    t1, t2 = (
+        ev.selectExpr(
+            "percentile(block_number, 0.33) p1", "percentile(block_number, 0.66) p2"
+        )
+        .collect()[0][0:2]
+    )
+    src = tmp_path / "funnel_stream_src"
+    src.mkdir()
+    e_bn = F.unix_micros(F.col("ts").cast("timestamp"))
+    parts = [
+        events.filter(e_bn <= F.lit(int(t1))),
+        events.filter((e_bn > F.lit(int(t1))) & (e_bn <= F.lit(int(t2)))),
+        events.filter(e_bn > F.lit(int(t2))),
+    ]
+    for i, p in enumerate(parts):
+        assert p.limit(1).count() == 1, f"slice {i} empty; split unusable"
+    parts[0].coalesce(1).write.parquet(str(src / "s0"))
+
+    # foreachBatch sink: the memory sink refuses checkpoint recovery, and a
+    # restartable sink is the point of this test. Update-mode emissions
+    # overwrite by key, so replaying a batch after restart (at-least-once
+    # foreachBatch) is idempotent on the dict.
+    got: dict = {}
+    epochs: list[int] = []
+
+    def handle(mb_df, epoch):
+        epochs.append(epoch)
+        for r in mb_df.collect():
+            got[r["key"]] = (
+                r["stage"],
+                r["t_view_us"],
+                r["t_click_us"],
+                r["t_purchase_us"],
+            )
+
+    def start_query():
+        sdf = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        return (
+            reduce_events_stream(
+                _funnel_projection(sdf), FunnelReducer(), ["user_id"]
+            )
+            .writeStream.foreachBatch(handle)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_funnel"))
+            .start()
+        )
+
+    q = start_query()
+    try:
+        q.processAllAvailable()  # trigger: slice 0
+        parts[1].coalesce(1).write.parquet(str(src / "s1"))
+        q.processAllAvailable()  # trigger: slice 1 folds onto slice-0 state
+    finally:
+        q.stop()  # checkpoint stop mid-stream
+
+    n_epochs_run1 = len(epochs)
+    assert n_epochs_run1 >= 2, "first run did not fold across multiple triggers"
+
+    parts[2].coalesce(1).write.parquet(str(src / "s2"))
+    q2 = start_query()  # NEW query, same checkpoint
+    try:
+        q2.processAllAvailable()  # trigger: slice 2 folds onto restored state
+    finally:
+        q2.stop()
+
+    assert len(epochs) > n_epochs_run1, (
+        "restarted query emitted nothing; restart did not process slice 2"
+    )
+    assert got == expected
+
+
+def test_funnel_reducer_stream_out_of_order_raises(spark, sf_dir, tmp_path):
+    """The out-of-order guard FAILS LOUDLY on the streaming path: deliver
+    the LATER time slice first, then the earlier one — the second trigger
+    must abort the query with the FunnelReducer ordering error rather than
+    silently folding a corrupted funnel (the documented-but-unguarded
+    hazard this guard closes)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from eth_event_stream_spark.streaming.reducer import (
+        FunnelReducer,
+        reduce_events_stream,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e_bn = F.unix_micros(F.col("ts").cast("timestamp"))
+    mid = int(
+        events.selectExpr(
+            "percentile(unix_micros(cast(ts as timestamp)), 0.5) p"
+        ).collect()[0][0]
+    )
+    late, early = events.filter(e_bn > mid), events.filter(e_bn <= mid)
+    # only keys present in BOTH halves can observe the regression
+    both = late.select("user_id").intersect(early.select("user_id"))
+    assert both.limit(1).count() == 1, "no key spans both halves; test vacuous"
+
+    src = tmp_path / "funnel_ooo_src"
+    src.mkdir()
+    late.coalesce(1).write.parquet(str(src / "s0"))
+
+    sdf = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        reduce_events_stream(
+            _funnel_projection(sdf), FunnelReducer(), ["user_id"]
+        )
+        .writeStream.format("memory")
+        .queryName("funnel_ooo")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_funnel_ooo"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # later slice folds fine
+        early.coalesce(1).write.parquet(str(src / "s1"))
+        with pytest.raises(StreamingQueryException) as ei:
+            q.processAllAvailable()  # earlier slice must trip the guard
+        assert "out-of-order delivery" in str(ei.value)
+    finally:
+        q.stop()
