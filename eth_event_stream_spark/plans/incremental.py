@@ -222,6 +222,17 @@ def _nominate(corpus: DataFrame, batch: DataFrame) -> DataFrame:
     )
 
 
+def _corpus_hot_shingles(cex: DataFrame) -> DataFrame:
+    """Shingles whose corpus document frequency exceeds the df cap — the
+    (tiny) persisted statistic both sides' shingle sets are cut by."""
+    return (
+        cex.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("s")
+    )
+
+
 def verify_pairs(cands: DataFrame, corpus: DataFrame, batch: DataFrame) -> DataFrame:
     """Capped-Jaccard verify of nominated (doc_new, doc_corpus) pairs.
 
@@ -232,14 +243,19 @@ def verify_pairs(cands: DataFrame, corpus: DataFrame, batch: DataFrame) -> DataF
     Shared by the batch query and the per-micro-batch verify of the
     streaming cycle (``foreachBatch`` in the parity test)."""
     cex = _distinct_shingles(corpus)
-    bex = _distinct_shingles(batch)
-    hot_shingles = (
-        cex.groupBy("s")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > SHINGLE_DF_CAP)
-        .select("s")
-    )
+    hot_shingles = _corpus_hot_shingles(cex)
     cexk = cex.join(F.broadcast(hot_shingles), "s", "left_anti")
+    return _verify_with_index(cands, cexk, hot_shingles, batch)
+
+
+def _verify_with_index(
+    cands: DataFrame, cexk: DataFrame, hot_shingles: DataFrame, batch: DataFrame
+) -> DataFrame:
+    """Verify body over a PREBUILT capped corpus shingle index ``cexk``
+    (doc_id, s) and hot-shingle list — the form the persisted-artifact
+    cycle calls with RELOADED frames, and ``verify_pairs`` calls with
+    recomputed ones; one body, so the two regimes cannot drift."""
+    bex = _distinct_shingles(batch)
     bexk = bex.join(F.broadcast(hot_shingles), "s", "left_anti")
     bsizes = bexk.groupBy("doc_id").agg(F.count("*").alias("nb"))
 
@@ -320,6 +336,117 @@ def dedup_incremental_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_new").alias("doc_id")
     )
     return batch.select("doc_id").join(rejected, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Persisted artifacts: the production ingest cycle's on-disk state
+# ---------------------------------------------------------------------------
+
+_ARTIFACT_SCHEMAS = {
+    "band_index": {"doc_id", "band_idx", "key"},
+    "hot_shingles": {"s"},
+    "shingle_index": {"doc_id", "s"},
+    "chunk_index": {"h"},
+}
+_ARTIFACT_META = "artifact_meta.json"
+
+
+def _artifact_meta() -> dict:
+    from .curation import SCRUB_CHUNK_TOKENS
+
+    return {
+        "n_bands": N_BANDS,
+        "lsh_bucket_cap": LSH_BUCKET_CAP,
+        "shingle_df_cap": SHINGLE_DF_CAP,
+        "scrub_chunk_tokens": SCRUB_CHUNK_TOKENS,
+    }
+
+
+def persist_corpus_artifacts(corpus: DataFrame, out_dir: str) -> None:
+    """Write the artifacts an incremental ingest cycle probes — the state
+    this module's docstring promises production persists instead of
+    recomputing per cycle:
+
+    - ``band_index``: the hot-bucket-guarded LSH band index (doc_id,
+      band_idx, key);
+    - ``hot_shingles``: the corpus-df cap statistic (the tiny hot list);
+    - ``shingle_index``: the df-capped corpus shingle inverted index
+      (doc_id, s) the Jaccard verify intersects against;
+    - ``chunk_index``: distinct md5 of every corpus span chunk
+      (plans/curation.py scrub);
+    - ``artifact_meta.json``: the parameters the artifacts were built
+      under (band count, caps, chunk size) — ``load_corpus_artifacts``
+      refuses a mismatch, so a parameter change between cycles fails
+      loudly instead of silently probing an incompatible index.
+
+    At 100 TB these writes are partitioned parquet on object storage
+    (band/shingle index bucketed by their probe keys); the meta sidecar is
+    one tiny JSON."""
+    import json
+    import os
+
+    from .curation import corpus_chunk_index
+
+    cex = _distinct_shingles(corpus)
+    hot = _corpus_hot_shingles(cex)
+    frames = {
+        "band_index": corpus_band_index(corpus),
+        "hot_shingles": hot,
+        "shingle_index": cex.join(F.broadcast(hot), "s", "left_anti"),
+        "chunk_index": corpus_chunk_index(corpus),
+    }
+    for name, df in frames.items():
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+    with open(os.path.join(out_dir, _ARTIFACT_META), "w") as f:
+        json.dump(_artifact_meta(), f)
+
+
+def load_corpus_artifacts(spark: SparkSession, art_dir: str) -> dict[str, DataFrame]:
+    """Reload a previous cycle's artifacts, validating build parameters and
+    schemas — band-count or cap drift between the writer and this reader
+    raises instead of producing silently-wrong probes."""
+    import json
+    import os
+
+    with open(os.path.join(art_dir, _ARTIFACT_META)) as f:
+        meta = json.load(f)
+    want = _artifact_meta()
+    if meta != want:
+        raise ValueError(
+            f"corpus artifacts at {art_dir} were built under {meta}, but this "
+            f"build expects {want} — rebuild the artifacts (a band-count or "
+            "cap change invalidates the persisted index)"
+        )
+    arts: dict[str, DataFrame] = {}
+    for name, cols in _ARTIFACT_SCHEMAS.items():
+        df = spark.read.parquet(os.path.join(art_dir, f"{name}.parquet"))
+        if set(df.columns) != cols:
+            raise ValueError(
+                f"artifact {name} at {art_dir} has columns {sorted(df.columns)}, "
+                f"expected {sorted(cols)} — schema drift between cycles"
+            )
+        arts[name] = df
+    return arts
+
+
+def incremental_pairs_from_artifacts(
+    batch: DataFrame, arts: dict[str, DataFrame]
+) -> DataFrame:
+    """``dedup_incremental_pairs`` probing RELOADED on-disk artifacts — the
+    real production cycle shape: only the batch is hashed this cycle; the
+    corpus-side band index and shingle index are parquet scans that stream
+    past the broadcast batch (same O(batch) plan as the recomputed path,
+    gated in tests/test_scale_ops.py)."""
+    probe = batch_band_rows(batch).select(
+        "band_idx", "key", F.col("doc_id").alias("doc_new")
+    )
+    cands = (
+        arts["band_index"]
+        .join(F.broadcast(probe), ["band_idx", "key"])
+        .select("doc_new", F.col("doc_id").alias("doc_corpus"))
+        .distinct()
+    )
+    return _verify_with_index(cands, arts["shingle_index"], arts["hot_shingles"], batch)
 
 
 def dedup_incremental_nominate_stream(

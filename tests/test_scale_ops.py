@@ -997,3 +997,79 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_incremental_cycle_against_persisted_artifacts(spark, sf_dir, tmp_path):
+    """The incremental dedup/scrub cycle probing RELOADED on-disk artifacts
+    (what production actually does) matches the recomputed path exactly,
+    keeps the O(batch) plan shape, and the loader fails loudly on parameter
+    or schema drift between the writing and reading cycle."""
+    import json
+    import os
+
+    from eth_event_stream_spark.plans.curation import (
+        corpus_chunk_index,
+        scrub_against_index,
+    )
+    from eth_event_stream_spark.plans.incremental import (
+        _ARTIFACT_META,
+        _split,
+        dedup_incremental_pairs,
+        incremental_pairs_from_artifacts,
+        load_corpus_artifacts,
+        persist_corpus_artifacts,
+    )
+
+    corpus, batch = _split(spark, sf_dir)
+    art_dir = str(tmp_path / "cycle_artifacts")
+    persist_corpus_artifacts(corpus, art_dir)
+    arts = load_corpus_artifacts(spark, art_dir)
+
+    # 1. pair probe from artifacts == recomputed query (the driver-oracled one)
+    from_arts = incremental_pairs_from_artifacts(batch, arts)
+    got = sorted(map(tuple, from_arts.collect()))
+    want = sorted(map(tuple, dedup_incremental_pairs(spark, sf_dir).collect()))
+    assert got and got == want
+
+    # 2. O(batch) plan gates hold with the parquet-backed index: the batch
+    # side broadcasts (hash probe + guards), nothing falls back to a
+    # shuffle join of the corpus index or a cartesian
+    plan = from_arts._sc._jvm.PythonSQLUtils.explainString(
+        from_arts._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin LeftAnti" in plan  # hot-shingle guard on batch side
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # 3. span scrub against the reloaded chunk index == recomputed index
+    s_arts = sorted(
+        map(tuple, scrub_against_index(batch, arts["chunk_index"]).collect())
+    )
+    s_rec = sorted(
+        map(tuple, scrub_against_index(batch, corpus_chunk_index(corpus)).collect())
+    )
+    assert s_arts == s_rec
+
+    # 4a. parameter drift: artifacts written under a different band count
+    # must be refused, not probed
+    meta_path = os.path.join(art_dir, _ARTIFACT_META)
+    meta = json.load(open(meta_path))
+    meta["n_bands"] += 1
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="band-count or cap change"):
+        load_corpus_artifacts(spark, art_dir)
+    meta["n_bands"] -= 1
+    json.dump(meta, open(meta_path, "w"))
+
+    # 4b. schema drift: a missing column in a reloaded artifact is refused
+    bi = os.path.join(art_dir, "band_index.parquet")
+    spark.read.parquet(bi).drop("band_idx").write.mode("overwrite").parquet(
+        bi + ".tmp"
+    )
+    import shutil
+
+    shutil.rmtree(bi)
+    os.rename(bi + ".tmp", bi)
+    with pytest.raises(ValueError, match="schema drift"):
+        load_corpus_artifacts(spark, art_dir)
