@@ -151,6 +151,128 @@ def time_pq_split(spark, timings: dict[str, float]) -> None:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
 
+def time_prepare_corpus_split(spark, timings: dict[str, float]) -> None:
+    """Per-stage decomposition of ``pipeline_prepare_corpus`` (the
+    ivf_build/ivf_search pattern): each stage is timed from a MATERIALIZED
+    boundary (previous stage's parquet), so a drift in the composed row is
+    attributable to a stage instead of a narrative. The composed row stays
+    in HEADLINE for cross-round continuity; these rows localize it.
+
+    Stages mirror the composed body exactly (same helpers, same caps):
+    quality filter -> exact collapse -> LSH nomination -> capped Jaccard
+    verify -> decontaminate+split finalize.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.plans.catalog import t_parallel
+    from eth_event_stream_spark.plans.pipeline import (
+        _BENCH_FILTER,
+        _lsh_candidate_pairs,
+        _minhash_prep_spark,
+        _verify_candidates_spark,
+        LSH_BUCKET_CAP,
+        SHINGLE_DF_CAP,
+        STOPWORDS,
+    )
+
+    work = tempfile.mkdtemp(prefix="prep_stages_")
+    try:
+        d = t_parallel(spark, SF_DIR, "documents")
+        toks = F.split(F.lower(F.col("text")), " ", -1)
+        sw = F.array(*[F.lit(w) for w in STOPWORDS])
+        n_tokens = F.size(toks)
+        n_stop = F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
+
+        def timed(name: str, build, sink: str | None):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = build()
+                if sink is None:
+                    run_query(df)
+                else:
+                    df.write.mode("overwrite").parquet(f"{work}/{sink}")
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+
+        timed(
+            "prepare_quality",
+            lambda: d.filter(~F.expr(_BENCH_FILTER))
+            .filter((n_tokens >= 5) & (n_stop.cast("double") / n_tokens > 0.05))
+            .select("doc_id", "text"),
+            "qual",
+        )
+        qual = spark.read.parquet(f"{work}/qual")
+        timed(
+            "prepare_collapse",
+            lambda: qual.groupBy(F.md5("text").alias("content_hash")).agg(
+                F.min("doc_id").alias("doc_id"),
+                F.min("text").alias("text"),
+                F.count("*").alias("n_copies"),
+            ),
+            "reps",
+        )
+        reps = spark.read.parquet(f"{work}/reps")
+        timed(
+            "prepare_nominate",
+            lambda: _lsh_candidate_pairs(
+                _minhash_prep_spark(reps.select("doc_id", "text")),
+                cap=LSH_BUCKET_CAP,
+            ),
+            "cands",
+        )
+        cands = spark.read.parquet(f"{work}/cands")
+        timed(
+            "prepare_verify",
+            lambda: _verify_candidates_spark(
+                cands, reps.select("doc_id", "text"), SHINGLE_DF_CAP
+            ),
+            "pairs",
+        )
+        pairs = spark.read.parquet(f"{work}/pairs")
+
+        def finalize():
+            edges = pairs.select(
+                F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr")
+            ).union(
+                pairs.select(
+                    F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr")
+                )
+            )
+            mins = edges.groupBy("doc_id").agg(F.min("nbr").alias("mn"))
+            fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+            bench = (
+                d.filter(F.expr(_BENCH_FILTER))
+                .select(fp.alias("fp"))
+                .distinct()
+                .withColumn("hit", F.lit(1))
+            )
+            kept = (
+                reps.join(mins, "doc_id", "left")
+                .filter(F.col("mn").isNull() | (F.col("mn") > F.col("doc_id")))
+                .withColumn("fp", fp)
+                .join(F.broadcast(bench), "fp", "left")
+                .filter(F.col("hit").isNull())
+            )
+            digit = F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                1,
+            )
+            return kept.select(
+                "doc_id",
+                "n_copies",
+                F.when(digit < "d", "train").otherwise("holdout").alias("split"),
+            )
+
+        timed("prepare_finalize", finalize, None)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -169,6 +291,7 @@ def main() -> None:
 
     time_ivf_split(spark, timings)
     time_pq_split(spark, timings)
+    time_prepare_corpus_split(spark, timings)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -185,7 +308,9 @@ def main() -> None:
                 # recursion, variant extraction; full history in
                 # BASELINE.md). Totals are comparable only within the same
                 # set version; compare per-query across versions.
-                "headline_set": "r5-extended4",
+                # r6-extended adds the prepare_* stage decomposition rows
+                # (additions only, composed row unchanged)
+                "headline_set": "r6-extended",
                 "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

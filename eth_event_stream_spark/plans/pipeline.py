@@ -1161,7 +1161,16 @@ def _lsh_then_verify_spark(
     d = docs if docs is not None else t_parallel(spark, sf_dir, "documents")
     bands = _minhash_prep_spark(d)
     cands = _lsh_candidate_pairs(bands, cap=bucket_cap)
+    return _verify_candidates_spark(cands, d, df_cap)
 
+
+def _verify_candidates_spark(
+    cands: DataFrame, d: DataFrame, df_cap: int | None
+) -> DataFrame:
+    """The verify half of the LSH->verify composition over prebuilt
+    candidate pairs — split out so the bench harness can time nominate and
+    verify from materialized stage boundaries (the ivf_build/ivf_search
+    pattern) while the composed queries keep one fused body."""
     ex = _distinct_shingles(d)
     if df_cap is not None:
         ex = _df_capped_shingles(ex, df_cap)
