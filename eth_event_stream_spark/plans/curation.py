@@ -542,6 +542,29 @@ def _cm_bucket_sql(lane: str, expr: str) -> str:
     return f"substring(md5({lane} || ':' || {expr}), 1, {CM_HEX})"
 
 
+def countmin_sketch(docs: DataFrame) -> DataFrame:
+    """(lane, bucket, c): the constant-size Count-Min sketch of a (doc_id,
+    text) frame's token stream — the build body shared by the registered
+    heavy-hitter query and its STREAMING twin. The whole build is one
+    partial-aggregating count over md5-prefix buckets: a commutative
+    algebraic aggregate, so an update-mode streaming build over the same
+    frame converges to the identical sketch (parity-tested in
+    tests/test_streaming.py); at 100 TB the stream form maintains the
+    sketch incrementally — (CM_LANES x 256) rows of state, independent of
+    corpus size."""
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("tok")
+    )
+    stack_args = ", ".join(
+        f"{j}, substring(md5(concat('{j}:', tok)), 1, {CM_HEX})"
+        for j in range(CM_LANES)
+    )
+    lanes = toks.selectExpr(f"stack({CM_LANES}, {stack_args}) AS (lane, bucket)")
+    return lanes.groupBy("lane", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
+
 @register(
     "sketch_countmin_heavyhitters",
     oracle=f"""
@@ -597,11 +620,7 @@ def sketch_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bucket(j: int, col: str) -> str:
         return f"substring(md5(concat('{j}:', {col})), 1, {CM_HEX})"
 
-    stack_args = ", ".join(f"{j}, {bucket(j, 'tok')}" for j in range(CM_LANES))
-    lanes = toks.selectExpr(f"stack({CM_LANES}, {stack_args}) AS (lane, bucket)")
-    sketch = lanes.groupBy("lane", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    sketch = countmin_sketch(d)
 
     topk = (
         toks.groupBy("tok")

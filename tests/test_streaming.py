@@ -1706,3 +1706,51 @@ def test_funnel_reducer_stream_out_of_order_raises(spark, sf_dir, tmp_path):
         assert "out-of-order delivery" in str(ei.value)
     finally:
         q.stop()
+
+
+def test_countmin_sketch_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming twin of the Count-Min sketch build: documents arrive
+    file-by-file and the sketch is maintained as an update-mode streaming
+    aggregate. The build is a commutative count over md5-prefix buckets,
+    so the final per-(lane, bucket) state must equal the batch sketch
+    byte-for-byte — extending the stream==batch story from the stateless
+    curation stages to the sketch family (bounded state: lanes x 256 rows
+    regardless of corpus size)."""
+    from eth_event_stream_spark.plans.curation import countmin_sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected = {
+        (r["lane"], r["bucket"]): r["c"] for r in countmin_sketch(docs).collect()
+    }
+
+    src = tmp_path / "docs_cm_stream"
+    docs.repartition(4).write.parquet(str(src))
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        countmin_sketch(sdf)
+        .writeStream.format("memory")
+        .queryName("cm_stream_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_cm"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode re-emits a (lane, bucket) row whenever its count grows;
+    # the LAST emission per key is the final sketch cell
+    rows = spark.sql(
+        """
+        SELECT lane, bucket, c FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY lane, bucket ORDER BY mono DESC) rn
+          FROM (SELECT *, monotonically_increasing_id() AS mono FROM cm_stream_sink)
+        ) WHERE rn = 1
+        """
+    ).collect()
+    got = {(r["lane"], r["bucket"]): r["c"] for r in rows}
+    assert got == expected
