@@ -637,3 +637,157 @@ def sketch_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok", "exact_count")
         .agg(F.min("c").cast("bigint").alias("cm_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (round 6): the LOSSLESS alternative
+# to LSH nomination
+# ---------------------------------------------------------------------------
+
+_SQL_PREFIX_FILTER_PAIRS = """
+    WITH sh AS (
+      SELECT doc_id, list_transform(generate_series(1, LEN(toks) - 2),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS shingles
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+      WHERE LEN(toks) >= 3),
+    ex AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    """
+
+
+@register("dedup_prefix_filter_pairs", oracle=_SQL_PREFIX_FILTER_PAIRS)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs via PREFIX FILTERING (the AllPairs/PPJoin
+    family, published in the set-similarity-join literature): order every
+    document's shingles by (global document frequency asc, shingle), keep
+    only the prefix a qualifying pair MUST intersect in, and join on those
+    prefix shingles.
+
+    Why the oracle is GROUND TRUTH (exact all-pairs Jaccard >= 0.8), not a
+    filter simulation: prefix filtering is lossless. For overlap threshold
+    a = ceil(t*n) (valid since J >= t implies |A^B| >= t*|AuB| >= t*n for
+    both docs), two qualifying sets' prefixes of length n - a + 1 under a
+    common total order must share an element — so join-on-prefix loses no
+    pair, and the driver's hash match against exact SQL proves it on data.
+
+    100 TB shape vs LSH: candidates are generated from each doc's RAREST
+    shingles (df-ascending order), so join groups are small by construction
+    — no bucket caps, no recall loss, no band tuning; the price is the df
+    table shuffle + per-doc sort. The t=4/5 prefix arithmetic is pure
+    integer: ceil(4n/5) = (4n+4) div 5. The length filter
+    (5*min >= 4*max) prunes cross-size candidates before the distinct.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return prefix_filter_pairs(d)
+
+
+def prefix_filter_pairs(docs: DataFrame) -> DataFrame:
+    """df-in/df-out core of dedup_prefix_filter_pairs (threshold 0.8)."""
+    from pyspark.sql.window import Window
+
+    from .pipeline import _distinct_shingles, _verify_candidates_spark
+
+    ex = _distinct_shingles(docs)
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    by_rarity = Window.partitionBy("doc_id").orderBy("df", "s")
+    whole_doc = Window.partitionBy("doc_id")
+    sized = (
+        ex.join(dfreq, "s")
+        .withColumn("pos", F.row_number().over(by_rarity))
+        .withColumn("n", F.count(F.lit(1)).over(whole_doc))
+    )
+    # prefix length n - ceil(4n/5) + 1, all-integer ceil
+    prefix = sized.filter(F.col("pos") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1)
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "s", F.col("n").alias("na"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "s", F.col("n").alias("nb"))
+    cands = (
+        a.join(b, "s")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.least("na", "nb") * 5 >= F.greatest("na", "nb") * 4)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_candidates_spark(cands, docs, df_cap=None)
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (round 6): constant-size percentile estimation
+# ---------------------------------------------------------------------------
+
+HIST_BUCKET_TOKENS = 16
+HIST_QS = (50, 90, 99)
+
+
+_SQL_HIST_QUANTILES = f"""
+    WITH s AS (
+      SELECT CAST(LEN(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    hist AS (
+      SELECT n_tokens // {HIST_BUCKET_TOKENS} AS b, COUNT(*) AS c
+      FROM s GROUP BY b),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_docs FROM hist),
+    cum AS (
+      SELECT h1.b, CAST(SUM(h2.c) AS BIGINT) AS cum
+      FROM hist h1 JOIN hist h2 ON h2.b <= h1.b
+      GROUP BY h1.b),
+    qs AS (SELECT UNNEST([{", ".join(str(q) for q in HIST_QS)}]) AS q)
+    SELECT qs.q,
+           tot.n_docs,
+           CAST(MIN((cum.b + 1) * {HIST_BUCKET_TOKENS} - 1) AS BIGINT)
+             AS est_tokens_le
+    FROM qs, tot, cum
+    WHERE cum.cum >= (qs.q * tot.n_docs + 99) // 100
+    GROUP BY qs.q, tot.n_docs
+    """
+
+
+@register("sketch_histogram_quantiles", oracle=_SQL_HIST_QUANTILES)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile estimation from a CONSTANT-size histogram sketch: P50/
+    P90/P99 of document token length as the upper edge of the first
+    {HIST_BUCKET_TOKENS}-token bucket whose cumulative count reaches
+    ceil(q*N/100) — all-integer, so both engines agree bit-for-bit.
+
+    100 TB shape: an exact percentile needs a global sort; the histogram
+    is one partial-aggregating shuffle into ~(max_len / bucket) rows —
+    constant-size state like the Count-Min sketch, mergeable across
+    corpora by adding cells. The cumulative sum is a self-join of the
+    TINY histogram against itself (broadcast nested loop over <=10^2
+    rows), NOT a global window — the registry gate bans SinglePartition
+    windows over fact-table lineage, and this plan never needs one."""
+    d = t(spark, sf_dir, "documents")
+    s = d.select(
+        F.size(F.split(F.lower(F.col("text")), " ", -1)).cast("bigint").alias("n_tokens")
+    )
+    hist = s.groupBy(F.expr(f"n_tokens div {HIST_BUCKET_TOKENS}").alias("b")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = hist.agg(F.sum("c").cast("bigint").alias("n_docs"))
+    h2 = hist.select(F.col("b").alias("b2"), F.col("c").alias("c2"))
+    cum = (
+        hist.join(F.broadcast(h2), F.col("b2") <= F.col("b"))
+        .groupBy("b")
+        .agg(F.sum("c2").cast("bigint").alias("cum"))
+    )
+    expanded = (
+        cum.crossJoin(F.broadcast(tot))
+        .select("*", F.explode(F.array(*[F.lit(q) for q in HIST_QS])).alias("q"))
+        .filter(F.col("cum") >= F.expr("(q * n_docs + 99) div 100"))
+    )
+    return expanded.groupBy("q", "n_docs").agg(
+        F.min(F.expr(f"(b + 1) * {HIST_BUCKET_TOKENS} - 1"))
+        .cast("bigint")
+        .alias("est_tokens_le")
+    )

@@ -133,6 +133,13 @@ PLAN_EXPECTATIONS = {
     ],
     # the accept decision is a LEFT ANTI of rejected ids against the batch
     "dedup_incremental_accept": [r"BroadcastHashJoin LeftAnti"],
+    # prefix filtering: per-doc rarity window (doc-partitioned, never
+    # SinglePartition — registry gate), hash-agg df table, candidate joins
+    "dedup_prefix_filter_pairs": [r"HashAggregate", r"Window", r"BroadcastHashJoin"],
+    # histogram quantiles: the cumulative sum is a broadcast nested-loop
+    # self-join of the constant-size histogram, never a global window or
+    # a cartesian over fact lineage
+    "sketch_histogram_quantiles": [r"BroadcastNestedLoopJoin", r"HashAggregate"],
     # span scrub: the first-occurrence table must HASH-aggregate (the
     # decimal-encoded min key exists precisely so min(struct)'s
     # SortAggregate never sorts the full chunk stream)
