@@ -14,6 +14,7 @@ registry. Modules:
 """
 
 from . import (  # noqa: F401  (registration side effects)
+    assembly,
     curation,
     eventflow,
     incremental,

@@ -1,0 +1,273 @@
+"""Corpus-assembly operators (round 6): the decisions a training-data
+pipeline makes AFTER curation — how much of each source to take, exact-count
+stratified draws, and cheap cardinality estimates over the result.
+
+- **data-mixing waterfill** (``mix_waterfill_allocation``): allocate a token
+  budget across language strata proportionally UP TO each stratum's
+  availability — the corpus-assembly step behind every published data-mixture
+  table (small sources get everything they have, the dominant source absorbs
+  the rest at a common water level). Pure integer arithmetic; the water
+  level is a closed-form prefix computation over the TINY per-stratum
+  aggregate, done as broadcast self-joins (never a global window over fact
+  lineage — registry gate).
+- **exact-N stratified draw** (``sample_stratified_exact_n``): the
+  fixed-quota companion to the fractional sampler — N documents per
+  stratum, chosen by deterministic md5 order so the draw is reproducible
+  across runs, engines, and cluster sizes, and adding data never evicts a
+  previously-drawn id unless it hashes earlier.
+- **KMV distinct sketch** (``sketch_kmv_distinct``): K-minimum-values
+  estimate of corpus vocabulary size — keep the K smallest md5-derived
+  hash values of the token universe; est = (K-1) * H / h_(K) with all
+  arithmetic in integer limbs. Constant state (K values), mergeable by
+  keeping the K smallest of a union — the distinct-count analog of the
+  Count-Min sketch, against exact count visible in the same row.
+
+The reference has no corpus surface (SURVEY §2.4); these extend the
+training-data family (driver brief) on the ``documents`` table. Same
+conventions as ``pipeline.py``: md5 hashing, integer compared lanes,
+lexicographic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import t
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Data-mixing waterfill
+# ---------------------------------------------------------------------------
+
+# budget = 3/4 of total corpus tokens (production passes the budget in; a
+# corpus-derived constant keeps the query self-contained, and 3/4 sits in
+# the regime where small strata are taken WHOLE and the dominant one is
+# capped — both branches of the waterfill exercised on the test data)
+MIX_BUDGET_NUM = 3
+MIX_BUDGET_DEN = 4
+
+
+_SQL_WATERFILL = f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(SUM(LEN(string_split(lower(text), ' '))) AS BIGINT) AS avail
+      FROM documents GROUP BY lang),
+    tot AS (
+      SELECT CAST(SUM(avail) AS BIGINT) AS total,
+             CAST(SUM(avail) * {MIX_BUDGET_NUM} // {MIX_BUDGET_DEN} AS BIGINT)
+               AS budget,
+             COUNT(*) AS n
+      FROM per),
+    ranked AS (
+      SELECT lang, avail,
+             ROW_NUMBER() OVER (ORDER BY avail, lang) AS i,
+             COALESCE(SUM(avail) OVER (ORDER BY avail, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM per),
+    -- a stratum is fully allocated iff granting every stratum at least its
+    -- own availability as the water level still fits the budget
+    flagged AS (
+      SELECT r.*, tot.budget, tot.n,
+             CASE WHEN r.cum_before + r.avail * (tot.n - r.i + 1) <= tot.budget
+                  THEN 1 ELSE 0 END AS fully
+      FROM ranked r, tot),
+    full_tot AS (
+      SELECT COALESCE(SUM(CASE WHEN fully = 1 THEN avail END), 0) AS sum_full,
+             COALESCE(SUM(fully), 0) AS n_full
+      FROM flagged)
+    SELECT f.lang, f.avail AS avail_tokens,
+           CASE WHEN f.fully = 1 THEN f.avail
+                ELSE (f.budget - ft.sum_full) // (f.n - ft.n_full)
+           END AS alloc_tokens,
+           CAST(1 - f.fully AS INT) AS capped
+    FROM flagged f, full_tot ft
+    """
+
+
+@register("mix_waterfill_allocation", oracle=_SQL_WATERFILL)
+def mix_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget waterfilling across language strata: every stratum gets
+    min(its availability, the water level L), with L the integer level that
+    spends the budget — small sources are taken whole, the dominant ones
+    are capped at a common level. This is the corpus-assembly "data
+    mixture" step; determinism is total (integer arithmetic, (avail, lang)
+    ordering), so the allocation is reproducible bit-for-bit.
+
+    Closed form instead of iteration: sorted by availability ascending, a
+    stratum is FULLY allocated iff cum_before + avail * (n - i + 1) <=
+    budget (granting its own availability as the level to every remaining
+    stratum still fits); the capped strata share L = (budget - sum_full)
+    div (n - n_full). 100 TB shape: the per-stratum aggregate is one
+    partial-agg shuffle to ~|langs| rows; everything after runs on that
+    constant-size frame via broadcast joins — the rank/prefix-sum self-join
+    replaces a SinglePartition window (registry gate) and touches n^2 ~ 25
+    rows."""
+    d = t(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.lower(F.col("text")), " ", -1)))
+        .cast("bigint")
+        .alias("avail")
+    )
+    tot = per.agg(
+        F.sum("avail").cast("bigint").alias("total"),
+        F.expr(
+            f"CAST(SUM(avail) * {MIX_BUDGET_NUM} div {MIX_BUDGET_DEN} AS BIGINT)"
+        ).alias("budget"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("budget", "n")
+    other = per.select(F.col("lang").alias("lang2"), F.col("avail").alias("avail2"))
+    before = (F.col("avail2") < F.col("avail")) | (
+        (F.col("avail2") == F.col("avail")) & (F.col("lang2") < F.col("lang"))
+    )
+    ranked = (
+        per.join(F.broadcast(other), before, "left")
+        .groupBy("lang", "avail")
+        .agg(
+            (F.count("lang2") + 1).alias("i"),
+            F.coalesce(F.sum("avail2"), F.lit(0)).cast("bigint").alias("cum_before"),
+        )
+    )
+    flagged = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "fully",
+        F.when(
+            F.col("cum_before") + F.col("avail") * (F.col("n") - F.col("i") + 1)
+            <= F.col("budget"),
+            1,
+        ).otherwise(0),
+    )
+    full_tot = flagged.agg(
+        F.coalesce(F.sum(F.when(F.col("fully") == 1, F.col("avail"))), F.lit(0))
+        .cast("bigint")
+        .alias("sum_full"),
+        F.coalesce(F.sum("fully"), F.lit(0)).alias("n_full"),
+    )
+    return flagged.crossJoin(F.broadcast(full_tot)).select(
+        "lang",
+        F.col("avail").alias("avail_tokens"),
+        F.when(F.col("fully") == 1, F.col("avail"))
+        .otherwise(F.expr("(budget - sum_full) div (n - n_full)"))
+        .cast("bigint")
+        .alias("alloc_tokens"),
+        (F.lit(1) - F.col("fully")).cast("int").alias("capped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-N stratified draw
+# ---------------------------------------------------------------------------
+
+STRAT_EXACT_N = 25
+
+
+@register(
+    "sample_stratified_exact_n",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('exact:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) r
+    WHERE rn <= {STRAT_EXACT_N}
+    """,
+)
+def sample_stratified_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified draw: the {STRAT_EXACT_N} documents per
+    language with the smallest md5('exact:' || doc_id) — the fixed-count
+    companion to the fractional ``sample_stratified_fraction`` (eval-set
+    construction wants "exactly N per class", not "about p%"). The md5
+    order makes the draw a deterministic function of ids: reproducible
+    everywhere, stable under appends except where a new id genuinely
+    hashes earlier.
+
+    Plan shape: one hash partition by lang + per-partition top-N — Spark
+    plans the rank filter as WindowGroupLimit, so each partition keeps a
+    {STRAT_EXACT_N}-row heap per stratum below the shuffle instead of
+    sorting whole partitions (same mechanism the top-k gates pin)."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("exact:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRAT_EXACT_N)
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_H = 16**15  # hash space: 15 md5 hex chars -> [0, 16^15)
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    hs AS (
+      SELECT DISTINCT ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+      FROM toks),
+    kth AS (
+      SELECT MAX(h) AS kth, COUNT(*) AS k_actual
+      FROM (SELECT h FROM hs ORDER BY h LIMIT {KMV_K})),
+    exact AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM toks)
+    SELECT k_actual,
+           kth AS kth_hash,
+           CASE WHEN k_actual < {KMV_K} THEN exact_distinct
+                ELSE CAST((CAST(k_actual - 1 AS HUGEINT) * {_KMV_H}) // kth
+                          AS BIGINT)
+           END AS est_distinct,
+           exact_distinct
+    FROM kth, exact
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size estimate from a K-minimum-values sketch: keep the
+    {KMV_K} smallest 60-bit md5-derived hash values of the distinct-token
+    universe; the K-th smallest h_(K) estimates distinct count as
+    (K-1) * H / h_(K) (uniform order statistics). The division runs in
+    DECIMAL(38,0)/HUGEINT limbs, so both engines produce the identical
+    integer; when the universe is smaller than K the sketch IS the
+    universe and the exact count is returned. Exact distinct rides along
+    so the sketch error is visible in the result (same convention as the
+    Count-Min row).
+
+    100 TB shape: the sketch is a TakeOrdered top-K over hash values —
+    per-partition K-row heaps, one K-row reduction, constant state; and
+    it MERGES (K smallest of a union of sketches), unlike exact distinct
+    whose state is the universe itself. The deliberate second lane
+    computing exact count_distinct is the visible cost contrast."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("tok")
+    ).distinct()
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    hs = toks.select(h.alias("h")).distinct()
+    kth = (
+        hs.orderBy("h")
+        .limit(KMV_K)
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("k_actual"))
+    )
+    exact = toks.agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    return kth.crossJoin(F.broadcast(exact)).select(
+        "k_actual",
+        F.col("kth").alias("kth_hash"),
+        F.when(F.col("k_actual") < KMV_K, F.col("exact_distinct"))
+        .otherwise(
+            F.expr(
+                f"CAST((CAST(k_actual - 1 AS DECIMAL(38,0)) * {_KMV_H}) div kth"
+                " AS BIGINT)"
+            )
+        )
+        .alias("est_distinct"),
+        "exact_distinct",
+    )

@@ -140,6 +140,13 @@ PLAN_EXPECTATIONS = {
     # self-join of the constant-size histogram, never a global window or
     # a cartesian over fact lineage
     "sketch_histogram_quantiles": [r"BroadcastNestedLoopJoin", r"HashAggregate"],
+    # waterfill: rank/prefix sums over the tiny per-stratum aggregate via
+    # broadcast self-joins, never a SinglePartition window
+    "mix_waterfill_allocation": [r"BroadcastNestedLoopJoin", r"HashAggregate"],
+    # exact-N stratified draw: per-partition top-N heaps below the shuffle
+    "sample_stratified_exact_n": [r"WindowGroupLimit"],
+    # KMV: top-K via per-partition heaps, constant-size reduction
+    "sketch_kmv_distinct": [r"TakeOrderedAndProject", r"HashAggregate"],
     # span scrub: the first-occurrence table must HASH-aggregate (the
     # decimal-encoded min key exists precisely so min(struct)'s
     # SortAggregate never sorts the full chunk stream)
