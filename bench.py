@@ -78,6 +78,16 @@ HEADLINE = [
     "balance_daily_holders",
     "sql_recursive_ancestors",
     "scalar_variant_json",
+    # round-6 additions (r6-extended2, additions only): the lossless
+    # prefix-filtering similarity join (collapse-shielded production
+    # composition — the raw form is clique-quadratic by losslessness,
+    # measured in BENCH_SF1.md), the constant-size sketches, and the
+    # corpus-assembly ops
+    "dedup_collapse_then_prefix_verify",
+    "sketch_histogram_quantiles",
+    "sketch_kmv_distinct",
+    "mix_waterfill_allocation",
+    "sample_stratified_exact_n",
 ]
 
 
@@ -149,6 +159,46 @@ def time_pq_split(spark, timings: dict[str, float]) -> None:
         timings["pq_search"] = round(best_search, 3)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+def time_incremental_split(spark, timings: dict[str, float]) -> None:
+    """Time the incremental-dedup cycle the way production pays it:
+    ``incremental_build`` = persist the corpus artifacts (band index, hot
+    shingles, capped shingle index, chunk index) to parquet — paid once per
+    corpus release; ``incremental_probe`` = the per-cycle cost, probing the
+    RELOADED artifacts with the new batch. The composed
+    ``dedup_incremental_pairs`` headline row (which recomputes the corpus
+    side every run) stays for continuity; the probe row is the number the
+    O(batch) design claim is actually about."""
+    import shutil
+    import tempfile
+
+    from eth_event_stream_spark.plans.incremental import (
+        _split,
+        incremental_pairs_from_artifacts,
+        load_corpus_artifacts,
+        persist_corpus_artifacts,
+    )
+
+    art_dir = tempfile.mkdtemp(prefix="inc_arts_")
+    try:
+        corpus, batch = _split(spark, SF_DIR)
+        best_build = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            persist_corpus_artifacts(corpus, art_dir)
+            best_build = min(best_build, time.perf_counter() - t0)
+        timings["incremental_build"] = round(best_build, 3)
+
+        arts = load_corpus_artifacts(spark, art_dir)
+        best_probe = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_query(incremental_pairs_from_artifacts(batch, arts))
+            best_probe = min(best_probe, time.perf_counter() - t0)
+        timings["incremental_probe"] = round(best_probe, 3)
+    finally:
+        shutil.rmtree(art_dir, ignore_errors=True)
 
 
 def time_prepare_corpus_split(spark, timings: dict[str, float]) -> None:
@@ -292,6 +342,7 @@ def main() -> None:
     time_ivf_split(spark, timings)
     time_pq_split(spark, timings)
     time_prepare_corpus_split(spark, timings)
+    time_incremental_split(spark, timings)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -308,9 +359,11 @@ def main() -> None:
                 # recursion, variant extraction; full history in
                 # BASELINE.md). Totals are comparable only within the same
                 # set version; compare per-query across versions.
-                # r6-extended adds the prepare_* stage decomposition rows
-                # (additions only, composed row unchanged)
-                "headline_set": "r6-extended",
+                # r6-extended added the prepare_* stage decomposition rows;
+                # r6-extended2 added prefix-filter dedup, the histogram/KMV
+                # sketches, the assembly ops, and the incremental
+                # build/probe split (all additions only)
+                "headline_set": "r6-extended2",
                 "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

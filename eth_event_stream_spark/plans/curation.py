@@ -686,9 +686,68 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     table shuffle + per-doc sort. The t=4/5 prefix arithmetic is pure
     integer: ceil(4n/5) = (4n+4) div 5. The length filter
     (5*min >= 4*max) prunes cross-size candidates before the distinct.
+
+    SCALE WARNING (measured, BENCH_SF1.md): rarity pruning assumes a
+    collapsed corpus. Under 10x VERBATIM duplication every shingle's df
+    grows 10x — prefix tokens stop being rare, join groups grow with the
+    clique, and the lossless output itself is clique-quadratic: 4.3 s ->
+    53.7 s (12.5x) at the 10x rehearsal. The production entry is
+    ``dedup_collapse_then_prefix_verify`` (exact-collapse first — the same
+    shield every composition here uses); this raw form stays registered as
+    the ground-truth-complete reference.
     """
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     return prefix_filter_pairs(d)
+
+
+@register(
+    "dedup_collapse_then_prefix_verify",
+    oracle=f"""
+    WITH documents AS (
+      -- shadows the base view (the collapse-composition pattern from
+      -- plans/pipeline.py): every reference below sees only the reps
+      SELECT MIN(doc_id) AS doc_id, MIN(text) AS text, COUNT(*) AS n_copies
+      FROM main.documents GROUP BY md5(text)),
+    pairs AS (SELECT * FROM ({_SQL_PREFIX_FILTER_PAIRS}))
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           ra.n_copies AS copies_a, rb.n_copies AS copies_b
+    FROM pairs p
+    JOIN documents ra ON ra.doc_id = p.doc_a
+    JOIN documents rb ON rb.doc_id = p.doc_b
+    """,
+)
+def dedup_collapse_then_prefix_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production prefix-filtering composition: exact-collapse verbatim
+    copies to min-id representatives, THEN the lossless prefix-filter join
+    on unique texts. Collapsing first restores the rarity assumption prefix
+    filtering lives on (verbatim copies inflate every shingle's df by the
+    clique size, measured 12.5x at the 10x rehearsal — see
+    ``dedup_prefix_filter_pairs``), and the result is COMPLETE over
+    representatives: every near-dup pair of distinct texts, no caps, no
+    recall loss — the exactness LSH cannot offer, at a cost the collapse
+    keeps flat under duplication."""
+    d = t(spark, sf_dir, "documents")
+    # materialize the collapse once (localCheckpoint, the cooccur-vocab
+    # pattern): reps feeds FOUR consumers (prefix shingles, verify
+    # shingles, both copy-count lookups) and each would otherwise re-run
+    # the full-corpus collapse — measured 7.1 s -> 6.7 s at sf0.1
+    reps = (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("text").alias("text"),
+            F.count("*").alias("n_copies"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = prefix_filter_pairs(reps.select("doc_id", "text"))
+    ca = reps.select(F.col("doc_id").alias("doc_a"), F.col("n_copies").alias("copies_a"))
+    cb = reps.select(F.col("doc_id").alias("doc_b"), F.col("n_copies").alias("copies_b"))
+    return (
+        pairs.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .select("doc_a", "doc_b", "jaccard", "copies_a", "copies_b")
+    )
 
 
 def prefix_filter_pairs(docs: DataFrame) -> DataFrame:
@@ -697,7 +756,10 @@ def prefix_filter_pairs(docs: DataFrame) -> DataFrame:
 
     from .pipeline import _distinct_shingles, _verify_candidates_spark
 
-    ex = _distinct_shingles(docs)
+    # one shingle index feeds the df table, the prefix window, AND the
+    # verify intersection — materialize it once (at 100 TB this is the
+    # persisted shingle-index artifact, not an in-memory checkpoint)
+    ex = _distinct_shingles(docs).localCheckpoint(eager=True)
     dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
     by_rarity = Window.partitionBy("doc_id").orderBy("df", "s")
     whole_doc = Window.partitionBy("doc_id")
@@ -719,7 +781,7 @@ def prefix_filter_pairs(docs: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _verify_candidates_spark(cands, docs, df_cap=None)
+    return _verify_candidates_spark(cands, docs, df_cap=None, ex=ex)
 
 
 # ---------------------------------------------------------------------------

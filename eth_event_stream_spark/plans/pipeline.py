@@ -1165,13 +1165,20 @@ def _lsh_then_verify_spark(
 
 
 def _verify_candidates_spark(
-    cands: DataFrame, d: DataFrame, df_cap: int | None
+    cands: DataFrame,
+    d: DataFrame,
+    df_cap: int | None,
+    ex: DataFrame | None = None,
 ) -> DataFrame:
     """The verify half of the LSH->verify composition over prebuilt
     candidate pairs — split out so the bench harness can time nominate and
     verify from materialized stage boundaries (the ivf_build/ivf_search
-    pattern) while the composed queries keep one fused body."""
-    ex = _distinct_shingles(d)
+    pattern) while the composed queries keep one fused body. ``ex``
+    overrides the (doc_id, s) shingle index when the caller already holds
+    it materialized (the prefix-filter path, which needs the same index
+    for its df ordering)."""
+    if ex is None:
+        ex = _distinct_shingles(d)
     if df_cap is not None:
         ex = _df_capped_shingles(ex, df_cap)
     cand_docs = (
