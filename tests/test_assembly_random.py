@@ -1,0 +1,219 @@
+"""Randomized cross-checks for the round-6 assembly/curation operators.
+
+The DuckDB oracles in ``plans/assembly.py`` / ``plans/curation.py`` share
+query STRUCTURE with the Spark plans (same closed-form waterfill, same
+prefix+verify shape), so a structural misconception would hit both sides
+identically. These tests check the df-level cores against brute-force
+Python implementations that share no structure: waterfill by literally
+raising an integer water level one unit at a time, prefix-filter pairs by
+all-pairs exact Jaccard over every document pair, KMV by sorting the full
+hash universe in Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Waterfill vs unit-step simulation
+# ---------------------------------------------------------------------------
+
+
+def _sim_waterfill(avails: dict[str, int], budget: int) -> dict[str, int]:
+    """Brute force: raise an integer level L until the next unit would
+    exceed the budget; alloc = min(avail, L). O(max_avail) — shares nothing
+    with the closed form."""
+    level = 0
+    while True:
+        nxt = sum(min(a, level + 1) for a in avails.values())
+        if nxt > budget:
+            break
+        level += 1
+        if level > max(avails.values()):
+            break
+    return {k: min(a, level) for k, a in avails.items()}
+
+
+def _spark_waterfill(spark, avails: dict[str, int], budget: int) -> dict[str, int]:
+    """Run the closed-form plan body on an arbitrary (lang, avail) frame.
+
+    Mirrors mix_waterfill_allocation's post-aggregation logic exactly (the
+    registered query derives `per` from documents and budget from a ratio;
+    here both are injected, which is the production interface anyway)."""
+    per = spark.createDataFrame(
+        [(k, v) for k, v in avails.items()], "lang string, avail long"
+    )
+    n = len(avails)
+    other = per.select(F.col("lang").alias("lang2"), F.col("avail").alias("avail2"))
+    before = (F.col("avail2") < F.col("avail")) | (
+        (F.col("avail2") == F.col("avail")) & (F.col("lang2") < F.col("lang"))
+    )
+    ranked = (
+        per.join(F.broadcast(other), before, "left")
+        .groupBy("lang", "avail")
+        .agg(
+            (F.count("lang2") + 1).alias("i"),
+            F.coalesce(F.sum("avail2"), F.lit(0)).cast("bigint").alias("cum_before"),
+        )
+    )
+    flagged = ranked.withColumn(
+        "fully",
+        F.when(
+            F.col("cum_before") + F.col("avail") * (n - F.col("i") + 1) <= budget,
+            1,
+        ).otherwise(0),
+    )
+    full_tot = flagged.agg(
+        F.coalesce(F.sum(F.when(F.col("fully") == 1, F.col("avail"))), F.lit(0))
+        .cast("bigint")
+        .alias("sum_full"),
+        F.coalesce(F.sum("fully"), F.lit(0)).alias("n_full"),
+    )
+    rows = (
+        flagged.crossJoin(F.broadcast(full_tot))
+        .select(
+            "lang",
+            F.when(F.col("fully") == 1, F.col("avail"))
+            .otherwise(F.expr(f"({budget} - sum_full) div ({n} - n_full)"))
+            .cast("bigint")
+            .alias("alloc"),
+        )
+        .collect()
+    )
+    return {r["lang"]: r["alloc"] for r in rows}
+
+
+def test_waterfill_matches_unit_step_simulation(spark):
+    rng = random.Random(6)
+    for trial in range(12):
+        n = rng.randint(1, 8)
+        avails = {f"l{i}": rng.randint(1, 500) for i in range(n)}
+        total = sum(avails.values())
+        budget = rng.randint(1, total)
+        got = _spark_waterfill(spark, avails, budget)
+        want = _sim_waterfill(avails, budget)
+        # the closed form spends budget - sum(want) < n_capped extra units
+        # NEVER: both definitions allocate min(avail, L) for an integer L;
+        # they must agree exactly
+        assert got == want, (trial, avails, budget, got, want)
+        assert sum(got.values()) <= budget
+
+
+def test_waterfill_degenerate_budgets(spark):
+    avails = {"a": 10, "b": 20, "c": 300}
+    # budget >= total: everything fully allocated
+    assert _spark_waterfill(spark, avails, 1000) == avails
+    assert _spark_waterfill(spark, avails, 330) == avails
+    # budget below n * min(avail): nobody full, uniform level
+    assert _spark_waterfill(spark, avails, 9) == {"a": 3, "b": 3, "c": 3}
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter pairs vs all-pairs brute force
+# ---------------------------------------------------------------------------
+
+
+def _shingles(text: str) -> set[str]:
+    toks = text.lower().split(" ")
+    if len(toks) < 3:
+        return set()
+    return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+
+def _brute_pairs(docs: dict[int, str]) -> set[tuple[int, int]]:
+    out = set()
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        sa = _shingles(docs[a])
+        if not sa:
+            continue
+        for b in ids[i + 1 :]:
+            sb = _shingles(docs[b])
+            if not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.8:
+                out.add((a, b))
+    return out
+
+
+def test_prefix_filter_pairs_complete_on_random_corpora(spark):
+    """Losslessness on data the oracle never sees: random near-dup corpora
+    (mutated copies of base docs) — the prefix join must find EXACTLY the
+    all-pairs ground truth, including chains the LSH bands could miss."""
+    from eth_event_stream_spark.plans.curation import prefix_filter_pairs
+
+    rng = random.Random(66)
+    words = [f"w{i}" for i in range(40)]
+    for trial in range(4):
+        docs: dict[int, str] = {}
+        did = 0
+        for base in range(6):
+            base_toks = [rng.choice(words) for _ in range(rng.randint(8, 20))]
+            for copy in range(rng.randint(1, 4)):
+                toks = list(base_toks)
+                if copy and rng.random() < 0.8:
+                    # light mutation: tweak one token (often stays >= 0.8)
+                    toks[rng.randrange(len(toks))] = rng.choice(words)
+                docs[did] = " ".join(toks)
+                did += 1
+        df = spark.createDataFrame(
+            [(k, v) for k, v in docs.items()], "doc_id long, text string"
+        )
+        got = {
+            (r["doc_a"], r["doc_b"]) for r in prefix_filter_pairs(df).collect()
+        }
+        want = _brute_pairs(docs)
+        assert got == want, (trial, got ^ want)
+
+
+# ---------------------------------------------------------------------------
+# KMV estimate vs Python order statistics
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_formula_matches_python(spark, sf_dir):
+    """The registered query's (k_actual, kth_hash, est) must equal a
+    from-scratch Python computation over the same md5 hash universe."""
+    from eth_event_stream_spark.plans.assembly import KMV_K, _KMV_H, sketch_kmv_distinct
+
+    row = sketch_kmv_distinct(spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    toks = {t for r in docs for t in r["text"].lower().split(" ")}
+    hashes = sorted({int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks})
+    k = min(KMV_K, len(hashes))
+    kth = hashes[k - 1]
+    est = len(hashes) if k < KMV_K else (k - 1) * _KMV_H // kth
+    assert row["k_actual"] == k
+    assert row["kth_hash"] == kth
+    assert row["est_distinct"] == est
+    assert row["exact_distinct"] == len(toks)
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantiles vs Python
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_quantiles_match_python(spark, sf_dir):
+    from eth_event_stream_spark.plans.curation import (
+        HIST_BUCKET_TOKENS,
+        HIST_QS,
+        sketch_histogram_quantiles,
+    )
+
+    rows = {r["q"]: r for r in sketch_histogram_quantiles(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    lens = sorted(len(r["text"].lower().split(" ")) for r in docs)
+    n = len(lens)
+    for q in HIST_QS:
+        k = -(-q * n // 100)  # ceil
+        exact = lens[k - 1]
+        est = rows[q]["est_tokens_le"]
+        # estimate = upper edge of the bucket holding the exact quantile
+        assert est == (exact // HIST_BUCKET_TOKENS + 1) * HIST_BUCKET_TOKENS - 1
+        assert rows[q]["n_docs"] == n
