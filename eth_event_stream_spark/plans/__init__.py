@@ -28,6 +28,7 @@ from . import (  # noqa: F401  (registration side effects)
     relational4,
     relational5,
     relational6,
+    retrieval,
     vectors,
 )
 from .registry import QUERIES, oracle_sql_dict, queries_dict

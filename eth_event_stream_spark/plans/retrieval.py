@@ -1,0 +1,224 @@
+"""Retrieval operators (round 6): the query-time half of a RAG / search
+stack over the curated corpus — keyword scoring, and hybrid fusion of the
+keyword lane with the embedding lane.
+
+- ``search_keyword_topk``: integer tf-idf keyword search (tf * a scaled
+  integer idf), the BM25-shaped lane with every compared value integral so
+  both engines rank identically (log-based BM25 idf would hang the ranking
+  on cross-engine float ulps).
+- ``search_hybrid_rrf``: Reciprocal Rank Fusion of the keyword lane and
+  the brute-force cosine lane — the standard hybrid-search combiner
+  (score = sum over lanes of 1/(k + rank)); computed as SCALE div
+  (k + rank) so the fusion is integer-exact. ``vec_id`` aligns with
+  ``doc_id`` in the testdata, which is the usual "one embedding per
+  document" layout.
+
+Rank positions are assigned WITHOUT a global window (the registry gate
+bans SinglePartition windows over fact lineage): each lane is first cut to
+its top-K by TakeOrdered, and ranks are computed on that constant-size
+frame by a broadcast self-join (rank = 1 + count of strictly-better rows,
+ties broken by id — exactly ROW_NUMBER's semantics under the same order).
+
+The reference has no search surface; this extends the similarity family
+(SURVEY §7.3 phase 7) to the retrieval shapes a training/eval pipeline
+runs (hard-negative mining, contamination lookup, RAG serving).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import t
+from .registry import register
+
+QUERY_TERMS = ("vector", "merge", "filter")
+IDF_SCALE = 1000
+RRF_K = 60
+RRF_SCALE = 1_000_000
+TOPK_LANE = 20
+TOPK_FUSED = 10
+
+_TERMS_SQL = ", ".join(f"'{w}'" for w in QUERY_TERMS)
+
+
+_SQL_KEYWORD_SCORED = f"""
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+      WHERE tok IN ({_TERMS_SQL})
+      GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    kscored AS (
+      SELECT tf.doc_id,
+             CAST(SUM(tf.tf * ((nd.n_docs * {IDF_SCALE}) // dfreq.df)) AS BIGINT)
+               AS score
+      FROM tf JOIN dfreq USING (tok), nd
+      GROUP BY tf.doc_id),
+    kw AS (
+      SELECT doc_id, score, rnk FROM (
+        SELECT doc_id, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM kscored) r
+      WHERE rnk <= {TOPK_LANE})"""
+
+
+@register(
+    "search_keyword_topk",
+    oracle=f"""
+    WITH {_SQL_KEYWORD_SCORED}
+    SELECT doc_id, score, rnk FROM kw
+    """,
+)
+def search_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword top-{TOPK_LANE} for the fixed query {QUERY_TERMS}: score =
+    sum over query terms of tf * ((N * {IDF_SCALE}) div df) — tf-idf with
+    the idf as a scaled INTEGER, so the ranking is bit-stable across
+    engines (and monotone in the real idf for any fixed df ordering).
+
+    100 TB shape: term postings are one filtered explode + groupBy (the
+    inverted-index build, term-keyed — query terms only, so the explode is
+    pre-filtered at the scan); df is a {len(QUERY_TERMS)}-row broadcast;
+    the cut is TakeOrdered ({TOPK_LANE}-row heaps per partition); rank
+    assignment is a broadcast self-join on the {TOPK_LANE}-row result,
+    never a global window."""
+    kw, _ = _keyword_lane(spark, sf_dir)
+    return kw.select("doc_id", "score", "rnk")
+
+
+def _rank_topk(scored: DataFrame, id_col: str, score_col: str, k: int) -> DataFrame:
+    """TakeOrdered top-k by (score desc, id asc), then ROW_NUMBER-equal
+    ranks via broadcast self-join on the k-row frame."""
+    top = scored.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+    o = top.select(
+        F.col(id_col).alias("_id2"), F.col(score_col).alias("_score2")
+    )
+    better = (F.col("_score2") > F.col(score_col)) | (
+        (F.col("_score2") == F.col(score_col)) & (F.col("_id2") < F.col(id_col))
+    )
+    return (
+        top.join(F.broadcast(o), better, "left")
+        .groupBy(id_col, score_col)
+        .agg((F.count("_id2") + 1).cast("bigint").alias("rnk"))
+    )
+
+
+def _keyword_lane(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("tok")
+    ).filter(F.col("tok").isin(*QUERY_TERMS))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr(f"tf * ((n_docs * {IDF_SCALE}) div df)"))
+            .cast("bigint")
+            .alias("score")
+        )
+    )
+    return _rank_topk(scored, "doc_id", "score", TOPK_LANE), d
+
+
+# cosine fragments shared with the similarity family (pipeline.py's
+# brute-force query: query vector = vec_id 0, 6-decimal rounding for
+# cross-engine float stability)
+_DOT = (
+    "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(b AS ARRAY<DOUBLE>),"
+    " (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NA = (
+    "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>),"
+    " (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NB = (
+    "aggregate(zip_with(CAST(b AS ARRAY<DOUBLE>), CAST(b AS ARRAY<DOUBLE>),"
+    " (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+_SQL_COS = (
+    "list_sum(list_transform(generate_series(1, LEN(e.embedding)), i -> "
+    "CAST(e.embedding[i] AS DOUBLE) * CAST(q.b[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(generate_series(1, LEN(e.embedding)), i -> "
+    "CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(generate_series(1, LEN(q.b)), i -> "
+    "CAST(q.b[i] AS DOUBLE) * CAST(q.b[i] AS DOUBLE)))))"
+)
+
+
+def _vector_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("b"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(F.expr(f"({_DOT}) / (sqrt({_NA}) * sqrt({_NB}))"), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    return _rank_topk(scored, "doc_id", "cosine", TOPK_LANE)
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH {_SQL_KEYWORD_SCORED},
+    q AS (SELECT embedding AS b FROM embeddings WHERE vec_id = 0),
+    vscored AS (
+      SELECT e.vec_id AS doc_id, ROUND({_SQL_COS}, 6) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id != 0),
+    vec AS (
+      SELECT doc_id, cosine, rnk FROM (
+        SELECT doc_id, cosine,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rnk
+        FROM vscored) r
+      WHERE rnk <= {TOPK_LANE}),
+    fused AS (
+      SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+             kw.rnk AS rank_kw, vec.rnk AS rank_vec,
+             CAST(COALESCE({RRF_SCALE} // ({RRF_K} + kw.rnk), 0)
+                  + COALESCE({RRF_SCALE} // ({RRF_K} + vec.rnk), 0) AS BIGINT)
+               AS rrf_score
+      FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id)
+    SELECT doc_id, rank_kw, rank_vec, rrf_score FROM fused
+    ORDER BY rrf_score DESC, doc_id LIMIT {TOPK_FUSED}
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: Reciprocal Rank Fusion of the keyword lane and
+    the embedding-cosine lane — rrf = sum over lanes of {RRF_SCALE} div
+    ({RRF_K} + rank), integer-exact, rank-only (score scales never mix,
+    which is RRF's whole point). A document missing from one lane simply
+    contributes nothing for it.
+
+    100 TB shape: each lane independently cuts to top-{TOPK_LANE} with
+    TakeOrdered heaps; the fusion is a full outer join of two
+    {TOPK_LANE}-row frames — constant work after the lane scans, and the
+    lanes themselves are the already-benched keyword and brute-cosine
+    shapes (swap in the IVF/PQ lane for the corpus-scale path)."""
+    kw, _ = _keyword_lane(spark, sf_dir)
+    vec = _vector_lane(spark, sf_dir)
+    k = kw.select(F.col("doc_id").alias("kid"), F.col("rnk").alias("rank_kw"))
+    v = vec.select(F.col("doc_id").alias("vid"), F.col("rnk").alias("rank_vec"))
+    fused = k.join(v, k["kid"] == v["vid"], "full_outer").select(
+        F.coalesce("kid", "vid").alias("doc_id"),
+        "rank_kw",
+        "rank_vec",
+        (
+            F.coalesce(F.expr(f"{RRF_SCALE} div ({RRF_K} + rank_kw)"), F.lit(0))
+            + F.coalesce(F.expr(f"{RRF_SCALE} div ({RRF_K} + rank_vec)"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(TOPK_FUSED)

@@ -147,6 +147,11 @@ PLAN_EXPECTATIONS = {
     "sample_stratified_exact_n": [r"WindowGroupLimit"],
     # KMV: top-K via per-partition heaps, constant-size reduction
     "sketch_kmv_distinct": [r"TakeOrderedAndProject", r"HashAggregate"],
+    # keyword lane: term-filtered postings, broadcast df, TakeOrdered cut,
+    # rank via broadcast self-join (never a global window)
+    "search_keyword_topk": [r"TakeOrderedAndProject", r"BroadcastHashJoin"],
+    # hybrid fusion: both lanes TakeOrdered-cut before the 20-row fusion
+    "search_hybrid_rrf": [r"TakeOrderedAndProject", r"HashAggregate"],
     # span scrub: the first-occurrence table must HASH-aggregate (the
     # decimal-encoded min key exists precisely so min(struct)'s
     # SortAggregate never sorts the full chunk stream)
