@@ -22,6 +22,7 @@ from . import (  # noqa: F401  (registration side effects)
     ledger,
     modern,
     pipeline,
+    profiling,
     relational,
     relational2,
     relational3,

@@ -1,0 +1,150 @@
+"""Catalog profiling / data-quality operators (round 6).
+
+The reference has no statistics of any kind (SURVEY §4: "no statistics");
+a queryable engine at 100 TB needs them twice over — once for humans
+(data-quality dashboards, ingest acceptance checks) and once for the
+optimizer (ndv/min/max feed join ordering and broadcast decisions; Spark's
+own `ANALYZE TABLE` collects exactly these). Both operators here produce
+the numbers in ONE scan shapes:
+
+- ``profile_table_stats``: per-column row/null/ndv/min/max over ``orders``
+  in a single pass — every aggregate computed in one partial-combining
+  HashAggregate reduction, unpivoted to long form afterward (constant-size
+  frame), not one scan per column.
+- ``profile_fk_orphans``: referential-integrity audit of the star schema's
+  FK edges (lineitem→orders, orders→customer, customer→nation) — orphan
+  counts via anti-joins, the acceptance gate an ingest pipeline runs
+  before publishing a snapshot.
+
+String-normalization note: min/max are surfaced as strings to fit mixed
+column types in one result; doubles go through DECIMAL(18,2) and
+timestamps through an explicit format so both engines render identical
+text (raw double→string formatting differs across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import t, t_parallel
+from .registry import register
+
+# column -> SQL fragment rendering min/max as engine-identical text;
+# {v} is the aggregated value expression
+_ORDERS_COLS: dict[str, tuple[str, str]] = {
+    # (spark render, duckdb render)
+    "o_orderkey": ("CAST({v} AS STRING)", "CAST({v} AS VARCHAR)"),
+    "o_custkey": ("CAST({v} AS STRING)", "CAST({v} AS VARCHAR)"),
+    "o_orderstatus": ("{v}", "{v}"),
+    "o_totalprice": (
+        "CAST(CAST(ROUND({v}, 2) AS DECIMAL(18,2)) AS STRING)",
+        "CAST(CAST(ROUND({v}, 2) AS DECIMAL(18,2)) AS VARCHAR)",
+    ),
+    "o_orderdate": (
+        "date_format({v}, 'yyyy-MM-dd HH:mm:ss')",
+        "strftime({v}, '%Y-%m-%d %H:%M:%S')",
+    ),
+    "o_orderpriority": ("{v}", "{v}"),
+}
+
+
+def _sql_profile_oracle() -> str:
+    parts = []
+    for c, (_, duck) in _ORDERS_COLS.items():
+        parts.append(f"""
+    SELECT '{c}' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           {duck.format(v=f"MIN({c})")} AS min_value,
+           {duck.format(v=f"MAX({c})")} AS max_value
+    FROM orders""")
+        # one UNION ALL per column is fine for the ORACLE (DuckDB rescans a
+        # 500-row view); the Spark plan is the one-scan version
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_table_stats", oracle=_sql_profile_oracle())
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics of ``orders`` — rows, nulls,
+    exact ndv, min, max — in ONE scan: all 6 columns' aggregates sit in a
+    single HashAggregate (the multi-count-distinct plans as one Expand +
+    two-level aggregate, still one pass over the data), then the 1-row
+    wide result unpivots to long form with ``stack`` on a constant-size
+    frame. The oracle computes identical numbers column-by-column — same
+    values, opposite plan shape, which is the point of the check.
+
+    These are the statistics Catalyst's CBO consumes (`ANALYZE TABLE ...
+    COMPUTE STATISTICS FOR COLUMNS`); surfacing them as a query makes the
+    engine's stats story auditable on any table snapshot."""
+    o = t_parallel(spark, sf_dir, "orders")
+    aggs = []
+    for c, (spark_r, _) in _ORDERS_COLS.items():
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__ndv"),
+            F.expr(spark_r.format(v=f"MIN({c})")).alias(f"{c}__min"),
+            F.expr(spark_r.format(v=f"MAX({c})")).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__ndv, {c}__min, {c}__max"
+        for c in _ORDERS_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_ORDERS_COLS)}, {stack_args}) AS "
+        "(col, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )
+
+
+_FK_EDGES = [
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _sql_fk_oracle() -> str:
+    parts = []
+    for name, child, ck, parent, pk in _FK_EDGES:
+        parts.append(f"""
+    SELECT '{name}' AS fk,
+           CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child,
+           CAST((SELECT COUNT(*) FROM {child} c
+                 WHERE c.{ck} IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                   WHERE p.{pk} = c.{ck})) AS BIGINT)
+             AS n_orphans""")
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_fk_orphans", oracle=_sql_fk_oracle())
+def profile_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: for each FK edge of the star schema,
+    the number of child rows whose key has no parent — the acceptance
+    check an ingest pipeline runs before publishing (a nonzero count
+    means a partial load or a reorg-style retraction left danglers).
+
+    Plan per edge: LEFT ANTI join of the child's key column against the
+    parent key (parent side broadcast for dims; same-key shuffle for the
+    fact-fact edge) + a count — no row ever carries more than the key.
+    The three one-row results union into the report frame."""
+    out = None
+    for name, child, ck, parent, pk in _FK_EDGES:
+        c = t(spark, sf_dir, child)
+        p = t(spark, sf_dir, parent).select(F.col(pk).alias(ck))
+        orphans = (
+            c.select(ck)
+            .filter(F.col(ck).isNotNull())
+            .join(p, ck, "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        row = (
+            c.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+            .crossJoin(F.broadcast(orphans))
+            .select(F.lit(name).alias("fk"), "n_child", "n_orphans")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

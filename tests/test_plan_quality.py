@@ -582,3 +582,12 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         if "CartesianProduct" in p:
             offenders.append(name)
     assert not offenders, f"CartesianProduct planned in: {offenders}"
+
+
+def test_profile_stats_single_scan(spark, sf_dir):
+    """profile_table_stats computes all six columns' stats in ONE pass:
+    exactly one orders file scan in the plan (the oracle's per-column
+    UNION ALL shape would be six scans — the Spark side must never
+    degrade to it)."""
+    p = plan_of(spark, sf_dir, "profile_table_stats")
+    assert p.count("orders.parquet") == 1, p[:2000]
