@@ -222,3 +222,97 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(TOPK_FUSED)
+
+
+@register(
+    "similarity_topk_per_label",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS b FROM embeddings WHERE vec_id = 0),
+    vscored AS (
+      SELECT e.vec_id, e.label, ROUND({_SQL_COS}, 6) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id != 0)
+    SELECT vec_id, label, cosine, rnk FROM (
+      SELECT vec_id, label, cosine,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY cosine DESC, vec_id) AS rnk
+      FROM vscored) r
+    WHERE rnk <= 5
+    """,
+)
+def similarity_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED nearest-neighbor retrieval: top-5 most-similar vectors per
+    label for the fixed query (vec_id 0) — the "diverse candidates" shape
+    (stratified hard-negative mining, one result block per class) that a
+    single global top-k cannot produce.
+
+    Plan: one broadcast of the query vector, one scored scan, then a
+    label-partitioned rank that Spark executes as WindowGroupLimit —
+    per-partition 5-row heaps per label BELOW the shuffle, so no
+    partition ever sorts its full score list. Never a SinglePartition
+    window (registry gate)."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("b"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.expr(f"({_DOT}) / (sqrt({_NA}) * sqrt({_NB}))"), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("vec_id", "label", "cosine", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming body of the keyword lane
+# ---------------------------------------------------------------------------
+
+
+def keyword_idf_weights(docs: DataFrame) -> dict[str, int]:
+    """Per-term integer idf weights ((N * IDF_SCALE) div df) for the fixed
+    QUERY_TERMS, computed once per corpus release and pinned — the
+    driver-side-scalar pattern of ``length_threshold``: a live scorer needs
+    the weights as literals, and with them the scoring is a pure per-row
+    projection (stateless, append-mode streamable)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("tok")
+    ).filter(F.col("tok").isin(*QUERY_TERMS))
+    rows = (
+        toks.distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .collect()
+    )
+    n_docs = docs.count()
+    return {r["tok"]: (n_docs * IDF_SCALE) // r["df"] for r in rows if r["df"]}
+
+
+def score_keywords_pinned(df: DataFrame, idf: dict[str, int]) -> DataFrame:
+    """Stateless keyword scoring against PINNED idf weights: score =
+    sum over terms of tf * idf_term, with tf computed per row by a pure
+    array expression (no explode, no aggregation) — which is exactly what
+    makes this the STREAMING body of ``search_keyword_topk``'s scoring
+    stage (per-doc score depends only on the row and the pinned weights;
+    the top-k cut stays a batch/serving concern). Emits only matching
+    docs (score > 0)."""
+    toks = F.split(F.lower(F.col("text")), " ", -1)
+    score = None
+    for term, w in sorted(idf.items()):
+        tf = F.size(F.filter(toks, lambda x: x == F.lit(term)))  # noqa: B023
+        part = tf.cast("bigint") * F.lit(int(w))
+        score = part if score is None else score + part
+    return (
+        df.select("doc_id", score.cast("bigint").alias("score"))
+        .filter(F.col("score") > 0)
+    )

@@ -152,6 +152,9 @@ PLAN_EXPECTATIONS = {
     "search_keyword_topk": [r"TakeOrderedAndProject", r"BroadcastHashJoin"],
     # hybrid fusion: both lanes TakeOrdered-cut before the 20-row fusion
     "search_hybrid_rrf": [r"TakeOrderedAndProject", r"HashAggregate"],
+    # grouped retrieval: label-partitioned rank prunes to 5-row heaps
+    # below the shuffle
+    "similarity_topk_per_label": [r"WindowGroupLimit"],
     # span scrub: the first-occurrence table must HASH-aggregate (the
     # decimal-encoded min key exists precisely so min(struct)'s
     # SortAggregate never sorts the full chunk stream)

@@ -1754,3 +1754,60 @@ def test_countmin_sketch_stream_matches_batch(spark, sf_dir, tmp_path):
     ).collect()
     got = {(r["lane"], r["bucket"]): r["c"] for r in rows}
     assert got == expected
+
+
+def test_keyword_scoring_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming body of the keyword-search lane: idf weights are pinned
+    at corpus-release time (keyword_idf_weights — the length_threshold
+    pattern), after which scoring is a pure per-row array expression with
+    no explode or aggregation — stateless, append-mode streamable. The
+    union over micro-batches must equal one batch run, and the scores must
+    agree with the registered search_keyword_topk's (which computes them
+    through the explode+groupBy inverted-index shape instead)."""
+    from eth_event_stream_spark.plans.retrieval import (
+        keyword_idf_weights,
+        score_keywords_pinned,
+        search_keyword_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idf = keyword_idf_weights(docs)
+    assert idf, "no query term present in fixture; test vacuous"
+
+    batch = {
+        (r["doc_id"], r["score"])
+        for r in score_keywords_pinned(docs, idf).collect()
+    }
+    assert batch
+
+    # cross-shape agreement: the registered query's (doc_id, score) rows
+    # are a subset (it keeps only the top-20)
+    top = {
+        (r["doc_id"], r["score"])
+        for r in search_keyword_topk(spark, sf_dir).collect()
+    }
+    assert top <= batch, top - batch
+
+    src = tmp_path / "docs_kw_stream"
+    docs.repartition(4).write.parquet(str(src))
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        score_keywords_pinned(sdf, idf)
+        .writeStream.format("memory")
+        .queryName("kw_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_kw"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["doc_id"], r["score"]) for r in spark.table("kw_stream_sink").collect()
+    }
+    assert got == batch
