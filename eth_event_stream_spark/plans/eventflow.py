@@ -505,3 +505,51 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(F.expr(cond)).select(
         "event_id", "event_type", "cents", "n"
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM ordered
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition counts between consecutive event types per
+    user — the empirical Markov matrix behind journey analysis / anomaly
+    scoring (a purchase->purchase edge that never occurs in production is
+    a bot signature). Order within a user is (ts, event_id), the same
+    total-order contract the funnel fold uses.
+
+    Plan: one user-partitioned lead() window (hash partition by user_id —
+    never SinglePartition) + one hash aggregate on the (from, to) pair.
+    Two shuffles, both on uniform keys; at 100 TB the second aggregates
+    into at most |event_types|^2 rows."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )

@@ -217,3 +217,86 @@ def test_histogram_quantiles_match_python(spark, sf_dir):
         # estimate = upper edge of the bucket holding the exact quantile
         assert est == (exact // HIST_BUCKET_TOKENS + 1) * HIST_BUCKET_TOKENS - 1
         assert rows[q]["n_docs"] == n
+
+
+# ---------------------------------------------------------------------------
+# Hybrid RRF vs from-scratch Python (both lanes + fusion)
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_rrf_matches_python(spark, sf_dir):
+    """Recompute both retrieval lanes and the fusion from raw parquet in
+    plain Python (no SQL, no windows) and compare with the registered
+    query — the oracle shares the window-rank shape with the Spark plan,
+    this check shares nothing."""
+    import math
+
+    from eth_event_stream_spark.plans.retrieval import (
+        IDF_SCALE,
+        QUERY_TERMS,
+        RRF_K,
+        RRF_SCALE,
+        TOPK_FUSED,
+        TOPK_LANE,
+        search_hybrid_rrf,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    embs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    # keyword lane
+    tf = {
+        d: {t: text.lower().split(" ").count(t) for t in QUERY_TERMS}
+        for d, text in docs.items()
+    }
+    df = {t: sum(1 for d in tf if tf[d][t] > 0) for t in QUERY_TERMS}
+    n = len(docs)
+    scores = {
+        d: sum(tf[d][t] * ((n * IDF_SCALE) // df[t]) for t in QUERY_TERMS if df[t])
+        for d in docs
+    }
+    scores = {d: s for d, s in scores.items() if s > 0}
+    kw_rank = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:TOPK_LANE]
+        )
+    }
+
+    # vector lane (same 6-decimal rounding as the query)
+    q = embs[0]
+    nq = math.sqrt(sum(x * x for x in q))
+
+    def cos(v):
+        dot = sum(float(a) * float(b) for a, b in zip(v, q))
+        return round(dot / (math.sqrt(sum(float(a) ** 2 for a in v)) * nq), 6)
+
+    cosines = {vid: cos(v) for vid, v in embs.items() if vid != 0}
+    vec_rank = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(cosines.items(), key=lambda kv: (-kv[1], kv[0]))[:TOPK_LANE]
+        )
+    }
+
+    fused = {}
+    for d in set(kw_rank) | set(vec_rank):
+        fused[d] = (
+            (RRF_SCALE // (RRF_K + kw_rank[d]) if d in kw_rank else 0)
+            + (RRF_SCALE // (RRF_K + vec_rank[d]) if d in vec_rank else 0)
+        )
+    want = {
+        (d, kw_rank.get(d), vec_rank.get(d), s)
+        for d, s in sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:TOPK_FUSED]
+    }
+    got = {
+        (r["doc_id"], r["rank_kw"], r["rank_vec"], r["rrf_score"])
+        for r in search_hybrid_rrf(spark, sf_dir).collect()
+    }
+    assert got == want, got ^ want
