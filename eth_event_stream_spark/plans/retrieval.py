@@ -208,18 +208,32 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     shapes (swap in the IVF/PQ lane for the corpus-scale path)."""
     kw, _ = _keyword_lane(spark, sf_dir)
     vec = _vector_lane(spark, sf_dir)
-    k = kw.select(F.col("doc_id").alias("kid"), F.col("rnk").alias("rank_kw"))
-    v = vec.select(F.col("doc_id").alias("vid"), F.col("rnk").alias("rank_vec"))
-    fused = k.join(v, k["kid"] == v["vid"], "full_outer").select(
-        F.coalesce("kid", "vid").alias("doc_id"),
-        "rank_kw",
-        "rank_vec",
-        (
-            F.coalesce(F.expr(f"{RRF_SCALE} div ({RRF_K} + rank_kw)"), F.lit(0))
-            + F.coalesce(F.expr(f"{RRF_SCALE} div ({RRF_K} + rank_vec)"), F.lit(0))
+    # lane alignment as UNION + max-aggregate instead of a FULL OUTER join:
+    # full outer cannot broadcast either side, so Spark plans a
+    # SortMergeJoin even for two 20-row frames; the union form is one hash
+    # aggregate (each lane contributes at most one row per doc, so max()
+    # recovers exactly the outer join's rank columns)
+    k = kw.select(
+        "doc_id", F.col("rnk").alias("rank_kw"), F.lit(None).cast("bigint").alias("rank_vec")
+    )
+    v = vec.select(
+        "doc_id", F.lit(None).cast("bigint").alias("rank_kw"), F.col("rnk").alias("rank_vec")
+    )
+    fused = (
+        k.unionByName(v)
+        .groupBy("doc_id")
+        .agg(F.max("rank_kw").alias("rank_kw"), F.max("rank_vec").alias("rank_vec"))
+        .select(
+            "doc_id",
+            "rank_kw",
+            "rank_vec",
+            (
+                F.coalesce(F.expr(f"{RRF_SCALE} div ({RRF_K} + rank_kw)"), F.lit(0))
+                + F.coalesce(F.expr(f"{RRF_SCALE} div ({RRF_K} + rank_vec)"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("rrf_score"),
         )
-        .cast("bigint")
-        .alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(TOPK_FUSED)
 
