@@ -88,6 +88,12 @@ HEADLINE = [
     "sketch_kmv_distinct",
     "mix_waterfill_allocation",
     "sample_stratified_exact_n",
+    # r6-extended3 (additions only): retrieval, grouped ANN, profiling,
+    # and journey analytics
+    "search_hybrid_rrf",
+    "similarity_topk_per_label",
+    "profile_table_stats",
+    "event_transition_matrix",
 ]
 
 
@@ -363,7 +369,9 @@ def main() -> None:
                 # r6-extended2 added prefix-filter dedup, the histogram/KMV
                 # sketches, the assembly ops, and the incremental
                 # build/probe split (all additions only)
-                "headline_set": "r6-extended2",
+                # r6-extended3 added the retrieval / grouped-ANN /
+                # profiling / transition rows (additions only)
+                "headline_set": "r6-extended3",
                 "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
