@@ -221,26 +221,21 @@ def time_prepare_corpus_split(spark, timings: dict[str, float]) -> None:
     import shutil
     import tempfile
 
-    from pyspark.sql import functions as F
-
     from eth_event_stream_spark.plans.catalog import t_parallel
     from eth_event_stream_spark.plans.pipeline import (
-        _BENCH_FILTER,
         _lsh_candidate_pairs,
         _minhash_prep_spark,
         _verify_candidates_spark,
+        prepare_collapse_reps,
+        prepare_finalize,
+        prepare_quality_filter,
         LSH_BUCKET_CAP,
         SHINGLE_DF_CAP,
-        STOPWORDS,
     )
 
     work = tempfile.mkdtemp(prefix="prep_stages_")
     try:
         d = t_parallel(spark, SF_DIR, "documents")
-        toks = F.split(F.lower(F.col("text")), " ", -1)
-        sw = F.array(*[F.lit(w) for w in STOPWORDS])
-        n_tokens = F.size(toks)
-        n_stop = F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
 
         def timed(name: str, build, sink: str | None):
             best = float("inf")
@@ -256,21 +251,11 @@ def time_prepare_corpus_split(spark, timings: dict[str, float]) -> None:
 
         timed(
             "prepare_quality",
-            lambda: d.filter(~F.expr(_BENCH_FILTER))
-            .filter((n_tokens >= 5) & (n_stop.cast("double") / n_tokens > 0.05))
-            .select("doc_id", "text"),
+            lambda: prepare_quality_filter(d).select("doc_id", "text"),
             "qual",
         )
         qual = spark.read.parquet(f"{work}/qual")
-        timed(
-            "prepare_collapse",
-            lambda: qual.groupBy(F.md5("text").alias("content_hash")).agg(
-                F.min("doc_id").alias("doc_id"),
-                F.min("text").alias("text"),
-                F.count("*").alias("n_copies"),
-            ),
-            "reps",
-        )
+        timed("prepare_collapse", lambda: prepare_collapse_reps(qual), "reps")
         reps = spark.read.parquet(f"{work}/reps")
         timed(
             "prepare_nominate",
@@ -289,42 +274,7 @@ def time_prepare_corpus_split(spark, timings: dict[str, float]) -> None:
             "pairs",
         )
         pairs = spark.read.parquet(f"{work}/pairs")
-
-        def finalize():
-            edges = pairs.select(
-                F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr")
-            ).union(
-                pairs.select(
-                    F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr")
-                )
-            )
-            mins = edges.groupBy("doc_id").agg(F.min("nbr").alias("mn"))
-            fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
-            bench = (
-                d.filter(F.expr(_BENCH_FILTER))
-                .select(fp.alias("fp"))
-                .distinct()
-                .withColumn("hit", F.lit(1))
-            )
-            kept = (
-                reps.join(mins, "doc_id", "left")
-                .filter(F.col("mn").isNull() | (F.col("mn") > F.col("doc_id")))
-                .withColumn("fp", fp)
-                .join(F.broadcast(bench), "fp", "left")
-                .filter(F.col("hit").isNull())
-            )
-            digit = F.substring(
-                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
-                1,
-                1,
-            )
-            return kept.select(
-                "doc_id",
-                "n_copies",
-                F.when(digit < "d", "train").otherwise("holdout").alias("split"),
-            )
-
-        timed("prepare_finalize", finalize, None)
+        timed("prepare_finalize", lambda: prepare_finalize(reps, pairs, d), None)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import t
+from .catalog import t, t_parallel
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -696,7 +696,7 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shield every composition here uses); this raw form stays registered as
     the ground-truth-complete reference.
     """
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = t_parallel(spark, sf_dir, "documents").select("doc_id", "text")
     return prefix_filter_pairs(d)
 
 
@@ -726,7 +726,7 @@ def dedup_collapse_then_prefix_verify(spark: SparkSession, sf_dir: str) -> DataF
     representatives: every near-dup pair of distinct texts, no caps, no
     recall loss — the exactness LSH cannot offer, at a cost the collapse
     keeps flat under duplication."""
-    d = t(spark, sf_dir, "documents")
+    d = t_parallel(spark, sf_dir, "documents")
     # materialize the collapse once (localCheckpoint, the cooccur-vocab
     # pattern): reps feeds FOUR consumers (prefix shingles, verify
     # shingles, both copy-count lookups) and each would otherwise re-run

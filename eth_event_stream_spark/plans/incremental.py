@@ -342,11 +342,14 @@ def dedup_incremental_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Persisted artifacts: the production ingest cycle's on-disk state
 # ---------------------------------------------------------------------------
 
+# name -> {column: spark dtype}; the loader validates NAMES AND TYPES — a
+# dtype drift (e.g. a future writer re-encoding band keys) would make the
+# probe join silently match nothing, which is worse than a schema error
 _ARTIFACT_SCHEMAS = {
-    "band_index": {"doc_id", "band_idx", "key"},
-    "hot_shingles": {"s"},
-    "shingle_index": {"doc_id", "s"},
-    "chunk_index": {"h"},
+    "band_index": {"doc_id": "bigint", "band_idx": "int", "key": "string"},
+    "hot_shingles": {"s": "string"},
+    "shingle_index": {"doc_id": "bigint", "s": "string"},
+    "chunk_index": {"h": "string"},
 }
 _ARTIFACT_META = "artifact_meta.json"
 
@@ -387,8 +390,13 @@ def persist_corpus_artifacts(corpus: DataFrame, out_dir: str) -> None:
 
     from .curation import corpus_chunk_index
 
-    cex = _distinct_shingles(corpus)
-    hot = _corpus_hot_shingles(cex)
+    # materialize the shingle index and hot list once: cex feeds the hot
+    # aggregate AND the anti-joined shingle_index write, and hot feeds its
+    # own write AND that anti-join — without the checkpoint the corpus
+    # scan + shingle explode would re-run per consumer (this function IS
+    # the timed incremental_build bench row)
+    cex = _distinct_shingles(corpus).localCheckpoint(eager=True)
+    hot = _corpus_hot_shingles(cex).localCheckpoint(eager=True)
     frames = {
         "band_index": corpus_band_index(corpus),
         "hot_shingles": hot,
@@ -420,10 +428,10 @@ def load_corpus_artifacts(spark: SparkSession, art_dir: str) -> dict[str, DataFr
     arts: dict[str, DataFrame] = {}
     for name, cols in _ARTIFACT_SCHEMAS.items():
         df = spark.read.parquet(os.path.join(art_dir, f"{name}.parquet"))
-        if set(df.columns) != cols:
+        if dict(df.dtypes) != cols:
             raise ValueError(
-                f"artifact {name} at {art_dir} has columns {sorted(df.columns)}, "
-                f"expected {sorted(cols)} — schema drift between cycles"
+                f"artifact {name} at {art_dir} has schema {sorted(df.dtypes)}, "
+                f"expected {sorted(cols.items())} — schema drift between cycles"
             )
         arts[name] = df
     return arts

@@ -1357,22 +1357,44 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per surviving representative (doc_id, n_copies, split).
     """
     d = t_parallel(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ", -1)
-    sw = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
-    train = d.filter(~F.expr(_BENCH_FILTER)).filter(
-        (n_tokens >= 5) & (n_stop.cast("double") / n_tokens > 0.05)
-    )
-    reps = train.groupBy(F.md5("text").alias("content_hash")).agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min("text").alias("text"),
-        F.count("*").alias("n_copies"),
-    )
+    reps = prepare_collapse_reps(prepare_quality_filter(d))
     pairs = _lsh_then_verify_spark(
         spark, sf_dir, LSH_BUCKET_CAP, SHINGLE_DF_CAP,
         docs=reps.select("doc_id", "text"),
     ).select("doc_a", "doc_b")
+    return prepare_finalize(reps, pairs, d)
+
+
+def prepare_quality_filter(d: DataFrame) -> DataFrame:
+    """Stages 1+2 of pipeline_prepare_corpus (benchmark drop + quality
+    gate) — ONE definition shared with the bench stage harness
+    (``bench.py::time_prepare_corpus_split``), so the per-stage timing rows
+    can never drift from the composed query they decompose."""
+    toks = F.split(F.lower(F.col("text")), " ", -1)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
+    return d.filter(~F.expr(_BENCH_FILTER)).filter(
+        (n_tokens >= 5) & (n_stop.cast("double") / n_tokens > 0.05)
+    )
+
+
+def prepare_collapse_reps(train: DataFrame) -> DataFrame:
+    """Stage 3: exact-collapse to min-id representatives (shared with the
+    bench stage harness)."""
+    return train.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("text").alias("text"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def prepare_finalize(reps: DataFrame, pairs: DataFrame, d: DataFrame) -> DataFrame:
+    """Stages 4b-6: one-hop canonical keep over verified pairs, exact
+    decontamination, md5 split (shared with the bench stage harness).
+    ``pairs`` needs columns (doc_a, doc_b); ``d`` is the RAW corpus (the
+    benchmark fingerprints come from the pre-filter table)."""
+    pairs = pairs.select("doc_a", "doc_b")
     edges = pairs.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr")).union(
         pairs.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr"))
     )

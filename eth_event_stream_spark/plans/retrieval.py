@@ -84,8 +84,7 @@ def search_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cut is TakeOrdered ({TOPK_LANE}-row heaps per partition); rank
     assignment is a broadcast self-join on the {TOPK_LANE}-row result,
     never a global window."""
-    kw, _ = _keyword_lane(spark, sf_dir)
-    return kw.select("doc_id", "score", "rnk")
+    return _keyword_lane(spark, sf_dir).select("doc_id", "score", "rnk")
 
 
 def _rank_topk(scored: DataFrame, id_col: str, score_col: str, k: int) -> DataFrame:
@@ -123,7 +122,7 @@ def _keyword_lane(spark: SparkSession, sf_dir: str):
             .alias("score")
         )
     )
-    return _rank_topk(scored, "doc_id", "score", TOPK_LANE), d
+    return _rank_topk(scored, "doc_id", "score", TOPK_LANE)
 
 
 # cosine fragments shared with the similarity family (pipeline.py's
@@ -206,7 +205,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     {TOPK_LANE}-row frames — constant work after the lane scans, and the
     lanes themselves are the already-benched keyword and brute-cosine
     shapes (swap in the IVF/PQ lane for the corpus-scale path)."""
-    kw, _ = _keyword_lane(spark, sf_dir)
+    kw = _keyword_lane(spark, sf_dir)
     vec = _vector_lane(spark, sf_dir)
     # lane alignment as UNION + max-aggregate instead of a FULL OUTER join:
     # full outer cannot broadcast either side, so Spark plans a
@@ -320,6 +319,12 @@ def score_keywords_pinned(df: DataFrame, idf: dict[str, int]) -> DataFrame:
     stage (per-doc score depends only on the row and the pinned weights;
     the top-k cut stays a batch/serving concern). Emits only matching
     docs (score > 0)."""
+    if not idf:
+        raise ValueError(
+            "score_keywords_pinned: empty idf weights — no query term "
+            "occurs in the corpus release these weights were pinned from; "
+            "re-pin against a corpus that contains the query vocabulary"
+        )
     toks = F.split(F.lower(F.col("text")), " ", -1)
     score = None
     for term, w in sorted(idf.items()):
