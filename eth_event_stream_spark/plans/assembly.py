@@ -76,10 +76,13 @@ _SQL_WATERFILL = f"""
       SELECT COALESCE(SUM(CASE WHEN fully = 1 THEN avail END), 0) AS sum_full,
              COALESCE(SUM(fully), 0) AS n_full
       FROM flagged)
+    -- CAST to BIGINT: full_tot's SUM promotes to HUGEINT in DuckDB, which
+    -- the driver surfaces as float64 and hash-mismatches Spark's int64
+    -- (the one red row in CORRECTNESS_r06 — values were identical).
     SELECT f.lang, f.avail AS avail_tokens,
-           CASE WHEN f.fully = 1 THEN f.avail
+           CAST(CASE WHEN f.fully = 1 THEN f.avail
                 ELSE (f.budget - ft.sum_full) // (f.n - ft.n_full)
-           END AS alloc_tokens,
+           END AS BIGINT) AS alloc_tokens,
            CAST(1 - f.fully AS INT) AS capped
     FROM flagged f, full_tot ft
     """

@@ -716,8 +716,11 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ABS(l_discount - 0.05) AS disc_dev,
-           FLOOR(l_extendedprice) AS price_floor,
-           CEIL(l_quantity) AS qty_ceil,
+           -- BIGINT casts: DuckDB FLOOR/CEIL return DOUBLE while Spark's
+           -- return bigint; the driver's pandas stringify hash would see
+           -- "123.0" vs "123" (same latent class as the HUGEINT oracles).
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
            CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS price_sq,
            MOD(l_orderkey, 7) AS key_mod
     FROM lineitem WHERE l_orderkey <= 500

@@ -534,7 +534,9 @@ def _sql_pq_search(rounds: int) -> str:
                CAST(ROUND({_SQL_PQ_L2.format(a="sv", b="ce")} * 1000000, 0)
                     AS BIGINT) AS qd
              FROM sub s JOIN {final_cb} c USING (m) WHERE s.vec_id = 0),
-    approx AS (SELECT k.vec_id, SUM(t.qd) AS adist_micro
+    -- BIGINT cast: SUM over BIGINT promotes to HUGEINT in DuckDB, which the
+    -- driver surfaces as float64 and hash-mismatches Spark's bigint.
+    approx AS (SELECT k.vec_id, CAST(SUM(t.qd) AS BIGINT) AS adist_micro
                FROM codes k JOIN dtab t ON k.m = t.m AND k.code = t.j
                WHERE k.vec_id != 0
                GROUP BY k.vec_id),

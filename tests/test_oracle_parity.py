@@ -27,19 +27,34 @@ def _duck(sf_dir: str):
 
 
 def _norm(v):
-    """Normalize a cell for cross-engine comparison."""
+    """Normalize a cell for cross-engine comparison.
+
+    Type-TAGGED, because the driver hashes pandas-stringified values where
+    int64 "3549" != float64 "3549.0": an int cell and a float cell must
+    never compare equal here even when the Python values do (the round-6
+    waterfill HUGEINT oracle passed this gate untagged and failed the
+    driver).  Decimal maps to the float tag on BOTH engines — the driver
+    surfaces DuckDB DECIMAL as float64, so a decimal column is
+    float-family there too.
+    """
+    from decimal import Decimal
+
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("f", "NaN")
+        return ("f", v)
+    if isinstance(v, Decimal):
+        return ("f", float(v))
     if hasattr(v, "isoformat"):  # datetime/date
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
-    from decimal import Decimal
-
-    if isinstance(v, Decimal):
-        return float(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
     return v
 
 
@@ -48,6 +63,50 @@ def _rows_to_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon = [tuple(_norm(r[i]) for i in order) for r in rows]
     return sorted(cols), sorted(canon, key=repr)
+
+
+def _spark_family(dt) -> str:
+    """Collapse a Spark DataType to the family the driver's pandas
+    stringification distinguishes."""
+    t = dt.typeName()
+    if t in ("byte", "short", "integer", "long"):
+        return "int"
+    if t in ("float", "double", "decimal"):
+        return "float"
+    if t in ("timestamp", "timestamp_ntz"):
+        return "ts"
+    if t in ("string", "varchar", "char"):
+        return "str"
+    if t == "binary":
+        return "bin"
+    return t  # boolean, date, array, struct, map
+
+
+def _duck_family(t) -> str:
+    """Collapse a DuckDB type to the same families; HUGEINT gets its own
+    never-matching family because pandas widens it to float64 while the
+    values are integral — the exact drift that red-flagged round 6."""
+    s = str(t)
+    if s in ("HUGEINT", "UHUGEINT", "UBIGINT"):
+        return "hugeint"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "int"
+    if s in ("FLOAT", "DOUBLE") or s.startswith("DECIMAL"):
+        return "float"
+    if s.startswith("TIMESTAMP"):
+        return "ts"
+    if s == "VARCHAR":
+        return "str"
+    if s == "BLOB":
+        return "bin"
+    if s.endswith("[]"):
+        return "array"
+    if s.startswith("STRUCT"):
+        return "struct"
+    if s.startswith("MAP"):
+        return "map"
+    return {"BOOLEAN": "boolean", "DATE": "date"}.get(s, s.lower())
 
 
 ORACLE_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
@@ -61,6 +120,8 @@ def test_query_matches_oracle(spark, sf_dir, name):
     spark_cols = sdf.columns
 
     con = _duck(sf_dir)
+    rel = con.sql(q.oracle)
+    duck_types = {c: t for c, t in zip(rel.columns, rel.types)}
     res = con.execute(q.oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
@@ -69,6 +130,21 @@ def test_query_matches_oracle(spark, sf_dir, name):
     d_cols, d_rows = _rows_to_multiset(duck_cols, duck_rows)
 
     assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+
+    # Driver-faithful TYPE gate: the driver hashes pandas-stringified
+    # values, so a column whose DuckDB type family differs from the Spark
+    # family ("3549" vs "3549.0") is a driver failure even when every
+    # Python value compares equal.  fetchall() hides this (HUGEINT comes
+    # back as Python int), so it must be checked at the type level.
+    spark_fams = {f.name: _spark_family(f.dataType) for f in sdf.schema.fields}
+    fam_bad = [
+        (c, str(duck_types[c]), spark_fams[c])
+        for c in duck_cols
+        if _duck_family(duck_types[c]) != spark_fams[c]
+    ]
+    assert not fam_bad, (
+        f"{name}: oracle/Spark type-family drift (col, duck, spark): {fam_bad}"
+    )
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
     )
