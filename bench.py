@@ -94,6 +94,11 @@ HEADLINE = [
     "similarity_topk_per_label",
     "profile_table_stats",
     "event_transition_matrix",
+    # round-7 additions (r7-extended, additions only): the production-lane
+    # hybrid search (keyword lane fused with the learned-IVF lane) and the
+    # approx profiling twin for the 100 TB profiler
+    "search_hybrid_rrf_ivf",
+    "profile_table_stats_approx",
 ]
 
 
@@ -290,6 +295,10 @@ def main() -> None:
     for name in HEADLINE:
         best = float("inf")
         for _ in range(2):
+            # queries that persist() intermediates (pipeline_prepare_corpus)
+            # must not serve the second timed run from the first run's
+            # cache — each run pays the full materialization cost
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             run_query(QUERIES[name].fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)

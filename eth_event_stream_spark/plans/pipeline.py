@@ -1357,7 +1357,27 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per surviving representative (doc_id, n_copies, split).
     """
     d = t_parallel(spark, sf_dir, "documents")
-    reps = prepare_collapse_reps(prepare_quality_filter(d))
+    # Materialize the collapse output ONCE: its subtree (scan + quality
+    # filter + exact-collapse shuffle) has THREE consumers downstream
+    # (minhash bands, the shingle index, and the finalize join) and an
+    # unmaterialized plan re-executes it for each — at 100 TB that is
+    # three redundant full corpus scans per run. localCheckpoint beats
+    # both alternatives, measured at sf0.1 best-of-2 in one warm session:
+    # localCheckpoint 4.5 s, unmaterialized 6.2 s, persist() 12.3 s (the
+    # InMemoryRelation defeats AQE's stage planning downstream and the
+    # run devolves into a long chain of sequential shuffle stages).
+    # Cluster-mode caveat as documented for PageRank (ledger.py): a lost
+    # executor kills a lineage-truncated run — a production deployment
+    # stages this boundary to parquet (exactly what bench.py's prepare_*
+    # stage rows measure) or uses reliable checkpoint().
+    reps = (
+        prepare_collapse_reps(prepare_quality_filter(d))
+        # content_hash is dead past the collapse — drop it before the
+        # materialization so the checkpoint doesn't store a second hash
+        # column per row
+        .select("doc_id", "text", "n_copies")
+        .localCheckpoint(eager=True)
+    )
     pairs = _lsh_then_verify_spark(
         spark, sf_dir, LSH_BUCKET_CAP, SHINGLE_DF_CAP,
         docs=reps.select("doc_id", "text"),

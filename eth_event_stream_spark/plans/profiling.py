@@ -99,6 +99,53 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("profile_table_stats_approx", oracle=None)
+def profile_table_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``profile_table_stats``: ndv via
+    ``approx_count_distinct`` (HyperLogLog++, rsd 0.05) instead of the
+    exact multi-count-distinct. The exact ndv RIDES ALONG so the estimate's
+    error is visible in the result (``ndv_err_pct``) and the published
+    guarantee is auditable (``within_bound``: |approx - exact| <= 3*rsd) —
+    at production scale you drop the exact lane and this becomes a single
+    partial-combining HashAggregate with CONSTANT per-column state (one
+    HLL sketch each), no Expand, no shuffle of distinct values; the exact
+    lane is precisely the already-oracled ``profile_table_stats``.
+
+    Rows-only by nature (the HLL estimate is engine-specific — DuckDB's
+    approx_count_distinct uses a different sketch — so no cross-engine
+    value hash can exist); the contract the driver CAN check lives in the
+    oracled sketches and in ``agg_approx_distinct``'s bound form."""
+    o = t_parallel(spark, sf_dir, "orders")
+    aggs = []
+    for c in _ORDERS_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__ndv"),
+            F.approx_count_distinct(c, rsd=0.05).cast("bigint").alias(f"{c}__andv"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__ndv, {c}__andv" for c in _ORDERS_COLS
+    )
+    long = wide.selectExpr(
+        f"stack({len(_ORDERS_COLS)}, {stack_args}) AS "
+        "(col, n_rows, n_nulls, ndv_exact, ndv_approx)"
+    )
+    err = F.abs(F.col("ndv_approx") - F.col("ndv_exact")).cast("double") / F.greatest(
+        F.col("ndv_exact"), F.lit(1)
+    )
+    return long.select(
+        "col",
+        "n_rows",
+        "n_nulls",
+        "ndv_exact",
+        "ndv_approx",
+        F.round(err * 100, 2).alias("ndv_err_pct"),
+        (err <= 3 * 0.05).alias("within_bound"),
+    )
+
+
 _FK_EDGES = [
     ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),

@@ -205,13 +205,18 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     {TOPK_LANE}-row frames — constant work after the lane scans, and the
     lanes themselves are the already-benched keyword and brute-cosine
     shapes (swap in the IVF/PQ lane for the corpus-scale path)."""
-    kw = _keyword_lane(spark, sf_dir)
-    vec = _vector_lane(spark, sf_dir)
-    # lane alignment as UNION + max-aggregate instead of a FULL OUTER join:
-    # full outer cannot broadcast either side, so Spark plans a
-    # SortMergeJoin even for two 20-row frames; the union form is one hash
-    # aggregate (each lane contributes at most one row per doc, so max()
-    # recovers exactly the outer join's rank columns)
+    return _rrf_fuse(_keyword_lane(spark, sf_dir), _vector_lane(spark, sf_dir))
+
+
+def _rrf_fuse(kw: DataFrame, vec: DataFrame) -> DataFrame:
+    """RRF fusion of two ranked lanes (doc_id, ..., rnk) — shared by the
+    brute-cosine and IVF hybrid registrations.
+
+    Lane alignment as UNION + max-aggregate instead of a FULL OUTER join:
+    full outer cannot broadcast either side, so Spark plans a
+    SortMergeJoin even for two 20-row frames; the union form is one hash
+    aggregate (each lane contributes at most one row per doc, so max()
+    recovers exactly the outer join's rank columns)."""
     k = kw.select(
         "doc_id", F.col("rnk").alias("rank_kw"), F.lit(None).cast("bigint").alias("rank_vec")
     )
@@ -235,6 +240,58 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(TOPK_FUSED)
+
+
+def _sql_hybrid_ivf() -> str:
+    from .vectors import LLOYD_ROUNDS, _ivf_ctes
+
+    ivf = ",\n    ".join(_ivf_ctes(LLOYD_ROUNDS))
+    return f"""
+    WITH {_SQL_KEYWORD_SCORED},
+    {ivf},
+    vec AS (
+      SELECT doc_id, cosine, rnk FROM (
+        SELECT vec_id AS doc_id, cosine,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored) r
+      WHERE rnk <= {TOPK_LANE}),
+    fused AS (
+      SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+             kw.rnk AS rank_kw, vec.rnk AS rank_vec,
+             CAST(COALESCE({RRF_SCALE} // ({RRF_K} + kw.rnk), 0)
+                  + COALESCE({RRF_SCALE} // ({RRF_K} + vec.rnk), 0) AS BIGINT)
+               AS rrf_score
+      FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id)
+    SELECT doc_id, rank_kw, rank_vec, rrf_score FROM fused
+    ORDER BY rrf_score DESC, doc_id LIMIT {TOPK_FUSED}
+    """
+
+
+@register("search_hybrid_rrf_ivf", oracle=_sql_hybrid_ivf())
+def search_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-lane hybrid search promised by ``search_hybrid_rrf``'s
+    docstring: the same integer-exact RRF fusion, but with the embedding
+    lane served by the learned-IVF index (build + probe, exactly
+    ``similarity_topk_ivf``'s machinery) instead of the brute-force scan.
+
+    100 TB shape: the keyword lane is the benched inverted-index build +
+    TakeOrdered cut; the vector lane probes N_PROBE of K cells against the
+    broadcast centroid table (candidate set ~ N_PROBE*N/K, never the full
+    corpus — in production the centroid table is the persisted index and
+    the Lloyd build amortizes across queries; bench.py's ivf_build /
+    ivf_search split measures that amortization); the fusion is a hash
+    aggregate of two {TOPK_LANE}-row frames. The DuckDB oracle splices the
+    generated IVF CTE chain (identical Lloyd rounds and tie-breaks) into
+    the keyword + fusion SQL, so the driver hash-checks the full composed
+    production path."""
+    from .vectors import ivf_build_centroids, ivf_candidates_scored
+
+    cent = ivf_build_centroids(spark, sf_dir)
+    scored = ivf_candidates_scored(spark, sf_dir, cent).select(
+        F.col("vec_id").alias("doc_id"), "cosine"
+    )
+    vec = _rank_topk(scored, "doc_id", "cosine", TOPK_LANE)
+    return _rrf_fuse(_keyword_lane(spark, sf_dir), vec)
 
 
 @register(

@@ -253,9 +253,11 @@ _SQL_L2D = (
 )
 
 
-def _sql_ivf(rounds: int) -> str:
-    """Oracle SQL for the learned-IVF search with ``rounds`` Lloyd rounds —
-    generated so the round count is one knob shared with the Spark plan."""
+def _ivf_ctes(rounds: int) -> list[str]:
+    """The IVF oracle's CTE chain (seed -> Lloyd rounds -> assignment ->
+    probes -> scored candidates), exposed as a list so composed oracles
+    (the hybrid-retrieval fusion in retrieval.py) can splice it into a
+    larger WITH clause."""
     ctes = [
         "e AS (SELECT vec_id, label, embedding FROM embeddings)",
         f"""cent_arr0 AS (SELECT vec_id AS cid,
@@ -308,8 +310,14 @@ def _sql_ivf(rounds: int) -> str:
                   i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))), 6) AS cosine
            FROM cand JOIN e ON e.vec_id = cand.vec_id, q)""",
     ]
+    return ctes
+
+
+def _sql_ivf(rounds: int) -> str:
+    """Oracle SQL for the learned-IVF search with ``rounds`` Lloyd rounds —
+    generated so the round count is one knob shared with the Spark plan."""
     return (
-        "WITH " + ",\n    ".join(ctes) + "\n"
+        "WITH " + ",\n    ".join(_ivf_ctes(rounds)) + "\n"
         "    SELECT vec_id, label, cell, cosine FROM scored\n"
         "    ORDER BY cosine DESC, vec_id LIMIT 10"
     )
@@ -366,13 +374,16 @@ def ivf_build_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cent_arr
 
 
-def ivf_search_topk(
+def ivf_candidates_scored(
     spark: SparkSession, sf_dir: str, cent_arr: DataFrame
 ) -> DataFrame:
-    """IVF search against a prebuilt centroid table: assign every vector to
-    its nearest cell (broadcast K-row join + min_by partial agg), probe the
-    N_PROBE cells nearest the query, and score candidates with the exact
-    cosine — candidate set ~ N_PROBE*N/K instead of N."""
+    """IVF probe against a prebuilt centroid table, WITHOUT the final cut:
+    assign every vector to its nearest cell (broadcast K-row join + min_by
+    partial agg), probe the N_PROBE cells nearest the query, and score
+    every candidate with the exact cosine — candidate set ~ N_PROBE*N/K
+    instead of N. Returns (vec_id, label, cell, cosine) so callers choose
+    their own cut (global top-10 here; top-TOPK_LANE ranks in the hybrid
+    fusion lane)."""
     e = t(spark, sf_dir, "embeddings")
     l2 = (
         "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), ce, "
@@ -417,6 +428,17 @@ def ivf_search_topk(
             "cell",
             F.round(F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))"), 6).alias("cosine"),
         )
+    )
+
+
+def ivf_search_topk(
+    spark: SparkSession, sf_dir: str, cent_arr: DataFrame
+) -> DataFrame:
+    """IVF search against a prebuilt centroid table: the scored candidate
+    probe (``ivf_candidates_scored``) cut to the global top-10 via a
+    TakeOrdered heap."""
+    return (
+        ivf_candidates_scored(spark, sf_dir, cent_arr)
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
