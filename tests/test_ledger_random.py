@@ -101,6 +101,30 @@ def test_pagerank_matches_dense_simulation(spark):
     assert got == want
 
 
+def test_pagerank_reliable_checkpoint_matches_local(spark, tmp_path):
+    """The cluster-mode materialization (reliable checkpoint() into a
+    checkpoint dir — survives executor loss) must produce bit-identical
+    ranks to the local-mode default (localCheckpoint), and must actually
+    write recovery state into the directory."""
+    rng = random.Random(78)
+    pairs = {
+        (f"a{rng.randint(0, 15)}", f"b{rng.randint(0, 9)}") for _ in range(60)
+    }
+    edges = [(s, d) for s, d in pairs] + [(d, s) for s, d in pairs]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    local = {r["node"]: r["rank_scaled"] for r in pagerank_of(df, rounds=4).collect()}
+    ckdir = str(tmp_path / "pr_ck")
+    reliable = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_of(df, rounds=4, checkpoint_dir=ckdir).collect()
+    }
+    assert reliable == local
+    import pathlib
+
+    written = list(pathlib.Path(ckdir).rglob("*"))
+    assert any(p.is_file() for p in written), "no reliable checkpoint files"
+
+
 def _sim_pagerank_weighted(edges, rounds):
     """Dense dict iteration of the weighted contract: contribution u->v is
     (rank_u * w_uv) // W_u."""
