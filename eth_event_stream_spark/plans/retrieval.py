@@ -392,3 +392,55 @@ def score_keywords_pinned(df: DataFrame, idf: dict[str, int]) -> DataFrame:
         df.select("doc_id", score.cast("bigint").alias("score"))
         .filter(F.col("score") > 0)
     )
+
+
+class KeywordTopKServer:
+    """The SERVING half of the streaming keyword lane: a ``foreachBatch``
+    sink that maintains the running global top-k of a streamed
+    (doc_id, score) feed in a k-row parquet serving table.
+
+    Per micro-batch: cut the batch to its own top-k (TakeOrdered heap),
+    merge with the current k-row table, dedup by doc_id (max score), keep
+    the best k by (score desc, doc_id asc) — the exact tie-break of
+    ``_rank_topk`` — and atomically overwrite. State is O(k) regardless of
+    stream length, and because the max-k merge is a commutative,
+    idempotent monoid, neither batching, arrival order, nor an epoch
+    replay after a failure can change the final table (the doc_id dedup
+    absorbs replayed rows). The k-row collect is bounded driver metadata,
+    same as the pinned-threshold pattern.
+
+    Closes the stream==batch story for the retrieval family:
+    ``score_keywords_pinned`` streams the scoring, this streams the cut;
+    parity with the batch ``search_keyword_topk`` is pinned in
+    tests/test_streaming.py."""
+
+    def __init__(self, path: str, k: int = TOPK_LANE):
+        self.path = path
+        self.k = k
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        batch_top = batch_df.select("doc_id", "score").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        ).limit(self.k)
+        try:
+            merged = spark.read.parquet(self.path).unionByName(batch_top)
+        except AnalysisException:  # first epoch: no serving table yet
+            merged = batch_top
+        top = (
+            merged.groupBy("doc_id")
+            .agg(F.max("score").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(self.k)
+        )
+        rows = top.collect()  # k rows — materialize BEFORE overwriting the input
+        spark.createDataFrame(rows, top.schema).write.mode("overwrite").parquet(
+            self.path
+        )
+
+    def current(self, spark: SparkSession) -> DataFrame:
+        """The served top-k with ROW_NUMBER-equal ranks — same output
+        shape as ``search_keyword_topk``."""
+        return _rank_topk(spark.read.parquet(self.path), "doc_id", "score", self.k)

@@ -269,11 +269,19 @@ class FunnelReducer(EventReducer):
         return [(state["v"], state["c"], state["p"], state["m"])]
 
     def rows_to_state(self, rows) -> Any:
+        row = rows[0]
         return {
-            "v": rows[0][0],
-            "c": rows[0][1],
-            "p": rows[0][2],
-            "m": rows[0][3],
+            "v": row[0],
+            "c": row[1],
+            "p": row[2],
+            # Checkpoint-compat: round-6 added the max-block lane ``m`` as a
+            # 4th state column. A checkpoint written under the 3-column
+            # schema restores with m=None — the in-order guard re-arms on
+            # the next folded block instead of failing the restore. (Spark's
+            # state-store schema check must also accept the widening; where
+            # it refuses, the documented path is a fresh checkpoint — the
+            # fold itself is replayable from the source's block frontier.)
+            "m": row[3] if len(row) > 3 else None,
         }
 
 

@@ -1708,6 +1708,25 @@ def test_funnel_reducer_stream_out_of_order_raises(spark, sf_dir, tmp_path):
         q.stop()
 
 
+def test_funnel_reducer_restores_legacy_3col_state():
+    """A checkpoint written before the in-order guard stored 3-column
+    funnel state (v, c, p — no max-block lane). rows_to_state must restore
+    it with m=None (guard re-arms on the next folded block) instead of
+    crashing the resumed query on an IndexError."""
+    from eth_event_stream_spark.streaming.reducer import FunnelReducer
+
+    r = FunnelReducer()
+    legacy = r.rows_to_state([(100, 200, None)])
+    assert legacy == {"v": 100, "c": 200, "p": None, "m": None}
+    modern = r.rows_to_state([(100, 200, None, 250)])
+    assert modern == {"v": 100, "c": 200, "p": None, "m": 250}
+    # and the restored legacy state folds on without tripping the guard
+    import pandas as pd
+
+    out = r.reduce(legacy, pd.DataFrame({"block_number": [300], "event_type": ["purchase"]}))
+    assert out["p"] == 300 and out["m"] == 300
+
+
 def test_countmin_sketch_stream_matches_batch(spark, sf_dir, tmp_path):
     """Streaming twin of the Count-Min sketch build: documents arrive
     file-by-file and the sketch is maintained as an update-mode streaming
@@ -1811,3 +1830,61 @@ def test_keyword_scoring_stream_matches_batch(spark, sf_dir, tmp_path):
         (r["doc_id"], r["score"]) for r in spark.table("kw_stream_sink").collect()
     }
     assert got == batch
+
+
+def test_keyword_topk_serving_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The serving-side top-k cut, streamed: score_keywords_pinned feeds a
+    foreachBatch KeywordTopKServer that maintains a k-row parquet serving
+    table (batch top-k merged with the running top-k, doc_id-deduped — a
+    commutative idempotent monoid, so batching and replay cannot change
+    it). After the stream drains, the served table with ranks must equal
+    the batch search_keyword_topk rows exactly, closing the stream==batch
+    story for the retrieval family (scoring twin above, cut twin here)."""
+    from eth_event_stream_spark.plans.retrieval import (
+        KeywordTopKServer,
+        keyword_idf_weights,
+        score_keywords_pinned,
+        search_keyword_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idf = keyword_idf_weights(docs)
+    assert idf, "no query term present in fixture; test vacuous"
+    expected = {
+        (r["doc_id"], r["score"], r["rnk"])
+        for r in search_keyword_topk(spark, sf_dir).collect()
+    }
+    assert expected
+
+    src = tmp_path / "docs_kwserve_stream"
+    docs.repartition(4).write.parquet(str(src))
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    server = KeywordTopKServer(str(tmp_path / "kw_serving"))
+    q = (
+        score_keywords_pinned(sdf, idf)
+        .writeStream.foreachBatch(server)
+        .option("checkpointLocation", str(tmp_path / "ck_kwserve"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["doc_id"], r["score"], r["rnk"])
+        for r in server.current(spark).collect()
+    }
+    assert got == expected
+
+    # replay-idempotence: re-feeding the full scored set as one more
+    # "epoch" must leave the serving table unchanged
+    server(score_keywords_pinned(docs, idf), epoch_id=999)
+    again = {
+        (r["doc_id"], r["score"], r["rnk"])
+        for r in server.current(spark).collect()
+    }
+    assert again == expected
