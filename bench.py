@@ -330,7 +330,12 @@ def main() -> None:
                 # build/probe split (all additions only)
                 # r6-extended3 added the retrieval / grouped-ANN /
                 # profiling / transition rows (additions only)
-                "headline_set": "r6-extended3",
+                # r7-extended added the hybrid-IVF retrieval and approx
+                # profiler rows (additions only); NOTE pipeline_prepare_
+                # corpus gained a localCheckpoint materialization boundary
+                # in r7 (same answer, ~1.4x faster composed row) and timed
+                # runs now clearCache between iterations
+                "headline_set": "r7-extended",
                 "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

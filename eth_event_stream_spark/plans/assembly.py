@@ -157,8 +157,122 @@ def mix_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temperature-weighted mixing
+# ---------------------------------------------------------------------------
+
+_SQL_TEMPERATURE = f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(SUM(LEN(string_split(lower(text), ' '))) AS BIGINT) AS avail
+      FROM documents GROUP BY lang),
+    -- alpha = 0.5 temperature: weight = floor(sqrt(avail)); sqrt of an
+    -- exactly-representable BIGINT (< 2^53) is correctly rounded IEEE in
+    -- both engines, so the floor is bit-stable
+    w AS (SELECT lang, avail, CAST(FLOOR(SQRT(avail)) AS BIGINT) AS weight
+          FROM per),
+    tot AS (
+      SELECT CAST(SUM(avail) AS BIGINT) AS total,
+             CAST(SUM(avail) * {MIX_BUDGET_NUM} // {MIX_BUDGET_DEN} AS BIGINT)
+               AS budget,
+             CAST(SUM(weight) AS BIGINT) AS sum_w
+      FROM w)
+    SELECT w.lang, w.avail AS avail_tokens, w.weight,
+           CAST((t.budget * w.weight) // t.sum_w AS BIGINT) AS alloc_tokens,
+           CAST((w.avail * 1000000) // t.total AS BIGINT) AS prop_ppm,
+           CAST((w.weight * 1000000) // t.sum_w AS BIGINT) AS temp_ppm
+    FROM w, tot t
+    """
+
+
+@register("mix_temperature_allocation", oracle=_SQL_TEMPERATURE)
+def mix_temperature_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data mixing (alpha = 0.5): each language stratum's
+    sampling weight is avail^alpha instead of avail, the standard
+    multilingual flattening that upweights low-resource strata without the
+    hard cap of waterfilling — temp_ppm vs prop_ppm makes the flattening
+    visible per stratum (high-resource shares shrink, low-resource grow).
+
+    Integer-exact cross-engine: weight = floor(sqrt(avail)) — the IEEE
+    sqrt of an exactly-representable BIGINT is correctly rounded in both
+    engines, so the floor is bit-stable — and the allocation is
+    budget * w div sum_w (document the DECIMAL(38,0) promotion when
+    budget * w approaches 2^63; at any test SF it is < 2^40).
+
+    100 TB shape: identical to waterfill — ONE partial-agg shuffle to
+    ~|langs| rows, then constant-size broadcast arithmetic; no windows,
+    no second scan. Complements ``mix_waterfill_allocation``: waterfill
+    answers "spend the budget, cap the giants", temperature answers
+    "rebalance toward the tail" — a pipeline typically waterfills within
+    a source and temperature-mixes across sources."""
+    d = t(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.lower(F.col("text")), " ", -1)))
+        .cast("bigint")
+        .alias("avail")
+    )
+    w = per.select(
+        "lang",
+        F.col("avail").alias("avail_tokens"),
+        F.floor(F.sqrt(F.col("avail"))).cast("bigint").alias("weight"),
+    )
+    tot = w.agg(
+        F.sum("avail_tokens").cast("bigint").alias("total"),
+        F.expr(
+            f"CAST(SUM(avail_tokens) * {MIX_BUDGET_NUM} div {MIX_BUDGET_DEN}"
+            " AS BIGINT)"
+        ).alias("budget"),
+        F.sum("weight").cast("bigint").alias("sum_w"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "avail_tokens",
+        "weight",
+        F.expr("CAST((budget * weight) div sum_w AS BIGINT)").alias("alloc_tokens"),
+        F.expr("CAST((avail_tokens * 1000000) div total AS BIGINT)").alias(
+            "prop_ppm"
+        ),
+        F.expr("CAST((weight * 1000000) div sum_w AS BIGINT)").alias("temp_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact-N stratified draw
 # ---------------------------------------------------------------------------
+
+PRIORITY_SAMPLE_N = 100
+
+
+@register(
+    "sample_topk_priority",
+    oracle=f"""
+    SELECT doc_id, lang,
+           md5('prio:' || CAST(doc_id AS VARCHAR)) AS priority
+    FROM documents
+    ORDER BY priority, doc_id LIMIT {PRIORITY_SAMPLE_N}
+    """,
+)
+def sample_topk_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global uniform exact-N draw as a PRIORITY SAMPLE: the
+    {PRIORITY_SAMPLE_N} documents with the smallest md5('prio:' || doc_id)
+    — a uniform sample (md5 is uniform over ids) that is (a) exactly N,
+    unlike Bernoulli sampling, (b) deterministic and engine-independent,
+    and (c) a MONOID: the global top-N of per-partition top-Ns, so it
+    composes across shards, across corpus releases, and across a stream
+    (the same merge KeywordTopKServer runs). Complements the stratified
+    draws: this is the unconditioned corpus-wide sample an eval or
+    inspection job starts from.
+
+    Plan: TakeOrderedAndProject — per-partition {PRIORITY_SAMPLE_N}-row
+    heaps merged on the driver; no global sort, no window, no shuffle of
+    the corpus (gate in test_plan_quality)."""
+    d = t(spark, sf_dir, "documents")
+    prio = F.md5(F.concat(F.lit("prio:"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "lang", prio.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(PRIORITY_SAMPLE_N)
+    )
+
 
 STRAT_EXACT_N = 25
 

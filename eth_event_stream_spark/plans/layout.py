@@ -115,3 +115,55 @@ def zorder_cluster_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("x") - F.min("x")).alias("x_span"),
         (F.max("y") - F.min("y")).alias("y_span"),
     )
+
+
+SHUFFLE_EPOCH = "epoch7"
+
+
+@register(
+    "layout_training_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('{SHUFFLE_EPOCH}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+             substring(md5('{SHUFFLE_EPOCH}:' || CAST(doc_id AS VARCHAR)), 1, 2)
+               AS shard
+      FROM documents)
+    SELECT doc_id, shuffle_key, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS pos_in_shard
+    FROM keyed
+    """,
+)
+def layout_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-seeded DETERMINISTIC global shuffle — the training-order
+    layout step every LLM data pipeline runs before writing shards: each
+    document gets shuffle_key = md5(epoch || doc_id), its shard is the
+    key's first byte (256 shards), and its position within the shard is
+    the key order. Because the shard IS the key prefix, reading shards in
+    shard order and rows in pos order replays one exact global permutation
+    — reproducible across runs and engines (md5 is the permutation), and a
+    new epoch string is a fresh permutation with zero source data
+    movement.
+
+    100 TB shape: this is `repartitionByRange(shuffle_key) +
+    sortWithinPartitions + bucketed write` — NO global sort and no
+    SinglePartition window; the rank here is partitioned by shard (~1/256
+    of the corpus each), which Spark runs as per-shard local sorts after
+    one hash shuffle. The md5 keys are uniform, so shards are balanced to
+    within sampling noise regardless of doc_id skew (unlike sharding on
+    raw ids)."""
+    d = t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(f"{SHUFFLE_EPOCH}:"), F.col("doc_id").cast("string")))
+    keyed = d.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        F.substring(key, 1, 2).alias("shard"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.withColumn(
+        "pos_in_shard", F.row_number().over(w).cast("bigint")
+    )

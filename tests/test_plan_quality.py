@@ -145,6 +145,13 @@ PLAN_EXPECTATIONS = {
     "mix_waterfill_allocation": [r"BroadcastNestedLoopJoin", r"HashAggregate"],
     # exact-N stratified draw: per-partition top-N heaps below the shuffle
     "sample_stratified_exact_n": [r"WindowGroupLimit"],
+    # constant-size broadcast arithmetic after one partial-agg shuffle
+    "mix_temperature_allocation": [r"BroadcastNestedLoopJoin", r"HashAggregate"],
+    # the uniform exact-N draw must be per-partition heaps, never a sort
+    "sample_topk_priority": [r"TakeOrderedAndProject"],
+    # the epoch shuffle's rank is per-shard (hash shuffle + local sort),
+    # never a SinglePartition window
+    "layout_training_shuffle": [r"Window"],
     # KMV: top-K via per-partition heaps, constant-size reduction
     "sketch_kmv_distinct": [r"TakeOrderedAndProject", r"HashAggregate"],
     # keyword lane: term-filtered postings, broadcast df, TakeOrdered cut,

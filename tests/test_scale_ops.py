@@ -482,9 +482,15 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     from eth_event_stream_spark.plans import QUERIES
     from eth_event_stream_spark.plans.catalog import t
 
+    # independent recompute of the raw estimate (the registered query now
+    # emits the CONTRACT — exact + within_bound — so the raw sketch value
+    # is re-derived here)
     approx = {
-        r["event_type"]: r["approx_users"]
-        for r in QUERIES["agg_approx_distinct"].fn(spark, sf_dir).collect()
+        r["event_type"]: r["a"]
+        for r in t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("a"))
+        .collect()
     }
     exact = {
         r["event_type"]: r["n"]
@@ -497,6 +503,11 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     for k, n in exact.items():
         rel = abs(approx[k] - n) / n
         assert rel < 0.05, (k, approx[k], n, rel)
+    # and the registered contract form agrees: exact values match, every
+    # within_bound flag holds
+    contract = QUERIES["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    assert {r["event_type"]: r["exact_users"] for r in contract} == exact
+    assert all(r["within_bound"] for r in contract)
 
 
 def test_approx_percentile_error_bound(spark, sf_dir):
@@ -509,9 +520,15 @@ def test_approx_percentile_error_bound(spark, sf_dir):
     from eth_event_stream_spark.plans import QUERIES
     from eth_event_stream_spark.plans.catalog import t
 
+    # independent recompute of the raw sketch values (the registered query
+    # now emits the CONTRACT — n_rows + within_bound per (group, p) — so
+    # the raw estimates are re-derived here)
     approx = {
-        r["event_type"]: r["approx_pcts"]
-        for r in QUERIES["sketch_approx_percentile"].fn(spark, sf_dir).collect()
+        r["event_type"]: r["a"]
+        for r in t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("a"))
+        .collect()
     }
     vals = {}
     for r in t(spark, sf_dir, "events").select("event_type", "value").collect():
@@ -531,6 +548,13 @@ def test_approx_percentile_error_bound(spark, sf_dir):
             # and the sketch value is an ACTUAL data value, not interpolated
             i = bisect.bisect_left(xs, got)
             assert i < n and xs[i] == got, (k, p, got)
+    # and the registered contract form holds: right group sizes, all flags
+    contract = QUERIES["sketch_approx_percentile"].fn(spark, sf_dir).collect()
+    assert {(r["event_type"], r["p"]) for r in contract} == {
+        (k, p) for k in vals for p in (0.5, 0.9, 0.99)
+    }
+    assert all(r["n_rows"] == len(vals[r["event_type"]]) for r in contract)
+    assert all(r["within_bound"] for r in contract)
 
 
 def test_asof_join_backward_matches_pandas(spark):
