@@ -20,21 +20,33 @@ orchestration, the same role the reference's consumers use it for:
   single-WS-connection fan-out of the reference);
 - choosing/adapting trigger intervals from observed block cadence.
 
-Transport is an ``eth_blockNumber`` poll thread rather than a WebSocket
-subscription: the WS push would save one HTTP round-trip per poll tick but
-changes nothing downstream (both deliver "the head is now H" into the same
-watch state), and poll works against any HTTP-only node. The reconnect-
-forever contract is kept: transient RPC failures back off exponentially
-(10 ms base, capped) and polling resumes; deterministic protocol errors
-surface to ``error`` and stop the feed (fail-fast, stream.rs:257-299
-policy) rather than spinning on a broken endpoint.
+Two transports, one watch state:
+
+- default: an ``eth_blockNumber`` poll thread — works against any
+  HTTP-only node;
+- ``ws_url=...``: the reference's actual shape — a WebSocket
+  ``eth_subscribe("newHeads")`` push feed (block.rs:22-68) over the
+  stdlib RFC 6455 client in ``ws.py``. Push removes the poll round-trips
+  and delivers heads the moment the node announces them; against a
+  rate-limited provider this is the difference a user notices first.
+
+Both deliver "the head is now H" into the same watch channel, so every
+subscriber semantic below is transport-independent. The reconnect-forever
+contract is kept in both: transient failures (socket drops, server-side
+closes, timeouts) back off exponentially (10 ms base, capped) and the
+feed reconnects and RE-SUBSCRIBES; deterministic protocol errors (refused
+upgrade, subscription rejected, malformed heads) surface to ``error`` and
+stop the feed (fail-fast, stream.rs:257-299 policy) rather than spinning
+on a broken endpoint.
 """
 
 from __future__ import annotations
 
+import json
 import threading
 
 from .rpc import JsonRpcLogFetcher, RpcError, TransientRpcError
+from .ws import WsClient
 
 
 class BlockNotify:
@@ -57,15 +69,20 @@ class BlockNotify:
         rpc_url: str,
         poll_interval_s: float = 0.2,
         retry_base_s: float = 0.01,
+        ws_url: str | None = None,
     ):
         self._fetcher = JsonRpcLogFetcher(rpc_url)
         self.poll_interval_s = poll_interval_s
         self.retry_base_s = retry_base_s
+        self.ws_url = ws_url
+        self._ws: WsClient | None = None
         self._cond = threading.Condition()
         self._head: int | None = None
         self.error: Exception | None = None
         self._stopped = False
-        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread = threading.Thread(
+            target=self._run_ws if ws_url else self._run, daemon=True
+        )
         self._thread.start()
 
     # -- feed thread --------------------------------------------------------
@@ -93,6 +110,99 @@ class BlockNotify:
                     self._head = head
                     self._cond.notify_all()
             self._sleep(self.poll_interval_s)
+
+    def _run_ws(self) -> None:
+        """Push transport: subscribe to ``newHeads``; reconnect forever.
+
+        One connection round = connect + handshake + eth_subscribe + read
+        notifications until the link drops. Any TransientRpcError (socket
+        error, server close, handshake transport failure) ends the round:
+        back off (doubling from retry_base_s, capped at 1 s — block.rs
+        reconnects forever with backoff) and open a fresh round, which
+        RE-SUBSCRIBES (subscriptions are per-connection). Deterministic
+        protocol errors fail the feed fast."""
+        backoff = self.retry_base_s
+        while True:
+            with self._cond:
+                if self._stopped:
+                    return
+            try:
+                ws = WsClient(self.ws_url, timeout_s=self._fetcher.timeout_s)
+            except TransientRpcError:
+                backoff = min(backoff * 2, 1.0)
+                self._sleep(backoff)
+                continue
+            except RpcError as e:
+                self._die(e)
+                return
+            with self._cond:
+                if self._stopped:
+                    ws.close()
+                    return
+                self._ws = ws
+            try:
+                ws.send_text(
+                    json.dumps(
+                        {
+                            "jsonrpc": "2.0",
+                            "id": 1,
+                            "method": "eth_subscribe",
+                            "params": ["newHeads"],
+                        }
+                    )
+                )
+                ack = json.loads(ws.recv_text())
+                if not isinstance(ack, dict) or ack.get("error") is not None:
+                    raise RpcError(f"eth_subscribe rejected: {ack!r}")
+                backoff = self.retry_base_s  # healed
+                while True:
+                    with self._cond:
+                        if self._stopped:
+                            return
+                    head = self._parse_new_head(ws.recv_text())
+                    if head is None:
+                        continue
+                    with self._cond:
+                        if self._head is None or head > self._head:
+                            self._head = head
+                            self._cond.notify_all()
+            except TransientRpcError:
+                with self._cond:
+                    if self._stopped:
+                        return
+                backoff = min(backoff * 2, 1.0)
+                self._sleep(backoff)
+            except RpcError as e:
+                self._die(e)
+                return
+            except (json.JSONDecodeError, UnicodeDecodeError) as e:
+                self._die(RpcError(f"newHeads: malformed message ({e})"))
+                return
+            finally:
+                with self._cond:
+                    self._ws = None
+                ws.close()
+
+    @staticmethod
+    def _parse_new_head(text: str) -> int | None:
+        """Block height from an eth_subscription notification; None for
+        unrelated messages (late acks, other ids); RpcError on a
+        notification whose head is malformed."""
+        msg = json.loads(text)
+        if not isinstance(msg, dict) or msg.get("method") != "eth_subscription":
+            return None
+        num = (msg.get("params") or {}).get("result", {}).get("number")
+        if not isinstance(num, str):
+            raise RpcError(f"newHeads: non-hex block number {num!r}")
+        try:
+            return int(num, 16)
+        except ValueError as e:
+            raise RpcError(f"newHeads: non-hex block number {num!r}") from e
+
+    def _die(self, e: Exception) -> None:
+        with self._cond:
+            self.error = e
+            self._cond.notify_all()
 
     def _sleep(self, seconds: float) -> None:
         with self._cond:
@@ -136,8 +246,13 @@ class BlockNotify:
         blocked inside ``block_number()`` for up to the fetcher's HTTP
         timeout, and joining for less would return with the thread still
         alive — free to set ``error`` or hit the endpoint once more after
-        the caller believes the feed released it."""
+        the caller believes the feed released it. On the push transport
+        the socket is closed from here, which unblocks a feed thread
+        parked inside ``recv_text``."""
         with self._cond:
             self._stopped = True
+            ws = self._ws
             self._cond.notify_all()
+        if ws is not None:
+            ws.close()
         self._thread.join(timeout=self._fetcher.timeout_s + 1.0)
