@@ -99,6 +99,11 @@ HEADLINE = [
     # approx profiling twin for the 100 TB profiler
     "search_hybrid_rrf_ivf",
     "profile_table_stats_approx",
+    # r7-extended continued: training-order shuffle, temperature mixing,
+    # and the global priority sample
+    "layout_training_shuffle",
+    "mix_temperature_allocation",
+    "sample_topk_priority",
 ]
 
 

@@ -114,17 +114,29 @@ def profile_table_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only by nature (the HLL estimate is engine-specific — DuckDB's
     approx_count_distinct uses a different sketch — so no cross-engine
     value hash can exist); the contract the driver CAN check lives in the
-    oracled sketches and in ``agg_approx_distinct``'s bound form."""
+    oracled sketches and in ``agg_approx_distinct``'s bound form.
+
+    Plan note (caught by the 10x rehearsal): the exact and approx lanes
+    run as TWO aggregation passes joined on their 1-row outputs. Mixing
+    them in one agg puts the HLL buffers through the multi-distinct
+    Expand (one expanded row per distinct lane per input row, each
+    carrying every partial-agg buffer) — measured 25 s vs 3 s at 10x.
+    Separated, the approx pass is the Expand-free constant-state
+    aggregate that IS the production profiler; the exact Expand pass is
+    the test-scale audit lane."""
     o = t_parallel(spark, sf_dir, "orders")
-    aggs = []
+    exact_aggs = []
+    approx_aggs = []
     for c in _ORDERS_COLS:
-        aggs += [
+        exact_aggs += [
             F.count(F.lit(1)).cast("bigint").alias(f"{c}__rows"),
             (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__nulls"),
             F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__ndv"),
-            F.approx_count_distinct(c, rsd=0.05).cast("bigint").alias(f"{c}__andv"),
         ]
-    wide = o.agg(*aggs)
+        approx_aggs.append(
+            F.approx_count_distinct(c, rsd=0.05).cast("bigint").alias(f"{c}__andv")
+        )
+    wide = o.agg(*exact_aggs).crossJoin(F.broadcast(o.agg(*approx_aggs)))
     stack_args = ", ".join(
         f"'{c}', {c}__rows, {c}__nulls, {c}__ndv, {c}__andv" for c in _ORDERS_COLS
     )
