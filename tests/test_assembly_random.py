@@ -300,3 +300,116 @@ def test_hybrid_rrf_matches_python(spark, sf_dir):
         for r in search_hybrid_rrf(spark, sf_dir).collect()
     }
     assert got == want, got ^ want
+
+
+# ---------------------------------------------------------------------------
+# Round-7 ops vs plain-Python recomputation (hashlib / math.isqrt — no SQL
+# structure shared with either engine)
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_allocation_matches_python(spark, sf_dir):
+    """mix_temperature_allocation vs a dict-and-isqrt recomputation: token
+    counts per lang, weight = isqrt(avail) (the INTEGER sqrt — proves
+    floor(IEEE sqrt) lands on it for these magnitudes), budget and ppm
+    shares by plain integer ops."""
+    import math
+
+    from eth_event_stream_spark.plans import QUERIES
+    from eth_event_stream_spark.plans.assembly import (
+        MIX_BUDGET_DEN,
+        MIX_BUDGET_NUM,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    avail: dict[str, int] = {}
+    for r in docs:
+        avail[r["lang"]] = avail.get(r["lang"], 0) + len(
+            r["text"].lower().split(" ")
+        )
+    weights = {k: math.isqrt(v) for k, v in avail.items()}
+    total = sum(avail.values())
+    budget = total * MIX_BUDGET_NUM // MIX_BUDGET_DEN
+    sum_w = sum(weights.values())
+    want = {
+        (
+            k,
+            avail[k],
+            weights[k],
+            budget * weights[k] // sum_w,
+            avail[k] * 1_000_000 // total,
+            weights[k] * 1_000_000 // sum_w,
+        )
+        for k in avail
+    }
+    got = {
+        (
+            r["lang"],
+            r["avail_tokens"],
+            r["weight"],
+            r["alloc_tokens"],
+            r["prop_ppm"],
+            r["temp_ppm"],
+        )
+        for r in QUERIES["mix_temperature_allocation"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_training_shuffle_matches_python(spark, sf_dir):
+    """layout_training_shuffle vs hashlib: same md5 keys, shards = key
+    prefix, positions = sort order within shard — and reading (shard, pos)
+    in order is exactly the global key order (the one-permutation
+    property)."""
+    import hashlib
+
+    from eth_event_stream_spark.plans import QUERIES
+    from eth_event_stream_spark.plans.layout import SHUFFLE_EPOCH
+
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ]
+    keyed = [
+        (hashlib.md5(f"{SHUFFLE_EPOCH}:{i}".encode()).hexdigest(), i) for i in ids
+    ]
+    by_shard: dict[str, list] = {}
+    for k, i in keyed:
+        by_shard.setdefault(k[:2], []).append((k, i))
+    want = set()
+    for shard, members in by_shard.items():
+        for pos, (k, i) in enumerate(sorted(members), start=1):
+            want.add((i, k, shard, pos))
+    rows = QUERIES["layout_training_shuffle"].fn(spark, sf_dir).collect()
+    got = {
+        (r["doc_id"], r["shuffle_key"], r["shard"], r["pos_in_shard"])
+        for r in rows
+    }
+    assert got == want
+    # the permutation property: global key order == (shard, pos) order
+    by_key = [i for _, i in sorted(keyed)]
+    by_shard_pos = [
+        t[0] for t in sorted(got, key=lambda t: (t[2], t[3]))
+    ]
+    assert by_key == by_shard_pos
+
+
+def test_priority_sample_matches_python(spark, sf_dir):
+    """sample_topk_priority vs hashlib: the N smallest md5 priorities,
+    verbatim."""
+    import hashlib
+
+    from eth_event_stream_spark.plans import QUERIES
+    from eth_event_stream_spark.plans.assembly import PRIORITY_SAMPLE_N
+
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    keyed = sorted(
+        (hashlib.md5(f"prio:{r['doc_id']}".encode()).hexdigest(), r["doc_id"], r["lang"])
+        for r in rows
+    )[:PRIORITY_SAMPLE_N]
+    want = [(d, lang, k) for k, d, lang in keyed]
+    got = [
+        (r["doc_id"], r["lang"], r["priority"])
+        for r in QUERIES["sample_topk_priority"].fn(spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(want)
