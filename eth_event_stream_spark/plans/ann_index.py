@@ -1,0 +1,190 @@
+"""Persisted ANN index: the incremental ingest cycle for the vector lane.
+
+The production problem, mirrored from ``plans/incremental.py``'s dedup
+cycle: the corpus's embeddings are petabytes and already indexed; every
+ingest cycle brings a small new batch, and every serving query wants
+top-k neighbors NOW. Rebuilding the IVF index (Lloyd rounds over the full
+corpus) per cycle or per query re-pays the full corpus cost. The
+persisted shape pays it once:
+
+- ``persist_ann_index``: run the Lloyd build once, then write (a) the
+  K-row centroid table and (b) the CELL-PARTITIONED vector store —
+  ``partitionBy("cell")`` parquet, so each IVF cell is its own directory.
+  That physical layout is the index: a probe that touches N_PROBE of
+  K cells reads N_PROBE directories and never lists the rest (parquet
+  partition pruning, asserted in tests/test_ann_index.py).
+- ``ann_append_batch``: assign ONLY the new batch against the persisted
+  centroids (broadcast K rows, O(batch)) and append into the partitioned
+  store — the index absorbs an ingest cycle without touching corpus
+  vectors. Centroids drift as data drifts; the rebuild criterion
+  (re-run ``persist_ann_index`` when cell occupancy skews) is the same
+  "once per release" cadence as the dedup artifacts.
+- ``ann_probe_topk``: nearest N_PROBE cells for the query via the K-row
+  centroid table (a 2-row driver decision — bounded metadata, same
+  pattern as the pinned thresholds), then an exact-cosine TakeOrdered
+  over ONLY those cells' files.
+- ``load_ann_index`` refuses parameter or schema drift between the
+  writer and the reader, exactly like the dedup artifact loader.
+
+The composed, driver-oracled twin of this cycle is
+``similarity_topk_ivf`` (same centroids, same assignment, same probe
+arithmetic — parity pinned in tests); these functions are the
+between-query state it amortizes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .vectors import (
+    K_CELLS,
+    EMB_DIM,
+    LLOYD_ROUNDS,
+    N_PROBE,
+    cell_assignments,
+    ivf_build_centroids,
+    probe_cells,
+)
+
+_META = "ann_meta.json"
+_CENTROIDS = "centroids.parquet"
+_CELL_STORE = "cell_store.parquet"
+
+# dtypes after reading back the partitioned store (cell is the partition
+# column; Spark reads it back as int)
+_STORE_SCHEMA = {
+    "vec_id": "bigint",
+    "label": "int",
+    "embedding": "array<float>",
+    "cell": "int",
+}
+_CENT_SCHEMA = {"cid": "bigint", "ce": "array<double>"}
+
+
+def _ann_meta() -> dict:
+    return {
+        "k_cells": K_CELLS,
+        "emb_dim": EMB_DIM,
+        "n_probe": N_PROBE,
+        "lloyd_rounds": LLOYD_ROUNDS,
+    }
+
+
+def persist_ann_index(
+    spark: SparkSession, sf_dir: str, out_dir: str, e: DataFrame | None = None
+) -> None:
+    """Build once, persist: Lloyd-refined centroids + the cell-partitioned
+    vector store. This function is the timed ``ann_build`` bench row."""
+    if e is None:
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = ivf_build_centroids(spark, sf_dir, e=e).localCheckpoint(eager=True)
+    cells = cell_assignments(e, cent)
+    store = e.join(cells, "vec_id").select("vec_id", "label", "embedding", "cell")
+    store.write.partitionBy("cell").mode("overwrite").parquet(
+        os.path.join(out_dir, _CELL_STORE)
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(out_dir, _CENTROIDS))
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(_ann_meta(), f)
+
+
+def load_ann_index(spark: SparkSession, idx_dir: str) -> dict[str, DataFrame]:
+    """Reload a persisted index, refusing parameter/schema drift — a
+    K_CELLS or dimension change between writer and reader probes garbage
+    silently otherwise."""
+    with open(os.path.join(idx_dir, _META)) as f:
+        meta = json.load(f)
+    want = _ann_meta()
+    if meta != want:
+        raise ValueError(
+            f"ANN index at {idx_dir} was built under {meta}, but this build "
+            f"expects {want} — rebuild the index (a cell-count/dimension/"
+            "probe-width change invalidates the persisted layout)"
+        )
+    out: dict[str, DataFrame] = {}
+    for name, schema in (("centroids", _CENT_SCHEMA), ("cell_store", _STORE_SCHEMA)):
+        df = spark.read.parquet(
+            os.path.join(idx_dir, _CENTROIDS if name == "centroids" else _CELL_STORE)
+        )
+        if dict(df.dtypes) != schema:
+            raise ValueError(
+                f"ANN artifact {name} at {idx_dir} has schema "
+                f"{sorted(df.dtypes)}, expected {sorted(schema.items())} — "
+                "schema drift between cycles"
+            )
+        out[name] = df
+    return out
+
+
+def ann_append_batch(
+    spark: SparkSession, idx_dir: str, new_vecs: DataFrame
+) -> None:
+    """Ingest a new embedding batch into the persisted index: assign
+    against the FROZEN centroids (broadcast K rows — O(batch), the corpus
+    store is not read, not shuffled, not rewritten) and append into the
+    cell partitions. Idempotence is the caller's offset contract (the
+    streaming source's exactly-once batches), same as every parquet
+    append sink."""
+    idx = load_ann_index(spark, idx_dir)
+    cells = cell_assignments(new_vecs, idx["centroids"])
+    (
+        new_vecs.join(cells, "vec_id")
+        .select("vec_id", "label", "embedding", "cell")
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(os.path.join(idx_dir, _CELL_STORE))
+    )
+
+
+def ann_probe_topk(
+    spark: SparkSession,
+    idx_dir_or_index,
+    query_vec: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Serve one query from the persisted index: N_PROBE nearest cells
+    from the K-row centroid table (collected — an N_PROBE-row driver
+    decision that becomes a LITERAL partition filter, so the parquet scan
+    lists only those cell directories), exact cosine over the probed
+    cells, TakeOrdered top-k. ``query_vec`` is a 1-row frame with column
+    ``embedding``."""
+    idx = (
+        idx_dir_or_index
+        if isinstance(idx_dir_or_index, dict)
+        else load_ann_index(spark, idx_dir_or_index)
+    )
+    cells = [
+        r["cell"] for r in probe_cells(query_vec, idx["centroids"]).collect()
+    ]
+    q = query_vec.select(F.col("embedding").alias("qe"))
+    dot = (
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(qe AS ARRAY<DOUBLE>), "
+        "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = (
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>), "
+        "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nb = (
+        "aggregate(zip_with(CAST(qe AS ARRAY<DOUBLE>), CAST(qe AS ARRAY<DOUBLE>), "
+        "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        idx["cell_store"]
+        .filter(F.col("cell").isin(cells) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.round(F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))"), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -323,7 +323,28 @@ def _sql_ivf(rounds: int) -> str:
     )
 
 
-def ivf_build_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+_L2_TO_CE = (
+    "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), ce, "
+    "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def cell_assignments(e: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest centroid per vector — broadcast K-row cross
+    join + min_by partial agg (map-side combine, deterministic cid
+    tie-break, no window sort). Shared by the composed IVF search and the
+    persisted-index cycle (plans/ann_index.py)."""
+    d = e.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "cid", F.expr(_L2_TO_CE).alias("dist")
+    )
+    return d.groupBy("vec_id").agg(
+        F.min_by("cid", F.struct("dist", "cid")).alias("cell")
+    )
+
+
+def ivf_build_centroids(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
     """IVF index build alone: LLOYD_ROUNDS k-means refinement rounds over
     the embeddings table, returning the K-row (cid, ce) centroid table.
 
@@ -335,12 +356,10 @@ def ivf_build_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ivf_build`` / ``ivf_search``."""
     from pyspark.sql.types import ArrayType, DoubleType
 
-    e = t(spark, sf_dir, "embeddings")
+    if e is None:
+        e = t(spark, sf_dir, "embeddings")
     emb_d = F.col("embedding").cast(ArrayType(DoubleType()))
-    l2 = (
-        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), ce, "
-        "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
+    l2 = _L2_TO_CE
     cent_arr = (
         e.filter(F.col("vec_id").between(1, K_CELLS))
         .select(F.col("vec_id").alias("cid"), emb_d.alias("ce"))
@@ -374,8 +393,20 @@ def ivf_build_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cent_arr
 
 
+def probe_cells(query_vec: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    """The N_PROBE cells nearest a (single-row) query vector frame with
+    column ``embedding`` — shared by the composed search and the
+    persisted-index probe."""
+    d = query_vec.crossJoin(F.broadcast(cent_arr)).select(
+        "cid", F.expr(_L2_TO_CE).alias("dist")
+    )
+    return d.orderBy("dist", "cid").limit(N_PROBE).select(
+        F.col("cid").alias("cell")
+    )
+
+
 def ivf_candidates_scored(
-    spark: SparkSession, sf_dir: str, cent_arr: DataFrame
+    spark: SparkSession, sf_dir: str, cent_arr: DataFrame, e: DataFrame | None = None
 ) -> DataFrame:
     """IVF probe against a prebuilt centroid table, WITHOUT the final cut:
     assign every vector to its nearest cell (broadcast K-row join + min_by
@@ -384,22 +415,11 @@ def ivf_candidates_scored(
     instead of N. Returns (vec_id, label, cell, cosine) so callers choose
     their own cut (global top-10 here; top-TOPK_LANE ranks in the hybrid
     fusion lane)."""
-    e = t(spark, sf_dir, "embeddings")
-    l2 = (
-        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), ce, "
-        "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    df_ = e.crossJoin(F.broadcast(cent_arr)).select(
-        "vec_id", "cid", F.expr(l2).alias("dist")
-    )
-    cells = df_.groupBy("vec_id").agg(
-        F.min_by("cid", F.struct("dist", "cid")).alias("cell")
-    )
-    probes = (
-        df_.filter(F.col("vec_id") == 0)
-        .orderBy("dist", "cid")
-        .limit(N_PROBE)
-        .select(F.col("cid").alias("cell"))
+    if e is None:
+        e = t(spark, sf_dir, "embeddings")
+    cells = cell_assignments(e, cent_arr)
+    probes = probe_cells(
+        e.filter(F.col("vec_id") == 0).select("embedding"), cent_arr
     )
     cand = (
         cells.join(F.broadcast(probes), "cell")

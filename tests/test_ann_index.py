@@ -1,0 +1,112 @@
+"""Persisted ANN index: the incremental ingest cycle for the vector lane.
+
+Mirrors tests/test_scale_ops.py's dedup-artifact coverage for the ANN
+family: parity of the persisted probe against the composed driver-oracled
+search, O(batch) append equivalence, drift refusal, and the partition-
+pruning property that makes the cell layout an index at all.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eth_event_stream_spark.plans.ann_index import (
+    ann_append_batch,
+    ann_probe_topk,
+    load_ann_index,
+    persist_ann_index,
+)
+from eth_event_stream_spark.plans.vectors import (
+    ivf_build_centroids,
+    ivf_candidates_scored,
+)
+
+
+def _rows(df):
+    return sorted(
+        (r["vec_id"], r["label"], r["cell"], r["cosine"]) for r in df.collect()
+    )
+
+
+def _query_vec(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+    )
+
+
+def test_persisted_probe_matches_composed_search(spark, sf_dir, tmp_path):
+    """probe(persisted index) == the driver-oracled similarity_topk_ivf:
+    same centroids, same assignment, same probe cells, same cosines — the
+    persisted layout changes WHERE the work happens (once, at build), not
+    what is computed."""
+    from eth_event_stream_spark.plans import QUERIES
+
+    idx_dir = str(tmp_path / "ann_idx")
+    persist_ann_index(spark, sf_dir, idx_dir)
+    got = _rows(ann_probe_topk(spark, idx_dir, _query_vec(spark, sf_dir)))
+    want = _rows(QUERIES["similarity_topk_ivf"].fn(spark, sf_dir))
+    assert got == want
+
+
+def test_append_then_probe_matches_full_assignment(spark, sf_dir, tmp_path):
+    """Build the index on the CORPUS split (vec_id % 5 != 0), append the
+    batch split through ann_append_batch, and probe: the result must equal
+    scoring ALL vectors against the same frozen corpus centroids — i.e.
+    the O(batch) append put every new vector in exactly the cell a full
+    re-assignment would have."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = e.filter((F.col("vec_id") % 5 != 0) | (F.col("vec_id") == 0))
+    batch = e.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") != 0))
+    assert batch.count() > 0
+
+    idx_dir = str(tmp_path / "ann_idx_inc")
+    persist_ann_index(spark, sf_dir, idx_dir, e=corpus)
+    ann_append_batch(spark, idx_dir, batch)
+
+    got = _rows(ann_probe_topk(spark, idx_dir, _query_vec(spark, sf_dir)))
+    cent = ivf_build_centroids(spark, sf_dir, e=corpus)
+    want = _rows(
+        ivf_candidates_scored(spark, sf_dir, cent, e=e)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+    assert got == want
+    # and the appended vectors are genuinely in the store
+    store = load_ann_index(spark, idx_dir)["cell_store"]
+    assert store.count() == e.count()
+
+
+def test_load_refuses_parameter_drift(spark, sf_dir, tmp_path):
+    import json
+    import os
+
+    idx_dir = str(tmp_path / "ann_idx_drift")
+    persist_ann_index(spark, sf_dir, idx_dir)
+    meta_path = os.path.join(idx_dir, "ann_meta.json")
+    meta = json.load(open(meta_path))
+    meta["k_cells"] += 1
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="rebuild the index"):
+        load_ann_index(spark, idx_dir)
+
+
+def test_probe_prunes_cell_partitions(spark, sf_dir, tmp_path):
+    """The point of the partitionBy(cell) layout: a probe's parquet scan
+    carries the probed cells as PartitionFilters (directory pruning — at
+    100 TB the other K - N_PROBE cells are never listed, let alone read),
+    and the number of row-groups scanned reflects only the probed cells."""
+    idx_dir = str(tmp_path / "ann_idx_prune")
+    persist_ann_index(spark, sf_dir, idx_dir)
+    probe = ann_probe_topk(spark, idx_dir, _query_vec(spark, sf_dir))
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan, plan[:2000]
+    # the filter must mention the cell column with the probed values
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cell" in pf.group(1), plan[:2000]
