@@ -79,6 +79,51 @@ def test_append_then_probe_matches_full_assignment(spark, sf_dir, tmp_path):
     assert store.count() == e.count()
 
 
+def test_streaming_ingest_appends_into_index(spark, sf_dir, tmp_path):
+    """The ingest half of the ANN cycle, streamed: new embeddings arrive
+    file-by-file and a foreachBatch sink runs ann_append_batch per
+    micro-batch — assignment against the frozen broadcast centroids is
+    stateless per row, so batching cannot change any vector's cell, and
+    the post-stream probe must equal the batch append path exactly
+    (stream==batch for the vector ingest cycle, mirroring
+    dedup_incremental_nominate_stream for the dedup cycle)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = e.filter((F.col("vec_id") % 5 != 0) | (F.col("vec_id") == 0))
+    batch = e.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") != 0))
+
+    idx_dir = str(tmp_path / "ann_idx_stream")
+    persist_ann_index(spark, sf_dir, idx_dir, e=corpus)
+
+    src = tmp_path / "new_vecs"
+    batch.repartition(3).write.parquet(str(src))
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sdf.writeStream.foreachBatch(
+            lambda bdf, _epoch: ann_append_batch(spark, idx_dir, bdf)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck_ann"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = _rows(ann_probe_topk(spark, idx_dir, _query_vec(spark, sf_dir)))
+    cent = ivf_build_centroids(spark, sf_dir, e=corpus)
+    want = _rows(
+        ivf_candidates_scored(spark, sf_dir, cent, e=e)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+    assert got == want
+    assert load_ann_index(spark, idx_dir)["cell_store"].count() == e.count()
+
+
 def test_load_refuses_parameter_drift(spark, sf_dir, tmp_path):
     import json
     import os
