@@ -2116,6 +2116,94 @@ def chunk_of(docs: DataFrame) -> DataFrame:
 
 
 @register(
+    "chunk_documents_cdc",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents WHERE doc_id < 300),
+    pos AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok,
+             CASE WHEN i > 1
+                   AND substring(md5(toks[i - 1] || ' ' || toks[i]), 1, 1) = '0'
+                  THEN 1 ELSE 0 END AS boundary
+      FROM toks, UNNEST(generate_series(1, LEN(toks))) AS u(i)),
+    c AS (
+      SELECT doc_id, pos, tok,
+             CAST(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS BIGINT) AS chunk_idx
+      FROM pos)
+    SELECT doc_id, chunk_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+    FROM c GROUP BY doc_id, chunk_idx
+    """,
+)
+def chunk_documents_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED chunking (the dedup-friendly alternative to the
+    fixed-size ``chunk_documents``): a chunk boundary opens before token i
+    whenever md5 of the (token[i-1], token[i]) bigram starts with '0' —
+    expected chunk length 16 tokens, boundaries anchored to CONTENT. The
+    property fixed-size chunking lacks: inserting one sentence at the top
+    of a document shifts every fixed chunk (all hashes change, dedup
+    misses everything downstream), while CDC boundaries after the edit
+    point are unchanged, so shared spans keep identical chunk hashes
+    across document revisions — the rsync/LBFS trick applied to corpus
+    boilerplate removal (the chunk_hash column joins directly against the
+    scrub family's chunk indexes).
+
+    Plan shape: posexplode + ONE doc-partitioned window pair (running
+    boundary sum) + hash aggregate per (doc, chunk) — a single shuffle on
+    doc_id, never a SinglePartition window; the bigram hash needs no lag
+    because the token array rides along (``F.get(toks, pos-1)``)."""
+    return cdc_chunks_of(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    )
+
+
+def cdc_chunks_of(docs: DataFrame) -> DataFrame:
+    """df-level core of ``chunk_documents_cdc`` over any (doc_id, text)
+    frame — split out so the shift-resistance property and the plain-
+    Python cross-check run on synthetic revisions."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("toks")
+    )
+    ex = toks.select(
+        "doc_id", "toks", F.posexplode("toks").alias("pos", "tok")
+    )
+    prev = F.get(F.col("toks"), F.col("pos") - 1)  # NULL at pos 0
+    boundary = F.when(
+        F.substring(
+            F.md5(F.concat(prev, F.lit(" "), F.col("tok"))), 1, 1
+        )
+        == "0",
+        1,
+    ).otherwise(0)
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = ex.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.sum(boundary).over(w).cast("bigint").alias("chunk_idx"),
+    )
+    return c.groupBy("doc_id", "chunk_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+@register(
     "pack_sequences_unsharded_baseline",
     oracle=f"""
     SELECT doc_id, n_tokens,

@@ -413,3 +413,72 @@ def test_priority_sample_matches_python(spark, sf_dir):
         for r in QUERIES["sample_topk_priority"].fn(spark, sf_dir).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_cdc_chunks_match_python_and_survive_prefix_edits(spark):
+    """Content-defined chunking, two properties on synthetic revisions:
+
+    1. the Spark core equals a plain-Python (hashlib) recomputation of
+       the same boundary rule — no SQL structure shared;
+    2. the POINT of CDC: prepending an intro to a document leaves every
+       chunk after the first post-edit boundary with an UNCHANGED hash,
+       while fixed-size chunking shifts every chunk. Quantified: the
+       revised doc must share all but O(1) of the original's chunk
+       hashes; fixed chunking shares (almost) none."""
+    import hashlib
+    import random
+
+    from eth_event_stream_spark.plans.pipeline import CHUNK_TOKENS, cdc_chunks_of
+
+    rng = random.Random(41)
+    words = [f"w{rng.randint(0, 300)}" for _ in range(600)]
+    base = " ".join(words)
+    revised = "a fresh intro sentence prepended here " + base
+
+    def py_cdc(text):
+        toks = text.lower().split(" ")
+        chunks, cur = [], []
+        for i, tok in enumerate(toks):
+            if (
+                i > 0
+                and hashlib.md5(f"{toks[i - 1]} {tok}".encode()).hexdigest()[0]
+                == "0"
+            ):
+                chunks.append(cur)
+                cur = []
+            cur.append(tok)
+        chunks.append(cur)
+        return {
+            (ci, len(c), hashlib.md5(" ".join(c).encode()).hexdigest())
+            for ci, c in enumerate(chunks)
+        }
+
+    df = spark.createDataFrame(
+        [(1, base), (2, revised)], "doc_id long, text string"
+    )
+    got = {}
+    for r in cdc_chunks_of(df).collect():
+        got.setdefault(r["doc_id"], set()).add(
+            (r["chunk_idx"], r["n_tokens"], r["chunk_hash"])
+        )
+    assert got[1] == py_cdc(base)
+    assert got[2] == py_cdc(revised)
+
+    # shift resistance: hash sets (position-independent) overlap almost
+    # completely under a prefix edit...
+    h1 = {h for _, _, h in got[1]}
+    h2 = {h for _, _, h in got[2]}
+    assert len(h1) > 10  # the corpus actually chunked
+    assert len(h1 - h2) <= 1  # only the first chunk (pre-boundary) changed
+    # ...while FIXED chunking loses essentially everything to the shift
+    def fixed_hashes(text):
+        toks = text.lower().split(" ")
+        return {
+            hashlib.md5(
+                " ".join(toks[i : i + CHUNK_TOKENS]).encode()
+            ).hexdigest()
+            for i in range(0, len(toks), CHUNK_TOKENS)
+        }
+
+    f1, f2 = fixed_hashes(base), fixed_hashes(revised)
+    assert len(f1 & f2) <= 1
