@@ -495,6 +495,57 @@ def asof_enrich_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_nearest_tolerance",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, MAX(value) AS nearest_view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+    p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id,
+           (SELECT v.nearest_view_value FROM v
+            WHERE v.user_id = p.user_id
+              AND abs(date_diff('second', v.ts, p.ts)) <= 1800
+            ORDER BY abs(date_diff('second', v.ts, p.ts)),
+                     CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END
+            LIMIT 1) AS nearest_view_value
+    FROM p
+    """,
+)
+def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of operator's NEAREST + tolerance mode under the driver
+    gate: each purchase enriched with the view value closest in time
+    within 30 minutes, either side, ties going backward — pandas
+    merge_asof(direction='nearest', tolerance=...) semantics (parity
+    with pandas itself is pinned in tests/test_scale_ops.py).
+
+    Same single-shuffle shape as the backward form: both directions'
+    picks are frames of ONE window sort, so nearest costs no extra pass;
+    the oracle is the correlated minimum-gap subquery with the identical
+    tie rule. A side outside tolerance is disqualified BEFORE choosing,
+    so the other side can still match."""
+    from ..operators.asof import asof_join_backward
+
+    ev = t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("nearest_view_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join_backward(
+        purchases,
+        views,
+        by=["user_id"],
+        left_on="ts",
+        right_on="ts",
+        direction="nearest",
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    ).select("user_id", "event_id", "nearest_view_value")
+
+
+@register(
     "q18_large_orders",
     oracle="""
     WITH big AS (

@@ -152,6 +152,12 @@ PLAN_EXPECTATIONS = {
     # the epoch shuffle's rank is per-shard (hash shuffle + local sort),
     # never a SinglePartition window
     "layout_training_shuffle": [r"Window"],
+    # CDC chunking: doc-partitioned running sum + hash aggregate; a
+    # SortAggregate here means the per-chunk collect_list fell off the
+    # hash path
+    "chunk_documents_cdc": [r"Window", r"ObjectHashAggregate|HashAggregate"],
+    # the hybrid fusion's lanes broadcast; its final cut is a heap
+    "search_hybrid_rrf_ivf": [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
     # KMV: top-K via per-partition heaps, constant-size reduction
     "sketch_kmv_distinct": [r"TakeOrderedAndProject", r"HashAggregate"],
     # keyword lane: term-filtered postings, broadcast df, TakeOrdered cut,

@@ -584,23 +584,24 @@ def test_asof_join_backward_matches_pandas(spark):
 
     lpdf = pd.DataFrame(lrows, columns=["k", "ts", "lid"]).sort_values("ts")
     rpdf = right.toPandas().sort_values("ts")
-    for direction in ("backward", "forward"):
-        got = {
-            (r["k"], r["lid"]): r["px"]
-            for r in asof_join_backward(
-                left, right, by=["k"], left_on="ts", right_on="ts",
-                direction=direction,
-            ).collect()
-        }
-        merged = pd.merge_asof(
-            lpdf, rpdf, on="ts", by="k", direction=direction,
-            allow_exact_matches=True,
-        )
-        expected = {
-            (r.k, r.lid): (None if pd.isna(r.px) else r.px)
-            for r in merged.itertuples()
-        }
-        assert got == expected, direction
+    for direction in ("backward", "forward", "nearest"):
+        for tolerance in (None, 3):
+            got = {
+                (r["k"], r["lid"]): r["px"]
+                for r in asof_join_backward(
+                    left, right, by=["k"], left_on="ts", right_on="ts",
+                    direction=direction, tolerance=tolerance,
+                ).collect()
+            }
+            merged = pd.merge_asof(
+                lpdf, rpdf, on="ts", by="k", direction=direction,
+                allow_exact_matches=True, tolerance=tolerance,
+            )
+            expected = {
+                (r.k, r.lid): (None if pd.isna(r.px) else r.px)
+                for r in merged.itertuples()
+            }
+            assert got == expected, (direction, tolerance)
 
 
 def test_asof_join_duplicate_ts_ties_are_deterministic(spark):
