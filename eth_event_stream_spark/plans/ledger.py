@@ -340,6 +340,7 @@ def pagerank_of(
     edges: DataFrame,
     rounds: int = _PR_ROUNDS,
     checkpoint_dir: str | None = None,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """df-level core of ``graph_pagerank``: ``edges`` is a DIRECTED edge
     list (src, dst) — pass both directions for an undirected graph; every
@@ -362,10 +363,19 @@ def pagerank_of(
     materialization boundary uses reliable ``checkpoint()`` into it
     instead of ``localCheckpoint`` (see ``_round_boundary``). Measured at
     sf0.1 (32 cores, warm, best-of-3): 4.56 s localCheckpoint vs 4.92 s
-    reliable to local disk (~8% premium for writing the 7 intermediate
+    reliable to local disk (~8% premium for writing the intermediate
     frames durably; ranks bit-identical, 15,999 nodes) — on a real
     cluster the target is shared storage and the premium buys rounds that
-    survive executor loss instead of restarting the whole job."""
+    survive executor loss instead of restarting the whole job.
+
+    ``checkpoint_every``: rounds per materialization boundary. Measured
+    at sf0.1 (32 cores, warm, best-of-3, same session): every round
+    3.97 s, every 2 rounds 3.51 s, never (full 5-round chain) 3.50 s —
+    cadence 2 captures essentially all of the chain's fixed-overhead win
+    while bounding recovery and lineage to two rounds; the full chain
+    stays rejected for the reasons measured in round 5 (per-round degree
+    re-derivation compounds into a SortMergeJoin pileup as rounds grow,
+    and an executor loss replays everything)."""
     mat = _round_boundary(edges, checkpoint_dir)
     edges = mat(edges)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
@@ -389,10 +399,11 @@ def pagerank_of(
             ),
             "outdeg",
         )
-        # materialize BETWEEN rounds (bounded recovery, input read once);
-        # the final round flows straight into the consumer — checkpointing
-        # it would materialize a result the very next action re-reads
-        if rnd < rounds - 1:
+        # materialize every checkpoint_every rounds (bounded recovery,
+        # bounded lineage); the final round flows straight into the
+        # consumer — checkpointing it would materialize a result the very
+        # next action re-reads
+        if rnd < rounds - 1 and (rnd + 1) % checkpoint_every == 0:
             ranks = mat(ranks)
     return ranks.select("node", "rank_scaled")
 
@@ -466,11 +477,13 @@ def pagerank_weighted_of(
     edges: DataFrame,
     rounds: int = _PR_ROUNDS,
     checkpoint_dir: str | None = None,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """df-level core of ``graph_pagerank_weighted``: ``edges`` is a
     DIRECTED weighted edge list (src, dst, w BIGINT); pass both directions
-    for an undirected graph. ``checkpoint_dir`` selects reliable
-    checkpointing exactly as in ``pagerank_of``."""
+    for an undirected graph. ``checkpoint_dir`` and ``checkpoint_every``
+    select the materialization mode and cadence exactly as in
+    ``pagerank_of``."""
     mat = _round_boundary(edges, checkpoint_dir)
     edges = mat(edges)
     wtot = edges.groupBy(F.col("src").alias("node")).agg(
@@ -496,6 +509,6 @@ def pagerank_weighted_of(
             ),
             "wout",
         )
-        if rnd < rounds - 1:
+        if rnd < rounds - 1 and (rnd + 1) % checkpoint_every == 0:
             ranks = mat(ranks)
     return ranks.select("node", "rank_scaled")
