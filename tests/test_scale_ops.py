@@ -1098,3 +1098,23 @@ def test_incremental_cycle_against_persisted_artifacts(spark, sf_dir, tmp_path):
     os.rename(bi + ".tmp", bi)
     with pytest.raises(ValueError, match="schema drift"):
         load_corpus_artifacts(spark, art_dir)
+
+
+def test_brute_cosine_arrow_twin_matches_jvm(spark, sf_dir):
+    """The Arrow/numpy brute-force cosine twin returns the same rounded
+    top-k as the registered JVM fold — the measured fast path
+    (vectors.brute_cosine_topk_arrow docstring) without the oracle risk
+    of registering a pairwise-summed float."""
+    from eth_event_stream_spark.plans import QUERIES
+    from eth_event_stream_spark.plans.vectors import brute_cosine_topk_arrow
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = [
+        (r["vec_id"], r["label"], r["cosine"])
+        for r in brute_cosine_topk_arrow(e, k=20).collect()
+    ]
+    want = [
+        (r["vec_id"], r["label"], r["cosine"])
+        for r in QUERIES["similarity_topk_bruteforce"].fn(spark, sf_dir).collect()
+    ]
+    assert got == want
