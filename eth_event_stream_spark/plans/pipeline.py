@@ -2157,13 +2157,15 @@ def chunk_documents_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the token array rides along (``F.get(toks, pos-1)``)."""
     return cdc_chunks_of(
         t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    )
+    ).select("doc_id", "chunk_idx", "n_tokens", "chunk_hash")
 
 
 def cdc_chunks_of(docs: DataFrame) -> DataFrame:
     """df-level core of ``chunk_documents_cdc`` over any (doc_id, text)
-    frame — split out so the shift-resistance property and the plain-
-    Python cross-check run on synthetic revisions."""
+    frame, with the chunk text included (the registered query projects it
+    away; the CDC scrub consumes it for reassembly) — split out so the
+    shift-resistance property and the plain-Python cross-check run on
+    synthetic revisions."""
     from pyspark.sql.window import Window
 
     toks = docs.select(
@@ -2189,18 +2191,92 @@ def cdc_chunks_of(docs: DataFrame) -> DataFrame:
         "tok",
         F.sum(boundary).over(w).cast("bigint").alias("chunk_idx"),
     )
+    chunk_text = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s["tok"],
+        ),
+        " ",
+    )
     return c.groupBy("doc_id", "chunk_idx").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            )
-        ).alias("chunk_hash"),
+        chunk_text.alias("chunk_text"),
+        F.md5(chunk_text).alias("chunk_hash"),
     )
+
+
+_SQL_CDC_CTES = """
+    toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok,
+             CASE WHEN i > 1
+                   AND substring(md5(toks[i - 1] || ' ' || toks[i]), 1, 1) = '0'
+                  THEN 1 ELSE 0 END AS boundary
+      FROM toks, UNNEST(generate_series(1, LEN(toks))) AS u(i)),
+    cpos AS (
+      SELECT doc_id, pos, tok,
+             CAST(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS BIGINT) AS chunk_idx
+      FROM pos),
+    ch AS (
+      SELECT doc_id, chunk_idx, string_agg(tok, ' ' ORDER BY pos) AS chunk
+      FROM cpos GROUP BY doc_id, chunk_idx)"""
+
+
+@register(
+    "dedup_chunk_scrub_cdc",
+    oracle=f"""
+    WITH {_SQL_CDC_CTES},
+    kept AS (
+      SELECT doc_id, chunk_idx, chunk FROM (
+        SELECT doc_id, chunk_idx, chunk,
+               ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM ch) r
+      WHERE rn = 1),
+    tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id),
+    kg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY chunk_idx) AS scrubbed_text
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(kg.scrubbed_text, '') AS scrubbed_text,
+           CAST(COALESCE(kg.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_chunks - COALESCE(kg.n_kept, 0) AS BIGINT) AS n_removed
+    FROM tot t LEFT JOIN kg USING (doc_id)
+    """,
+)
+def dedup_chunk_scrub_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span scrub over CONTENT-DEFINED chunks: drop every repeated CDC
+    chunk except its first occurrence (min (doc_id, chunk_idx)), then
+    reassemble — ``dedup_chunk_scrub``'s exact contract with CDC
+    boundaries instead of fixed 16-token windows.
+
+    Why it matters: the fixed-window scrub only catches boilerplate that
+    lands at the SAME chunk alignment in every document; a one-token
+    prefix shift hides the repeat. CDC boundaries are functions of the
+    content, so a shared span chunks identically wherever it sits
+    (shift-resistance property-tested for the chunker), and the scrub
+    catches the repeat at any offset. Same 100 TB shape as the fixed
+    scrub: hash-keyed first-occurrence aggregate (DECIMAL-encoded min,
+    map-side combine), same-key keep join, per-doc reassembly."""
+    from .curation import _ENC_FIRST, _reassemble
+
+    chunks = cdc_chunks_of(t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("chunk_text").alias("chunk"),
+        F.col("chunk_hash").alias("h"),
+    )
+    enc = F.expr(_ENC_FIRST)
+    firsts = chunks.groupBy("h").agg(F.min(enc).alias("first_key"))
+    kept = (
+        chunks.join(firsts, "h")
+        .filter(enc == F.col("first_key"))
+        .select("doc_id", "chunk_idx", "chunk")
+    )
+    return _reassemble(chunks, kept)
 
 
 @register(
