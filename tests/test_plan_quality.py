@@ -152,10 +152,8 @@ PLAN_EXPECTATIONS = {
     # the epoch shuffle's rank is per-shard (hash shuffle + local sort),
     # never a SinglePartition window
     "layout_training_shuffle": [r"Window"],
-    # CDC chunking: doc-partitioned running sum + hash aggregate; a
-    # SortAggregate here means the per-chunk collect_list fell off the
-    # hash path
-    "chunk_documents_cdc": [r"Window", r"ObjectHashAggregate|HashAggregate"],
+    # CDC chunking is row-local: one projection + explode, shuffle-free
+    "chunk_documents_cdc": [r"Generate"],
     # the hybrid fusion's lanes broadcast; its final cut is a heap
     "search_hybrid_rrf_ivf": [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
     # KMV: top-K via per-partition heaps, constant-size reduction
@@ -473,6 +471,16 @@ def test_prepare_corpus_materializes_collapse_once(spark, sf_dir):
     )
     assert "content_hash" not in p, p[:2000]
     assert p.count("Scan ExistingRDD") >= 3, p[:2000]
+
+
+def test_cdc_chunker_is_shuffle_free(spark, sf_dir):
+    """The row-local CDC chunker must stay a pure projection + explode:
+    no Exchange, no Window, no aggregate — a token never leaves its
+    document's row until the final fan-out. (The window-based form this
+    replaced shuffled every token; the shuffle is what grows at 100 TB.)"""
+    p = plan_of(spark, sf_dir, "chunk_documents_cdc")
+    for op in ("Exchange", "Window", "HashAggregate", "SortAggregate"):
+        assert op not in p, (op, p[:2000])
 
 
 def test_pq_code_assignment_hash_aggregates(spark, sf_dir):

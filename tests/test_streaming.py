@@ -1708,6 +1708,45 @@ def test_funnel_reducer_stream_out_of_order_raises(spark, sf_dir, tmp_path):
         q.stop()
 
 
+def test_stream_cdc_chunking_parity(spark, sf_dir, tmp_path):
+    """Content-defined chunking is row-local (no shuffle, no window, no
+    state), so it streams in append mode: the union over micro-batches
+    must equal one batch run chunk-for-chunk — extending the stateless
+    stream==batch family (chunk_of, stats, quality, ...) to the CDC
+    chunker."""
+    from eth_event_stream_spark.plans.pipeline import cdc_chunks_of
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected = {
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_hash"])
+        for r in cdc_chunks_of(docs).collect()
+    }
+    src = tmp_path / "docs_cdc_stream"
+    docs.repartition(4).write.parquet(str(src))
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        cdc_chunks_of(sdf)
+        .writeStream.format("memory")
+        .queryName("cdc_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_cdc"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_hash"])
+        for r in spark.table("cdc_stream_sink").collect()
+    }
+    assert got == expected
+
+
 def test_funnel_reducer_restores_legacy_3col_state():
     """A checkpoint written before the in-order guard stored 3-column
     funnel state (v, c, p — no max-block lane). rows_to_state must restore
