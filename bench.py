@@ -100,10 +100,11 @@ HEADLINE = [
     "search_hybrid_rrf_ivf",
     "profile_table_stats_approx",
     # r7-extended continued: training-order shuffle, temperature mixing,
-    # and the global priority sample
+    # the global priority sample, and the content-defined span scrub
     "layout_training_shuffle",
     "mix_temperature_allocation",
     "sample_topk_priority",
+    "dedup_chunk_scrub_cdc",
 ]
 
 
