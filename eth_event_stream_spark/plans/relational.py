@@ -213,13 +213,18 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracled as a CONTRACT, not a value: the HLL estimate is
     engine-specific (DuckDB's sketch differs), so the hashed output
     carries the exact count and a ``within_bound`` flag asserting
-    |estimate - exact| <= 3*rsd*exact (the 3-sigma band of the published
-    relative-standard-deviation guarantee; deterministic per dataset —
-    HLL++ has no RNG). The oracle computes the exact count and pins the
-    flag TRUE, so the driver hash fails if the estimate ever leaves the
-    band. The estimate itself is visible in the rows-only
-    ``profile_table_stats_approx``, which rides exact and error pct
-    side by side."""
+    |estimate - exact| <= 4*rsd*exact. Four sigma, not three, on
+    purpose: the estimate is deterministic per dataset (HLL++ has no
+    RNG) but the driver REGENERATES the testdata every round, so each
+    round redraws the sketch error — a 3-sigma band leaves ~0.3% tail
+    risk per group per round compounding across rounds, while 4 sigma is
+    ~6e-5 and the observed errors sit well under 1 sigma (max 0.7% at
+    rsd 1%). The oracle computes the exact count and pins the flag TRUE,
+    so the driver hash fails if the estimate ever leaves the band. The
+    raw estimate is visible in the rows-only
+    ``profile_table_stats_approx``, which rides exact and error pct side
+    by side; the tighter 5%-of-exact empirical band stays asserted in
+    tests/test_scale_ops.py on the current data."""
     est = F.approx_count_distinct("user_id", 0.01)
     exact = F.count_distinct(F.col("user_id"))
     return (
@@ -229,7 +234,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact.cast("bigint").alias("exact_users"),
             (
                 F.abs(est - exact).cast("double")
-                <= 3 * 0.01 * exact.cast("double")
+                <= 4 * 0.01 * exact.cast("double")
             ).alias("within_bound"),
         )
     )
