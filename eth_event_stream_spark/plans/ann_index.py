@@ -46,6 +46,7 @@ from .vectors import (
     LLOYD_ROUNDS,
     N_PROBE,
     cell_assignments,
+    cosine_to_qe,
     ivf_build_centroids,
     probe_cells,
 )
@@ -161,18 +162,6 @@ def ann_probe_topk(
         r["cell"] for r in probe_cells(query_vec, idx["centroids"]).collect()
     ]
     q = query_vec.select(F.col("embedding").alias("qe"))
-    dot = (
-        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(qe AS ARRAY<DOUBLE>), "
-        "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    na = (
-        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>), "
-        "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    nb = (
-        "aggregate(zip_with(CAST(qe AS ARRAY<DOUBLE>), CAST(qe AS ARRAY<DOUBLE>), "
-        "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
     return (
         idx["cell_store"]
         .filter(F.col("cell").isin(cells) & (F.col("vec_id") != 0))
@@ -181,9 +170,7 @@ def ann_probe_topk(
             "vec_id",
             "label",
             F.col("cell").cast("bigint").alias("cell"),
-            F.round(F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))"), 6).alias(
-                "cosine"
-            ),
+            cosine_to_qe().alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)

@@ -2182,11 +2182,15 @@ def cdc_chunks_of(docs: DataFrame) -> DataFrame:
     toks = F.split(F.lower(F.col("text")), " ", -1)
     d = docs.select("doc_id", toks.alias("toks"))
     # 1-based positions where a chunk opens: position 1 always, position
-    # i > 1 whenever the (token[i-1], token[i]) bigram hash starts '0'
+    # i > 1 whenever the (token[i-1], token[i]) bigram hash starts '0'.
+    # The size guard matters: sequence(2, 1) is the DESCENDING array
+    # [2, 1], so a one-token document would evaluate element_at(toks, 2)
+    # and crash — short docs simply have no interior boundary.
     starts = F.expr(
-        "concat(array(1), filter(sequence(2, size(toks)), i -> "
+        "concat(array(1), CASE WHEN size(toks) >= 2 THEN "
+        "filter(sequence(2, size(toks)), i -> "
         "substring(md5(concat(element_at(toks, i - 1), ' ', "
-        "element_at(toks, i))), 1, 1) = '0'))"
+        "element_at(toks, i))), 1, 1) = '0') ELSE array() END)"
     )
     d = d.select("doc_id", "toks", starts.alias("starts"))
     ends = F.expr(

@@ -402,32 +402,55 @@ class KeywordTopKServer:
     Per micro-batch: cut the batch to its own top-k (TakeOrdered heap),
     merge with the current k-row table, dedup by doc_id (max score), keep
     the best k by (score desc, doc_id asc) — the exact tie-break of
-    ``_rank_topk`` — and atomically overwrite. State is O(k) regardless of
-    stream length, and because the max-k merge is a commutative,
-    idempotent monoid, neither batching, arrival order, nor an epoch
-    replay after a failure can change the final table (the doc_id dedup
-    absorbs replayed rows). The k-row collect is bounded driver metadata,
-    same as the pinned-threshold pattern.
+    ``_rank_topk`` — and publish. State is O(k) regardless of stream
+    length, and because the max-k merge is a commutative, idempotent
+    monoid, neither batching, arrival order, nor an epoch replay after a
+    failure can change the final table (the doc_id dedup absorbs replayed
+    rows). The k-row collect is bounded driver metadata, same as the
+    pinned-threshold pattern.
+
+    Publication is ATOMIC via a versioned-pointer layout (a plain
+    ``mode("overwrite")`` deletes the directory before writing, so a
+    crash mid-write — or a concurrent reader — would lose the
+    accumulated state, which epoch replay cannot restore): each update
+    writes a fresh ``v-<epoch>-<n>`` parquet directory, then swaps the
+    one-line ``CURRENT`` pointer file with ``os.replace`` (atomic on
+    POSIX). Readers resolve the pointer first, so they only ever see a
+    fully-written version; superseded versions are garbage-collected,
+    keeping the previous one as the reader-in-flight grace copy.
 
     Closes the stream==batch story for the retrieval family:
     ``score_keywords_pinned`` streams the scoring, this streams the cut;
     parity with the batch ``search_keyword_topk`` is pinned in
     tests/test_streaming.py."""
 
+    _POINTER = "CURRENT"
+
     def __init__(self, path: str, k: int = TOPK_LANE):
         self.path = path
         self.k = k
 
+    def _current_dir(self) -> str | None:
+        import os
+
+        pointer = os.path.join(self.path, self._POINTER)
+        if not os.path.exists(pointer):
+            return None
+        with open(pointer) as f:
+            return os.path.join(self.path, f.read().strip())
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        from pyspark.errors import AnalysisException
+        import os
+        import shutil
 
         spark = batch_df.sparkSession
         batch_top = batch_df.select("doc_id", "score").orderBy(
             F.desc("score"), F.asc("doc_id")
         ).limit(self.k)
-        try:
-            merged = spark.read.parquet(self.path).unionByName(batch_top)
-        except AnalysisException:  # first epoch: no serving table yet
+        cur = self._current_dir()
+        if cur is not None:
+            merged = spark.read.parquet(cur).unionByName(batch_top)
+        else:  # first epoch: no serving table yet
             merged = batch_top
         top = (
             merged.groupBy("doc_id")
@@ -435,12 +458,31 @@ class KeywordTopKServer:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(self.k)
         )
-        rows = top.collect()  # k rows — materialize BEFORE overwriting the input
-        spark.createDataFrame(rows, top.schema).write.mode("overwrite").parquet(
-            self.path
+        rows = top.collect()  # k rows — materialized BEFORE any swap
+        os.makedirs(self.path, exist_ok=True)
+        version = f"v-{epoch_id}-{len(os.listdir(self.path))}"
+        spark.createDataFrame(rows, top.schema).write.parquet(
+            os.path.join(self.path, version)
         )
+        tmp = os.path.join(self.path, self._POINTER + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, os.path.join(self.path, self._POINTER))
+        # GC everything except the new version and its predecessor (the
+        # grace copy for a reader that resolved the old pointer)
+        keep = {version, self._POINTER}
+        if cur is not None:
+            keep.add(os.path.basename(cur))
+        for entry in os.listdir(self.path):
+            if entry not in keep:
+                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
 
     def current(self, spark: SparkSession) -> DataFrame:
         """The served top-k with ROW_NUMBER-equal ranks — same output
         shape as ``search_keyword_topk``."""
-        return _rank_topk(spark.read.parquet(self.path), "doc_id", "score", self.k)
+        cur = self._current_dir()
+        if cur is None:
+            raise FileNotFoundError(
+                f"no serving table published yet at {self.path}"
+            )
+        return _rank_topk(spark.read.parquet(cur), "doc_id", "score", self.k)

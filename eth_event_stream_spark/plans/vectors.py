@@ -329,6 +329,29 @@ _L2_TO_CE = (
 )
 
 
+def cosine_to_qe():
+    """Exact 6-decimal-rounded cosine of ``embedding`` against a broadcast
+    query column ``qe`` — ONE definition shared by the composed IVF probe
+    and the persisted-index probe (plans/ann_index.py), so the rounding
+    contract the cross-engine parity hangs on cannot drift between them."""
+    dot = (
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+        "CAST(qe AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = (
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+        "CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nb = (
+        "aggregate(zip_with(CAST(qe AS ARRAY<DOUBLE>), "
+        "CAST(qe AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return F.round(F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))"), 6)
+
+
 def cell_assignments(e: DataFrame, cent_arr: DataFrame) -> DataFrame:
     """(vec_id, cell): nearest centroid per vector — broadcast K-row cross
     join + min_by partial agg (map-side combine, deterministic cid
@@ -427,27 +450,10 @@ def ivf_candidates_scored(
         .select("vec_id", "cell")
     )
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    dot = (
-        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(qe AS ARRAY<DOUBLE>), "
-        "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    na = (
-        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>), "
-        "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    nb = (
-        "aggregate(zip_with(CAST(qe AS ARRAY<DOUBLE>), CAST(qe AS ARRAY<DOUBLE>), "
-        "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
     return (
         cand.join(e, "vec_id")
         .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            "label",
-            "cell",
-            F.round(F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))"), 6).alias("cosine"),
-        )
+        .select("vec_id", "label", "cell", cosine_to_qe().alias("cosine"))
     )
 
 

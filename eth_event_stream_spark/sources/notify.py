@@ -70,11 +70,16 @@ class BlockNotify:
         poll_interval_s: float = 0.2,
         retry_base_s: float = 0.01,
         ws_url: str | None = None,
+        ws_idle_timeout_s: float = 60.0,
     ):
         self._fetcher = JsonRpcLogFetcher(rpc_url)
         self.poll_interval_s = poll_interval_s
         self.retry_base_s = retry_base_s
         self.ws_url = ws_url
+        # idle budget between pushed frames: must exceed the chain's block
+        # cadence (~12 s) or every quiet gap reconnect-churns; a dead link
+        # still surfaces within it
+        self.ws_idle_timeout_s = ws_idle_timeout_s
         self._ws: WsClient | None = None
         self._cond = threading.Condition()
         self._head: int | None = None
@@ -127,7 +132,11 @@ class BlockNotify:
                 if self._stopped:
                     return
             try:
-                ws = WsClient(self.ws_url, timeout_s=self._fetcher.timeout_s)
+                ws = WsClient(
+                    self.ws_url,
+                    timeout_s=self._fetcher.timeout_s,
+                    idle_timeout_s=self.ws_idle_timeout_s,
+                )
             except TransientRpcError:
                 backoff = min(backoff * 2, 1.0)
                 self._sleep(backoff)
@@ -187,11 +196,18 @@ class BlockNotify:
     def _parse_new_head(text: str) -> int | None:
         """Block height from an eth_subscription notification; None for
         unrelated messages (late acks, other ids); RpcError on a
-        notification whose head is malformed."""
+        notification whose head is malformed. Every shape assumption is
+        checked explicitly — a None/non-dict params or result must become
+        RpcError (fail-fast, surfaced to ``.error``), never an
+        AttributeError that would kill the feed thread silently."""
         msg = json.loads(text)
         if not isinstance(msg, dict) or msg.get("method") != "eth_subscription":
             return None
-        num = (msg.get("params") or {}).get("result", {}).get("number")
+        params = msg.get("params")
+        result = params.get("result") if isinstance(params, dict) else None
+        if not isinstance(result, dict):
+            raise RpcError(f"newHeads: malformed notification result {result!r}")
+        num = result.get("number")
         if not isinstance(num, str):
             raise RpcError(f"newHeads: non-hex block number {num!r}")
         try:

@@ -83,7 +83,7 @@ class WsClient:
     thread owns it. ``close()`` is safe from another thread and unblocks a
     blocked ``recv_text`` (the socket dies under it)."""
 
-    def __init__(self, url: str, timeout_s: float = 10.0):
+    def __init__(self, url: str, timeout_s: float = 10.0, idle_timeout_s: float = 60.0):
         u = urlparse(url)
         if u.scheme != "ws":
             raise RpcError(f"unsupported WebSocket scheme {u.scheme!r} (ws only)")
@@ -124,6 +124,12 @@ class WsClient:
         if headers.get(b"sec-websocket-accept", b"").decode() != accept_key(key):
             self._sock.close()
             raise RpcError("ws handshake: bad Sec-WebSocket-Accept")
+        # subscription sockets idle between pushes (Ethereum block cadence
+        # ~12 s, pings not guaranteed): the handshake's tight timeout would
+        # misread every quiet gap as a drop and churn reconnects, so reads
+        # after the handshake get their own, much larger idle budget; a
+        # genuinely dead link still surfaces (as a transient) within it
+        self._sock.settimeout(idle_timeout_s)
 
     # -- transport ----------------------------------------------------------
 
@@ -175,7 +181,10 @@ class WsClient:
         while True:
             opcode, fin, payload = self._read_frame()
             if opcode == OP_PING:
-                self._sock.sendall(encode_frame(OP_PONG, payload, masked=True))
+                try:
+                    self._sock.sendall(encode_frame(OP_PONG, payload, masked=True))
+                except OSError as e:  # pong into a broken pipe = drop
+                    raise TransientRpcError(f"ws pong: {e}") from e
                 continue
             if opcode == OP_PONG:
                 continue

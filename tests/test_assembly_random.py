@@ -482,3 +482,18 @@ def test_cdc_chunks_match_python_and_survive_prefix_edits(spark):
 
     f1, f2 = fixed_hashes(base), fixed_hashes(revised)
     assert len(f1 & f2) <= 1
+
+    # regression: documents with fewer than two tokens must chunk to one
+    # chunk, not crash (sequence(2, 1) is the DESCENDING [2, 1] in Spark,
+    # which used to index element_at(toks, 2) out of bounds)
+    short = spark.createDataFrame(
+        [(10, "hello"), (11, ""), (12, "two tokens")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        for r in cdc_chunks_of(short).collect()
+    }
+    assert rows[10] == (0, 1, "hello")
+    assert rows[11] == (0, 1, "")  # split('') tokenizes to ['']
+    assert rows[12][1] == 2

@@ -161,6 +161,15 @@ class FakeWsNode:
                     conn.sendall(encode_frame(OP_CONT, msg[half:], masked=False))
                 elif step[0] == "ping":
                     conn.sendall(encode_frame(OP_PING, b"hb", masked=False))
+                elif step[0] == "badresult":
+                    msg = json.dumps(
+                        {
+                            "jsonrpc": "2.0",
+                            "method": "eth_subscription",
+                            "params": {"subscription": "0xsub1", "result": None},
+                        }
+                    ).encode()
+                    conn.sendall(encode_frame(OP_TEXT, msg, masked=False))
                 elif step[0] == "close":
                     conn.close()
                     return
@@ -230,6 +239,26 @@ def test_ws_subscribe_rejected_fails_fast():
         assert nf.error is not None
         assert not isinstance(nf.error, TransientRpcError)
         assert node.connections == 1  # no reconnect spin
+    finally:
+        nf.stop()
+        node.stop()
+
+
+def test_ws_malformed_head_fails_fast_not_silently():
+    """A notification with result=null must surface as RpcError through
+    .error (fail-fast), NOT kill the feed thread with an uncaught
+    AttributeError that leaves .error unset and wait_for hanging."""
+    node = FakeWsNode([[("head", 3), ("badresult",)]])
+    nf = BlockNotify(rpc_url="http://unused.invalid", ws_url=node.url)
+    try:
+        # the good head may or may not be observed before the bad frame's
+        # error lands (wait_for surfaces a stored error first) — the
+        # contract under test is only that the malformed result becomes a
+        # stored RpcError instead of silently killing the thread
+        with pytest.raises(RpcError, match="malformed"):
+            nf.wait_for(99, timeout_s=10.0)
+        assert nf.error is not None
+        assert not isinstance(nf.error, TransientRpcError)
     finally:
         nf.stop()
         node.stop()
