@@ -105,6 +105,8 @@ HEADLINE = [
     "mix_temperature_allocation",
     "sample_topk_priority",
     "dedup_chunk_scrub_cdc",
+    # query-batched ANN serving: |Q| queries from one build + one pass
+    "similarity_topk_batch_queries",
 ]
 
 

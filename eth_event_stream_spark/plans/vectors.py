@@ -470,6 +470,107 @@ def ivf_search_topk(
     )
 
 
+BATCH_QUERY_IDS = (0, 101, 202, 303)
+BATCH_TOPK = 5
+
+
+def _sql_ivf_batch() -> str:
+    """Oracle for the query-BATCHED IVF search: the generated CTE chain up
+    through the cell assignment (same Lloyd rounds), then per-query probe
+    cells, shared candidate join, and a per-query rank cut."""
+    ids = ", ".join(str(i) for i in BATCH_QUERY_IDS)
+    cos = f"""
+             ROUND(
+               list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                    i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(qv.embedding[i] AS DOUBLE))))), 6)"""
+    # the generated chain's last four CTEs (probes/cand/q/scored) are the
+    # single-query tail — keep everything up through `cells` + `df`
+    prefix = ",\n    ".join(_ivf_ctes(LLOYD_ROUNDS)[:-4])
+    return f"""
+    WITH {prefix},
+    qprobes AS (
+      SELECT vec_id AS qid, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM df WHERE vec_id IN ({ids})) r
+      WHERE rn <= {N_PROBE}),
+    cand AS (
+      SELECT p.qid, c.vec_id FROM cells c JOIN qprobes p ON c.cell = p.cell
+      WHERE c.vec_id != p.qid),
+    scored AS (
+      SELECT cand.qid, cand.vec_id, e.label, {cos} AS cosine
+      FROM cand JOIN e ON e.vec_id = cand.vec_id
+                JOIN e qv ON qv.vec_id = cand.qid)
+    SELECT qid, vec_id, label, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT qid, vec_id, label, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, vec_id) AS rnk
+      FROM scored) r
+    WHERE rnk <= {BATCH_TOPK}
+    """
+
+
+@register("similarity_topk_batch_queries", oracle=_sql_ivf_batch())
+def similarity_topk_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-BATCHED ANN serving: top-{BATCH_TOPK} neighbors for EVERY
+    query in a fixed batch ({BATCH_QUERY_IDS}) from ONE index build and
+    ONE pass over the corpus — the shape a retrieval deployment actually
+    runs (hard-negative mining for a training epoch, eval-set neighbor
+    dumps, batched online serving), where per-query scans would multiply
+    the corpus cost by |Q|.
+
+    Plan: the Lloyd centroids build once; every corpus vector's cell
+    assignment is computed once and SHARED; the per-query probe lists
+    (|Q| x N_PROBE rows) broadcast into the cell-assignment join, so a
+    corpus vector is scored only for the queries whose probe lists cover
+    its cell; the query embeddings themselves broadcast (|Q| rows) for
+    the cosine; the final cut is a qid-partitioned rank that Spark runs
+    as WindowGroupLimit heaps — never a SinglePartition window, never a
+    per-query rescan. Self-matches are excluded per query (a query CAN
+    appear among another query's neighbors, as it should). The oracle
+    replays the identical generated Lloyd chain plus the batched probe
+    SQL."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    cent = ivf_build_centroids(spark, sf_dir)
+    cells = cell_assignments(e, cent)
+    qdf = e.filter(F.col("vec_id").isin(*BATCH_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    qd = (
+        qdf.select("qid", F.col("qe").alias("embedding"))
+        .crossJoin(F.broadcast(cent))
+        .select("qid", "cid", F.expr(_L2_TO_CE).alias("dist"))
+    )
+    wprobe = Window.partitionBy("qid").orderBy("dist", "cid")
+    probes = (
+        qd.withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("qid", F.col("cid").alias("cell"))
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    scored = (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(qdf), "qid")
+        .select("qid", "vec_id", "label", cosine_to_qe().alias("cosine"))
+    )
+    wcut = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wcut).cast("bigint"))
+        .filter(F.col("rnk") <= BATCH_TOPK)
+        .select("qid", "vec_id", "label", "cosine", "rnk")
+    )
+
+
 def brute_cosine_topk_arrow(e: DataFrame, k: int = 10) -> DataFrame:
     """Arrow/numpy twin of the brute-force cosine scan: one vectorized
     pandas UDF (BLAS matmul per Arrow batch) instead of the JVM

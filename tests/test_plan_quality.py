@@ -154,6 +154,9 @@ PLAN_EXPECTATIONS = {
     "layout_training_shuffle": [r"Window"],
     # CDC chunking is row-local: one projection + explode, shuffle-free
     "chunk_documents_cdc": [r"Generate"],
+    # batched ANN: per-query cut must be WindowGroupLimit heaps, probes
+    # and query embeddings broadcast into the shared candidate join
+    "similarity_topk_batch_queries": [r"WindowGroupLimit", r"BroadcastHashJoin"],
     # the hybrid fusion's lanes broadcast; its final cut is a heap
     "search_hybrid_rrf_ivf": [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
     # KMV: top-K via per-partition heaps, constant-size reduction
