@@ -20,6 +20,7 @@ from . import (  # noqa: F401  (registration side effects)
     incremental,
     layout,
     ledger,
+    matview,
     modern,
     pipeline,
     profiling,
