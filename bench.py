@@ -107,6 +107,8 @@ HEADLINE = [
     "dedup_chunk_scrub_cdc",
     # query-batched ANN serving: |Q| queries from one build + one pass
     "similarity_topk_batch_queries",
+    # incremental MV maintenance: dirty-bucket rollup refresh == recompute
+    "rollup_incremental_refresh",
 ]
 
 

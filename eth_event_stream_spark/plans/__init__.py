@@ -32,6 +32,7 @@ from . import (  # noqa: F401  (registration side effects)
     relational6,
     retrieval,
     vectors,
+    warehouse,
 )
 from .registry import QUERIES, oracle_sql_dict, queries_dict
 

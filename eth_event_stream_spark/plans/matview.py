@@ -201,6 +201,8 @@ def refresh_rollup_mv(spark: SparkSession, delta_events: DataFrame, mv_dir: str)
         "bucket_date", F.to_date("bucket_hour")
     )
     dirty = [r.bucket_date for r in delta.select("bucket_date").distinct().collect()]
+    if not dirty:  # empty micro-batch: nothing to patch
+        return []
 
     mv = spark.read.parquet(mv_dir)
     dirty_rows = mv.filter(F.col("bucket_date").isin(dirty))
@@ -216,6 +218,45 @@ def refresh_rollup_mv(spark: SparkSession, delta_events: DataFrame, mv_dir: str)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return [str(d) for d in sorted(dirty)]
+
+
+def stream_rollup_refresh(spark: SparkSession, delta_stream: DataFrame, mv_dir: str):
+    """Maintain the on-disk MV from a STREAM of delta events: a
+    ``foreachBatch`` sink that patches dirty date partitions per micro-batch.
+
+    Replay safety: Structured Streaming re-delivers a micro-batch (same
+    ``batch_id``) after a failure, and the partial-sum patch is NOT naturally
+    idempotent — re-applying a batch would double-count. An applied-batch
+    journal (``_applied.json``, swapped atomically with ``os.replace``) makes
+    replays no-ops. The journal is written AFTER the partition overwrite, so
+    a crash between the two re-applies the batch on restart — the same
+    at-least-once window every non-transactional parquet sink has; closing
+    it fully needs a transactional table format (or the versioned-pointer
+    publication ``KeywordTopKServer`` uses for its O(k) state, which is
+    practical there but would mean rewriting clean partitions here).
+    """
+    import json
+    import os
+
+    journal = os.path.join(mv_dir, "_applied.json")
+
+    def _applied() -> list[int]:
+        if not os.path.exists(journal):
+            return []
+        with open(journal) as f:
+            return json.load(f)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        seen = _applied()
+        if batch_id in seen:
+            return  # epoch replay — already folded in
+        refresh_rollup_mv(spark, batch_df, mv_dir)
+        tmp = journal + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(seen + [batch_id], f)
+        os.replace(tmp, journal)
+
+    return _apply
 
 
 def read_rollup_mv(spark: SparkSession, mv_dir: str) -> DataFrame:

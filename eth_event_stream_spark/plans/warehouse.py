@@ -1,0 +1,191 @@
+"""Dimension maintenance: SCD2 history build and changelog MERGE apply.
+
+The reference folds a totally-ordered event stream into evolving per-key
+state (`eth_event_stream/src/sink.rs` reducer fold; SURVEY §2.2 B10) — the
+warehouse-side twins of that fold are:
+
+- **SCD2 history**: turn the ordered event log into slowly-changing-dimension
+  type-2 validity intervals (one row per consecutive run of a key's state,
+  with ``valid_from`` / ``valid_to`` / ``is_current``) — the gaps-and-islands
+  rewrite, one shuffle on the key, two window passes over it.
+- **MERGE apply**: apply an ordered changelog of full-row upserts and deletes
+  onto a base snapshot (the ``MERGE INTO`` shape every lakehouse table format
+  executes). The scale-relevant property: the base is touched only by a
+  broadcast anti-join on the (small) set of changed keys — untouched base
+  rows are never shuffled, deleted keys drop out, and the latest change wins
+  per key, so applying a changelog is O(base scan + |changes|), not a
+  base-sized shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import t
+from .registry import register
+
+_CUTOFF = "2024-01-20 00:00:00"
+
+
+@register(
+    "scd2_state_history",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id FROM events WHERE user_id < 60),
+    marked AS (
+      SELECT *, CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                     THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    islands AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked),
+    runs AS (
+      SELECT user_id, island, MIN(event_type) AS state,
+             MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM islands GROUP BY user_id, island)
+    SELECT user_id, state, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+             AS valid_to,
+           n_events,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY island) IS NULL
+             AS is_current
+    FROM runs
+    """,
+    doc="SCD2 validity intervals from the ordered event log.",
+)
+def scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 type-2 history: one row per consecutive run of a user's
+    event_type, with [valid_from, valid_to) intervals and an ``is_current``
+    flag on the open run. Gaps-and-islands: change flag (lag) → island id
+    (running sum) → per-island collapse → interval close (lead). Both window
+    passes share the one hash-partition on user_id; no second shuffle."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    islands = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 60)
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn(
+            "chg",
+            F.when(
+                ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w_close = Window.partitionBy("user_id").orderBy("island")
+    return runs.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w_close).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w_close).isNull().alias("is_current"),
+    )
+
+
+def merge_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an ordered changelog onto a base snapshot (MERGE INTO):
+
+    - the LATEST change per key wins (ordered by ``order_cols``);
+    - latest op ``'D'`` deletes the key; any other op upserts the full row;
+    - base rows whose key never appears in the changelog pass through via a
+      broadcast ANTI join on the changed-key set — the base is scanned once
+      and never shuffled, which is what makes a 100 TB snapshot mergeable
+      with a GB-sized changelog.
+
+    ``changes`` must carry the base columns plus ``op_col``; the result has
+    exactly the base schema.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    touched = latest.select(*key_cols)
+    untouched = base.join(F.broadcast(touched), key_cols, "left_anti")
+    upserts = latest.filter(F.col(op_col) != F.lit("D")).select(*base.columns)
+    return untouched.unionByName(upserts)
+
+
+@register(
+    "merge_changelog_upsert",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_type AS state, ts AS state_ts
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '{_CUTOFF}')
+      WHERE rn = 1),
+    chg AS (
+      SELECT user_id, event_type AS state, ts AS state_ts,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             event_id
+      FROM events WHERE ts >= TIMESTAMP '{_CUTOFF}'),
+    latest AS (
+      SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                                  ORDER BY state_ts DESC,
+                                                           event_id DESC) AS rn
+                     FROM chg) WHERE rn = 1)
+    SELECT user_id, state, state_ts FROM base
+    WHERE user_id NOT IN (SELECT user_id FROM latest)
+    UNION ALL
+    SELECT user_id, state, state_ts FROM latest WHERE op <> 'D'
+    """,
+    doc="MERGE INTO: ordered changelog of upserts/deletes onto a snapshot.",
+)
+def merge_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE shape end-to-end on the driver's data: base snapshot =
+    each user's last state before the cutoff; changelog = the events after
+    it, ``'error'`` mapped to a delete, everything else a full-row upsert.
+    Latest change wins; deleted users drop out; untouched users pass through
+    the broadcast anti-join (`merge_apply`)."""
+    events = t(spark, sf_dir, "events")
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = (
+        events.filter(F.col("ts") < cutoff)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("state_ts"),
+        )
+    )
+    changes = events.filter(F.col("ts") >= cutoff).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("state_ts"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "event_id",
+    )
+    return merge_apply(
+        base,
+        changes,
+        key_cols=["user_id"],
+        order_cols=["state_ts", "event_id"],
+    )
+
+
+__all__ = ["scd2_state_history", "merge_apply", "merge_changelog_upsert"]

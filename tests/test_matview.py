@@ -96,6 +96,46 @@ def test_refresh_touches_only_dirty_partitions(spark, sf_dir, tmp_path):
     assert _rows(got, keys) == _rows(want, keys)
 
 
+def test_streaming_ingest_refreshes_mv_with_parity(spark, sf_dir, tmp_path):
+    """Stream==batch for the MV: base MV on disk, delta events streamed
+    file-by-file through the foreachBatch refresher; the final MV equals a
+    full recompute, and replaying an already-journaled batch is a no-op."""
+    from eth_event_stream_spark.plans.matview import stream_rollup_refresh
+
+    events = t(spark, sf_dir, "events")
+    base, delta = split_base_delta(events)
+
+    mv_dir = str(tmp_path / "rollup_mv_stream")
+    write_rollup_mv(base, mv_dir)
+
+    src = tmp_path / "delta_src"
+    delta.repartition(4).write.parquet(str(src))
+
+    sdf = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    apply_batch = stream_rollup_refresh(spark, sdf, mv_dir)
+    q = (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ck_mv"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    keys = ["bucket_hour", "event_type"]
+    want = _rows(_finalize(hourly_partials(events), "bucket_hour"), keys)
+    assert _rows(read_rollup_mv(spark, mv_dir), keys) == want
+
+    # epoch replay: re-applying a journaled batch id must not double-count
+    apply_batch(spark.read.parquet(str(src)), 0)
+    assert _rows(read_rollup_mv(spark, mv_dir), keys) == want
+
+
 def test_daily_cascade_equals_direct_daily(spark, sf_dir):
     from eth_event_stream_spark.plans.matview import rollup_cascade_daily
 
