@@ -167,3 +167,54 @@ def layout_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.withColumn(
         "pos_in_shard", F.row_number().over(w).cast("bigint")
     )
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: bin-pack a parquet directory into ~target-sized
+    output files (the lakehouse OPTIMIZE step, table-format-free).
+
+    At 100 TB the small-file problem is the silent killer: a million 1 MB
+    files cost a million footer reads, a million scheduler tasks, and a
+    listing that dominates the query. Compaction here is one declarative
+    pass: size the output file count from the ACTUAL byte total
+    (ceil(total/target)), then either ``repartition(n)`` (pure bin-pack) or
+    ``repartitionByRange(n, sort_cols) + sortWithinPartitions`` — the latter
+    preserves/establishes clustering, so every output file owns a disjoint
+    key range and parquet min/max footers prune like before compaction
+    (the Z-order write path composes the same way; `zorder_cluster_ranges`).
+
+    Returns {"n_files_in", "bytes_in", "n_files_out", "target_bytes"} for
+    audit. Local-FS listing here; on HDFS/S3 the same numbers come from the
+    FileSystem / object-listing API.
+    """
+    import math
+    import os
+
+    files = [
+        os.path.join(src_dir, f)
+        for f in os.listdir(src_dir)
+        if f.endswith(".parquet")
+    ]
+    bytes_in = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(bytes_in / target_bytes))
+
+    df = spark.read.parquet(src_dir)
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(dst_dir)
+    return {
+        "n_files_in": len(files),
+        "bytes_in": bytes_in,
+        "n_files_out": n_out,
+        "target_bytes": target_bytes,
+    }

@@ -136,6 +136,20 @@ def test_streaming_ingest_refreshes_mv_with_parity(spark, sf_dir, tmp_path):
     assert _rows(read_rollup_mv(spark, mv_dir), keys) == want
 
 
+def test_refresh_dirty_split_is_broadcast(spark, sf_dir):
+    """The clean/dirty MV split must be two broadcast joins on the dirty-key
+    set (semi + anti), never a sort-merge shuffle of the MV."""
+    plan = (
+        rollup_incremental_refresh(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_daily_cascade_equals_direct_daily(spark, sf_dir):
     from eth_event_stream_spark.plans.matview import rollup_cascade_daily
 

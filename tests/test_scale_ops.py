@@ -1118,3 +1118,57 @@ def test_brute_cosine_arrow_twin_matches_jvm(spark, sf_dir):
         for r in QUERIES["similarity_topk_bruteforce"].fn(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_compact_parquet_dir_binpacks_and_preserves_clustering(spark, sf_dir, tmp_path):
+    """Small-file compaction: 64 tiny files bin-pack to the byte-sized
+    output count, content survives exactly, and the sort_cols form keeps
+    every output file on a disjoint key range (footer-prunable)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from eth_event_stream_spark.plans.layout import compact_parquet_dir
+
+    src = str(tmp_path / "fragmented")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(64).write.parquet(src)
+    n_src = len(glob.glob(f"{src}/*.parquet"))
+    assert n_src == 64
+
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(f"{src}/*.parquet")
+    )
+    target = max(1, total // 4)  # aim for ~4 output files
+
+    # pure bin-pack
+    packed = str(tmp_path / "packed")
+    stats = compact_parquet_dir(spark, src, packed, target_bytes=target)
+    n_out = len(glob.glob(f"{packed}/*.parquet"))
+    assert stats["n_files_in"] == 64
+    assert n_out == stats["n_files_out"] <= 6
+    a = sorted(tuple(r) for r in spark.read.parquet(packed).collect())
+    b = sorted(tuple(r) for r in orders.collect())
+    assert a == b
+
+    # clustered compaction: disjoint o_orderkey ranges per output file
+    clustered = str(tmp_path / "packed_sorted")
+    compact_parquet_dir(
+        spark, src, clustered, target_bytes=target, sort_cols=["o_orderkey"]
+    )
+    spans = []
+    for f in sorted(glob.glob(f"{clustered}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # o_orderkey is the first column
+            assert col.path_in_schema == "o_orderkey"
+            los.append(col.statistics.min)
+            his.append(col.statistics.max)
+        spans.append((min(los), max(his)))
+    spans.sort()
+    assert len(spans) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (hi1, lo2)  # ranges do not overlap
+    c = sorted(tuple(r) for r in spark.read.parquet(clustered).collect())
+    assert c == b

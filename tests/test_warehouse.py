@@ -44,6 +44,87 @@ def test_merge_untouched_base_path_is_broadcast_anti(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_snapshot_maintainer_streaming_cdc(spark, tmp_path):
+    """Stream a 3-chunk ordered changelog through SnapshotMaintainer: the
+    published snapshot equals a one-shot merge_apply of the whole log onto
+    the bootstrap base, and replaying an applied epoch is a no-op."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eth_event_stream_spark.plans.warehouse import SnapshotMaintainer
+
+    chunks = [
+        [(1, "a1", 10, "U"), (2, "b", 11, "U"), (5, "e", 12, "U")],
+        [(2, "b", 20, "D"), (4, "d", 21, "U"), (1, "a2", 22, "U")],
+        [(5, "e", 30, "D"), (5, "e2", 31, "U"), (6, "f", 32, "U")],
+    ]
+    cols = ["k", "v", "seq", "op"]
+    arrow_schema = pa.schema(
+        [("k", pa.int64()), ("v", pa.string()), ("seq", pa.int64()), ("op", pa.string())]
+    )
+    src = tmp_path / "cdc_log"
+    src.mkdir()
+    # one file per chunk, mtimes ascending so the file source delivers the
+    # chunks in changelog order (the ordered-log contract)
+    now = time.time()
+    for i, rows in enumerate(chunks):
+        f = src / f"chunk-{i}.parquet"
+        pq.write_table(
+            pa.Table.from_pylist([dict(zip(cols, r)) for r in rows], schema=arrow_schema),
+            str(f),
+        )
+        os.utime(f, (now - 30 + i * 10, now - 30 + i * 10))
+
+    snap_dir = str(tmp_path / "dim_snapshot")
+    maintainer = SnapshotMaintainer(
+        snap_dir, key_cols=["k"], order_cols=["seq"], op_col="op"
+    )
+    base = spark.createDataFrame([(3, "c", 0)], ["k", "v", "seq"])
+    maintainer.bootstrap(base)
+
+    changelog_schema = spark.createDataFrame(
+        [(1, "x", 1, "U")], cols
+    ).schema
+    sdf = (
+        spark.readStream.schema(changelog_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sdf.writeStream.foreachBatch(maintainer)
+        .option("checkpointLocation", str(tmp_path / "ck_cdc"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def _snap_rows():
+        return sorted(
+            (r.k, r.v) for r in maintainer.current(spark).select("k", "v").collect()
+        )
+
+    want_df = merge_apply(
+        base,
+        spark.read.parquet(str(src)),
+        key_cols=["k"],
+        order_cols=["seq"],
+    )
+    want = sorted((r.k, r.v) for r in want_df.select("k", "v").collect())
+    assert _snap_rows() == want == [(1, "a2"), (3, "c"), (4, "d"), (5, "e2"), (6, "f")]
+
+    # epoch replay: re-delivering an already-applied batch id must no-op
+    replay = spark.createDataFrame(
+        [(1, "GHOST", 99, "U")], cols
+    )
+    maintainer(replay, 0)
+    assert _snap_rows() == want
+
+
 def test_scd2_intervals_tile_each_users_timeline(spark, sf_dir):
     hist = scd2_state_history(spark, sf_dir).cache()
     try:
