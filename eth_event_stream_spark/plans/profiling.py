@@ -210,3 +210,56 @@ def profile_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+N_TASKS = 32  # the cluster-parallelism the salt recommendation targets
+
+
+@register(
+    "profile_key_skew",
+    oracle=f"""
+    WITH k AS (
+      SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+             CAST((SUM(n_rows) + {N_TASKS - 1}) // {N_TASKS} AS BIGINT) AS target
+      FROM k)
+    SELECT key, n_rows,
+           CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm,
+           n_rows * {N_TASKS} > total * 2 AS hot,
+           CAST((n_rows + target - 1) // target AS BIGINT) AS recommended_salt
+    FROM k, tot
+    """,
+    doc="Join-key skew audit: per-key share and the salt factor to flatten it.",
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diagnostic that feeds the salted-join path (`join_salted_equivalence`):
+    per-key row counts, parts-per-million share, a `hot` flag (key exceeds 2x
+    the uniform per-task share at N_TASKS-way parallelism), and the integer
+    salt factor that splits the key across ~target-sized tasks. All integer
+    math (ppm, ceil-div) so the oracle hash covers the recommendation, not
+    just the counts. One scan + a 1-row broadcast total — at 100 TB this is
+    the cheap pre-flight a pipeline runs before choosing its join strategy
+    (AQE's skew handling fixes sort-merge joins at runtime; the salt
+    recommendation covers the shapes AQE can't rewrite, e.g. aggregations
+    or as-of buckets on the hot key)."""
+    k = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("key"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+    tot = k.agg(F.sum("n_rows").alias("total")).select(
+        "total",
+        F.expr(f"(total + {N_TASKS - 1}) div {N_TASKS}").alias("target"),
+    )
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n_rows",
+            F.expr("(n_rows * 1000000) div total").alias("share_ppm"),
+            (F.col("n_rows") * N_TASKS > F.col("total") * 2).alias("hot"),
+            F.expr("(n_rows + target - 1) div target").alias("recommended_salt"),
+        )
+    )
