@@ -60,27 +60,56 @@ def scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type, with [valid_from, valid_to) intervals and an ``is_current``
     flag on the open run. Gaps-and-islands: change flag (lag) → island id
     (running sum) → per-island collapse → interval close (lead). Both window
-    passes share the one hash-partition on user_id; no second shuffle."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    islands = (
-        t(spark, sf_dir, "events")
-        .filter(F.col("user_id") < 60)
-        .select("user_id", "event_type", "ts", "event_id")
-        .withColumn(
-            "chg",
-            F.when(
-                ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
-            ).otherwise(0),
-        )
-        .withColumn("island", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    passes share the one hash-partition on user_id; no second shuffle.
+    ``SCD2Maintainer`` is the incremental streaming twin; this full rebuild
+    is its parity oracle."""
+    return collapse_runs(
+        event_runs(t(spark, sf_dir, "events").filter(F.col("user_id") < 60))
     )
-    runs = islands.groupBy("user_id", "island").agg(
+
+
+def event_runs(events: DataFrame) -> DataFrame:
+    """Collapse an event set to per-user RUNS (consecutive same-state spans):
+    (user_id, state, valid_from, n_events), one row per island. The event-
+    level half of the SCD2 build; ``collapse_runs`` closes the intervals."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    islands = events.select(
+        "user_id", "event_type", "ts", "event_id"
+    ).withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return islands.groupBy("user_id", "island").agg(
         F.min("event_type").alias("state"),
         F.min("ts").alias("valid_from"),
         F.count("*").alias("n_events"),
+    ).drop("island")
+
+
+def collapse_runs(runs: DataFrame) -> DataFrame:
+    """Merge consecutive SAME-STATE runs per user and close the intervals —
+    the same gaps-and-islands algebra as ``event_runs``, but over runs: this
+    is what makes SCD2 maintenance INCREMENTAL (``SCD2Maintainer``): a new
+    batch's runs concatenate with the user's open run and re-collapse in
+    O(runs of touched users), never re-reading the closed history."""
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    marked = runs.withColumn(
+        "chg",
+        F.when(~F.lag("state").over(w).eqNullSafe(F.col("state")), 1).otherwise(0),
+    ).withColumn(
+        "island", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = marked.groupBy("user_id", "island").agg(
+        F.min("state").alias("state"),
+        F.min("valid_from").alias("valid_from"),
+        F.sum("n_events").alias("n_events"),
     )
     w_close = Window.partitionBy("user_id").orderBy("island")
-    return runs.select(
+    return merged.select(
         "user_id",
         "state",
         "valid_from",
@@ -188,42 +217,23 @@ def merge_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-class SnapshotMaintainer:
-    """Streaming CDC apply: a ``foreachBatch`` sink that maintains a keyed
-    snapshot table on disk by ``merge_apply``-ing each micro-batch of the
-    changelog stream.
-
-    Publication is copy-on-write with the versioned-pointer layout (the
-    same atomic-swap discipline as ``KeywordTopKServer``): each batch writes
-    the FULL post-merge snapshot to a fresh version directory, then swaps
-    the one-line ``CURRENT`` pointer (``os.replace``, atomic on POSIX),
-    recording the applied batch id in the pointer itself. That makes the
-    sink EXACTLY-ONCE: a replayed epoch sees its id already in the pointer
-    and no-ops, and a crash between version write and swap leaves the old
-    pointer live, so the replay recomputes from the old snapshot — no
-    journal window (contrast ``stream_rollup_refresh``, which patches
-    partitions in place and accepts an at-least-once window for it).
-
-    The O(snapshot) rewrite per batch is the standard CDC trade for a
-    DIMENSION table (small next to the facts); fact-sized state takes the
-    dirty-partition patch path instead. Micro-batch boundaries must respect
-    the changelog order (true of any append-ordered log source), since
-    latest-wins folds associatively only over ordered chunks.
-    """
+class _VersionedTable:
+    """Copy-on-write table with atomic versioned-pointer publication (the
+    same swap discipline as ``KeywordTopKServer``): each update writes the
+    FULL new table to a fresh version directory, then swaps the one-line
+    ``CURRENT`` pointer (``os.replace``, atomic on POSIX) recording the
+    applied batch id IN the pointer. That makes any foreachBatch sink built
+    on it EXACTLY-ONCE: a replayed epoch sees its id already applied and
+    no-ops, and a crash between version write and swap leaves the old
+    pointer live, so the replay recomputes from the old table — no journal
+    window (contrast ``stream_rollup_refresh``, which patches partitions in
+    place and accepts an at-least-once window to avoid rewriting a
+    fact-sized MV)."""
 
     _POINTER = "CURRENT"
 
-    def __init__(
-        self,
-        path: str,
-        key_cols: list[str],
-        order_cols: list[str],
-        op_col: str = "op",
-    ):
+    def __init__(self, path: str):
         self.path = path
-        self.key_cols = key_cols
-        self.order_cols = order_cols
-        self.op_col = op_col
 
     def _read_pointer(self) -> tuple[str, int] | None:
         import os
@@ -235,17 +245,13 @@ class SnapshotMaintainer:
             version, batch = f.read().strip().split("\t")
         return version, int(batch)
 
-    def bootstrap(self, base: DataFrame) -> None:
-        """Seed the snapshot from an existing base table (batch id -1)."""
-        self._publish(base, -1, prev_version=None)
-
-    def _publish(self, snap: DataFrame, batch_id: int, prev_version: str | None) -> None:
+    def _publish(self, df: DataFrame, batch_id: int, prev_version: str | None) -> None:
         import os
         import shutil
 
         os.makedirs(self.path, exist_ok=True)
         version = f"v-{batch_id}-{len(os.listdir(self.path))}"
-        snap.write.parquet(os.path.join(self.path, version))
+        df.write.parquet(os.path.join(self.path, version))
         tmp = os.path.join(self.path, self._POINTER + ".tmp")
         with open(tmp, "w") as f:
             f.write(f"{version}\t{batch_id}")
@@ -256,6 +262,43 @@ class SnapshotMaintainer:
         for entry in os.listdir(self.path):
             if entry not in keep:
                 shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+
+    def current(self, spark: SparkSession) -> DataFrame:
+        ptr = self._read_pointer()
+        if ptr is None:
+            raise FileNotFoundError(f"no table published yet at {self.path}")
+        import os
+
+        return spark.read.parquet(os.path.join(self.path, ptr[0]))
+
+
+class SnapshotMaintainer(_VersionedTable):
+    """Streaming CDC apply: a ``foreachBatch`` sink that maintains a keyed
+    snapshot table on disk by ``merge_apply``-ing each micro-batch of the
+    changelog stream, published exactly-once via ``_VersionedTable``.
+
+    The O(snapshot) rewrite per batch is the standard CDC trade for a
+    DIMENSION table (small next to the facts); fact-sized state takes the
+    dirty-partition patch path instead. Micro-batch boundaries must respect
+    the changelog order (true of any append-ordered log source), since
+    latest-wins folds associatively only over ordered chunks.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        key_cols: list[str],
+        order_cols: list[str],
+        op_col: str = "op",
+    ):
+        super().__init__(path)
+        self.key_cols = key_cols
+        self.order_cols = order_cols
+        self.op_col = op_col
+
+    def bootstrap(self, base: DataFrame) -> None:
+        """Seed the snapshot from an existing base table (batch id -1)."""
+        self._publish(base, -1, prev_version=None)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -273,18 +316,62 @@ class SnapshotMaintainer:
         )
         self._publish(snap, batch_id, prev_version=ptr[0] if ptr else None)
 
-    def current(self, spark: SparkSession) -> DataFrame:
-        ptr = self._read_pointer()
-        if ptr is None:
-            raise FileNotFoundError(f"no snapshot published yet at {self.path}")
-        import os
 
-        return spark.read.parquet(os.path.join(self.path, ptr[0]))
+class SCD2Maintainer(_VersionedTable):
+    """Streaming SCD2: a ``foreachBatch`` sink that maintains the type-2
+    history table incrementally as event batches arrive in time order.
+
+    Per micro-batch (all DataFrame ops, O(touched users)):
+
+    1. collapse the batch's events to runs (``event_runs``);
+    2. CLOSED history rows pass through untouched — closed intervals are
+       immutable, the defining SCD2 property;
+    3. open rows of users NOT in the batch pass through untouched (broadcast
+       ANTI join on the batch's user set);
+    4. open rows of touched users re-enter as runs, concatenate with the
+       batch runs, and re-collapse (``collapse_runs``) — a same-state batch
+       extends the open run (n_events accumulates, valid_from survives), a
+       changed state closes it at the new run's valid_from.
+
+    The run-level re-collapse is the whole trick: SCD2 maintenance reduces
+    to the SAME gaps-and-islands algebra applied to runs instead of events,
+    so history never gets rebuilt and the per-batch cost is the batch plus
+    one open row per touched user. Requires in-order event delivery (the
+    same contract the reference's ordered sink enforces; the batch twin
+    `scd2_state_history` is the full-rebuild oracle)."""
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ptr = self._read_pointer()
+        if ptr is not None and batch_id <= ptr[1]:
+            return  # epoch replay
+        batch_runs = event_runs(batch_df)
+        if ptr is None:
+            hist = collapse_runs(batch_runs)
+        else:
+            import os
+
+            prev = spark.read.parquet(os.path.join(self.path, ptr[0]))
+            touched = batch_runs.select("user_id").distinct()
+            closed = prev.filter(~F.col("is_current"))
+            open_rows = prev.filter(F.col("is_current"))
+            open_untouched = open_rows.join(
+                F.broadcast(touched), "user_id", "left_anti"
+            )
+            open_touched = open_rows.join(
+                F.broadcast(touched), "user_id", "left_semi"
+            ).select("user_id", "state", "valid_from", "n_events")
+            merged = collapse_runs(open_touched.unionByName(batch_runs))
+            hist = closed.unionByName(open_untouched).unionByName(merged)
+        self._publish(hist, batch_id, prev_version=ptr[0] if ptr else None)
 
 
 __all__ = [
     "scd2_state_history",
+    "event_runs",
+    "collapse_runs",
     "merge_apply",
     "merge_changelog_upsert",
     "SnapshotMaintainer",
+    "SCD2Maintainer",
 ]

