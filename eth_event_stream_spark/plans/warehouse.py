@@ -228,12 +228,20 @@ class _VersionedTable:
     pointer live, so the replay recomputes from the old table — no journal
     window (contrast ``stream_rollup_refresh``, which patches partitions in
     place and accepts an at-least-once window to avoid rewriting a
-    fact-sized MV)."""
+    fact-sized MV).
+
+    ``retain`` keeps the last N superseded versions on disk (default 1 —
+    the reader-in-flight grace copy), which doubles as TIME TRAVEL: every
+    retained version is a consistent snapshot named by the batch id that
+    produced it (``versions()`` lists them, ``as_of(batch_id)`` reads one) —
+    the audit/debug/reproducibility read a lakehouse table format sells,
+    here from nothing but directories and one pointer file."""
 
     _POINTER = "CURRENT"
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, retain: int = 1):
         self.path = path
+        self.retain = retain
 
     def _read_pointer(self) -> tuple[str, int] | None:
         import os
@@ -245,7 +253,11 @@ class _VersionedTable:
             version, batch = f.read().strip().split("\t")
         return version, int(batch)
 
-    def _publish(self, df: DataFrame, batch_id: int, prev_version: str | None) -> None:
+    @staticmethod
+    def _batch_of(version: str) -> int:
+        return int(version[2:].rsplit("-", 1)[0])
+
+    def _publish(self, df: DataFrame, batch_id: int) -> None:
         import os
         import shutil
 
@@ -256,9 +268,14 @@ class _VersionedTable:
         with open(tmp, "w") as f:
             f.write(f"{version}\t{batch_id}")
         os.replace(tmp, os.path.join(self.path, self._POINTER))
+        # GC: keep the live version plus the `retain` most recent superseded
+        # ones (>=1 so an in-flight reader of the old pointer survives)
         keep = {version, self._POINTER}
-        if prev_version is not None:
-            keep.add(prev_version)  # grace copy for an in-flight reader
+        superseded = sorted(
+            (e for e in os.listdir(self.path) if e not in keep),
+            key=self._batch_of,
+        )
+        keep.update(superseded[-max(1, self.retain):])
         for entry in os.listdir(self.path):
             if entry not in keep:
                 shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
@@ -270,6 +287,32 @@ class _VersionedTable:
         import os
 
         return spark.read.parquet(os.path.join(self.path, ptr[0]))
+
+    def versions(self) -> list[int]:
+        """Batch ids of every readable snapshot, oldest first (the live
+        version last) — the time-travel catalog."""
+        import os
+
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            self._batch_of(e)
+            for e in os.listdir(self.path)
+            if e.startswith("v-")
+        )
+
+    def as_of(self, spark: SparkSession, batch_id: int) -> DataFrame:
+        """Read the table exactly as published by ``batch_id`` (must be
+        retained; see ``versions()``)."""
+        import os
+
+        for e in os.listdir(self.path):
+            if e.startswith("v-") and self._batch_of(e) == batch_id:
+                return spark.read.parquet(os.path.join(self.path, e))
+        raise FileNotFoundError(
+            f"version {batch_id} not retained at {self.path}; "
+            f"available: {self.versions()}"
+        )
 
 
 class SnapshotMaintainer(_VersionedTable):
@@ -290,15 +333,16 @@ class SnapshotMaintainer(_VersionedTable):
         key_cols: list[str],
         order_cols: list[str],
         op_col: str = "op",
+        retain: int = 1,
     ):
-        super().__init__(path)
+        super().__init__(path, retain=retain)
         self.key_cols = key_cols
         self.order_cols = order_cols
         self.op_col = op_col
 
     def bootstrap(self, base: DataFrame) -> None:
         """Seed the snapshot from an existing base table (batch id -1)."""
-        self._publish(base, -1, prev_version=None)
+        self._publish(base, -1)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -314,7 +358,7 @@ class SnapshotMaintainer(_VersionedTable):
         snap = merge_apply(
             base, batch_df, self.key_cols, self.order_cols, self.op_col
         )
-        self._publish(snap, batch_id, prev_version=ptr[0] if ptr else None)
+        self._publish(snap, batch_id)
 
 
 class SCD2Maintainer(_VersionedTable):
@@ -363,7 +407,7 @@ class SCD2Maintainer(_VersionedTable):
             ).select("user_id", "state", "valid_from", "n_events")
             merged = collapse_runs(open_touched.unionByName(batch_runs))
             hist = closed.unionByName(open_untouched).unionByName(merged)
-        self._publish(hist, batch_id, prev_version=ptr[0] if ptr else None)
+        self._publish(hist, batch_id)
 
 
 __all__ = [

@@ -132,6 +132,38 @@ def test_snapshot_maintainer_streaming_cdc(spark, tmp_path):
     assert _snap_rows() == want
 
 
+def test_versioned_table_time_travel(spark, tmp_path):
+    """retain=N keeps the last N superseded snapshots readable: versions()
+    lists them and as_of(batch_id) reproduces each publish exactly; beyond
+    the retention depth, GC drops them and as_of raises."""
+    from eth_event_stream_spark.plans.warehouse import SnapshotMaintainer
+
+    m = SnapshotMaintainer(
+        str(tmp_path / "tt_snap"), key_cols=["k"], order_cols=["seq"], retain=2
+    )
+    cols = ["k", "v", "seq", "op"]
+    m(spark.createDataFrame([(1, "a", 1, "U")], cols), 0)
+    m(spark.createDataFrame([(2, "b", 2, "U")], cols), 1)
+    m(spark.createDataFrame([(1, "a2", 3, "U"), (3, "c", 4, "U")], cols), 2)
+    assert m.versions() == [0, 1, 2]
+
+    def rows(df):
+        return sorted((r.k, r.v) for r in df.select("k", "v").collect())
+
+    assert rows(m.as_of(spark, 0)) == [(1, "a")]
+    assert rows(m.as_of(spark, 1)) == [(1, "a"), (2, "b")]
+    assert rows(m.as_of(spark, 2)) == rows(m.current(spark)) == [
+        (1, "a2"), (2, "b"), (3, "c"),
+    ]
+
+    m(spark.createDataFrame([(4, "d", 5, "U")], cols), 3)
+    assert m.versions() == [1, 2, 3]  # version 0 aged out (retain=2)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        m.as_of(spark, 0)
+
+
 def test_scd2_maintainer_streaming_parity(spark, sf_dir, tmp_path):
     """Incremental SCD2 == full rebuild: stream the (user_id < 60) events in
     three time-ordered chunks through SCD2Maintainer; the maintained history
