@@ -15,6 +15,7 @@ registry. Modules:
 
 from . import (  # noqa: F401  (registration side effects)
     assembly,
+    contracts,
     curation,
     eventflow,
     incremental,

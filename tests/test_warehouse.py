@@ -224,6 +224,68 @@ def test_scd2_maintainer_streaming_parity(spark, sf_dir, tmp_path):
     assert _rows(maintainer.current(spark), keys) == want
 
 
+def test_scrub_keys_rewrites_only_dirty_partitions(spark, sf_dir, tmp_path):
+    """Targeted delete: scrubbing a key set rewrites only the partitions
+    containing it (clean partitions byte-identical), removes a partition
+    whose rows are ALL scrubbed, and leaves exactly the non-key rows."""
+    import os
+
+    from eth_event_stream_spark.plans.warehouse import scrub_keys
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    table = str(tmp_path / "events_by_day")
+    (
+        events.withColumn("day", F.to_date("ts"))
+        .repartition("day")
+        .write.partitionBy("day")
+        .parquet(table)
+    )
+
+    def part_files(d):
+        out = {}
+        for p in os.listdir(d):
+            if p.startswith("day="):
+                pd = os.path.join(d, p)
+                out[p] = {
+                    f: os.path.getmtime(os.path.join(pd, f))
+                    for f in os.listdir(pd)
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    # keys: a handful of specific events (sparse — few dirty days) plus
+    # EVERY event of one day (that partition must vanish entirely)
+    full_day = "2024-01-15"
+    day_ids = [
+        r.event_id
+        for r in events.filter(F.to_date("ts") == full_day)
+        .select("event_id")
+        .collect()
+    ]
+    sparse_ids = [5, 17]
+    keys = day_ids + sparse_ids
+
+    before = part_files(table)
+    total_before = spark.read.parquet(table).count()
+    stats = scrub_keys(spark, table, "event_id", keys, "day")
+    after = part_files(table)
+
+    assert stats["n_rows_scrubbed"] == len(keys)
+    assert full_day in stats["dirty_partitions"]
+    # the fully-scrubbed day is gone from disk
+    assert f"day={full_day}" not in after
+    # clean partitions untouched byte-for-byte (same files, same mtimes)
+    clean = {
+        p: v for p, v in before.items() if p[4:] not in stats["dirty_partitions"]
+    }
+    for p, files in clean.items():
+        assert after[p] == files, p
+    # content: exactly the non-key rows survive
+    left = spark.read.parquet(table)
+    assert left.count() == total_before - len(keys)
+    assert left.filter(F.col("event_id").isin(keys)).count() == 0
+
+
 def test_scd2_intervals_tile_each_users_timeline(spark, sf_dir):
     hist = scd2_state_history(spark, sf_dir).cache()
     try:
