@@ -282,3 +282,52 @@ __all__ = [
     "split_base_delta",
     "_DELTA_COND",
 ]
+
+
+# HLL lgConfigK=12 (Spark/Datasketches default): rsd = 1.04/sqrt(2^12)
+_HLL_RSD = 0.01625
+
+
+@register(
+    "rollup_daily_users_hll",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY 1
+    """,
+    doc="Mergeable HLL-sketch distinct-user rollup, day from hourly unions.",
+)
+def rollup_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per day computed the way a 100 TB rollup must: the
+    hourly MV layer stores a MERGEABLE HLL sketch column
+    (``hll_sketch_agg``, a Datasketches binary — constant size per bucket),
+    and the day layer is ``hll_union_agg`` over 24 sketches — no raw rescan
+    and, unlike exact COUNT(DISTINCT), no shuffle of every distinct value:
+    the exact form moves every (bucket, user) pair; the sketch moves 24
+    fixed-size buffers per day, which is what survives a billion-user day.
+    The same contract-oracle discipline as ``agg_approx_distinct``: the
+    hashed output carries the exact count (audit lane, rescans raw — only
+    to make the driver hash meaningful) and ``within_bound`` =
+    |estimate − exact| <= 4·rsd·exact, pinned TRUE by the oracle; 4 sigma
+    because the driver regenerates testdata each round (see the HLL band
+    rationale at relational.py:agg_approx_distinct)."""
+    events = t(spark, sf_dir, "events")
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("bucket_hour")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    daily_est = (
+        hourly.groupBy(F.date_trunc("day", "bucket_hour").alias("bucket_day"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    daily_exact = events.groupBy(
+        F.date_trunc("day", "ts").alias("bucket_day")
+    ).agg(F.count_distinct("user_id").alias("exact_users"))
+    return daily_est.join(F.broadcast(daily_exact), "bucket_day").select(
+        "bucket_day",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users")).cast("double")
+            <= 4 * _HLL_RSD * F.col("exact_users").cast("double")
+        ).alias("within_bound"),
+    )

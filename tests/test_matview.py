@@ -150,6 +150,26 @@ def test_refresh_dirty_split_is_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_hll_union_of_hours_equals_direct_daily_sketch(spark, sf_dir):
+    """The property the sketch MV rests on: unioning the 24 hourly sketches
+    gives the SAME estimate as sketching the day directly (Datasketches HLL
+    union is lossless over sketches of the same config) — so the day layer
+    never needs the raw data."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    via_hours = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy(F.date_trunc("day", "h").alias("d"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    direct = events.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    )
+    a = {r.d: r.est for r in via_hours.collect()}
+    b = {r.d: r.est for r in direct.collect()}
+    assert a == b and len(a) == 30
+
+
 def test_daily_cascade_equals_direct_daily(spark, sf_dir):
     from eth_event_stream_spark.plans.matview import rollup_cascade_daily
 
