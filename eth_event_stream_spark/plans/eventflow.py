@@ -553,3 +553,42 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
     )
+
+
+@register(
+    "event_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS s1,
+             LEAD(event_type, 1) OVER w AS s2,
+             LEAD(event_type, 2) OVER w AS s3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM seq WHERE s3 IS NOT NULL
+    GROUP BY s1, s2, s3
+    ORDER BY n_paths DESC, s1, s2, s3
+    LIMIT 10
+    """,
+    doc="Top 10 three-step event paths (per-user order), deterministic ties.",
+)
+def event_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the 10 most common 3-step event sequences across all
+    user journeys. One window pass (two LEADs share the user partition and
+    sort), one hash agg over at most |event_type|^3 path keys, and a
+    TakeOrdered heap for the cut — the n-gram shape on the event dimension
+    (the token n-gram twin lives in the dedup family). Ties broken by the
+    full path so the result is engine-deterministic."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    )
+    return (
+        seq.filter(F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "s1", "s2", "s3")
+        .limit(10)
+    )
