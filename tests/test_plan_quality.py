@@ -226,6 +226,34 @@ PLAN_EXPECTATIONS = {
         r"TakeOrderedAndProject",
         r"HashAggregate",
     ],
+    # MV refresh: the clean/dirty split must be broadcast semi+anti on the
+    # dirty-key set, never a sort-merge shuffle of the MV
+    "rollup_incremental_refresh": [
+        r"BroadcastHashJoin LeftSemi",
+        r"BroadcastHashJoin LeftAnti",
+        r"HashAggregate",
+    ],
+    # the day layer merges hourly partials — hash aggs only, no window
+    "rollup_cascade_daily": [r"HashAggregate"],
+    # MERGE apply: untouched base passes through a broadcast anti join;
+    # latest-wins is a key-partitioned WindowGroupLimit-eligible rank
+    "merge_changelog_upsert": [r"BroadcastHashJoin LeftAnti", r"Window"],
+    # SCD2: both gaps-and-islands passes partition by user, never globally
+    # (string-typed MIN keeps the run collapse off HashAggregate — the gate
+    # pins the partitioning and the windowed passes instead)
+    "scd2_state_history": [r"hashpartitioning\(user_id", r"Window"],
+    # key-skew audit: one partial-agg scan + a 1-row broadcast total
+    "profile_key_skew": [r"BroadcastNestedLoopJoin", r"HashAggregate"],
+    # contract audit: ONE partial-aggregating scan for all expectations
+    "contract_events_audit": [r"HashAggregate"],
+    # triangles: wedge closure is a broadcast/shuffle hash semi join over
+    # oriented edges; the projection and degrees are hash aggs
+    "graph_triangle_count": [r"LeftSemi", r"HashAggregate"],
+    # path n-grams: one user-partitioned window, heap cut for the top 10
+    "event_top_paths": [
+        r"hashpartitioning\(user_id",
+        r"TakeOrderedAndProject",
+    ],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
