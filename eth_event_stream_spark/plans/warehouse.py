@@ -483,3 +483,70 @@ __all__ = [
     "SCD2Maintainer",
     "scrub_keys",
 ]
+
+
+@register(
+    "pit_enrich_purchases",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id FROM events WHERE user_id < 60),
+    marked AS (
+      SELECT *, CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                     THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    islands AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked),
+    hist AS (
+      SELECT user_id, island, MIN(event_type) AS state, MIN(ts) AS valid_from,
+             LEAD(MIN(ts)) OVER (PARTITION BY user_id ORDER BY island) AS valid_to
+      FROM islands GROUP BY user_id, island),
+    p AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase' AND user_id < 60
+            AND ts >= TIMESTAMP '2024-01-25 00:00:00')
+    SELECT p.user_id, p.event_id, p.ts, h.state AS state_at_purchase,
+           h.valid_from AS state_since
+    FROM p JOIN hist h
+      ON h.user_id = p.user_id
+     AND h.valid_from <= p.ts
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    """,
+    doc="Point-in-time enrichment: events joined to their SCD2 interval.",
+)
+def pit_enrich_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The point-in-time join feature stores exist for: each purchase is
+    enriched with the user's SCD2 state AS OF the purchase instant —
+    ``valid_from <= ts < valid_to`` — never a later state (training-serving
+    skew / label leakage is exactly this join done wrong). Equi key on
+    user_id with the interval predicate as a post-join filter, so Spark
+    runs a plain hash join on the key and the range check costs nothing
+    extra; the history side is the run-collapsed SCD2 table (one row per
+    state span), not the raw log. A purchase's own event contributes the
+    interval it opens (valid_from == ts when the purchase changes state),
+    matching the reference's fold-then-read ordering within a block."""
+    hist = scd2_state_history(spark, sf_dir)
+    p = (
+        t(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("user_id") < 60)
+            & (F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp"))
+        )
+        .select("user_id", "event_id", "ts")
+    )
+    h = hist.select(
+        "user_id",
+        F.col("state").alias("state_at_purchase"),
+        F.col("valid_from").alias("state_since"),
+        "valid_to",
+    )
+    return (
+        p.join(h, "user_id")
+        .filter(
+            (F.col("state_since") <= F.col("ts"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select("user_id", "event_id", "ts", "state_at_purchase", "state_since")
+    )
