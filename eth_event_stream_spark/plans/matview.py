@@ -331,3 +331,69 @@ def rollup_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 4 * _HLL_RSD * F.col("exact_users").cast("double")
         ).alias("within_bound"),
     )
+
+
+@register(
+    "rollup_anomalous_hours",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    trail AS (
+      SELECT bucket_hour, event_type, n,
+             CAST(SUM(n) OVER w AS BIGINT) AS s,
+             CAST(SUM(n * n) OVER w AS BIGINT) AS q,
+             CAST(COUNT(n) OVER w AS BIGINT) AS c
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_hour
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT bucket_hour, event_type, n AS n_events,
+           CAST((24 * n - s) * (24 * n - s) AS BIGINT) AS dev2,
+           CAST(9 * (24 * q - s * s) AS BIGINT) AS bound,
+           (24 * n - s) * (24 * n - s) > 9 * (24 * q - s * s) AS is_anomalous
+    FROM trail WHERE c = 24
+    """,
+    doc="3-sigma trailing-24h anomaly flags over the hourly MV, all-integer.",
+)
+def rollup_anomalous_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly scan over the MV LAYER (never raw events): each hour's event
+    count vs its trailing-24h baseline, flagged at 3 sigma — but in PURE
+    INTEGER arithmetic: |n − S/24| > 3·σ with σ² = (24Q − S²)/576 rewrites
+    to (24n − S)² > 9·(24Q − S²), so the oracle hashes the exact decision
+    and both deviation terms, no float drift possible. The trailing window
+    partitions by event_type and orders by bucket — it runs over the
+    bucket-count-bound MV (720 rows/month regardless of corpus size), which
+    is why dashboard-style sliding baselines are free once the MV exists.
+    At extreme per-hour counts promote the squares to DECIMAL(38,0)
+    (documented; BIGINT holds to ~6×10^8 events/hour/type)."""
+    from pyspark.sql import Window as W
+
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(-24, -1)
+    )
+    trail = hourly.select(
+        "bucket_hour",
+        "event_type",
+        "n",
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("q"),
+        F.count("n").over(w).alias("c"),
+    ).filter(F.col("c") == 24)
+    dev = 24 * F.col("n") - F.col("s")
+    bound = 9 * (24 * F.col("q") - F.col("s") * F.col("s"))
+    return trail.select(
+        "bucket_hour",
+        "event_type",
+        F.col("n").alias("n_events"),
+        (dev * dev).alias("dev2"),
+        bound.alias("bound"),
+        (dev * dev > bound).alias("is_anomalous"),
+    )
