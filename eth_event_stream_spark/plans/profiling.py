@@ -263,3 +263,75 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_rows + target - 1) div target").alias("recommended_salt"),
         )
     )
+
+
+@register(
+    "aqp_sum_sampled",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s_sum,
+             SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+               AS s_sumsq
+      FROM events WHERE event_id % 100 < 1),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             SUM(CAST(value AS DECIMAL(18,6))) AS t_sum
+      FROM events)
+    SELECT a.n_rows, s.n_sampled,
+           CAST(CAST(a.t_sum AS DECIMAL(16,4)) AS DOUBLE) AS exact_total,
+           CAST(CAST(s.s_sum * 100 AS DECIMAL(16,4)) AS DOUBLE) AS est_total,
+           ABS(CAST(s.s_sum * 100 AS DOUBLE) - CAST(a.t_sum AS DOUBLE))
+             <= 4.0 * (CAST(a.n_rows AS DOUBLE) / sqrt(CAST(s.n_sampled AS DOUBLE)))
+                * sqrt((CAST(s.n_sampled AS DOUBLE) * CAST(s.s_sumsq AS DOUBLE)
+                        - CAST(s.s_sum AS DOUBLE) * CAST(s.s_sum AS DOUBLE))
+                       / (CAST(s.n_sampled AS DOUBLE)
+                          * (CAST(s.n_sampled AS DOUBLE) - 1.0)))
+             AS within_bound
+    FROM a, s
+    """,
+    doc="AQP: sampled SUM estimate with a CLT 4-sigma bound contract.",
+)
+def aqp_sum_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing (the BlinkDB idea, sampling-not-sketch):
+    estimate SUM(value) from a DETERMINISTIC 1% sample (event_id % 100 < 1 —
+    both engines draw the identical sample, so the estimate itself
+    hash-matches, not just the contract) and bound the error by CLT:
+    |est − exact| <= 4 · (N/√n) · s_sample. At 100 TB the sample is the only
+    thing scanned for the estimate — here the exact lane rides along (as in
+    every sketch contract) purely to make the driver hash meaningful. Sums
+    and sums-of-squares stay DECIMAL (exact, order-free); the bound math is
+    one IEEE expression over identical exact operands, so within_bound is
+    engine-deterministic. 4 sigma for the same regeneration reason as the
+    HLL band (relational.py:agg_approx_distinct)."""
+    D = "decimal(18,6)"
+    events = t(spark, sf_dir, "events")
+    s = events.filter(F.col("event_id") % 100 < 1).agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(F.col("value").cast(D)).alias("s_sum"),
+        F.sum(F.col("value").cast(D) * F.col("value").cast(D)).alias("s_sumsq"),
+    )
+    a = events.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("value").cast(D)).alias("t_sum"),
+    )
+    j = a.crossJoin(F.broadcast(s))
+    nd = F.col("n_sampled").cast("double")
+    est_d = (F.col("s_sum") * 100).cast("double")
+    exact_d = F.col("t_sum").cast("double")
+    bound = (
+        F.lit(4.0)
+        * (F.col("n_rows").cast("double") / F.sqrt(nd))
+        * F.sqrt(
+            (nd * F.col("s_sumsq").cast("double")
+             - F.col("s_sum").cast("double") * F.col("s_sum").cast("double"))
+            / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    return j.select(
+        "n_rows",
+        "n_sampled",
+        F.col("t_sum").cast("decimal(16,4)").cast("double").alias("exact_total"),
+        (F.col("s_sum") * 100).cast("decimal(16,4)").cast("double").alias("est_total"),
+        (F.abs(est_d - exact_d) <= bound).alias("within_bound"),
+    )
