@@ -335,3 +335,72 @@ def aqp_sum_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s_sum") * 100).cast("decimal(16,4)").cast("double").alias("est_total"),
         (F.abs(est_d - exact_d) <= bound).alias("within_bound"),
     )
+
+
+@register(
+    "analytics_regression_by_type",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+             CAST(ROUND(value * 1000) AS BIGINT) AS y
+      FROM events),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(y * y) AS HUGEINT) AS syy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy
+      FROM pts GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_milli,
+           CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+    FROM s
+    """,
+    doc="OLS slope/r2 per group from exact integer sufficient statistics.",
+)
+def analytics_regression_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine OLS (value vs hour-of-day, per event type) the way a
+    distributed engine should fit it: the ONLY thing aggregated is the six
+    sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) over INTEGER-quantized
+    points (y in milli-units), so partial aggregation is exact and
+    order-free, and slope/r² are IEEE expressions over integers that cast
+    to double with a SINGLE rounding — bit-identical across engines.
+    (First cut used DECIMAL(_,12) sums: values matched exactly, but
+    DuckDB's high-scale decimal→double cast rounds twice — int128/10^scale
+    in floating point — and drifted 1 ulp from Spark/Python; integer
+    moments eliminate the class.) This is the closed-form-ML recipe at
+    100 TB: one map-side-combining pass, O(groups) driver state;
+    multivariate fits aggregate X'X / X'y the same way. ``slope_milli``
+    is per milli-unit y; the cross-product terms sit far inside
+    DECIMAL(38,0) (~1e21 at 10^7 rows/group)."""
+    DI = "decimal(38,0)"
+    pts = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count("*").cast(DI).alias("n"),
+        F.sum(F.col("x").cast(DI)).alias("sx"),
+        F.sum(F.col("y").cast(DI)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(DI)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(DI)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(DI)).alias("sxy"),
+    )
+    cov_n = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(DI)
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(DI)
+    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(DI)
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (cov_n.cast("double") / var_x.cast("double")).alias("slope_milli"),
+        (
+            (cov_n * cov_n).cast("double")
+            / (var_x.cast("double") * var_y.cast("double"))
+        ).alias("r2"),
+    )
