@@ -11,6 +11,11 @@ pass over the batch yields
 - a clean/quarantine row split (violating rows carry the list of failed
   expectation names, so triage never re-runs the checks).
 
+NULL semantics: a row for which an expectation evaluates to UNKNOWN is a
+VIOLATION (``NOT COALESCE(cond, FALSE)``). SQL's CHECK constraints pass on
+UNKNOWN — the famous null loophole — but an ingest contract exists to
+catch exactly the rows nobody reasoned about, so unknown fails closed.
+
 Everything is a Catalyst column expression — counts come from one
 partial-aggregating scan (`SUM(CASE)`), the split from one `filter` each
 side, and the same stage runs unchanged under readStream (stateless), so
@@ -41,7 +46,9 @@ def contract_metrics(df: DataFrame, contract: dict[str, str]) -> DataFrame:
     All counts ride one partial-combining aggregate — adding expectations
     adds columns to the agg, never passes over the data."""
     agg = [F.count("*").alias("n_rows")] + [
-        F.sum(F.when(~F.expr(cond), 1).otherwise(0)).alias(name)
+        F.sum(
+            F.when(~F.coalesce(F.expr(cond), F.lit(False)), 1).otherwise(0)
+        ).alias(name)
         for name, cond in contract.items()
     ]
     wide = df.agg(*agg)
@@ -64,7 +71,7 @@ def contract_split(df: DataFrame, contract: dict[str, str]) -> tuple[DataFrame, 
     failed = F.array_compact(
         F.array(
             *[
-                F.when(~F.expr(cond), F.lit(name))
+                F.when(~F.coalesce(F.expr(cond), F.lit(False)), F.lit(name))
                 for name, cond in contract.items()
             ]
         )
@@ -81,10 +88,10 @@ def _sql_contract_metrics() -> str:
         rows.append(f"""
     SELECT '{name}' AS expectation,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CASE WHEN NOT ({cond}) THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_violations,
-           CAST(SUM(CASE WHEN NOT ({cond}) THEN 1 ELSE 0 END) * 1000000
-                // COUNT(*) AS BIGINT) AS violation_ppm
+           CAST(SUM(CASE WHEN NOT COALESCE({cond}, FALSE) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+           CAST(SUM(CASE WHEN NOT COALESCE({cond}, FALSE) THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS violation_ppm
     FROM events""")
     return " UNION ALL ".join(rows)
 

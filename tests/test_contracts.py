@@ -35,6 +35,19 @@ def test_contract_split_semantics(spark):
     assert clean.count() + quarantine.count() == df.count()
 
 
+def test_null_fails_closed(spark):
+    """SQL CHECK's null loophole is closed: a row whose expectation
+    evaluates to UNKNOWN is a violation in both the audit and the split."""
+    contract = {"positive": "x > 0"}
+    df = spark.createDataFrame([(5,), (None,)], "x int")
+    audit = contract_metrics(df, contract).collect()[0]
+    assert audit.n_violations == 1 and audit.violation_ppm == 500000
+    clean, quarantine = contract_split(df, contract)
+    assert [r.x for r in clean.collect()] == [5]
+    q = quarantine.collect()
+    assert len(q) == 1 and q[0].x is None and q[0].failed == ["positive"]
+
+
 def test_audit_counts_match_quarantine_tags(spark, sf_dir):
     """The one-scan audit and the row-split must tell the same story:
     per-expectation violation counts equal the exploded quarantine tags."""
