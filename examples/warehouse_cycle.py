@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import Window, functions as F
 
+from eth_event_stream_spark.plans.contracts import EVENT_CONTRACT, contract_split
 from eth_event_stream_spark.plans.layout import compact_parquet_dir
 from eth_event_stream_spark.plans.matview import (
     hourly_partials,
@@ -88,6 +89,13 @@ def main(sf_dir: str) -> None:
     print(f"SCD2 seeded: {scd2.current(spark).count()} intervals")
 
     # -- 2. INGEST the delta batch ------------------------------------------
+    # acceptance gate first: quarantine contract violations, ingest the rest
+    clean_delta, quarantined = contract_split(delta, EVENT_CONTRACT)
+    n_q = quarantined.count()
+    print(f"contract gate: {n_q} rows quarantined "
+          f"({delta.count()} arrived)")
+    delta = clean_delta
+
     dirty = refresh_rollup_mv(spark, delta, mv_dir)
     print(f"MV refresh touched {len(dirty)} dirty dates (of 30)")
     full = _finalize(hourly_partials(events), "bucket_hour")
