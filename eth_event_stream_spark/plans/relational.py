@@ -220,10 +220,9 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk per group per round compounding across rounds, while 4 sigma is
     ~6e-5 and the observed errors sit well under 1 sigma (max 0.7% at
     rsd 1%). The oracle computes the exact count and pins the flag TRUE,
-    so the driver hash fails if the estimate ever leaves the band. The
-    raw estimate is visible in the rows-only
-    ``profile_table_stats_approx``, which rides exact and error pct side
-    by side; the tighter 5%-of-exact empirical band stays asserted in
+    so the driver hash fails if the estimate ever leaves the band.
+    ``profile_table_stats_approx`` carries the same contract per orders
+    column; the tighter 5%-of-exact empirical band stays asserted in
     tests/test_scale_ops.py on the current data."""
     est = F.approx_count_distinct("user_id", 0.01)
     exact = F.count_distinct(F.col("user_id"))

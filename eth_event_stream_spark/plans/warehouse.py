@@ -28,6 +28,21 @@ from .registry import register
 _CUTOFF = "2024-01-20 00:00:00"
 
 
+class OutOfOrderBatchError(RuntimeError):
+    """A streaming maintainer received a micro-batch whose minimum order key
+    is not past the frontier already folded into the published table.
+
+    Both ``SnapshotMaintainer`` (latest-wins CDC) and ``SCD2Maintainer``
+    (interval history) fold associatively only over ORDERED chunks — a late
+    batch would silently let an older row overwrite a newer snapshot row, or
+    fabricate a bogus open run for a user whose interval is already closed.
+    The reference enforces its ordering contract with a panic
+    (`eth_event_stream/src/sink.rs:13-21`, re-publish of a finalized block);
+    this is the same fail-loud semantic, keyed on the max order-key frontier
+    recorded in the versioned pointer (the pattern of ``FunnelReducer``'s
+    max-block lane)."""
+
+
 @register(
     "scd2_state_history",
     oracle="""
@@ -217,6 +232,67 @@ def merge_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _encode_frontier(values: tuple) -> str:
+    """Type-tagged JSON for an order-key tuple, round-trippable through the
+    one-line pointer file (timestamps as ISO text, ints/strs native)."""
+    import datetime
+    import json
+
+    out = []
+    for v in values:
+        if isinstance(v, datetime.datetime):
+            out.append(["ts", v.isoformat()])
+        elif isinstance(v, datetime.date):
+            out.append(["date", v.isoformat()])
+        elif isinstance(v, (int, float, str)) and not isinstance(v, bool):
+            out.append([type(v).__name__, v])
+        else:
+            raise TypeError(f"unsupported order-key type {type(v).__name__}")
+    return json.dumps(out, separators=(",", ":"))
+
+
+def _decode_frontier(s: str) -> tuple:
+    import datetime
+    import json
+
+    out = []
+    for kind, v in json.loads(s):
+        if kind == "ts":
+            out.append(datetime.datetime.fromisoformat(v))
+        elif kind == "date":
+            out.append(datetime.date.fromisoformat(v))
+        else:
+            out.append(v)
+    return tuple(out)
+
+
+def _check_order_frontier(
+    table: "_VersionedTable", batch_df: DataFrame, order_cols: list[str]
+) -> tuple | None:
+    """Enforce the in-order delivery contract: the batch's MIN order-key
+    tuple must be strictly past the published frontier (order keys are
+    unique per event, so a tie means a replayed/duplicated row — fail
+    loud, matching the reference sink's panic on re-publish). Returns the
+    new frontier to record (the old one for an empty batch). One 1-row
+    bounded agg on the micro-batch; the base table is never touched."""
+    bounds = batch_df.agg(
+        F.min(F.struct(*order_cols)).alias("lo"),
+        F.max(F.struct(*order_cols)).alias("hi"),
+    ).collect()[0]
+    frontier = table._read_frontier()
+    if bounds["lo"] is None:
+        return frontier  # empty batch: publish advances the id, not the frontier
+    lo, hi = tuple(bounds["lo"]), tuple(bounds["hi"])
+    if frontier is not None and lo <= frontier:
+        raise OutOfOrderBatchError(
+            f"out-of-order micro-batch at {table.path}: batch min order key "
+            f"{lo} is not past the published frontier {frontier} "
+            f"(order cols {order_cols}); a late batch would silently "
+            f"corrupt the maintained state — re-deliver in order"
+        )
+    return hi
+
+
 class _VersionedTable:
     """Copy-on-write table with atomic versioned-pointer publication (the
     same swap discipline as ``KeywordTopKServer``): each update writes the
@@ -250,14 +326,32 @@ class _VersionedTable:
         if not os.path.exists(pointer):
             return None
         with open(pointer) as f:
-            version, batch = f.read().strip().split("\t")
+            version, batch = f.read().strip().split("\t")[:2]
         return version, int(batch)
+
+    def _read_frontier(self) -> tuple | None:
+        """Max order-key tuple folded into the published table, or None for
+        an unpublished table / a pre-frontier (2-field, legacy) pointer —
+        legacy pointers stay readable and simply start unenforced, the same
+        back-compat discipline as FunnelReducer's 3-column checkpoints."""
+        import os
+
+        pointer = os.path.join(self.path, self._POINTER)
+        if not os.path.exists(pointer):
+            return None
+        with open(pointer) as f:
+            fields = f.read().strip().split("\t")
+        if len(fields) < 3:
+            return None
+        return _decode_frontier(fields[2])
 
     @staticmethod
     def _batch_of(version: str) -> int:
         return int(version[2:].rsplit("-", 1)[0])
 
-    def _publish(self, df: DataFrame, batch_id: int) -> None:
+    def _publish(
+        self, df: DataFrame, batch_id: int, frontier: tuple | None = None
+    ) -> None:
         import os
         import shutil
 
@@ -267,6 +361,8 @@ class _VersionedTable:
         tmp = os.path.join(self.path, self._POINTER + ".tmp")
         with open(tmp, "w") as f:
             f.write(f"{version}\t{batch_id}")
+            if frontier is not None:
+                f.write(f"\t{_encode_frontier(frontier)}")
         os.replace(tmp, os.path.join(self.path, self._POINTER))
         # GC: keep the live version plus the `retain` most recent superseded
         # ones (>=1 so an in-flight reader of the old pointer survives)
@@ -324,7 +420,12 @@ class SnapshotMaintainer(_VersionedTable):
     DIMENSION table (small next to the facts); fact-sized state takes the
     dirty-partition patch path instead. Micro-batch boundaries must respect
     the changelog order (true of any append-ordered log source), since
-    latest-wins folds associatively only over ordered chunks.
+    latest-wins folds associatively only over ordered chunks — and that
+    contract is ENFORCED, not just documented: the max order-key frontier
+    rides in the versioned pointer and a batch whose min order key is not
+    past it raises ``OutOfOrderBatchError`` before anything is written
+    (reference semantic: the sink's panic-on-republish,
+    `eth_event_stream/src/sink.rs:13-21`).
     """
 
     def __init__(
@@ -349,6 +450,7 @@ class SnapshotMaintainer(_VersionedTable):
         ptr = self._read_pointer()
         if ptr is not None and batch_id <= ptr[1]:
             return  # epoch replay: this batch is already in the snapshot
+        new_frontier = _check_order_frontier(self, batch_df, self.order_cols)
         if ptr is not None:
             import os
 
@@ -358,7 +460,7 @@ class SnapshotMaintainer(_VersionedTable):
         snap = merge_apply(
             base, batch_df, self.key_cols, self.order_cols, self.op_col
         )
-        self._publish(snap, batch_id)
+        self._publish(snap, batch_id, frontier=new_frontier)
 
 
 class SCD2Maintainer(_VersionedTable):
@@ -380,15 +482,23 @@ class SCD2Maintainer(_VersionedTable):
     The run-level re-collapse is the whole trick: SCD2 maintenance reduces
     to the SAME gaps-and-islands algebra applied to runs instead of events,
     so history never gets rebuilt and the per-batch cost is the batch plus
-    one open row per touched user. Requires in-order event delivery (the
-    same contract the reference's ordered sink enforces; the batch twin
-    `scd2_state_history` is the full-rebuild oracle)."""
+    one open row per touched user. Requires in-order event delivery — and
+    ENFORCES it: the max (ts, event_id) frontier rides in the versioned
+    pointer, and a batch whose earliest event is not past it raises
+    ``OutOfOrderBatchError`` before anything is written (a late event for
+    a user whose interval is already closed would otherwise fabricate a
+    bogus open run; reference semantic: the ordered sink's panic,
+    `eth_event_stream/src/sink.rs:13-21`). The batch twin
+    `scd2_state_history` is the full-rebuild oracle."""
+
+    ORDER_COLS = ["ts", "event_id"]
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         ptr = self._read_pointer()
         if ptr is not None and batch_id <= ptr[1]:
             return  # epoch replay
+        new_frontier = _check_order_frontier(self, batch_df, self.ORDER_COLS)
         batch_runs = event_runs(batch_df)
         if ptr is None:
             hist = collapse_runs(batch_runs)
@@ -407,7 +517,7 @@ class SCD2Maintainer(_VersionedTable):
             ).select("user_id", "state", "valid_from", "n_events")
             merged = collapse_runs(open_touched.unionByName(batch_runs))
             hist = closed.unionByName(open_untouched).unionByName(merged)
-        self._publish(hist, batch_id)
+        self._publish(hist, batch_id, frontier=new_frontier)
 
 
 def scrub_keys(

@@ -510,6 +510,36 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert all(r["within_bound"] for r in contract)
 
 
+def test_profile_approx_ndv_error_bound(spark, sf_dir):
+    """The per-column HLL ndv estimates behind profile_table_stats_approx
+    (rsd=0.05) must land within 15% (3 sigma) of the exact ndv for every
+    orders column — the raw-estimate check the contract-shaped registered
+    query no longer surfaces (it emits exact lanes + within_bound at the
+    4-sigma regeneration-safe band, which this also re-verifies)."""
+    from eth_event_stream_spark.plans import QUERIES
+    from eth_event_stream_spark.plans.catalog import t
+    from eth_event_stream_spark.plans.profiling import _ORDERS_COLS
+
+    o = t(spark, sf_dir, "orders")
+    row = o.agg(
+        *[
+            F.approx_count_distinct(c, rsd=0.05).alias(f"{c}__a")
+            for c in _ORDERS_COLS
+        ],
+        *[F.countDistinct(c).alias(f"{c}__n") for c in _ORDERS_COLS],
+    ).collect()[0]
+    for c in _ORDERS_COLS:
+        a, n = row[f"{c}__a"], row[f"{c}__n"]
+        rel = abs(a - n) / max(n, 1)
+        assert rel < 3 * 0.05, (c, a, n, rel)
+    contract = QUERIES["profile_table_stats_approx"].fn(spark, sf_dir).collect()
+    assert len(contract) == len(_ORDERS_COLS)
+    assert all(r["within_bound"] for r in contract)
+    assert {r["col"]: r["ndv_exact"] for r in contract} == {
+        c: row[f"{c}__n"] for c in _ORDERS_COLS
+    }
+
+
 def test_approx_percentile_error_bound(spark, sf_dir):
     """The quantile sketch (sketch_approx_percentile, accuracy 10000) must
     sit within the exact value at rank +-0.1% of n for each requested

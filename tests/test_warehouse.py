@@ -224,6 +224,122 @@ def test_scd2_maintainer_streaming_parity(spark, sf_dir, tmp_path):
     assert _rows(maintainer.current(spark), keys) == want
 
 
+def test_snapshot_maintainer_rejects_out_of_order_batch(spark, tmp_path):
+    """The in-order contract is ENFORCED, not documented: a batch whose min
+    order key is not past the published frontier raises OutOfOrderBatchError
+    BEFORE anything is written — the snapshot, pointer, and version list are
+    untouched (reference semantic: sink.rs:13-21 panic-on-republish)."""
+    import pytest
+
+    from eth_event_stream_spark.plans.warehouse import (
+        OutOfOrderBatchError,
+        SnapshotMaintainer,
+    )
+
+    cols = ["k", "v", "seq", "op"]
+    m = SnapshotMaintainer(
+        str(tmp_path / "ooo_snap"), key_cols=["k"], order_cols=["seq"]
+    )
+    m(spark.createDataFrame([(1, "a", 10, "U"), (2, "b", 11, "U")], cols), 0)
+
+    def rows():
+        return sorted((r.k, r.v) for r in m.current(spark).select("k", "v").collect())
+
+    want = [(1, "a"), (2, "b")]
+    assert rows() == want
+
+    # late batch: seq 5 < frontier 11 — the stale row would roll k=1 BACK
+    with pytest.raises(OutOfOrderBatchError, match="not past the published frontier"):
+        m(spark.createDataFrame([(1, "STALE", 5, "U")], cols), 1)
+    assert rows() == want and m.versions() == [0]
+
+    # tie on the full order key is also a violation (keys are unique per event)
+    with pytest.raises(OutOfOrderBatchError):
+        m(spark.createDataFrame([(3, "tie", 11, "U")], cols), 1)
+    assert rows() == want and m.versions() == [0]
+
+    # an in-order batch then proceeds normally; empty batch keeps the frontier
+    m(spark.createDataFrame([(1, "a2", 12, "U")], cols), 1)
+    assert rows() == [(1, "a2"), (2, "b")]
+    empty = spark.createDataFrame([(0, "", 0, "")], cols).limit(0)
+    m(empty, 2)
+    with pytest.raises(OutOfOrderBatchError):
+        m(spark.createDataFrame([(9, "z", 12, "U")], cols), 3)  # still <= 12
+    m(spark.createDataFrame([(9, "z", 13, "U")], cols), 3)
+    assert rows() == [(1, "a2"), (2, "b"), (9, "z")]
+
+
+def test_scd2_maintainer_rejects_out_of_order_batch(spark, tmp_path):
+    """A late event batch for SCD2 raises instead of fabricating a bogus
+    open run for a user whose interval is already closed."""
+    import datetime
+
+    import pytest
+
+    from eth_event_stream_spark.plans.warehouse import (
+        OutOfOrderBatchError,
+        SCD2Maintainer,
+    )
+
+    cols = ["user_id", "event_type", "ts", "event_id"]
+
+    def ev(uid, st, day, eid):
+        return (uid, st, datetime.datetime(2024, 1, day), eid)
+
+    m = SCD2Maintainer(str(tmp_path / "ooo_scd2"))
+    m(spark.createDataFrame([ev(1, "view", 1, 100), ev(1, "cart", 3, 101)], cols), 0)
+    hist0 = _rows(m.current(spark))
+
+    # late batch: day 2 sits INSIDE the already-built history — would
+    # fabricate a bogus open "view" run after the closed one
+    with pytest.raises(OutOfOrderBatchError, match="not past the published frontier"):
+        m(spark.createDataFrame([ev(1, "view", 2, 99)], cols), 1)
+    assert _rows(m.current(spark)) == hist0 and m.versions() == [0]
+
+    # same ts but HIGHER event_id is in order (the tuple is the key)
+    m(spark.createDataFrame([ev(1, "cart", 3, 102), ev(2, "buy", 4, 103)], cols), 1)
+    cur = m.current(spark)
+    assert cur.filter((F.col("user_id") == 1) & F.col("is_current")).count() == 1
+    # the same-state late-day-3 event EXTENDED the open cart run
+    assert (
+        cur.filter((F.col("user_id") == 1) & F.col("is_current")).collect()[0].n_events
+        == 2
+    )
+
+
+def test_frontier_pointer_back_compat(spark, tmp_path):
+    """A pre-frontier (2-field, legacy) pointer stays readable: the frontier
+    reads as None, the first new batch is accepted unenforced and records
+    the frontier going forward."""
+    import os
+
+    from eth_event_stream_spark.plans.warehouse import SnapshotMaintainer
+
+    cols = ["k", "v", "seq", "op"]
+    m = SnapshotMaintainer(
+        str(tmp_path / "legacy_snap"), key_cols=["k"], order_cols=["seq"]
+    )
+    m(spark.createDataFrame([(1, "a", 10, "U")], cols), 0)
+    # rewrite the pointer in the legacy 2-field format
+    ptr = os.path.join(m.path, m._POINTER)
+    with open(ptr) as f:
+        version, batch = f.read().strip().split("\t")[:2]
+    with open(ptr, "w") as f:
+        f.write(f"{version}\t{batch}")
+    assert m._read_frontier() is None
+
+    # a batch that WOULD violate the lost frontier is accepted (unenforced)
+    m(spark.createDataFrame([(2, "b", 5, "U")], cols), 1)
+    # ...and enforcement resumes from the new frontier
+    assert m._read_frontier() == (5,)
+    import pytest
+
+    from eth_event_stream_spark.plans.warehouse import OutOfOrderBatchError
+
+    with pytest.raises(OutOfOrderBatchError):
+        m(spark.createDataFrame([(3, "c", 4, "U")], cols), 2)
+
+
 def test_scrub_keys_rewrites_only_dirty_partitions(spark, sf_dir, tmp_path):
     """Targeted delete: scrubbing a key set rewrites only the partitions
     containing it (clean partitions byte-identical), removes a partition
