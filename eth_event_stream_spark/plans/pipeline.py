@@ -1356,28 +1356,49 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the driver hash-checks the full composition, not just the parts.
     Output: one row per surviving representative (doc_id, n_copies, split).
     """
+    return prepare_corpus(spark, sf_dir)
+
+
+def prepare_corpus(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """df-level core of ``pipeline_prepare_corpus`` with the materialization
+    boundary selectable, the same two modes as PageRank's round boundary
+    (ledger.py ``_round_boundary``):
+
+    - ``checkpoint_dir=None`` (default, the registered query):
+      ``localCheckpoint`` — executor-local blocks, fastest, NOT
+      fault-tolerant (a lost executor fails the job, which retries from
+      the start);
+    - ``checkpoint_dir=<durable path>``: reliable ``checkpoint()`` —
+      cluster mode; a lost executor recovers from the checkpoint files
+      instead of killing the lineage-truncated run.
+
+    Same plan shape and identical rows in both modes (asserted in
+    tests/test_scale_ops.py). Measured at sf0.1 best-of-2 in one warm
+    session: localCheckpoint 4.5 s, unmaterialized 6.2 s, persist() 12.3 s
+    (the InMemoryRelation defeats AQE's stage planning downstream and the
+    run devolves into a long chain of sequential shuffle stages); reliable
+    checkpoint() premium measured in the same-session A/B recorded beside
+    those numbers in BASELINE.md."""
     d = t_parallel(spark, sf_dir, "documents")
     # Materialize the collapse output ONCE: its subtree (scan + quality
     # filter + exact-collapse shuffle) has THREE consumers downstream
     # (minhash bands, the shingle index, and the finalize join) and an
     # unmaterialized plan re-executes it for each — at 100 TB that is
-    # three redundant full corpus scans per run. localCheckpoint beats
-    # both alternatives, measured at sf0.1 best-of-2 in one warm session:
-    # localCheckpoint 4.5 s, unmaterialized 6.2 s, persist() 12.3 s (the
-    # InMemoryRelation defeats AQE's stage planning downstream and the
-    # run devolves into a long chain of sequential shuffle stages).
-    # Cluster-mode caveat as documented for PageRank (ledger.py): a lost
-    # executor kills a lineage-truncated run — a production deployment
-    # stages this boundary to parquet (exactly what bench.py's prepare_*
-    # stage rows measure) or uses reliable checkpoint().
-    reps = (
+    # three redundant full corpus scans per run.
+    reps_plan = (
         prepare_collapse_reps(prepare_quality_filter(d))
         # content_hash is dead past the collapse — drop it before the
         # materialization so the checkpoint doesn't store a second hash
         # column per row
         .select("doc_id", "text", "n_copies")
-        .localCheckpoint(eager=True)
     )
+    if checkpoint_dir is None:
+        reps = reps_plan.localCheckpoint(eager=True)
+    else:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        reps = reps_plan.checkpoint(eager=True)
     pairs = _lsh_then_verify_spark(
         spark, sf_dir, LSH_BUCKET_CAP, SHINGLE_DF_CAP,
         docs=reps.select("doc_id", "text"),

@@ -510,6 +510,27 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert all(r["within_bound"] for r in contract)
 
 
+def test_prepare_corpus_reliable_checkpoint_matches_local(spark, sf_dir, tmp_path):
+    """The cluster-mode materialization boundary for the composed prep
+    pipeline (reliable checkpoint() into a checkpoint dir — survives
+    executor loss) must produce identical rows to the local-mode default
+    (localCheckpoint), and must actually write recovery state into the
+    directory — the same A/B contract as PageRank's round boundary."""
+    import pathlib
+
+    from eth_event_stream_spark.plans.pipeline import prepare_corpus
+
+    local = sorted(tuple(r) for r in prepare_corpus(spark, sf_dir).collect())
+    ckdir = str(tmp_path / "corpus_ck")
+    reliable = sorted(
+        tuple(r)
+        for r in prepare_corpus(spark, sf_dir, checkpoint_dir=ckdir).collect()
+    )
+    assert reliable == local and len(local) > 0
+    written = list(pathlib.Path(ckdir).rglob("*"))
+    assert any(p.is_file() for p in written), "no reliable checkpoint files"
+
+
 def test_profile_approx_ndv_error_bound(spark, sf_dir):
     """The per-column HLL ndv estimates behind profile_table_stats_approx
     (rsd=0.05) must land within 15% (3 sigma) of the exact ndv for every
