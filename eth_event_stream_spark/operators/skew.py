@@ -78,6 +78,61 @@ def two_path_join(
     return hot.unionByName(cold)
 
 
+def key_skew_profile(df: DataFrame, on: str, n_tasks: int = 32) -> DataFrame:
+    """Per-key skew audit of ``df[on]`` — the df-level body of the
+    registered ``profile_key_skew`` query (one definition, shared): row
+    count, parts-per-million share, a ``hot`` flag (key exceeds 2x the
+    uniform per-task share at ``n_tasks``-way parallelism), and the
+    integer salt factor that splits the key across ~target-sized tasks.
+    All integer math (ppm, ceil-div) so the recommendation is
+    engine-exact. One scan + a 1-row broadcast total."""
+    k = df.groupBy(F.col(on).alias("key")).agg(F.count("*").alias("n_rows"))
+    tot = k.agg(F.sum("n_rows").alias("total")).select(
+        "total",
+        F.expr(f"(total + {n_tasks - 1}) div {n_tasks}").alias("target"),
+    )
+    return k.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "n_rows",
+        F.expr("(n_rows * 1000000) div total").alias("share_ppm"),
+        (F.col("n_rows") * n_tasks > F.col("total") * 2).alias("hot"),
+        F.expr("(n_rows + target - 1) div target").alias("recommended_salt"),
+    )
+
+
+def profile_guided_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    n_tasks: int = 32,
+    how: str = "inner",
+    profile: DataFrame | None = None,
+) -> DataFrame:
+    """The profiler wired into the join strategy end-to-end: run the
+    ``key_skew_profile`` pre-flight on the probe's key column (or accept a
+    precomputed ``profile`` — at 100 TB the audit runs once per table
+    release, not per join), then either
+
+    - no hot key → the PLAIN join (no replication cost paid for nothing);
+    - hot keys → ``salted_join`` at the MAX recommended salt factor across
+      hot keys (the factor that flattens the worst key to ~target-sized
+      tasks flattens every smaller one too).
+
+    The strategy decision is a 1-row bounded driver agg (max salt over the
+    hot rows — the pinned-threshold pattern); result is exactly the plain
+    join's either way (driver-oracled by ``join_salt_guided``)."""
+    if profile is None:
+        profile = key_skew_profile(probe, on, n_tasks)
+    max_salt = (
+        profile.filter(F.col("hot"))
+        .agg(F.max("recommended_salt"))
+        .collect()[0][0]
+    )
+    if max_salt is None or max_salt <= 1:
+        return probe.join(build, on, how)
+    return salted_join(probe, build, on, num_salts=int(max_salt), how=how)
+
+
 def top_keys(df: DataFrame, on: str, k: int = 10, min_count: int = 1000) -> list:
     """Cheap hot-key detection: top-k keys by count above a floor. At scale,
     run on a sample (``df.sample(0.001)``) — hot keys survive sampling.

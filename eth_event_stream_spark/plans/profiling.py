@@ -259,25 +259,45 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheap pre-flight a pipeline runs before choosing its join strategy
     (AQE's skew handling fixes sort-merge joins at runtime; the salt
     recommendation covers the shapes AQE can't rewrite, e.g. aggregations
-    or as-of buckets on the hot key)."""
-    k = (
-        t(spark, sf_dir, "events")
-        .groupBy(F.col("event_type").alias("key"))
-        .agg(F.count("*").alias("n_rows"))
+    or as-of buckets on the hot key). The df-level body lives in
+    ``operators.skew.key_skew_profile`` (one definition), and
+    ``operators.skew.profile_guided_join`` consumes the recommendation
+    end-to-end (driver-oracled by ``join_salt_guided``)."""
+    from ..operators.skew import key_skew_profile
+
+    return key_skew_profile(t(spark, sf_dir, "events"), "event_type", N_TASKS)
+
+
+@register(
+    "join_salt_guided",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_total
+      FROM events GROUP BY 1)
+    SELECT e.event_id, e.event_type, d.type_total
+    FROM events e JOIN dim d USING (event_type)
+    WHERE e.user_id < 50
+    """,
+    doc="Profiler-guided salted join == the plain join, end to end.",
+)
+def join_salt_guided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``profile_key_skew``'s recommendation consumed end-to-end: the probe
+    (a user slice of ``events``) is key-skew-profiled on ``event_type``
+    (every type holds ~20% share — far past the 2x-uniform hot line at
+    N_TASKS=32), and ``profile_guided_join`` salts the dim join at the max
+    recommended factor. The oracle is the PLAIN SQL join — the whole
+    point: the strategy changes the shuffle layout, never the answer.
+    Plan-gated: the exploded build side must appear in the physical plan
+    (tests/test_plan_quality.py)."""
+    from ..operators.skew import profile_guided_join
+
+    e = t(spark, sf_dir, "events")
+    dim = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("type_total")
     )
-    tot = k.agg(F.sum("n_rows").alias("total")).select(
-        "total",
-        F.expr(f"(total + {N_TASKS - 1}) div {N_TASKS}").alias("target"),
-    )
-    return (
-        k.crossJoin(F.broadcast(tot))
-        .select(
-            "key",
-            "n_rows",
-            F.expr("(n_rows * 1000000) div total").alias("share_ppm"),
-            (F.col("n_rows") * N_TASKS > F.col("total") * 2).alias("hot"),
-            F.expr("(n_rows + target - 1) div target").alias("recommended_salt"),
-        )
+    probe = e.filter(F.col("user_id") < 50).select("event_id", "event_type")
+    return profile_guided_join(probe, dim, "event_type", n_tasks=N_TASKS).select(
+        "event_id", "event_type", "type_total"
     )
 
 

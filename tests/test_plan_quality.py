@@ -504,6 +504,17 @@ def test_prepare_corpus_materializes_collapse_once(spark, sf_dir):
     assert p.count("Scan ExistingRDD") >= 3, p[:2000]
 
 
+def test_join_salt_guided_explodes_build_side(spark, sf_dir):
+    """The profiler-guided salted join must actually take the salted path
+    on the registered skewed probe (events.event_type holds ~20% shares —
+    hot at N_TASKS=32): the physical plan carries the salt explode on the
+    build side and joins on (key, _salt), never a plain single-key
+    shuffle that would re-concentrate the hot key on one reducer."""
+    p = plan_of(spark, sf_dir, "join_salt_guided")
+    assert "Generate" in p, p[:2000]
+    assert "_salt" in p, p[:2000]
+
+
 def test_cdc_chunker_is_shuffle_free(spark, sf_dir):
     """The row-local CDC chunker must stay a pure projection + explode:
     no Exchange, no Window, no aggregate — a token never leaves its

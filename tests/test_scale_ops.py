@@ -29,6 +29,52 @@ def test_salted_join_equals_plain(spark, sf_dir):
     assert _canon(plain) == _canon(salted)
 
 
+def test_profile_guided_join_salts_hot_keys(spark):
+    """profile_guided_join on a skewed fixture: the profiler flags the hot
+    key, the join comes back salted (exploded build side in the physical
+    plan), and the result equals the plain join exactly."""
+    from eth_event_stream_spark.operators.skew import (
+        key_skew_profile,
+        profile_guided_join,
+    )
+
+    rows = [(f"u{i}", "hot") for i in range(900)] + [
+        (f"u{i}", f"cold{i % 7}") for i in range(100)
+    ]
+    probe = spark.createDataFrame(rows, "uid string, k string")
+    dim = spark.createDataFrame(
+        [("hot", 1)] + [(f"cold{j}", 10 + j) for j in range(7)], "k string, attr int"
+    )
+    prof = {r["key"]: r for r in key_skew_profile(probe, "k", n_tasks=32).collect()}
+    assert prof["hot"]["hot"] and prof["hot"]["recommended_salt"] > 1
+    assert not prof["cold0"]["hot"]
+
+    guided = profile_guided_join(probe, dim, "k", n_tasks=32)
+    plain = probe.join(dim, "k")
+    assert _canon(guided) == _canon(plain)
+    p = guided._sc._jvm.PythonSQLUtils.explainString(
+        guided._jdf.queryExecution(), "formatted"
+    )
+    assert "Generate" in p and "_salt" in p, p[:2000]
+
+
+def test_profile_guided_join_stays_plain_when_uniform(spark):
+    """No hot key -> no replication cost: the guided join of a uniform
+    probe is the PLAIN join (no salt explode in the plan)."""
+    from eth_event_stream_spark.operators.skew import profile_guided_join
+
+    probe = spark.createDataFrame(
+        [(f"u{i}", f"k{i % 32}") for i in range(640)], "uid string, k string"
+    )
+    dim = spark.createDataFrame([(f"k{j}", j) for j in range(32)], "k string, attr int")
+    guided = profile_guided_join(probe, dim, "k", n_tasks=32)
+    assert _canon(guided) == _canon(probe.join(dim, "k"))
+    p = guided._sc._jvm.PythonSQLUtils.explainString(
+        guided._jdf.queryExecution(), "formatted"
+    )
+    assert "_salt" not in p, p[:2000]
+
+
 def test_two_path_join_equals_plain(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed(
