@@ -5,11 +5,39 @@ shape a real scale-up takes (facts dominate; dims grow slowly).
 
 Key shifts preserve join semantics (lineitem.l_orderkey shifts with
 orders.o_orderkey) and row identity (event/doc/vec ids stay unique).
-Document texts and embeddings are replicated VERBATIM, which turns every
-document into a ``factor``-clique of near-duplicates — deliberately: a
-duplicate-heavy corpus is exactly what the capped dedup paths must bound.
 
-Usage: python tools/gen_scale.py SRC_SF_DIR DST_DIR FACTOR
+Two replication modes:
+
+* ``jitter`` (default) — replicated facts are DECORRELATED so marginal
+  distributions scale realistically and density-sensitive operators
+  (graph projections, token co-occurrence, near-dup pair mining) measure
+  the ALGORITHM's slope, not a generator artifact:
+
+  - ``lineitem.l_partkey`` / ``l_suppkey`` are rotated per replica inside
+    the dense dimension key range (``(k + offset_i) mod N``, with a
+    multiplicative-hash per-replica offset). Joins stay valid (dims are
+    dense 0..N-1); co-order part pairs and customer→supplier edges become
+    DISTINCT pairs per replica instead of multiplying the support of the
+    originals, so graph edge counts grow linearly with data.
+  - ``documents.text`` tokens get a per-replica suffix (``tok`` →
+    ``tok·rI``), so replica vocabularies are disjoint: shingle/token df
+    and co-occurrence support stay at their base-scale values instead of
+    multiplying ``factor``×, and no cross-replica near-dup cliques are
+    fabricated. WITHIN-replica near-dup structure is preserved exactly
+    (a uniform suffix is Jaccard-neutral), so dedup output scales
+    linearly — the realistic shape.
+  - ``embeddings.embedding`` components get a small deterministic
+    perturbation (hash(vec_id, replica, idx)-seeded, |delta| <= 0.01) so
+    ANN indexes see ``factor``× distinct vectors, not ``factor``-cliques
+    of identical points collapsing into the same cells.
+
+* ``--verbatim`` — the pre-round-8 behavior: document texts and
+  embeddings replicated VERBATIM, which turns every document into a
+  ``factor``-clique of near-duplicates. Deliberately adversarial: a
+  duplicate-heavy corpus is exactly what the capped dedup paths must
+  bound. Use this mode to stress the collapse shield / cap family.
+
+Usage: python tools/gen_scale.py SRC_SF_DIR DST_DIR FACTOR [--verbatim]
 """
 
 from __future__ import annotations
@@ -34,26 +62,78 @@ FACTS: dict[str, tuple[str, list[str]]] = {
     "embeddings": ("vec_id", ["vec_id"]),
 }
 
+# Knuth multiplicative constant: per-replica rotation offsets that are
+# deterministic, well-spread, and reproducible across runs.
+_MIX = 2654435761
 
-def _replicate(df: DataFrame, shift_cols: list[str], stride: int, factor: int) -> DataFrame:
+
+def _rot(col: str, i: int, n: int) -> F.Column:
+    """Rotate a dense 0..n-1 foreign key by a per-replica offset."""
+    return (F.col(col) + F.lit((i * _MIX) % n)) % F.lit(n)
+
+
+def _jitter_replica(name: str, rep: DataFrame, i: int, dims: dict[str, int]) -> DataFrame:
+    if name == "lineitem":
+        rep = rep.withColumn("l_partkey", _rot("l_partkey", i, dims["part"]))
+        rep = rep.withColumn("l_suppkey", _rot("l_suppkey", i, dims["supplier"]))
+    elif name == "documents":
+        # suffix every token: disjoint vocab per replica, Jaccard-neutral
+        # within the replica (every token of every doc gets the suffix)
+        rep = rep.withColumn(
+            "text", F.regexp_replace("text", r"(\S+)", rf"$1·r{i}")
+        )
+        if "n_chars" in rep.columns:
+            rep = rep.withColumn("n_chars", F.length("text").cast("long"))
+    elif name == "embeddings":
+        # deterministic per-component perturbation, |delta| <= 0.01
+        rep = rep.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, idx: (
+                    x
+                    + (
+                        F.pmod(F.hash(F.col("vec_id"), F.lit(i), idx), F.lit(2001))
+                        - F.lit(1000)
+                    ).cast("float")
+                    / F.lit(100000.0).cast("float")
+                ).cast("float"),
+            ),
+        )
+    return rep
+
+
+def _replicate(
+    name: str,
+    df: DataFrame,
+    shift_cols: list[str],
+    stride: int,
+    factor: int,
+    jitter: bool,
+    dims: dict[str, int],
+) -> DataFrame:
     out = df
     for i in range(1, factor):
         rep = df
         for c in shift_cols:
             rep = rep.withColumn(c, F.col(c) + F.lit(i * stride))
+        if jitter:
+            rep = _jitter_replica(name, rep, i, dims)
         out = out.unionByName(rep)
     return out
 
 
 def main() -> None:
     src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    jitter = "--verbatim" not in sys.argv[4:]
     spark = get_spark(app_name="gen_scale")
     os.makedirs(dst, exist_ok=True)
 
+    dims: dict[str, int] = {}
     for name in DIMS:
-        spark.read.parquet(f"{src}/{name}.parquet").write.mode("overwrite").parquet(
-            f"{dst}/{name}.parquet"
-        )
+        d = spark.read.parquet(f"{src}/{name}.parquet")
+        dims[name] = d.count()
+        d.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
 
     # one stride shared by orders+lineitem so the join key stays aligned
     orders = spark.read.parquet(f"{src}/orders.parquet")
@@ -65,10 +145,10 @@ def main() -> None:
             if name in ("orders", "lineitem")
             else df.agg(F.max(pk)).collect()[0][0] + 1
         )
-        _replicate(df, shift_cols, stride, factor).write.mode("overwrite").parquet(
-            f"{dst}/{name}.parquet"
-        )
-        print(f"{name}: x{factor} (stride {stride})")
+        _replicate(name, df, shift_cols, stride, factor, jitter, dims).write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{name}.parquet")
+        print(f"{name}: x{factor} (stride {stride}, {'jitter' if jitter else 'verbatim'})")
     spark.stop()
 
 
