@@ -13,12 +13,17 @@ Two replication modes:
   (graph projections, token co-occurrence, near-dup pair mining) measure
   the ALGORITHM's slope, not a generator artifact:
 
-  - ``lineitem.l_partkey`` / ``l_suppkey`` are rotated per replica inside
-    the dense dimension key range (``(k + offset_i) mod N``, with a
-    multiplicative-hash per-replica offset). Joins stay valid (dims are
-    dense 0..N-1); co-order part pairs and customer→supplier edges become
-    DISTINCT pairs per replica instead of multiplying the support of the
-    originals, so graph edge counts grow linearly with data.
+  - ``part`` and ``supplier`` scale WITH the facts (TPC-H semantics:
+    catalog size grows with volume; only region/nation/customer stay
+    fixed): each replica gets a key-shifted dim copy and
+    ``lineitem.l_partkey`` / ``l_suppkey`` shift into that replica's
+    range. Joins stay valid, per-key local density is CONSTANT, and the
+    part co-purchase graph grows exactly linearly in data. (A mod-N
+    rotation inside the fixed key range was tried first and rejected:
+    rotated support-1 pairs collide in the small key space and fabricate
+    support-2 edges — 96x edge growth at 10x, worse than verbatim.)
+    ``o_custkey`` stays verbatim: orders >> customers at any real scale,
+    so per-customer fact densification is the realistic shape there.
   - ``documents.text`` tokens get a per-replica suffix (``tok`` →
     ``tok·rI``), so replica vocabularies are disjoint: shingle/token df
     and co-occurrence support stay at their base-scale values instead of
@@ -62,20 +67,15 @@ FACTS: dict[str, tuple[str, list[str]]] = {
     "embeddings": ("vec_id", ["vec_id"]),
 }
 
-# Knuth multiplicative constant: per-replica rotation offsets that are
-# deterministic, well-spread, and reproducible across runs.
-_MIX = 2654435761
-
-
-def _rot(col: str, i: int, n: int) -> F.Column:
-    """Rotate a dense 0..n-1 foreign key by a per-replica offset."""
-    return (F.col(col) + F.lit((i * _MIX) % n)) % F.lit(n)
+# dims that scale WITH the facts in jitter mode (TPC-H semantics), with
+# the lineitem FKs that shift into each replica's key range
+SCALED_DIMS = {"part": "p_partkey", "supplier": "s_suppkey"}
 
 
 def _jitter_replica(name: str, rep: DataFrame, i: int, dims: dict[str, int]) -> DataFrame:
     if name == "lineitem":
-        rep = rep.withColumn("l_partkey", _rot("l_partkey", i, dims["part"]))
-        rep = rep.withColumn("l_suppkey", _rot("l_suppkey", i, dims["supplier"]))
+        rep = rep.withColumn("l_partkey", F.col("l_partkey") + F.lit(i * dims["part"]))
+        rep = rep.withColumn("l_suppkey", F.col("l_suppkey") + F.lit(i * dims["supplier"]))
     elif name == "documents":
         # suffix every token: disjoint vocab per replica, Jaccard-neutral
         # within the replica (every token of every doc gets the suffix)
@@ -133,7 +133,14 @@ def main() -> None:
     for name in DIMS:
         d = spark.read.parquet(f"{src}/{name}.parquet")
         dims[name] = d.count()
-        d.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+        if jitter and name in SCALED_DIMS:
+            # catalog scales with volume: replica i's copy lives in the
+            # key range [i*N, (i+1)*N) that its lineitem FKs point into
+            _replicate(name, d, [SCALED_DIMS[name]], dims[name], factor, False, dims).write.mode(
+                "overwrite"
+            ).parquet(f"{dst}/{name}.parquet")
+        else:
+            d.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
 
     # one stride shared by orders+lineitem so the join key stays aligned
     orders = spark.read.parquet(f"{src}/orders.parquet")
