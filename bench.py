@@ -115,6 +115,12 @@ HEADLINE = [
     # is pure serving, so best-of-2 records the serving cost next to the
     # inline-build search_hybrid_rrf_ivf row)
     "search_hybrid_rrf_served",
+    # r8-extended continued (additions only): the LM layer — bigram-LM
+    # quality scoring (the CCNet-style filter, integer surprise bits) and
+    # BPE merge-rule induction (corpus touched once; 6 bounded rounds on
+    # the word-frequency table)
+    "quality_lm_surprise",
+    "tokenizer_bpe_learn",
 ]
 
 

@@ -21,6 +21,7 @@ from . import (  # noqa: F401  (registration side effects)
     incremental,
     layout,
     ledger,
+    lm,
     matview,
     modern,
     pipeline,

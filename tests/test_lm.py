@@ -1,0 +1,137 @@
+"""LM-layer operators (plans/lm.py): bigram quality scoring + BPE learn.
+
+Semantics pinned on crafted corpora (where every count is hand-checkable),
+plus engine-symmetry against the registered DuckDB oracle on the same
+crafted data — that exercises the greedy-merge edge cases (equal-symbol
+runs, regex metacharacters in tokens) the sf corpora may never hit.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from eth_event_stream_spark.plans import QUERIES
+from eth_event_stream_spark.plans.lm import BPE_MERGES
+
+
+def _docs_dir(tmp_path_factory, rows: list[tuple[int, str, str]]) -> str:
+    """Write a crafted documents.parquet sf-dir (doc_id, lang, text)."""
+    d = str(tmp_path_factory.mktemp("lmdocs"))
+    pd.DataFrame(
+        [
+            {"doc_id": i, "text": txt, "lang": lang, "source": "s", "n_chars": len(txt)}
+            for i, lang, txt in rows
+        ]
+    ).to_parquet(f"{d}/documents.parquet")
+    return d
+
+
+def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con.execute(sql).df()
+
+
+# ---------------------------------------------------------------------------
+# quality_lm_surprise
+# ---------------------------------------------------------------------------
+
+
+def test_lm_surprise_hand_checked(spark, tmp_path_factory):
+    """Tiny corpus where every add-one count is checkable by hand.
+
+    ref (en) doc 'x y x y': bigrams (x,y)x2 (y,x)x1 -> c2; c1: x=2, y=1;
+    V=2. doc1 bits: (x,y)=fl2(4)-fl2(3)=2-1=1, (y,x)=fl2(3)-fl2(2)=1-1=0,
+    (x,y)=1 -> total 2, avg 66 centibits. de doc 'x z': unseen pair under
+    seen context x -> fl2(2+2)-fl2(0+1)=2 -> total 2, avg 200.
+    """
+    d = _docs_dir(tmp_path_factory, [(1, "en", "x y x y"), (2, "de", "x z")])
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["quality_lm_surprise"].fn(spark, d).collect()
+    }
+    assert rows[1].asDict() == {
+        "doc_id": 1, "lang": "en", "n_bigrams": 3, "total_bits": 2, "avg_centibits": 66,
+    }
+    assert rows[2].asDict() == {
+        "doc_id": 2, "lang": "de", "n_bigrams": 1, "total_bits": 2, "avg_centibits": 200,
+    }
+
+
+def test_lm_surprise_ranks_out_of_domain_higher(spark, sf_dir):
+    """On the sf corpus, the worst-surprise decile must skew away from the
+    reference language — the CCNet filter's whole point."""
+    df = QUERIES["quality_lm_surprise"].fn(spark, sf_dir).toPandas()
+    top = df.nlargest(max(len(df) // 10, 5), "avg_centibits")
+    assert (top["lang"] != "en").mean() >= 0.5, top.head(20)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_bpe_learn
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_equal_symbol_run_merges_leftmost_first(spark, tmp_path_factory):
+    """'aaaa' -> 'a a a a </w>': rule (a,a) must merge positions 1 and 3
+    (leftmost-first non-overlapping), yielding 'aa aa </w>' — NOT the
+    overlap-skipping 'aa a a </w>' a boundary-consuming replace produces.
+    Round 2 then sees (aa,aa) and (aa,</w>) tied at 3 and must take
+    (aa,</w>) on the lexicographic tie-break; round 3 merges the rest and
+    round 4 finds no pairs — the loop stops early, matching the oracle's
+    empty best CTEs."""
+    d = _docs_dir(tmp_path_factory, [(1, "en", "aaaa aaaa aaaa")])
+    out = QUERIES["tokenizer_bpe_learn"].fn(spark, d).orderBy("merge_rank").collect()
+    assert (out[0].left_sym, out[0].right_sym, out[0].pair_count) == ("a", "a", 9)
+    assert (out[1].left_sym, out[1].right_sym, out[1].pair_count) == ("aa", "</w>", 3)
+    assert (out[2].left_sym, out[2].right_sym) == ("aa", "aa</w>")
+    assert len(out) == 3  # 'aaaa</w>' is a single symbol: pairs exhausted
+
+
+@pytest.mark.parametrize(
+    "corpus",
+    [
+        # equal-symbol runs of odd/even length + shared prefixes
+        ["aaaa aaa baab", "aaa aaa bb", "abab baba aa"],
+        # regex metacharacters as tokens: the merge path must treat them
+        # as plain strings (no replace/regex on data anywhere)
+        ["a.b a.b (x) (x)", "[z] [z] a.b", "x+y x+y (x)"],
+        # pair-exhaustion before BPE_MERGES rounds: both engines must
+        # truncate the merge table identically
+        ["aaaa aaaa", "aaaa"],
+    ],
+    ids=["runs", "metachars", "exhaustion"],
+)
+def test_bpe_engine_symmetry_on_adversarial_corpora(
+    spark, tmp_path_factory, corpus
+):
+    """Spark builder and spliced DuckDB oracle must agree merge-for-merge
+    on corpora built to stress the greedy-merge edge cases."""
+    d = _docs_dir(
+        tmp_path_factory, [(i, "en", txt) for i, txt in enumerate(corpus)]
+    )
+    q = QUERIES["tokenizer_bpe_learn"]
+    sdf = q.fn(spark, d).toPandas()
+    odf = _oracle(d, q.oracle)
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    b = odf[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    assert a.equals(b), f"\nspark:\n{a}\noracle:\n{b}"
+    assert 0 < len(sdf) <= BPE_MERGES
+
+
+def test_lm_surprise_scores_corpus_once_with_broadcast_lm(spark, sf_dir):
+    """Scale gate: the scoring pass scans documents exactly twice (the
+    corpus bigram stream + the reference vocab count) — c2 is a
+    build-time-materialized RDD and c1 derives from IT, never from a
+    third corpus scan — and both LM joins broadcast (the corpus-side
+    bigram stream must never shuffle to meet a 15k-row LM table)."""
+    df = QUERIES["quality_lm_surprise"].fn(spark, sf_dir)
+    p = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert p.count("documents.parquet") == 2, p[:3000]
+    assert p.count("Scan ExistingRDD") >= 1, p[:3000]
+    assert p.count("BroadcastHashJoin") >= 2, p[:3000]
+    assert "SortMergeJoin" not in p, p[:3000]
