@@ -121,6 +121,9 @@ HEADLINE = [
     # the word-frequency table)
     "quality_lm_surprise",
     "tokenizer_bpe_learn",
+    # k-center diversity draw: K linear passes over the vector corpus,
+    # argmax via TakeOrdered heaps, per-round localCheckpoint state
+    "sample_kcenter_diverse",
 ]
 
 

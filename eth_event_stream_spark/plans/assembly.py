@@ -388,3 +388,118 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_distinct"),
         "exact_distinct",
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center diversity sampling (round 8)
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 8  # selections; bounded iterative loop like PageRank/BPE
+
+# squared L2 between two double arrays, folded in index order on both
+# engines (the established convention of _SPARK_DOT/_SQL_DOT in
+# pipeline.py: Spark `aggregate` and DuckDB `list_sum` fold left-to-right)
+_SPARK_D2 = (
+    "aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>), "
+    "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_SQL_D2 = (
+    "list_sum(list_transform(generate_series(1, LEN({a})), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+)
+
+
+def _kcenter_oracle() -> str:
+    d2 = _SQL_D2.format(a="v.embedding", b="c.embedding")
+    head = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+seed AS (SELECT MIN(vec_id) AS vid FROM e),
+st1 AS (
+  SELECT v.vec_id, v.embedding, ROUND({d2}, 6) AS mind
+  FROM e v JOIN e c ON c.vec_id = (SELECT vid FROM seed)
+  WHERE v.vec_id != (SELECT vid FROM seed)
+)""".format(d2=d2)
+    rounds = []
+    for r in range(2, KCENTER_K + 1):
+        rounds.append(f"""
+b{r} AS (SELECT vec_id, mind FROM st{r - 1} ORDER BY mind DESC, vec_id LIMIT 1),
+st{r} AS (
+  SELECT v.vec_id, v.embedding, LEAST(v.mind, ROUND({d2}, 6)) AS mind
+  FROM st{r - 1} v JOIN e c ON c.vec_id = (SELECT vec_id FROM b{r})
+  WHERE v.vec_id != (SELECT vec_id FROM b{r})
+)""")
+    finals = "\nUNION ALL\n".join(
+        ["SELECT CAST(1 AS BIGINT) AS sel_rank, (SELECT vid FROM seed) AS vec_id,"
+         " CAST(0.0 AS DOUBLE) AS min_d2"]
+        + [
+            f"SELECT CAST({r} AS BIGINT), vec_id, mind FROM b{r}"
+            for r in range(2, KCENTER_K + 1)
+        ]
+    )
+    return head + "," + ",".join(rounds) + "\n" + finals
+
+
+@register(
+    "sample_kcenter_diverse",
+    oracle=_kcenter_oracle(),
+    doc="Greedy k-center (farthest-point) diversity draw over the embedding corpus.",
+)
+def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point-first) selection of ``KCENTER_K``
+    maximally diverse embeddings — the classic coreset / diversity-sampling
+    pass a curation pipeline runs to cover the embedding space instead of
+    sampling it iid (Gonzalez's 2-approximation to the k-center objective).
+
+    Determinism: seed = smallest ``vec_id``; each round picks the point
+    with the LARGEST min-squared-L2 distance to the selected set (distance
+    rounded to 6 places before comparison, ties by ``vec_id``) — the same
+    index-order fold both engines use for the cosine lanes, replayed
+    round-for-round by the spliced oracle.
+
+    100 TB shape: this is the canonical k-pass streaming implementation —
+    the state is one row per corpus vector carrying ``mind`` (distance to
+    the nearest selected center), each round is ONE map over that state
+    against the single broadcast-literal new center plus a
+    ``TakeOrderedAndProject(1)`` argmax (never a global sort), and the
+    state is ``localCheckpoint``-materialized so round r+1 reads a
+    cached RDD instead of replaying rounds 1..r lineage. Cost: K linear
+    passes, K bounded 1-row driver probes. For k in the thousands,
+    production swaps the exact argmax for over-sampled batched selection
+    (k-center++-style); the per-pass plan shape is identical.
+    """
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("e")
+    )
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    selected: list[tuple[int, int, float]] = [(1, seed["vec_id"], 0.0)]
+
+    def lit_center(vals: list[float]):
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    state = (
+        emb.filter(F.col("vec_id") != seed["vec_id"])
+        .withColumn("c", lit_center(seed["e"]))
+        .withColumn("mind", F.round(F.expr(_SPARK_D2.format(a="e", b="c")), 6))
+        .drop("c")
+        .localCheckpoint()
+    )
+    for r in range(2, KCENTER_K + 1):
+        # one probe per round: the argmax row carries the center embedding
+        top = state.orderBy(F.desc("mind"), "vec_id").limit(1).collect()
+        if not top:
+            break  # corpus smaller than K: the oracle's b{r} CTEs are
+            # empty from here on, yielding the same truncated selection
+        nxt = top[0]
+        selected.append((r, nxt["vec_id"], nxt["mind"]))
+        state = (
+            state.filter(F.col("vec_id") != nxt["vec_id"])
+            .withColumn("c", lit_center(nxt["e"]))
+            .withColumn(
+                "mind",
+                F.least("mind", F.round(F.expr(_SPARK_D2.format(a="e", b="c")), 6)),
+            )
+            .drop("c")
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(selected, "sel_rank long, vec_id long, min_d2 double")
