@@ -108,13 +108,8 @@ def quality_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, which partial-aggregates map-side.
     """
     d = t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "lang", F.split(F.lower(F.col("text")), " ", -1).alias("tk"))
-    big = (
-        toks.withColumn("w1s", F.expr("slice(tk, 1, size(tk) - 1)"))
-        .withColumn("w2s", F.expr("slice(tk, 2, size(tk) - 1)"))
-        .select("doc_id", "lang", F.explode(F.arrays_zip("w1s", "w2s")).alias("p"))
-        .select("doc_id", "lang", F.col("p.w1s").alias("w1"), F.col("p.w2s").alias("w2"))
-    )
+    toks = _doc_toks(d)
+    big = _doc_bigrams(toks)
     ref = big.filter(F.col("lang") == LM_REF_LANG)
     # materialize the (small) bigram table once: c1 is an aggregate OF c2,
     # and without the boundary Catalyst re-derives c2 from a second scan
@@ -130,20 +125,76 @@ def quality_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.join(F.broadcast(c2), ["w1", "w2"], "left")
         .join(F.broadcast(c1), ["w1"], "left")
         .crossJoin(F.broadcast(v))
-        .select(
-            "doc_id",
-            "lang",
-            (
-                _bits(F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
-                - _bits(F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
-            ).alias("bits"),
-        )
+        .select("doc_id", "lang", _bits_charged(F.col("v")).alias("bits"))
     )
+    return _per_doc_bits(scored)
+
+
+def _doc_toks(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", "lang", F.split(F.lower(F.col("text")), " ", -1).alias("tk")
+    )
+
+
+def _doc_bigrams(toks: DataFrame) -> DataFrame:
+    return (
+        toks.withColumn("w1s", F.expr("slice(tk, 1, size(tk) - 1)"))
+        .withColumn("w2s", F.expr("slice(tk, 2, size(tk) - 1)"))
+        .select("doc_id", "lang", F.explode(F.arrays_zip("w1s", "w2s")).alias("p"))
+        .select("doc_id", "lang", F.col("p.w1s").alias("w1"), F.col("p.w2s").alias("w2"))
+    )
+
+
+def _bits_charged(v_col) -> F.Column:
+    """Surprise bits of one joined bigram row (columns c1, c2 nullable)."""
+    return _bits(F.coalesce(F.col("c1"), F.lit(0)) + v_col) - _bits(
+        F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1)
+    )
+
+
+def _per_doc_bits(scored: DataFrame) -> DataFrame:
     return scored.groupBy("doc_id", "lang").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.sum("bits").cast("long").alias("total_bits"),
         F.expr("CAST(sum(bits) * 100 DIV count(*) AS BIGINT)").alias("avg_centibits"),
     )
+
+
+def lm_train(docs: DataFrame) -> tuple[DataFrame, DataFrame, int]:
+    """Train the filtering LM on the reference slice of ``docs`` — the
+    once-per-release artifact build of the serving cycle.  Returns
+    ``(c2, c1, v)``: the materialized bigram-count table, the unigram
+    table derived FROM it (no second corpus scan), and the reference
+    vocabulary size as a plain int (a release-time scalar, like the
+    quantile-filter threshold)."""
+    toks = _doc_toks(docs)
+    ref = _doc_bigrams(toks).filter(F.col("lang") == LM_REF_LANG)
+    c2 = ref.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2")).localCheckpoint()
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1")).localCheckpoint()
+    v = (
+        toks.filter(F.col("lang") == LM_REF_LANG)
+        .select(F.explode("tk").alias("w"))
+        .distinct()
+        .count()
+    )
+    return c2, c1, int(v)
+
+
+def score_against_lm(new_docs: DataFrame, c2: DataFrame, c1: DataFrame, v: int) -> DataFrame:
+    """Score a batch of new documents against a FROZEN LM — the STREAMING
+    body of the quality filter: the bigram explode and the two broadcast
+    left joins are stateless, and the per-document aggregation runs inside
+    each micro-batch (``foreachBatch``), never across batches.  Because a
+    document's score depends only on itself and the frozen LM tables, the
+    union over micro-batches equals one batch run exactly (parity-tested
+    in test_lm.py, the ``scrub_against_index`` contract)."""
+    scored = (
+        _doc_bigrams(_doc_toks(new_docs))
+        .join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), ["w1"], "left")
+        .select("doc_id", "lang", _bits_charged(F.lit(v)).alias("bits"))
+    )
+    return _per_doc_bits(scored)
 
 
 # ---------------------------------------------------------------------------

@@ -135,3 +135,49 @@ def test_lm_surprise_scores_corpus_once_with_broadcast_lm(spark, sf_dir):
     assert p.count("Scan ExistingRDD") >= 1, p[:3000]
     assert p.count("BroadcastHashJoin") >= 2, p[:3000]
     assert "SortMergeJoin" not in p, p[:3000]
+
+
+def test_stream_lm_scoring_parity(spark, sf_dir, tmp_path):
+    """Streaming twin of the LM quality filter: new documents arrive
+    file-by-file and are scored per micro-batch against the FROZEN LM
+    (stream-static broadcast joins, stateless). The union over
+    micro-batches must equal one batch run exactly, and both must equal
+    the registered batch query's rows for the same documents."""
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.plans.lm import lm_train, score_against_lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch_docs = docs.filter(F.col("doc_id") % 4 == 0)
+    c2, c1, v = lm_train(corpus)
+
+    src = tmp_path / "docs_lm_stream"
+    batch_docs.repartition(4).write.parquet(str(src))
+
+    expected = {
+        tuple(r)
+        for r in score_against_lm(spark.read.parquet(str(src)), c2, c1, v).collect()
+    }
+    assert expected
+
+    got = set()
+
+    def handle(mb_df, _epoch):
+        got.update(tuple(r) for r in score_against_lm(mb_df, c2, c1, v).collect())
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ck_lm"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got == expected
