@@ -77,6 +77,16 @@ def main() -> None:
     scrubbed = run("dedup_chunk_scrub").join(clean.select("doc_id"), "doc_id", "left_semi")
     n_spans = scrubbed.agg(F.sum("n_removed").alias("s")).collect()[0]["s"]
 
+    # 3c2. LM quality gate (round 8): score fluency under the bigram LM
+    #      trained on the trusted 'en' slice, drop the worst-surprise
+    #      decile (the CCNet perplexity filter, in integer surprise bits)
+    lm = run("quality_lm_surprise")
+    lm_cut = (
+        lm.approxQuantile("avg_centibits", [0.9], 0.0)[0]
+    )
+    fluent = lm.filter(F.col("avg_centibits") <= lm_cut).select("doc_id")
+    clean = clean.join(fluent, "doc_id", "left_semi")
+
     # 3d. LEAKAGE-SAFE split: hash the near-dup group's canonical id, so no
     #     near-duplicate pair can straddle train/holdout
     splits = run("split_leakage_safe")
@@ -108,6 +118,14 @@ def main() -> None:
     print("PQ ANN top-3 for vec_id=0:", [(r["vec_id"], r["cosine"]) for r in topk_pq[:3]])
     recall = {r["method"]: r["recall_at_10"] for r in run("similarity_ann_recall").collect()}
     print("ANN recall@10 vs brute force:", recall)
+
+    # 6. round-8 additions: a diversity coreset over the embedding space
+    #    (greedy k-center) and the first BPE merge rules for the tokenizer
+    centers = run("sample_kcenter_diverse").collect()
+    print("k-center coreset (rank, vec_id, min_d2):",
+          [(r["sel_rank"], r["vec_id"], round(r["min_d2"], 3)) for r in centers])
+    bpe = run("tokenizer_bpe_learn").orderBy("merge_rank").collect()
+    print("BPE merge rules:", [(r["left_sym"], r["right_sym"]) for r in bpe])
 
     spark.stop()
 

@@ -181,3 +181,45 @@ def test_stream_lm_scoring_parity(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# properties of the integer surprise-bit charge
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+    import math
+
+    @given(
+        c2=st.integers(min_value=0, max_value=2**40),
+        extra=st.integers(min_value=1, max_value=2**40),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_surprise_bits_within_one_bit_of_true_cross_entropy(c2, extra):
+        """bits = fl2(c1+V) - fl2(c2+1) must sit within 1 bit of the true
+        -log2 p of the add-one-smoothed bigram (p = (c2+1)/(c1+V), with
+        c1+V = c2+1+extra >= c2+2 so p < 1): the documented guarantee that
+        makes the integer score a faithful stand-in for the float filter."""
+        num = c2 + 1
+        den = c2 + 1 + extra  # c1 + V (always > num: V exceeds any c2 by 1+)
+        bits = (den.bit_length() - 1) - (num.bit_length() - 1)
+        true = math.log2(den) - math.log2(num)
+        assert abs(bits - true) < 1.0
+
+    @given(n=st.integers(min_value=1, max_value=2**62))
+    @settings(max_examples=300, deadline=None)
+    def test_bit_length_is_floor_log2(n):
+        """length(bin(n)) - 1 == floor(log2(n)) exactly — the identity both
+        engines' integer lanes rely on (float log2 misrounds near powers of
+        two at large n; bit length cannot)."""
+        # exact reference via integer comparison, no floats:
+        fl2 = n.bit_length() - 1
+        assert 2**fl2 <= n < 2 ** (fl2 + 1)
