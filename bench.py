@@ -124,6 +124,9 @@ HEADLINE = [
     # k-center diversity draw: K linear passes over the vector corpus,
     # argmax via TakeOrdered heaps, per-round localCheckpoint state
     "sample_kcenter_diverse",
+    # semantic decontamination: broadcast benchmark embeddings, one
+    # corpus scan, codegen'd cosine fold, map-side-combining max
+    "decontaminate_semantic",
 ]
 
 

@@ -1964,6 +1964,78 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# semantic-decontamination cosine threshold: flags the ~top-3% most
+# benchmark-similar corpus vectors on the synthetic embeddings (p97 of
+# the max-cosine distribution is ~0.36) — production tunes this per suite
+SEMDECON_TAU = 0.35
+
+
+@register(
+    "decontaminate_semantic",
+    oracle=f"""
+    WITH b AS (SELECT embedding AS be FROM embeddings WHERE {_BENCH_FILTER.replace("doc_id", "vec_id")}),
+    c AS (SELECT vec_id, embedding AS e FROM embeddings
+          WHERE NOT ({_BENCH_FILTER.replace("doc_id", "vec_id")})),
+    s AS (
+      SELECT c.vec_id,
+             MAX(ROUND({_SQL_COSINE.replace("a[i]", "e[i]").replace("LEN(a)", "LEN(e)").replace("b[i]", "be[i]")}, 6))
+               AS max_cosine
+      FROM c, b GROUP BY c.vec_id)
+    SELECT vec_id, max_cosine,
+           CAST(CASE WHEN max_cosine >= {SEMDECON_TAU} THEN 1 ELSE 0 END AS INT)
+             AS contaminated
+    FROM s
+    """,
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination — the third lane next to the exact and
+    8-gram passes: flag training vectors whose embedding is too close
+    (max cosine >= SEMDECON_TAU) to ANY benchmark vector, catching
+    paraphrased or reformatted eval content that shares no fingerprint or
+    8-gram with the original.
+
+    Same benchmark convention as decontaminate_exact (ids < 20 play the
+    eval suite). Per-pair cosines round to 6 places before the max, so
+    both engines take the max of identical values.
+
+    100 TB shape: the benchmark set is broadcast (eval suites are tiny
+    next to the corpus) and the corpus is scanned ONCE — per vector it is
+    a |bench|-wide codegen'd fold, embarrassingly parallel, no shuffle
+    except the per-vector max (which partial-aggregates map-side). When
+    the benchmark set itself is large, prune the comparison through the
+    persisted IVF index first (``ann_probe``): probe each benchmark
+    vector's N_PROBE cells and score only those candidates — the same
+    composition the serving cycle uses.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    bench_pred = _BENCH_FILTER.replace("doc_id", "vec_id")
+    bench = e.filter(F.expr(bench_pred)).select(F.col("embedding").alias("b"))
+    dot = (
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(b AS ARRAY<DOUBLE>), "
+        "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = dot.replace("CAST(b AS ARRAY<DOUBLE>)", "CAST(embedding AS ARRAY<DOUBLE>)")
+    nb = dot.replace("CAST(embedding AS ARRAY<DOUBLE>)", "CAST(b AS ARRAY<DOUBLE>)", 1)
+    return (
+        e.filter(~F.expr(bench_pred))
+        .crossJoin(F.broadcast(bench))
+        .select(
+            "vec_id",
+            F.round(F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))"), 6).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_cosine"))
+        .select(
+            "vec_id",
+            "max_cosine",
+            F.when(F.col("max_cosine") >= SEMDECON_TAU, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
 @register(
     "embedding_dedup_groups",
     oracle=f"""

@@ -34,6 +34,9 @@ PLAN_EXPECTATIONS = {
     # top-k must be heap+merge, not global sort
     "topk_orders": [r"TakeOrderedAndProject"],
     "similarity_topk_bruteforce": [r"TakeOrderedAndProject"],
+    # semantic decontamination: benchmark set broadcast into a codegen'd
+    # fold over ONE corpus scan; per-vector max partial-aggregates
+    "decontaminate_semantic": [r"BroadcastNestedLoopJoin", r"HashAggregate"],
     # rn <= 3 must push a per-partition group limit below the shuffle
     "window_rank_topn": [r"WindowGroupLimit"],
     "flagship_user_netflow": [r"HashAggregate"],
