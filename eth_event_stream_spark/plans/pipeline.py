@@ -2010,6 +2010,18 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     bench_pred = _BENCH_FILTER.replace("doc_id", "vec_id")
     bench = e.filter(F.expr(bench_pred)).select(F.col("embedding").alias("b"))
+    return decontaminate_semantic_against(e.filter(~F.expr(bench_pred)), bench)
+
+
+def decontaminate_semantic_against(vectors: DataFrame, bench: DataFrame) -> DataFrame:
+    """The decontaminate_semantic core as a transform over any vectors
+    frame (columns ``vec_id``, ``embedding``) against a STATIC benchmark
+    frame (column ``b``) — batch or STREAMING: the broadcast cross join
+    and the per-vector max are both within-row/within-key, so each
+    micro-batch probes the frozen benchmark set independently and the
+    union over micro-batches equals one batch run exactly (the
+    ``decontaminate_against`` contract; parity-tested in
+    test_streaming.py)."""
     dot = (
         "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(b AS ARRAY<DOUBLE>), "
         "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -2017,8 +2029,7 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = dot.replace("CAST(b AS ARRAY<DOUBLE>)", "CAST(embedding AS ARRAY<DOUBLE>)")
     nb = dot.replace("CAST(embedding AS ARRAY<DOUBLE>)", "CAST(b AS ARRAY<DOUBLE>)", 1)
     return (
-        e.filter(~F.expr(bench_pred))
-        .crossJoin(F.broadcast(bench))
+        vectors.crossJoin(F.broadcast(bench))
         .select(
             "vec_id",
             F.round(F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))"), 6).alias("cos"),

@@ -1927,3 +1927,53 @@ def test_keyword_topk_serving_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in server.current(spark).collect()
     }
     assert again == expected
+
+
+def test_stream_semantic_decontamination_parity(spark, sf_dir, tmp_path):
+    """Streaming twin of the semantic decontamination pass: new vectors
+    arrive file-by-file and each micro-batch probes the FROZEN broadcast
+    benchmark set (stateless stream-static cross join + within-key max).
+    The union over micro-batches must equal one batch run exactly."""
+    from eth_event_stream_spark.plans.pipeline import (
+        decontaminate_semantic_against,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") < 20).select(F.col("embedding").alias("b"))
+    incoming = emb.filter(F.col("vec_id") >= 20)
+
+    src = tmp_path / "vec_decon_stream"
+    incoming.repartition(4).write.parquet(str(src))
+
+    expected = {
+        tuple(r)
+        for r in decontaminate_semantic_against(
+            spark.read.parquet(str(src)), bench
+        ).collect()
+    }
+    assert any(c == 1 for _, _, c in expected), (
+        "fixture flags nothing; parity would be vacuous"
+    )
+
+    got = set()
+
+    def handle(mb_df, _epoch):
+        got.update(
+            tuple(r) for r in decontaminate_semantic_against(mb_df, bench).collect()
+        )
+
+    sdf = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ck_semdecon"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got == expected
