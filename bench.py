@@ -127,6 +127,13 @@ HEADLINE = [
     # semantic decontamination: broadcast benchmark embeddings, one
     # corpus scan, codegen'd cosine fold, map-side-combining max
     "decontaminate_semantic",
+    # BPE corpus encoding: merges applied to the VOCABULARY (sublinear in
+    # corpus size), then one corpus pass against the broadcast token map —
+    # the token-budget pass mixing/packing plan against
+    "tokenizer_bpe_apply",
+    # in-engine Naive Bayes language/domain gate: broadcast (vocab x K)
+    # bit-cost model, map-side scoring join, per-doc argmin over K rows
+    "classify_nb_lang",
 ]
 
 

@@ -277,6 +277,98 @@ wtab1 AS (
     return head + "," + rounds + "\n" + finals
 
 
+def _capped_word_table(docs: DataFrame) -> DataFrame:
+    """The checkpointed ``BPE_WORDS``-row word-frequency table the merge
+    rounds run on: one map-side-combining hash agg over the corpus, then a
+    ``TakeOrdered`` cap — the only raw-corpus touch of the whole trainer."""
+    wf = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wfreq"))
+        .orderBy(F.desc("wfreq"), "word")
+        .limit(BPE_WORDS)
+    )
+    return wf.select(
+        "word",
+        "wfreq",
+        F.concat(F.array_join(F.split(F.col("word"), ""), " "), F.lit(" </w>")).alias("seq"),
+    ).localCheckpoint()
+
+
+def _apply_merge(words: DataFrame, bw1: str, bw2: str, keys: tuple[str, ...]) -> DataFrame:
+    """Apply ONE merge rule ``(bw1, bw2) -> bw1+bw2`` to every ``seq`` in
+    ``words`` with greedy leftmost-first non-overlapping semantics (the
+    windowed selection documented on ``tokenizer_bpe_learn`` — run grouping
+    by cumulative candidate count, offset-parity selection, LAG-consumed
+    suppression).  ``keys`` are the carried grouping columns; ``word`` must
+    be among them (the window partitions on it, so partitions are one
+    word's symbol positions — bounded by word length at any corpus size)."""
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("word").orderBy("j")
+    arr = words.select(*keys, F.split(F.col("seq"), " ", -1).alias("arr"))
+    pos = (
+        arr.select(*keys, F.posexplode("arr").alias("j", "tok"))
+        .withColumn("nxt", F.lead("tok").over(win))
+        .withColumn(
+            "is_cand",
+            (F.col("tok") == F.lit(bw1))
+            & F.col("nxt").isNotNull()
+            & (F.col("nxt") == F.lit(bw2)),
+        )
+    )
+    cum = F.sum(F.when(F.col("is_cand"), 1).otherwise(0)).over(
+        win.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pos = pos.withColumn("grp", F.when(F.col("is_cand"), F.col("j") - cum))
+    min_j = F.min(F.when(F.col("is_cand"), F.col("j"))).over(
+        Window.partitionBy("word", "grp")
+    )
+    pos = pos.withColumn(
+        "selected",
+        F.coalesce(F.col("is_cand") & (((F.col("j") - min_j) % 2) == 0), F.lit(False)),
+    ).withColumn("consumed", F.coalesce(F.lag("selected").over(win), F.lit(False)))
+    return (
+        pos.filter(~F.col("consumed"))
+        .withColumn(
+            "out", F.when(F.col("selected"), F.concat("tok", "nxt")).otherwise(F.col("tok"))
+        )
+        .groupBy(*keys)
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(j, out))),"
+                " s -> s.out), ' ')"
+            ).alias("seq")
+        )
+    )
+
+
+def _learn_merges(words: DataFrame) -> list[tuple[int, str, str, str, int]]:
+    """Run the ``BPE_MERGES`` greedy rounds over the (capped, checkpointed)
+    word-frequency table and return the learned merge rules.  Each round is
+    one bounded 1-row driver probe (the argmax pair) plus a
+    ``localCheckpoint`` lineage cut — see ``tokenizer_bpe_learn``."""
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rnd in range(1, BPE_MERGES + 1):
+        arr = words.select("word", "wfreq", F.split(F.col("seq"), " ", -1).alias("arr"))
+        pairs = (
+            arr.withColumn("w1s", F.expr("slice(arr, 1, size(arr) - 1)"))
+            .withColumn("w2s", F.expr("slice(arr, 2, size(arr) - 1)"))
+            .select("wfreq", F.explode(F.arrays_zip("w1s", "w2s")).alias("p"))
+            .groupBy(F.col("p.w1s").alias("w1"), F.col("p.w2s").alias("w2"))
+            .agg(F.sum("wfreq").cast("long").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "w1", "w2").limit(1).collect()
+        if not top:
+            break  # pairs exhausted before BPE_MERGES rounds (tiny corpus);
+            # the oracle agrees: its best{r} CTEs are empty from here on
+        bw1, bw2, bcnt = top[0]
+        merges.append((rnd, bw1, bw2, bw1 + bw2, bcnt))
+        words = _apply_merge(words, bw1, bw2, ("word", "wfreq")).localCheckpoint()
+    return merges
+
+
 @register(
     "tokenizer_bpe_learn",
     oracle=_bpe_oracle(),
@@ -308,81 +400,420 @@ def tokenizer_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank convergence probes) and a ``localCheckpoint`` lineage cut so
     round r+1 does not replay rounds 1..r.
     """
-    from pyspark.sql.window import Window
-
     d = t(spark, sf_dir, "documents")
-    wf = (
-        d.select(F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").cast("long").alias("wfreq"))
-        .orderBy(F.desc("wfreq"), "word")
-        .limit(BPE_WORDS)
-    )
-    words = wf.select(
-        "word",
-        "wfreq",
-        F.concat(F.array_join(F.split(F.col("word"), ""), " "), F.lit(" </w>")).alias("seq"),
-    ).localCheckpoint()
-
-    win = Window.partitionBy("word").orderBy("j")
-    merges: list[tuple[int, str, str, str, int]] = []
-    for rnd in range(1, BPE_MERGES + 1):
-        arr = words.select("word", "wfreq", F.split(F.col("seq"), " ", -1).alias("arr"))
-        pairs = (
-            arr.withColumn("w1s", F.expr("slice(arr, 1, size(arr) - 1)"))
-            .withColumn("w2s", F.expr("slice(arr, 2, size(arr) - 1)"))
-            .select("wfreq", F.explode(F.arrays_zip("w1s", "w2s")).alias("p"))
-            .groupBy(F.col("p.w1s").alias("w1"), F.col("p.w2s").alias("w2"))
-            .agg(F.sum("wfreq").cast("long").alias("cnt"))
-        )
-        top = pairs.orderBy(F.desc("cnt"), "w1", "w2").limit(1).collect()
-        if not top:
-            break  # pairs exhausted before BPE_MERGES rounds (tiny corpus);
-            # the oracle agrees: its best{r} CTEs are empty from here on,
-            # so the UNION ALL yields the same truncated merge table
-        bw1, bw2, bcnt = top[0]
-        merges.append((rnd, bw1, bw2, bw1 + bw2, bcnt))
-
-        pos = (
-            arr.select("word", "wfreq", F.posexplode("arr").alias("j", "tok"))
-            .withColumn("nxt", F.lead("tok").over(win))
-            .withColumn(
-                "is_cand",
-                (F.col("tok") == F.lit(bw1))
-                & F.col("nxt").isNotNull()
-                & (F.col("nxt") == F.lit(bw2)),
-            )
-        )
-        cum = F.sum(F.when(F.col("is_cand"), 1).otherwise(0)).over(
-            win.rowsBetween(Window.unboundedPreceding, 0)
-        )
-        pos = pos.withColumn("grp", F.when(F.col("is_cand"), F.col("j") - cum))
-        min_j = F.min(F.when(F.col("is_cand"), F.col("j"))).over(
-            Window.partitionBy("word", "grp")
-        )
-        pos = pos.withColumn(
-            "selected",
-            F.coalesce(
-                F.col("is_cand") & (((F.col("j") - min_j) % 2) == 0), F.lit(False)
-            ),
-        ).withColumn("consumed", F.coalesce(F.lag("selected").over(win), F.lit(False)))
-        words = (
-            pos.filter(~F.col("consumed"))
-            .withColumn(
-                "out", F.when(F.col("selected"), F.concat("tok", "nxt")).otherwise(F.col("tok"))
-            )
-            .groupBy("word", "wfreq")
-            .agg(
-                F.expr(
-                    "array_join(transform(array_sort(collect_list(struct(j, out))),"
-                    " s -> s.out), ' ')"
-                ).alias("seq")
-            )
-            .localCheckpoint()
-        )
-
+    merges = _learn_merges(_capped_word_table(d))
     return spark.createDataFrame(
         merges,
         "merge_rank long, left_sym string, right_sym string, merged string, pair_count long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE corpus encoding (token-budget counting)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_apply_round_sql(r: int) -> str:
+    """One spliced ENCODE round: apply the learn chain's ``best{r}`` rule to
+    every vocabulary word — the same windowed greedy-merge machinery as
+    ``_bpe_round_sql`` minus the pair-count/argmax CTEs, and with a ``LEFT
+    JOIN ... ON TRUE`` against ``best{r}`` so an exhausted (empty) rule row
+    leaves every sequence unchanged instead of deleting it."""
+    return f"""
+earr{r} AS (SELECT word, string_split(seq, ' ') AS arr FROM etab{r}),
+epos{r} AS (
+  SELECT word, CAST(i AS BIGINT) AS j,
+         arr[CAST(i AS INT)] AS tok, arr[CAST(i AS INT) + 1] AS nxt
+  FROM earr{r}, UNNEST(range(1, len(arr) + 1)) AS r(i)
+),
+ecand{r} AS (
+  SELECT p.word, p.j, p.tok, p.nxt,
+         COALESCE(p.tok = b.w1 AND p.nxt IS NOT NULL AND p.nxt = b.w2, FALSE)
+           AS is_cand
+  FROM epos{r} p LEFT JOIN best{r} b ON TRUE
+),
+egrp{r} AS (
+  SELECT *, CASE WHEN is_cand THEN j - SUM(CASE WHEN is_cand THEN 1 ELSE 0 END)
+    OVER (PARTITION BY word ORDER BY j ROWS UNBOUNDED PRECEDING) END AS grp
+  FROM ecand{r}
+),
+esel{r} AS (
+  SELECT *, COALESCE(is_cand AND (j - MIN(CASE WHEN is_cand THEN j END)
+    OVER (PARTITION BY word, grp)) % 2 = 0, FALSE) AS selected
+  FROM egrp{r}
+),
+etag{r} AS (
+  SELECT *, COALESCE(LAG(selected) OVER (PARTITION BY word ORDER BY j), FALSE)
+    AS consumed
+  FROM esel{r}
+),
+etab{r + 1} AS (
+  SELECT word, string_agg(CASE WHEN selected THEN tok || nxt ELSE tok END, ' '
+                          ORDER BY j) AS seq
+  FROM etag{r} WHERE NOT consumed GROUP BY word
+)"""
+
+
+def _bpe_apply_oracle() -> str:
+    # keep only the CTE chain of the learn oracle (drop its final UNION of
+    # best{r} SELECTs); the encode CTEs reference best{1..N} directly
+    learn_ctes = _bpe_oracle()
+    cut = learn_ctes.index("\nSELECT CAST(1 AS BIGINT) AS merge_rank")
+    learn_ctes = learn_ctes[:cut]
+    encode = f""",
+corpusw AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+etab1 AS (
+  SELECT word, array_to_string(string_split(word, ''), ' ') || ' </w>' AS seq
+  FROM (SELECT DISTINCT w AS word FROM corpusw)
+),{",".join(_bpe_apply_round_sql(r) for r in range(1, BPE_MERGES + 1))},
+wtok AS (
+  SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS ntok
+  FROM etab{BPE_MERGES + 1}
+)
+SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(w.ntok) AS BIGINT) AS n_tokens
+FROM corpusw c JOIN wtok w ON c.w = w.word
+GROUP BY c.doc_id
+"""
+    return learn_ctes + encode
+
+
+@register(
+    "tokenizer_bpe_apply",
+    oracle=_bpe_apply_oracle(),
+    doc="Encode the corpus with the learned BPE merges: per-document token counts.",
+)
+def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge rules to the corpus and report each
+    document's post-tokenization token count — the token-budget pass every
+    training-data pipeline runs before mixing/packing (budgets are set in
+    TOKENS, not characters, so nothing downstream of the tokenizer can be
+    planned without this number).
+
+    Encoding semantics: the learned rules apply **in merge-rank order**,
+    each with the same greedy leftmost-first non-overlapping pass the
+    trainer used (HuggingFace-style "apply merges in learned order"); the
+    oracle replays both the learn chain and the encode chain CTE-for-CTE.
+
+    100 TB shape — encode the VOCABULARY, not the corpus: merges apply to
+    the distinct-word table (sublinear in corpus size; Heaps' law), so the
+    per-round window machinery never touches a corpus-sized row set and
+    partitions by ``word`` (bounded by word length).  The raw corpus is
+    touched exactly twice: the capped word-frequency aggregation that
+    trains the rules, and the final stream that joins each word occurrence
+    against the broadcast ``word -> token_count`` map (the serialized
+    tokenizer — exactly the artifact a real pipeline broadcasts) and
+    partial-aggregates per document.  If the vocabulary outgrows broadcast
+    (100 TB web text: ~10^7-10^8 distinct words), drop the hint and the
+    same plan becomes a shuffled hash join on ``w`` — no other change.
+    """
+    d = t(spark, sf_dir, "documents")
+    merges = _learn_merges(_capped_word_table(d))
+    corpusw = (
+        d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    vocab = (
+        corpusw.select(F.col("w").alias("word"))
+        .distinct()
+        .select(
+            "word",
+            F.concat(F.array_join(F.split(F.col("word"), ""), " "), F.lit(" </w>")).alias("seq"),
+        )
+        .localCheckpoint()
+    )
+    for _, bw1, bw2, _, _ in merges:
+        vocab = _apply_merge(vocab, bw1, bw2, ("word",)).localCheckpoint()
+    wtok = vocab.select(
+        "word", F.size(F.split(F.col("seq"), " ", -1)).cast("long").alias("ntok")
+    )
+    return (
+        corpusw.join(F.broadcast(wtok), corpusw.w == wtok.word)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def bpe_encode_against_vocab(new_docs: DataFrame, wtok: DataFrame) -> DataFrame:
+    """Score a batch of NEW documents against a FROZEN ``word -> token_count``
+    map — the streaming/serving twin of ``tokenizer_bpe_apply`` (the same
+    contract as ``score_against_lm``): the tokenizer artifact is built once
+    at release time; each micro-batch explodes its words, broadcast-joins
+    the frozen map, and aggregates within the batch.  Out-of-vocabulary
+    words fall back to character-level encoding (``len(word) + 1`` symbols
+    — the untrained char-split with ``</w>``), the standard BPE behavior
+    for unseen byte sequences under a rule set that never merged them."""
+    corpusw = (
+        new_docs.select(
+            "doc_id", F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("w")
+        )
+        .filter(F.col("w") != "")
+    )
+    return (
+        corpusw.join(F.broadcast(wtok), corpusw.w == wtok.word, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("ntok"), F.length("w").cast("long") + F.lit(1)).alias("ntok"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes document classifier (fasttext-analog quality/domain gate)
+# ---------------------------------------------------------------------------
+
+_SQL_NB_LANG = """
+WITH toks AS (
+  SELECT doc_id, lang, w
+  FROM (SELECT doc_id, lang, UNNEST(string_split(lower(text), ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+cwc AS (
+  SELECT lang AS cls, w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2
+),
+ctot AS (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS tot FROM cwc GROUP BY 1),
+vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM toks),
+classes AS (
+  SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS ndocs FROM documents GROUP BY 1
+),
+nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(DISTINCT lang) AS BIGINT) AS k
+  FROM documents
+),
+model AS (
+  SELECT g.w, g.cls,
+         (length(bin(ct.tot + vv.v)) - 1)
+           - (length(bin(COALESCE(c.cnt, 0) + 1)) - 1) AS bits
+  FROM (SELECT dw.w, cl.cls
+        FROM (SELECT DISTINCT w FROM toks) dw
+        CROSS JOIN (SELECT cls FROM classes) cl) g
+  LEFT JOIN cwc c ON c.w = g.w AND c.cls = g.cls
+  JOIN ctot ct ON ct.cls = g.cls
+  CROSS JOIN vv
+),
+priors AS (
+  SELECT cls, (length(bin(nn.n + nn.k)) - 1)
+              - (length(bin(classes.ndocs + 1)) - 1) AS pbits
+  FROM classes CROSS JOIN nn
+),
+per AS (
+  SELECT t.doc_id, t.lang, m.cls, CAST(SUM(m.bits) AS BIGINT) AS tok_bits
+  FROM toks t JOIN model m ON t.w = m.w
+  GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT p.doc_id, p.lang, p.cls, p.tok_bits + pr.pbits AS bits
+  FROM per p JOIN priors pr ON pr.cls = p.cls
+),
+pick AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY bits, cls) AS rn
+  FROM tot
+)
+SELECT doc_id, lang AS actual_lang, cls AS predicted_lang,
+       CAST(bits AS BIGINT) AS total_bits
+FROM pick WHERE rn = 1
+"""
+
+
+@register(
+    "classify_nb_lang",
+    oracle=_SQL_NB_LANG,
+    doc="In-engine multinomial Naive Bayes: predict each document's language "
+    "from its tokens with exact integer bit-cost scoring.",
+)
+def classify_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a multinomial Naive Bayes classifier IN the engine (pure
+    aggregations — no ML library) and classify every document, the
+    fasttext-analog labeling stage of a curation pipeline (CCNet's language
+    gate, quality-classifier gates trained on curated-vs-crawl labels).
+
+    Scoring is exact integer **bit costs** (the ``quality_lm_surprise``
+    convention): token ``w`` under class ``c`` costs
+    ``floor_log2(tot_c + V) - floor_log2(cnt(w,c) + 1)`` bits (add-one
+    smoothing), the class prior costs
+    ``floor_log2(N + K) - floor_log2(ndocs_c + 1)``, and the prediction is
+    the bit-minimal class with a lexicographic tie-break — bit-identical
+    across engines where float log-likelihoods cannot be.
+
+    100 TB shape: the MODEL is small — ``(vocab x K)`` bit-cost rows built
+    from one corpus token-count aggregation (``cwc``), with the class
+    totals an agg OF ``cwc`` (never a second corpus scan); it broadcasts
+    like any served classifier artifact.  Scoring streams the corpus token
+    stream through the broadcast model (map-side join, K rows out per
+    token occurrence, K = #classes is a small constant), partial-aggregates
+    per (doc, class), and picks the argmin with a per-doc window over K
+    rows.  No corpus-sized shuffle except the per-doc aggregation.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id", "lang", F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("w")
+        )
+        .filter(F.col("w") != "")
+    )
+    # token-count model table: one corpus pass; class totals derive FROM it
+    cwc = (
+        toks.groupBy(F.col("lang").alias("cls"), "w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    ctot = cwc.groupBy("cls").agg(F.sum("cnt").cast("long").alias("tot"))
+    # V derives from the checkpointed model table, NOT a second corpus scan
+    # (every distinct corpus token has a cwc row)
+    vv = cwc.agg(F.count_distinct("w").cast("long").alias("v"))
+    # one column-pruned lang scan, checkpointed (it feeds both the model
+    # grid and the priors); the corpus totals derive FROM it
+    classes = (
+        d.groupBy(F.col("lang").alias("cls"))
+        .agg(F.count("*").cast("long").alias("ndocs"))
+        .localCheckpoint()
+    )
+    nn = classes.agg(
+        F.sum("ndocs").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+    )
+    grid = (
+        cwc.select("w").distinct()
+        .crossJoin(F.broadcast(classes.select("cls")))
+    )
+    model = (
+        grid.join(cwc, ["w", "cls"], "left")
+        .join(F.broadcast(ctot), ["cls"])
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "w",
+            "cls",
+            (
+                _bits(F.col("tot") + F.col("v"))
+                - _bits(F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1))
+            ).alias("bits"),
+        )
+    )
+    priors = classes.crossJoin(F.broadcast(nn)).select(
+        "cls",
+        (_bits(F.col("n") + F.col("k")) - _bits(F.col("ndocs") + F.lit(1))).alias("pbits"),
+    )
+    per = (
+        toks.join(F.broadcast(model), ["w"])
+        .groupBy("doc_id", "lang", "cls")
+        .agg(F.sum("bits").cast("long").alias("tok_bits"))
+    )
+    total = per.join(F.broadcast(priors), ["cls"]).select(
+        "doc_id", "lang", "cls", (F.col("tok_bits") + F.col("pbits")).alias("bits")
+    )
+    from pyspark.sql.window import Window
+
+    pick = total.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("bits", "cls"))
+    )
+    return pick.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        F.col("cls").alias("predicted_lang"),
+        F.col("bits").cast("long").alias("total_bits"),
+    )
+
+
+def nb_train(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train the NB model as FROZEN artifacts — ``(model, priors)`` with
+    ``model = (w, cls, bits)`` and ``priors = (cls, pbits)`` — the
+    once-per-release build of the serving cycle (the ``lm_train``
+    contract).  Both are checkpointed so serving never replays training
+    lineage."""
+    toks = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("w")
+        )
+        .filter(F.col("w") != "")
+    )
+    cwc = (
+        toks.groupBy(F.col("lang").alias("cls"), "w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    ctot = cwc.groupBy("cls").agg(F.sum("cnt").cast("long").alias("tot"))
+    vv = cwc.agg(F.count_distinct("w").cast("long").alias("v"))
+    classes = (
+        docs.groupBy(F.col("lang").alias("cls"))
+        .agg(F.count("*").cast("long").alias("ndocs"))
+        .localCheckpoint()
+    )
+    nn = classes.agg(
+        F.sum("ndocs").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+    )
+    model = (
+        cwc.select("w").distinct()
+        .crossJoin(F.broadcast(classes.select("cls")))
+        .join(cwc, ["w", "cls"], "left")
+        .join(F.broadcast(ctot), ["cls"])
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "w",
+            "cls",
+            (
+                _bits(F.col("tot") + F.col("v"))
+                - _bits(F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1))
+            ).alias("bits"),
+        )
+        .localCheckpoint()
+    )
+    priors = (
+        classes.crossJoin(F.broadcast(nn))
+        .select(
+            "cls",
+            (_bits(F.col("n") + F.col("k")) - _bits(F.col("ndocs") + F.lit(1))).alias(
+                "pbits"
+            ),
+        )
+        .localCheckpoint()
+    )
+    return model, priors
+
+
+def nb_score(new_docs: DataFrame, model: DataFrame, priors: DataFrame) -> DataFrame:
+    """Classify a batch of NEW documents against the frozen NB artifacts —
+    the streaming/serving twin of ``classify_nb_lang`` (same contract as
+    ``score_against_lm``): stateless per micro-batch, broadcast model join,
+    per-doc argmin inside the batch.  Out-of-vocabulary tokens are dropped
+    (the model has no row for them — equivalently a uniform charge every
+    class shares, which cancels in the argmin)."""
+    from pyspark.sql.window import Window
+
+    toks = (
+        new_docs.select(
+            "doc_id", "lang", F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("w")
+        )
+        .filter(F.col("w") != "")
+    )
+    per = (
+        toks.join(F.broadcast(model), ["w"])
+        .groupBy("doc_id", "lang", "cls")
+        .agg(F.sum("bits").cast("long").alias("tok_bits"))
+    )
+    total = per.join(F.broadcast(priors), ["cls"]).select(
+        "doc_id", "lang", "cls", (F.col("tok_bits") + F.col("pbits")).alias("bits")
+    )
+    pick = total.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("bits", "cls"))
+    )
+    return pick.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        F.col("cls").alias("predicted_lang"),
+        F.col("bits").cast("long").alias("total_bits"),
     )
