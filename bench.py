@@ -134,6 +134,9 @@ HEADLINE = [
     # in-engine Naive Bayes language/domain gate: broadcast (vocab x K)
     # bit-cost model, map-side scoring join, per-doc argmin over K rows
     "classify_nb_lang",
+    # composed keep/drop gate: five quality signals from one corpus
+    # projection, bigram-LM lane folded into the same aggregation
+    "quality_ensemble_gate",
 ]
 
 

@@ -817,3 +817,218 @@ def nb_score(new_docs: DataFrame, model: DataFrame, priors: DataFrame) -> DataFr
         F.col("cls").alias("predicted_lang"),
         F.col("bits").cast("long").alias("total_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed quality gate (the FineWeb/Gopher-style keep/drop decision)
+# ---------------------------------------------------------------------------
+
+# LM gate threshold, in centibits per bigram: sits between the reference
+# language's surprise distribution and everything else's on this corpus
+LM_GATE_CENTIBITS = 485
+
+
+def _sw_sql() -> str:
+    from .pipeline import _SW_SQL
+
+    return _SW_SQL
+
+
+_SQL_ENSEMBLE = f"""
+WITH base AS (
+  SELECT doc_id, lang, text, string_split(lower(text), ' ') AS toks
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         CAST(LEN(toks) AS BIGINT) AS n_tokens,
+         CAST(LEN(list_filter(toks, w -> w IN ({{SW}}))) AS BIGINT) AS n_stop,
+         CAST(GREATEST(LEN(toks) - 2, 0) AS BIGINT) AS n_grams,
+         CAST(LEN(list_distinct(list_transform(
+             generate_series(1, LEN(toks) - 2),
+             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))
+           AS BIGINT) AS n_dist3,
+         CAST(LEN(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers
+  FROM base
+),
+big AS (
+  SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+  FROM base, UNNEST(range(1, LEN(toks))) AS r(i)
+),
+c2 AS (
+  SELECT b.w1, b.w2, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM big b JOIN base d ON d.doc_id = b.doc_id
+  WHERE d.lang = '{LM_REF_LANG}' GROUP BY b.w1, b.w2
+),
+c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+v AS (
+  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+  FROM (SELECT UNNEST(toks) AS w FROM base WHERE lang = '{LM_REF_LANG}')
+),
+perlm AS (
+  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM((length(bin(COALESCE(c1.c1, 0) + v.v)) - 1)
+                - (length(bin(COALESCE(c2.c2, 0) + 1)) - 1)) AS BIGINT)
+           AS total_bits
+  FROM big b
+  LEFT JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+  LEFT JOIN c1 ON c1.w1 = b.w1
+  CROSS JOIN v
+  GROUP BY b.doc_id
+),
+flags AS (
+  SELECT s.doc_id, s.n_tokens, COALESCE(p.n_bigrams, 0) AS n_bigrams,
+         COALESCE(p.total_bits, 0) AS total_bits,
+         CASE WHEN s.n_tokens BETWEEN 5 AND 10000 THEN 1 ELSE 0 END AS len_pass,
+         CASE WHEN s.n_stop * 20 > s.n_tokens THEN 1 ELSE 0 END AS stop_pass,
+         CASE WHEN s.n_grams = 0 OR (s.n_grams - s.n_dist3) * 5 <= s.n_grams
+              THEN 1 ELSE 0 END AS rep_pass,
+         CASE WHEN s.n_numbers * 5 <= s.n_tokens THEN 1 ELSE 0 END AS digit_pass,
+         CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+                   AND COALESCE(p.total_bits, 0) * 100
+                       <= COALESCE(p.n_bigrams, 0) * {LM_GATE_CENTIBITS}
+              THEN 1 ELSE 0 END AS lm_pass
+  FROM sig s LEFT JOIN perlm p ON p.doc_id = s.doc_id
+)
+SELECT doc_id, n_tokens, n_bigrams, total_bits,
+       CAST(len_pass AS BIGINT) AS len_pass,
+       CAST(stop_pass AS BIGINT) AS stop_pass,
+       CAST(rep_pass AS BIGINT) AS rep_pass,
+       CAST(digit_pass AS BIGINT) AS digit_pass,
+       CAST(lm_pass AS BIGINT) AS lm_pass,
+       CAST(len_pass * stop_pass * rep_pass * digit_pass * lm_pass AS BIGINT)
+         AS keep
+FROM flags
+"""
+
+
+def _ensemble_oracle() -> str:
+    return _SQL_ENSEMBLE.replace("{SW}", _sw_sql())
+
+
+@register(
+    "quality_ensemble_gate",
+    oracle=_ensemble_oracle(),
+    doc="Composed quality gate: length, stopword, repetition, digit, and "
+    "bigram-LM checks folded into one keep/drop decision per document.",
+)
+def quality_ensemble_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed keep/drop decision a curation pipeline actually ships —
+    every per-signal filter in this registry folded into one verdict per
+    document (the FineWeb/Gopher recipe): token-count bounds, stopword
+    density, duplicate-3-gram repetition, digit density, and the bigram-LM
+    surprise gate, with per-signal pass flags so rejected documents are
+    attributable (the audit trail reviewers ask for).
+
+    Every comparison is INTEGER cross-multiplication (``n_stop * 20 >
+    n_tokens`` instead of ``n_stop / n_tokens > 0.05``), so the verdict —
+    not just the score — is bit-reproducible across engines.
+
+    100 TB shape: the surface signals and the bigram stream come out of ONE
+    corpus projection — the bigram lane explodes from the same row set
+    (``explode_outer`` keeps bigram-less documents alive), joins the
+    broadcast LM tables, and the per-document fold carries the (functionally
+    doc_id-dependent) signal columns in its grouping key, so the whole gate
+    is one corpus scan + one map-side-combining aggregation, no doc-level
+    self-join.  The LM training lanes reuse the ``quality_lm_surprise``
+    build: c2 one checkpointed hash-agg of the reference slice, c1 an agg
+    OF it, V one column-pruned vocab count.
+    """
+    from .pipeline import STOPWORDS
+
+    d = t(spark, sf_dir, "documents")
+    toks_col = F.split(F.lower(F.col("text")), " ", -1)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    # guard: sequence(1, 0) is DESCENDING in Spark, so a <3-token doc must
+    # take the empty-array branch, not an empty sequence
+    grams = F.expr(
+        "CASE WHEN size(toks) >= 3 THEN "
+        "transform(sequence(1, size(toks) - 2), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),"
+        " ' ', element_at(toks, i + 2))) "
+        "ELSE array() END"
+    )
+    sig = (
+        d.select("doc_id", "lang", "text", toks_col.alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            "toks",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size(F.filter(F.col("toks"), lambda w: F.array_contains(sw, w)))
+            .cast("long")
+            .alias("n_stop"),
+            F.greatest(F.size("toks") - F.lit(2), F.lit(0)).cast("long").alias("n_grams"),
+            F.size(F.array_distinct(grams)).cast("long").alias("n_dist3"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0))
+            .cast("long")
+            .alias("n_numbers"),
+        )
+    )
+    # LM build (the quality_lm_surprise lanes): reference-slice bigrams
+    ref_big = _doc_bigrams(_doc_toks(d)).filter(F.col("lang") == LM_REF_LANG)
+    c2 = (
+        ref_big.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c2"))
+        .localCheckpoint()
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    v = (
+        _doc_toks(d)
+        .filter(F.col("lang") == LM_REF_LANG)
+        .select(F.explode("tk").alias("w"))
+        .agg(F.count_distinct("w").cast("long").alias("v"))
+    )
+    # bigram lane from the SAME projection; explode_outer keeps short docs
+    big = (
+        sig.withColumn("w1s", F.expr("slice(toks, 1, size(toks) - 1)"))
+        .withColumn("w2s", F.expr("slice(toks, 2, size(toks) - 1)"))
+        .select(
+            "doc_id", "n_tokens", "n_stop", "n_grams", "n_dist3", "n_numbers",
+            F.explode_outer(F.arrays_zip("w1s", "w2s")).alias("p"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_stop", "n_grams", "n_dist3", "n_numbers",
+            F.col("p.w1s").alias("w1"), F.col("p.w2s").alias("w2"),
+        )
+    )
+    scored = (
+        big.join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id", "n_tokens", "n_stop", "n_grams", "n_dist3", "n_numbers", "w1",
+            F.when(F.col("w1").isNotNull(), _bits_charged(F.col("v"))).alias("bits"),
+        )
+    )
+    per = scored.groupBy(
+        "doc_id", "n_tokens", "n_stop", "n_grams", "n_dist3", "n_numbers"
+    ).agg(
+        F.count("w1").cast("long").alias("n_bigrams"),
+        F.coalesce(F.sum("bits"), F.lit(0)).cast("long").alias("total_bits"),
+    )
+    flag = lambda c: F.when(c, 1).otherwise(0).cast("long")  # noqa: E731
+    out = per.select(
+        "doc_id",
+        "n_tokens",
+        "n_bigrams",
+        "total_bits",
+        flag(F.col("n_tokens").between(5, 10000)).alias("len_pass"),
+        flag(F.col("n_stop") * 20 > F.col("n_tokens")).alias("stop_pass"),
+        flag(
+            (F.col("n_grams") == 0)
+            | ((F.col("n_grams") - F.col("n_dist3")) * 5 <= F.col("n_grams"))
+        ).alias("rep_pass"),
+        flag(F.col("n_numbers") * 5 <= F.col("n_tokens")).alias("digit_pass"),
+        flag(
+            (F.col("n_bigrams") > 0)
+            & (F.col("total_bits") * 100 <= F.col("n_bigrams") * LM_GATE_CENTIBITS)
+        ).alias("lm_pass"),
+    )
+    return out.withColumn(
+        "keep",
+        (
+            F.col("len_pass") * F.col("stop_pass") * F.col("rep_pass")
+            * F.col("digit_pass") * F.col("lm_pass")
+        ).cast("long"),
+    )

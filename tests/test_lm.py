@@ -439,3 +439,50 @@ def test_nb_model_is_broadcast_and_corpus_scanned_minimally(spark, sf_dir):
     assert p.count("documents.parquet") == 1, p[:3000]
     assert p.count("BroadcastHashJoin") >= 2, p[:3000]
     assert "SortMergeJoin" not in p, p[:3000]
+
+
+# ---------------------------------------------------------------------------
+# quality_ensemble_gate
+# ---------------------------------------------------------------------------
+
+
+def test_ensemble_gate_flags_are_attributable(spark, tmp_path_factory):
+    """Crafted corpus where each rejected document trips exactly the flag
+    built to catch it: short doc -> len; no stopwords -> stop; one 3-gram
+    repeated -> rep; digit-heavy -> digit. The reference-language doc with
+    stopwords and varied text passes everything."""
+    good = "the cat is on the mat and it is warm in the sun for now my friend"
+    rows = [
+        (1, "en", good),
+        (2, "en", "too short"),                       # len (and bigram-lane) fail
+        (3, "en", "x y z w q r s t u v k m n o p b"),  # zero stopwords
+        (4, "en", "the a of " * 20 + "the a of"),      # 3-gram 'the a of' repeats
+        (5, "en", "the 1 2 3 4 5 6 7 8 9 10 11 12 of it"),  # digit-heavy
+    ]
+    d = _docs_dir(tmp_path_factory, rows)
+    out = {r["doc_id"]: r for r in QUERIES["quality_ensemble_gate"].fn(spark, d).collect()}
+    assert out[2]["len_pass"] == 0
+    assert out[3]["stop_pass"] == 0 and out[3]["len_pass"] == 1
+    assert out[4]["rep_pass"] == 0 and out[4]["stop_pass"] == 1
+    assert out[5]["digit_pass"] == 0 and out[5]["len_pass"] == 1
+    assert out[1]["keep"] == 1, out[1]
+    # engine symmetry on the same crafted rows (short-doc LEFT JOIN lane)
+    q = QUERIES["quality_ensemble_gate"]
+    sdf = q.fn(spark, d).toPandas()
+    odf = _oracle(d, q.oracle)
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    b = odf[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    assert a.equals(b), f"\nspark:\n{a}\noracle:\n{b}"
+
+
+def test_ensemble_gate_single_scan_no_self_join(spark, sf_dir):
+    """Scale gate: the five signals and the bigram-LM lane come from ONE
+    corpus projection — documents.parquet scans exactly twice (scoring
+    stream + reference vocab count; c2 is a checkpointed RDD), the LM
+    joins broadcast, and there is no doc-level SortMergeJoin."""
+    df = QUERIES["quality_ensemble_gate"].fn(spark, sf_dir)
+    p = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert p.count("documents.parquet") == 2, p[:3000]
+    assert p.count("BroadcastHashJoin") >= 2, p[:3000]
+    assert "SortMergeJoin" not in p, p[:3000]
