@@ -728,12 +728,12 @@ def classify_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def nb_train(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Train the NB model as FROZEN artifacts — ``(model, priors)`` with
-    ``model = (w, cls, bits)`` and ``priors = (cls, pbits)`` — the
-    once-per-release build of the serving cycle (the ``lm_train``
-    contract).  Both are checkpointed so serving never replays training
-    lineage."""
+def _nb_counts(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The NB sufficient statistics — ``cwc = (cls, w, cnt)`` token counts
+    and ``classes = (cls, ndocs)`` document counts — both checkpointed.
+    Counts are a commutative monoid (sum-mergeable across document
+    batches), which is what makes the model incrementally maintainable
+    (``NBModelServer``)."""
     toks = (
         docs.select(
             "doc_id", "lang", F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("w")
@@ -745,13 +745,32 @@ def nb_train(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         .agg(F.count("*").cast("long").alias("cnt"))
         .localCheckpoint()
     )
-    ctot = cwc.groupBy("cls").agg(F.sum("cnt").cast("long").alias("tot"))
-    vv = cwc.agg(F.count_distinct("w").cast("long").alias("v"))
     classes = (
         docs.groupBy(F.col("lang").alias("cls"))
         .agg(F.count("*").cast("long").alias("ndocs"))
         .localCheckpoint()
     )
+    return cwc, classes
+
+
+def nb_train(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train the NB model as FROZEN artifacts — ``(model, priors)`` with
+    ``model = (w, cls, bits)`` and ``priors = (cls, pbits)`` — the
+    once-per-release build of the serving cycle (the ``lm_train``
+    contract).  Both are checkpointed so serving never replays training
+    lineage."""
+    return _nb_model_from_counts(*_nb_counts(docs))
+
+
+def _nb_model_from_counts(
+    cwc: DataFrame, classes: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Derive the ``(model, priors)`` bit-cost artifacts from the NB
+    sufficient statistics — shared by ``nb_train`` (one-shot) and
+    ``NBModelServer`` (incremental), so a served model is IDENTICAL to a
+    from-scratch retrain on the same documents (parity-pinned)."""
+    ctot = cwc.groupBy("cls").agg(F.sum("cnt").cast("long").alias("tot"))
+    vv = cwc.agg(F.count_distinct("w").cast("long").alias("v"))
     nn = classes.agg(
         F.sum("ndocs").cast("long").alias("n"),
         F.count("*").cast("long").alias("k"),
@@ -1032,3 +1051,76 @@ def quality_ensemble_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("digit_pass") * F.col("lm_pass")
         ).cast("long"),
     )
+
+
+class NBModelServer:
+    """Streaming maintainer for the NB classifier's sufficient statistics —
+    the model-update half of a live curation gate: document batches arrive,
+    their ``(cls, w, cnt)`` / ``(cls, ndocs)`` deltas fold into the
+    persisted count tables, and fresh ``(model, priors)`` artifacts derive
+    on demand from the served counts.
+
+    Counts form a commutative monoid, so ARRIVAL ORDER cannot change the
+    maintained state — unlike the warehouse maintainers there is no
+    order-frontier to enforce.  They are NOT idempotent, though: an epoch
+    replay would double-count, so exactly-once rides the
+    ``_VersionedTable`` discipline (applied batch id in the atomic pointer;
+    a replayed epoch sees its id already applied and no-ops — the
+    ``SnapshotMaintainer`` contract).
+
+    State is model-sized (vocab × classes + K rows), never corpus-sized,
+    and each update is O(batch + model): the batch aggregates map-side,
+    unions with the current count table, and re-folds — no corpus rescan.
+    The two lanes live in ONE versioned table with a ``kind`` discriminator
+    ('tok' rows carry (cls, w, cnt); 'doc' rows carry (cls, ndocs) with a
+    NULL w) so a version is a single consistent snapshot of both.
+    """
+
+    def __init__(self, path: str, retain: int = 1):
+        from .warehouse import _VersionedTable
+
+        self._table = _VersionedTable(path, retain=retain)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ptr = self._table._read_pointer()
+        if ptr is not None and batch_id <= ptr[1]:
+            return  # epoch replay: already folded into the served counts
+        cwc, classes = _nb_counts(batch_df)
+        delta = cwc.select(
+            F.lit("tok").alias("kind"), "cls", "w", F.col("cnt").alias("n")
+        ).unionByName(
+            classes.select(
+                F.lit("doc").alias("kind"),
+                "cls",
+                F.lit(None).cast("string").alias("w"),
+                F.col("ndocs").alias("n"),
+            )
+        )
+        if ptr is not None:
+            import os
+
+            cur = spark.read.parquet(os.path.join(self._table.path, ptr[0]))
+            delta = cur.unionByName(delta)
+        merged = delta.groupBy("kind", "cls", "w").agg(
+            F.sum("n").cast("long").alias("n")
+        )
+        self._table._publish(merged, batch_id)
+
+    def counts(self, spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+        """The served sufficient statistics ``(cwc, classes)``."""
+        cur = self._table.current(spark)
+        cwc = cur.filter(F.col("kind") == "tok").select(
+            "cls", "w", F.col("n").alias("cnt")
+        )
+        classes = cur.filter(F.col("kind") == "doc").select(
+            "cls", F.col("n").alias("ndocs")
+        )
+        return cwc, classes
+
+    def model(self, spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+        """Fresh ``(model, priors)`` artifacts derived from the served
+        counts — identical to ``nb_train`` over every document folded so
+        far (the shared ``_nb_model_from_counts`` derivation)."""
+        cwc, classes = self.counts(spark)
+        return _nb_model_from_counts(cwc.localCheckpoint(), classes.localCheckpoint())

@@ -486,3 +486,97 @@ def test_ensemble_gate_single_scan_no_self_join(spark, sf_dir):
     assert p.count("documents.parquet") == 2, p[:3000]
     assert p.count("BroadcastHashJoin") >= 2, p[:3000]
     assert "SortMergeJoin" not in p, p[:3000]
+
+
+# ---------------------------------------------------------------------------
+# NBModelServer (streaming model maintenance)
+# ---------------------------------------------------------------------------
+
+
+def test_nb_server_matches_retrain_and_is_order_insensitive(
+    spark, sf_dir, tmp_path
+):
+    """Folding document batches through NBModelServer must produce counts —
+    and therefore a served model — IDENTICAL to nb_train over all documents
+    at once, in either arrival order (counts are a commutative monoid)."""
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.plans.lm import NBModelServer, nb_score, nb_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    fwd = NBModelServer(str(tmp_path / "nb_fwd"))
+    for i, b in enumerate([b0, b1, b2]):
+        fwd(b, i)
+    rev = NBModelServer(str(tmp_path / "nb_rev"))
+    for i, b in enumerate([b2, b0, b1]):
+        rev(b, i)
+
+    model_ref, priors_ref = nb_train(docs)
+    expected = {tuple(r) for r in nb_score(docs, model_ref, priors_ref).collect()}
+    for srv in (fwd, rev):
+        model, priors = srv.model(spark)
+        got = {tuple(r) for r in nb_score(docs, model, priors).collect()}
+        assert got == expected
+
+
+def test_nb_server_replay_is_noop(spark, sf_dir, tmp_path):
+    """Counts are not idempotent, so exactly-once must come from the
+    batch-id-in-pointer discipline: re-delivering an already-applied epoch
+    (crash/replay) must leave the served counts bit-identical."""
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.plans.lm import NBModelServer
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    srv = NBModelServer(str(tmp_path / "nb_replay"))
+    srv(b0, 0)
+    srv(b1, 1)
+    before = {tuple(r) for r in srv._table.current(spark).collect()}
+    srv(b1, 1)  # replayed epoch
+    srv(b0, 0)  # stale epoch
+    after = {tuple(r) for r in srv._table.current(spark).collect()}
+    assert after == before
+
+
+def test_nb_server_streaming_foreachbatch(spark, sf_dir, tmp_path):
+    """End-to-end through Structured Streaming: documents arrive
+    file-by-file into a foreachBatch NBModelServer sink; the final served
+    model must classify exactly like a batch retrain on the same files."""
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.plans.lm import NBModelServer, nb_score, nb_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    src = tmp_path / "docs_nb_srv"
+    docs.repartition(3).write.parquet(str(src))
+
+    srv = NBModelServer(str(tmp_path / "nb_srv_state"))
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sdf.writeStream.foreachBatch(srv)
+        .option("checkpointLocation", str(tmp_path / "ck_nb_srv"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    written = spark.read.parquet(str(src))
+    model_ref, priors_ref = nb_train(written)
+    expected = {tuple(r) for r in nb_score(written, model_ref, priors_ref).collect()}
+    model, priors = srv.model(spark)
+    got = {tuple(r) for r in nb_score(written, model, priors).collect()}
+    assert got == expected
