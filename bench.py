@@ -137,6 +137,9 @@ HEADLINE = [
     # composed keep/drop gate: five quality signals from one corpus
     # projection, bigram-LM lane folded into the same aggregation
     "quality_ensemble_gate",
+    # substring-level dedup: one shuffle by gram (count-over-window, no
+    # self-join), per-doc gaps-and-islands interval union on dup windows
+    "dedup_window_spans",
 ]
 
 

@@ -853,3 +853,190 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_tokens_le")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-window span marking (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+DUP_WINDOW = 8  # token-window length (the "min duplicated substring" knob;
+# Lee et al.'s suffix-array dedup uses 50 BPE tokens at web scale — 8 fits
+# this corpus' 30-80-token documents while exercising the same machinery)
+DUP_KEEP_PERMILLE = 300  # drop docs with > 30% of tokens inside dup spans
+
+
+_SQL_DUP_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk,
+         CAST(LEN(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+win AS (
+  SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS j,
+         list_aggregate(tk[CAST(i AS INT):CAST(i + {DUP_WINDOW} - 1 AS INT)],
+                        'string_agg', ' ') AS g
+  FROM toks, UNNEST(range(1, len(tk) - {DUP_WINDOW} + 2)) AS r(i)
+),
+dup AS (
+  SELECT doc_id, j
+  FROM (SELECT doc_id, j, COUNT(*) OVER (PARTITION BY g) AS c FROM win)
+  WHERE c > 1
+),
+isl AS (
+  SELECT doc_id, j,
+         CASE WHEN prev_end IS NULL OR j > prev_end THEN 1 ELSE 0 END AS new_isl
+  FROM (
+    SELECT doc_id, j,
+           MAX(j + {DUP_WINDOW} - 1) OVER (
+             PARTITION BY doc_id ORDER BY j
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM dup)
+),
+grp AS (
+  SELECT doc_id, j,
+         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY j
+                            ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+cov AS (
+  SELECT doc_id,
+         CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
+         CAST(SUM(ilen) AS BIGINT) AS covered_tokens
+  FROM (SELECT doc_id, island, MAX(j) - MIN(j) + {DUP_WINDOW} AS ilen,
+               COUNT(*) AS nw
+        FROM grp GROUP BY doc_id, island)
+       per_island
+  GROUP BY doc_id
+),
+perdoc AS (
+  SELECT t.doc_id, t.n_tokens,
+         CAST(GREATEST(t.n_tokens - {DUP_WINDOW} + 1, 0) AS BIGINT) AS n_windows,
+         COALESCE(c.n_dup_windows, 0) AS n_dup_windows,
+         COALESCE(c.covered_tokens, 0) AS covered_tokens
+  FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id
+)
+SELECT doc_id, n_tokens, n_windows,
+       CAST(n_dup_windows AS BIGINT) AS n_dup_windows,
+       CAST(covered_tokens AS BIGINT) AS covered_tokens,
+       CAST(covered_tokens * 1000 // n_tokens AS BIGINT) AS dup_permille,
+       CAST(CASE WHEN covered_tokens * 1000 <= n_tokens * {DUP_KEEP_PERMILLE}
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM perdoc
+"""
+
+
+@register(
+    "dedup_window_spans",
+    oracle=_SQL_DUP_SPANS,
+    doc="Substring-level dedup: mark tokens covered by globally duplicated "
+    f"{DUP_WINDOW}-token windows (interval-union per doc) and gate on the "
+    "duplicated fraction.",
+)
+def dedup_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication marking — the exact-substring dedup of
+    Lee et al. ("Deduplicating Training Data Makes Language Models
+    Better") re-expressed relationally: every ``DUP_WINDOW``-token window
+    that occurs more than once ANYWHERE in the corpus marks its token span
+    as duplicated; per document the marked spans are interval-unioned
+    (gaps-and-islands, exact integer arithmetic) into a covered-token
+    count, a per-mille duplication score, and a keep/drop gate.  This
+    rewrites the unit of dedup from documents/chunks down to substrings —
+    catching boilerplate that neither whole-doc hashing nor fixed-chunk
+    scrubbing sees (a duplicated span straddling chunk boundaries).
+
+    100 TB shape: Lee et al. build a suffix array; the Spark-native
+    equivalent is ONE shuffle by window hash — duplication flags come from
+    a count-over-window partitioned BY GRAM (no self-join of the window
+    table), and the interval union is a per-document window over only the
+    DUPLICATED windows (bounded by doc length).  Corpus is scanned once;
+    the final per-doc stats LEFT-join back to the (doc_id, n_tokens)
+    projection, a doc-keyed shuffle of two doc-cardinality tables.  The
+    window hash could shuffle raw gram STRINGS; hashing to xxhash64 first
+    would shrink shuffle bytes ~W× at a negligible collision risk — kept
+    as strings here so the oracle replays bit-for-bit.
+    """
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(F.lower(F.col("text")), " ", -1).alias("tk"),
+    ).select("doc_id", "tk", F.size("tk").cast("long").alias("n_tokens"))
+    win = (
+        toks.select(
+            "doc_id",
+            "tk",
+            "n_tokens",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(tk) >= {DUP_WINDOW} THEN "
+                    f"sequence(1, size(tk) - {DUP_WINDOW} + 1) "
+                    "ELSE array() END"
+                )
+            ).alias("j"),
+        )
+        .select(
+            "doc_id",
+            F.col("j").cast("long").alias("j"),
+            F.array_join(F.expr(f"slice(tk, j, {DUP_WINDOW})"), " ").alias("g"),
+        )
+    )
+    dup = (
+        win.withColumn("c", F.count("*").over(Window.partitionBy("g")))
+        .filter(F.col("c") > 1)
+        .select("doc_id", "j")
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("j")
+    isl = (
+        dup.withColumn(
+            "prev_end",
+            F.max(F.col("j") + F.lit(DUP_WINDOW - 1)).over(
+                by_doc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("prev_end").isNull() | (F.col("j") > F.col("prev_end")), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_isl").over(by_doc.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    per_island = isl.groupBy("doc_id", "island").agg(
+        (F.max("j") - F.min("j") + F.lit(DUP_WINDOW)).alias("ilen"),
+        F.count("*").alias("nw"),
+    )
+    cov = per_island.groupBy("doc_id").agg(
+        F.sum("nw").cast("long").alias("n_dup_windows"),
+        F.sum("ilen").cast("long").alias("covered_tokens"),
+    )
+    out = (
+        toks.select("doc_id", "n_tokens")
+        .join(cov, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.greatest(F.col("n_tokens") - F.lit(DUP_WINDOW - 1), F.lit(0))
+            .cast("long")
+            .alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+        )
+    )
+    return out.select(
+        "*",
+        F.expr("CAST(covered_tokens * 1000 DIV n_tokens AS BIGINT)").alias(
+            "dup_permille"
+        ),
+        F.when(
+            F.col("covered_tokens") * 1000 <= F.col("n_tokens") * DUP_KEEP_PERMILLE, 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("keep"),
+    )

@@ -1,0 +1,99 @@
+"""dedup_window_spans (plans/curation.py): substring-level duplication
+marking. Interval-union semantics pinned on crafted corpora where every
+covered-token count is hand-checkable, plus engine symmetry and the
+one-shuffle-by-gram plan gate."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from eth_event_stream_spark.plans import QUERIES
+
+
+def _docs_dir(tmp_path_factory, rows: list[tuple[int, str]]) -> str:
+    d = str(tmp_path_factory.mktemp("spandocs"))
+    pd.DataFrame(
+        [
+            {"doc_id": i, "text": txt, "lang": "en", "source": "s", "n_chars": len(txt)}
+            for i, txt in rows
+        ]
+    ).to_parquet(f"{d}/documents.parquet")
+    return d
+
+
+def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con.execute(sql).df()
+
+
+CORPUS = [
+    # doc1/doc2 share exactly one 8-gram ('a..h') at j=1 -> 8 covered of 11
+    (1, "a b c d e f g h x y z"),
+    (2, "a b c d e f g h q r s"),
+    # doc3: internal repetition — 'p..w' at j=1 and j=9 (count 2 within ONE
+    # doc); adjacent islands [1..8] + [9..16] -> 16 of 16 covered
+    (3, "p q r s t u v w p q r s t u v w"),
+    # doc4: dup windows j=1 ('a..h', shared with 1/2) and j=3 ('c..j',
+    # shared with doc5) OVERLAP -> one island [1..10], covered 10 not 16
+    (4, "a b c d e f g h i j"),
+    (5, "c d e f g h i j z9 z9"),
+    # doc6: all-unique tokens -> zero duplication, keep
+    (6, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12"),
+    # doc7: shorter than the window -> zero windows, keep
+    (7, "x y"),
+]
+
+
+def test_window_spans_interval_union_hand_checked(spark, tmp_path_factory):
+    d = _docs_dir(tmp_path_factory, CORPUS)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["dedup_window_spans"].fn(spark, d).collect()
+    }
+    assert out[1] == {
+        "doc_id": 1, "n_tokens": 11, "n_windows": 4, "n_dup_windows": 1,
+        "covered_tokens": 8, "dup_permille": 727, "keep": 0,
+    }
+    assert out[3]["covered_tokens"] == 16 and out[3]["n_dup_windows"] == 2
+    assert out[3]["dup_permille"] == 1000
+    # the overlap case: two dup windows, ONE island of 10 (not 8+8)
+    assert out[4] == {
+        "doc_id": 4, "n_tokens": 10, "n_windows": 3, "n_dup_windows": 2,
+        "covered_tokens": 10, "dup_permille": 1000, "keep": 0,
+    }
+    assert out[5]["covered_tokens"] == 8 and out[5]["dup_permille"] == 800
+    assert out[6] == {
+        "doc_id": 6, "n_tokens": 12, "n_windows": 5, "n_dup_windows": 0,
+        "covered_tokens": 0, "dup_permille": 0, "keep": 1,
+    }
+    assert out[7] == {
+        "doc_id": 7, "n_tokens": 2, "n_windows": 0, "n_dup_windows": 0,
+        "covered_tokens": 0, "dup_permille": 0, "keep": 1,
+    }
+
+
+def test_window_spans_engine_symmetry_on_crafted_corpus(spark, tmp_path_factory):
+    d = _docs_dir(tmp_path_factory, CORPUS)
+    q = QUERIES["dedup_window_spans"]
+    sdf = q.fn(spark, d).toPandas()
+    odf = _oracle(d, q.oracle)
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    b = odf[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    assert a.equals(b), f"\nspark:\n{a}\noracle:\n{b}"
+
+
+def test_window_spans_one_shuffle_by_gram_no_self_join(spark, sf_dir):
+    """Scale gate: duplication flags come from count-over-window partitioned
+    by gram — NOT a self-join of the corpus-sized window table — and the
+    per-doc interval union runs over only the duplicated windows. The plan
+    scans documents exactly twice (window lane + per-doc stats lane) and
+    contains no SortMergeJoin of two corpus-window subtrees."""
+    df = QUERIES["dedup_window_spans"].fn(spark, sf_dir)
+    p = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert p.count("documents.parquet") == 2, p[:3000]
+    assert "Window" in p, p[:3000]
