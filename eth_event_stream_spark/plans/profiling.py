@@ -440,3 +440,108 @@ def analytics_regression_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (var_x.cast("double") * var_y.cast("double"))
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset release card
+# ---------------------------------------------------------------------------
+
+_SQL_DATA_CARD = """
+WITH s AS (
+  SELECT doc_id, lang, source, text,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars,
+         CAST(LEN(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+wide AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS docs_total,
+         CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+         CAST(SUM(n_tokens) AS BIGINT) AS ws_tokens_total,
+         CAST(SUM(n_tokens) // COUNT(*) AS BIGINT) AS tokens_avg_per_doc,
+         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS text_distinct,
+         CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS docs_exact_dup,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS sources_distinct,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs_distinct
+  FROM s
+)
+SELECT m.metric, m.value FROM wide, LATERAL (VALUES
+  ('docs_total', docs_total), ('chars_total', chars_total),
+  ('ws_tokens_total', ws_tokens_total),
+  ('tokens_avg_per_doc', tokens_avg_per_doc),
+  ('text_distinct', text_distinct), ('docs_exact_dup', docs_exact_dup),
+  ('sources_distinct', sources_distinct), ('langs_distinct', langs_distinct)
+) AS m(metric, value)
+UNION ALL
+SELECT 'docs_lang_' || lang AS metric, CAST(COUNT(*) AS BIGINT) AS value
+FROM documents GROUP BY lang
+UNION ALL
+SELECT 'tokens_lang_' || lang AS metric, CAST(SUM(n_tokens) AS BIGINT) AS value
+FROM s GROUP BY lang
+"""
+
+
+@register(
+    "profile_data_card",
+    oracle=_SQL_DATA_CARD,
+    doc="Dataset release card: corpus-wide and per-language statistics as "
+    "(metric, value) rows — the numbers a data card publishes.",
+)
+def profile_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-release statistics card — document/char/token totals,
+    exact-duplicate count, source/language diversity, and per-language doc
+    and token counts, emitted as long-form ``(metric, value)`` rows (the
+    table a dataset card or release-gate dashboard publishes).
+
+    100 TB shape: TWO corpus scans total — one wide aggregation computes
+    every corpus-level metric in a single HashAggregate (the three
+    count-distincts plan as one Expand + two-level aggregate, the
+    ``profile_table_stats`` pattern; dedup detection hashes ``md5(text)``
+    so full document text never shuffles) and unpivots with ``stack``;
+    the per-language lanes share one more scan (two aggregates of one
+    ``lang``-grouped projection).  All values are BIGINT — the card is
+    bit-reproducible.
+    """
+    d = t_parallel(spark, sf_dir, "documents")
+    s = d.select(
+        "lang",
+        "source",
+        F.md5("text").alias("h"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split(F.lower(F.col("text")), " ", -1)).cast("long").alias("n_tokens"),
+    )
+    wide = s.agg(
+        F.count(F.lit(1)).cast("long").alias("docs_total"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.sum("n_tokens").cast("long").alias("ws_tokens_total"),
+        F.expr("CAST(sum(n_tokens) DIV count(1) AS BIGINT)").alias("tokens_avg_per_doc"),
+        F.count_distinct("h").cast("long").alias("text_distinct"),
+        (F.count(F.lit(1)) - F.count_distinct("h")).cast("long").alias("docs_exact_dup"),
+        F.count_distinct("source").cast("long").alias("sources_distinct"),
+        F.count_distinct("lang").cast("long").alias("langs_distinct"),
+    )
+    metrics = [
+        "docs_total", "chars_total", "ws_tokens_total", "tokens_avg_per_doc",
+        "text_distinct", "docs_exact_dup", "sources_distinct", "langs_distinct",
+    ]
+    stack_args = ", ".join(f"'{m}', {m}" for m in metrics)
+    corpus_lane = wide.selectExpr(
+        f"stack({len(metrics)}, {stack_args}) AS (metric, value)"
+    )
+    lang_lane = (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("n_tokens").cast("long").alias("toks"),
+        )
+        .localCheckpoint()
+    )
+    per_lang = lang_lane.select(
+        F.concat(F.lit("docs_lang_"), F.col("lang")).alias("metric"),
+        F.col("docs").alias("value"),
+    ).unionByName(
+        lang_lane.select(
+            F.concat(F.lit("tokens_lang_"), F.col("lang")).alias("metric"),
+            F.col("toks").alias("value"),
+        )
+    )
+    return corpus_lane.unionByName(per_lang)
