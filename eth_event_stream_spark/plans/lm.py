@@ -953,9 +953,35 @@ def quality_ensemble_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     build: c2 one checkpointed hash-agg of the reference slice, c1 an agg
     OF it, V one column-pruned vocab count.
     """
+    d = t(spark, sf_dir, "documents")
+    # LM build (the quality_lm_surprise lanes): reference-slice bigrams
+    ref_big = _doc_bigrams(_doc_toks(d)).filter(F.col("lang") == LM_REF_LANG)
+    c2 = (
+        ref_big.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c2"))
+        .localCheckpoint()
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    v = (
+        _doc_toks(d)
+        .filter(F.col("lang") == LM_REF_LANG)
+        .select(F.explode("tk").alias("w"))
+        .agg(F.count_distinct("w").cast("long").alias("v"))
+    )
+    return ensemble_gate_against_lm(d, c2, c1, v)
+
+
+def ensemble_gate_against_lm(
+    docs: DataFrame, c2: DataFrame, c1: DataFrame, v: DataFrame | int
+) -> DataFrame:
+    """The gate body against a (possibly FROZEN) bigram LM — the streaming
+    twin of ``quality_ensemble_gate`` (the ``score_against_lm`` contract):
+    every signal is a function of one document plus the frozen LM tables,
+    so per-micro-batch evaluation unions to exactly the one-batch run.
+    ``v`` accepts the 1-row aggregate DataFrame (inline build) or the
+    plain int that ``lm_train`` returns (release-time scalar)."""
     from .pipeline import STOPWORDS
 
-    d = t(spark, sf_dir, "documents")
     toks_col = F.split(F.lower(F.col("text")), " ", -1)
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
     # guard: sequence(1, 0) is DESCENDING in Spark, so a <3-token doc must
@@ -967,8 +993,10 @@ def quality_ensemble_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ' ', element_at(toks, i + 2))) "
         "ELSE array() END"
     )
+    if not isinstance(v, DataFrame):
+        v = docs.sparkSession.range(1).select(F.lit(int(v)).cast("long").alias("v"))
     sig = (
-        d.select("doc_id", "lang", "text", toks_col.alias("toks"))
+        docs.select("doc_id", "lang", "text", toks_col.alias("toks"))
         .select(
             "doc_id",
             "lang",
@@ -983,20 +1011,6 @@ def quality_ensemble_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_numbers"),
         )
-    )
-    # LM build (the quality_lm_surprise lanes): reference-slice bigrams
-    ref_big = _doc_bigrams(_doc_toks(d)).filter(F.col("lang") == LM_REF_LANG)
-    c2 = (
-        ref_big.groupBy("w1", "w2")
-        .agg(F.count("*").cast("long").alias("c2"))
-        .localCheckpoint()
-    )
-    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
-    v = (
-        _doc_toks(d)
-        .filter(F.col("lang") == LM_REF_LANG)
-        .select(F.explode("tk").alias("w"))
-        .agg(F.count_distinct("w").cast("long").alias("v"))
     )
     # bigram lane from the SAME projection; explode_outer keeps short docs
     big = (

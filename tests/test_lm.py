@@ -580,3 +580,51 @@ def test_nb_server_streaming_foreachbatch(spark, sf_dir, tmp_path):
     model, priors = srv.model(spark)
     got = {tuple(r) for r in nb_score(written, model, priors).collect()}
     assert got == expected
+
+
+def test_stream_ensemble_gate_parity(spark, sf_dir, tmp_path):
+    """Streaming twin of the composed quality gate: new documents gated per
+    micro-batch against the FROZEN LM; union over micro-batches equals one
+    batch run (every signal is doc-local given the frozen LM)."""
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.plans.lm import ensemble_gate_against_lm, lm_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch_docs = docs.filter(F.col("doc_id") % 4 == 0)
+    c2, c1, v = lm_train(corpus)
+
+    src = tmp_path / "docs_gate_stream"
+    batch_docs.repartition(4).write.parquet(str(src))
+
+    expected = {
+        tuple(r)
+        for r in ensemble_gate_against_lm(
+            spark.read.parquet(str(src)), c2, c1, v
+        ).collect()
+    }
+    assert expected
+
+    got = set()
+
+    def handle(mb_df, _epoch):
+        got.update(
+            tuple(r) for r in ensemble_gate_against_lm(mb_df, c2, c1, v).collect()
+        )
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ck_gate"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got == expected
