@@ -140,6 +140,9 @@ HEADLINE = [
     # substring-level dedup: one shuffle by gram (count-over-window, no
     # self-join), per-doc gaps-and-islands interval union on dup windows
     "dedup_window_spans",
+    # T5-style span corruption: doc-local masked-span draw + sentinel
+    # input/target assembly — the denoising-objective data-prep pass
+    "prepare_span_corruption",
 ]
 
 

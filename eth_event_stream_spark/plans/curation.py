@@ -1040,3 +1040,225 @@ def dedup_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# span-corruption data prep (T5-style denoising objectives)
+# ---------------------------------------------------------------------------
+
+MASK_SEED = "mask"  # seed namespace for the deterministic span draw
+MASK_SPAN = 3  # tokens per drawn span (T5 uses Poisson mean 3; fixed here)
+# a position STARTS a span iff the first hex digit of its seeded md5 is
+# < '1' (1/16 = 6.25% of positions; with 3-token spans that corrupts
+# ~15-18% of tokens — the T5 operating point)
+MASK_HEX_LT = "1"
+
+
+_SQL_SPAN_CORRUPTION = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk,
+         CAST(LEN(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS p, tk[CAST(i AS INT)] AS tok
+  FROM toks, UNNEST(range(1, len(tk) + 1)) AS r(i)
+),
+cand AS (
+  SELECT doc_id, p AS s, LEAST(p + {MASK_SPAN} - 1, n_tokens) AS e
+  FROM pos
+  WHERE substring(md5('{MASK_SEED}:' || CAST(doc_id AS VARCHAR) || ':'
+                      || CAST(p AS VARCHAR)), 1, 1) < '{MASK_HEX_LT}'
+),
+mk AS (
+  SELECT doc_id, s, e,
+         CASE WHEN prev_end IS NULL OR s > prev_end THEN 1 ELSE 0 END AS new_isl
+  FROM (
+    SELECT doc_id, s, e,
+           MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_end
+    FROM cand)
+),
+mg AS (
+  SELECT doc_id, s, e,
+         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS island
+  FROM mk
+),
+isl AS (
+  SELECT doc_id, MIN(s) AS istart, MAX(e) AS iend FROM mg GROUP BY doc_id, island
+),
+ki AS (
+  SELECT doc_id, istart, iend,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY istart) - 1 AS k
+  FROM isl
+),
+j AS (
+  SELECT p.doc_id, p.n_tokens, p.p, p.tok, ki.k, ki.istart
+  FROM pos p
+  LEFT JOIN ki ON ki.doc_id = p.doc_id AND p.p BETWEEN ki.istart AND ki.iend
+),
+inp AS (
+  SELECT doc_id, n_tokens,
+         string_agg(CASE WHEN k IS NULL THEN tok
+                         WHEN p = istart THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+                         END, ' ' ORDER BY p) AS input_text,
+         CAST(COUNT(CASE WHEN k IS NOT NULL THEN 1 END) AS BIGINT) AS n_masked
+  FROM j GROUP BY doc_id, n_tokens
+),
+spans AS (
+  SELECT doc_id, k, string_agg(tok, ' ' ORDER BY p) AS stext
+  FROM j WHERE k IS NOT NULL GROUP BY doc_id, k
+),
+tgt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         string_agg('<extra_id_' || CAST(k AS VARCHAR) || '> ' || stext,
+                    ' ' ORDER BY k) AS target_text
+  FROM spans GROUP BY doc_id
+)
+SELECT i.doc_id, i.n_tokens, COALESCE(t.n_spans, 0) AS n_spans, i.n_masked,
+       i.input_text, COALESCE(t.target_text, '') AS target_text
+FROM inp i LEFT JOIN tgt t ON t.doc_id = i.doc_id
+"""
+
+
+@register(
+    "prepare_span_corruption",
+    oracle=_SQL_SPAN_CORRUPTION,
+    doc="T5-style span corruption: deterministic masked-span draw, sentinel "
+    "input/target pair per document.",
+)
+def prepare_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoising-objective data prep (the T5/UL2 span-corruption recipe):
+    draw mask spans over each document, replace every span with a numbered
+    sentinel in the INPUT, and emit the masked content after its sentinel
+    as the TARGET — the (input, target) pair a seq-to-seq denoiser trains
+    on.
+
+    The span draw is engine-portable DETERMINISM, not RNG (the
+    ``split_hash_assign`` convention): position ``p`` of document ``d``
+    starts a ``MASK_SPAN``-token span iff the first hex digit of
+    ``md5('mask:d:p')`` is < '1' (6.25% of positions — ~15-18% token
+    corruption, T5's operating point).  Overlapping/adjacent draws resolve
+    set-wise by interval union (the ``dedup_window_spans`` gaps-and-islands
+    pass) rather than a sequential greedy scan, so the result is identical
+    under any evaluation order and replays exactly in the oracle.
+
+    100 TB shape: everything is doc-local — one corpus scan explodes
+    positions, the span draw is a pure map, islands are a per-doc window
+    over only the DRAWN positions (~6%), and both assemblies are per-doc
+    aggregations (`array_join(transform(array_sort(collect_list(...))))`,
+    null pieces skipped).  The positions-to-islands attach is a doc-keyed
+    join whose right side is the sparse island list.  No corpus-global
+    state of any kind: the transform streams (every row's output depends
+    only on its own document), shards embarrassingly, and a new mask epoch
+    is a new seed string with zero data movement.
+    """
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("tk")
+    ).select("doc_id", "tk", F.size("tk").cast("long").alias("n_tokens"))
+    pos = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode("tk").alias("p0", "tok"),
+    ).select("doc_id", "n_tokens", (F.col("p0") + 1).cast("long").alias("p"), "tok")
+    trigger = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(f"{MASK_SEED}:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("p").cast("string"),
+            )
+        ),
+        1,
+        1,
+    )
+    cand = pos.filter(trigger < MASK_HEX_LT).select(
+        "doc_id",
+        F.col("p").alias("s"),
+        F.least(F.col("p") + F.lit(MASK_SPAN - 1), F.col("n_tokens")).alias("e"),
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("s")
+    mg = (
+        cand.withColumn(
+            "prev_end",
+            F.max("e").over(by_doc.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "new_isl",
+            F.when(F.col("prev_end").isNull() | (F.col("s") > F.col("prev_end")), 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_isl").over(by_doc.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    isl = mg.groupBy("doc_id", "island").agg(
+        F.min("s").alias("istart"), F.max("e").alias("iend")
+    )
+    ki = isl.withColumn(
+        "k",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("istart")) - 1,
+    ).select("doc_id", "istart", "iend", "k")
+    j = (
+        pos.alias("P")
+        .join(
+            ki.alias("K"),
+            (F.col("P.doc_id") == F.col("K.doc_id"))
+            & (F.col("P.p") >= F.col("K.istart"))
+            & (F.col("P.p") <= F.col("K.iend")),
+            "left",
+        )
+        .select(
+            F.col("P.doc_id").alias("doc_id"), "n_tokens", "p", "tok", "k", "istart"
+        )
+    )
+    piece = (
+        F.when(F.col("k").isNull(), F.col("tok"))
+        .when(
+            F.col("p") == F.col("istart"),
+            F.concat(F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">")),
+        )
+    )
+    inp = j.withColumn("piece", piece).groupBy("doc_id", "n_tokens").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(p, piece))),"
+            " s -> s.piece), ' ')"
+        ).alias("input_text"),
+        F.count("k").cast("long").alias("n_masked"),
+    )
+    spans = (
+        j.filter(F.col("k").isNotNull())
+        .groupBy("doc_id", "k")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(p, tok))),"
+                " s -> s.tok), ' ')"
+            ).alias("stext")
+        )
+    )
+    tgt = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(k, "
+            "concat('<extra_id_', cast(k as string), '> ', stext) as piece))),"
+            " s -> s.piece), ' ')"
+        ).alias("target_text"),
+    )
+    return (
+        inp.join(tgt, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            "n_masked",
+            "input_text",
+            F.coalesce("target_text", F.lit("")).alias("target_text"),
+        )
+    )

@@ -97,3 +97,60 @@ def test_window_spans_one_shuffle_by_gram_no_self_join(spark, sf_dir):
     p = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert p.count("documents.parquet") == 2, p[:3000]
     assert "Window" in p, p[:3000]
+
+
+# ---------------------------------------------------------------------------
+# prepare_span_corruption
+# ---------------------------------------------------------------------------
+
+
+def test_span_corruption_round_trips_and_is_deterministic(spark, sf_dir):
+    """Reconstruction invariant: substituting every input sentinel with its
+    target span must reproduce the original (lowered) document exactly —
+    nothing lost, nothing reordered, sentinels numbered 0..n_spans-1 in
+    order. And the hash-seeded draw is deterministic: a second run is
+    bit-identical."""
+    import re
+
+    q = QUERIES["prepare_span_corruption"]
+    out = q.fn(spark, sf_dir).toPandas().set_index("doc_id")
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert len(out) == len(docs)
+    masked_total = 0
+    for doc_id, r in out.iterrows():
+        # parse target into {k: span_text}
+        spans = {}
+        if r["target_text"]:
+            parts = re.split(r"<extra_id_(\d+)> ", r["target_text"])
+            # parts = ['', k0, span0(+trailing space), k1, span1, ...]
+            for i in range(1, len(parts), 2):
+                spans[int(parts[i])] = parts[i + 1].strip()
+        assert sorted(spans) == list(range(r["n_spans"]))
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>", lambda m: spans[int(m.group(1))], r["input_text"]
+        )
+        assert rebuilt == docs.loc[doc_id, "text"].lower(), doc_id
+        masked_total += r["n_masked"]
+    # the draw corrupts ~15-18% of tokens (the T5 operating point)
+    frac = masked_total / out["n_tokens"].sum()
+    assert 0.10 < frac < 0.25, frac
+    again = q.fn(spark, sf_dir).toPandas().set_index("doc_id").sort_index()
+    assert again.equals(out.sort_index())
+
+
+def test_span_corruption_is_doc_local(spark, sf_dir):
+    """Scale gate: the transform is document-local — no corpus-global
+    window (no SinglePartition Window), no CartesianProduct; the
+    positions-to-islands attach is a doc-keyed join."""
+    df = QUERIES["prepare_span_corruption"].fn(spark, sf_dir)
+    p = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in p, p[:3000]
+    import re
+
+    for m in re.finditer(r"Window .*", p):
+        assert "SinglePartition" not in m.group(0), m.group(0)
