@@ -107,7 +107,13 @@ def quality_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash join).  No shuffle touches the corpus except the final per-doc
     aggregation, which partial-aggregates map-side.
     """
-    d = t(spark, sf_dir, "documents")
+    return lm_surprise_of(t(spark, sf_dir, "documents"))
+
+
+def lm_surprise_of(d: DataFrame) -> DataFrame:
+    """df-level core of ``quality_lm_surprise`` — train the reference-slice
+    LM inline and score every document of ``d`` (shared with the
+    curriculum layout, which orders by this score)."""
     toks = _doc_toks(d)
     big = _doc_bigrams(toks)
     ref = big.filter(F.col("lang") == LM_REF_LANG)
@@ -1138,3 +1144,71 @@ class NBModelServer:
         far (the shared ``_nb_model_from_counts`` derivation)."""
         cwc, classes = self.counts(spark)
         return _nb_model_from_counts(cwc.localCheckpoint(), classes.localCheckpoint())
+
+
+# ---------------------------------------------------------------------------
+# curriculum layout
+# ---------------------------------------------------------------------------
+
+CURRICULUM_BAND = 50  # centibits per difficulty stage (content-defined band)
+CURRICULUM_EPOCH = "curr1"  # seed for the within-stage shard permutation
+
+
+_SQL_CURRICULUM = f"""
+WITH scored AS (
+  SELECT * FROM ({_SQL_LM_SURPRISE}) s
+),
+staged AS (
+  SELECT doc_id, avg_centibits,
+         CAST(avg_centibits // {CURRICULUM_BAND} AS BIGINT) AS stage,
+         substring(md5('{CURRICULUM_EPOCH}:' || CAST(doc_id AS VARCHAR)), 1, 2)
+           AS shard
+  FROM scored
+)
+SELECT doc_id, avg_centibits, stage, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY stage, shard
+                               ORDER BY avg_centibits, doc_id) AS BIGINT)
+         AS pos_in_shard
+FROM staged
+"""
+
+
+@register(
+    "layout_curriculum_order",
+    oracle=_SQL_CURRICULUM,
+    doc="Curriculum training layout: difficulty stages from the LM surprise "
+    "score, epoch-seeded shards within each stage.",
+)
+def layout_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering — the easy-to-hard training layout: every
+    document's difficulty is its bigram-LM surprise score
+    (``quality_lm_surprise``), its STAGE is a fixed centibit band of that
+    score, and within a stage it lands in an epoch-seeded md5 shard with a
+    deterministic position.  Reading stages in order and shards within a
+    stage replays an exact easy-first curriculum; a new epoch string
+    reshuffles within stages with zero source-data movement (the
+    ``layout_training_shuffle`` contract, with difficulty as the outer
+    key).
+
+    100 TB shape: the stage is a content-defined integer band — NO global
+    sort ranks the corpus by difficulty — and the position rank partitions
+    by ``(stage, shard)`` (~1/256 of a stage per partition, md5-uniform),
+    so the plan is the scored stream + one hash shuffle + per-partition
+    local sorts, exactly the sharded-layout shape.  A dominant stage
+    cannot funnel to one task: its shards split it 256 ways regardless of
+    the score distribution.
+    """
+    from pyspark.sql.window import Window
+
+    scored = lm_surprise_of(t(spark, sf_dir, "documents"))
+    key = F.md5(
+        F.concat(F.lit(f"{CURRICULUM_EPOCH}:"), F.col("doc_id").cast("string"))
+    )
+    staged = scored.select(
+        "doc_id",
+        "avg_centibits",
+        F.expr(f"CAST(avg_centibits DIV {CURRICULUM_BAND} AS BIGINT)").alias("stage"),
+        F.substring(key, 1, 2).alias("shard"),
+    )
+    w = Window.partitionBy("stage", "shard").orderBy("avg_centibits", "doc_id")
+    return staged.withColumn("pos_in_shard", F.row_number().over(w).cast("bigint"))

@@ -628,3 +628,36 @@ def test_stream_ensemble_gate_parity(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# layout_curriculum_order
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_layout_invariants(spark, sf_dir):
+    """Stages band the surprise score exactly; positions are contiguous
+    1..n within each (stage, shard); the layout is a permutation of the
+    corpus."""
+    from eth_event_stream_spark.plans.lm import CURRICULUM_BAND
+
+    df = QUERIES["layout_curriculum_order"].fn(spark, sf_dir).toPandas()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(df) == n_docs and df["doc_id"].nunique() == n_docs
+    assert (df["stage"] == df["avg_centibits"] // CURRICULUM_BAND).all()
+    for (_, _), g in df.groupby(["stage", "shard"]):
+        pos = sorted(g["pos_in_shard"])
+        assert pos == list(range(1, len(g) + 1))
+        ordered = g.sort_values(["avg_centibits", "doc_id"])["pos_in_shard"].tolist()
+        assert ordered == list(range(1, len(g) + 1))
+
+
+def test_curriculum_layout_no_global_sort(spark, sf_dir):
+    """Scale gate: the rank partitions by (stage, shard) — no
+    SinglePartition window ranks the whole corpus by difficulty."""
+    import re
+
+    df = QUERIES["layout_curriculum_order"].fn(spark, sf_dir)
+    p = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    for m in re.finditer(r"Window .*", p):
+        assert "SinglePartition" not in m.group(0), m.group(0)
