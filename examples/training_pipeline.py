@@ -127,6 +127,37 @@ def main() -> None:
     bpe = run("tokenizer_bpe_learn").orderBy("merge_rank").collect()
     print("BPE merge rules:", [(r["left_sym"], r["right_sym"]) for r in bpe])
 
+    # 7. tokenize, gate, order, and transform — the release tail:
+    #    token budgets from the learned tokenizer, the composed quality
+    #    gate with attributable flags, substring-level duplication marking,
+    #    curriculum sharding, and the denoising (input, target) pairs
+    budgets = run("tokenizer_bpe_apply")
+    total_tokens = budgets.agg(F.sum("n_tokens").alias("s")).collect()[0]["s"]
+    gate = run("quality_ensemble_gate")
+    gate_stats = gate.agg(
+        F.sum("keep").alias("kept"),
+        *[F.sum(c).alias(c) for c in
+          ("len_pass", "stop_pass", "rep_pass", "digit_pass", "lm_pass")],
+    ).collect()[0]
+    spans = run("dedup_window_spans")
+    n_span_drop = spans.filter(F.col("keep") == 0).count()
+    print(
+        f"token budget: {total_tokens} BPE tokens; ensemble gate keeps "
+        f"{gate_stats['kept']} (flags {[gate_stats[c] for c in ('len_pass','stop_pass','rep_pass','digit_pass','lm_pass')]}); "
+        f"substring-dup gate drops {n_span_drop}"
+    )
+    curr = run("layout_curriculum_order")
+    stages = {r["stage"]: r["n"] for r in
+              curr.groupBy("stage").agg(F.count("*").alias("n")).collect()}
+    corrupted = run("prepare_span_corruption")
+    ex = corrupted.orderBy("doc_id").first()
+    print(f"curriculum stages: {stages}")
+    print(f"denoising pair example: input='{ex['input_text'][:60]}...' "
+          f"target='{ex['target_text'][:40]}...'")
+    card = {r["metric"]: r["value"] for r in run("profile_data_card").collect()}
+    print(f"data card: docs={card['docs_total']} tokens={card['ws_tokens_total']} "
+          f"langs={card['langs_distinct']} exact_dups={card['docs_exact_dup']}")
+
     spark.stop()
 
 
