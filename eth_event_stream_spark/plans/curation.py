@@ -957,12 +957,26 @@ def dedup_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    d = t(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = _span_toks(t(spark, sf_dir, "documents"))
+    win = _span_windows(toks)
+    dup = (
+        win.withColumn("c", F.count("*").over(Window.partitionBy("g")))
+        .filter(F.col("c") > 1)
+        .select("doc_id", "j")
+    )
+    return _span_coverage(toks, dup)
+
+
+def _span_toks(docs: DataFrame) -> DataFrame:
+    return docs.select(
         "doc_id",
         F.split(F.lower(F.col("text")), " ", -1).alias("tk"),
     ).select("doc_id", "tk", F.size("tk").cast("long").alias("n_tokens"))
-    win = (
+
+
+def _span_windows(toks: DataFrame) -> DataFrame:
+    """All ``DUP_WINDOW``-token windows: (doc_id, j, g)."""
+    return (
         toks.select(
             "doc_id",
             "tk",
@@ -981,11 +995,14 @@ def dedup_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.expr(f"slice(tk, j, {DUP_WINDOW})"), " ").alias("g"),
         )
     )
-    dup = (
-        win.withColumn("c", F.count("*").over(Window.partitionBy("g")))
-        .filter(F.col("c") > 1)
-        .select("doc_id", "j")
-    )
+
+
+def _span_coverage(toks: DataFrame, dup: DataFrame) -> DataFrame:
+    """Per-doc interval union of the duplicated windows ``dup = (doc_id, j)``
+    (gaps-and-islands) -> the (doc_id, n_tokens, n_windows, n_dup_windows,
+    covered_tokens, dup_permille, keep) stats frame."""
+    from pyspark.sql.window import Window
+
     by_doc = Window.partitionBy("doc_id").orderBy("j")
     isl = (
         dup.withColumn(
@@ -1040,6 +1057,30 @@ def dedup_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("keep"),
     )
+
+
+def corpus_gram_index(corpus: DataFrame) -> DataFrame:
+    """The frozen corpus artifact for ingest-time span marking: the distinct
+    ``DUP_WINDOW``-token grams of the released corpus (one checkpointed
+    distinct over the window stream — membership is all the probe needs, so
+    counts are not stored)."""
+    return _span_windows(_span_toks(corpus)).select("g").distinct().localCheckpoint()
+
+
+def mark_spans_against_index(new_docs: DataFrame, gram_index: DataFrame) -> DataFrame:
+    """Ingest-cycle twin of ``dedup_window_spans`` (the
+    ``scrub_against_index`` contract): mark each NEW document's windows
+    whose gram already exists in the FROZEN corpus gram index, then run the
+    same interval-union coverage stats.  A new doc's verdict depends only
+    on itself and the frozen index, so per-micro-batch evaluation unions to
+    the one-batch run exactly (streaming parity pinned in tests); batch
+    cost is O(batch windows) — a semi-join probe against the index, no
+    corpus rescan.  (Deliberate semantic difference from the batch query:
+    batch-INTERNAL duplication is not counted — it belongs to the next
+    corpus release's index fold.)"""
+    toks = _span_toks(new_docs)
+    dup = _span_windows(toks).join(gram_index, ["g"], "left_semi").select("doc_id", "j")
+    return _span_coverage(toks, dup)
 
 
 # ---------------------------------------------------------------------------

@@ -154,3 +154,90 @@ def test_span_corruption_is_doc_local(spark, sf_dir):
 
     for m in re.finditer(r"Window .*", p):
         assert "SinglePartition" not in m.group(0), m.group(0)
+
+
+# ---------------------------------------------------------------------------
+# frozen-index ingest twin
+# ---------------------------------------------------------------------------
+
+
+def test_span_marking_against_frozen_index(spark, tmp_path_factory):
+    """A new doc repeating a corpus 8-gram is marked against the FROZEN
+    index; a new doc with fresh content is clean — even if it duplicates
+    ANOTHER new doc (batch-internal dup belongs to the next release)."""
+    from eth_event_stream_spark.plans.curation import (
+        corpus_gram_index,
+        mark_spans_against_index,
+    )
+
+    corpus_dir = _docs_dir(tmp_path_factory, [(1, "a b c d e f g h x y z")])
+    corpus = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    idx = corpus_gram_index(corpus)
+
+    new_dir = _docs_dir(
+        tmp_path_factory,
+        [
+            (10, "a b c d e f g h q r s"),   # repeats the corpus 8-gram
+            (11, "n1 n2 n3 n4 n5 n6 n7 n8 n9"),  # fresh
+            (12, "n1 n2 n3 n4 n5 n6 n7 n8 n9"),  # dup of 11 — batch-internal
+        ],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in mark_spans_against_index(
+            spark.read.parquet(f"{new_dir}/documents.parquet"), idx
+        ).collect()
+    }
+    assert out[10]["covered_tokens"] == 8 and out[10]["keep"] == 0
+    assert out[11]["covered_tokens"] == 0 and out[11]["keep"] == 1
+    assert out[12]["covered_tokens"] == 0 and out[12]["keep"] == 1
+
+
+def test_span_marking_streaming_parity(spark, sf_dir, tmp_path):
+    """Micro-batched marking against the frozen index unions to the
+    one-batch run (verdicts are doc-local given the index)."""
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.plans.curation import (
+        corpus_gram_index,
+        mark_spans_against_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch_docs = docs.filter(F.col("doc_id") % 4 == 0)
+    idx = corpus_gram_index(corpus)
+
+    src = tmp_path / "docs_span_stream"
+    batch_docs.repartition(4).write.parquet(str(src))
+
+    expected = {
+        tuple(r)
+        for r in mark_spans_against_index(
+            spark.read.parquet(str(src)), idx
+        ).collect()
+    }
+    assert expected
+
+    got = set()
+
+    def handle(mb_df, _epoch):
+        got.update(
+            tuple(r) for r in mark_spans_against_index(mb_df, idx).collect()
+        )
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ck_span"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got == expected
