@@ -15,10 +15,31 @@ Round-8 additions to the training-data surface:
   would, while hashing bit-identically.
 
 - **BPE vocabulary induction** (``tokenizer_bpe_learn``): the iterative
-  byte-pair-encoding merge loop every tokenizer build runs, expressed as
-  bounded dataframe rounds over the word-frequency table (never the raw
-  corpus — the classic scale shape).  See the function docstring for the
-  exact greedy-merge semantics and how the oracle replays them.
+  byte-pair-encoding merge loop every tokenizer build runs — the raw
+  corpus is touched once (word-frequency aggregation) and the merge loop
+  runs driver-side on the capped table, Sennrich's learn_bpe design.  See
+  the function docstring for the exact greedy-merge semantics and how the
+  oracle replays them.
+
+- **BPE corpus encoding** (``tokenizer_bpe_apply`` +
+  ``bpe_encode_against_vocab``): the token-budget pass — merges applied
+  to the distinct-word VOCABULARY, one broadcast token-map join over the
+  corpus; the frozen-vocab serving twin char-falls-back on OOV.
+
+- **Naive Bayes classification** (``classify_nb_lang`` + ``nb_train`` /
+  ``nb_score`` / ``NBModelServer``): the fasttext-analog language/domain
+  gate trained with pure aggregations and scored in exact integer bit
+  costs; the streaming maintainer folds per-batch count deltas into the
+  persisted sufficient statistics exactly-once.
+
+- **Composed quality gate** (``quality_ensemble_gate`` +
+  ``ensemble_gate_against_lm``): five signals + the LM lane from one
+  corpus projection, integer cross-multiplied comparisons, per-signal
+  attribution flags.
+
+- **Curriculum layout** (``layout_curriculum_order``): difficulty stages
+  as centibit bands of the surprise score (no global sort), epoch-seeded
+  shards within each stage.
 
 Reference parity note: the reference engine (Rust) has no LM layer — this
 module is part of the beyond-reference training-data surface the project
