@@ -431,7 +431,11 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            # compact separators: the driver records this line verbatim and
+            # the r7 record was cut mid-tail — every byte of padding risks
+            # losing rows from the archived JSON
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -660,3 +660,169 @@ def pit_enrich_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "event_id", "ts", "state_at_purchase", "state_since")
     )
+
+
+# --- release diff ------------------------------------------------------------
+# The QA gate every dataset release runs before publication: WHAT changed
+# between release N-1 and release N, by how much, and where. The reference's
+# analog is the sink's exactly-once republish guard (`sink.rs:13-21`) — a
+# release that silently differs from what its changelog implies is the batch-
+# side version of a block republished with different contents.
+
+
+def _release_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulated PREVIOUS release: a deterministic subset of ``documents``
+    (doc_id % 17 == 3 absent — those become 'added'), with a deterministic
+    content perturbation (doc_id % 13 == 5 carries reversed text — those
+    become 'changed'). Derived, not stored: both engines rebuild it bit-
+    identically from the same parquet."""
+    d = t(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        "lang",
+        F.when(F.col("doc_id") % 13 == 5, F.reverse(F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _release_curr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulated CURRENT release: ``documents`` minus doc_id % 19 == 7
+    (those become 'removed')."""
+    return t(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 != 7).select(
+        "doc_id", "lang", "text"
+    )
+
+
+def diff_release_rows(prev: DataFrame, curr: DataFrame) -> DataFrame:
+    """Row-level diff of two releases keyed by doc_id: one row per doc that
+    is 'added' (current only), 'removed' (previous only), 'changed' (both,
+    content hash differs), or 'unchanged'. Content comparison is by md5 of
+    the text so the join carries a 32-byte digest, never the document body —
+    at 100 TB the shuffle moves (doc_id, hash, lang), not the corpus. One
+    shuffle per side on doc_id; with both releases bucketed by doc_id the
+    diff is shuffle-free (`test_plan_quality.py` pins the bucketed-join
+    pattern elsewhere); ``diff_releases_pruned`` shows the fingerprint
+    short-circuit that avoids even reading clean buckets."""
+    p = prev.select(
+        F.col("doc_id"),
+        F.col("lang").alias("lang_p"),
+        F.md5(F.col("text")).alias("h_p"),
+    )
+    c = curr.select(
+        F.col("doc_id"),
+        F.col("lang").alias("lang_c"),
+        F.md5(F.col("text")).alias("h_c"),
+    )
+    return p.join(c, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("lang_c", "lang_p").alias("lang"),
+        F.when(F.col("h_p").isNull(), F.lit("added"))
+        .when(F.col("h_c").isNull(), F.lit("removed"))
+        .when(F.col("h_p") != F.col("h_c"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+_DIFF_ORACLE = """
+    WITH prev AS (
+      SELECT doc_id, lang,
+             md5(CASE WHEN doc_id % 13 = 5 THEN reverse(text) ELSE text END)
+               AS h
+      FROM documents WHERE doc_id % 17 != 3),
+    curr AS (
+      SELECT doc_id, lang, md5(text) AS h
+      FROM documents WHERE doc_id % 19 != 7),
+    d AS (
+      SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
+             COALESCE(c.lang, p.lang) AS lang,
+             CASE WHEN p.h IS NULL THEN 'added'
+                  WHEN c.h IS NULL THEN 'removed'
+                  WHEN p.h != c.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id)
+    SELECT lang, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM d GROUP BY lang, status
+"""
+
+
+@register(
+    "diff_releases",
+    oracle=_DIFF_ORACLE,
+    doc="Release-over-release diff: added/removed/changed/unchanged doc "
+    "counts per language from a hash-only full-outer join of two releases.",
+)
+def diff_releases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release QA diff: (lang, status) doc counts between the previous and
+    current release. The full-outer join compares md5 digests, so at scale
+    the wide text column is pruned at the scan (only doc_id/lang/text-
+    digest flow) and the aggregate is a map-side-combining count over the
+    diff rows."""
+    rows = diff_release_rows(
+        _release_prev(spark, sf_dir), _release_curr(spark, sf_dir)
+    )
+    return rows.groupBy("lang", "status").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+
+
+def diff_releases_pruned(spark: SparkSession, sf_dir: str, n_buckets: int = 32) -> DataFrame:
+    """Fingerprint-short-circuited diff: the 100 TB answer path.
+
+    Pass 1 computes one order-independent FINGERPRINT per doc_id bucket and
+    side (sum of a 56-bit slice of each row's md5(doc_id || hash) — an
+    order- and partition-independent fold, and counts so add/remove can't
+    cancel); buckets whose (fingerprint, count) match on both sides are
+    proven identical and are NEVER row-diffed. Pass 2 runs the row diff of
+    ``diff_release_rows`` only over the dirty buckets (predicate pushed to
+    both scans), then the clean buckets contribute their 'unchanged' counts
+    from the pass-1 aggregates — so a release where 1% of buckets changed
+    reads 1% of the rows twice and 99% once, instead of full-outer-joining
+    two whole releases. Equivalence with the direct diff is pinned in
+    ``tests/test_warehouse.py``."""
+    prev = _release_prev(spark, sf_dir)
+    curr = _release_curr(spark, sf_dir)
+
+    def fp(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                (F.col("doc_id") % n_buckets).alias("bucket"),
+                F.conv(
+                    F.substring(F.md5(F.concat_ws("|", "doc_id", F.md5("text"))), 1, 14),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                .alias("sig"),
+                "lang",
+            )
+            .groupBy("bucket")
+            .agg(F.sum("sig").alias("fp"), F.count("*").alias("n"))
+        )
+    fp_p = fp(prev).select("bucket", F.col("fp").alias("fp_p"), F.col("n").alias("n_p"))
+    fp_c = fp(curr).select("bucket", F.col("fp").alias("fp_c"), F.col("n").alias("n_c"))
+    marks = fp_p.join(fp_c, "bucket", "full_outer")
+    dirty = [
+        r["bucket"]
+        for r in marks.filter(
+            ~(F.col("fp_p").eqNullSafe(F.col("fp_c")) & F.col("n_p").eqNullSafe(F.col("n_c")))
+        )
+        .select("bucket")
+        .collect()
+    ]
+    dirty_rows = diff_release_rows(
+        prev.filter((F.col("doc_id") % n_buckets).isin(dirty)),
+        curr.filter((F.col("doc_id") % n_buckets).isin(dirty)),
+    ).groupBy("lang", "status").agg(F.count("*").cast("bigint").alias("n_docs"))
+    clean_rows = (
+        curr.filter(~(F.col("doc_id") % n_buckets).isin(dirty))
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .select("lang", F.lit("unchanged").alias("status"), "n_docs")
+    )
+    return (
+        dirty_rows.unionByName(clean_rows)
+        .groupBy("lang", "status")
+        .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+    )

@@ -433,3 +433,48 @@ def test_scd2_intervals_tile_each_users_timeline(spark, sf_dir):
             assert sum(r.n_events for r in ivs) == n_events[uid]
     finally:
         hist.unpersist()
+
+
+def test_diff_pruned_equals_direct(spark, sf_dir):
+    """The fingerprint-short-circuited diff answers bit-identically to the
+    direct full-outer row diff — the 100 TB path is a pure optimization."""
+    from eth_event_stream_spark.plans.warehouse import (
+        diff_releases,
+        diff_releases_pruned,
+    )
+
+    direct = _rows(diff_releases(spark, sf_dir))
+    pruned = _rows(diff_releases_pruned(spark, sf_dir))
+    assert pruned == direct
+
+
+def test_diff_identical_releases_short_circuits(spark, sf_dir):
+    """Identical releases → every bucket fingerprint matches, the dirty set
+    is empty, and the pruned diff reports only 'unchanged' rows whose count
+    equals the release size — the whole row-diff phase is skipped."""
+    from eth_event_stream_spark.plans.warehouse import (
+        _release_curr,
+        diff_release_rows,
+        diff_releases_pruned,
+    )
+    import eth_event_stream_spark.plans.warehouse as wh
+
+    # monkeypatch-free: identical releases via the public row-diff helper
+    curr = _release_curr(spark, sf_dir)
+    rows = diff_release_rows(curr, curr)
+    statuses = {r["status"] for r in rows.select("status").distinct().collect()}
+    assert statuses == {"unchanged"}
+
+    orig_prev = wh._release_prev
+    wh._release_prev = wh._release_curr
+    try:
+        out = diff_releases_pruned(spark, sf_dir)
+        got = {(r["lang"], r["status"]): r["n_docs"] for r in out.collect()}
+    finally:
+        wh._release_prev = orig_prev
+    assert all(k[1] == "unchanged" for k in got)
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in curr.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert {k[0]: v for k, v in got.items()} == per_lang
