@@ -592,3 +592,48 @@ def event_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "s1", "s2", "s3")
         .limit(10)
     )
+
+
+@register(
+    "prepare_next_event_pairs",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type AS label,
+             LAG(event_type, 3) OVER w AS c3,
+             LAG(event_type, 2) OVER w AS c2,
+             LAG(event_type, 1) OVER w AS c1
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id, ts,
+           concat_ws('>', c3, c2, c1) AS context, label
+    FROM seq WHERE c1 IS NOT NULL
+    """,
+    doc="Next-event-prediction training pairs: per-user sliding context of "
+    "up to 3 prior events and the event that followed.",
+)
+def prepare_next_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-model data prep: (context, label) pairs for next-event
+    prediction, one pair per event that has at least one predecessor in the
+    user's timeline. The context is the up-to-3 previous event types joined
+    with '>' — three LAGs sharing ONE window pass on the user partition (the
+    same single-shuffle shape as ``event_top_paths``; both engines skip
+    NULL lags in concat_ws, so warm-up rows carry a shorter context instead
+    of being padded). At 100 TB this is one shuffle by user_id and a
+    codegen'd projection — no self-join of the event log against itself,
+    which is the naive formulation's cost."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("event_type").alias("label"),
+        F.lag("event_type", 3).over(w).alias("c3"),
+        F.lag("event_type", 2).over(w).alias("c2"),
+        F.lag("event_type", 1).over(w).alias("c1"),
+    )
+    return seq.filter(F.col("c1").isNotNull()).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.concat_ws(">", "c3", "c2", "c1").alias("context"),
+        "label",
+    )

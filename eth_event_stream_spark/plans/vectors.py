@@ -1093,3 +1093,69 @@ def sketch_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= tol
         ).alias("within_bound"),
     )
+
+
+_HN_COS = (
+    "list_sum(list_transform(generate_series(1, LEN(e.embedding)), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(generate_series(1, LEN(e.embedding)), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(generate_series(1, LEN(q.qe)), "
+    "i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))))"
+)
+
+
+@register(
+    "mine_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+      FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+    scored AS (
+      SELECT q.qid, e.vec_id, e.label,
+             ROUND({_HN_COS}, 6) AS cosine
+      FROM embeddings e, q
+      WHERE e.label != q.qlabel),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+    SELECT qid, rank, vec_id, label, cosine FROM ranked WHERE rank <= 3
+    """,
+    doc="Hard-negative mining for contrastive training: per anchor, the 3 "
+    "most-similar vectors carrying a DIFFERENT label.",
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: for each anchor (vec_id 0-3), the 3
+    nearest-by-cosine vectors whose label DIFFERS from the anchor's — the
+    negatives that sit closest to the decision boundary, which is exactly
+    what a contrastive or triplet loss wants mined.
+
+    Plan: the 4-row anchor table broadcasts, one corpus scan scores every
+    (vector, anchor) pair with the codegen'd fold, the label-mismatch
+    predicate filters inside the same stage, and the per-anchor cut is a
+    rank window that Spark executes as WindowGroupLimit (per-partition
+    top-k heaps before the single shuffle on qid — |anchors| x k rows move,
+    not |corpus|). At 100 TB the same shape serves from the persisted IVF
+    index instead (probe the anchor's N_PROBE cells via
+    ``plans/ann_index.py``, then apply the label filter), trading exactness
+    for a candidate set ~N/K per anchor."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(0, 1, 2, 3)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select("qid", "vec_id", "label", cosine_to_qe().alias("cosine"))
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "rank", "vec_id", "label", "cosine")
+    )

@@ -678,3 +678,24 @@ def test_profile_stats_single_scan(spark, sf_dir):
     degrade to it)."""
     p = plan_of(spark, sf_dir, "profile_table_stats")
     assert p.count("orders.parquet") == 1, p[:2000]
+
+
+def test_hard_negatives_per_anchor_cut_is_window_group_limit(spark, sf_dir):
+    """mine_hard_negatives: the 4-row anchor table broadcasts (never a
+    CartesianProduct / shuffled join) and the per-anchor top-3 executes as
+    WindowGroupLimit — per-partition heaps cut to |anchors| x k rows BEFORE
+    the one shuffle on qid, so the window never sorts the scored corpus."""
+    p = plan_of(spark, sf_dir, "mine_hard_negatives")
+    assert "WindowGroupLimit" in p, p[:2000]
+    assert "BroadcastNestedLoopJoin" in p, p[:2000]
+
+
+def test_next_event_pairs_single_shuffle(spark, sf_dir):
+    """prepare_next_event_pairs: the three LAGs share ONE window pass —
+    exactly one Exchange (by user_id) and one Window in the whole plan; a
+    second of either means the naive per-lag formulation crept back in."""
+    p = plan_of(spark, sf_dir, "prepare_next_event_pairs")
+    # count tree nodes only — the formatted detail section repeats each
+    # node name once more as "(n) Exchange"
+    assert p.count("+- Exchange") == 1, p[:2000]
+    assert p.count("+- Window") == 1, p[:2000]
