@@ -143,6 +143,12 @@ HEADLINE = [
     # T5-style span corruption: doc-local masked-span draw + sentinel
     # input/target assembly — the denoising-objective data-prep pass
     "prepare_span_corruption",
+    # r8-extended2 (additions only): release QA diff (hash-only full-outer
+    # join), next-event sequence pairs (one window pass), and per-anchor
+    # hard-negative mining (broadcast anchors + WindowGroupLimit cut)
+    "diff_releases",
+    "prepare_next_event_pairs",
+    "mine_hard_negatives",
 ]
 
 
@@ -427,7 +433,10 @@ def main() -> None:
                 # r8-extended added the served hybrid lane
                 # (search_hybrid_rrf_served — persisted-index probe +
                 # serving-table read; additions only)
-                "headline_set": "r8-extended",
+                # r8-extended2 added diff_releases,
+                # prepare_next_event_pairs, mine_hard_negatives
+                # (additions only)
+                "headline_set": "r8-extended2",
                 "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
