@@ -2492,3 +2492,82 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_id",
         F.expr(f"(cum - n_tokens) div {PACK_TOKENS}").cast("bigint").alias("pack_id"),
     )
+
+
+def _sql_keep_best() -> str:
+    return f"""
+    WITH comp AS ({_sql_groups_connected()}),
+    q AS (
+      SELECT doc_id,
+             LEN(string_split(lower(text), ' ')) AS n_tokens,
+             CASE WHEN LEN(string_split(lower(text), ' ')) >= 5
+                       AND CAST(LEN(list_filter(string_split(lower(text), ' '),
+                                w -> w IN ({_SW_SQL}))) AS DOUBLE)
+                           / LEN(string_split(lower(text), ' ')) > 0.05
+                  THEN 1 ELSE 0 END AS quality_pass
+      FROM documents),
+    sized AS (
+      SELECT canonical_id, COUNT(*) AS n_members
+      FROM comp GROUP BY canonical_id HAVING COUNT(*) > 1),
+    ranked AS (
+      SELECT c.canonical_id, c.doc_id, q.n_tokens, q.quality_pass,
+             ROW_NUMBER() OVER (PARTITION BY c.canonical_id
+                                ORDER BY q.quality_pass DESC,
+                                         q.n_tokens DESC, c.doc_id) AS rnk
+      FROM comp c JOIN q USING (doc_id)
+      WHERE c.canonical_id IN (SELECT canonical_id FROM sized))
+    SELECT r.canonical_id, r.doc_id AS keep_doc_id,
+           CAST(s.n_members AS BIGINT) AS n_members,
+           r.n_tokens AS kept_n_tokens, r.quality_pass AS kept_quality_pass
+    FROM ranked r JOIN sized s USING (canonical_id)
+    WHERE r.rnk = 1
+    """
+
+
+@register(
+    "dedup_keep_best",
+    oracle=_sql_keep_best(),
+    doc="Quality-aware dedup representative: per near-dup cluster keep the "
+    "highest-quality (then longest) member, not the smallest id.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative SELECTION POLICY for near-dup collapse: within each
+    connected near-dup cluster keep the copy that passes the quality gate,
+    longest first (ties by doc_id) — the policy real corpus dedup wants
+    (drop the truncated/boilerplate copies, keep the clean one), where the
+    min-id convention used by the collapse plumbing is only an arbitrary
+    canonical LABEL.
+
+    Plan: the cluster labels come from the iterated min-label propagation
+    (one extra hash-join against the per-doc quality projection), cluster
+    sizes are a map-side-combining count, and the per-cluster argmax is a
+    rank window that executes as WindowGroupLimit — the scored members are
+    heap-cut to one row per cluster before the shuffle, so the window never
+    sorts whole clusters. Singleton clusters are excluded (nothing to
+    choose); the integer ranking key (quality_pass, n_tokens, doc_id) keeps
+    the choice bit-deterministic in both engines."""
+    from pyspark.sql import Window
+
+    groups = dedup_groups_connected(spark, sf_dir)
+    q = quality_score_of(t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "quality_pass"
+    )
+    sized = groups.groupBy("canonical_id").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    ).filter(F.col("n_members") > 1)
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("quality_pass"), F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return (
+        groups.join(sized, "canonical_id")
+        .join(q, "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "canonical_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            "n_members",
+            F.col("n_tokens").alias("kept_n_tokens"),
+            F.col("quality_pass").alias("kept_quality_pass"),
+        )
+    )
