@@ -175,3 +175,120 @@ def ann_probe_topk(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+class AnnIndexManager:
+    """Zero-downtime lifecycle for the persisted ANN index: versioned
+    build → append → health-check → rebuild rotation.
+
+    ``persist_ann_index`` freezes the centroids at build time; appends
+    assign against the frozen table, so as the corpus drifts the cell
+    occupancy skews and probe cost/recall degrade. The docstring contract
+    above ("re-run the build when cell occupancy skews") becomes code here:
+
+    - ``health`` measures per-cell occupancy from the live store (a
+      partition-column-only aggregate — the vectors are never read);
+      ``needs_rebuild`` reduces it to the one-number skew criterion
+      (max cell share / ideal share).
+    - ``rebuild`` re-runs the Lloyd build over the CURRENT store contents
+      into a NEW version directory and swaps an atomic ``CURRENT`` pointer
+      (``os.replace``) — the copy-on-write rotation of
+      ``warehouse._VersionedTable``: readers holding the old pointer keep
+      probing the superseded version (``retain`` ≥ 1 keeps it on disk),
+      a crash mid-rebuild leaves the old pointer live, and a re-run is a
+      no-op rotation. Lloyd is deterministic in the vector SET, so a
+      rebuild is bit-identical to a fresh build over the same corpus
+      (pinned in tests/test_ann_index.py).
+    """
+
+    _POINTER = "CURRENT"
+
+    def __init__(self, root: str, retain: int = 1):
+        self.root = root
+        self.retain = max(1, retain)
+
+    # -- pointer plumbing (the _VersionedTable pattern) ----------------
+    def _read_pointer(self) -> str | None:
+        p = os.path.join(self.root, self._POINTER)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return f.read().strip()
+
+    def current_dir(self) -> str:
+        v = self._read_pointer()
+        if v is None:
+            raise FileNotFoundError(f"no ANN index published yet at {self.root}")
+        return os.path.join(self.root, v)
+
+    def versions(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(e for e in os.listdir(self.root) if e.startswith("v-"))
+
+    def _publish(self, build_fn) -> str:
+        """Build into a fresh version dir, then atomically repoint."""
+        import shutil
+
+        os.makedirs(self.root, exist_ok=True)
+        version = f"v-{len(os.listdir(self.root)):06d}"
+        vdir = os.path.join(self.root, version)
+        build_fn(vdir)
+        tmp = os.path.join(self.root, self._POINTER + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, os.path.join(self.root, self._POINTER))
+        keep = {version, self._POINTER}
+        superseded = sorted(e for e in os.listdir(self.root) if e not in keep)
+        keep.update(superseded[-self.retain:])
+        for entry in os.listdir(self.root):
+            if entry not in keep:
+                shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
+        return vdir
+
+    # -- lifecycle ------------------------------------------------------
+    def build(self, spark: SparkSession, sf_dir: str, e: DataFrame | None = None) -> str:
+        return self._publish(
+            lambda vdir: persist_ann_index(spark, sf_dir, vdir, e=e)
+        )
+
+    def append(self, spark: SparkSession, new_vecs: DataFrame) -> None:
+        ann_append_batch(spark, self.current_dir(), new_vecs)
+
+    def probe(self, spark: SparkSession, query_vec: DataFrame, k: int = 10) -> DataFrame:
+        return ann_probe_topk(spark, self.current_dir(), query_vec, k=k)
+
+    def health(self, spark: SparkSession) -> DataFrame:
+        """(cell, n, share_ppm): occupancy of every live cell. Reads ONLY
+        the partition column — a count over the store groups by the
+        directory key, no vector bytes move."""
+        store = load_ann_index(spark, self.current_dir())["cell_store"]
+        counts = store.groupBy("cell").agg(F.count("*").alias("n"))
+        total = counts.agg(F.sum("n").alias("total"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "cell",
+            "n",
+            (F.col("n") * 1000000 / F.col("total")).cast("bigint").alias("share_ppm"),
+        )
+
+    def needs_rebuild(self, spark: SparkSession, max_skew: float = 4.0) -> bool:
+        """True when the fullest cell holds more than ``max_skew`` times its
+        ideal 1/K share — the one-number drift criterion. A 2-row driver
+        decision (max over K cells), same bounded-metadata pattern as the
+        probe's cell pick."""
+        h = self.health(spark)
+        row = h.agg(F.max("share_ppm").alias("mx")).collect()[0]
+        ideal_ppm = 1000000 / K_CELLS
+        return row["mx"] is not None and row["mx"] > max_skew * ideal_ppm
+
+    def rebuild(self, spark: SparkSession) -> str:
+        """Re-run the Lloyd build over the live store's CURRENT contents
+        (base + every appended batch) into a new version; zero-downtime
+        pointer swap. O(corpus) — paid once per drift episode, not per
+        ingest batch."""
+        vecs = (
+            load_ann_index(spark, self.current_dir())["cell_store"]
+            .select("vec_id", "label", "embedding")
+            .localCheckpoint(eager=True)  # sever lineage from the dir being rotated
+        )
+        return self.build(spark, sf_dir="", e=vecs)

@@ -155,3 +155,70 @@ def test_probe_prunes_cell_partitions(spark, sf_dir, tmp_path):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "cell" in pf.group(1), plan[:2000]
+
+
+def test_manager_rotation_lifecycle(spark, sf_dir, tmp_path):
+    """AnnIndexManager end-to-end: build → skewed append flips the health
+    criterion → rebuild rotates to a new version whose centroids are
+    bit-identical to a fresh build over the same corpus — and the
+    superseded version stays readable (zero-downtime retain)."""
+    from eth_event_stream_spark.plans.ann_index import (
+        AnnIndexManager,
+        load_ann_index,
+        persist_ann_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mgr = AnnIndexManager(str(tmp_path / "ann_root"), retain=1)
+    mgr.build(spark, sf_dir)
+    v0 = mgr.current_dir()
+    assert not mgr.needs_rebuild(spark, max_skew=4.0)
+
+    # probe parity from the managed dir (same as the unmanaged probe)
+    got = _rows(mgr.probe(spark, _query_vec(spark, sf_dir)))
+    want = _rows(ann_probe_topk(spark, v0, _query_vec(spark, sf_dir)))
+    assert got == want
+
+    # adversarial drift: append 3x the corpus, every copy near ONE vector's
+    # position (new ids so nothing collides) — one cell balloons
+    n = e.count()
+    anchor = e.filter(F.col("vec_id") == 1).select("embedding")
+    skew = (
+        e.crossJoin(F.broadcast(anchor.select(F.col("embedding").alias("ae"))))
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.col("label"),
+            F.col("ae").alias("embedding"),
+        )
+    )
+    for i in range(3):
+        mgr.append(spark, skew.select((F.col("vec_id") + i * n).alias("vec_id"), "label", "embedding"))
+    assert mgr.needs_rebuild(spark, max_skew=4.0)
+
+    # rebuild: new version live, old retained and still loadable
+    v1 = mgr.rebuild(spark)
+    assert mgr.current_dir() == v1 and v1 != v0
+    assert len(mgr.versions()) == 2
+    load_ann_index(spark, v0)  # superseded version still consistent
+
+    # determinism: rebuild == fresh build over the same vector set
+    fresh_dir = str(tmp_path / "fresh")
+    all_vecs = load_ann_index(spark, v1)["cell_store"].select(
+        "vec_id", "label", "embedding"
+    )
+    persist_ann_index(spark, sf_dir, fresh_dir, e=all_vecs)
+
+    def cent_rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got_c = cent_rows(load_ann_index(spark, v1)["centroids"])
+    want_c = cent_rows(load_ann_index(spark, fresh_dir)["centroids"])
+    assert got_c == want_c
+
+    # the rebuilt index spreads the ballooned mass: skew criterion clears
+    # is NOT guaranteed in general (the appended mass IS one point), so we
+    # assert the rebuild at least repartitioned: cell of the anchor clone
+    # population differs from v0's single hot cell only if centroids moved;
+    # the invariant that matters is determinism + rotation, asserted above.
+    h = mgr.health(spark)
+    assert h.agg(F.sum("n")).collect()[0][0] == all_vecs.count()
