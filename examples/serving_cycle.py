@@ -27,10 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from eth_event_stream_spark.plans.ann_index import (
-    ann_append_batch,
+    AnnIndexManager,
     ann_probe_topk,
     load_ann_index,
-    persist_ann_index,
 )
 from eth_event_stream_spark.plans.retrieval import (
     RRF_K,
@@ -58,18 +57,26 @@ def main() -> None:
     batch_e = embs.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") != 0))
 
     # -- 1. build ------------------------------------------------------------
-    persist_ann_index(spark, sf_dir, idx_dir, e=corpus_e)
+    # versioned rotation: readers probe whatever CURRENT points at; a
+    # rebuild publishes a new version and swaps the pointer atomically
+    mgr = AnnIndexManager(idx_dir, retain=1)
+    mgr.build(spark, sf_dir, e=corpus_e)
     idf = keyword_idf_weights(docs)
-    print(f"[build] ANN index persisted at {idx_dir}; idf weights: {idf}")
+    print(f"[build] ANN index v0 live at {mgr.current_dir()}; idf: {idf}")
 
     # -- 2. ingest -----------------------------------------------------------
-    ann_append_batch(spark, idx_dir, batch_e)
+    mgr.append(spark, batch_e)
     server = KeywordTopKServer(os.path.join(work, "kw_topk"))
     server(score_keywords_pinned(docs, idf), epoch_id=0)
     print(f"[ingest] appended {batch_e.count()} vectors; keyword top-k table up")
+    if mgr.needs_rebuild(spark, max_skew=4.0):
+        mgr.rebuild(spark)
+        print(f"[ingest] occupancy skew tripped — rotated to {mgr.current_dir()}")
+    else:
+        print("[ingest] occupancy within bounds — no rebuild this cycle")
 
     # -- 3. serve ------------------------------------------------------------
-    idx = load_ann_index(spark, idx_dir)
+    idx = load_ann_index(spark, mgr.current_dir())
     qv = embs.filter(F.col("vec_id") == 0).select("embedding")
     vec_scored = ann_probe_topk(spark, idx, qv, k=20).select(
         F.col("vec_id").alias("doc_id"), "cosine"
