@@ -2571,3 +2571,41 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quality_pass").alias("kept_quality_pass"),
         )
     )
+
+
+@register(
+    "split_kfold_grouped",
+    oracle=f"""
+    SELECT g.doc_id, g.canonical_id,
+           CAST(CAST(('0x' || substring(
+                 md5('fold:' || CAST(g.canonical_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 5 AS INT) AS fold
+    FROM ({_sql_groups_connected()}) g
+    """,
+    doc="Grouped 5-fold cross-validation assignment: whole near-dup "
+    "clusters land in one fold, so no fold's eval set leaks another's "
+    "training content.",
+)
+def split_kfold_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold CV assignment with group integrity: the fold is a hash of the
+    near-dup cluster's canonical id (15 md5 hex chars → BIGINT → mod K), so
+    every member of a cluster shares a fold — the K-way generalization of
+    ``split_leakage_safe``'s train/holdout rule, and the split scheme
+    cross-validation needs when near-duplicates exist (otherwise each
+    fold's holdout is contaminated by its siblings' training folds).
+    Stateless given the labels: one md5 + mod per row on top of the
+    grouping, no extra shuffle, and adding data never reassigns an
+    existing cluster."""
+    groups = dedup_groups_connected(spark, sf_dir)
+    hexint = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("fold:"), F.col("canonical_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return groups.select(
+        "doc_id", "canonical_id", (hexint % 5).cast("int").alias("fold")
+    )
