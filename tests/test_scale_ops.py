@@ -1269,3 +1269,45 @@ def test_compact_parquet_dir_binpacks_and_preserves_clustering(spark, sf_dir, tm
         assert hi1 <= lo2, (hi1, lo2)  # ranges do not overlap
     c = sorted(tuple(r) for r in spark.read.parquet(clustered).collect())
     assert c == b
+
+
+def test_keep_best_picks_the_cluster_argmax(spark, sf_dir):
+    """dedup_keep_best invariants, checked against the cluster labels and
+    quality frames it composes (structure-free on the SELECTION step): the
+    kept doc belongs to its cluster, n_members matches the true cluster
+    size, and no other member beats the winner on the
+    (quality_pass, n_tokens, -doc_id) ranking key."""
+    from eth_event_stream_spark.plans.pipeline import (
+        dedup_groups_connected,
+        dedup_keep_best,
+        quality_score_of,
+    )
+    from eth_event_stream_spark.plans.catalog import t as tbl
+
+    groups = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_groups_connected(spark, sf_dir).collect()
+    }
+    quality = {
+        r["doc_id"]: (r["quality_pass"], r["n_tokens"])
+        for r in quality_score_of(tbl(spark, sf_dir, "documents")).collect()
+    }
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for d, c in groups.items():
+        members[c].append(d)
+
+    got = dedup_keep_best(spark, sf_dir).collect()
+    assert len(got) > 0
+    seen_clusters = set()
+    for r in got:
+        c, keep = r["canonical_id"], r["keep_doc_id"]
+        seen_clusters.add(c)
+        assert groups[keep] == c
+        assert r["n_members"] == len(members[c]) > 1
+        key = lambda d: (quality[d][0], quality[d][1], -d)
+        assert max(members[c], key=key) == keep
+        assert (r["kept_quality_pass"], r["kept_n_tokens"]) == quality[keep]
+    # every multi-member cluster is reported, none invented
+    assert seen_clusters == {c for c, m in members.items() if len(m) > 1}
