@@ -179,21 +179,24 @@ def test_manager_rotation_lifecycle(spark, sf_dir, tmp_path):
     want = _rows(ann_probe_topk(spark, v0, _query_vec(spark, sf_dir)))
     assert got == want
 
-    # adversarial drift: append 3x the corpus, every copy near ONE vector's
-    # position (new ids so nothing collides) — one cell balloons
+    # adversarial drift: append 3x the corpus SHIFTED into a new region
+    # (+3.0 per dim — keeps the internal spread, moves the mass where no
+    # frozen centroid lives, new ids so nothing collides). Against the
+    # frozen centroids the whole region lands in a handful of cells.
     n = e.count()
-    anchor = e.filter(F.col("vec_id") == 1).select("embedding")
-    skew = (
-        e.crossJoin(F.broadcast(anchor.select(F.col("embedding").alias("ae"))))
-        .select(
-            (F.col("vec_id") + 1000000).alias("vec_id"),
-            F.col("label"),
-            F.col("ae").alias("embedding"),
-        )
+    skew = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.col("label"),
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<FLOAT>), x -> x + CAST(3.0 AS FLOAT))"
+        ).alias("embedding"),
     )
     for i in range(3):
         mgr.append(spark, skew.select((F.col("vec_id") + i * n).alias("vec_id"), "label", "embedding"))
     assert mgr.needs_rebuild(spark, max_skew=4.0)
+    skew_before = (
+        mgr.health(spark).agg(F.max("share_ppm")).collect()[0][0]
+    )
 
     # rebuild: new version live, old retained and still loadable
     v1 = mgr.rebuild(spark)
@@ -215,10 +218,10 @@ def test_manager_rotation_lifecycle(spark, sf_dir, tmp_path):
     want_c = cent_rows(load_ann_index(spark, fresh_dir)["centroids"])
     assert got_c == want_c
 
-    # the rebuilt index spreads the ballooned mass: skew criterion clears
-    # is NOT guaranteed in general (the appended mass IS one point), so we
-    # assert the rebuild at least repartitioned: cell of the anchor clone
-    # population differs from v0's single hot cell only if centroids moved;
-    # the invariant that matters is determinism + rotation, asserted above.
+    # the rebuild rebalances: re-clustering dedicates centroids to the
+    # drifted region, so the fullest cell's share DROPS vs the frozen
+    # layout — the probe-cost property the rotation exists to restore
     h = mgr.health(spark)
     assert h.agg(F.sum("n")).collect()[0][0] == all_vecs.count()
+    skew_after = h.agg(F.max("share_ppm")).collect()[0][0]
+    assert skew_after < skew_before, (skew_before, skew_after)
