@@ -72,3 +72,87 @@ def min_label_propagation(
         "the component diameter exceeds max_rounds — raise it (labels at "
         "this point would be incorrect for the deepest chains)"
     )
+
+
+def cc_merge_batch(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Merge a NEW batch of edges (and nodes) into converged component
+    labels WITHOUT re-propagating over the corpus graph — the incremental
+    ingest cycle for canonical grouping, the same O(batch) discipline as
+    ``plans/incremental.py``'s dedup probe and ``plans/ann_index.py``'s
+    append.
+
+    Label contraction: because ``labels`` is a fixpoint, every existing
+    component is fully described by its label, so a new edge (a, b) only
+    ever merges COMPONENTS — map each endpoint to its current label (two
+    hash joins against the label table), run min-label propagation on the
+    quotient graph whose nodes are the touched labels (O(batch) nodes, not
+    O(corpus)), and remap: one broadcast join of the old→new label map over
+    the label table. Corpus-sized work per batch is therefore one scan +
+    one broadcast join; ALL iteration happens on the contracted graph.
+
+    Correctness: the quotient of a graph by its components has the same
+    component structure as the union graph, and since every stored label is
+    its component's MINIMUM id, the min over merged labels equals the min
+    over the merged components' members — so the result is bit-identical to
+    a full recompute over all edges seen so far (pinned by randomized tests
+    and the driver-oracled ``dedup_groups_incremental``).
+
+    Parameters
+    ----------
+    labels: DataFrame[id, label] — a CONVERGED labeling (the output of
+        ``min_label_propagation`` or a previous ``cc_merge_batch``).
+    new_edges: DataFrame[src, dst] — undirected batch (one direction is
+        enough; both endpoints are resolved symmetrically).
+    new_nodes: optional DataFrame[id] — nodes first seen this batch (e.g.
+        isolated new documents); endpoints of ``new_edges`` unknown to
+        ``labels`` are admitted automatically.
+    """
+    new_edges = new_edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).localCheckpoint(eager=True)
+
+    # admit unseen nodes with self-labels
+    endpoint_ids = (
+        new_edges.select(F.col("a").alias("id"))
+        .union(new_edges.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    if new_nodes is not None:
+        endpoint_ids = endpoint_ids.union(new_nodes.select("id")).distinct()
+    fresh = endpoint_ids.join(labels, "id", "left_anti").select(
+        "id", F.col("id").alias("label")
+    )
+    aug = labels.union(fresh).localCheckpoint(eager=True)
+
+    # contract: edge endpoints -> their current component labels
+    la = aug.select(F.col("id").alias("a"), F.col("label").alias("la"))
+    lb = aug.select(F.col("id").alias("b"), F.col("label").alias("lb"))
+    lpairs = (
+        new_edges.join(la, "a").join(lb, "b")
+        .filter(F.col("la") != F.col("lb"))
+        .select("la", "lb")
+        .distinct()
+    )
+    touched = (
+        lpairs.select(F.col("la").alias("id"))
+        .union(lpairs.select(F.col("lb").alias("id")))
+        .distinct()
+    )
+    label_edges = lpairs.select(
+        F.col("la").alias("src"), F.col("lb").alias("dst")
+    ).union(lpairs.select(F.col("lb").alias("src"), F.col("la").alias("dst")))
+
+    # the quotient graph is O(batch): iterate there, never on the corpus
+    meta = min_label_propagation(touched, label_edges).filter(
+        F.col("id") != F.col("label")
+    )
+    remap = meta.select(
+        F.col("id").alias("label"), F.col("label").alias("new_label")
+    )
+    return aug.join(F.broadcast(remap), "label", "left").select(
+        "id", F.coalesce("new_label", "label").alias("label")
+    )

@@ -2609,3 +2609,42 @@ def split_kfold_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groups.select(
         "doc_id", "canonical_id", (hexint % 5).cast("int").alias("fold")
     )
+
+
+@register(
+    "dedup_groups_incremental",
+    oracle=_sql_groups_connected(),
+    doc="Incremental canonical grouping: half the near-dup pairs folded "
+    "into converged labels via quotient-graph contraction — bit-identical "
+    "to the full recompute.",
+)
+def dedup_groups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-cycle form of ``dedup_groups_connected``: labels are
+    built from HALF the verified near-dup pairs (md5-parity split — the
+    'previous release' state), then the other half arrives as a batch and
+    ``operators.graph.cc_merge_batch`` folds it in by label contraction —
+    all iteration on the quotient graph of touched labels (O(batch)), one
+    broadcast remap over the label table, never a re-propagation over the
+    corpus graph. The oracle is dedup_groups_connected's own recursive
+    CTE: the incremental path must land on the SAME fixpoint, which is
+    exactly the claim that makes incremental maintenance trustworthy."""
+    from ..operators.graph import cc_merge_batch, min_label_propagation
+
+    pairs = dedup_lsh_then_verify(spark, sf_dir).select("doc_a", "doc_b")
+    parity = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", "doc_a", "doc_b")), 1, 2), 16, 10)
+        .cast("bigint") % 2
+    )
+    pairs = pairs.withColumn("par", parity).localCheckpoint(eager=True)
+    first = pairs.filter(F.col("par") == 0)
+    second = pairs.filter(F.col("par") == 1)
+
+    nodes = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    e1 = first.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    e1 = e1.union(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    base = min_label_propagation(nodes, e1)
+
+    merged = cc_merge_batch(
+        base, second.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return merged.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))

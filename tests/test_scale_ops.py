@@ -1311,3 +1311,43 @@ def test_keep_best_picks_the_cluster_argmax(spark, sf_dir):
         assert (r["kept_quality_pass"], r["kept_n_tokens"]) == quality[keep]
     # every multi-member cluster is reported, none invented
     assert seen_clusters == {c for c, m in members.items() if len(m) > 1}
+
+
+def test_cc_merge_batch_equals_full_recompute(spark):
+    """cc_merge_batch == full min-label propagation over the union edge
+    set, across seeded random graphs and multi-batch arrival orders —
+    including batches that introduce brand-new nodes and edges that
+    bridge previously separate components."""
+    import random
+
+    from eth_event_stream_spark.operators.graph import (
+        cc_merge_batch,
+        min_label_propagation,
+    )
+
+    def full_cc(ids, edges):
+        nodes = spark.createDataFrame([(i,) for i in ids], ["id"])
+        if edges:
+            e = spark.createDataFrame(edges, ["src", "dst"])
+            e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        else:
+            e = spark.createDataFrame([], "src bigint, dst bigint")
+        return {r["id"]: r["label"] for r in min_label_propagation(nodes, e).collect()}
+
+    for seed in (1, 2):
+        rnd = random.Random(seed)
+        ids = list(range(30))
+        all_edges = [(rnd.choice(ids), rnd.choice(ids)) for _ in range(35)]
+        b1 = [e for e in all_edges[:15] if e[0] < 22 and e[1] < 22]
+        rest = [e for e in all_edges[:15] if not (e[0] < 22 and e[1] < 22)] + all_edges[15:]
+        labels = spark.createDataFrame(
+            list(full_cc(ids[:22], b1).items()), ["id", "label"]
+        )
+        labels = cc_merge_batch(
+            labels,
+            spark.createDataFrame(rest[:10], ["src", "dst"]),
+            new_nodes=spark.createDataFrame([(i,) for i in ids[22:]], ["id"]),
+        )
+        labels = cc_merge_batch(labels, spark.createDataFrame(rest[10:], ["src", "dst"]))
+        got = {r["id"]: r["label"] for r in labels.collect()}
+        assert got == full_cc(ids, all_edges), seed
