@@ -262,6 +262,54 @@ def time_incremental_split(spark, timings: dict[str, float]) -> None:
         shutil.rmtree(art_dir, ignore_errors=True)
 
 
+def time_cc_split(spark, timings: dict[str, float]) -> None:
+    """Time incremental canonical grouping the way production pays it:
+    ``cc_base_labels`` = full min-label propagation over half the verified
+    pairs (the per-release build); ``cc_merge_batch`` = folding the OTHER
+    half in by quotient-graph contraction against the MATERIALIZED labels —
+    the per-cycle cost the O(batch) claim is about. The registered
+    ``dedup_groups_incremental`` row (driver-oracled) recomputes both
+    stages per run; this split isolates the merge."""
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.operators.graph import (
+        cc_merge_batch,
+        min_label_propagation,
+    )
+    from eth_event_stream_spark.plans.pipeline import dedup_lsh_then_verify
+
+    pairs = dedup_lsh_then_verify(spark, SF_DIR).select("doc_a", "doc_b")
+    parity = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", "doc_a", "doc_b")), 1, 2), 16, 10)
+        .cast("bigint") % 2
+    )
+    pairs = pairs.withColumn("par", parity).localCheckpoint(eager=True)
+    nodes = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").alias("id")
+    )
+    e1 = pairs.filter(F.col("par") == 0).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    e1 = e1.union(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    second = pairs.filter(F.col("par") == 1).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+
+    best_build, base = float("inf"), None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        base = min_label_propagation(nodes, e1)  # ends localCheckpointed
+        best_build = min(best_build, time.perf_counter() - t0)
+    timings["cc_base_labels"] = round(best_build, 3)
+
+    best_merge = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_query(cc_merge_batch(base, second))
+        best_merge = min(best_merge, time.perf_counter() - t0)
+    timings["cc_merge_batch"] = round(best_merge, 3)
+
+
 def time_ann_split(spark, timings: dict[str, float]) -> None:
     """Time the persisted-ANN cycle (plans/ann_index.py) the way
     production pays it: ``ann_build`` = Lloyd build + write the K-row
@@ -403,6 +451,7 @@ def main() -> None:
     time_ann_split(spark, timings)
     time_prepare_corpus_split(spark, timings)
     time_incremental_split(spark, timings)
+    time_cc_split(spark, timings)
 
     total = round(sum(timings.values()), 3)
     print(
