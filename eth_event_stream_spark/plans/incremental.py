@@ -484,3 +484,52 @@ def dedup_incremental_nominate_stream(
         corpus_index.withColumnRenamed("doc_id", "doc_corpus"),
         ["band_idx", "key"],
     ).select("doc_new", "doc_corpus", "band_idx")
+
+
+class CCMaintainer:
+    """Streaming maintainer for canonical-grouping labels: a ``foreachBatch``
+    sink that folds each micro-batch of near-dup EDGES into the persisted
+    component labels via ``operators.graph.cc_merge_batch`` and publishes
+    copy-on-write through the versioned CURRENT pointer
+    (``warehouse._VersionedTable`` semantics).
+
+    Unlike ``SnapshotMaintainer``/``SCD2Maintainer``, NO order frontier is
+    needed: component merging is COMMUTATIVE (any arrival order of edges
+    reaches the same fixpoint) and IDEMPOTENT (re-merging edges whose
+    endpoints already share a label is a no-op by the ``la != lb`` cut), so
+    out-of-order delivery is semantically harmless. The exactly-once guard
+    is only the applied-batch-id check in the pointer, which makes epoch
+    REPLAYS cheap no-ops rather than wrong.
+
+    Batch cost: O(batch) iteration on the quotient graph + one broadcast
+    remap over the label table (see ``cc_merge_batch``); the publish is the
+    label-table rewrite every copy-on-write dimension maintainer pays."""
+
+    def __init__(self, path: str, retain: int = 1):
+        from .warehouse import _VersionedTable
+
+        self._vt = _VersionedTable(path, retain=retain)
+
+    def bootstrap(self, labels: DataFrame) -> None:
+        """Publish the initial labeling (e.g. a full min_label_propagation
+        over the corpus at release time, or bare self-labels)."""
+        self._vt._publish(labels, batch_id=-1)
+
+    def current(self, spark: SparkSession) -> DataFrame:
+        return self._vt.current(spark)
+
+    def versions(self) -> list[int]:
+        return self._vt.versions()
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.graph import cc_merge_batch
+
+        ptr = self._vt._read_pointer()
+        if ptr is None:
+            raise RuntimeError("CCMaintainer not bootstrapped — publish initial labels first")
+        if batch_id <= ptr[1]:
+            return  # epoch replay: already folded in
+        spark = batch_df.sparkSession
+        labels = self._vt.current(spark)
+        merged = cc_merge_batch(labels, batch_df.select("src", "dst"))
+        self._vt._publish(merged, batch_id=batch_id)

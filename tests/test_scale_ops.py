@@ -1351,3 +1351,67 @@ def test_cc_merge_batch_equals_full_recompute(spark):
         labels = cc_merge_batch(labels, spark.createDataFrame(rest[10:], ["src", "dst"]))
         got = {r["id"]: r["label"] for r in labels.collect()}
         assert got == full_cc(ids, all_edges), seed
+
+
+def test_cc_maintainer_streaming_parity_and_replay(spark, tmp_path):
+    """Stream near-dup edges in 3 chunks through CCMaintainer: the published
+    labels equal a one-shot full propagation over all edges; replaying an
+    applied epoch is a no-op; and because component merging is commutative,
+    the SAME edges delivered in a different chunk order land on the same
+    fixpoint (no order frontier needed, unlike the warehouse maintainers)."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eth_event_stream_spark.operators.graph import min_label_propagation
+    from eth_event_stream_spark.plans.incremental import CCMaintainer
+
+    ids = list(range(20))
+    all_edges = [(0, 1), (1, 2), (5, 6), (6, 7), (2, 5), (10, 11), (12, 13), (11, 12), (3, 19)]
+    chunk_orders = [
+        [all_edges[:3], all_edges[3:6], all_edges[6:]],
+        [all_edges[6:], all_edges[:3], all_edges[3:6]],  # commuted arrival
+    ]
+    nodes = spark.createDataFrame([(i,) for i in ids], ["id"])
+    sym = spark.createDataFrame(all_edges, ["src", "dst"])
+    sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    want = sorted((r.id, r.label) for r in min_label_propagation(nodes, sym).collect())
+
+    arrow_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    for oi, chunks in enumerate(chunk_orders):
+        src_dir = tmp_path / f"edges_{oi}"
+        src_dir.mkdir()
+        now = _time.time()
+        for i, rows in enumerate(chunks):
+            f = src_dir / f"chunk-{i}.parquet"
+            pq.write_table(
+                pa.Table.from_pylist(
+                    [{"src": a, "dst": b} for a, b in rows], schema=arrow_schema
+                ),
+                str(f),
+            )
+            os.utime(f, (now - 30 + i * 10, now - 30 + i * 10))
+
+        m = CCMaintainer(str(tmp_path / f"cc_labels_{oi}"))
+        m.bootstrap(nodes.select("id", F.col("id").alias("label")))
+        sdf = (
+            spark.readStream.schema("src bigint, dst bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir))
+        )
+        q = (
+            sdf.writeStream.foreachBatch(m)
+            .option("checkpointLocation", str(tmp_path / f"ck_cc_{oi}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted((r.id, r.label) for r in m.current(spark).collect())
+        assert got == want, f"order {oi}"
+        # epoch replay no-op
+        m(spark.createDataFrame([(0, 19)], ["src", "dst"]), 0)
+        assert sorted((r.id, r.label) for r in m.current(spark).collect()) == want
