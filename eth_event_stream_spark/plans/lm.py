@@ -1255,3 +1255,80 @@ def layout_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("stage", "shard").orderBy("avg_centibits", "doc_id")
     return staged.withColumn("pos_in_shard", F.row_number().over(w).cast("bigint"))
+
+
+def _ablation_oracle() -> str:
+    gate = _ensemble_oracle()
+    per_sig = " UNION ALL ".join(
+        f"""
+        SELECT '{s}' AS signal,
+               CAST(SUM(1 - {s}_pass) AS BIGINT) AS n_fail,
+               CAST(SUM(CASE WHEN {s}_pass = 0 AND n_failed = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_kill
+        FROM flagged"""
+        for s in ("len", "stop", "rep", "digit", "lm")
+    )
+    return f"""
+    WITH gate AS ({gate}),
+    flagged AS (
+      SELECT *, (5 - len_pass - stop_pass - rep_pass - digit_pass - lm_pass)
+               AS n_failed
+      FROM gate)
+    {per_sig}
+    UNION ALL
+    SELECT 'ALL' AS signal,
+           CAST(SUM(1 - keep) AS BIGINT) AS n_fail,
+           CAST(SUM(1 - keep) AS BIGINT) AS n_unique_kill
+    FROM flagged
+    """
+
+
+@register(
+    "quality_ablation_report",
+    oracle=_ablation_oracle(),
+    doc="Filter ablation: per quality signal, how many documents it fails "
+    "and how many it UNIQUELY kills (no other signal fires).",
+)
+def quality_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation diagnostic that decides which filters earn their keep:
+    for each of the five ensemble signals, the number of documents it
+    fails and the number it UNIQUELY kills (the doc passes every other
+    signal) — a filter with zero unique kills is redundant with the rest
+    of the gate and can be dropped without changing the corpus; one with a
+    huge unique-kill count deserves a threshold review before it deletes a
+    slice of the distribution. The 'ALL' row is the gate's total kill
+    count.
+
+    One aggregation over the already-one-scan gate output: per-doc
+    failed-signal count, then conditional integer sums unpivoted to one
+    row per signal — no per-signal rescan of the corpus."""
+    gate = quality_ensemble_gate(spark, sf_dir)
+    flagged = gate.withColumn(
+        "n_failed",
+        F.lit(5)
+        - F.col("len_pass") - F.col("stop_pass") - F.col("rep_pass")
+        - F.col("digit_pass") - F.col("lm_pass"),
+    )
+    agg = flagged.agg(
+        *[
+            x
+            for s in ("len", "stop", "rep", "digit", "lm")
+            for x in (
+                F.sum(1 - F.col(f"{s}_pass")).cast("bigint").alias(f"{s}_fail"),
+                F.sum(
+                    F.when((F.col(f"{s}_pass") == 0) & (F.col("n_failed") == 1), 1)
+                    .otherwise(0)
+                ).cast("bigint").alias(f"{s}_uniq"),
+            )
+        ],
+        F.sum(1 - F.col("keep")).cast("bigint").alias("all_fail"),
+    )
+    stack = ", ".join(
+        f"'{s}', {s}_fail, {s}_uniq" for s in ("len", "stop", "rep", "digit", "lm")
+    )
+    return agg.select(
+        F.expr(
+            f"stack(6, {stack}, 'ALL', all_fail, all_fail) "
+            "AS (signal, n_fail, n_unique_kill)"
+        )
+    )
