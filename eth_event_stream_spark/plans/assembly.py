@@ -503,3 +503,96 @@ def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return spark.createDataFrame(selected, "sel_rank long, vec_id long, min_d2 double")
+
+
+# ---------------------------------------------------------------------------
+# Epoch planning under a multi-epoch token budget
+# ---------------------------------------------------------------------------
+
+# train-for-3x-the-corpus: the regime where epoch accounting matters
+EPOCH_BUDGET_MULT = 3
+
+_SQL_EPOCHS = f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(SUM(LEN(string_split(lower(text), ' '))) AS BIGINT) AS avail
+      FROM documents GROUP BY lang),
+    w AS (SELECT lang, avail, CAST(FLOOR(SQRT(avail)) AS BIGINT) AS weight
+          FROM per),
+    tot AS (
+      SELECT CAST(SUM(avail) * {EPOCH_BUDGET_MULT} AS BIGINT) AS budget,
+             CAST(SUM(weight) AS BIGINT) AS sum_w
+      FROM w),
+    alloc AS (
+      SELECT w.lang, w.avail AS avail_tokens,
+             CAST((t.budget * w.weight) // t.sum_w AS BIGINT) AS alloc_tokens
+      FROM w, tot t)
+    SELECT lang, avail_tokens, alloc_tokens,
+           CAST((alloc_tokens * 100 + avail_tokens - 1) // avail_tokens
+             AS BIGINT) AS epochs_centi,
+           CAST(CASE WHEN alloc_tokens * 100 > avail_tokens * 400
+                     THEN 1 ELSE 0 END AS INT) AS over_4_epochs
+    FROM alloc
+    """
+
+
+@register(
+    "mix_epochs_plan",
+    oracle=_SQL_EPOCHS,
+    doc="Epoch plan for a multi-epoch token budget: per-stratum epochs "
+    "(ceil, centi-epoch precision) under temperature weights, flagging "
+    "strata pushed past 4 epochs of repetition.",
+)
+def mix_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained mixture planning: when the training budget exceeds
+    the corpus (here budget = 3x total tokens), temperature flattening
+    forces low-resource strata through MULTIPLE epochs — this query makes
+    that cost explicit per stratum: epochs_centi = ceil(100 * alloc /
+    avail) (integer ceiling division, bit-stable in both engines), with a
+    flag on strata pushed past 4 epochs — the repetition level where
+    returns measurably decay (data-constrained scaling guidance), i.e.
+    the signal to cap the temperature or find more data.
+
+    100 TB shape: identical to the other mixing rows — one partial-agg
+    shuffle to ~|langs| rows, constant-size broadcast arithmetic, no
+    second corpus scan."""
+    d = t(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.lower(F.col("text")), " ", -1)))
+        .cast("bigint")
+        .alias("avail")
+    )
+    w = per.select(
+        "lang",
+        F.col("avail").alias("avail_tokens"),
+        F.floor(F.sqrt(F.col("avail"))).cast("bigint").alias("weight"),
+    )
+    tot = w.agg(
+        F.expr(f"CAST(SUM(avail_tokens) * {EPOCH_BUDGET_MULT} AS BIGINT)").alias(
+            "budget"
+        ),
+        F.sum("weight").cast("bigint").alias("sum_w"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "avail_tokens",
+            F.expr("CAST((budget * weight) div sum_w AS BIGINT)").alias(
+                "alloc_tokens"
+            ),
+        )
+        .select(
+            "lang",
+            "avail_tokens",
+            "alloc_tokens",
+            F.expr(
+                "CAST((alloc_tokens * 100 + avail_tokens - 1) div avail_tokens"
+                " AS BIGINT)"
+            ).alias("epochs_centi"),
+            F.expr(
+                "CAST(CASE WHEN alloc_tokens * 100 > avail_tokens * 400"
+                " THEN 1 ELSE 0 END AS INT)"
+            ).alias("over_4_epochs"),
+        )
+    )
