@@ -2648,3 +2648,102 @@ def dedup_groups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, second.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
     return merged.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))
+
+
+def _decon_report_oracle() -> str:
+    from .registry import QUERIES
+
+    ex = QUERIES["decontaminate_exact"].oracle
+    ng = QUERIES["decontaminate_ngram"].oracle
+    se = QUERIES["decontaminate_semantic"].oracle
+    per = " UNION ALL ".join(
+        f"""
+        SELECT '{lane}' AS lane,
+               CAST(SUM({lane[:2]}) AS BIGINT) AS n_flagged,
+               CAST(SUM(CASE WHEN {lane[:2]} = 1
+                             AND ex + ng + se = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_unique
+        FROM flags"""
+        for lane in ("exact", "ngram", "semantic")
+    )
+    return f"""
+    WITH exl AS ({ex}), ngl AS ({ng}), sel AS ({se}),
+    flags AS (
+      SELECT exl.doc_id,
+             exl.contaminated AS ex,
+             CASE WHEN ngl.n_shared_8grams >= 1 THEN 1 ELSE 0 END AS ng,
+             COALESCE(sel.contaminated, 0) AS se
+      FROM exl
+      LEFT JOIN ngl ON ngl.doc_id = exl.doc_id
+      LEFT JOIN sel ON sel.vec_id = exl.doc_id)
+    {per}
+    UNION ALL
+    SELECT 'ANY' AS lane,
+           CAST(SUM(CASE WHEN ex + ng + se >= 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN ex + ng + se >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM flags
+    """
+
+
+@register(
+    "decontaminate_report",
+    oracle=_decon_report_oracle(),
+    doc="Decontamination ablation across the exact, 8-gram, and semantic "
+    "lanes: per-lane flag counts, unique catches, and the union.",
+)
+def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leakage audit a release publishes: how many training documents
+    each decontamination lane flags, how many each catches UNIQUELY (the
+    paraphrase the semantic lane alone sees, the verbatim block only the
+    8-gram pass pins), and the union the release actually drops. A lane
+    with zero unique catches is redundant for this corpus; a big
+    semantic-only count means edited eval content is leaking past the
+    textual passes — the same redundancy calculus as
+    ``quality_ablation_report``, applied to leakage.
+
+    Composition: the three lanes' own frames (each already one
+    broadcast-probe corpus scan) joined on the shared id spine (vec i
+    embeds doc i in this testbed — the serving cycle's convention), then
+    conditional integer sums unpivoted via stack. Nothing rescans the
+    corpus beyond the three lanes themselves."""
+    ex = decontaminate_exact(spark, sf_dir).select(
+        "doc_id", F.col("contaminated").alias("ex")
+    )
+    ng = decontaminate_ngram(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("n_shared_8grams") >= 1, 1).otherwise(0).alias("ng"),
+    )
+    se = decontaminate_semantic(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("contaminated").alias("se")
+    )
+    flags = (
+        ex.join(ng, "doc_id", "left")
+        .join(se, "doc_id", "left")
+        .select(
+            "doc_id",
+            "ex",
+            F.coalesce("ng", F.lit(0)).alias("ng"),
+            F.coalesce("se", F.lit(0)).alias("se"),
+        )
+    )
+    n_lanes = F.col("ex") + F.col("ng") + F.col("se")
+    agg = flags.agg(
+        *[
+            x
+            for lane in ("ex", "ng", "se")
+            for x in (
+                F.sum(lane).cast("bigint").alias(f"{lane}_flagged"),
+                F.sum(
+                    F.when((F.col(lane) == 1) & (n_lanes == 1), 1).otherwise(0)
+                ).cast("bigint").alias(f"{lane}_uniq"),
+            )
+        ],
+        F.sum(F.when(n_lanes >= 1, 1).otherwise(0)).cast("bigint").alias("any_flagged"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 'exact', ex_flagged, ex_uniq, 'ngram', ng_flagged, ng_uniq, "
+            "'semantic', se_flagged, se_uniq, 'ANY', any_flagged, any_flagged) "
+            "AS (lane, n_flagged, n_unique)"
+        )
+    )
