@@ -1159,3 +1159,103 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("qid", "rank", "vec_id", "label", "cosine")
     )
+
+
+def _sql_hn_ivf() -> str:
+    """Oracle for the IVF-probed hard-negative miner: splice the shared
+    Lloyd/assignment CTE chain, then per-anchor probes + label-filtered
+    rank — one source of truth with similarity_topk_ivf for the index."""
+    ctes = _ivf_ctes(LLOYD_ROUNDS)
+    # drop the single-query tail (probes/cand/q/scored are vec_id=0-specific)
+    keep = [c for c in ctes if not c.lstrip().startswith(("probes", "cand ", "q AS", "scored"))]
+    cos = (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.qe[i] AS DOUBLE))) "
+        f"/ (sqrt(list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) "
+        f"* sqrt(list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+        "i -> CAST(a.qe[i] AS DOUBLE) * CAST(a.qe[i] AS DOUBLE)))))"
+    )
+    return (
+        "WITH " + ",\n    ".join(keep) + f""",
+    anchors AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+      FROM e WHERE vec_id IN (0, 1, 2, 3)),
+    aprobes AS (
+      SELECT qid, cid AS cell FROM (
+        SELECT a.qid, d.cid,
+               ROW_NUMBER() OVER (PARTITION BY a.qid
+                                  ORDER BY d.dist, d.cid) AS rn
+        FROM anchors a JOIN df d ON d.vec_id = a.qid)
+      WHERE rn <= {N_PROBE}),
+    cand2 AS (
+      SELECT p.qid, c.vec_id FROM cells c JOIN aprobes p ON c.cell = p.cell),
+    scored2 AS (
+      SELECT cand2.qid, cand2.vec_id, e.label,
+             ROUND({cos}, 6) AS cosine
+      FROM cand2
+      JOIN e ON e.vec_id = cand2.vec_id
+      JOIN anchors a ON a.qid = cand2.qid
+      WHERE e.label != a.qlabel),
+    ranked2 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored2)
+    SELECT qid, rank, vec_id, label, cosine FROM ranked2 WHERE rank <= 3
+    """
+    )
+
+
+@register(
+    "mine_hard_negatives_ivf",
+    oracle=_sql_hn_ivf(),
+    doc="Hard-negative mining through the learned IVF index: per anchor, "
+    "the 3 most-similar different-label vectors among its probed cells.",
+)
+def mine_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path ``mine_hard_negatives``'s docstring promises: instead
+    of scoring every (vector, anchor) pair, each anchor probes its N_PROBE
+    nearest IVF cells and only those cells' members are scored — the
+    candidate set is ~N_PROBE/K of the corpus per anchor, the trade every
+    ANN-backed miner makes (a hard negative hiding in an unprobed cell is
+    missed; raise N_PROBE to taste). Same deterministic Lloyd build and
+    cell assignment as ``similarity_topk_ivf`` (the oracle splices the
+    identical CTE chain), same broadcast-anchor / WindowGroupLimit shape
+    as the exact miner; at serving time the probe runs against the
+    persisted cell-partitioned store (``plans/ann_index.py``) so only the
+    probed cell directories are ever listed."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    cent = ivf_build_centroids(spark, sf_dir, e=e).localCheckpoint(eager=True)
+    cells = cell_assignments(e, cent)
+    anchors = e.filter(F.col("vec_id").isin(0, 1, 2, 3)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+    )
+    # per-anchor probe cells against the K-row centroid table
+    adist = anchors.crossJoin(F.broadcast(cent)).select(
+        "qid",
+        "cid",
+        F.expr(_L2_TO_CE.replace("embedding", "qe")).alias("dist"),
+    )
+    w_probe = Window.partitionBy("qid").orderBy("dist", "cid")
+    aprobes = (
+        adist.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("qid", F.col("cid").alias("cell"))
+    )
+    cand = cells.join(F.broadcast(aprobes), "cell").select("qid", "vec_id")
+    scored = (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(anchors), "qid")
+        .filter(F.col("label") != F.col("qlabel"))
+        .select("qid", "vec_id", "label", cosine_to_qe().alias("cosine"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "rank", "vec_id", "label", "cosine")
+    )
