@@ -225,3 +225,30 @@ def test_manager_rotation_lifecycle(spark, sf_dir, tmp_path):
     assert h.agg(F.sum("n")).collect()[0][0] == all_vecs.count()
     skew_after = h.agg(F.max("share_ppm")).collect()[0][0]
     assert skew_after < skew_before, (skew_before, skew_after)
+
+
+def test_manager_crash_mid_build_leaves_old_pointer_live(spark, sf_dir, tmp_path):
+    """A rebuild/build that dies BEFORE the pointer swap must leave the old
+    version live and probe-able — the copy-on-write crash contract."""
+    from eth_event_stream_spark.plans.ann_index import AnnIndexManager
+
+    mgr = AnnIndexManager(str(tmp_path / "ann_root"))
+    mgr.build(spark, sf_dir)
+    v0 = mgr.current_dir()
+
+    class Boom(RuntimeError):
+        pass
+
+    def failing_build(vdir):
+        import os
+
+        os.makedirs(vdir, exist_ok=True)  # partial artifacts on disk
+        raise Boom("codec died mid-build")
+
+    import pytest as _pytest
+
+    with _pytest.raises(Boom):
+        mgr._publish(failing_build)
+    assert mgr.current_dir() == v0  # pointer untouched
+    got = _rows(mgr.probe(spark, _query_vec(spark, sf_dir)))
+    assert len(got) == 10  # old version still serves

@@ -1415,3 +1415,27 @@ def test_cc_maintainer_streaming_parity_and_replay(spark, tmp_path):
         # epoch replay no-op
         m(spark.createDataFrame([(0, 19)], ["src", "dst"]), 0)
         assert sorted((r.id, r.label) for r in m.current(spark).collect()) == want
+
+
+def test_cc_merge_batch_degenerate_batches(spark):
+    """cc_merge_batch edge cases: an EMPTY batch is a label-preserving
+    no-op, self-loops and duplicate edges change nothing, and a batch
+    whose edges all land inside one existing component is also a no-op."""
+    from eth_event_stream_spark.operators.graph import (
+        cc_merge_batch,
+        min_label_propagation,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["id"])
+    e = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["src", "dst"])
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = min_label_propagation(nodes, sym)
+    want = sorted(tuple(r) for r in labels.collect())
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    assert sorted(tuple(r) for r in cc_merge_batch(labels, empty).collect()) == want
+
+    noise = spark.createDataFrame(
+        [(3, 3), (0, 1), (1, 0), (2, 0), (4, 5), (5, 4)], ["src", "dst"]
+    )
+    assert sorted(tuple(r) for r in cc_merge_batch(labels, noise).collect()) == want

@@ -478,3 +478,16 @@ def test_diff_identical_releases_short_circuits(spark, sf_dir):
         for r in curr.groupBy("lang").agg(F.count("*").alias("n")).collect()
     }
     assert {k[0]: v for k, v in got.items()} == per_lang
+
+
+def test_diff_pruned_bucket_count_invariant(spark, sf_dir):
+    """The fingerprint prune is a pure optimization at ANY bucketing: the
+    pruned diff equals the direct diff for coarse and fine bucket counts."""
+    from eth_event_stream_spark.plans.warehouse import (
+        diff_releases,
+        diff_releases_pruned,
+    )
+
+    direct = _rows(diff_releases(spark, sf_dir))
+    for n in (4, 128):
+        assert _rows(diff_releases_pruned(spark, sf_dir, n_buckets=n)) == direct, n
