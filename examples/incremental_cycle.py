@@ -13,7 +13,10 @@ Cycle N (per ingest batch, O(batch) cost):
   3. accept the non-duplicates;
   4. span-scrub the accepted docs against the corpus chunk index
      (boilerplate the corpus already carries is stripped at ingest);
-  5. append the accepted, scrubbed docs — production would also fold their
+  5. fold the batch's verified near-dup edges into the PERSISTED canonical
+     grouping via CCMaintainer (quotient-graph contraction, O(batch) —
+     the corpus graph is never re-propagated);
+  6. append the accepted, scrubbed docs — production would also fold their
      chunks/bands into the next release's artifacts.
 
 Run: python examples/incremental_cycle.py [sf_dir]   (default sf0.01)
@@ -31,6 +34,7 @@ from pyspark.sql import functions as F
 
 from eth_event_stream_spark.plans.curation import scrub_against_index
 from eth_event_stream_spark.plans.incremental import (
+    CCMaintainer,
     _split,
     incremental_pairs_from_artifacts,
     load_corpus_artifacts,
@@ -47,8 +51,14 @@ def main() -> None:
     n_corpus, n_batch = corpus.count(), batch.count()
 
     # --- cycle N-1: corpus release persists its artifacts ------------------
-    art_dir = os.path.join(tempfile.mkdtemp(prefix="cycle_"), "artifacts")
+    work = tempfile.mkdtemp(prefix="cycle_")
+    art_dir = os.path.join(work, "artifacts")
     persist_corpus_artifacts(corpus, art_dir)
+    # the release also publishes its canonical grouping (here: corpus docs
+    # start as singletons; a real release runs the full propagation)
+    cc = CCMaintainer(os.path.join(work, "cc_labels"))
+    cc.bootstrap(corpus.select(F.col("doc_id").alias("id"),
+                               F.col("doc_id").alias("label")))
     print(f"release: corpus {n_corpus} docs -> artifacts at {art_dir}")
 
     # --- cycle N: the per-batch work --------------------------------------
@@ -64,10 +74,26 @@ def main() -> None:
         F.sum("n_removed").alias("spans_removed"),
     ).collect()[0]
 
+    # fold the batch's duplicate edges into the persisted grouping:
+    # each rejected new doc joins its corpus twin's component — quotient-
+    # graph contraction, O(batch); unseen endpoints are admitted
+    # automatically and the publish is exactly-once via the pointer
+    cc(
+        pairs.select(
+            F.col("doc_new").alias("src"), F.col("doc_corpus").alias("dst")
+        ),
+        batch_id=0,
+    )
+    labels = cc.current(spark)
+    n_groups = labels.select("label").distinct().count()
     print(
         f"ingest: batch {n_batch} -> {n_rej} corpus-duplicates rejected -> "
         f"{stats['n']} accepted, {stats['spans_removed']} repeated spans "
         "scrubbed at ingest"
+    )
+    print(
+        f"grouping: {labels.count()} labeled docs in {n_groups} components "
+        "after the O(batch) fold"
     )
     spark.stop()
 
