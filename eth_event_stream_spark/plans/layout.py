@@ -218,3 +218,135 @@ def compact_parquet_dir(
         "n_files_out": n_out,
         "target_bytes": target_bytes,
     }
+
+
+# ---------------------------------------------------------------------------
+# Release integrity manifest
+# ---------------------------------------------------------------------------
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+class ReleaseIntegrityError(RuntimeError):
+    """A release's files do not match its manifest — name the damage loudly
+    (the reference's fail-fast discipline: a reorged block panics rather
+    than silently serving different bytes, `sink.rs:13-21`)."""
+
+
+def _byte_fingerprints(spark: SparkSession, data_dir: str) -> dict:
+    """file -> {n_bytes, md5} from ONE ``binaryFile`` scan — content md5 in
+    the JVM, no driver reads, and robust to ARBITRARY corruption (the bytes
+    are never parsed as parquet, so a truncated/garbled shard still gets a
+    checksum instead of crashing the verifier)."""
+    from pyspark.sql import functions as F
+
+    # files may have changed since Spark last listed this path (that is the
+    # point of verifying) — drop the cached listing or reads see stale sizes
+    spark.catalog.refreshByPath(data_dir)
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(data_dir)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("md5"),
+        )
+    )
+    return {
+        r["file"]: {"n_bytes": r["n_bytes"], "md5": r["md5"]}
+        for r in bin_df.collect()
+    }
+
+
+def _row_counts(spark: SparkSession, data_dir: str) -> dict:
+    """file -> row count from one parquet scan grouped by
+    ``input_file_name()`` — only safe on a release whose bytes already
+    verified (a corrupt footer would fail this scan)."""
+    from pyspark.sql import functions as F
+
+    counts = (
+        spark.read.parquet(data_dir)
+        .groupBy(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file")
+        )
+        .count()
+    )
+    return {r["file"]: r["count"] for r in counts.collect()}
+
+
+def _release_fingerprints(spark: SparkSession, data_dir: str) -> dict:
+    """(file -> {n_bytes, md5, n_rows}) for a parquet dir — two distributed
+    jobs total regardless of file count."""
+    fps = _byte_fingerprints(spark, data_dir)
+    for f, n in _row_counts(spark, data_dir).items():
+        fps[f]["n_rows"] = n
+    for v in fps.values():
+        v.setdefault("n_rows", 0)  # zero-row files never appear in the scan
+    return fps
+
+
+def write_manifest(spark: SparkSession, data_dir: str) -> dict:
+    """Publish the integrity manifest a dataset release ships with: one
+    JSON file beside the data carrying every shard's byte size, content
+    md5, and row count, plus the release totals. Both fingerprint passes
+    are distributed (see ``_release_fingerprints``); the manifest itself
+    is bounded driver metadata (one small dict per file)."""
+    import json
+    import os
+
+    fps = _release_fingerprints(spark, data_dir)
+    manifest = {
+        "files": fps,
+        "n_files": len(fps),
+        "total_bytes": sum(v["n_bytes"] for v in fps.values()),
+        "total_rows": sum(v["n_rows"] for v in fps.values()),
+    }
+    with open(os.path.join(data_dir, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    return manifest
+
+
+def verify_release(spark: SparkSession, data_dir: str) -> dict:
+    """Recompute the release fingerprints and compare against the shipped
+    manifest — raising ``ReleaseIntegrityError`` that NAMES every missing,
+    extra, or corrupted file. The check a consumer runs before training on
+    a copied/mirrored release; cost is one binaryFile pass + one counting
+    scan, both distributed."""
+    import json
+    import os
+
+    path = os.path.join(data_dir, MANIFEST_NAME)
+    if not os.path.exists(path):
+        raise ReleaseIntegrityError(f"no {MANIFEST_NAME} at {data_dir}")
+    with open(path) as f:
+        manifest = json.load(f)
+    want = manifest["files"]
+    # pass 1: bytes only — robust even when a shard is unreadable parquet
+    got = _byte_fingerprints(spark, data_dir)
+    missing = sorted(set(want) - set(got))
+    extra = sorted(set(got) - set(want))
+    corrupted = sorted(
+        f
+        for f in set(want) & set(got)
+        if (want[f]["n_bytes"], want[f]["md5"])
+        != (got[f]["n_bytes"], got[f]["md5"])
+    )
+    if missing or extra or corrupted:
+        raise ReleaseIntegrityError(
+            f"release at {data_dir} does not match its manifest — "
+            f"missing: {missing}, extra: {extra}, corrupted: {corrupted}"
+        )
+    # pass 2: only on byte-verified releases — row counts must agree too
+    # (catches a manifest written against different data)
+    wrong_rows = sorted(
+        f
+        for f, n in _row_counts(spark, data_dir).items()
+        if want[f]["n_rows"] != n
+    )
+    if wrong_rows:
+        raise ReleaseIntegrityError(
+            f"release at {data_dir}: row counts diverge from the manifest "
+            f"in {wrong_rows}"
+        )
+    return manifest
