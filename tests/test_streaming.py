@@ -1977,3 +1977,73 @@ def test_stream_semantic_decontamination_parity(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_stream_session_window_parity(spark, tmp_path):
+    """Native session_window aggregation STREAMED with a watermark equals
+    the batch session build over the same rows — the streaming twin of the
+    registered `session_window_30m` shape (merge-able session state: a new
+    event either extends an open session or opens a new one; the watermark
+    closes sessions whose gap has passed). A far-future sentinel advances
+    the watermark so every real session emits in append mode; the
+    sentinel's own still-open session is exactly the one NOT emitted."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    schema = "ts timestamp, user string"
+
+    def add_file(name: str, rows: list[tuple]) -> None:
+        stage = str(tmp_path / f"sess_stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    real = [
+        (t0, "a"),
+        (t0 + dt.timedelta(minutes=10), "a"),   # same session as t0
+        (t0 + dt.timedelta(minutes=5), "b"),
+        (t0 + dt.timedelta(minutes=50), "a"),   # 40m gap -> new session
+    ]
+    add_file("f1", real[:3])
+    add_file("f2", real[3:])
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        add_file("flush", [(t0 + dt.timedelta(days=1), "zz")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r["user"], r["w"]["start"], r["w"]["end"], r["n"])
+        for r in spark.table("sess_sink").collect()
+    )
+    want_df = (
+        spark.createDataFrame(real, schema)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user")
+        .agg(F.count("*").alias("n"))
+    )
+    want = sorted(
+        (r["user"], r["w"]["start"], r["w"]["end"], r["n"])
+        for r in want_df.collect()
+    )
+    assert got == want and len(got) == 3, (got, want)
