@@ -226,13 +226,33 @@ class AnnIndexManager:
             return []
         return sorted(e for e in os.listdir(self.root) if e.startswith("v-"))
 
+    def _next_version(self) -> str:
+        """Monotonic version id: one past the highest ever published.
+
+        Derived from the max existing ``v-NNNNNN`` (not the directory entry
+        COUNT): after GC prunes superseded versions the count shrinks, and a
+        count-derived name would collide with — and overwrite in place — the
+        LIVE version CURRENT points at, breaking the zero-downtime and
+        crash-safety contracts. Max+1 can never name an existing directory.
+        """
+        highest = -1
+        for entry in os.listdir(self.root):
+            if entry.startswith("v-"):
+                try:
+                    highest = max(highest, int(entry[2:]))
+                except ValueError:
+                    continue
+        return f"v-{highest + 1:06d}"
+
     def _publish(self, build_fn) -> str:
         """Build into a fresh version dir, then atomically repoint."""
         import shutil
 
         os.makedirs(self.root, exist_ok=True)
-        version = f"v-{len(os.listdir(self.root)):06d}"
+        version = self._next_version()
         vdir = os.path.join(self.root, version)
+        if os.path.exists(vdir):  # defence in depth: never mutate a published dir
+            raise FileExistsError(f"refusing to build into existing version {vdir}")
         build_fn(vdir)
         tmp = os.path.join(self.root, self._POINTER + ".tmp")
         with open(tmp, "w") as f:

@@ -233,12 +233,25 @@ class ReleaseIntegrityError(RuntimeError):
     than silently serving different bytes, `sink.rs:13-21`)."""
 
 
+def _rel_file_expr(path_col, data_dir: str):
+    """Shard key = path RELATIVE to ``data_dir`` (e.g. ``cell=3/part-0.parquet``),
+    never the basename: on a partitioned or nested release layout, same-named
+    part files in different subdirectories would otherwise silently collide in
+    the manifest's ``files`` dict (last one wins) and a corrupted or missing
+    shard could verify clean."""
+    import os
+    import re
+
+    prefix = re.escape(os.path.abspath(data_dir).rstrip("/")) + "/"
+    return F.regexp_replace(path_col, f"^.*?{prefix}", "")
+
+
 def _byte_fingerprints(spark: SparkSession, data_dir: str) -> dict:
-    """file -> {n_bytes, md5} from ONE ``binaryFile`` scan — content md5 in
-    the JVM, no driver reads, and robust to ARBITRARY corruption (the bytes
-    are never parsed as parquet, so a truncated/garbled shard still gets a
-    checksum instead of crashing the verifier)."""
-    from pyspark.sql import functions as F
+    """relative-path -> {n_bytes, md5} from ONE recursive ``binaryFile``
+    scan — content md5 in the JVM, no driver reads, and robust to ARBITRARY
+    corruption (the bytes are never parsed as parquet, so a truncated/garbled
+    shard still gets a checksum instead of crashing the verifier)."""
+    import os
 
     # files may have changed since Spark last listed this path (that is the
     # point of verifying) — drop the cached listing or reads see stale sizes
@@ -246,9 +259,10 @@ def _byte_fingerprints(spark: SparkSession, data_dir: str) -> dict:
     bin_df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
         .load(data_dir)
         .select(
-            F.element_at(F.split("path", "/"), -1).alias("file"),
+            _rel_file_expr(F.col("path"), data_dir).alias("file"),
             F.col("length").alias("n_bytes"),
             F.md5("content").alias("md5"),
         )
@@ -260,16 +274,15 @@ def _byte_fingerprints(spark: SparkSession, data_dir: str) -> dict:
 
 
 def _row_counts(spark: SparkSession, data_dir: str) -> dict:
-    """file -> row count from one parquet scan grouped by
-    ``input_file_name()`` — only safe on a release whose bytes already
-    verified (a corrupt footer would fail this scan)."""
-    from pyspark.sql import functions as F
-
+    """relative-path -> row count from one recursive parquet scan grouped
+    by ``input_file_name()`` — only safe on a release whose bytes already
+    verified (a corrupt footer would fail this scan). ``recursiveFileLookup``
+    matches the byte pass's file set on nested layouts (it disables
+    partition-column inference, which is irrelevant for counting rows)."""
     counts = (
-        spark.read.parquet(data_dir)
-        .groupBy(
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file")
-        )
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(data_dir)
+        .groupBy(_rel_file_expr(F.input_file_name(), data_dir).alias("file"))
         .count()
     )
     return {r["file"]: r["count"] for r in counts.collect()}

@@ -773,7 +773,12 @@ def diff_releases_pruned(spark: SparkSession, sf_dir: str, n_buckets: int = 32) 
     Pass 1 computes one order-independent FINGERPRINT per doc_id bucket and
     side (sum of a 56-bit slice of each row's md5(doc_id || hash) — an
     order- and partition-independent fold, and counts so add/remove can't
-    cancel); buckets whose (fingerprint, count) match on both sides are
+    cancel). The per-row signature is DECIMAL(38,0) so the per-bucket sum
+    cannot overflow: 56-bit values summed as int64 blow past 2^63 at a few
+    hundred rows per bucket, and under Spark's default ANSI mode that is an
+    ArithmeticException at exactly the scale this path exists for; a
+    decimal(38,0) sum stays exact to ~1.4e21 rows/bucket. Buckets whose
+    (fingerprint, count) match on both sides are
     proven identical and are NEVER row-diffed. Pass 2 runs the row diff of
     ``diff_release_rows`` only over the dirty buckets (predicate pushed to
     both scans), then the clean buckets contribute their 'unchanged' counts
@@ -793,7 +798,7 @@ def diff_releases_pruned(spark: SparkSession, sf_dir: str, n_buckets: int = 32) 
                     16,
                     10,
                 )
-                .cast("bigint")
+                .cast("decimal(38,0)")
                 .alias("sig"),
                 "lang",
             )

@@ -80,12 +80,21 @@ def main() -> None:
     # 3c2. LM quality gate (round 8): score fluency under the bigram LM
     #      trained on the trusted 'en' slice, drop the worst-surprise
     #      decile (the CCNet perplexity filter, in integer surprise bits)
+    #      quality_lm_surprise emits NO row for documents with fewer than
+    #      two tokens (no bigrams to score), so gate via a LEFT join and
+    #      pass unscored docs through — the fluency filter must only drop
+    #      documents it actually scored, not every bigram-less one
     lm = run("quality_lm_surprise")
     lm_cut = (
         lm.approxQuantile("avg_centibits", [0.9], 0.0)[0]
     )
-    fluent = lm.filter(F.col("avg_centibits") <= lm_cut).select("doc_id")
-    clean = clean.join(fluent, "doc_id", "left_semi")
+    clean = (
+        clean.join(lm.select("doc_id", "avg_centibits"), "doc_id", "left")
+        .filter(
+            F.col("avg_centibits").isNull() | (F.col("avg_centibits") <= lm_cut)
+        )
+        .drop("avg_centibits")
+    )
 
     # 3d. LEAKAGE-SAFE split: hash the near-dup group's canonical id, so no
     #     near-duplicate pair can straddle train/holdout

@@ -252,3 +252,34 @@ def test_manager_crash_mid_build_leaves_old_pointer_live(spark, sf_dir, tmp_path
     assert mgr.current_dir() == v0  # pointer untouched
     got = _rows(mgr.probe(spark, _query_vec(spark, sf_dir)))
     assert len(got) == 10  # old version still serves
+
+
+def test_manager_version_names_stay_monotonic_after_gc(tmp_path):
+    """Regression: version names derive from the MAX published id, not the
+    directory entry COUNT. With retain=1, GC shrinks the entry count, and a
+    count-derived name collides with the LIVE version from the 4th publish
+    onward — persist would then rewrite the directory CURRENT points at,
+    in place, under active readers. No Spark needed: exercise the naming /
+    GC / pointer plumbing with a marker-file build."""
+    import os
+
+    from eth_event_stream_spark.plans.ann_index import AnnIndexManager
+
+    mgr = AnnIndexManager(str(tmp_path / "ann_root"), retain=1)
+    published = []
+    for i in range(6):
+        def build(vdir, i=i):
+            os.makedirs(vdir)  # raises if a publish ever re-targets a live dir
+            with open(os.path.join(vdir, "marker"), "w") as f:
+                f.write(str(i))
+
+        vdir = mgr._publish(build)
+        published.append(os.path.basename(vdir))
+        # CURRENT points at the fresh version and its payload is intact
+        assert mgr._read_pointer() == published[-1]
+        with open(os.path.join(vdir, "marker")) as f:
+            assert f.read() == str(i)
+        # GC honours retain=1: live + one superseded, never more
+        assert len(mgr.versions()) <= 2
+
+    assert published == [f"v-{n:06d}" for n in range(6)]  # strictly fresh names

@@ -1484,3 +1484,56 @@ def test_release_manifest_write_and_verify(spark, sf_dir, tmp_path):
     # the appended byte changes length+md5 -> corrupted names shard 0;
     # note parquet readers may still read it, the CHECKSUM is the contract
     assert parts[0] in msg and "corrupted" in msg
+
+
+def test_release_manifest_nested_layout_no_basename_collision(spark, sf_dir, tmp_path):
+    """Regression: manifest keys are paths RELATIVE to the release dir, not
+    basenames. On a partitioned/nested layout (e.g. the cell-partitioned ANN
+    store) every subdirectory ships a same-named part-00000 shard — keyed by
+    basename they collide in the manifest dict (last wins) and corrupting one
+    of them verifies clean. Build a two-subdir release with identical shard
+    basenames, corrupt ONE nested shard, and demand the verifier name it."""
+    import os
+    import shutil
+
+    from eth_event_stream_spark.plans.layout import (
+        ReleaseIntegrityError,
+        write_manifest,
+        verify_release,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "release")
+    # partitioned layout: lang=XX/ subdirs, one shard each — same basenames
+    docs.repartition(1).write.partitionBy("lang").parquet(out)
+
+    m = write_manifest(spark, out)
+    assert m["total_rows"] == docs.count()
+    langs = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert len(langs) >= 2
+    basenames = {
+        f
+        for d in langs
+        for f in os.listdir(os.path.join(out, d))
+        if f.endswith(".parquet")
+    }
+    # every manifest key is dir-qualified, and the shard set is NOT collapsed
+    assert all("/" in k for k in m["files"]), sorted(m["files"])
+    assert m["n_files"] == len(langs) and len(basenames) < m["n_files"]
+    verify_release(spark, out)
+
+    # corrupt exactly one nested shard (drop the Hadoop .crc sidecar so OUR
+    # check fires, not the local-FS checksum layer)
+    victim_dir = os.path.join(out, langs[0])
+    shard = next(f for f in os.listdir(victim_dir) if f.endswith(".parquet"))
+    with open(os.path.join(victim_dir, shard), "ab") as f:
+        f.write(b"\x00")
+    crc = os.path.join(victim_dir, f".{shard}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ReleaseIntegrityError) as ei:
+        verify_release(spark, out)
+    assert f"{langs[0]}/{shard}" in str(ei.value) and "corrupted" in str(ei.value)

@@ -491,3 +491,20 @@ def test_diff_pruned_bucket_count_invariant(spark, sf_dir):
     direct = _rows(diff_releases(spark, sf_dir))
     for n in (4, 128):
         assert _rows(diff_releases_pruned(spark, sf_dir, n_buckets=n)) == direct, n
+
+
+def test_diff_pruned_fingerprint_sum_survives_int64_overflow(spark, sf_dir):
+    """Regression: the per-bucket fingerprint is a sum of 56-bit signatures
+    (values to ~7.2e16). Summed as int64 that overflows at a few hundred
+    rows per bucket — under Spark's default ANSI mode, an
+    ArithmeticException on the exact 100 TB path. n_buckets=1 forces every
+    release row into ONE bucket (~500 rows at sf0.01, avg sig ~3.6e16 →
+    sum ~1.8e19 > 2^63), so this case throws before the decimal(38,0) fix
+    and must both run clean and still equal the direct diff."""
+    from eth_event_stream_spark.plans.warehouse import (
+        diff_releases,
+        diff_releases_pruned,
+    )
+
+    direct = _rows(diff_releases(spark, sf_dir))
+    assert _rows(diff_releases_pruned(spark, sf_dir, n_buckets=1)) == direct
