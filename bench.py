@@ -149,7 +149,60 @@ HEADLINE = [
     "diff_releases",
     "prepare_next_event_pairs",
     "mine_hard_negatives",
+    # round-9 addition (r9-extended, additions only): the fingerprint-pruned
+    # release diff — the scale path beside the plain diff_releases row
+    # (clean buckets proven identical by (fingerprint, count), never
+    # row-diffed)
+    "diff_releases_pruned",
 ]
+
+
+# Split-stage rows added by the time_* helpers below (not registry queries);
+# the short-key map must cover them too.
+EXTRA_ROWS = [
+    "ivf_build",
+    "ivf_search",
+    "pq_build",
+    "pq_search",
+    "ann_build",
+    "ann_probe",
+    "prepare_quality",
+    "prepare_collapse",
+    "prepare_nominate",
+    "prepare_verify",
+    "prepare_finalize",
+    "incremental_build",
+    "incremental_probe",
+    "cc_base_labels",
+    "cc_merge_batch",
+]
+
+
+def short_key(name: str) -> str:
+    """Deterministic compact alias for a bench row: first two chars of the
+    first underscore-word + the initial of each later word
+    (``dedup_minhash_lsh_pairs`` -> ``demlp``)."""
+    parts = name.split("_")
+    return parts[0][:2] + "".join(p[0] for p in parts[1:] if p)
+
+
+def build_short_map(names: list[str]) -> dict[str, str]:
+    """short -> full name, collision-proofed by a numeric suffix in list
+    order. The archived bench line must stay under the driver's 2000-char
+    stdout tail capture or rows are lost from the permanent record (the
+    r7/r8 archives were both cut mid-tail); short keys keep all ~84 rows
+    inside it. The mapping ships in BENCH_KEYS.json (tools/gen_bench_keys.py)
+    so any archived record expands back to full query names."""
+    out: dict[str, str] = {}
+    for name in names:
+        s = short_key(name)
+        if s in out:
+            i = 2
+            while f"{s}{i}" in out:
+                i += 1
+            s = f"{s}{i}"
+        out[s] = name
+    return out
 
 
 def run_query(df) -> None:
@@ -454,6 +507,16 @@ def main() -> None:
     time_cc_split(spark, timings)
 
     total = round(sum(timings.values()), 3)
+    # full-fidelity record with long names -> stderr (for local eyes); the
+    # archived stdout line below uses the BENCH_KEYS.json short keys so the
+    # driver's 2000-char tail capture keeps every row (r7/r8 archives were
+    # cut mid-tail and lost ~15 rows each)
+    print(
+        json.dumps({"queries_full": timings}, separators=(",", ":")),
+        file=sys.stderr,
+    )
+    to_short = {v: k for k, v in build_short_map(HEADLINE + EXTRA_ROWS).items()}
+    compact = {to_short.get(k, k): v for k, v in timings.items()}
     print(
         json.dumps(
             {
@@ -485,9 +548,13 @@ def main() -> None:
                 # r8-extended2 added diff_releases,
                 # prepare_next_event_pairs, mine_hard_negatives
                 # (additions only)
-                "headline_set": "r8-extended2",
+                # r9-extended added diff_releases_pruned (additions only)
+                "headline_set": "r9-extended",
                 "n_queries": len(timings),
-                "queries": timings,
+                # short query keys (see build_short_map): expand via
+                # BENCH_KEYS.json at the repo root
+                "keys": "BENCH_KEYS.json",
+                "queries": compact,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },
             # compact separators: the driver records this line verbatim and

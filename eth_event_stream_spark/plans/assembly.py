@@ -505,6 +505,116 @@ def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(selected, "sel_rank long, vec_id long, min_d2 double")
 
 
+def sample_kcenter_batched(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KCENTER_K,
+    batch: int = 1,
+    oversample: int = 4,
+    e: DataFrame | None = None,
+) -> DataFrame:
+    """Large-k k-center: over-sampled BATCHED greedy selection — the
+    production path ``sample_kcenter_diverse``'s docstring promises for k
+    in the thousands, where K exact-argmax passes over the corpus are the
+    bottleneck (k-center++ / scalable-k-means||-style batching).
+
+    Per pass: (1) ONE ``TakeOrderedAndProject`` pulls the
+    ``oversample * batch`` farthest-from-selected candidates (bounded
+    driver metadata, like the exact path's 1-row probe); (2) the driver
+    runs EXACT greedy farthest-point among those candidates — against the
+    running selection AND the picks already made this pass — choosing
+    ``batch`` centers (cost O((oversample*batch)^2 * dim), trivial);
+    (3) one map over the state folds all ``batch`` new centers into
+    ``mind`` at once. Passes = ceil((k-1)/batch) instead of k-1 — for
+    k=4096, batch=64 that is 64 corpus passes instead of 4095, the whole
+    point. The per-pass plan shape is identical to the exact path
+    (localCheckpoint'd state, no global sort, no shuffle).
+
+    Exactness: ``batch=1`` IS Gonzalez — pick 1 of a pass is always the
+    global argmax, so the selection equals ``sample_kcenter_diverse``
+    row-for-row (pinned in tests/test_kcenter.py). For ``batch > 1``,
+    within-pass picks are greedy among the oversampled candidates, so the
+    result is an approximation whose first two selections still match the
+    exact path; the k-center objective stays within a small constant of
+    exact greedy on real corpora (rehearsed in BENCH_SF1.md).
+
+    Determinism matches the exact path: distances rounded to 6 places,
+    ties by ``vec_id``, seed = smallest ``vec_id``.
+    """
+    emb = (
+        e
+        if e is not None
+        else t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("e")
+        )
+    )
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    selected: list[tuple[int, int, float]] = [(1, seed["vec_id"], 0.0)]
+    sel_embs: list[list[float]] = [list(seed["e"])]
+
+    def lit_center(vals: list[float]):
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    def d2(a: list[float], b: list[float]) -> float:
+        return round(sum((x - y) * (x - y) for x, y in zip(a, b)), 6)
+
+    state = (
+        emb.filter(F.col("vec_id") != seed["vec_id"])
+        .withColumn("c", lit_center(seed["e"]))
+        .withColumn("mind", F.round(F.expr(_SPARK_D2.format(a="e", b="c")), 6))
+        .drop("c")
+        .localCheckpoint()
+    )
+    while len(selected) < k:
+        want = min(batch, k - len(selected))
+        cands = state.orderBy(F.desc("mind"), "vec_id").limit(
+            max(want, oversample * want)
+        ).collect()
+        if not cands:
+            break  # corpus smaller than k: truncated selection, like exact
+        # driver-side exact greedy among the candidates: each pick maximizes
+        # the min distance to selected ∪ picks-so-far (candidate `mind` is
+        # its distance to the pre-pass selection; picks update it locally)
+        pool = [
+            {"vec_id": c["vec_id"], "e": list(c["e"]), "mind": c["mind"]}
+            for c in cands
+        ]
+        picks = []
+        for _ in range(want):
+            if not pool:
+                break
+            best = max(pool, key=lambda p: (p["mind"], -p["vec_id"]))
+            picks.append(best)
+            pool.remove(best)
+            for p in pool:
+                p["mind"] = min(p["mind"], d2(p["e"], best["e"]))
+        for p in picks:
+            selected.append((len(selected) + 1, p["vec_id"], p["mind"]))
+            sel_embs.append(p["e"])
+        picked_ids = [p["vec_id"] for p in picks]
+        # fold ALL new centers into the state in ONE pass: array of centers,
+        # aggregate over it taking the min distance
+        centers = F.array(*[lit_center(p["e"]) for p in picks])
+        state = (
+            state.filter(~F.col("vec_id").isin(picked_ids))
+            .withColumn("cs", centers)
+            .withColumn(
+                "mind",
+                F.least(
+                    "mind",
+                    F.expr(
+                        "array_min(transform(cs, c -> round("
+                        + _SPARK_D2.format(a="e", b="c")
+                        + ", 6)))"
+                    ),
+                ),
+            )
+            .drop("cs")
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(selected, "sel_rank long, vec_id long, min_d2 double")
+
+
 # ---------------------------------------------------------------------------
 # Epoch planning under a multi-epoch token budget
 # ---------------------------------------------------------------------------

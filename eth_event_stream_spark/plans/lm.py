@@ -60,6 +60,28 @@ from .registry import register
 # slice and scores the crawl against it; 'en' is this corpus' stand-in
 LM_REF_LANG = "en"
 
+# Broadcast bound for the bigram table, BY CONSTRUCTION: the LM keeps only
+# the top-N bigrams by count (ties broken by (w1, w2) so the kept set is
+# deterministic), and every pruned bigram scores through the existing
+# unseen-continuation fallback (c2 -> 0, the 1/(c1+V) charge) — pruning can
+# only RAISE a bigram's surprise, never lower it. 2M rows ≈ tens of MB
+# broadcast; at any corpus size the map-join side stays executor-resident
+# (the COOCCUR_VOCAB pattern). The unigram table c1 is derived from the
+# UNCAPPED counts (an aggregate of the bigram aggregation, never a second
+# corpus scan), so denominators — and every un-pruned bigram's score — are
+# unchanged by the cap; c1 is |reference vocab|-bounded and takes the same
+# top-N treatment if a corpus ever needs it.
+LM_MAX_BIGRAMS = 2_000_000
+
+
+def _cap_bigrams(c2: DataFrame, max_bigrams: int | None) -> DataFrame:
+    """Top-``max_bigrams`` rows of the bigram-count table by (count desc,
+    w1, w2) — a bounded TakeOrdered, the count-pruning step that makes the
+    broadcast safe by construction. ``None`` disables (test hook)."""
+    if max_bigrams is None:
+        return c2
+    return c2.orderBy(F.desc("c2"), F.asc("w1"), F.asc("w2")).limit(max_bigrams)
+
 
 def _bits(n):  # floor(log2(n)) for n >= 1, exact in integer ops
     return (F.length(F.bin(n)) - F.lit(1)).cast("long")
@@ -122,27 +144,34 @@ def quality_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``c2`` one hash-agg over reference bigrams, ``c1`` an agg OF ``c2``
     (never a second corpus scan), ``V`` a 1-row distinct count.  Scoring
     is the corpus bigram stream map-joined against them: both LM tables
-    are explicitly ``broadcast`` (a production bigram LM used for
-    filtering is count-pruned to fit memory — CCNet ships ~a few GB; if
-    it does not fit, drop the hints and the same plan becomes a shuffled
-    hash join).  No shuffle touches the corpus except the final per-doc
-    aggregation, which partial-aggregates map-side.
+    are explicitly ``broadcast``, and the bigram table is bounded BY
+    CONSTRUCTION — count-pruned to the top ``LM_MAX_BIGRAMS`` rows, with
+    pruned bigrams absorbed by the unseen-continuation fallback (exactly
+    how CCNet ships a pruned few-GB filtering LM).  No shuffle touches
+    the corpus except the final per-doc aggregation, which
+    partial-aggregates map-side.
     """
     return lm_surprise_of(t(spark, sf_dir, "documents"))
 
 
-def lm_surprise_of(d: DataFrame) -> DataFrame:
+def lm_surprise_of(d: DataFrame, max_bigrams: int | None = LM_MAX_BIGRAMS) -> DataFrame:
     """df-level core of ``quality_lm_surprise`` — train the reference-slice
     LM inline and score every document of ``d`` (shared with the
-    curriculum layout, which orders by this score)."""
+    curriculum layout, which orders by this score).
+
+    The broadcast bigram table is count-pruned to ``max_bigrams`` rows
+    (see ``LM_MAX_BIGRAMS``): un-pruned bigrams score identically to the
+    uncapped LM (``c1`` keeps the full counts), pruned ones degrade to the
+    unseen-continuation charge — monotone, never under-charging."""
     toks = _doc_toks(d)
     big = _doc_bigrams(toks)
     ref = big.filter(F.col("lang") == LM_REF_LANG)
     # materialize the (small) bigram table once: c1 is an aggregate OF c2,
     # and without the boundary Catalyst re-derives c2 from a second scan
     # of the reference slice (same pattern as the cooccur vocab)
-    c2 = ref.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2")).localCheckpoint()
-    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    c2_full = ref.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2")).localCheckpoint()
+    c1 = c2_full.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    c2 = _cap_bigrams(c2_full, max_bigrams)
     v = (
         toks.filter(F.col("lang") == LM_REF_LANG)
         .select(F.explode("tk").alias("w"))
@@ -187,17 +216,20 @@ def _per_doc_bits(scored: DataFrame) -> DataFrame:
     )
 
 
-def lm_train(docs: DataFrame) -> tuple[DataFrame, DataFrame, int]:
+def lm_train(docs: DataFrame, max_bigrams: int | None = LM_MAX_BIGRAMS) -> tuple[DataFrame, DataFrame, int]:
     """Train the filtering LM on the reference slice of ``docs`` — the
     once-per-release artifact build of the serving cycle.  Returns
-    ``(c2, c1, v)``: the materialized bigram-count table, the unigram
-    table derived FROM it (no second corpus scan), and the reference
-    vocabulary size as a plain int (a release-time scalar, like the
-    quantile-filter threshold)."""
+    ``(c2, c1, v)``: the count-pruned bigram table (top ``max_bigrams``
+    rows — the broadcast-safe artifact, see ``LM_MAX_BIGRAMS``), the
+    unigram table derived from the UNCAPPED counts (no second corpus
+    scan; denominators exact), and the reference vocabulary size as a
+    plain int (a release-time scalar, like the quantile-filter
+    threshold)."""
     toks = _doc_toks(docs)
     ref = _doc_bigrams(toks).filter(F.col("lang") == LM_REF_LANG)
-    c2 = ref.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2")).localCheckpoint()
-    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1")).localCheckpoint()
+    c2_full = ref.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2")).localCheckpoint()
+    c1 = c2_full.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1")).localCheckpoint()
+    c2 = _cap_bigrams(c2_full, max_bigrams).localCheckpoint()
     v = (
         toks.filter(F.col("lang") == LM_REF_LANG)
         .select(F.explode("tk").alias("w"))

@@ -767,6 +767,13 @@ def diff_releases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "diff_releases_pruned",
+    oracle=_DIFF_ORACLE,
+    doc="Fingerprint-pruned release diff: bucket fingerprints prove clean "
+    "buckets identical so only dirty buckets are row-diffed; same answer "
+    "(and oracle) as diff_releases.",
+)
 def diff_releases_pruned(spark: SparkSession, sf_dir: str, n_buckets: int = 32) -> DataFrame:
     """Fingerprint-short-circuited diff: the 100 TB answer path.
 

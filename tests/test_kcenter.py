@@ -56,3 +56,78 @@ def test_kcenter_matches_oracle_and_cover_radius_shrinks(spark, sf_dir):
     assert len(sdf) == KCENTER_K
     dists = sdf["min_d2"].tolist()[1:]
     assert dists == sorted(dists, reverse=True)
+
+
+def test_kcenter_batched_with_batch_1_is_exact_gonzalez(spark, sf_dir):
+    """batch=1 degenerates to exact greedy: each pass's single pick is the
+    global argmax, so the batched path must equal sample_kcenter_diverse
+    row-for-row (rank, id, AND recorded min_d2)."""
+    from eth_event_stream_spark.plans.assembly import sample_kcenter_batched
+
+    exact = [
+        tuple(r)
+        for r in QUERIES["sample_kcenter_diverse"].fn(spark, sf_dir)
+        .orderBy("sel_rank")
+        .collect()
+    ]
+    batched = [
+        tuple(r)
+        for r in sample_kcenter_batched(spark, sf_dir, k=KCENTER_K, batch=1)
+        .orderBy("sel_rank")
+        .collect()
+    ]
+    assert batched == exact
+
+
+def test_kcenter_batched_large_batch_cuts_passes_and_stays_near_exact(spark, sf_dir):
+    """batch=4 over k=8 runs 2 passes instead of 7 and the selection keeps
+    the k-center character: k distinct rows, seed + global-farthest first
+    two (always exact), and the cover objective (max over the corpus of
+    min-d2 to the selected set) within 2x of exact greedy's — the
+    approximation the over-sampled batching trades for the pass count."""
+    import numpy as np
+
+    from eth_event_stream_spark.plans.assembly import sample_kcenter_batched
+
+    exact = (
+        QUERIES["sample_kcenter_diverse"].fn(spark, sf_dir)
+        .orderBy("sel_rank")
+        .collect()
+    )
+    batched = (
+        sample_kcenter_batched(spark, sf_dir, k=KCENTER_K, batch=4)
+        .orderBy("sel_rank")
+        .collect()
+    )
+    assert len(batched) == KCENTER_K
+    assert len({r.vec_id for r in batched}) == KCENTER_K
+    # pass 1's first pick is the true global argmax regardless of batching
+    assert [r.vec_id for r in batched[:2]] == [r.vec_id for r in exact[:2]]
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def cover(sel_ids):
+        centers = [emb[i] for i in sel_ids]
+        return max(
+            min(float(((v - c) ** 2).sum()) for c in centers)
+            for vid, v in emb.items()
+        )
+
+    r_exact = cover([r.vec_id for r in exact])
+    r_batched = cover([r.vec_id for r in batched])
+    assert r_batched <= 2.0 * r_exact, (r_batched, r_exact)
+
+
+def test_kcenter_batched_truncates_on_tiny_corpus(spark, tmp_path_factory):
+    """Corpus smaller than k: the batched path returns every vector once
+    and stops — same truncation contract as the exact path."""
+    from eth_event_stream_spark.plans.assembly import sample_kcenter_batched
+
+    d = _emb_dir(tmp_path_factory, {0: [0.0, 0.0], 1: [1.0, 0.0], 2: [0.0, 2.0]})
+    out = sample_kcenter_batched(spark, d, k=10, batch=4).collect()
+    assert sorted(r.vec_id for r in out) == [0, 1, 2]

@@ -661,3 +661,42 @@ def test_curriculum_layout_no_global_sort(spark, sf_dir):
     p = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     for m in re.finditer(r"Window .*", p):
         assert "SinglePartition" not in m.group(0), m.group(0)
+
+
+def test_lm_bigram_cap_is_noop_when_not_binding(spark, sf_dir):
+    """The LM_MAX_BIGRAMS broadcast bound is a pure safety cap: on a corpus
+    whose reference bigram table fits under it (any test SF), the capped LM
+    scores every document identically to the uncapped one."""
+    from eth_event_stream_spark.plans.lm import lm_surprise_of
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    capped = sorted(tuple(r) for r in lm_surprise_of(d).collect())
+    uncapped = sorted(tuple(r) for r in lm_surprise_of(d, max_bigrams=None).collect())
+    assert capped == uncapped
+
+
+def test_lm_bigram_cap_binding_degrades_monotonically(spark, sf_dir):
+    """With a BINDING cap (10 bigrams), the LM must still run clean, score
+    every document it scored before (same doc set, same n_bigrams), and
+    only ever CHARGE MORE: pruned bigrams fall back to the unseen-
+    continuation charge, so per-doc total_bits is weakly greater — the
+    graceful-degradation contract of the count-pruned broadcast."""
+    from eth_event_stream_spark.plans.lm import lm_surprise_of, lm_train
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {r["doc_id"]: r for r in lm_surprise_of(d, max_bigrams=None).collect()}
+    tight = {r["doc_id"]: r for r in lm_surprise_of(d, max_bigrams=10).collect()}
+    assert set(tight) == set(full)
+    assert any(
+        tight[k]["total_bits"] > full[k]["total_bits"] for k in full
+    )  # the cap actually bound
+    for k in full:
+        assert tight[k]["n_bigrams"] == full[k]["n_bigrams"]
+        assert tight[k]["total_bits"] >= full[k]["total_bits"], k
+
+    # the artifact build honours the same bound: the frozen c2 table the
+    # serving cycle broadcasts is at most max_bigrams rows
+    c2, c1, v = lm_train(d, max_bigrams=10)
+    assert c2.count() == 10 and v > 0
+    full_c2, _, _ = lm_train(d, max_bigrams=None)
+    assert full_c2.count() > 10
