@@ -95,6 +95,7 @@ def main() -> None:
         f"grouping: {labels.count()} labeled docs in {n_groups} components "
         "after the O(batch) fold"
     )
+    print("incremental cycle complete")
     spark.stop()
 
 

@@ -91,6 +91,7 @@ def main() -> None:
     )
     print("diff vs previous release:",
           {r["status"]: r["n"] for r in d.collect()})
+    print("release cycle complete")
     spark.stop()
 
 

@@ -89,6 +89,7 @@ def main() -> None:
     for r in fused.collect():
         print(f"  doc {r['doc_id']:>6}  kw_rank={r['rank_kw']} "
               f"vec_rank={r['rank_vec']}  rrf={r['rrf_score']}")
+    print("serving cycle complete")
     spark.stop()
 
 

@@ -167,6 +167,7 @@ def main() -> None:
     print(f"data card: docs={card['docs_total']} tokens={card['ws_tokens_total']} "
           f"langs={card['langs_distinct']} exact_dups={card['docs_exact_dup']}")
 
+    print("training pipeline complete")
     spark.stop()
 
 
