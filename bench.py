@@ -1,9 +1,14 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE JSON line (O(1) in registry size — the driver archives a bounded
+stdout tail, which cut the r7/r8 per-query maps mid-tail):
   {"metric": "headline_queries_total", "value": N, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": ...}
+   "queries": {<flagship rows only>}, "queries_detail": "BENCH_DETAIL.json",
+   "detail_sha256": ..., "sf": ...}
+The FULL per-query map (full names) is written to BENCH_DETAIL.json beside
+this script; the sha256 in the line binds the archived record to the
+committed per-round snapshot (BENCH_DETAIL_r{N}.json).
 
 Each query executes end-to-end into the noop sink (full physical execution,
 no driver-side materialization cost). One untimed warm-up of a small query
@@ -188,11 +193,13 @@ def short_key(name: str) -> str:
 
 def build_short_map(names: list[str]) -> dict[str, str]:
     """short -> full name, collision-proofed by a numeric suffix in list
-    order. The archived bench line must stay under the driver's 2000-char
-    stdout tail capture or rows are lost from the permanent record (the
-    r7/r8 archives were both cut mid-tail); short keys keep all ~84 rows
-    inside it. The mapping ships in BENCH_KEYS.json (tools/gen_bench_keys.py)
-    so any archived record expands back to full query names."""
+    order. Kept for expanding the r9-and-earlier archived records, whose
+    per-query maps were emitted with these short keys (r10+ records carry
+    the full-name map in the BENCH_DETAIL sidecar instead). Suffix
+    assignment depends on LIST ORDER, so HEADLINE/EXTRA_ROWS are
+    APPEND-ONLY: inserting a row ahead of an existing collision pair would
+    silently reassign a short key, and archived records expand through the
+    BENCH_KEYS.json committed at THAT round's SHA (noted in BASELINE.md)."""
     out: dict[str, str] = {}
     for name in names:
         s = short_key(name)
@@ -203,6 +210,65 @@ def build_short_map(names: list[str]) -> dict[str, str]:
             s = f"{s}{i}"
         out[s] = name
     return out
+
+
+# Membership stamp for the archived record. Totals are comparable only
+# within the same set version; compare per-query across versions. The full
+# additions-only history (r4 recomposition through every rN-extended bump)
+# lives in BASELINE.md's membership notes.
+HEADLINE_SET = "r9-extended"
+
+# Sidecar carrying the FULL per-query map with full names. The archived
+# stdout line is O(1) in registry size (the r7/r8 records were cut by the
+# driver's 2000-char tail capture; short keys bought headroom in r9 but
+# consumption stayed linear in registry growth) — it carries the totals,
+# the flagship rows, and a sha256 pointer that binds it to the committed
+# sidecar snapshot for that round (BENCH_DETAIL_r{N}.json in git).
+DETAIL_NAME = "BENCH_DETAIL.json"
+
+# The O(1) "queries" rows kept inline in the archived line: the engine's
+# flagship pair, a constant set regardless of registry size.
+INLINE_ROWS = ("flagship_user_netflow", "flagship_netflow_counters")
+
+
+def emit_record(timings: dict[str, float], sf: str, detail_dir: str | None = None) -> str:
+    """Write the full-fidelity per-query sidecar and return the O(1)
+    archived stdout line. Returned line length is independent of how many
+    rows the registry grows (pinned by tests/test_bench_record.py)."""
+    import hashlib
+
+    total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "headline_set": HEADLINE_SET,
+        "n_queries": len(timings),
+        "queries": timings,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(
+        detail_dir if detail_dir is not None else os.path.dirname(os.path.abspath(__file__)),
+        DETAIL_NAME,
+    )
+    payload = json.dumps(detail, separators=(",", ":"), sort_keys=True)
+    with open(detail_path, "w") as f:
+        f.write(payload)
+    return json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "headline_set": HEADLINE_SET,
+            "n_queries": len(timings),
+            "queries": {k: timings[k] for k in INLINE_ROWS if k in timings},
+            "queries_detail": DETAIL_NAME,
+            "detail_sha256": hashlib.sha256(payload.encode()).hexdigest(),
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
+    )
 
 
 def run_query(df) -> None:
@@ -506,63 +572,7 @@ def main() -> None:
     time_incremental_split(spark, timings)
     time_cc_split(spark, timings)
 
-    total = round(sum(timings.values()), 3)
-    # full-fidelity record with long names -> stderr (for local eyes); the
-    # archived stdout line below uses the BENCH_KEYS.json short keys so the
-    # driver's 2000-char tail capture keeps every row (r7/r8 archives were
-    # cut mid-tail and lost ~15 rows each)
-    print(
-        json.dumps({"queries_full": timings}, separators=(",", ":")),
-        file=sys.stderr,
-    )
-    to_short = {v: k for k, v in build_short_map(HEADLINE + EXTRA_ROWS).items()}
-    compact = {to_short.get(k, k): v for k, v in timings.items()}
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                # membership stamp: recomposed in round 4 (capped twins
-                # replaced uncapped funnels; ivf split into build/search),
-                # EXTENDED additions-only through round 5 (r5-extended ..
-                # r5-extended4 — TPC-H wide joins, incremental dedup, span
-                # scrub, PQ, ledger state reconstruction, PageRank, SQL
-                # recursion, variant extraction; full history in
-                # BASELINE.md). Totals are comparable only within the same
-                # set version; compare per-query across versions.
-                # r6-extended added the prepare_* stage decomposition rows;
-                # r6-extended2 added prefix-filter dedup, the histogram/KMV
-                # sketches, the assembly ops, and the incremental
-                # build/probe split (all additions only)
-                # r6-extended3 added the retrieval / grouped-ANN /
-                # profiling / transition rows (additions only)
-                # r7-extended added the hybrid-IVF retrieval and approx
-                # profiler rows (additions only); NOTE pipeline_prepare_
-                # corpus gained a localCheckpoint materialization boundary
-                # in r7 (same answer, ~1.4x faster composed row) and timed
-                # runs now clearCache between iterations
-                # r8-extended added the served hybrid lane
-                # (search_hybrid_rrf_served — persisted-index probe +
-                # serving-table read; additions only)
-                # r8-extended2 added diff_releases,
-                # prepare_next_event_pairs, mine_hard_negatives
-                # (additions only)
-                # r9-extended added diff_releases_pruned (additions only)
-                "headline_set": "r9-extended",
-                "n_queries": len(timings),
-                # short query keys (see build_short_map): expand via
-                # BENCH_KEYS.json at the repo root
-                "keys": "BENCH_KEYS.json",
-                "queries": compact,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            },
-            # compact separators: the driver records this line verbatim and
-            # the r7 record was cut mid-tail — every byte of padding risks
-            # losing rows from the archived JSON
-            separators=(",", ":"),
-        )
-    )
+    print(emit_record(timings, sf))
     spark.stop()
 
 

@@ -253,7 +253,17 @@ class AnnIndexManager:
         vdir = os.path.join(self.root, version)
         if os.path.exists(vdir):  # defence in depth: never mutate a published dir
             raise FileExistsError(f"refusing to build into existing version {vdir}")
-        build_fn(vdir)
+        try:
+            build_fn(vdir)
+        except BaseException:
+            # A failed build must not leave a partial v-NNNNNN behind: with
+            # monotonic naming it is never reused, so the next successful
+            # publish's GC (keep = last `retain` superseded entries,
+            # lexicographic) would RETAIN the garbage partial dir while
+            # deleting the genuinely superseded previous version that
+            # old-pointer readers may still be probing.
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise
         tmp = os.path.join(self.root, self._POINTER + ".tmp")
         with open(tmp, "w") as f:
             f.write(version)

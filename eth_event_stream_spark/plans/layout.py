@@ -238,12 +238,37 @@ def _rel_file_expr(path_col, data_dir: str):
     never the basename: on a partitioned or nested release layout, same-named
     part files in different subdirectories would otherwise silently collide in
     the manifest's ``files`` dict (last one wins) and a corrupted or missing
-    shard could verify clean."""
+    shard could verify clean.
+
+    Local-filesystem releases only (the same constraint as
+    ``compact_parquet_dir``: the manifest itself is read/written with plain
+    ``open()``).  Spark reports file paths in URI form
+    (``file:/...``, percent-encoded), so the strip prefix matches BOTH the
+    raw absolute path and its percent-encoded URI spelling — a release dir
+    containing spaces or ``%`` still relativizes.  ``_manifest_key`` below
+    fails loudly on any path this did not strip (e.g. an ``s3a://`` release)
+    instead of letting full-URI keys slip into a manifest."""
     import os
     import re
+    from urllib.parse import quote
 
-    prefix = re.escape(os.path.abspath(data_dir).rstrip("/")) + "/"
-    return F.regexp_replace(path_col, f"^.*?{prefix}", "")
+    raw = os.path.abspath(data_dir).rstrip("/")
+    alts = sorted({re.escape(raw), re.escape(quote(raw, safe="/"))})
+    return F.regexp_replace(path_col, "^.*?(?:" + "|".join(alts) + ")/", "")
+
+
+def _manifest_key(stripped: str) -> str:
+    """Driver-side finish of ``_rel_file_expr``: refuse keys that were not
+    actually relativized, and percent-decode the URI spelling Spark reports
+    so manifest keys are the real on-disk relative paths."""
+    from urllib.parse import unquote
+
+    if ":/" in stripped:
+        raise ReleaseIntegrityError(
+            f"file path {stripped!r} was not relativized against the release "
+            "dir — the manifest layer supports local-filesystem releases only"
+        )
+    return unquote(stripped)
 
 
 def _byte_fingerprints(spark: SparkSession, data_dir: str) -> dict:
@@ -268,7 +293,7 @@ def _byte_fingerprints(spark: SparkSession, data_dir: str) -> dict:
         )
     )
     return {
-        r["file"]: {"n_bytes": r["n_bytes"], "md5": r["md5"]}
+        _manifest_key(r["file"]): {"n_bytes": r["n_bytes"], "md5": r["md5"]}
         for r in bin_df.collect()
     }
 
@@ -285,7 +310,7 @@ def _row_counts(spark: SparkSession, data_dir: str) -> dict:
         .groupBy(_rel_file_expr(F.input_file_name(), data_dir).alias("file"))
         .count()
     )
-    return {r["file"]: r["count"] for r in counts.collect()}
+    return {_manifest_key(r["file"]): r["count"] for r in counts.collect()}
 
 
 def _release_fingerprints(spark: SparkSession, data_dir: str) -> dict:

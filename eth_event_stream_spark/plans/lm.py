@@ -95,11 +95,17 @@ big AS (
   SELECT doc_id, lang, tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
   FROM toks, UNNEST(range(1, len(tk))) AS r(i)
 ),
-c2 AS (
+c2_full AS (
   SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
   FROM big WHERE lang = '{LM_REF_LANG}' GROUP BY w1, w2
 ),
-c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2_full GROUP BY w1),
+c2 AS (
+  -- mirror the Spark side's LM_MAX_BIGRAMS count-pruning exactly: the
+  -- capped bigram table is the top-N by (count desc, w1, w2); c1 above is
+  -- derived from the UNCAPPED counts, so denominators never shift.
+  SELECT * FROM c2_full ORDER BY c2 DESC, w1, w2 LIMIT {LM_MAX_BIGRAMS}
+),
 v AS (
   SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
   FROM (SELECT UNNEST(tk) AS w FROM toks WHERE lang = '{LM_REF_LANG}')

@@ -283,3 +283,43 @@ def test_manager_version_names_stay_monotonic_after_gc(tmp_path):
         assert len(mgr.versions()) <= 2
 
     assert published == [f"v-{n:06d}" for n in range(6)]  # strictly fresh names
+
+def test_failed_build_leaves_no_partial_version_dir(tmp_path):
+    """Regression (ADVICE r9): a build_fn that raises must not leave its
+    partial v-NNNNNN behind — with monotonic naming it is never reused, so
+    the next successful publish's GC (keep = last `retain` superseded
+    entries, lexicographic) would RETAIN the garbage partial dir while
+    deleting the genuinely superseded previous version that old-pointer
+    readers may still be probing."""
+    import os
+
+    from eth_event_stream_spark.plans.ann_index import AnnIndexManager
+
+    mgr = AnnIndexManager(str(tmp_path / "ann_root"), retain=1)
+
+    def ok_build(vdir, i=[0]):
+        os.makedirs(vdir)
+        with open(os.path.join(vdir, "marker"), "w") as f:
+            f.write(str(i[0]))
+        i[0] += 1
+
+    mgr._publish(ok_build)          # v-000000
+    v_live = mgr._read_pointer()    # old-pointer readers hold this
+
+    def failing_build(vdir):
+        os.makedirs(vdir)
+        with open(os.path.join(vdir, "partial"), "w") as f:
+            f.write("garbage")
+        raise RuntimeError("died mid-build")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        mgr._publish(failing_build)
+    # the partial v-000001 is cleaned up, not left for GC to mis-retain
+    assert mgr.versions() == [v_live]
+
+    mgr._publish(ok_build)          # the cleaned-up id is safely reusable
+    # retain=1 keeps the PREVIOUS LIVE version (v_live), not garbage
+    assert sorted(mgr.versions()) == [v_live, mgr._read_pointer()]
+    assert os.path.exists(os.path.join(str(tmp_path / "ann_root"), v_live, "marker"))

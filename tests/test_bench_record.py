@@ -2,11 +2,11 @@
 
 The driver archives the LAST 2000 characters of bench.py's stdout and
 attempts a JSON parse; the r7 and r8 records were both cut mid-tail and
-permanently lost ~15 per-query rows each. These tests pin the contract
-that fixes it: the emitted line (short query keys, compact separators)
-stays under the capture window even at worst-case value widths, the
-short-key map is bijective, and the committed BENCH_KEYS.json expansion
-file never drifts from the code that generates the keys.
+permanently lost ~15 per-query rows each. Since r10 the emitted line is
+O(1) in registry size: the full per-query map lives in the BENCH_DETAIL
+sidecar, bound to the line by sha256. The r9 short-key map (BENCH_KEYS.json)
+is kept frozen for expanding the r9-and-earlier archives and must not
+drift from the code that generates it.
 
 No Spark session: bench.py is imported for its static tables only.
 """
@@ -29,29 +29,34 @@ def test_short_map_is_bijective_and_total():
     assert len(set(ALL_ROWS)) == len(ALL_ROWS)  # and no duplicate full name
 
 
-def test_archived_line_fits_driver_tail_capture():
-    """Worst-case emitted line (every value at 4-digit seconds with 3
-    decimals) must fit the 2000-char tail with headroom — the exact
-    archived form is re-parseable, rows intact."""
-    m = bench.build_short_map(ALL_ROWS)
-    compact = {k: 9999.999 for k in m}
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": 99999.999,
-            "unit": "sec",
-            "headline_set": "r9-extended",
-            "n_queries": len(compact),
-            "keys": "BENCH_KEYS.json",
-            "queries": compact,
-            "sf": 0.1,
-        },
-        separators=(",", ":"),
-    )
-    assert len(line) < 1900, len(line)
+def test_archived_line_fits_driver_tail_capture(tmp_path):
+    """The emitted line must be O(1) in registry size: even with every
+    registry row present at worst-case value widths, the line stays far
+    under the 2000-char tail, and its length does not grow when the
+    registry doubles. The full map lands in the sidecar, bound to the line
+    by sha256."""
+    import hashlib
+
+    timings = {name: 9999.999 for name in ALL_ROWS}
+    line = bench.emit_record(timings, "0.1", detail_dir=str(tmp_path))
+    assert len(line) < 600, len(line)
     # emulate the driver: keep only the last 2000 chars, then parse
     parsed = json.loads(line[-2000:])
-    assert len(parsed["queries"]) == len(ALL_ROWS)
+    assert parsed["n_queries"] == len(ALL_ROWS)
+    assert set(parsed["queries"]) <= set(bench.INLINE_ROWS)
+    # the sidecar carries every row under its FULL name, and the sha256 in
+    # the archived line matches the file bytes
+    detail_path = tmp_path / bench.DETAIL_NAME
+    payload = detail_path.read_bytes()
+    assert hashlib.sha256(payload).hexdigest() == parsed["detail_sha256"]
+    detail = json.loads(payload)
+    assert detail["queries"] == timings
+    assert detail["value"] == parsed["value"]
+    # O(1): doubling the registry must not grow the line beyond float-width
+    # jitter in the totals
+    doubled = dict(timings, **{f"{n}_twin": 9999.999 for n in ALL_ROWS})
+    line2 = bench.emit_record(doubled, "0.1", detail_dir=str(tmp_path))
+    assert abs(len(line2) - len(line)) <= 4, (len(line), len(line2))
 
 
 def test_bench_keys_file_matches_code():

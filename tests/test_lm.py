@@ -700,3 +700,33 @@ def test_lm_bigram_cap_binding_degrades_monotonically(spark, sf_dir):
     assert c2.count() == 10 and v > 0
     full_c2, _, _ = lm_train(d, max_bigrams=None)
     assert full_c2.count() > 10
+
+
+def test_lm_oracle_mirrors_binding_cap_cross_engine(spark, sf_dir):
+    """Regression (ADVICE r9): the DuckDB oracle now count-prunes its bigram
+    table exactly like the Spark side (top-N by count desc, w1, w2 — with c1
+    still derived from the UNCAPPED counts), so the registered parity check
+    stays valid even on a corpus whose reference bigram table exceeds
+    LM_MAX_BIGRAMS. Verified here with a cap that BINDS at test scale: both
+    engines, same tiny cap, identical rows."""
+    import duckdb as _duckdb
+
+    from eth_event_stream_spark.plans.lm import (
+        LM_MAX_BIGRAMS,
+        _SQL_LM_SURPRISE,
+        lm_surprise_of,
+    )
+
+    cap = 10
+    capped_sql = _SQL_LM_SURPRISE.replace(f"LIMIT {LM_MAX_BIGRAMS}", f"LIMIT {cap}")
+    assert capped_sql != _SQL_LM_SURPRISE  # the oracle really carries the cap
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    oracle = sorted(map(tuple, con.execute(capped_sql).fetchall()))
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(tuple(r) for r in lm_surprise_of(d, max_bigrams=cap).collect())
+    assert got == oracle

@@ -1537,3 +1537,35 @@ def test_release_manifest_nested_layout_no_basename_collision(spark, sf_dir, tmp
     with _pytest.raises(ReleaseIntegrityError) as ei:
         verify_release(spark, out)
     assert f"{langs[0]}/{shard}" in str(ei.value) and "corrupted" in str(ei.value)
+
+
+def test_release_manifest_uri_hostile_dir_and_nonlocal_guard(spark, sf_dir, tmp_path):
+    """Regression (ADVICE r9): Spark reports file paths in percent-encoded
+    URI form, so a release dir containing a space and a literal '%' used to
+    fail the prefix strip and keys silently became full URIs. Keys must be
+    the REAL on-disk relative paths, and a key that was never relativized
+    (non-local release) must fail loudly."""
+    import os
+
+    import pytest as _pytest
+
+    from eth_event_stream_spark.plans.layout import (
+        ReleaseIntegrityError,
+        _manifest_key,
+        write_manifest,
+        verify_release,
+    )
+
+    out = str(tmp_path / "rel 100% final")  # space + percent in the dir name
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(2).write.parquet(out)
+    m = write_manifest(spark, out)
+    assert m["n_files"] == 2
+    for k in m["files"]:
+        assert ":/" not in k and "%2" not in k, k  # relativized AND decoded
+        assert os.path.exists(os.path.join(out, k)), k
+    verify_release(spark, out)
+
+    # an unstripped key (e.g. an s3a:// release) fails loudly, never a
+    # silent full-URI manifest key
+    with _pytest.raises(ReleaseIntegrityError):
+        _manifest_key("s3a://bucket/release/part-0.parquet")
