@@ -159,6 +159,11 @@ HEADLINE = [
     # (clean buckets proven identical by (fingerprint, count), never
     # row-diffed)
     "diff_releases_pruned",
+    # round-10 addition (r10-extended, additions only): the large-k batched
+    # k-center draw at a production-shaped k=64/batch=8 (8 corpus passes
+    # instead of 63) + its 4x-OPT cover certificate, beside the exact
+    # sample_kcenter_diverse row
+    "sample_kcenter_batched",
 ]
 
 
@@ -216,7 +221,7 @@ def build_short_map(names: list[str]) -> dict[str, str]:
 # within the same set version; compare per-query across versions. The full
 # additions-only history (r4 recomposition through every rN-extended bump)
 # lives in BASELINE.md's membership notes.
-HEADLINE_SET = "r9-extended"
+HEADLINE_SET = "r10-extended"
 
 # Sidecar carrying the FULL per-query map with full names. The archived
 # stdout line is O(1) in registry size (the r7/r8 records were cut by the

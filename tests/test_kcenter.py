@@ -131,3 +131,43 @@ def test_kcenter_batched_truncates_on_tiny_corpus(spark, tmp_path_factory):
     d = _emb_dir(tmp_path_factory, {0: [0.0, 0.0], 1: [1.0, 0.0], 2: [0.0, 2.0]})
     out = sample_kcenter_batched(spark, d, k=10, batch=4).collect()
     assert sorted(r.vec_id for r in out) == [0, 1, 2]
+
+
+def test_kcenter_batched_stats_out_counts_passes(spark, sf_dir):
+    """stats_out reports the actual corpus-pass count and the selected
+    embeddings: ceil((k-1)/batch) passes, one embedding per selection."""
+    import math
+
+    from eth_event_stream_spark.plans.assembly import sample_kcenter_batched
+
+    for k, batch in [(9, 4), (8, 1), (5, 8)]:
+        stats: dict = {}
+        sel = sample_kcenter_batched(
+            spark, sf_dir, k=k, batch=batch, stats_out=stats
+        ).collect()
+        assert stats["passes"] == math.ceil((k - 1) / batch), (k, batch)
+        assert len(stats["sel_embs"]) == len(sel) == k
+
+
+def test_kcenter_cover_certificate_rejects_clustered_selection(
+    spark, tmp_path_factory
+):
+    """Negative control for the 4x-OPT certificate: on a line of far-apart
+    points, a deliberately CLUSTERED 'selection' (two adjacent points at
+    one end) has cover radius >> its pigeonhole lower bound and must FAIL
+    the certificate; the genuine spread selection must pass it."""
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.plans.assembly import kcenter_cover_certificate
+
+    # points at 0, 1, 100, 200 on a line
+    vecs = {0: [0.0], 1: [1.0], 2: [100.0], 3: [200.0]}
+    d = _emb_dir(tmp_path_factory, vecs)
+    emb = spark.read.parquet(f"{d}/embeddings.parquet").select(
+        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("e")
+    )
+    # clustered: S = {0, 1} -> R = 199, minpair = 1, lower = 0.5 -> 199 > 4*0.5
+    assert not kcenter_cover_certificate(emb, [0, 1], [[0.0], [1.0]], factor=4.0)
+    # spread: S = {0, 3} -> R = 100 (point at 100), minpair = 200,
+    # lower = min(200, 100)/2 = 50 -> 100 <= 4*50
+    assert kcenter_cover_certificate(emb, [0, 3], [[0.0], [200.0]], factor=4.0)
