@@ -513,6 +513,7 @@ def sample_kcenter_batched(
     oversample: int = 4,
     e: DataFrame | None = None,
     stats_out: dict | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Large-k k-center: over-sampled BATCHED greedy selection — the
     production path ``sample_kcenter_diverse``'s docstring promises for k
@@ -537,7 +538,21 @@ def sample_kcenter_batched(
     within-pass picks are greedy among the oversampled candidates, so the
     result is an approximation whose first two selections still match the
     exact path; the k-center objective stays within a small constant of
-    exact greedy on real corpora (rehearsed in BENCH_SF1.md).
+    exact greedy (measured in BENCH_SF1.md: within 0.7% of the exact
+    cover radius at k=256 across all three rehearsal scales).
+
+    ``exact=True`` upgrades batch > 1 to EXACT Gonzalez semantics via a
+    cutoff rule: a within-pass pick is provably the GLOBAL argmax while
+    its locally-updated ``mind`` stays strictly above the fetch cutoff
+    (the smallest fetched candidate's pre-pass ``mind`` — every
+    non-fetched point is at or below it, and ``mind`` only decreases), so
+    the pass stops early and refetches the moment that proof lapses. The
+    first pick of every pass is always the global argmax (fetch order is
+    the argmax order), so each pass selects >= 1 and the loop terminates;
+    passes stay ~ceil((k-1)/batch) when the corpus is spread and degrade
+    toward k-1 only where the selection frontier is tie-dense (measured
+    in BENCH_SF1.md). Row-for-row equality with ``batch=1`` is pinned in
+    tests/test_kcenter.py.
 
     Determinism matches the exact path: distances rounded to 6 places,
     ties by ``vec_id``, seed = smallest ``vec_id``.
@@ -569,9 +584,8 @@ def sample_kcenter_batched(
     passes = 0
     while len(selected) < k:
         want = min(batch, k - len(selected))
-        cands = state.orderBy(F.desc("mind"), "vec_id").limit(
-            max(want, oversample * want)
-        ).collect()
+        n_fetch = max(want, oversample * want)
+        cands = state.orderBy(F.desc("mind"), "vec_id").limit(n_fetch).collect()
         if not cands:
             break  # corpus smaller than k: truncated selection, like exact
         # driver-side exact greedy among the candidates: each pick maximizes
@@ -581,11 +595,18 @@ def sample_kcenter_batched(
             {"vec_id": c["vec_id"], "e": list(c["e"]), "mind": c["mind"]}
             for c in cands
         ]
+        # exact mode: if the fetch truncated the corpus, a pick is provably
+        # the global argmax only while its updated mind stays STRICTLY
+        # above the smallest fetched pre-pass mind (non-fetched points all
+        # sit at or below it and only ever decrease)
+        cutoff = min(c["mind"] for c in cands) if len(cands) == n_fetch else None
         picks = []
         for _ in range(want):
             if not pool:
                 break
             best = max(pool, key=lambda p: (p["mind"], -p["vec_id"]))
+            if exact and picks and cutoff is not None and best["mind"] <= cutoff:
+                break  # proof lapsed: stop the pass, refetch from the corpus
             picks.append(best)
             pool.remove(best)
             for p in pool:

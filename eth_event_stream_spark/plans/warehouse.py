@@ -793,27 +793,70 @@ def diff_releases_pruned(spark: SparkSession, sf_dir: str, n_buckets: int = 32) 
     reads 1% of the rows twice and 99% once, instead of full-outer-joining
     two whole releases. Equivalence with the direct diff is pinned in
     ``tests/test_warehouse.py``."""
-    prev = _release_prev(spark, sf_dir)
-    curr = _release_curr(spark, sf_dir)
+    return diff_releases_pruned_of(
+        _release_prev(spark, sf_dir), _release_curr(spark, sf_dir), n_buckets
+    )
 
-    def fp(df: DataFrame) -> DataFrame:
-        return (
-            df.select(
-                (F.col("doc_id") % n_buckets).alias("bucket"),
-                F.conv(
-                    F.substring(F.md5(F.concat_ws("|", "doc_id", F.md5("text"))), 1, 14),
-                    16,
-                    10,
-                )
-                .cast("decimal(38,0)")
-                .alias("sig"),
-                "lang",
+
+def release_bucket_fingerprints(df: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """The ``n_buckets``-row fingerprint table a release SHIPS beside its
+    data (the integrity-manifest pattern): one order- and
+    partition-independent fingerprint per doc_id bucket — the decimal(38,0)
+    sum of a 56-bit slice of each row's md5(doc_id || content-hash), plus
+    the row count so add/remove cannot cancel. Written once at release
+    time, it lets every later diff prove clean buckets identical from two
+    tiny tables WITHOUT rescanning either release — the O(dirty fraction)
+    diff the pruned path exists for."""
+    return (
+        df.select(
+            (F.col("doc_id") % n_buckets).alias("bucket"),
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", "doc_id", F.md5("text"))), 1, 14),
+                16,
+                10,
             )
-            .groupBy("bucket")
-            .agg(F.sum("sig").alias("fp"), F.count("*").alias("n"))
+            .cast("decimal(38,0)")
+            .alias("sig"),
         )
-    fp_p = fp(prev).select("bucket", F.col("fp").alias("fp_p"), F.col("n").alias("n_p"))
-    fp_c = fp(curr).select("bucket", F.col("fp").alias("fp_c"), F.col("n").alias("n_c"))
+        .groupBy("bucket")
+        .agg(F.sum("sig").alias("fp"), F.count("*").alias("n"))
+    )
+
+
+def diff_releases_pruned_of(
+    prev: DataFrame,
+    curr: DataFrame,
+    n_buckets: int = 32,
+    fp_prev: DataFrame | None = None,
+    fp_curr: DataFrame | None = None,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """df-level core of ``diff_releases_pruned`` — diff ANY two releases
+    (columns ``doc_id, lang, text``) with the fingerprint short-circuit.
+    The registered query wires it to the synthetic release pair; production
+    calls this directly with its own releases.
+
+    ``fp_prev`` / ``fp_curr`` accept PERSISTED fingerprint tables
+    (``release_bucket_fingerprints`` schema) shipped with each release —
+    then the diff never scans clean data at all: two n_buckets-row reads
+    pick the dirty buckets and only those buckets' rows are read and
+    row-diffed (with a bucket-partitioned release layout the clean files
+    are partition-pruned, not just filter-skipped). Without persisted
+    fingerprints the fingerprint pass itself scans both releases once, so
+    pruning only repays its overhead when row-diff work (shuffle + join)
+    dominates scan cost; the synthetic registered pair is the worst case —
+    UNIFORM changes dirty every bucket and pruning pays pure overhead
+    (both regimes measured in BENCH_SF1.md)."""
+    fp_p = (
+        fp_prev
+        if fp_prev is not None
+        else release_bucket_fingerprints(prev, n_buckets)
+    ).select("bucket", F.col("fp").alias("fp_p"), F.col("n").alias("n_p"))
+    fp_c = (
+        fp_curr
+        if fp_curr is not None
+        else release_bucket_fingerprints(curr, n_buckets)
+    ).select("bucket", F.col("fp").alias("fp_c"), F.col("n").alias("n_c"))
     marks = fp_p.join(fp_c, "bucket", "full_outer")
     dirty = [
         r["bucket"]
@@ -823,12 +866,20 @@ def diff_releases_pruned(spark: SparkSession, sf_dir: str, n_buckets: int = 32) 
         .select("bucket")
         .collect()
     ]
+    # With a bucket-PARTITIONED release layout, ``bucket_col`` names the
+    # materialized partition column (== doc_id % n_buckets by layout
+    # construction) so the dirty/clean predicates become PartitionFilters —
+    # clean buckets' files are never listed, let alone read. Deriving the
+    # bucket from doc_id is semantically identical but only filter-skips.
+    bucket = (
+        F.col(bucket_col) if bucket_col is not None else F.col("doc_id") % n_buckets
+    )
     dirty_rows = diff_release_rows(
-        prev.filter((F.col("doc_id") % n_buckets).isin(dirty)),
-        curr.filter((F.col("doc_id") % n_buckets).isin(dirty)),
+        prev.filter(bucket.isin(dirty)),
+        curr.filter(bucket.isin(dirty)),
     ).groupBy("lang", "status").agg(F.count("*").cast("bigint").alias("n_docs"))
     clean_rows = (
-        curr.filter(~(F.col("doc_id") % n_buckets).isin(dirty))
+        curr.filter(~bucket.isin(dirty))
         .groupBy("lang")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .select("lang", F.lit("unchanged").alias("status"), "n_docs")

@@ -171,3 +171,29 @@ def test_kcenter_cover_certificate_rejects_clustered_selection(
     # spread: S = {0, 3} -> R = 100 (point at 100), minpair = 200,
     # lower = min(200, 100)/2 = 50 -> 100 <= 4*50
     assert kcenter_cover_certificate(emb, [0, 3], [[0.0], [200.0]], factor=4.0)
+
+
+def test_kcenter_batched_exact_mode_equals_gonzalez(spark, sf_dir):
+    """exact=True with batch > 1 must reproduce Gonzalez ROW-FOR-ROW
+    (ids, ranks, AND min_d2 values): the cutoff rule only permits a
+    within-pass pick while it is provably the global argmax. Fewer corpus
+    passes than k-1 must still be achieved on spread data."""
+    from eth_event_stream_spark.plans.assembly import sample_kcenter_batched
+
+    st1: dict = {}
+    exact_rows = sorted(
+        tuple(r)
+        for r in sample_kcenter_batched(
+            spark, sf_dir, k=12, batch=1, stats_out=st1
+        ).collect()
+    )
+    st2: dict = {}
+    got = sorted(
+        tuple(r)
+        for r in sample_kcenter_batched(
+            spark, sf_dir, k=12, batch=4, exact=True, stats_out=st2
+        ).collect()
+    )
+    assert got == exact_rows
+    assert st1["passes"] == 11
+    assert st2["passes"] < 11  # batching actually saved corpus passes

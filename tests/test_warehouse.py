@@ -508,3 +508,64 @@ def test_diff_pruned_fingerprint_sum_survives_int64_overflow(spark, sf_dir):
 
     direct = _rows(diff_releases(spark, sf_dir))
     assert _rows(diff_releases_pruned(spark, sf_dir, n_buckets=1)) == direct
+
+
+def test_diff_pruned_shipped_fingerprints_and_partition_pruning(
+    spark, sf_dir, tmp_path
+):
+    """The 100 TB diff shape: each release ships its bucket-fingerprint
+    table (release_bucket_fingerprints) and lives bucket-PARTITIONED. The
+    diff must (a) return the exact same answer as the direct row diff,
+    (b) consume the SHIPPED fingerprints instead of rescanning, and
+    (c) push the dirty-bucket predicate as a PartitionFilter so clean
+    buckets' files are pruned, not just filter-skipped."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.plans.warehouse import (
+        diff_release_rows,
+        diff_releases_pruned_of,
+        release_bucket_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    prev = docs.withColumn("bucket", F.col("doc_id") % 32)
+    # localized change: ONE dirty bucket (half of bucket 5's texts flip)
+    curr = prev.withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % 32 == 5) & (F.col("doc_id") % 64 == 5),
+            F.reverse(F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    prev.write.partitionBy("bucket").parquet(str(tmp_path / "prev"))
+    curr.write.partitionBy("bucket").parquet(str(tmp_path / "curr"))
+    p = spark.read.parquet(str(tmp_path / "prev"))
+    c = spark.read.parquet(str(tmp_path / "curr"))
+    release_bucket_fingerprints(p).write.parquet(str(tmp_path / "fp_p"))
+    release_bucket_fingerprints(c).write.parquet(str(tmp_path / "fp_c"))
+    fp_p = spark.read.parquet(str(tmp_path / "fp_p"))
+    fp_c = spark.read.parquet(str(tmp_path / "fp_c"))
+
+    direct = sorted(
+        map(
+            tuple,
+            diff_release_rows(p, c)
+            .groupBy("lang", "status")
+            .agg(F.count("*").cast("bigint").alias("n_docs"))
+            .collect(),
+        )
+    )
+    pruned = diff_releases_pruned_of(
+        p, c, fp_prev=fp_p, fp_curr=fp_c, bucket_col="bucket"
+    )
+    assert sorted(map(tuple, pruned.collect())) == direct
+    # exactly one bucket was dirty, and the dirty-row scan partition-prunes
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("bucket" in pf and "5" in pf for pf in pfs), plan[:3000]
