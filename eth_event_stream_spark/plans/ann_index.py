@@ -282,8 +282,78 @@ class AnnIndexManager:
             lambda vdir: persist_ann_index(spark, sf_dir, vdir, e=e)
         )
 
-    def append(self, spark: SparkSession, new_vecs: DataFrame) -> None:
-        ann_append_batch(spark, self.current_dir(), new_vecs)
+    _APPLIED = "_APPLIED_BATCHES"
+
+    def append(
+        self, spark: SparkSession, new_vecs: DataFrame, batch_id: int | None = None
+    ) -> None:
+        """Ingest a batch into the LIVE version's cell store. With a
+        ``batch_id`` (the foreachBatch epoch), the append is EXACTLY-ONCE —
+        the sink contract of the reference (`sink.rs:13-21`) extended to
+        the mutating ingest lane, where the versioned pointer cannot help
+        (appends don't rotate versions):
+
+        1. replayed ids no-op (recorded in the version's ``_APPLIED_BATCHES``
+           file AFTER the batch's files are all in place);
+        2. every file the batch contributes carries a deterministic
+           ``batch-<id>-`` prefix, so a replay of a CRASHED attempt first
+           scrubs the leftovers, then re-stages — the mid-move and
+           post-move-pre-record crash windows both resolve to exactly-once;
+        3. the batch is staged by one Spark job into a ``_staging`` dir and
+           moved file-by-file (same-FS ``os.replace``, with Hadoop's .crc
+           sidecars) — readers never see a half-visible batch of a name
+           they could double-count.
+
+        Without ``batch_id`` the raw ``ann_append_batch`` applies and
+        idempotence is the caller's offset contract."""
+        vdir = self.current_dir()
+        if batch_id is None:
+            ann_append_batch(spark, vdir, new_vecs)
+            return
+        import glob
+        import shutil
+
+        applied_path = os.path.join(vdir, self._APPLIED)
+        applied: set[int] = set()
+        if os.path.exists(applied_path):
+            with open(applied_path) as f:
+                applied = {int(x) for x in f.read().split()}
+        if batch_id in applied:
+            return  # epoch replay: already folded in
+        store = os.path.join(vdir, _CELL_STORE)
+        prefix = f"batch-{batch_id:09d}-"
+        # scrub a crashed attempt's leftovers (files + .crc sidecars)
+        for path in glob.glob(os.path.join(store, "cell=*", f"{prefix}*")) + glob.glob(
+            os.path.join(store, "cell=*", f".{prefix}*.crc")
+        ):
+            os.remove(path)
+        staging = os.path.join(vdir, f"_staging_batch_{batch_id}")
+        shutil.rmtree(staging, ignore_errors=True)
+        idx = load_ann_index(spark, vdir)
+        cells = cell_assignments(new_vecs, idx["centroids"])
+        (
+            new_vecs.join(cells, "vec_id")
+            .select("vec_id", "label", "embedding", "cell")
+            .write.partitionBy("cell")
+            .parquet(staging)
+        )
+        for src in glob.glob(os.path.join(staging, "cell=*", "*.parquet")):
+            cell_dir = os.path.join(store, os.path.basename(os.path.dirname(src)))
+            os.makedirs(cell_dir, exist_ok=True)
+            name = prefix + os.path.basename(src)
+            crc = os.path.join(
+                os.path.dirname(src), "." + os.path.basename(src) + ".crc"
+            )
+            if os.path.exists(crc):
+                os.replace(crc, os.path.join(cell_dir, "." + name + ".crc"))
+            os.replace(src, os.path.join(cell_dir, name))
+        shutil.rmtree(staging, ignore_errors=True)
+        tmp = applied_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(str(i) for i in sorted(applied | {batch_id})))
+        os.replace(tmp, applied_path)
+        # files changed under a path Spark may have listed — drop the cache
+        spark.catalog.refreshByPath(store)
 
     def probe(self, spark: SparkSession, query_vec: DataFrame, k: int = 10) -> DataFrame:
         return ann_probe_topk(spark, self.current_dir(), query_vec, k=k)
@@ -315,10 +385,26 @@ class AnnIndexManager:
         """Re-run the Lloyd build over the live store's CURRENT contents
         (base + every appended batch) into a new version; zero-downtime
         pointer swap. O(corpus) — paid once per drift episode, not per
-        ingest batch."""
+        ingest batch.
+
+        The applied-batch record CARRIES FORWARD into the new version:
+        the rebuilt store already CONTAINS every applied epoch's vectors,
+        so a replay of one of those epochs after the rotation (crash
+        between rebuild and the source's commit) must still no-op — a
+        fresh ``_APPLIED_BATCHES`` would double-ingest it."""
+        import shutil
+
+        old_vdir = self.current_dir()
         vecs = (
-            load_ann_index(spark, self.current_dir())["cell_store"]
+            load_ann_index(spark, old_vdir)["cell_store"]
             .select("vec_id", "label", "embedding")
             .localCheckpoint(eager=True)  # sever lineage from the dir being rotated
         )
-        return self.build(spark, sf_dir="", e=vecs)
+        applied = os.path.join(old_vdir, self._APPLIED)
+
+        def build_with_applied(vdir):
+            persist_ann_index(spark, "", vdir, e=vecs)
+            if os.path.exists(applied):
+                shutil.copyfile(applied, os.path.join(vdir, self._APPLIED))
+
+        return self._publish(build_with_applied)

@@ -323,3 +323,88 @@ def test_failed_build_leaves_no_partial_version_dir(tmp_path):
     # retain=1 keeps the PREVIOUS LIVE version (v_live), not garbage
     assert sorted(mgr.versions()) == [v_live, mgr._read_pointer()]
     assert os.path.exists(os.path.join(str(tmp_path / "ann_root"), v_live, "marker"))
+
+
+def _store_rows(spark, vdir):
+    import os
+
+    from eth_event_stream_spark.plans.ann_index import _CELL_STORE
+
+    spark.catalog.refreshByPath(os.path.join(vdir, _CELL_STORE))
+    return sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(os.path.join(vdir, _CELL_STORE)).collect()
+    )
+
+
+def test_manager_append_with_batch_id_is_exactly_once(spark, sf_dir, tmp_path):
+    """Epoch-guarded append: a replayed batch_id no-ops, and a crash in the
+    MIDDLE of the file moves (partial batch-prefixed files on disk, id not
+    yet recorded) resolves to exactly-once on replay — the scrub removes
+    the leftovers before re-staging. The reference's sink exactly-once
+    contract (sink.rs:13-21) extended to the mutating ingest lane."""
+    import os
+
+    from eth_event_stream_spark.plans.ann_index import AnnIndexManager
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = embs.filter(F.col("vec_id") % 5 != 0)
+    batch = embs.filter(F.col("vec_id") % 5 == 0)
+
+    mgr = AnnIndexManager(str(tmp_path / "ann_root"))
+    mgr.build(spark, sf_dir, e=corpus)
+    base = _store_rows(spark, mgr.current_dir())
+
+    mgr.append(spark, batch, batch_id=7)
+    once = _store_rows(spark, mgr.current_dir())
+    assert len(once) == len(base) + batch.count()
+
+    # replay of an applied epoch: no-op
+    mgr.append(spark, batch, batch_id=7)
+    assert _store_rows(spark, mgr.current_dir()) == once
+    # a fresh manager object (process restart) still sees the applied id
+    mgr2 = AnnIndexManager(str(tmp_path / "ann_root"))
+    mgr2.append(spark, batch, batch_id=7)
+    assert _store_rows(spark, mgr2.current_dir()) == once
+
+    # crash mid-move: only SOME of batch 8's files land, id unrecorded
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def flaky_replace(src, dst):
+        if "batch-000000008-" in str(dst) and not str(dst).endswith(".crc"):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise OSError("injected crash mid-move")
+        return real_replace(src, dst)
+
+    batch8 = embs.filter(F.col("vec_id") % 5 == 1)
+    import unittest.mock as mock
+
+    with mock.patch(
+        "eth_event_stream_spark.plans.ann_index.os.replace", flaky_replace
+    ):
+        with pytest.raises(OSError):
+            mgr2.append(spark, batch8, batch_id=8)
+    partial = _store_rows(spark, mgr2.current_dir())
+    assert len(partial) > len(once)  # leftovers really are visible
+
+    # replay after restart: scrub + re-stage -> exactly-once
+    mgr3 = AnnIndexManager(str(tmp_path / "ann_root"))
+    mgr3.append(spark, batch8, batch_id=8)
+    final = _store_rows(spark, mgr3.current_dir())
+    assert len(final) == len(once) + batch8.count()
+    # exactly-once: every batch-8 vector appears exactly ONE more time than
+    # before the crashed attempt (its vec_id may legitimately exist in the
+    # corpus split too), everything else is untouched
+    from collections import Counter
+
+    before = Counter(v for v, _ in once)
+    after = Counter(v for v, _ in final)
+    b8_ids = {r["vec_id"] for r in batch8.select("vec_id").collect()}
+    for vid in after:
+        assert after[vid] == before[vid] + (1 if vid in b8_ids else 0), vid
+
+    # and one more replay of the now-applied id is a no-op
+    mgr3.append(spark, batch8, batch_id=8)
+    assert _store_rows(spark, mgr3.current_dir()) == final

@@ -1,0 +1,225 @@
+"""Randomized multi-crash soak of the COMPOSED streaming lifecycle.
+
+Each maintainer (CCMaintainer, KeywordTopKServer, AnnIndexManager) has
+pointwise crash/replay tests; this drives N micro-batches through the
+COMPOSED serving+incremental cycle (the examples/serving_cycle.py +
+examples/incremental_cycle.py shape) and kills it at random points —
+between steps, INSIDE a publish (post-version-write, pre-pointer-swap),
+mid-append (partial batch files on disk), and mid-rebuild — then restarts
+from fresh maintainer objects and REPLAYS the batch, exactly as a
+foreachBatch source would. End state must equal the uninterrupted run:
+the ported semantic is the sink's exactly-once contract
+(sink.rs:13-21, sink.rs:216-249).
+
+The crash schedule is drawn from a seeded RNG; the seed is printed and
+carried in every assertion message so any failure replays exactly
+(SOAK_SEED=<n> pins it).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import unittest.mock as mock
+
+from pyspark.sql import functions as F
+
+
+class Injected(RuntimeError):
+    """The planted crash — never caught by the engine code under test."""
+
+
+# every way this test knows how to kill the cycle; 'none' = clean batch
+CRASH_POINTS = [
+    "none",
+    "after_cc",
+    "after_kw",
+    "mid_cc_publish",
+    "mid_kw_publish",
+    "mid_append",
+    "mid_rebuild",
+]
+
+
+def _raise_on_pointer_swap(target_root):
+    """os.replace wrapper that injects a crash at the WORST moment of a
+    versioned publish into ``target_root``: the version directory is fully
+    written, the pointer swap never happens."""
+    real = os.replace
+
+    def flaky(src, dst):
+        if target_root in str(dst) and str(dst).endswith("CURRENT"):
+            raise Injected(f"killed mid-publish: {dst}")
+        return real(src, dst)
+
+    return flaky
+
+
+def _raise_on_batch_move(batch_id):
+    """os.replace wrapper that kills an ANN append after SOME of the
+    batch's files moved into the live store."""
+    real = os.replace
+    seen = {"n": 0}
+    needle = f"batch-{batch_id:09d}-"
+
+    def flaky(src, dst):
+        if needle in str(dst) and not str(dst).endswith(".crc"):
+            seen["n"] += 1
+            if seen["n"] >= 2:
+                raise Injected(f"killed mid-append: {dst}")
+        return real(src, dst)
+
+    return flaky
+
+
+def _make(root):
+    """Fresh maintainer objects over the same state dirs — a process
+    restart."""
+    from eth_event_stream_spark.plans.ann_index import AnnIndexManager
+    from eth_event_stream_spark.plans.incremental import CCMaintainer
+    from eth_event_stream_spark.plans.retrieval import KeywordTopKServer
+
+    return (
+        CCMaintainer(os.path.join(root, "cc")),
+        KeywordTopKServer(os.path.join(root, "kw")),
+        AnnIndexManager(os.path.join(root, "ann"), retain=1),
+    )
+
+
+N_BATCHES = 4
+REBUILD_AT = 2  # the cycle that also rotates the ANN index
+
+
+def _batch_inputs(spark, sf_dir, i):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = docs.filter(F.col("doc_id") % N_BATCHES == i)
+    edges = d.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") % 40).alias("dst")
+    )
+    scores = d.select(
+        "doc_id", (F.col("doc_id") % 97).cast("bigint").alias("score")
+    )
+    vecs = embs.filter(
+        (F.col("vec_id") % (N_BATCHES + 1) == i) & (F.col("vec_id") != 0)
+    )
+    return edges, scores, vecs
+
+
+def _bootstrap(spark, sf_dir, root):
+    cc, kw, ann = _make(root)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cc.bootstrap(
+        docs.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("label"))
+    )
+    corpus = embs.filter(
+        (F.col("vec_id") % (N_BATCHES + 1) == N_BATCHES) | (F.col("vec_id") == 0)
+    )
+    ann.build(spark, sf_dir, e=corpus)
+
+
+def _run_batch(spark, sf_dir, root, i, crash_point):
+    """One composed cycle, with a crash ARMED at ``crash_point``. Fresh
+    maintainer objects every attempt (the restart semantics). An armed
+    crash may never fire: if the targeted step already committed in an
+    earlier attempt, its exactly-once guard no-ops it and the trap sees
+    no publish — the batch then simply completes (that IS the contract
+    under test)."""
+    cc, kw, ann = _make(root)
+    edges, scores, vecs = _batch_inputs(spark, sf_dir, i)
+
+    if crash_point == "mid_cc_publish":
+        with mock.patch("os.replace", _raise_on_pointer_swap(os.path.join(root, "cc"))):
+            cc(edges, batch_id=i)
+    else:
+        cc(edges, batch_id=i)
+    if crash_point == "after_cc":
+        raise Injected("killed between cc and kw")
+
+    if crash_point == "mid_kw_publish":
+        with mock.patch("os.replace", _raise_on_pointer_swap(os.path.join(root, "kw"))):
+            kw(scores, epoch_id=i)
+    else:
+        kw(scores, epoch_id=i)
+    if crash_point == "after_kw":
+        raise Injected("killed between kw and append")
+
+    if crash_point == "mid_append":
+        with mock.patch("os.replace", _raise_on_batch_move(i)):
+            ann.append(spark, vecs, batch_id=i)
+    else:
+        ann.append(spark, vecs, batch_id=i)
+
+    if i == REBUILD_AT:
+        if crash_point == "mid_rebuild":
+            with mock.patch(
+                "eth_event_stream_spark.plans.ann_index.persist_ann_index",
+                side_effect=Injected("killed mid-rebuild"),
+            ):
+                ann.rebuild(spark)
+        else:
+            ann.rebuild(spark)
+
+
+def _end_state(spark, root):
+    from eth_event_stream_spark.plans.ann_index import _CELL_STORE
+
+    cc, kw, ann = _make(root)
+    labels = sorted(map(tuple, cc.current(spark).collect()))
+    topk = sorted(map(tuple, kw.current(spark).collect()))
+    store_dir = os.path.join(ann.current_dir(), _CELL_STORE)
+    spark.catalog.refreshByPath(store_dir)
+    store = sorted(
+        (r["vec_id"], r["cell"]) for r in spark.read.parquet(store_dir).collect()
+    )
+    applied = ""
+    applied_path = os.path.join(ann.current_dir(), ann._APPLIED)
+    if os.path.exists(applied_path):
+        with open(applied_path) as f:
+            applied = f.read()
+    return labels, topk, store, applied
+
+
+def test_composed_lifecycle_survives_random_multi_crash(spark, sf_dir, tmp_path):
+    seed = int(os.environ.get("SOAK_SEED", "0")) or random.SystemRandom().randrange(
+        1 << 30
+    )
+    rng = random.Random(seed)
+    print(f"SOAK_SEED={seed}")
+
+    # reference: the uninterrupted run
+    ref_root = str(tmp_path / "ref")
+    _bootstrap(spark, sf_dir, ref_root)
+    for i in range(N_BATCHES):
+        _run_batch(spark, sf_dir, ref_root, i, "none")
+    want = _end_state(spark, ref_root)
+
+    # soak: every batch dies 0..3 times at random points, then replays
+    soak_root = str(tmp_path / "soak")
+    _bootstrap(spark, sf_dir, soak_root)
+    schedule = []
+    n_fired = 0
+    for i in range(N_BATCHES):
+        # batch 0 always crashes at least once so no seed makes the soak
+        # vacuous; later batches draw 0..3 kills
+        n_kills = rng.randrange(1, 4) if i == 0 else rng.randrange(4)
+        crashes = [rng.choice(CRASH_POINTS[1:]) for _ in range(n_kills)]
+        schedule.append(crashes)
+        done = False
+        for point in crashes:
+            try:
+                _run_batch(spark, sf_dir, soak_root, i, point)
+                done = True  # the armed crash never fired (step had already
+                break  # committed and no-op'd) — the batch completed
+            except Injected:
+                n_fired += 1  # killed; restart and replay
+        if not done:
+            _run_batch(spark, sf_dir, soak_root, i, "none")  # the clean replay
+
+    got = _end_state(spark, soak_root)
+    ctx = f"SOAK_SEED={seed} schedule={schedule}"
+    assert got[0] == want[0], f"cc labels diverged: {ctx}"
+    assert got[1] == want[1], f"keyword top-k diverged: {ctx}"
+    assert got[2] == want[2], f"ann store diverged: {ctx}"
+    assert got[3] == want[3], f"applied-batch record diverged: {ctx}"
