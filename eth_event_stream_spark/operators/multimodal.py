@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, Arrow-batched
-``mapInPandas``, partition sizing; the codec layer is stubbed (this container
-ships no image/audio libraries): ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless the corresponding library imports, and the
-deterministic ``fake`` codec exercises the full path byte-for-byte
-reproducibly (length/md5/derived dims), so plans and tests are meaningful.
+``mapInPandas``, partition sizing. The codec layer: PNG images decode FOR
+REAL via the pure-stdlib baseline codec in ``operators/png.py`` (zlib
+inflate + unfilter, CRC-verified — no new dependencies); audio/video and
+non-PNG image formats raise ``NotImplementedError`` unless a codec library
+imports (this container ships none), and the deterministic ``fake`` codec
+exercises the full path byte-for-byte reproducibly (length/md5/derived
+dims) for the oracle-checked query.
 
 At 100 TB the rules encoded here: media stay as binary columns co-located
 with their metadata (no separate fetch per row); feature extraction is
@@ -55,14 +57,29 @@ FEATURE_SCHEMA = StructType(
 
 
 def _decode_real(kind: str, payload: bytes) -> dict:
-    """Real codec hook — STUB: the decode libraries are not in this container.
-
-    Wire Pillow / soundfile / av here when available; the surrounding Spark
-    plumbing (schema, batching, partitioning) is unchanged.
+    """Real codec layer. Images decode IN THIS CONTAINER via the pure-stdlib
+    baseline PNG codec (``operators/png.py``: zlib inflate + per-scanline
+    unfilter, CRC-verified) — real width/height from real pixels, no new
+    dependencies. Audio/video (and non-PNG image formats) still need a codec
+    library this container doesn't ship (soundfile / av / Pillow for JPEG):
+    those raise, loudly, rather than guess. The surrounding Spark plumbing
+    (schema, Arrow batching, partitioning) is identical for every codec.
     """
+    from .png import decode_png, is_png
+
+    if kind == "image" and is_png(payload):
+        img = decode_png(payload)
+        return {
+            "n_bytes": len(payload),
+            "checksum": hashlib.md5(payload).hexdigest(),
+            "width": img["width"],
+            "height": img["height"],
+            "n_frames": None,
+        }
     raise NotImplementedError(
         f"real {kind} decoding requires a codec library not present in this "
-        "environment; use codec='fake' (deterministic) or install a decoder"
+        "environment (PNG images decode via the stdlib codec); use "
+        "codec='fake' (deterministic) or install a decoder"
     )
 
 
@@ -140,7 +157,9 @@ RESIZE_SCHEMA = StructType(
 )
 
 
-def resize_images(df: DataFrame, max_w: int = 320, max_h: int = 240) -> DataFrame:
+def resize_images(
+    df: DataFrame, max_w: int = 320, max_h: int = 240, codec: str = "fake"
+) -> DataFrame:
     """Aspect-preserving resize plumbing for image rows (mapInPandas).
 
     Target-dimension math is INTEGER-ONLY (compare w*max_h vs h*max_w to
@@ -152,6 +171,7 @@ def resize_images(df: DataFrame, max_w: int = 320, max_h: int = 240) -> DataFram
     from ..shipping import ship_package
 
     ship_package(df.sparkSession)
+    decode = _decode_fake if codec == "fake" else _decode_real
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -159,7 +179,7 @@ def resize_images(df: DataFrame, max_w: int = 320, max_h: int = 240) -> DataFram
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if kind != "image":
                     continue
-                d = _decode_fake(kind, payload if payload is not None else b"")
+                d = decode(kind, payload if payload is not None else b"")
                 w, h = d["width"], d["height"]
                 if w <= max_w and h <= max_h:
                     nw, nh = w, h

@@ -1,0 +1,153 @@
+"""Pure-stdlib PNG codec (operators/png.py) + the real multimodal decode
+path it unlocks: round-trips across color types and every scanline filter,
+hand-built palette images, fail-fast on corruption, and the Arrow-batched
+extract_features/resize_images pipelines running against REAL image bytes
+inside Spark executors."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from eth_event_stream_spark.operators.png import (
+    _SIGNATURE,
+    decode_png,
+    encode_png,
+    is_png,
+)
+
+
+def _gradient(width, height, channels):
+    """Deterministic pixel rows where every filter type actually changes
+    the encoded bytes (horizontal + vertical + channel gradients)."""
+    return [
+        bytes(
+            (x * 7 + y * 13 + c * 29) % 256
+            for x in range(width)
+            for c in range(channels)
+        )
+        for y in range(height)
+    ]
+
+
+@pytest.mark.parametrize("color_type,channels", [(0, 1), (2, 3), (4, 2), (6, 4)])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_roundtrip_every_color_type_and_filter(color_type, channels, filter_type):
+    w, h = 17, 9  # odd sizes: exercise stride edges
+    rows = _gradient(w, h, channels)
+    data = encode_png(w, h, rows, color_type=color_type, filter_type=filter_type)
+    assert is_png(data)
+    img = decode_png(data)
+    assert (img["width"], img["height"], img["channels"]) == (w, h, channels)
+    assert img["pixels"] == rows
+
+
+def test_palette_image_expands_to_rgb():
+    """Hand-built 2x2 palette PNG (encoder doesn't write palettes): indexes
+    [[0,1],[2,0]] over a 3-entry palette must expand to the palette RGB."""
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red green blue
+    raw = bytes([0, 0, 1, 0, 2, 0])  # filter 0 + indexes, per row
+    data = (
+        _SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    img = decode_png(data)
+    assert img["channels"] == 3
+    assert img["pixels"] == [
+        bytes([255, 0, 0, 0, 255, 0]),
+        bytes([0, 0, 255, 255, 0, 0]),
+    ]
+
+
+def test_fail_fast_on_damage():
+    data = bytearray(encode_png(4, 4, _gradient(4, 4, 3), color_type=2))
+    # flip one IDAT payload byte -> CRC must catch it
+    idat_at = bytes(data).index(b"IDAT")
+    data[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+    # truncation
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(encode_png(4, 4, _gradient(4, 4, 3))[:-8])
+    # not a PNG at all
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"GIF89a....")
+    # interlaced: refuse loudly rather than decode wrong
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    with pytest.raises(NotImplementedError, match="interlace"):
+        decode_png(_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
+
+
+def _media_df(spark, payloads):
+    """media table with REAL PNG payloads (media_id, kind, payload, meta)."""
+    return spark.createDataFrame(
+        [(i, "image", bytearray(p), {}) for i, p in enumerate(payloads)],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+
+
+def test_extract_features_real_codec_in_executors(spark):
+    """The real decode path end-to-end THROUGH Spark: Arrow-batched
+    mapInPandas on executor Python workers decodes real PNG bytes with the
+    shipped stdlib codec — width/height come from actual pixels, unlike the
+    fake codec's byte-derived dims."""
+    from eth_event_stream_spark.operators.multimodal import extract_features
+
+    sizes = [(33, 21), (64, 48), (5, 5)]
+    payloads = [
+        encode_png(w, h, _gradient(w, h, 3), color_type=2, filter_type=4)
+        for w, h in sizes
+    ]
+    out = {
+        r["media_id"]: r
+        for r in extract_features(_media_df(spark, payloads), codec="real").collect()
+    }
+    for i, (w, h) in enumerate(sizes):
+        assert (out[i]["width"], out[i]["height"]) == (w, h), i
+        assert out[i]["n_bytes"] == len(payloads[i])
+
+    # a non-PNG image payload must fail LOUDLY through the same path
+    bad = _media_df(spark, [b"JFIF not a png"])
+    with pytest.raises(Exception, match="codec library"):
+        extract_features(bad, codec="real").collect()
+
+
+def test_resize_images_real_codec(spark):
+    """Aspect-preserving resize over REAL decoded dims: a 640x480 PNG capped
+    at 320x240 halves exactly; a small image passes through untouched."""
+    from eth_event_stream_spark.operators.multimodal import resize_images
+
+    payloads = [
+        encode_png(640, 480, _gradient(640, 480, 1), color_type=0),
+        encode_png(30, 20, _gradient(30, 20, 1), color_type=0),
+    ]
+    rows = {
+        r["media_id"]: r
+        for r in resize_images(_media_df(spark, payloads), codec="real").collect()
+    }
+    assert (rows[0]["new_width"], rows[0]["new_height"]) == (320, 240)
+    assert (rows[1]["new_width"], rows[1]["new_height"]) == (30, 20)
