@@ -164,6 +164,10 @@ HEADLINE = [
     # instead of 63) + its 4x-OPT cover certificate, beside the exact
     # sample_kcenter_diverse row
     "sample_kcenter_batched",
+    # r10-extended continued (additions only): the exact-mode batched draw —
+    # Gonzalez row-for-row (same full-value oracle as sample_kcenter_diverse)
+    # in up to batch picks per corpus pass via the cutoff rule
+    "sample_kcenter_batched_exact",
 ]
 
 

@@ -721,6 +721,26 @@ def kcenter_cover_certificate(
 
 
 @register(
+    "sample_kcenter_batched_exact",
+    oracle=_kcenter_oracle(),
+    doc="Exact-mode batched k-center: Gonzalez row-for-row in fewer passes, "
+    "VALUE-oracled by the same spliced replay as sample_kcenter_diverse.",
+)
+def sample_kcenter_batched_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``exact=True`` batched draw at the exact path's k
+    (``KCENTER_K``): the cutoff rule only permits a within-pass pick while
+    it is PROVABLY the global argmax, so the selection — ids, ranks, AND
+    ``min_d2`` values — equals ``sample_kcenter_diverse`` row-for-row and
+    the SAME full-value DuckDB oracle (the spliced round-by-round greedy
+    replay) checks it. What changes is the cost: up to ``batch`` picks per
+    corpus pass instead of one, the large-k production shape measured at
+    k=256 in BENCH_SF1.md (10-16 passes instead of 255)."""
+    return sample_kcenter_batched(
+        spark, sf_dir, k=KCENTER_K, batch=4, exact=True
+    )
+
+
+@register(
     "sample_kcenter_batched",
     oracle=_SQL_KCENTER_BATCHED,
     doc="Batched k-center draw at a production-shaped k, contract-oracled.",

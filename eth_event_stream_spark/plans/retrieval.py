@@ -530,7 +530,31 @@ class KeywordTopKServer:
         )
         rows = top.collect()  # k rows — materialized BEFORE any swap
         os.makedirs(self.path, exist_ok=True)
-        version = f"v-{epoch_id}-{len(os.listdir(self.path))}"
+        # MONOTONIC version suffix (max existing + 1), never the directory
+        # entry COUNT: GC shrinks the count, so a replayed epoch after a
+        # mid-publish crash could recompute a name that already exists on
+        # disk and fail PATH_ALREADY_EXISTS — found by the composed crash
+        # soak (tests/test_crash_soak.py), the same bug family as the r9
+        # AnnIndexManager GC-collision fix. A crashed attempt's UNPOINTED
+        # leftover of this same epoch is scrubbed first — it was never
+        # visible to a reader, and left in place it would survive GC as a
+        # bogus grace copy.
+        cur_base = os.path.basename(cur) if cur is not None else None
+        highest = -1
+        for entry in os.listdir(self.path):
+            if not entry.startswith("v-"):
+                continue
+            try:
+                highest = max(highest, int(entry.rsplit("-", 1)[1]))
+            except ValueError:
+                continue
+            if entry.startswith(f"v-{epoch_id}-") and entry != cur_base:
+                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+        version = f"v-{epoch_id}-{highest + 1}"
+        if os.path.exists(os.path.join(self.path, version)):
+            raise FileExistsError(
+                f"refusing to overwrite existing version {version}"
+            )
         spark.createDataFrame(rows, top.schema).write.parquet(
             os.path.join(self.path, version)
         )

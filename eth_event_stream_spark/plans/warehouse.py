@@ -356,7 +356,30 @@ class _VersionedTable:
         import shutil
 
         os.makedirs(self.path, exist_ok=True)
-        version = f"v-{batch_id}-{len(os.listdir(self.path))}"
+        # MONOTONIC version suffix (max existing + 1), never the directory
+        # entry COUNT (count-derived names collide after GC shrinks the
+        # count — the bug family the composed crash soak exposed in
+        # KeywordTopKServer and the r9 ANN fix removed from
+        # AnnIndexManager). A mid-publish crash leaves an UNPOINTED
+        # version dir for the same batch id: scrub it here — no reader
+        # ever resolved it, and left in place it would outrank the genuine
+        # previous version in the GC's grace-copy retention below.
+        live = self._read_pointer()
+        highest = -1
+        for entry in os.listdir(self.path):
+            if not entry.startswith("v-"):
+                continue
+            try:
+                highest = max(highest, int(entry.rsplit("-", 1)[1]))
+            except ValueError:
+                continue
+            if entry.startswith(f"v-{batch_id}-") and (
+                live is None or entry != live[0]
+            ):
+                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+        version = f"v-{batch_id}-{highest + 1}"
+        if os.path.exists(os.path.join(self.path, version)):
+            raise FileExistsError(f"refusing to overwrite existing version {version}")
         df.write.parquet(os.path.join(self.path, version))
         tmp = os.path.join(self.path, self._POINTER + ".tmp")
         with open(tmp, "w") as f:

@@ -223,3 +223,56 @@ def test_composed_lifecycle_survives_random_multi_crash(spark, sf_dir, tmp_path)
     assert got[1] == want[1], f"keyword top-k diverged: {ctx}"
     assert got[2] == want[2], f"ann store diverged: {ctx}"
     assert got[3] == want[3], f"applied-batch record diverged: {ctx}"
+
+
+def test_kw_server_replayed_epoch_never_collides_with_gc(spark, tmp_path):
+    """Pointwise reproduction of the naming bug the soak found: the top-k
+    server has no epoch guard (the max-merge is an idempotent monoid), so a
+    replayed epoch RE-publishes — and a count-derived version name could
+    equal an entry that GC had since removed, failing PATH_ALREADY_EXISTS.
+    Names are now monotonic; every replay must succeed and leave the served
+    rows unchanged."""
+    from eth_event_stream_spark.plans.retrieval import KeywordTopKServer
+
+    kw = KeywordTopKServer(str(tmp_path / "kw"))
+
+    def scores(lo):
+        return spark.range(lo, lo + 30).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 97).alias("score")
+        )
+
+    kw(scores(0), epoch_id=0)
+    kw(scores(0), epoch_id=0)  # replay grows the dir
+    kw(scores(100), epoch_id=1)
+    served = sorted(map(tuple, kw.current(spark).collect()))
+    kw(scores(100), epoch_id=1)  # replay AFTER GC shrank the dir: the
+    # count-derived name collided here before the fix
+    assert sorted(map(tuple, kw.current(spark).collect())) == served
+
+
+def test_versioned_table_crash_leftover_never_outranks_real_grace_copy(
+    spark, tmp_path
+):
+    """A mid-publish crash leaves an UNPOINTED version dir; before the fix
+    the next successful publish's GC retained that garbage as the grace
+    copy (it sorts as the highest superseded batch) while deleting the
+    GENUINE previous version that in-flight readers may still hold. The
+    replay must scrub the leftover and keep the real predecessor readable."""
+    from eth_event_stream_spark.plans.warehouse import _VersionedTable
+
+    vt = _VersionedTable(str(tmp_path / "vt"), retain=1)
+    vt._publish(spark.range(10), batch_id=0)
+    vt._publish(spark.range(20), batch_id=1)
+
+    with mock.patch("os.replace", _raise_on_pointer_swap(str(tmp_path / "vt"))):
+        try:
+            vt._publish(spark.range(30), batch_id=2)
+        except Injected:
+            pass
+    assert vt._read_pointer()[1] == 1  # crash left the old pointer live
+
+    vt._publish(spark.range(30), batch_id=2)  # the replay
+    assert vt._read_pointer()[1] == 2
+    # the grace copy is the REAL batch-1 snapshot, not the crash leftover
+    assert vt.versions() == [1, 2]
+    assert vt.as_of(spark, 1).count() == 20
