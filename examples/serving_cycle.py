@@ -65,10 +65,15 @@ def main() -> None:
     print(f"[build] ANN index v0 live at {mgr.current_dir()}; idf: {idf}")
 
     # -- 2. ingest -----------------------------------------------------------
-    mgr.append(spark, batch_e)
+    # batch_id makes the append EXACTLY-ONCE: a foreachBatch replay of this
+    # epoch (crash before the source committed) no-ops instead of
+    # double-ingesting — see tests/test_crash_soak.py for the full contract
+    mgr.append(spark, batch_e, batch_id=0)
+    mgr.append(spark, batch_e, batch_id=0)  # the replay: provably a no-op
     server = KeywordTopKServer(os.path.join(work, "kw_topk"))
     server(score_keywords_pinned(docs, idf), epoch_id=0)
-    print(f"[ingest] appended {batch_e.count()} vectors; keyword top-k table up")
+    print(f"[ingest] appended {batch_e.count()} vectors (replay no-op'd); "
+          "keyword top-k table up")
     if mgr.needs_rebuild(spark, max_skew=4.0):
         mgr.rebuild(spark)
         print(f"[ingest] occupancy skew tripped — rotated to {mgr.current_dir()}")
