@@ -76,10 +76,26 @@ def _decode_real(kind: str, payload: bytes) -> dict:
             "height": img["height"],
             "n_frames": None,
         }
+    if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+
+        # stdlib WAV reader: PCM containers parse fully; compressed WAVE
+        # (or a corrupt header) raises wave.Error -> surface it loudly
+        with wave.open(io.BytesIO(bytes(payload))) as w:
+            return {
+                "n_bytes": len(payload),
+                "checksum": hashlib.md5(payload).hexdigest(),
+                "width": None,
+                "height": None,
+                # audio frames (samples per channel) — the sample-count
+                # analog of the video lane's frame count
+                "n_frames": w.getnframes(),
+            }
     raise NotImplementedError(
         f"real {kind} decoding requires a codec library not present in this "
-        "environment (PNG images decode via the stdlib codec); use "
-        "codec='fake' (deterministic) or install a decoder"
+        "environment (PNG images and PCM WAV audio decode via the stdlib "
+        "codecs); use codec='fake' (deterministic) or install a decoder"
     )
 
 

@@ -36,6 +36,9 @@ CRASH_POINTS = [
     "after_kw",
     "mid_cc_publish",
     "mid_kw_publish",
+    "mid_snap_publish",
+    "mid_scd2_publish",
+    "after_scd2",
     "mid_append",
     "mid_rebuild",
 ]
@@ -74,15 +77,29 @@ def _raise_on_batch_move(batch_id):
 
 def _make(root):
     """Fresh maintainer objects over the same state dirs — a process
-    restart."""
+    restart. All four maintainer families ride the soak: CC (commutative,
+    id-guarded), keyword top-k (idempotent monoid, NO guard), snapshot +
+    SCD2 (order-frontier-enforcing _VersionedTable sinks), and the ANN
+    manager (epoch-guarded mutating appends + copy-on-write rebuilds)."""
     from eth_event_stream_spark.plans.ann_index import AnnIndexManager
     from eth_event_stream_spark.plans.incremental import CCMaintainer
     from eth_event_stream_spark.plans.retrieval import KeywordTopKServer
+    from eth_event_stream_spark.plans.warehouse import (
+        SCD2Maintainer,
+        SnapshotMaintainer,
+    )
 
     return (
         CCMaintainer(os.path.join(root, "cc")),
         KeywordTopKServer(os.path.join(root, "kw")),
         AnnIndexManager(os.path.join(root, "ann"), retain=1),
+        SnapshotMaintainer(
+            os.path.join(root, "snap"),
+            key_cols=["k"],
+            order_cols=["seq"],
+            op_col="op",
+        ),
+        SCD2Maintainer(os.path.join(root, "scd2")),
     )
 
 
@@ -91,6 +108,8 @@ REBUILD_AT = 2  # the cycle that also rotates the ANN index
 
 
 def _batch_inputs(spark, sf_dir, i):
+    from pyspark.sql import Window
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     d = docs.filter(F.col("doc_id") % N_BATCHES == i)
@@ -103,11 +122,28 @@ def _batch_inputs(spark, sf_dir, i):
     vecs = embs.filter(
         (F.col("vec_id") % (N_BATCHES + 1) == i) & (F.col("vec_id") != 0)
     )
-    return edges, scores, vecs
+    # the ORDERED lanes: contiguous time slice i of the event stream (the
+    # snapshot/SCD2 maintainers ENFORCE in-order delivery via the pointer
+    # frontier, so batches must partition the (ts, event_id) order)
+    w = Window.orderBy("ts", "event_id")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "seq", F.row_number().over(w)
+    )
+    n_ev = ev.count()
+    lo, hi = i * n_ev // N_BATCHES, (i + 1) * n_ev // N_BATCHES
+    ev_slice = ev.filter((F.col("seq") > lo) & (F.col("seq") <= hi))
+    changelog = ev_slice.select(
+        F.col("user_id").alias("k"),
+        F.col("event_type").alias("v"),
+        F.col("seq"),
+        F.when(F.col("user_id") % 11 == 3, "D").otherwise("U").alias("op"),
+    )
+    scd2_events = ev_slice.select("user_id", "event_type", "ts", "event_id")
+    return edges, scores, vecs, changelog, scd2_events
 
 
 def _bootstrap(spark, sf_dir, root):
-    cc, kw, ann = _make(root)
+    cc, kw, ann, snap, scd2 = _make(root)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cc.bootstrap(
@@ -117,6 +153,9 @@ def _bootstrap(spark, sf_dir, root):
         (F.col("vec_id") % (N_BATCHES + 1) == N_BATCHES) | (F.col("vec_id") == 0)
     )
     ann.build(spark, sf_dir, e=corpus)
+    snap.bootstrap(
+        spark.createDataFrame([(-1, "seed", 0)], ["k", "v", "seq"])
+    )
 
 
 def _run_batch(spark, sf_dir, root, i, crash_point):
@@ -126,8 +165,8 @@ def _run_batch(spark, sf_dir, root, i, crash_point):
     earlier attempt, its exactly-once guard no-ops it and the trap sees
     no publish — the batch then simply completes (that IS the contract
     under test)."""
-    cc, kw, ann = _make(root)
-    edges, scores, vecs = _batch_inputs(spark, sf_dir, i)
+    cc, kw, ann, snap, scd2 = _make(root)
+    edges, scores, vecs, changelog, scd2_events = _batch_inputs(spark, sf_dir, i)
 
     if crash_point == "mid_cc_publish":
         with mock.patch("os.replace", _raise_on_pointer_swap(os.path.join(root, "cc"))):
@@ -143,7 +182,25 @@ def _run_batch(spark, sf_dir, root, i, crash_point):
     else:
         kw(scores, epoch_id=i)
     if crash_point == "after_kw":
-        raise Injected("killed between kw and append")
+        raise Injected("killed between kw and snap")
+
+    if crash_point == "mid_snap_publish":
+        with mock.patch(
+            "os.replace", _raise_on_pointer_swap(os.path.join(root, "snap"))
+        ):
+            snap(changelog, batch_id=i)
+    else:
+        snap(changelog, batch_id=i)
+
+    if crash_point == "mid_scd2_publish":
+        with mock.patch(
+            "os.replace", _raise_on_pointer_swap(os.path.join(root, "scd2"))
+        ):
+            scd2(scd2_events, batch_id=i)
+    else:
+        scd2(scd2_events, batch_id=i)
+    if crash_point == "after_scd2":
+        raise Injected("killed between scd2 and append")
 
     if crash_point == "mid_append":
         with mock.patch("os.replace", _raise_on_batch_move(i)):
@@ -165,9 +222,11 @@ def _run_batch(spark, sf_dir, root, i, crash_point):
 def _end_state(spark, root):
     from eth_event_stream_spark.plans.ann_index import _CELL_STORE
 
-    cc, kw, ann = _make(root)
+    cc, kw, ann, snap, scd2 = _make(root)
     labels = sorted(map(tuple, cc.current(spark).collect()))
     topk = sorted(map(tuple, kw.current(spark).collect()))
+    snapshot = sorted(map(tuple, snap.current(spark).collect()))
+    history = sorted(map(tuple, scd2.current(spark).collect()))
     store_dir = os.path.join(ann.current_dir(), _CELL_STORE)
     spark.catalog.refreshByPath(store_dir)
     store = sorted(
@@ -178,7 +237,7 @@ def _end_state(spark, root):
     if os.path.exists(applied_path):
         with open(applied_path) as f:
             applied = f.read()
-    return labels, topk, store, applied
+    return labels, topk, store, applied, snapshot, history
 
 
 def test_composed_lifecycle_survives_random_multi_crash(spark, sf_dir, tmp_path):
@@ -223,6 +282,8 @@ def test_composed_lifecycle_survives_random_multi_crash(spark, sf_dir, tmp_path)
     assert got[1] == want[1], f"keyword top-k diverged: {ctx}"
     assert got[2] == want[2], f"ann store diverged: {ctx}"
     assert got[3] == want[3], f"applied-batch record diverged: {ctx}"
+    assert got[4] == want[4], f"cdc snapshot diverged: {ctx}"
+    assert got[5] == want[5], f"scd2 history diverged: {ctx}"
 
 
 def test_kw_server_replayed_epoch_never_collides_with_gc(spark, tmp_path):

@@ -151,3 +151,53 @@ def test_resize_images_real_codec(spark):
     }
     assert (rows[0]["new_width"], rows[0]["new_height"]) == (320, 240)
     assert (rows[1]["new_width"], rows[1]["new_height"]) == (30, 20)
+
+
+def _wav_bytes(n_frames, channels=2, framerate=16000):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(
+            bytes((i * 31) % 256 for i in range(n_frames * channels * 2))
+        )
+    return buf.getvalue()
+
+
+def test_extract_features_real_wav_audio(spark):
+    """PCM WAV audio decodes for real through the same Arrow pipeline via
+    the stdlib wave module: n_frames comes from the actual container, not
+    the byte-derived fake."""
+    from eth_event_stream_spark.operators.multimodal import extract_features
+
+    payloads = [_wav_bytes(1234), _wav_bytes(7, channels=1)]
+    media = spark.createDataFrame(
+        [(i, "audio", bytearray(p), {}) for i, p in enumerate(payloads)],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    out = {
+        r["media_id"]: r
+        for r in extract_features(media, codec="real").collect()
+    }
+    assert out[0]["n_frames"] == 1234 and out[1]["n_frames"] == 7
+    assert out[0]["width"] is None  # audio rows carry no image dims
+
+    # a non-WAV audio payload fails loudly, as does a corrupt WAV body
+    bad = spark.createDataFrame(
+        [(9, "audio", bytearray(b"OggS not a wav"), {})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    with pytest.raises(Exception, match="codec library"):
+        extract_features(bad, codec="real").collect()
+    corrupt = bytearray(_wav_bytes(50))
+    corrupt[12:16] = b"XXXX"  # clobber the fmt chunk id
+    cdf = spark.createDataFrame(
+        [(10, "audio", corrupt, {})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    with pytest.raises(Exception):
+        extract_features(cdf, codec="real").collect()
