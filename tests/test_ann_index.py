@@ -408,3 +408,66 @@ def test_manager_append_with_batch_id_is_exactly_once(spark, sf_dir, tmp_path):
     # and one more replay of the now-applied id is a no-op
     mgr3.append(spark, batch8, batch_id=8)
     assert _store_rows(spark, mgr3.current_dir()) == final
+
+
+def test_streaming_append_exactly_once_across_checkpoint_restart(
+    spark, sf_dir, tmp_path
+):
+    """The epoch-guarded append under a REAL Structured Streaming query:
+    ingest file-by-file through foreachBatch(append, batch_id=epoch), stop
+    the query mid-stream, resume from the same checkpoint with a NEW query
+    and a NEW manager object — Spark replays the uncommitted epoch, the
+    applied-id guard absorbs any overlap, and the final store holds every
+    vector exactly once."""
+    import os
+
+    from eth_event_stream_spark.plans.ann_index import AnnIndexManager
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = e.filter((F.col("vec_id") % 5 != 0) | (F.col("vec_id") == 0))
+    batch = e.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") != 0))
+
+    root = str(tmp_path / "ann_root")
+    mgr = AnnIndexManager(root)
+    mgr.build(spark, sf_dir, e=corpus)
+
+    src = tmp_path / "new_vecs"
+    batch.repartition(4).write.parquet(str(src))
+    ck = str(tmp_path / "ck")
+
+    def run_until(n_batches):
+        seen = {"n": 0}
+        m = AnnIndexManager(root)  # fresh manager per process lifetime
+
+        def sink(bdf, epoch_id):
+            m.append(spark, bdf, batch_id=epoch_id)
+            seen["n"] += 1
+            if seen["n"] >= n_batches:
+                raise RuntimeError("planted stop")
+
+        q = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        except Exception:
+            pass
+        finally:
+            q.stop()
+
+    run_until(2)  # dies after epoch 1's append but BEFORE its commit
+    run_until(100)  # resume: epoch 1 replays, guard no-ops, rest ingests
+
+    from eth_event_stream_spark.plans.ann_index import _CELL_STORE, load_ann_index
+
+    spark.catalog.refreshByPath(os.path.join(mgr.current_dir(), _CELL_STORE))
+    store = load_ann_index(spark, mgr.current_dir())["cell_store"]
+    assert store.count() == e.count()  # every vector exactly once
+    assert (
+        store.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
+    )
