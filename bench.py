@@ -239,15 +239,45 @@ DETAIL_NAME = "BENCH_DETAIL.json"
 # flagship pair, a constant set regardless of registry size.
 INLINE_ROWS = ("flagship_user_netflow", "flagship_netflow_counters")
 
+# Load canary: the flagship query re-timed (min-of-2) AFTER the whole run,
+# compared against the committed SOLO reference for that sf. The r10 round
+# exposed the failure mode this guards: the driver's archived capture ran
+# under container load and read 1.2x on rows whose files were untouched —
+# undetectable from the record itself. A constant-work probe that drifts
+# >1.5x from its solo reference marks the capture as loaded IN the record.
+CANARY_SOLO_REF = {"0.1": 0.33}  # builder solo flagship, BENCH_DETAIL_r10.json
+CANARY_WARN_RATIO = 1.5
 
-def emit_record(timings: dict[str, float], sf: str, detail_dir: str | None = None) -> str:
+
+def emit_record(
+    timings: dict[str, float],
+    sf: str,
+    detail_dir: str | None = None,
+    canary: dict | None = None,
+) -> str:
     """Write the full-fidelity per-query sidecar and return the O(1)
     archived stdout line. Returned line length is independent of how many
     rows the registry grows (pinned by tests/test_bench_record.py)."""
     import hashlib
 
     total = round(sum(timings.values()), 3)
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    try:
+        # a malformed SPARK_GRAFT_SF_DIR-derived label ('1.2.3') must not
+        # lose a completed run's record to a ValueError after all queries ran
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    warning = None
+    if canary is not None:
+        ref = CANARY_SOLO_REF.get(str(sf_val))
+        canary = dict(canary, flagship_solo_ref=ref)
+        retime = canary.get("flagship_retime")
+        if ref is not None and retime is not None and retime > CANARY_WARN_RATIO * ref:
+            warning = (
+                f"load canary: flagship retime {retime}s > "
+                f"{CANARY_WARN_RATIO}x solo ref {ref}s — capture likely "
+                "under container load, compare per-query against the solo detail"
+            )
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -257,6 +287,10 @@ def emit_record(timings: dict[str, float], sf: str, detail_dir: str | None = Non
         "queries": timings,
         "sf": sf_val,
     }
+    if canary is not None:
+        detail["canary"] = canary
+    if warning is not None:
+        detail["canary_warning"] = warning
     detail_path = os.path.join(
         detail_dir if detail_dir is not None else os.path.dirname(os.path.abspath(__file__)),
         DETAIL_NAME,
@@ -264,20 +298,20 @@ def emit_record(timings: dict[str, float], sf: str, detail_dir: str | None = Non
     payload = json.dumps(detail, separators=(",", ":"), sort_keys=True)
     with open(detail_path, "w") as f:
         f.write(payload)
-    return json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "headline_set": HEADLINE_SET,
-            "n_queries": len(timings),
-            "queries": {k: timings[k] for k in INLINE_ROWS if k in timings},
-            "queries_detail": DETAIL_NAME,
-            "detail_sha256": hashlib.sha256(payload.encode()).hexdigest(),
-            "sf": sf_val,
-        },
-        separators=(",", ":"),
-    )
+    line = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "headline_set": HEADLINE_SET,
+        "n_queries": len(timings),
+        "queries": {k: timings[k] for k in INLINE_ROWS if k in timings},
+        "queries_detail": DETAIL_NAME,
+        "detail_sha256": hashlib.sha256(payload.encode()).hexdigest(),
+        "sf": sf_val,
+    }
+    if warning is not None:
+        line["canary_warning"] = warning
+    return json.dumps(line, separators=(",", ":"))
 
 
 def run_query(df) -> None:
@@ -557,6 +591,7 @@ def time_prepare_corpus_split(spark, timings: dict[str, float]) -> None:
 def main() -> None:
     spark = get_spark(app_name="bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    loadavg_start = list(os.getloadavg())
 
     # warm-up: JVM + parquet footer reads, untimed
     run_query(QUERIES["agg_stats"].fn(spark, SF_DIR))
@@ -581,7 +616,21 @@ def main() -> None:
     time_incremental_split(spark, timings)
     time_cc_split(spark, timings)
 
-    print(emit_record(timings, sf))
+    # load canary: constant-work probe AFTER the whole run (the flagship
+    # query re-timed, min-of-2) — already warm, so drift vs the committed
+    # solo reference measures capture-time container load, not codegen
+    retime = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_query(QUERIES["flagship_user_netflow"].fn(spark, SF_DIR))
+        retime = min(retime, time.perf_counter() - t0)
+    canary = {
+        "loadavg_start": loadavg_start,
+        "loadavg_end": list(os.getloadavg()),
+        "flagship_retime": round(retime, 3),
+    }
+
+    print(emit_record(timings, sf, canary=canary))
     spark.stop()
 
 

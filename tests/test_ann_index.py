@@ -410,6 +410,70 @@ def test_manager_append_with_batch_id_is_exactly_once(spark, sf_dir, tmp_path):
     assert _store_rows(spark, mgr3.current_dir()) == final
 
 
+def test_rebuild_scrubs_unapplied_crashed_batch_before_reading(
+    spark, sf_dir, tmp_path
+):
+    """Rebuild-before-replay ordering: a crashed append leaves partial
+    batch-prefixed files with the id UNRECORDED. If rebuild() read the
+    store verbatim, those vectors would be baked UNTAGGED into the rebuilt
+    corpus while the carried-forward _APPLIED_BATCHES still lacks the id —
+    the later replay would find no prefixed files to scrub and re-append
+    the full batch, duplicating the partially-moved vectors. The rebuild
+    must scrub unapplied batch files first, so replay-after-rebuild is
+    exactly-once too (the crash-ordering gap beside
+    test_manager_append_with_batch_id_is_exactly_once's replay-first path).
+    """
+    import os
+    import unittest.mock as mock
+    from collections import Counter
+
+    from eth_event_stream_spark.plans.ann_index import AnnIndexManager
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = embs.filter(F.col("vec_id") % 5 != 0)
+    batch = embs.filter(F.col("vec_id") % 5 == 0)
+
+    mgr = AnnIndexManager(str(tmp_path / "ann_root"))
+    mgr.build(spark, sf_dir, e=corpus)
+    base = _store_rows(spark, mgr.current_dir())
+
+    # crash mid-move: only SOME of batch 3's files land, id unrecorded
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def flaky_replace(src, dst):
+        if "batch-000000003-" in str(dst) and not str(dst).endswith(".crc"):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise OSError("injected crash mid-move")
+        return real_replace(src, dst)
+
+    with mock.patch(
+        "eth_event_stream_spark.plans.ann_index.os.replace", flaky_replace
+    ):
+        with pytest.raises(OSError):
+            mgr.append(spark, batch, batch_id=3)
+    assert len(_store_rows(spark, mgr.current_dir())) > len(base)
+
+    # rebuild BEFORE the replay: must scrub the unapplied partial batch
+    mgr.rebuild(spark)
+    rebuilt = _store_rows(spark, mgr.current_dir())
+    assert Counter(v for v, _ in rebuilt) == Counter(v for v, _ in base)
+
+    # the replay now re-stages the whole batch from source: exactly-once
+    mgr.append(spark, batch, batch_id=3)
+    final = _store_rows(spark, mgr.current_dir())
+    assert len(final) == len(base) + batch.count()
+    before = Counter(v for v, _ in base)
+    after = Counter(v for v, _ in final)
+    b_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    for vid in after:
+        assert after[vid] == before[vid] + (1 if vid in b_ids else 0), vid
+    # and a second replay of the now-applied id is a no-op
+    mgr.append(spark, batch, batch_id=3)
+    assert _store_rows(spark, mgr.current_dir()) == final
+
+
 def test_streaming_append_exactly_once_across_checkpoint_restart(
     spark, sf_dir, tmp_path
 ):

@@ -85,3 +85,50 @@ def test_extra_rows_match_split_helpers():
     )
     for row in bench.EXTRA_ROWS:
         assert f'"{row}"' in src, row
+
+
+def test_canary_fields_and_warning(tmp_path):
+    """The load-canary schema in the sidecar (loadavg start/end, flagship
+    retime, solo reference) and the warning rule: a retime beyond
+    CANARY_WARN_RATIO x the committed solo reference marks the archived
+    line itself, so a loaded capture (the r10 driver run) is detectable
+    from the record with no external context."""
+    timings = {"flagship_user_netflow": 0.3}
+    quiet = {
+        "loadavg_start": [1.0, 1.0, 1.0],
+        "loadavg_end": [2.0, 2.0, 2.0],
+        "flagship_retime": 0.31,
+    }
+    line = bench.emit_record(timings, "0.1", detail_dir=str(tmp_path), canary=quiet)
+    parsed = json.loads(line)
+    assert "canary_warning" not in parsed
+    detail = json.loads((tmp_path / bench.DETAIL_NAME).read_bytes())
+    c = detail["canary"]
+    assert c["loadavg_start"] == [1.0, 1.0, 1.0]
+    assert c["loadavg_end"] == [2.0, 2.0, 2.0]
+    assert c["flagship_retime"] == 0.31
+    assert c["flagship_solo_ref"] == bench.CANARY_SOLO_REF["0.1"]
+    assert "canary_warning" not in detail
+
+    loaded = dict(quiet, flagship_retime=round(
+        bench.CANARY_WARN_RATIO * bench.CANARY_SOLO_REF["0.1"] + 0.05, 3))
+    line = bench.emit_record(timings, "0.1", detail_dir=str(tmp_path), canary=loaded)
+    parsed = json.loads(line)
+    assert "load canary" in parsed["canary_warning"]
+    detail = json.loads((tmp_path / bench.DETAIL_NAME).read_bytes())
+    assert detail["canary_warning"] == parsed["canary_warning"]
+    # record stays parseable from the driver's 2000-char tail with the warning
+    assert len(line) < 2000 and json.loads(line[-2000:])
+
+    # no solo reference for this sf (e.g. sf1 rehearsals): record, never warn
+    line = bench.emit_record(timings, "1", detail_dir=str(tmp_path), canary=loaded)
+    assert "canary_warning" not in json.loads(line)
+
+
+def test_malformed_sf_label_cannot_lose_the_record(tmp_path):
+    """A malformed sf label ('1.2.3', '1..2') must fall back to the raw
+    string instead of raising after every query already ran."""
+    timings = {"flagship_user_netflow": 0.3}
+    for bad in ("1.2.3", "1..2", "xyz"):
+        line = bench.emit_record(timings, bad, detail_dir=str(tmp_path))
+        assert json.loads(line)["sf"] == bad

@@ -197,3 +197,93 @@ def test_kcenter_batched_exact_mode_equals_gonzalez(spark, sf_dir):
     assert got == exact_rows
     assert st1["passes"] == 11
     assert st2["passes"] < 11  # batching actually saved corpus passes
+
+
+def test_kcenter_certificate_from_r2_matches_standalone(spark, sf_dir):
+    """The state-derived certificate (R^2 = max of the selection loop's
+    final `mind`, exported via stats_out) must reach the same verdict as
+    the standalone corpus-pass certificate on the same selection — the
+    redundant second broadcast pass is gone, not the semantics."""
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.plans.assembly import (
+        kcenter_certificate_from_r2,
+        kcenter_cover_certificate,
+        sample_kcenter_batched,
+    )
+
+    stats: dict = {}
+    sel = sample_kcenter_batched(
+        spark, sf_dir, k=16, batch=4, stats_out=stats
+    ).collect()
+    assert stats["r2"] is not None and stats["r2"] > 0.0
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("e")
+    )
+    ids = [r.vec_id for r in sel]
+    standalone = kcenter_cover_certificate(emb, ids, stats["sel_embs"], factor=4.0)
+    from_state = kcenter_certificate_from_r2(stats["r2"], stats["sel_embs"], factor=4.0)
+    assert from_state == standalone
+
+
+def test_kcenter_contract_escalates_to_exact_on_failed_certificate(
+    spark, tmp_path_factory
+):
+    """Self-healing certificate (the BENCH_SF1 sf1 failure shape, scaled
+    down): a tight near-duplicate cluster far from the seed fills the
+    ENTIRE oversampled fetch, so the approx batched pass must take a
+    second within-pass pick from the cluster — two near-dup centers
+    collapse minpair(S) while a moderately-far spread point keeps the
+    cover radius large, and the approx draw's empirical certificate
+    FAILS. The registered contract entry must then escalate to exact=True
+    (whose certificate is structural: Gonzalez center pairs are >= R
+    apart) and still return cover_certificate_4x = TRUE, with `passes`
+    still reporting the approx draw's deterministic ceil((k-1)/batch)."""
+    from eth_event_stream_spark.plans.assembly import (
+        _kcenter_contract_row,
+        kcenter_certificate_from_r2,
+        sample_kcenter_batched,
+    )
+
+    d = _emb_dir(
+        tmp_path_factory,
+        {
+            # seed (min vec_id)
+            0: [0.0, 0.0],
+            # near-dup cluster at x=100, jittered: 8 points fill the WHOLE
+            # oversample*batch = 4*2 = 8 fetch of pass 1, so the approx
+            # pass's second pick has only near-dups to choose from
+            **{i: [100.0 + (i - 1) * 0.001, (i % 2) * 0.001] for i in range(1, 9)},
+            # spread points the approx draw leaves uncovered at R^2 = 2500
+            9: [50.0, 0.0],
+            10: [-50.0, 0.0],
+        },
+    )
+    # the approx draw's certificate genuinely fails on this corpus
+    stats: dict = {}
+    sample_kcenter_batched(spark, d, k=4, batch=2, stats_out=stats).collect()
+    assert not kcenter_certificate_from_r2(stats["r2"], stats["sel_embs"], 4.0)
+    # ... but the contract entry self-heals via the exact escalation
+    out: dict = {}
+    row = _kcenter_contract_row(
+        spark, d, k=4, batch=2, escalation_out=out
+    ).collect()[0]
+    assert out["escalated"] is True
+    assert row.cover_certificate_4x is True
+    assert row.passes == 2  # ceil((4-1)/2): the approx draw's pass count
+    assert row.n_selected == row.n_distinct_vec == 4
+    assert row.dense_ranks is True
+
+
+def test_kcenter_contract_does_not_escalate_on_spread_corpus(spark, sf_dir):
+    """On the real corpus the approx certificate passes and NO exact
+    re-draw runs — escalation is the exception path, not a second pass
+    paid on every call."""
+    from eth_event_stream_spark.plans.assembly import _kcenter_contract_row
+
+    out: dict = {}
+    row = _kcenter_contract_row(
+        spark, sf_dir, k=16, batch=4, escalation_out=out
+    ).collect()[0]
+    assert out["escalated"] is False
+    assert row.cover_certificate_4x is True

@@ -102,6 +102,54 @@ def test_fail_fast_on_damage():
         decode_png(_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
 
 
+def test_decompression_bomb_is_bounded():
+    """Untrusted IDAT must never inflate past the IHDR-derived size: a
+    2x2 image whose IDAT decompresses to ~64 MiB has to be rejected by the
+    bounded decompressobj (max_length = expected+1), not after a full
+    unbounded zlib.decompress allocation; absurd declared dimensions are
+    refused before any inflate at all."""
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # tiny declared image, huge actual payload (64 MiB of zeros -> ~64 KiB
+    # compressed): the bound caps the inflate at expected+1 bytes
+    bomb = (
+        _SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (64 * 1024 * 1024)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(bomb)
+
+    # absurd declared dimensions: refuse before allocating anything
+    huge = (
+        _SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2**31 - 1, 2**31 - 1, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="refusing PNG"):
+        decode_png(huge)
+
+    # a truncated zlib stream (valid prefix, never reaches eof) still fails
+    ok_raw = bytes([0, 0, 0, 0, 0, 0])  # 2x2 gray, filter 0
+    trunc = (
+        _SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(ok_raw)[:-4])
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(trunc)
+
+
 def _media_df(spark, payloads):
     """media table with REAL PNG payloads (media_id, kind, payload, meta)."""
     return spark.createDataFrame(
