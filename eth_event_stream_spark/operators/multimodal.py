@@ -59,16 +59,20 @@ FEATURE_SCHEMA = StructType(
 def _decode_real(kind: str, payload: bytes) -> dict:
     """Real codec layer. Images decode IN THIS CONTAINER via the pure-stdlib
     baseline PNG codec (``operators/png.py``: zlib inflate + per-scanline
-    unfilter, CRC-verified) — real width/height from real pixels, no new
-    dependencies. Audio/video (and non-PNG image formats) still need a codec
-    library this container doesn't ship (soundfile / av / Pillow for JPEG):
-    those raise, loudly, rather than guess. The surrounding Spark plumbing
-    (schema, Arrow batching, partitioning) is identical for every codec.
+    unfilter, CRC-verified) and the stdlib+numpy baseline JPEG codec
+    (``operators/jpeg.py``: Huffman + dequant + 8x8 IDCT, 4:4:4/4:2:2/4:2:0,
+    restart markers) — real width/height from real pixels, no new
+    dependencies. Audio/video (and other image formats: GIF, WebP,
+    progressive JPEG) still need a codec library this container doesn't
+    ship (soundfile / av / Pillow): those raise, loudly, rather than guess.
+    The surrounding Spark plumbing (schema, Arrow batching, partitioning)
+    is identical for every codec.
     """
+    from .jpeg import decode_jpeg, is_jpeg
     from .png import decode_png, is_png
 
-    if kind == "image" and is_png(payload):
-        img = decode_png(payload)
+    if kind == "image" and (is_png(payload) or is_jpeg(payload)):
+        img = decode_png(payload) if is_png(payload) else decode_jpeg(payload)
         return {
             "n_bytes": len(payload),
             "checksum": hashlib.md5(payload).hexdigest(),
@@ -94,8 +98,9 @@ def _decode_real(kind: str, payload: bytes) -> dict:
             }
     raise NotImplementedError(
         f"real {kind} decoding requires a codec library not present in this "
-        "environment (PNG images and PCM WAV audio decode via the stdlib "
-        "codecs); use codec='fake' (deterministic) or install a decoder"
+        "environment (PNG + baseline JPEG images and PCM WAV audio decode "
+        "via the in-repo stdlib codecs); use codec='fake' (deterministic) "
+        "or install a decoder"
     )
 
 

@@ -340,8 +340,16 @@ def write_manifest(spark: SparkSession, data_dir: str) -> dict:
         "total_bytes": sum(v["n_bytes"] for v in fps.values()),
         "total_rows": sum(v["n_rows"] for v in fps.values()),
     }
-    with open(os.path.join(data_dir, MANIFEST_NAME), "w") as f:
+    # tmp + rename: a crash mid-write must never leave a TORN manifest at
+    # the final name — consumers would fail on unparseable JSON instead of
+    # the honest "no manifest yet" refusal, and a torn-but-parseable
+    # prefix could in principle verify a partial release clean. Same
+    # publish discipline as the warehouse pointer swap (sink.rs:13-21).
+    final = os.path.join(data_dir, MANIFEST_NAME)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, final)
     return manifest
 
 
@@ -358,7 +366,15 @@ def verify_release(spark: SparkSession, data_dir: str) -> dict:
     if not os.path.exists(path):
         raise ReleaseIntegrityError(f"no {MANIFEST_NAME} at {data_dir}")
     with open(path) as f:
-        manifest = json.load(f)
+        try:
+            manifest = json.load(f)
+        except ValueError as exc:
+            # a torn manifest (non-atomic mirror copy, partial download)
+            # must refuse with the TYPED integrity error, never verify
+            # clean and never surface as a bare JSON parse error
+            raise ReleaseIntegrityError(
+                f"manifest at {path} is torn/unparseable: {exc}"
+            ) from exc
     want = manifest["files"]
     # pass 1: bytes only — robust even when a shard is unreadable parquet
     got = _byte_fingerprints(spark, data_dir)

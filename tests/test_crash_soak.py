@@ -337,3 +337,213 @@ def test_versioned_table_crash_leftover_never_outranks_real_grace_copy(
     # the grace copy is the REAL batch-1 snapshot, not the crash leftover
     assert vt.versions() == [1, 2]
     assert vt.as_of(spark, 1).count() == 20
+
+
+# ---------------------------------------------------------------------------
+# Release-lane soak: curate -> compact -> fingerprint table -> manifest
+# publish -> pruned diff (the examples/release_cycle.py composition).
+# The manifest IS the publish point — until it lands atomically,
+# verify_release must refuse the directory, so a consumer can never train
+# on a half-committed release; the ported semantic is the same sink
+# exactly-once contract (sink.rs:13-21). The card step is read-only
+# (no state to corrupt), so it carries no kill point.
+# ---------------------------------------------------------------------------
+
+RELEASE_CRASH_POINTS = [
+    "mid_compact",        # some compacted shards on disk, _SUCCESS gone
+    "after_compact",      # between compaction and the fingerprint table
+    "mid_fp_write",       # partial shipped-fingerprint table
+    "after_fp",           # between fingerprint-table write and the publish
+    "mid_manifest_swap",  # manifest fully computed, atomic rename killed
+]
+
+N_RELEASES = 3
+
+
+def _curated(spark, sf_dir, i):
+    """Deterministic curated corpus for release ``i``: a shrinking doc set
+    with an i-dependent perturbed slice, so consecutive releases genuinely
+    differ (added/removed/changed rows all occur in the diffs)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.filter(F.col("doc_id") % 10 >= i).select(
+        "doc_id",
+        "lang",
+        F.when(F.col("doc_id") % 7 == i, F.reverse(F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _mangle_spark_dir_and_raise(d, msg):
+    """Simulate a kill DURING a Spark parquet write's commit: some task
+    outputs already renamed into place, the _SUCCESS marker and the rest
+    never landed."""
+    import glob
+
+    for p in glob.glob(os.path.join(d, "_SUCCESS")) + glob.glob(
+        os.path.join(d, "._SUCCESS.crc")
+    ):
+        os.remove(p)
+    parts = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    for p in parts[:: 2] or parts[:1]:
+        os.remove(p)
+        crc = os.path.join(d, "." + os.path.basename(p) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    raise Injected(msg)
+
+
+def _raise_on_manifest_swap():
+    from eth_event_stream_spark.plans.layout import MANIFEST_NAME
+
+    real = os.replace
+
+    def flaky(src, dst):
+        if str(dst).endswith(MANIFEST_NAME):
+            raise Injected(f"killed mid-manifest-swap: {dst}")
+        return real(src, dst)
+
+    return flaky
+
+
+def _publish_release(spark, sf_dir, work, i, crash_point):
+    """One attempt at publishing release ``i``; a crash may be armed at any
+    step. Replay = rerun from the top (every step overwrites), exactly what
+    a restarted publish job does."""
+    from eth_event_stream_spark.plans.layout import compact_parquet_dir, write_manifest
+    from eth_event_stream_spark.plans.warehouse import release_bucket_fingerprints
+
+    raw = os.path.join(work, f"raw_{i}")
+    rel = os.path.join(work, f"release_{i}")
+    fpd = os.path.join(work, f"fp_{i}")
+
+    _curated(spark, sf_dir, i).write.mode("overwrite").parquet(raw)
+
+    compact_parquet_dir(spark, raw, rel, target_bytes=64 * 1024, sort_cols=["doc_id"])
+    if crash_point == "mid_compact":
+        _mangle_spark_dir_and_raise(rel, f"killed mid-compaction of release {i}")
+    if crash_point == "after_compact":
+        raise Injected(f"killed between compaction and fingerprints of {i}")
+
+    spark.catalog.refreshByPath(rel)
+    release_bucket_fingerprints(spark.read.parquet(rel)).write.mode(
+        "overwrite"
+    ).parquet(fpd)
+    if crash_point == "mid_fp_write":
+        _mangle_spark_dir_and_raise(fpd, f"killed mid-fingerprint-write of {i}")
+    if crash_point == "after_fp":
+        raise Injected(f"killed between fingerprint table and publish of {i}")
+
+    if crash_point == "mid_manifest_swap":
+        with mock.patch("os.replace", _raise_on_manifest_swap()):
+            write_manifest(spark, rel)
+    else:
+        write_manifest(spark, rel)
+
+
+def _release_end_state(spark, work):
+    """Everything a consumer sees: per-release verified manifests (counts,
+    not md5s/filenames — part-file UUIDs differ run to run), released rows,
+    and the persisted-fingerprint pruned diff of each consecutive pair."""
+    from eth_event_stream_spark.plans.layout import verify_release
+    from eth_event_stream_spark.plans.warehouse import diff_releases_pruned_of
+
+    state = []
+    for i in range(N_RELEASES):
+        rel = os.path.join(work, f"release_{i}")
+        spark.catalog.refreshByPath(rel)
+        m = verify_release(spark, rel)  # must pass: the release is published
+        rows = sorted(
+            map(tuple, spark.read.parquet(rel).select("doc_id", "lang", "text").collect())
+        )
+        state.append((m["n_files"], m["total_rows"], rows))
+    for i in range(1, N_RELEASES):
+        prev = spark.read.parquet(os.path.join(work, f"release_{i-1}"))
+        curr = spark.read.parquet(os.path.join(work, f"release_{i}"))
+        fp_p = spark.read.parquet(os.path.join(work, f"fp_{i-1}"))
+        fp_c = spark.read.parquet(os.path.join(work, f"fp_{i}"))
+        diff = sorted(
+            map(
+                tuple,
+                diff_releases_pruned_of(
+                    prev, curr, fp_prev=fp_p, fp_curr=fp_c
+                ).collect(),
+            )
+        )
+        state.append(("diff", i, diff))
+    return state
+
+
+def test_release_cycle_soak_converges(spark, sf_dir, tmp_path):
+    """Seed-logged random kills across the release publish chain: after
+    EVERY kill the half-published release must refuse verification (the
+    manifest is the atomic publish point), and replaying from the top must
+    converge to the uninterrupted run's end state — releases, manifests,
+    and persisted-fingerprint pruned diffs all equal."""
+    import pytest
+
+    from eth_event_stream_spark.plans.layout import (
+        ReleaseIntegrityError,
+        verify_release,
+    )
+
+    seed = int(os.environ.get("SOAK_SEED", "0")) or random.SystemRandom().randrange(
+        1 << 30
+    )
+    rng = random.Random(seed)
+    print(f"SOAK_SEED={seed}")
+
+    ref = str(tmp_path / "ref_rel")
+    os.makedirs(ref)
+    for i in range(N_RELEASES):
+        _publish_release(spark, sf_dir, ref, i, "none")
+    want = _release_end_state(spark, ref)
+
+    soak = str(tmp_path / "soak_rel")
+    os.makedirs(soak)
+    schedule = []
+    for i in range(N_RELEASES):
+        # release 0 always dies at least once so no seed is vacuous
+        n_kills = rng.randrange(1, 3) if i == 0 else rng.randrange(3)
+        crashes = [rng.choice(RELEASE_CRASH_POINTS) for _ in range(n_kills)]
+        schedule.append(crashes)
+        for point in crashes:
+            with pytest.raises(Injected):
+                _publish_release(spark, sf_dir, soak, i, point)
+            # the half-published release must never verify clean
+            rel = os.path.join(soak, f"release_{i}")
+            spark.catalog.refreshByPath(rel)
+            with pytest.raises(ReleaseIntegrityError):
+                verify_release(spark, rel)
+        _publish_release(spark, sf_dir, soak, i, "none")  # the clean replay
+
+    got = _release_end_state(spark, soak)
+    assert got == want, f"SOAK_SEED={seed} schedule={schedule}"
+
+
+def test_torn_manifest_mirror_refuses_typed(spark, sf_dir, tmp_path):
+    """A published release whose manifest was torn IN TRANSIT (non-atomic
+    mirror copy / partial download) must refuse with the typed
+    ReleaseIntegrityError — never verify clean, never surface as a bare
+    JSON parse error. (Our own writer can no longer produce this state:
+    write_manifest goes through tmp + os.replace.)"""
+    import pytest
+
+    from eth_event_stream_spark.plans.layout import (
+        MANIFEST_NAME,
+        ReleaseIntegrityError,
+        verify_release,
+        write_manifest,
+    )
+
+    rel = str(tmp_path / "rel")
+    _curated(spark, sf_dir, 0).write.mode("overwrite").parquet(rel)
+    write_manifest(spark, rel)
+    verify_release(spark, rel)  # intact: verifies clean
+
+    path = os.path.join(rel, MANIFEST_NAME)
+    blob = open(path, "rb").read()
+    with open(path, "wb") as f:
+        f.write(blob[: len(blob) // 2])  # torn mid-byte
+    with pytest.raises(ReleaseIntegrityError, match="torn/unparseable"):
+        verify_release(spark, rel)
