@@ -57,17 +57,20 @@ FEATURE_SCHEMA = StructType(
 
 
 def _decode_real(kind: str, payload: bytes) -> dict:
-    """Real codec layer. Images decode IN THIS CONTAINER via the pure-stdlib
-    baseline PNG codec (``operators/png.py``: zlib inflate + per-scanline
-    unfilter, CRC-verified) and the stdlib+numpy baseline JPEG codec
-    (``operators/jpeg.py``: Huffman + dequant + 8x8 IDCT, 4:4:4/4:2:2/4:2:0,
-    restart markers) — real width/height from real pixels, no new
-    dependencies. Audio/video (and other image formats: GIF, WebP,
-    progressive JPEG) still need a codec library this container doesn't
-    ship (soundfile / av / Pillow): those raise, loudly, rather than guess.
-    The surrounding Spark plumbing (schema, Arrow batching, partitioning)
-    is identical for every codec.
+    """Real codec layer — all in-repo, stdlib(+numpy) only, no new
+    dependencies: PNG (``operators/png.py``: zlib inflate + per-scanline
+    unfilter, CRC-verified), baseline JPEG (``operators/jpeg.py``: Huffman
+    + dequant + 8x8 IDCT, 4:4:4/4:2:2/4:2:0, restart markers), GIF
+    (``operators/gif.py``: LZW, interlace, animation frame counts), MJPEG
+    AVI video (``operators/avi.py``: RIFF parsing, per-frame JPEG decode),
+    and PCM WAV audio (stdlib ``wave``) — real dimensions and frame counts
+    from real pixels/samples. Formats that genuinely need an external
+    library (WebP, progressive JPEG, H.264/VP9, compressed audio) raise,
+    loudly, rather than guess. The surrounding Spark plumbing (schema,
+    Arrow batching, partitioning) is identical for every codec.
     """
+    from .avi import decode_avi, is_avi
+    from .gif import decode_gif, is_gif
     from .jpeg import decode_jpeg, is_jpeg
     from .png import decode_png, is_png
 
@@ -79,6 +82,28 @@ def _decode_real(kind: str, payload: bytes) -> dict:
             "width": img["width"],
             "height": img["height"],
             "n_frames": None,
+        }
+    if kind in ("image", "video") and is_gif(payload):
+        # animated GIFs arrive under either kind; every frame's LZW stream
+        # is decoded and validated, so n_frames is a real count
+        img = decode_gif(payload)
+        return {
+            "n_bytes": len(payload),
+            "checksum": hashlib.md5(payload).hexdigest(),
+            "width": img["width"],
+            "height": img["height"],
+            "n_frames": img["n_frames"] if img["n_frames"] > 1 else None,
+        }
+    if kind == "video" and is_avi(payload):
+        # MJPEG AVI: the first frame decodes to real pixels via the JPEG
+        # codec; the rest are counted with their signatures verified
+        v = decode_avi(payload)
+        return {
+            "n_bytes": len(payload),
+            "checksum": hashlib.md5(payload).hexdigest(),
+            "width": v["width"],
+            "height": v["height"],
+            "n_frames": v["n_frames"],
         }
     if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         import io
@@ -98,9 +123,9 @@ def _decode_real(kind: str, payload: bytes) -> dict:
             }
     raise NotImplementedError(
         f"real {kind} decoding requires a codec library not present in this "
-        "environment (PNG + baseline JPEG images and PCM WAV audio decode "
-        "via the in-repo stdlib codecs); use codec='fake' (deterministic) "
-        "or install a decoder"
+        "environment (PNG / baseline JPEG / GIF images, MJPEG AVI video, "
+        "and PCM WAV audio decode via the in-repo stdlib codecs); use "
+        "codec='fake' (deterministic) or install a decoder"
     )
 
 
@@ -153,18 +178,64 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def sample_frames(df: DataFrame, every_n: int = 8) -> DataFrame:
-    """Frame-sampling plumbing for video rows: explode fake frame indexes
-    (0, every_n, 2*every_n, ... < n_frames). With a real codec the payload
-    slice per frame happens in the same mapInPandas; the plan shape —
-    explode then per-frame features — is what matters at scale."""
-    feats = extract_features(df).filter(F.col("kind") == "video")
+def sample_frames(df: DataFrame, every_n: int = 8, codec: str = "fake") -> DataFrame:
+    """Frame-sampling plumbing for video rows: explode frame indexes
+    (0, every_n, 2*every_n, ... < n_frames). With ``codec="real"`` the
+    frame counts come from the real container parse (MJPEG AVI / animated
+    GIF); the plan shape — explode then per-frame features — is what
+    matters at scale."""
+    feats = extract_features(df, codec=codec).filter(F.col("kind") == "video")
     return feats.select(
         "media_id",
         F.explode(
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("frame_bytes", LongType(), False),
+    ]
+)
+
+
+def extract_frame_features(df: DataFrame, every_n: int = 8) -> DataFrame:
+    """REAL per-frame decode for MJPEG-AVI video rows: every ``every_n``-th
+    frame's JPEG payload is sliced out of the container and decoded inside
+    one Arrow-batched mapInPandas pass — actual per-frame dimensions, no
+    shuffle, the media bytes never leave the partition that holds them."""
+    from ..shipping import ship_package
+
+    ship_package(df.sparkSession)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avi import _movi_bounds, _video_chunks, is_avi
+        from .jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                data = bytes(payload) if payload is not None else b""
+                if not is_avi(data):
+                    continue  # non-AVI video rows have no frame lane here
+                start, end, _ = _movi_bounds(data)
+                for i, (at, size) in enumerate(_video_chunks(data, start, end)):
+                    if i % every_n:
+                        continue
+                    frame = decode_jpeg(data[at : at + size])
+                    rows.append((mid, i, frame["width"], frame["height"], size))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return df.mapInPandas(fn, schema=FRAME_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType(
