@@ -168,6 +168,11 @@ HEADLINE = [
     # Gonzalez row-for-row (same full-value oracle as sample_kcenter_diverse)
     # in up to batch picks per corpus pass via the cutoff rule
     "sample_kcenter_batched_exact",
+    # round-11 addition (r11-extended, additions only): the REAL-codec
+    # round trip — encode PNG/JPEG/GIF/MJPEG-AVI/WAV in executors, decode
+    # them back, 3-row aggregate oracled arithmetically; per-row Python
+    # (DCT/LZW/deflate) is the honest cost being measured
+    "multimodal_codec_roundtrip",
 ]
 
 
@@ -225,7 +230,7 @@ def build_short_map(names: list[str]) -> dict[str, str]:
 # within the same set version; compare per-query across versions. The full
 # additions-only history (r4 recomposition through every rN-extended bump)
 # lives in BASELINE.md's membership notes.
-HEADLINE_SET = "r10-extended"
+HEADLINE_SET = "r11-extended"
 
 # Sidecar carrying the FULL per-query map with full names. The archived
 # stdout line is O(1) in registry size (the r7/r8 records were cut by the

@@ -164,6 +164,102 @@ def extract_features(df: DataFrame, codec: str = "fake") -> DataFrame:
     return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
+SYNTH_MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+_SYNTH_PALETTE = bytes(
+    [255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30, 200, 200, 0, 0, 200, 200]
+)
+
+
+def synth_media_payload(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic REAL payload for ``doc_id``: kind cycles PNG / JPEG /
+    GIF / MJPEG-AVI / PCM-WAV (doc_id % 5), dimensions and frame counts are
+    pure functions of doc_id — so a SQL oracle can replay every decoded
+    feature without decoding anything:
+      images/video: width = 2 + doc_id % 13, height = 2 + doc_id % 7
+      gif/avi frames: 1 + doc_id % 3;  wav samples: 100 + doc_id % 50
+    """
+    from .gif import encode_gif
+    from .jpeg import encode_jpeg
+    from .png import encode_png
+
+    lane = doc_id % 5
+    w, h = 2 + doc_id % 13, 2 + doc_id % 7
+    nf = 1 + doc_id % 3
+    if lane == 0:
+        rows = [
+            bytes(((x + 3 * y + doc_id) % 256) for x in range(w * 3))
+            for y in range(h)
+        ]
+        return "image", encode_png(w, h, rows, color_type=2)
+    if lane == 1:
+        rows = [bytes([(doc_id % 256), 128, 64] * w)] * h
+        return "image", encode_jpeg(w, h, rows, quality=90)
+    if lane == 2:
+        n_colors = len(_SYNTH_PALETTE) // 3
+        frames = [
+            bytes(((x + y + doc_id + f) % n_colors) for y in range(h) for x in range(w))
+            for f in range(nf)
+        ]
+        return "image", encode_gif(w, h, frames, _SYNTH_PALETTE)
+    if lane == 3:
+        from .avi import encode_avi
+
+        jf = [
+            encode_jpeg(w, h, [bytes([(doc_id + 40 * f) % 256, 90, 150] * w)] * h)
+            for f in range(nf)
+        ]
+        return "video", encode_avi(w, h, jf, fps=25)
+    import io
+    import wave
+
+    n_samples = 100 + doc_id % 50
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(16000)
+        wv.writeframes(
+            b"".join(
+                ((doc_id * 31 + i * 7) % 65536 - 32768).to_bytes(
+                    2, "little", signed=True
+                )
+                for i in range(n_samples)
+            )
+        )
+    return "audio", buf.getvalue()
+
+
+def documents_as_encoded_media(documents: DataFrame) -> DataFrame:
+    """Synthesize REAL media payloads (PNG/JPEG/GIF/AVI/WAV via the in-repo
+    codecs) from the documents table inside an Arrow-batched mapInPandas —
+    the encode half of the codec round-trip query. Encoding happens in
+    executor Python workers where the rows already are: no shuffle, no
+    driver involvement, embarrassingly parallel exactly like the decode."""
+    from ..shipping import ship_package
+
+    ship_package(documents.sparkSession)
+    ids = documents.select(F.col("doc_id").alias("media_id"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf["media_id"]:
+                kind, payload = synth_media_payload(int(mid))
+                out.append((int(mid), kind, payload))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in SYNTH_MEDIA_SCHEMA.fields]
+            )
+
+    return ids.mapInPandas(fn, schema=SYNTH_MEDIA_SCHEMA)
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Synthesize a media table from the documents table (UTF-8 payloads) —
     the deterministic stand-in used by tests and the oracle-checked query."""

@@ -890,6 +890,58 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_codec_roundtrip",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 <= 2 THEN 'image'
+                  WHEN doc_id % 5 = 3 THEN 'video'
+                  ELSE 'audio' END AS kind,
+             CASE WHEN doc_id % 5 <= 3 THEN 2 + doc_id % 13 END AS w,
+             CASE WHEN doc_id % 5 <= 3 THEN 2 + doc_id % 7 END AS h,
+             CASE WHEN doc_id % 5 = 2 AND 1 + doc_id % 3 > 1 THEN 1 + doc_id % 3
+                  WHEN doc_id % 5 = 3 THEN 1 + doc_id % 3
+                  WHEN doc_id % 5 = 4 THEN 100 + doc_id % 50 END AS nf
+      FROM documents)
+    SELECT kind,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(w) AS BIGINT) AS sum_width,
+           CAST(SUM(h) AS BIGINT) AS sum_height,
+           CAST(SUM(COALESCE(nf, 1)) AS BIGINT) AS sum_frames
+    FROM m GROUP BY kind
+    """,
+    doc="Real-codec round trip: encode PNG/JPEG/GIF/AVI/WAV in executors, "
+    "decode them back, oracle replays every feature arithmetically.",
+)
+def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL codec lane, end to end and oracle-checked: every document
+    becomes an actual media payload (baseline PNG / JPEG / GIF / MJPEG-AVI
+    / PCM-WAV, cycling on doc_id % 5) ENCODED by the in-repo codecs inside
+    one Arrow-batched mapInPandas, then DECODED back by
+    ``extract_features(codec="real")`` in a second one. Dimensions and
+    frame counts are pure functions of doc_id (see
+    ``operators.multimodal.synth_media_payload``), so the DuckDB oracle
+    replays the decoded features arithmetically — a decoder that returned
+    wrong dims, miscounted GIF/AVI frames, or dropped WAV samples breaks
+    the hash match. t_parallel: per-row Python work (DCT, LZW, deflate)
+    dominates here, the case the fake-codec query's guard note defers to.
+
+    At 100 TB this is the shape that matters: both passes are
+    embarrassingly parallel, media bytes never leave the partition that
+    synthesized them, and the output is a 3-row aggregate."""
+    from ..operators.multimodal import documents_as_encoded_media, extract_features
+
+    media = documents_as_encoded_media(t_parallel(spark, sf_dir, "documents"))
+    feats = extract_features(media, codec="real")
+    return feats.groupBy("kind").agg(
+        F.count("*").cast("bigint").alias("n_media"),
+        F.sum("width").cast("bigint").alias("sum_width"),
+        F.sum("height").cast("bigint").alias("sum_height"),
+        F.sum(F.coalesce("n_frames", F.lit(1))).cast("bigint").alias("sum_frames"),
+    )
+
+
+@register(
     "reducer_funnel_batch",
     oracle="""
     WITH s1 AS (

@@ -39,6 +39,10 @@ PLAN_EXPECTATIONS = {
     "decontaminate_semantic": [r"BroadcastNestedLoopJoin", r"HashAggregate"],
     # rn <= 3 must push a per-partition group limit below the shuffle
     "window_rank_topn": [r"WindowGroupLimit"],
+    # the codec round trip must be two Arrow map passes (encode + decode)
+    # feeding a hash aggregate — per-row Python is the whole point here,
+    # so the gate pins the MapInPandas shape rather than banning it
+    "multimodal_codec_roundtrip": [r"MapInPandas.*MapInPandas|MapInPandas[\s\S]*MapInPandas", r"HashAggregate"],
     "flagship_user_netflow": [r"HashAggregate"],
     "dedup_minhash_lsh_pairs": [r"HashAggregate"],
     # global token counts must partial-aggregate and top-k via heap
