@@ -1,23 +1,29 @@
-"""Minimal pure-stdlib+numpy baseline JPEG codec (JFIF, sequential DCT,
-Huffman entropy coding).
+"""Minimal pure-stdlib+numpy JPEG codec (JFIF, baseline sequential AND
+progressive DCT, Huffman entropy coding).
 
 Closes the dominant non-PNG image format for real in this container: no
-Pillow ships here, but baseline JPEG is decodable with ``struct`` for the
-marker segments, a dict-based Huffman decoder, and numpy for the 8x8
+Pillow ships here, but Huffman-coded JPEG is decodable with ``struct`` for
+the marker segments, a dict-based Huffman decoder, and numpy for the 8x8
 IDCT — all public knowledge (ITU-T T.81 / ISO 10918-1; quantization and
-Huffman defaults from its Annex K). Supported: baseline SOF0, 8-bit,
-1- or 3-component (grayscale / YCbCr), arbitrary sampling factors in
-{1, 2} (4:4:4, 4:2:2, 4:2:0), multiple DQT/DHT segments, restart
-markers (DRI/RSTn). Fail-fast on everything else (progressive SOF2,
-arithmetic coding, 12-bit, hierarchical) — the loud-failure discipline of
-``operators/png.py``, never a silently wrong decode.
+Huffman defaults from its Annex K). Supported: baseline SOF0 and
+progressive SOF2 (spectral selection + successive approximation: DC
+first/refinement scans, per-band AC scans with end-of-band runs, AC
+refinement with correction bits), 8-bit, 1- or 3-component (grayscale /
+YCbCr), arbitrary sampling factors in {1, 2} (4:4:4, 4:2:2, 4:2:0),
+multiple DQT/DHT segments incl. between scans, restart markers
+(DRI/RSTn) in both scan geometries. Fail-fast on everything else
+(arithmetic coding, 12-bit, lossless, hierarchical) — the loud-failure
+discipline of ``operators/png.py``, never a silently wrong decode.
 
-The encoder exists so tests can synthesize REAL JPEG payloads in-container
-(the PNG pattern): baseline 4:4:4 (or single-component grayscale) with the
-Annex-K default tables scaled by an IJG-style quality factor. It is not a
-production write path. JPEG is lossy, so tests assert near-equality
-(DC-exact for solid blocks, bounded error for gradients), not round-trip
-identity.
+The encoders exist so tests can synthesize REAL JPEG payloads
+in-container (the PNG pattern): baseline 4:4:4 / grayscale with the
+Annex-K default tables scaled by an IJG-style quality factor, and a
+progressive mode whose scan script exercises every progressive decode
+path. They are not production write paths. JPEG is lossy, so tests
+assert near-equality against the SOURCE pixels — but progressive and
+baseline encode the SAME quantized coefficients, so their decodes are
+pinned BIT-IDENTICAL to each other (fuzzed across sizes, qualities,
+restart intervals in tests/test_jpeg.py).
 
 Reference parity note: the reference repo has no media layer at all; this
 extends the engine's multimodal lane (SURVEY.md §2's training-data
@@ -299,11 +305,16 @@ def encode_jpeg(
     channels: int = 3,
     quality: int = 90,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode raw 8-bit samples (``rows``: ``height`` rows of
-    ``width * channels`` bytes, RGB or grayscale) as a baseline JFIF JPEG.
-    ``restart_interval`` > 0 writes a DRI segment and emits RSTn markers
-    every that many MCUs (exercises the decoder's restart path)."""
+    ``width * channels`` bytes, RGB or grayscale) as a baseline JFIF JPEG —
+    or, with ``progressive=True``, as a progressive (SOF2) one: DC first +
+    DC refinement, spectral AC bands, AC successive-approximation
+    refinement, end-of-band runs. ``restart_interval`` > 0 writes a DRI
+    segment and emits RSTn markers every that many units (MCUs for
+    interleaved scans, blocks for single-component progressive scans) —
+    exercises the decoder's restart paths."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
     img = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
@@ -324,6 +335,11 @@ def encode_jpeg(
     if channels == 3:
         qt.append(_scaled_quant(_QUANT_CHROMA, quality))
         hts.append((_DC_CHROMA, _AC_CHROMA))
+
+    if progressive:
+        return _encode_progressive(
+            width, height, planes, qt, hts, restart_interval
+        )
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += (
@@ -427,32 +443,41 @@ def encode_jpeg(
 
 
 def decode_jpeg(data: bytes) -> dict:
-    """Decode a baseline JPEG to ``{width, height, channels, pixels}``
-    (same shape as ``decode_png``: ``pixels`` is ``height`` rows of
-    ``width * channels`` bytes; 3-component images come back as RGB)."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG to
+    ``{width, height, channels, pixels}`` (same shape as ``decode_png``:
+    ``pixels`` is ``height`` rows of ``width * channels`` bytes;
+    3-component images come back as RGB)."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG: bad signature")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    frame = None  # (height, width, comps) from SOF0
+    frame = None  # (height, width, comps) from SOF0/SOF2
+    progressive = False
+    state = None  # progressive coefficient accumulators
     restart_interval = 0
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
         marker = data[pos + 1]
         if marker == 0xD8:  # stray SOI
             pos += 2
             continue
+        if marker == 0xD9:  # EOI: end of a progressive image
+            if progressive and state is not None:
+                return _reconstruct_progressive(frame, state, qt)
+            raise ValueError("corrupt JPEG: EOI before image data")
+        if pos + 4 > len(data):
+            break
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
             raise ValueError("truncated JPEG: segment ran past the end")
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF marker 0x{marker:02x}: only baseline sequential "
-                "DCT (SOF0) is supported"
+                "(SOF0) and progressive (SOF2) DCT are supported"
             )
         if marker == 0xDB:  # DQT
             i = 0
@@ -475,7 +500,8 @@ def decode_jpeg(data: bytes) -> dict:
                 _, dec = _build_huffman(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = dec
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w_, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} (only 8)")
@@ -500,22 +526,34 @@ def decode_jpeg(data: bytes) -> dict:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
             if frame is None:
-                raise ValueError("corrupt JPEG: SOS before SOF0")
+                raise ValueError("corrupt JPEG: SOS before SOF")
             ns = body[0]
             scan = []
             for si in range(ns):
                 cs, tt = body[1 + si * 2 : 3 + si * 2]
                 comp = next(c for c in frame[2] if c["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 0x0F))
-            if ns != len(frame[2]):
-                raise NotImplementedError("multi-scan JPEG")
-            return _decode_scan(
-                data, pos + 2 + seglen, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            ss, se, ahl = body[1 + 2 * ns : 4 + 2 * ns]
+            if not progressive:
+                if ns != len(frame[2]):
+                    raise NotImplementedError("multi-scan sequential JPEG")
+                return _decode_scan(
+                    data, pos + 2 + seglen, frame, scan, qt, huff_dc,
+                    huff_ac, restart_interval,
+                )
+            if state is None:
+                state = _init_prog_state(frame)
+            pos = _decode_prog_scan(
+                data, pos + 2 + seglen, frame, scan,
+                ss, se, ahl >> 4, ahl & 0x0F,
+                state, huff_dc, huff_ac, restart_interval,
             )
+            continue
         # else: APPn / COM / others — skip
         pos += 2 + seglen
-    raise ValueError("truncated JPEG: no SOS")
+    raise ValueError(
+        "truncated JPEG: no EOI" if progressive else "truncated JPEG: no SOS"
+    )
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
@@ -560,7 +598,14 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
                         x0 = (mx * comp["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
             mcu_count += 1
-    # upsample to full resolution and crop
+    return _assemble(frame, planes)
+
+
+def _assemble(frame, planes):
+    """Upsample component planes to full resolution, crop, color-convert."""
+    height, width, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     full = []
     for c, p in zip(comps, planes):
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
@@ -609,3 +654,485 @@ def _decode_block(r, dc_table, ac_table, q, pred, ci):
     for z, (row, col) in enumerate(_ZIGZAG):
         coef[row][col] = seq[z] * q[row][col]
     return _C.T @ coef @ _C + 128.0
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoding: spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+def _prog_geometry(frame):
+    height, width, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    geo = []
+    for c in comps:
+        cw = (width * c["h"] + hmax - 1) // hmax
+        ch = (height * c["v"] + vmax - 1) // vmax
+        geo.append(
+            {
+                "cols": mcux * c["h"],  # MCU-padded block grid (interleaved)
+                "rows": mcuy * c["v"],
+                "nbx": (cw + 7) // 8,  # true block counts (non-interleaved)
+                "nby": (ch + 7) // 8,
+            }
+        )
+    return mcux, mcuy, geo
+
+
+def _init_prog_state(frame):
+    """Per-component coefficient accumulators (zigzag order), built up scan
+    by scan and reconstructed once at EOI."""
+    _, _, comps = frame
+    _, _, geo = _prog_geometry(frame)
+    return [
+        np.zeros((g["rows"], g["cols"], 64), dtype=np.int32) for g in geo
+    ]
+
+
+def _expect_rst(r):
+    """Byte-align and consume the RSTn the stream owes at an interval."""
+    r.n = 0
+    try:
+        r.bit()
+        raise ValueError("corrupt JPEG: expected restart marker")
+    except _AtMarker:
+        m = r.align_past_marker()
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError(f"corrupt JPEG: expected RSTn, got 0x{m:02x}")
+
+
+def _next_marker(data, pos):
+    """Position of the next real marker at/after ``pos`` (skips stuffed
+    0xFF00 bytes and restart markers)."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            if 0xD0 <= data[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise ValueError("truncated JPEG: no marker after scan data")
+
+
+def _decode_prog_scan(
+    data, pos, frame, scan, ss, se, ah, al, state, huff_dc, huff_ac,
+    restart_interval,
+):
+    """Decode ONE progressive scan into the coefficient state; returns the
+    position of the marker following the scan's entropy data.
+
+    Geometry per T.81: a multi-component scan (DC only) walks MCUs in
+    interleaved order; a single-component scan walks that component's true
+    block grid in raster order. Restart intervals count those units."""
+    height, width, comps = frame
+    if ss == 0 and se != 0:
+        raise ValueError("corrupt JPEG: DC progressive scan with Se != 0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("corrupt JPEG: multi-component AC progressive scan")
+    if ss > 0 and ah != 0 and al != ah - 1:
+        raise ValueError("corrupt JPEG: non-sequential successive approximation")
+    mcux, mcuy, geo = _prog_geometry(frame)
+    comp_index = {id(c): i for i, c in enumerate(comps)}
+
+    units = []
+    if len(scan) > 1:  # interleaved DC scan: MCU order
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for si, (comp, _, _) in enumerate(scan):
+                    ci = comp_index[id(comp)]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            unit.append(
+                                (si, ci, my * comp["v"] + by, mx * comp["h"] + bx)
+                            )
+                units.append(unit)
+    else:  # single component: true block raster order
+        comp = scan[0][0]
+        ci = comp_index[id(comp)]
+        g = geo[ci]
+        for by in range(g["nby"]):
+            for bx in range(g["nbx"]):
+                units.append([(0, ci, by, bx)])
+
+    r = _BitReader(data, pos)
+    pred = [0] * len(scan)
+    eob = {"run": 0}
+    count = 0
+    try:
+        for unit in units:
+            if restart_interval and count and count % restart_interval == 0:
+                _expect_rst(r)
+                pred = [0] * len(scan)
+                eob["run"] = 0
+            for si, ci, by, bx in unit:
+                block = state[ci][by][bx]
+                comp, tdc, tac = scan[si]
+                if ss == 0:
+                    if ah == 0:  # DC first
+                        s = _decode_symbol(r, huff_dc[tdc])
+                        pred[si] += _extend(r.bits(s), s)
+                        block[0] = pred[si] << al
+                    else:  # DC refinement: one bit, OR into bit Al
+                        if r.bit():
+                            block[0] |= 1 << al
+                elif ah == 0:
+                    _ac_first_prog(r, block, huff_ac[tac], ss, se, al, eob)
+                else:
+                    _ac_refine_prog(r, block, huff_ac[tac], ss, se, al, eob)
+            count += 1
+    except _AtMarker:
+        raise ValueError("truncated JPEG: marker inside a progressive scan") from None
+    if r.marker is not None:
+        return r.pos  # reader already parked at the next marker's 0xFF
+    return _next_marker(data, r.pos)
+
+
+def _ac_first_prog(r, block, table, ss, se, al, eob):
+    """First AC scan of a band: standard progressive AC coding with
+    end-of-band runs (EOBn covers whole all-zero bands of later blocks)."""
+    if eob["run"] > 0:
+        eob["run"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(r, table)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run < 15:  # EOBn: this block done, run covers later blocks
+                eob["run"] = (1 << run) - 1
+                if run:
+                    eob["run"] += r.bits(run)
+                return
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > se:
+            raise ValueError("corrupt JPEG: AC run past the band end")
+        block[k] = _extend(r.bits(size), size) << al
+        k += 1
+
+
+def _ac_refine_prog(r, block, table, ss, se, al, eob):
+    """AC successive-approximation refinement (the jdphuff algorithm):
+    correction bits for already-nonzero coefficients, run/size=1 symbols
+    for newly-nonzero ones, EOBn covering the current block's tail."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k_at):
+        if r.bit() and (int(block[k_at]) & p1) == 0:
+            block[k_at] += p1 if block[k_at] > 0 else m1
+
+    k = ss
+    if eob["run"] == 0:
+        while k <= se:
+            rs = _decode_symbol(r, table)
+            run, size = rs >> 4, rs & 0x0F
+            val = 0
+            if size == 0:
+                if run < 15:  # EOBn INCLUDING this block's tail
+                    eob["run"] = 1 << run
+                    if run:
+                        eob["run"] += r.bits(run)
+                    break
+                # run == 15 (ZRL): skip 16 zero-history coefficients
+            else:
+                if size != 1:
+                    raise ValueError("corrupt JPEG: refinement size != 1")
+                val = p1 if r.bit() else m1
+            while k <= se:
+                if block[k] != 0:
+                    correct(k)
+                else:
+                    if run == 0:
+                        if val:
+                            block[k] = val
+                        k += 1
+                        break
+                    run -= 1
+                k += 1
+    if eob["run"] > 0:
+        while k <= se:  # tail: correction bits for the rest of the band
+            if block[k] != 0:
+                correct(k)
+            k += 1
+        eob["run"] -= 1
+
+
+# vectorized dequant + IDCT over a whole block grid
+_ZIG_ROWS = np.array([rc[0] for rc in _ZIGZAG])
+_ZIG_COLS = np.array([rc[1] for rc in _ZIGZAG])
+
+
+def _reconstruct_progressive(frame, state, qt):
+    """All scans are in: dequantize, IDCT every block (one einsum per
+    component), assemble exactly like the sequential path."""
+    height, width, comps = frame
+    planes = []
+    for ci, c in enumerate(comps):
+        coef = state[ci]  # (rows, cols, 64) in zigzag order
+        rows, cols = coef.shape[:2]
+        q = qt[c["tq"]]
+        qzig = q[(_ZIG_ROWS, _ZIG_COLS)].astype(np.float64)
+        deq = coef.astype(np.float64) * qzig  # still zigzag order
+        mats = np.zeros((rows, cols, 8, 8))
+        mats[:, :, _ZIG_ROWS, _ZIG_COLS] = deq
+        plane = np.einsum("ij,rcjk,kl->rcil", _C.T, mats, _C) + 128.0
+        planes.append(
+            plane.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
+        )
+    return _assemble(frame, planes)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (tests only): the exact inverse of the decode scans
+# above, so round trips pin every progressive path — DC first/refine,
+# spectral AC bands with end-of-band runs, AC refinement with buffered
+# correction bits, restart intervals in both unit geometries.
+# ---------------------------------------------------------------------------
+
+
+def _tz_shift(v: int, al: int) -> int:
+    """Shift toward zero: the T.81 'value divided by 2^Al' for first scans."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+# Progressive AC scans need the EOBn symbols (0x10..0xE0) the baseline
+# Annex-K tables don't carry (real encoders ship custom tables in DHT, as
+# we do). A flat all-8-bit canonical code over every symbol a progressive
+# AC scan can emit — EOB0..EOB14, ZRL, and (run, size) for size 1..13 —
+# is valid (224 codes <= 255) and trivially correct; compression is not
+# the point of the test-side encoder.
+_AC_PROG_VALS = sorted(
+    [r << 4 for r in range(15)]  # EOBn
+    + [0xF0]  # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 14)]
+)
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_VALS), 0, 0, 0, 0, 0, 0, 0, 0],
+    _AC_PROG_VALS,
+)
+
+
+def _emit_eobrun(w, ac_t, eobrun: int, bits: list[int]) -> tuple[int, list[int]]:
+    """Flush a pending end-of-band run (and, for refinement scans, the
+    buffered correction bits its covered blocks owe, in block order)."""
+    while eobrun:
+        chunk = min(eobrun, 32767)
+        rr = chunk.bit_length() - 1
+        code, length = ac_t[rr << 4]
+        w.write(code, length)
+        if rr:
+            w.write(chunk - (1 << rr), rr)
+        eobrun -= chunk
+    for b in bits:
+        w.write(b, 1)
+    return 0, []
+
+
+def _encode_progressive(width, height, planes, qt, hts, restart_interval):
+    ncomp = len(planes)
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for ti, q in enumerate(qt):
+        zz = bytes(int(q[r][c]) for r, c in _ZIGZAG)
+        out += b"\xff\xdb" + struct.pack(">HB", 3 + 64, ti) + zz
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp)
+    for ci in range(ncomp):
+        out += struct.pack("BBB", ci + 1, 0x11, min(ci, 1))
+    for ti, (dc, _ac) in enumerate(hts):
+        bits, vals = dc
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 3 + 16 + len(vals), ti
+        ) + bytes(bits) + bytes(vals)
+    # one shared AC table (id 0) with the progressive symbol set (EOBn etc.)
+    pbits, pvals = _AC_PROG
+    out += b"\xff\xc4" + struct.pack(
+        ">HB", 3 + 16 + len(pvals), (1 << 4) | 0
+    ) + bytes(pbits) + bytes(pvals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    # quantized coefficient blocks per component, zigzag order, raster grid
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    coefs = []
+    for ci, p in enumerate(planes):
+        pp = np.empty((bh * 8, bw * 8))
+        pp[:height, :width] = p
+        pp[height:, :width] = p[-1:, :]
+        pp[:, width:] = pp[:, width - 1 : width]
+        ti = min(ci, 1)
+        arr = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                qz = np.round((_C @ block @ _C.T) / qt[ti]).astype(np.int64)
+                arr[by, bx, :] = [qz[r][c] for r, c in _ZIGZAG]
+        coefs.append(arr)
+
+    enc = [(_build_huffman(*dc)[0], None) for dc, _ac in hts]
+    ac_prog = _build_huffman(*_AC_PROG)[0]
+    units = [(by, bx) for by in range(bh) for bx in range(bw)]
+
+    def sos_header(comp_specs, ss, se, ah, al):
+        seg = bytearray(b"\xff\xda")
+        seg += struct.pack(">HB", 6 + 2 * len(comp_specs), len(comp_specs))
+        for cid, tdc, tac in comp_specs:
+            seg += struct.pack("BB", cid, (tdc << 4) | tac)
+        seg += bytes([ss, se, (ah << 4) | al])
+        return seg
+
+    rst_state = {"n": 0}
+
+    def maybe_restart(w, count, reset):
+        """Emit an RSTn at an interval boundary; ``reset`` clears scan state."""
+        if restart_interval and count and count % restart_interval == 0:
+            tail = w.flush()
+            rst = bytes([0xFF, 0xD0 + rst_state["n"]])
+            rst_state["n"] = (rst_state["n"] + 1) % 8
+            reset()
+            return tail + rst, _BitWriter()
+        return b"", w
+
+    AL = 1  # one successive-approximation level for both DC and AC
+
+    # ---- scan 1: DC first, all components interleaved, Al = AL ----
+    out += sos_header([(ci + 1, min(ci, 1), 0) for ci in range(ncomp)], 0, 0, 0, AL)
+    w = _BitWriter()
+    pred = [0] * ncomp
+    chunks = bytearray()
+    for count, (by, bx) in enumerate(units):
+        emitted, w = maybe_restart(
+            w, count, lambda: pred.__setitem__(slice(None), [0] * ncomp)
+        )
+        chunks += emitted
+        for ci in range(ncomp):
+            dc = int(coefs[ci][by, bx, 0]) >> AL  # arithmetic shift per spec
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            s = _category(diff)
+            code, length = enc[min(ci, 1)][0][s]
+            w.write(code, length)
+            if s:
+                w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    out += chunks + w.flush()
+
+    # ---- AC first scans: spectral bands per component, Al = AL ----
+    def ac_bands(ci):
+        return [(1, 5), (6, 63)] if ci == 0 else [(1, 63)]
+
+    for ci in range(ncomp):
+        ac_t = ac_prog
+        for ss, se in ac_bands(ci):
+            out += sos_header([(ci + 1, 0, 0)], ss, se, 0, AL)
+            w = _BitWriter()
+            chunks = bytearray()
+            eobrun, ebits = 0, []
+            for count, (by, bx) in enumerate(units):
+                if restart_interval and count and count % restart_interval == 0:
+                    eobrun, ebits = _emit_eobrun(w, ac_t, eobrun, ebits)
+                    emitted, w = maybe_restart(w, count, lambda: None)
+                    chunks += emitted
+                band = [int(v) for v in coefs[ci][by, bx, ss : se + 1]]
+                t = [_tz_shift(v, AL) for v in band]
+                nz = [i for i, v in enumerate(t) if v]
+                if not nz:
+                    eobrun += 1
+                    continue
+                eobrun, ebits = _emit_eobrun(w, ac_t, eobrun, ebits)
+                run = 0
+                for i in range(nz[-1] + 1):
+                    v = t[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_t[0xF0]
+                        w.write(code, length)
+                        run -= 16
+                    s = _category(v)
+                    code, length = ac_t[(run << 4) | s]
+                    w.write(code, length)
+                    w.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if nz[-1] < len(band) - 1:
+                    eobrun += 1
+            _emit_eobrun(w, ac_t, eobrun, ebits)
+            out += chunks + w.flush()
+
+    # ---- DC refinement: one bit per block per component, Ah=AL, Al=AL-1 ----
+    out += sos_header(
+        [(ci + 1, min(ci, 1), 0) for ci in range(ncomp)], 0, 0, AL, AL - 1
+    )
+    w = _BitWriter()
+    chunks = bytearray()
+    for count, (by, bx) in enumerate(units):
+        emitted, w = maybe_restart(w, count, lambda: None)
+        chunks += emitted
+        for ci in range(ncomp):
+            w.write((int(coefs[ci][by, bx, 0]) >> (AL - 1)) & 1, 1)
+    out += chunks + w.flush()
+
+    # ---- AC refinement scans: Ah=AL, Al=AL-1, buffered correction bits ----
+    for ci in range(ncomp):
+        ac_t = ac_prog
+        for ss, se in ac_bands(ci):
+            out += sos_header([(ci + 1, 0, 0)], ss, se, AL, AL - 1)
+            w = _BitWriter()
+            chunks = bytearray()
+            eobrun, ebits = 0, []
+            for count, (by, bx) in enumerate(units):
+                if restart_interval and count and count % restart_interval == 0:
+                    eobrun, ebits = _emit_eobrun(w, ac_t, eobrun, ebits)
+                    emitted, w = maybe_restart(w, count, lambda: None)
+                    chunks += emitted
+                band = [int(v) for v in coefs[ci][by, bx, ss : se + 1]]
+                hist = [abs(v) >> AL for v in band]  # nonzero after first scan
+                temp = [abs(v) >> (AL - 1) for v in band]
+                targets = [i for i in range(len(band)) if hist[i] == 0 and temp[i] == 1]
+                if not targets:
+                    eobrun += 1
+                    ebits.extend(temp[i] & 1 for i in range(len(band)) if hist[i])
+                    continue
+                eobrun, ebits = _emit_eobrun(w, ac_t, eobrun, ebits)
+                cursor = 0
+                for tpos in targets:
+                    gap = list(range(cursor, tpos))
+                    run = sum(1 for i in gap if hist[i] == 0)
+                    while run > 15:
+                        code, length = ac_t[0xF0]
+                        w.write(code, length)
+                        # corrections up to and INCLUDING the 16th
+                        # zero-history position of this chunk
+                        zeros = 0
+                        while zeros < 16:
+                            i = gap.pop(0)
+                            if hist[i] == 0:
+                                zeros += 1
+                            else:
+                                w.write(temp[i] & 1, 1)
+                        run -= 16
+                    code, length = ac_t[(run << 4) | 1]
+                    w.write(code, length)
+                    w.write(1 if band[tpos] > 0 else 0, 1)
+                    for i in gap:
+                        if hist[i]:
+                            w.write(temp[i] & 1, 1)
+                    cursor = tpos + 1
+                if cursor <= len(band) - 1:
+                    eobrun += 1
+                    ebits.extend(
+                        temp[i] & 1 for i in range(cursor, len(band)) if hist[i]
+                    )
+            _emit_eobrun(w, ac_t, eobrun, ebits)
+            out += chunks + w.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -1,13 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, Arrow-batched
-``mapInPandas``, partition sizing. The codec layer: PNG images decode FOR
-REAL via the pure-stdlib baseline codec in ``operators/png.py`` (zlib
-inflate + unfilter, CRC-verified — no new dependencies); audio/video and
-non-PNG image formats raise ``NotImplementedError`` unless a codec library
-imports (this container ships none), and the deterministic ``fake`` codec
+``mapInPandas``, partition sizing. The codec layer decodes FOR REAL with
+in-repo stdlib(+numpy) codecs, no new dependencies: PNG
+(``operators/png.py``), baseline + progressive JPEG
+(``operators/jpeg.py``), GIF (``operators/gif.py``), MJPEG-AVI video
+(``operators/avi.py``), and PCM WAV (stdlib ``wave``). Formats that
+genuinely need an external library (WebP, H.264/VP9, compressed audio)
+raise ``NotImplementedError`` loudly; the deterministic ``fake`` codec
 exercises the full path byte-for-byte reproducibly (length/md5/derived
-dims) for the oracle-checked query.
+dims) for the oracle-checked queries.
 
 At 100 TB the rules encoded here: media stay as binary columns co-located
 with their metadata (no separate fetch per row); feature extraction is
@@ -59,13 +61,15 @@ FEATURE_SCHEMA = StructType(
 def _decode_real(kind: str, payload: bytes) -> dict:
     """Real codec layer — all in-repo, stdlib(+numpy) only, no new
     dependencies: PNG (``operators/png.py``: zlib inflate + per-scanline
-    unfilter, CRC-verified), baseline JPEG (``operators/jpeg.py``: Huffman
-    + dequant + 8x8 IDCT, 4:4:4/4:2:2/4:2:0, restart markers), GIF
+    unfilter, CRC-verified), baseline + progressive JPEG
+    (``operators/jpeg.py``: Huffman + dequant + 8x8 IDCT,
+    4:4:4/4:2:2/4:2:0, restart markers, SOF2 spectral selection +
+    successive approximation), GIF
     (``operators/gif.py``: LZW, interlace, animation frame counts), MJPEG
     AVI video (``operators/avi.py``: RIFF parsing, per-frame JPEG decode),
     and PCM WAV audio (stdlib ``wave``) — real dimensions and frame counts
     from real pixels/samples. Formats that genuinely need an external
-    library (WebP, progressive JPEG, H.264/VP9, compressed audio) raise,
+    library (WebP, H.264/VP9, compressed audio) raise,
     loudly, rather than guess. The surrounding Spark plumbing (schema,
     Arrow batching, partitioning) is identical for every codec.
     """

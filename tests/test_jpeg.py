@@ -124,12 +124,12 @@ def test_fail_fast_on_damage_and_unsupported():
     # not a JPEG at all
     with pytest.raises(ValueError, match="signature"):
         decode_jpeg(b"\x89PNG\r\n\x1a\nnope")
-    # progressive (SOF2): refuse loudly rather than decode wrong
-    prog = bytearray(data)
-    sof_at = bytes(prog).index(b"\xff\xc0")
-    prog[sof_at + 1] = 0xC2
+    # arithmetic-coded (SOF9-family): refuse loudly rather than decode wrong
+    arith = bytearray(data)
+    sof_at = bytes(arith).index(b"\xff\xc0")
+    arith[sof_at + 1] = 0xC9
     with pytest.raises(NotImplementedError, match="SOF"):
-        decode_jpeg(bytes(prog))
+        decode_jpeg(bytes(arith))
     # absurd declared dimensions: refuse before allocating planes
     huge = bytearray(data)
     struct.pack_into(">HH", huge, sof_at + 5, 65500, 65500)
@@ -176,3 +176,81 @@ def test_resize_images_real_jpeg(spark):
     }
     assert (out[0]["new_width"], out[0]["new_height"]) == (320, 240)
     assert (out[1]["new_width"], out[1]["new_height"]) == (30, 20)
+
+
+def test_progressive_decodes_bit_identically_to_baseline():
+    """Progressive and baseline encode the SAME quantized coefficients, so
+    their decodes must be BIT-identical — this pins the whole progressive
+    machinery (DC first + refinement, spectral AC bands with end-of-band
+    runs, AC successive-approximation refinement with buffered correction
+    bits) against the already-verified sequential path."""
+    w, h = 40, 24
+    orig = _rgb(w, h, lambda x, y: ((x * 7) % 256, (y * 11) % 256, (x * y) % 256))
+    rows = [orig[y].tobytes() for y in range(h)]
+    base = _decode_to_array(encode_jpeg(w, h, rows, quality=88))
+    prog = _decode_to_array(encode_jpeg(w, h, rows, quality=88, progressive=True))
+    assert (base == prog).all()
+    # restart markers inside progressive scans (both unit geometries:
+    # interleaved DC MCUs and single-component block rasters)
+    rst = _decode_to_array(
+        encode_jpeg(w, h, rows, quality=88, progressive=True, restart_interval=3)
+    )
+    assert (base == rst).all()
+    # grayscale + odd dims: non-interleaved DC scan, partial-MCU padding
+    g = (np.arange(19 * 13, dtype=np.uint8).reshape(13, 19) * 3)
+    grows = [g[y].tobytes() for y in range(13)]
+    gb = decode_jpeg(encode_jpeg(19, 13, grows, channels=1, quality=95))
+    gp = decode_jpeg(
+        encode_jpeg(19, 13, grows, channels=1, quality=95, progressive=True)
+    )
+    assert gb["pixels"] == gp["pixels"]
+
+
+def test_progressive_fuzz_matches_baseline():
+    """Randomized corpora (noise = dense AC + ZRL, smooth = long EOB runs,
+    blocky = DC-dominated) across sizes, qualities, channel counts, and
+    restart intervals: every progressive decode equals its baseline twin
+    bit-for-bit."""
+    rng = np.random.default_rng(7)
+    for _ in range(12):
+        w = int(rng.integers(8, 50))
+        h = int(rng.integers(8, 40))
+        ch = int(rng.choice([1, 3]))
+        q = int(rng.integers(30, 98))
+        ri = int(rng.choice([0, 1, 4]))
+        kind = rng.choice(["noise", "smooth", "blocky"])
+        if kind == "noise":
+            orig = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        elif kind == "smooth":
+            xs = np.linspace(0, 255, w)
+            ys = np.linspace(0, 255, h)
+            orig = np.stack(
+                [((xs[None, :] + ys[:, None] * (c + 1)) % 256) for c in range(ch)],
+                -1,
+            ).astype(np.uint8)
+        else:
+            orig = np.kron(
+                rng.integers(0, 256, ((h + 7) // 8, (w + 7) // 8, ch)),
+                np.ones((8, 8, 1)),
+            )[:h, :w].astype(np.uint8)
+        rows = [orig[y].tobytes() for y in range(h)]
+        base = decode_jpeg(encode_jpeg(w, h, rows, channels=ch, quality=q))
+        prog = decode_jpeg(
+            encode_jpeg(
+                w, h, rows, channels=ch, quality=q,
+                progressive=True, restart_interval=ri,
+            )
+        )
+        assert base["pixels"] == prog["pixels"], (w, h, ch, q, ri, kind)
+
+
+def test_progressive_fail_fast():
+    rows = [bytes([10, 20, 30] * 8)] * 8
+    data = encode_jpeg(8, 8, rows, progressive=True)
+    assert is_jpeg(data)
+    # truncation inside a progressive scan
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(data[:-12])
+    # a progressive stream must end in EOI to reconstruct
+    with pytest.raises(ValueError, match="truncated JPEG: no"):
+        decode_jpeg(data[:-2])
