@@ -5,9 +5,11 @@ The Spark-side plumbing is real and tested — schema, Arrow-batched
 in-repo stdlib(+numpy) codecs, no new dependencies: PNG
 (``operators/png.py``), baseline + progressive JPEG
 (``operators/jpeg.py``), GIF (``operators/gif.py``), MJPEG-AVI video
-(``operators/avi.py``), and PCM WAV (stdlib ``wave``). Formats that
-genuinely need an external library (WebP, H.264/VP9, compressed audio)
-raise ``NotImplementedError`` loudly; the deterministic ``fake`` codec
+(``operators/avi.py``), and WAV audio — PCM plus G.711 µ-law/A-law
+telephony compression (``operators/wav.py``, expansion tables verified
+against CPython's audioop). Formats that genuinely need an external
+library (WebP, H.264/VP9, MP3/Vorbis/FLAC) raise
+``NotImplementedError`` loudly; the deterministic ``fake`` codec
 exercises the full path byte-for-byte reproducibly (length/md5/derived
 dims) for the oracle-checked queries.
 
@@ -67,10 +69,10 @@ def _decode_real(kind: str, payload: bytes) -> dict:
     successive approximation), GIF
     (``operators/gif.py``: LZW, interlace, animation frame counts), MJPEG
     AVI video (``operators/avi.py``: RIFF parsing, per-frame JPEG decode),
-    and PCM WAV audio (stdlib ``wave``) — real dimensions and frame counts
-    from real pixels/samples. Formats that genuinely need an external
-    library (WebP, H.264/VP9, compressed audio) raise,
-    loudly, rather than guess. The surrounding Spark plumbing (schema,
+    and WAV audio incl. G.711 µ-law/A-law (``operators/wav.py``) — real
+    dimensions and frame counts from real pixels/samples. Formats that
+    genuinely need an external library (WebP, H.264/VP9, MP3/Vorbis/FLAC)
+    raise, loudly, rather than guess. The surrounding Spark plumbing (schema,
     Arrow batching, partitioning) is identical for every codec.
     """
     from .avi import decode_avi, is_avi
@@ -109,13 +111,15 @@ def _decode_real(kind: str, payload: bytes) -> dict:
             "height": v["height"],
             "n_frames": v["n_frames"],
         }
-    if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        import io
-        import wave
+    if kind == "audio":
+        from .wav import decode_wav, is_wav
 
-        # stdlib WAV reader: PCM containers parse fully; compressed WAVE
-        # (or a corrupt header) raises wave.Error -> surface it loudly
-        with wave.open(io.BytesIO(bytes(payload))) as w:
+        if is_wav(payload):
+            # in-repo RIFF-WAVE parser: PCM (8/16/24/32-bit) AND G.711
+            # µ-law/A-law telephony audio (expansion tables verified
+            # against CPython's audioop), where the stdlib wave module
+            # raises; corrupt containers still fail loudly
+            a = decode_wav(bytes(payload))
             return {
                 "n_bytes": len(payload),
                 "checksum": hashlib.md5(payload).hexdigest(),
@@ -123,12 +127,12 @@ def _decode_real(kind: str, payload: bytes) -> dict:
                 "height": None,
                 # audio frames (samples per channel) — the sample-count
                 # analog of the video lane's frame count
-                "n_frames": w.getnframes(),
+                "n_frames": a["n_frames"],
             }
     raise NotImplementedError(
         f"real {kind} decoding requires a codec library not present in this "
-        "environment (PNG / baseline JPEG / GIF images, MJPEG AVI video, "
-        "and PCM WAV audio decode via the in-repo stdlib codecs); use "
+        "environment (PNG / JPEG incl. progressive / GIF images, MJPEG AVI "
+        "video, and PCM + G.711 WAV audio decode via the in-repo codecs); use "
         "codec='fake' (deterministic) or install a decoder"
     )
 
