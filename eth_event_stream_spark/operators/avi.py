@@ -17,6 +17,11 @@ the real-codec backend for ``sample_frames``-style plumbing.
 
 The encoder exists so tests can synthesize REAL AVI payloads in-container
 (the PNG/JPEG/GIF pattern); it is not a production write path.
+
+Reference parity note: the reference repo (Rust, ~1.6k lines) has no
+media layer at all; this file extends the engine's multimodal lane
+(SURVEY.md §2 training-data surface) from public format specifications
+only, like operators/png.py and operators/jpeg.py before it.
 """
 
 from __future__ import annotations

@@ -20,6 +20,11 @@ not composited.
 The encoder exists so tests can synthesize REAL GIF payloads in-container
 (the PNG/JPEG pattern): it emits a CLEAR code before every pixel code so
 the LZW table never grows — maximally naive, byte-for-byte valid.
+
+Reference parity note: the reference repo (Rust, ~1.6k lines) has no
+media layer at all; this file extends the engine's multimodal lane
+(SURVEY.md §2 training-data surface) from public format specifications
+only, like operators/png.py and operators/jpeg.py before it.
 """
 
 from __future__ import annotations

@@ -13,6 +13,11 @@ the loud-failure discipline of the other in-repo codecs.
 (G.711 expanded through 256-entry lookup tables), so the multimodal lane
 reports sample counts for compressed telephony audio the stdlib path
 raised on.
+
+Reference parity note: the reference repo (Rust, ~1.6k lines) has no
+media layer at all; this file extends the engine's multimodal lane
+(SURVEY.md §2 training-data surface) from public format specifications
+only, like operators/png.py and operators/jpeg.py before it.
 """
 
 from __future__ import annotations
