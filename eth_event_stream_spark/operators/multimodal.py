@@ -5,11 +5,13 @@ The Spark-side plumbing is real and tested — schema, Arrow-batched
 in-repo stdlib(+numpy) codecs, no new dependencies: PNG
 (``operators/png.py``), baseline + progressive JPEG
 (``operators/jpeg.py``), GIF (``operators/gif.py``), MJPEG-AVI video
-(``operators/avi.py``), and WAV audio — PCM plus G.711 µ-law/A-law
+(``operators/avi.py``), WAV audio — PCM plus G.711 µ-law/A-law
 telephony compression (``operators/wav.py``, expansion tables verified
-against CPython's audioop). Formats that genuinely need an external
-library (WebP, H.264/VP9, MP3/Vorbis/FLAC) raise
-``NotImplementedError`` loudly; the deterministic ``fake`` codec
+against CPython's audioop) — and lossless FLAC audio
+(``operators/flac.py``: Rice/LPC decode with the format's own
+unencoded-audio MD5 verified). Formats that genuinely need an external
+library (WebP, H.264/VP9, MP3/Vorbis) raise ``NotImplementedError``
+loudly; the deterministic ``fake`` codec
 exercises the full path byte-for-byte reproducibly (length/md5/derived
 dims) for the oracle-checked queries.
 
@@ -69,9 +71,10 @@ def _decode_real(kind: str, payload: bytes) -> dict:
     successive approximation), GIF
     (``operators/gif.py``: LZW, interlace, animation frame counts), MJPEG
     AVI video (``operators/avi.py``: RIFF parsing, per-frame JPEG decode),
-    and WAV audio incl. G.711 µ-law/A-law (``operators/wav.py``) — real
+    WAV audio incl. G.711 µ-law/A-law (``operators/wav.py``), and FLAC
+    (``operators/flac.py``: Rice/LPC, in-format MD5 verified) — real
     dimensions and frame counts from real pixels/samples. Formats that
-    genuinely need an external library (WebP, H.264/VP9, MP3/Vorbis/FLAC)
+    genuinely need an external library (WebP, H.264/VP9, MP3/Vorbis)
     raise, loudly, rather than guess. The surrounding Spark plumbing (schema,
     Arrow batching, partitioning) is identical for every codec.
     """
@@ -112,8 +115,21 @@ def _decode_real(kind: str, payload: bytes) -> dict:
             "n_frames": v["n_frames"],
         }
     if kind == "audio":
+        from .flac import decode_flac, is_flac
         from .wav import decode_wav, is_wav
 
+        if is_flac(payload):
+            # in-repo FLAC decoder: Rice/LPC lossless audio with the
+            # format's own MD5 of the unencoded samples VERIFIED — a
+            # decode bug cannot return silently wrong frame counts
+            a = decode_flac(bytes(payload))
+            return {
+                "n_bytes": len(payload),
+                "checksum": hashlib.md5(payload).hexdigest(),
+                "width": None,
+                "height": None,
+                "n_frames": a["n_frames"],
+            }
         if is_wav(payload):
             # in-repo RIFF-WAVE parser: PCM (8/16/24/32-bit) AND G.711
             # µ-law/A-law telephony audio (expansion tables verified
@@ -132,7 +148,7 @@ def _decode_real(kind: str, payload: bytes) -> dict:
     raise NotImplementedError(
         f"real {kind} decoding requires a codec library not present in this "
         "environment (PNG / JPEG incl. progressive / GIF images, MJPEG AVI "
-        "video, and PCM + G.711 WAV audio decode via the in-repo codecs); use "
+        "video, and WAV/G.711/FLAC audio decode via the in-repo codecs); use "
         "codec='fake' (deterministic) or install a decoder"
     )
 

@@ -1,0 +1,136 @@
+"""Pure-stdlib FLAC codec (operators/flac.py, round 11).
+
+FLAC is LOSSLESS, so every round trip asserts exact sample equality —
+and the format itself carries an MD5 of the unencoded audio in
+STREAMINFO, which decode_flac verifies on every call: the tests'
+equality checks and the format's own integrity oracle back each other.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from eth_event_stream_spark.operators.flac import (
+    decode_flac,
+    encode_flac,
+    is_flac,
+)
+
+
+def _mono(n=1000):
+    return [int(1000 * math.sin(i / 7)) + (i % 17) for i in range(n)]
+
+
+def _stereo(n=1000):
+    left = _mono(n)
+    right = [int(800 * math.cos(i / 9)) - (i % 11) for i in range(n)]
+    return left, right
+
+
+@pytest.mark.parametrize(
+    "mode", ["constant", "verbatim", "fixed0", "fixed1", "fixed2", "fixed3", "fixed4"]
+)
+def test_every_subframe_type_roundtrips_exactly(mode):
+    samples = [42] * 1000 if mode == "constant" else _mono()
+    data = encode_flac([samples], modes=(mode,), block_size=250)
+    assert is_flac(data)
+    got = decode_flac(data)
+    assert got["samples"] == samples
+    assert got["n_frames"] == 1000
+    assert (got["channels"], got["bits"]) == (1, 16)
+
+
+def test_lpc_with_arbitrary_coefficients_roundtrips():
+    """LPC subframes: the encoder computes residuals against CHOSEN
+    quantized coefficients, so the file is valid by construction and the
+    decoder's shift-and-accumulate path is pinned exactly."""
+    mono = _mono()
+    data = encode_flac(
+        [mono], modes=("lpc",), lpc_coefs=[40, -15, 6], lpc_shift=5, block_size=200
+    )
+    assert decode_flac(data)["samples"] == mono
+
+
+def test_stereo_independent_and_mid_side():
+    left, right = _stereo()
+    inter = [v for pair in zip(left, right) for v in pair]
+    for sm in ("independent", "mid_side"):
+        data = encode_flac([left, right], modes=("fixed2",), stereo_mode=sm)
+        got = decode_flac(data)
+        assert got["samples"] == inter, sm
+        assert got["channels"] == 2
+
+
+def test_rice_partitions_and_utf8_frame_numbers():
+    mono = _mono(1024)
+    # partitioned residuals (first partition short by the predictor order)
+    data = encode_flac([mono], modes=("fixed2",), block_size=256, part_order=2)
+    assert decode_flac(data)["samples"] == mono
+    # > 127 frames forces the multi-byte UTF-8-coded frame number path
+    data = encode_flac([mono], modes=("fixed3",), block_size=8)
+    assert decode_flac(data)["samples"] == mono
+
+
+def test_raw_escape_partitions():
+    """Noisy high-order residuals make the raw-escape cheaper than any
+    Rice parameter — the escape path must round-trip too."""
+    noisy = [((i * 2654435761) % 60001) - 30000 for i in range(512)]
+    data = encode_flac([noisy], modes=("fixed4",), block_size=256)
+    assert decode_flac(data)["samples"] == noisy
+
+
+def test_constant_mode_refuses_lossy_use():
+    """The encoder refuses a constant subframe on non-constant samples —
+    and the format's MD5 oracle would have caught the silent corruption
+    anyway (that is exactly how this guard was found)."""
+    with pytest.raises(ValueError, match="lossy"):
+        encode_flac([_mono(200)], modes=("constant",), block_size=200)
+
+
+def test_mode_mix_across_frames():
+    mono = _mono(1200)
+    data = encode_flac(
+        [mono],
+        modes=("verbatim", "fixed1", "fixed4", "lpc", "fixed0"),
+        lpc_coefs=[32, -8],
+        lpc_shift=5,
+        block_size=200,
+    )
+    assert decode_flac(data)["samples"] == mono
+
+
+def test_fail_fast_on_damage():
+    mono = _mono(400)
+    data = encode_flac([mono], modes=("fixed2",), block_size=200)
+    with pytest.raises(ValueError, match="magic"):
+        decode_flac(b"OggS" + data[4:])
+    with pytest.raises(ValueError, match="truncated|sync|CRC|samples"):
+        decode_flac(data[:-9])
+    # flip one entropy byte: a CRC (or the MD5 backstop) must catch it
+    bad = bytearray(data)
+    bad[-40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|MD5|corrupt|truncated"):
+        decode_flac(bytes(bad))
+    # tamper the STREAMINFO MD5: decode must refuse the mismatch loudly
+    tampered = bytearray(data)
+    tampered[8 + 18] ^= 0xFF  # first MD5 byte inside STREAMINFO
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac(bytes(tampered))
+
+
+def test_extract_features_real_flac_audio(spark):
+    """The multimodal audio lane reports real FLAC frame counts through
+    executor Python workers, with the in-format MD5 verified per row."""
+    from eth_event_stream_spark.operators.multimodal import extract_features
+
+    left, right = _stereo(777)
+    payload = encode_flac([left, right], modes=("fixed2",), stereo_mode="mid_side")
+    media = spark.createDataFrame(
+        [(0, "audio", payload, {})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    row = extract_features(media, codec="real").collect()[0]
+    assert row["n_frames"] == 777
+    assert row["width"] is None
