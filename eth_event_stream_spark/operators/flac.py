@@ -444,6 +444,12 @@ def _write_subframe(
     lpc_shift=0, part_order=0,
 ) -> None:
     w.write(0, 1)  # padding
+    # a (last) block shorter than the predictor order cannot carry that
+    # predictor: the warm-up alone would overrun the block — fall back
+    if mode.startswith("fixed") and int(mode[-1]) > len(samples):
+        mode = "verbatim"
+    if mode == "lpc" and len(lpc_coefs or ()) > len(samples):
+        mode = "verbatim"
     if mode == "constant":
         if any(s != samples[0] for s in samples):
             raise ValueError(

@@ -203,17 +203,17 @@ _SYNTH_PALETTE = bytes(
 
 def synth_media_payload(doc_id: int) -> tuple[str, bytes]:
     """Deterministic REAL payload for ``doc_id``: kind cycles PNG / JPEG /
-    GIF / MJPEG-AVI / PCM-WAV (doc_id % 5), dimensions and frame counts are
-    pure functions of doc_id — so a SQL oracle can replay every decoded
-    feature without decoding anything:
+    GIF / MJPEG-AVI / PCM-WAV / FLAC (doc_id % 6), dimensions and frame
+    counts are pure functions of doc_id — so a SQL oracle can replay every
+    decoded feature without decoding anything:
       images/video: width = 2 + doc_id % 13, height = 2 + doc_id % 7
-      gif/avi frames: 1 + doc_id % 3;  wav samples: 100 + doc_id % 50
+      gif/avi frames: 1 + doc_id % 3;  wav/flac samples: 100 + doc_id % 50
     """
     from .gif import encode_gif
     from .jpeg import encode_jpeg
     from .png import encode_png
 
-    lane = doc_id % 5
+    lane = doc_id % 6
     w, h = 2 + doc_id % 13, 2 + doc_id % 7
     nf = 1 + doc_id % 3
     if lane == 0:
@@ -240,28 +240,28 @@ def synth_media_payload(doc_id: int) -> tuple[str, bytes]:
             for f in range(nf)
         ]
         return "video", encode_avi(w, h, jf, fps=25)
-    import io
-    import wave
-
     n_samples = 100 + doc_id % 50
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as wv:
-        wv.setnchannels(1)
-        wv.setsampwidth(2)
-        wv.setframerate(16000)
-        wv.writeframes(
-            b"".join(
-                ((doc_id * 31 + i * 7) % 65536 - 32768).to_bytes(
-                    2, "little", signed=True
-                )
-                for i in range(n_samples)
+    samples = [(doc_id * 31 + i * 7) % 65536 - 32768 for i in range(n_samples)]
+    if lane == 4:
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(16000)
+            wv.writeframes(
+                b"".join(s.to_bytes(2, "little", signed=True) for s in samples)
             )
-        )
-    return "audio", buf.getvalue()
+        return "audio", buf.getvalue()
+    from .flac import encode_flac
+
+    return "audio", encode_flac([samples], modes=("fixed2",), block_size=64)
 
 
 def documents_as_encoded_media(documents: DataFrame) -> DataFrame:
-    """Synthesize REAL media payloads (PNG/JPEG/GIF/AVI/WAV via the in-repo
+    """Synthesize REAL media payloads (PNG/JPEG/GIF/AVI/WAV/FLAC via the in-repo
     codecs) from the documents table inside an Arrow-batched mapInPandas —
     the encode half of the codec round-trip query. Encoding happens in
     executor Python workers where the rows already are: no shuffle, no

@@ -894,14 +894,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 5 <= 2 THEN 'image'
-                  WHEN doc_id % 5 = 3 THEN 'video'
+             CASE WHEN doc_id % 6 <= 2 THEN 'image'
+                  WHEN doc_id % 6 = 3 THEN 'video'
                   ELSE 'audio' END AS kind,
-             CASE WHEN doc_id % 5 <= 3 THEN 2 + doc_id % 13 END AS w,
-             CASE WHEN doc_id % 5 <= 3 THEN 2 + doc_id % 7 END AS h,
-             CASE WHEN doc_id % 5 = 2 AND 1 + doc_id % 3 > 1 THEN 1 + doc_id % 3
-                  WHEN doc_id % 5 = 3 THEN 1 + doc_id % 3
-                  WHEN doc_id % 5 = 4 THEN 100 + doc_id % 50 END AS nf
+             CASE WHEN doc_id % 6 <= 3 THEN 2 + doc_id % 13 END AS w,
+             CASE WHEN doc_id % 6 <= 3 THEN 2 + doc_id % 7 END AS h,
+             CASE WHEN doc_id % 6 = 2 AND 1 + doc_id % 3 > 1 THEN 1 + doc_id % 3
+                  WHEN doc_id % 6 = 3 THEN 1 + doc_id % 3
+                  WHEN doc_id % 6 >= 4 THEN 100 + doc_id % 50 END AS nf
       FROM documents)
     SELECT kind,
            CAST(COUNT(*) AS BIGINT) AS n_media,
@@ -910,13 +910,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(COALESCE(nf, 1)) AS BIGINT) AS sum_frames
     FROM m GROUP BY kind
     """,
-    doc="Real-codec round trip: encode PNG/JPEG/GIF/AVI/WAV in executors, "
-    "decode them back, oracle replays every feature arithmetically.",
+    doc="Real-codec round trip: encode PNG/JPEG/GIF/AVI/WAV/FLAC in "
+    "executors, decode them back, oracle replays every feature "
+    "arithmetically.",
 )
 def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL codec lane, end to end and oracle-checked: every document
     becomes an actual media payload (baseline PNG / JPEG / GIF / MJPEG-AVI
-    / PCM-WAV, cycling on doc_id % 5) ENCODED by the in-repo codecs inside
+    / PCM-WAV / FLAC, cycling on doc_id % 6) ENCODED by the in-repo codecs inside
     one Arrow-batched mapInPandas, then DECODED back by
     ``extract_features(codec="real")`` in a second one. Dimensions and
     frame counts are pure functions of doc_id (see

@@ -134,3 +134,14 @@ def test_extract_features_real_flac_audio(spark):
     row = extract_features(media, codec="real").collect()[0]
     assert row["n_frames"] == 777
     assert row["width"] is None
+
+
+def test_short_last_frame_degrades_predictor_to_verbatim():
+    """A last frame SHORTER than the predictor order (e.g. 129 samples at
+    block_size=64 leaves a 1-sample frame) cannot carry that predictor —
+    the encoder falls back to verbatim and the stream round-trips exactly
+    (found by the multimodal synth sweep; the MD5 oracle flagged it)."""
+    for n in (129, 65, 66, 100):
+        samples = [(i * 7919) % 40000 - 20000 for i in range(n)]
+        data = encode_flac([samples], modes=("fixed4",), block_size=64)
+        assert decode_flac(data)["samples"] == samples
