@@ -254,6 +254,73 @@ CANARY_SOLO_REF = {"0.1": 0.33}  # builder solo flagship, BENCH_DETAIL_r10.json
 CANARY_WARN_RATIO = 1.5
 
 
+def snapshot_archived_detail(detail_dir: str) -> str | None:
+    """Preserve a graded detail sidecar before it is overwritten.
+
+    The r10 AND r11 rounds both nearly lost the driver's graded per-query
+    detail the same way: the archived BENCH_r{N}.json line binds the sidecar
+    by sha256, but the sidecar itself lives at a fixed name the next bench
+    run clobbers. Before the caller writes a new BENCH_DETAIL.json, check
+    whether the existing file's sha256 is bound by any archived
+    BENCH_r{N}.json line in the same directory; if it is and no per-round
+    copy of those exact bytes exists yet, write one
+    (BENCH_DETAIL_driver_r{N}.json) so the graded record survives.
+
+    Returns the snapshot path written, or None when nothing needed saving.
+    Never raises: a record-keeping guard must not abort a completed run.
+    """
+    import glob
+    import hashlib
+    import re
+
+    try:
+        current = os.path.join(detail_dir, DETAIL_NAME)
+        if not os.path.exists(current):
+            return None
+        with open(current, "rb") as f:
+            payload = f.read()
+        sha = hashlib.sha256(payload).hexdigest()
+        for arch in sorted(glob.glob(os.path.join(detail_dir, "BENCH_r*.json"))):
+            m = re.fullmatch(r"BENCH_(r\d+)\.json", os.path.basename(arch))
+            if m is None:
+                continue
+            try:
+                with open(arch) as f:
+                    rec = json.load(f)
+            except (OSError, ValueError):
+                continue
+            parsed = rec.get("parsed") if isinstance(rec, dict) else None
+            if not isinstance(parsed, dict) or parsed.get("detail_sha256") != sha:
+                continue
+            rtok = m.group(1)
+            # already preserved under either per-round convention?
+            saved = False
+            for name in (f"BENCH_DETAIL_driver_{rtok}.json",
+                         f"BENCH_DETAIL_{rtok}.json"):
+                path = os.path.join(detail_dir, name)
+                if os.path.exists(path):
+                    with open(path, "rb") as f:
+                        if hashlib.sha256(f.read()).hexdigest() == sha:
+                            saved = True
+                            break
+            if saved:
+                continue
+            snap = os.path.join(detail_dir, f"BENCH_DETAIL_driver_{rtok}.json")
+            tmp = snap + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, snap)
+            print(
+                f"bench: snapshotted archived-{rtok} detail bytes to "
+                f"{os.path.basename(snap)} before overwrite (sha {sha[:12]})",
+                file=sys.stderr,
+            )
+            return snap
+    except Exception as exc:  # pragma: no cover - guard must never abort a run
+        print(f"bench: detail snapshot guard failed: {exc}", file=sys.stderr)
+    return None
+
+
 def emit_record(
     timings: dict[str, float],
     sf: str,
@@ -296,10 +363,14 @@ def emit_record(
         detail["canary"] = canary
     if warning is not None:
         detail["canary_warning"] = warning
-    detail_path = os.path.join(
-        detail_dir if detail_dir is not None else os.path.dirname(os.path.abspath(__file__)),
-        DETAIL_NAME,
+    out_dir = (
+        detail_dir if detail_dir is not None else os.path.dirname(os.path.abspath(__file__))
     )
+    # the existing sidecar may be the only copy of a driver-graded record
+    # (its sha bound by an archived BENCH_r{N}.json line) — preserve it
+    # under a per-round name before clobbering (recurred r10 AND r11).
+    snapshot_archived_detail(out_dir)
+    detail_path = os.path.join(out_dir, DETAIL_NAME)
     payload = json.dumps(detail, separators=(",", ":"), sort_keys=True)
     with open(detail_path, "w") as f:
         f.write(payload)

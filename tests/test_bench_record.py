@@ -125,6 +125,53 @@ def test_canary_fields_and_warning(tmp_path):
     assert "canary_warning" not in json.loads(line)
 
 
+def test_driver_detail_bytes_survive_next_bench_run(tmp_path):
+    """The r10/r11 sequence, simulated: the driver's bench run leaves
+    BENCH_DETAIL.json whose sha256 is bound by the archived BENCH_r{N}.json
+    line; the builder's NEXT bench run used to clobber those bytes — the
+    only copy of the graded per-query record. emit_record must now snapshot
+    them to BENCH_DETAIL_driver_r{N}.json before overwriting, and must not
+    re-snapshot when a per-round copy already holds the same bytes."""
+    import hashlib
+
+    # 1. the driver's run writes the sidecar and its archived line
+    driver_timings = {"flagship_user_netflow": 0.32, "dedup_exact": 1.5}
+    line = bench.emit_record(driver_timings, "0.1", detail_dir=str(tmp_path))
+    driver_bytes = (tmp_path / bench.DETAIL_NAME).read_bytes()
+    archived = {"n": 11, "rc": 0, "sf": 0.1, "tail": line, "parsed": json.loads(line)}
+    (tmp_path / "BENCH_r11.json").write_text(json.dumps(archived))
+    assert archived["parsed"]["detail_sha256"] == hashlib.sha256(driver_bytes).hexdigest()
+
+    # 2. the builder's next run overwrites the sidecar — the guard must
+    # have preserved the driver's bytes first
+    bench.emit_record({"flagship_user_netflow": 0.30}, "0.1", detail_dir=str(tmp_path))
+    snap = tmp_path / "BENCH_DETAIL_driver_r11.json"
+    assert snap.exists(), "graded detail bytes were clobbered (the r10/r11 hazard)"
+    assert snap.read_bytes() == driver_bytes
+    assert (tmp_path / bench.DETAIL_NAME).read_bytes() != driver_bytes
+
+    # 3. idempotent: a further run with the snapshot in place must not
+    # overwrite it (the snapshot now holds the graded bytes, the live
+    # sidecar holds unarchived ones)
+    before = snap.read_bytes()
+    bench.emit_record({"flagship_user_netflow": 0.29}, "0.1", detail_dir=str(tmp_path))
+    assert snap.read_bytes() == before
+
+    # 4. a pre-existing BENCH_DETAIL_r{N}.json with the same bytes also
+    # counts as preserved — no duplicate driver_ copy
+    line2 = bench.emit_record({"flagship_user_netflow": 0.28}, "0.1", detail_dir=str(tmp_path))
+    (tmp_path / "BENCH_r12.json").write_text(
+        json.dumps({"n": 12, "parsed": json.loads(line2)}))
+    committed = (tmp_path / bench.DETAIL_NAME).read_bytes()
+    (tmp_path / "BENCH_DETAIL_r12.json").write_bytes(committed)
+    bench.emit_record({"flagship_user_netflow": 0.27}, "0.1", detail_dir=str(tmp_path))
+    assert not (tmp_path / "BENCH_DETAIL_driver_r12.json").exists()
+
+    # 5. malformed archive files must not abort the guard or the run
+    (tmp_path / "BENCH_r13.json").write_text("{not json")
+    bench.emit_record({"flagship_user_netflow": 0.26}, "0.1", detail_dir=str(tmp_path))
+
+
 def test_malformed_sf_label_cannot_lose_the_record(tmp_path):
     """A malformed sf label ('1.2.3', '1..2') must fall back to the raw
     string instead of raising after every query already ran."""
