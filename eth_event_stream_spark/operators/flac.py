@@ -282,7 +282,11 @@ def decode_flac(data: bytes) -> dict:
             bits.read(16)
         elif sr_code == 15:
             raise ValueError("corrupt FLAC: invalid sample rate code")
-        bps = _SAMPLE_SIZE_CODES.get(ss_code, info["bps"])
+        # RFC 9639 §9.1.3: code 0 = "get from STREAMINFO"; code 3 is
+        # RESERVED and must refuse loudly, never silently fall back
+        if ss_code == 3:
+            raise ValueError("corrupt FLAC: reserved sample size code")
+        bps = info["bps"] if ss_code == 0 else _SAMPLE_SIZE_CODES[ss_code]
         # CRC-8 covers the header bytes up to (not incl.) the CRC byte
         hdr_end = bits.pos
         if _crc8(data[frame_start:hdr_end]) != bits.read(8):

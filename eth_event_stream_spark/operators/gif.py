@@ -248,10 +248,15 @@ def decode_gif(data: bytes) -> dict:
             indexes = _deinterlace(indexes, iw, ih)
         n_frames += 1
         if canvas is None:
-            # composite frame 1 onto a background-filled canvas
+            # composite frame 1 onto a background-filled canvas. Per GIF89a
+            # §18 the background color index refers to the GLOBAL color
+            # table; a frame-local table only maps the frame's own pixel
+            # indexes. No global table (or index out of its range) -> black.
             n_colors = len(lct) // 3
             bg_rgb = (
-                lct[3 * bg : 3 * bg + 3] if gct is not None and bg < n_colors else b"\x00\x00\x00"
+                gct[3 * bg : 3 * bg + 3]
+                if gct is not None and bg < len(gct) // 3
+                else b"\x00\x00\x00"
             )
             canvas = bytearray(bg_rgb * (width * height))
             for y in range(ih):

@@ -556,8 +556,51 @@ def decode_jpeg(data: bytes) -> dict:
     )
 
 
+def _expect_restart(r, n_preds):
+    """Byte-align onto the pending RSTn marker and reset the DC predictors."""
+    r.n = 0  # restart markers are byte-aligned: drop pad bits
+    try:
+        r.bit()  # force a fill so the pending marker surfaces
+        raise ValueError("corrupt JPEG: expected restart marker")
+    except _AtMarker:
+        m = r.align_past_marker()
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError(f"corrupt JPEG: expected RSTn, got 0x{m:02x}")
+    return [0] * n_preds
+
+
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
     height, width, comps = frame
+    if len(scan) == 1:
+        # T.81 §A.2.2: a single-component scan is NON-interleaved — one
+        # data unit per MCU, walked over the component's own block raster,
+        # regardless of the SOF sampling factors (some encoders declare
+        # 2x2 for grayscale; interleaved MCU geometry would mis-place
+        # blocks whenever ceil(width/8) differs from the padded MCU grid).
+        # Sequential mode only reaches here for a 1-component frame, so
+        # the component raster is the full-resolution block grid.
+        comp, tdc, tac = scan[0]
+        bx_total = (width + 7) // 8
+        by_total = (height + 7) // 8
+        plane = np.zeros((by_total * 8, bx_total * 8))
+        r = _BitReader(data, pos)
+        pred = [0]
+        count = 0
+        for by in range(by_total):
+            for bx in range(bx_total):
+                if restart_interval and count and count % restart_interval == 0:
+                    pred = _expect_restart(r, 1)
+                try:
+                    blk = _decode_block(
+                        r, huff_dc[tdc], huff_ac[tac], qt[comp["tq"]], pred, 0
+                    )
+                except _AtMarker:
+                    raise ValueError("truncated JPEG: marker inside an MCU") from None
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+                count += 1
+        # _assemble upsamples by hmax/c.h == 1 for the single component and
+        # crops the padded raster back to the declared dimensions
+        return _assemble(frame, [plane])
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (width + 8 * hmax - 1) // (8 * hmax)

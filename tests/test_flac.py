@@ -145,3 +145,21 @@ def test_short_last_frame_degrades_predictor_to_verbatim():
         samples = [(i * 7919) % 40000 - 20000 for i in range(n)]
         data = encode_flac([samples], modes=("fixed4",), block_size=64)
         assert decode_flac(data)["samples"] == samples
+
+
+def test_reserved_sample_size_code_refuses():
+    """RFC 9639 §9.1.3: frame sample-size code 3 is RESERVED — decode must
+    refuse loudly instead of silently falling back to the STREAMINFO bit
+    depth (regression: the fallback hid the reserved code)."""
+    from eth_event_stream_spark.operators.flac import _crc8
+
+    data = bytearray(encode_flac([_mono(64)], block_size=64))
+    fs = 4 + 4 + 34  # magic + STREAMINFO block header + body
+    assert data[fs] == 0xFF and (data[fs + 1] & 0xFE) == 0xF8, "frame sync"
+    assert data[fs + 4] == 0, "first frame number (1-byte UTF-8 zero)"
+    bs_code, sr_code = data[fs + 2] >> 4, data[fs + 2] & 0x0F
+    crc_at = fs + 5 + {6: 1, 7: 2}.get(bs_code, 0) + {12: 1, 13: 2, 14: 2}.get(sr_code, 0)
+    data[fs + 3] = (data[fs + 3] & 0xF1) | (3 << 1)  # ss_code = 3 (reserved)
+    data[crc_at] = _crc8(bytes(data[fs:crc_at]))  # keep the header CRC valid
+    with pytest.raises(ValueError, match="reserved sample size"):
+        decode_flac(bytes(data))

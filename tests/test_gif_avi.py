@@ -70,6 +70,46 @@ def test_gif_fail_fast():
         decode_gif(bytes(huge))
 
 
+def _gif_with_local_table(bg_index):
+    """Hand-built GIF89a: 4x4 canvas, 4-color GLOBAL table, and a 2x2
+    frame at (1,1) that carries its own 2-color LOCAL table (the stock
+    encoder only emits global tables)."""
+    import struct
+
+    from eth_event_stream_spark.operators.gif import _lzw_encode_naive
+
+    gct = bytes([10, 20, 30, 200, 0, 0, 0, 200, 0, 0, 0, 200])
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 4, 0x80 | 1, bg_index, 0)  # 4-color GCT
+    out += gct
+    out += b"\x2c" + struct.pack("<HHHHB", 1, 1, 2, 2, 0x80)  # 2-color LCT
+    out += bytes([5, 5, 5, 7, 7, 7])
+    out.append(2)  # LZW min code size
+    lzw = _lzw_encode_naive(bytes([1, 1, 1, 1]), 2)
+    out.append(len(lzw))
+    out += lzw
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_background_index_resolves_in_the_global_table():
+    """GIF89a: the logical-screen background index refers to the GLOBAL
+    color table even when frame 1 carries a local one (regression: the
+    background was looked up in the frame's local palette), and an index
+    beyond the global table falls back to black."""
+    img = decode_gif(_gif_with_local_table(bg_index=1))
+    px = np.frombuffer(b"".join(img["pixels"]), dtype=np.uint8).reshape(4, 4, 3)
+    assert tuple(px[0, 0]) == (200, 0, 0)  # GCT[1], NOT the LCT's (7,7,7)
+    assert tuple(px[3, 3]) == (200, 0, 0)
+    assert tuple(px[1, 1]) == (7, 7, 7)  # frame pixels use the LOCAL table
+    assert tuple(px[2, 2]) == (7, 7, 7)
+    # bg index past the global table's 4 entries -> black, not an OOB read
+    img = decode_gif(_gif_with_local_table(bg_index=7))
+    px = np.frombuffer(b"".join(img["pixels"]), dtype=np.uint8).reshape(4, 4, 3)
+    assert tuple(px[0, 0]) == (0, 0, 0)
+    assert tuple(px[1, 1]) == (7, 7, 7)
+
+
 def _mjpeg_avi(w=24, h=16, n=3, fps=25):
     frames = [
         encode_jpeg(w, h, [bytes([(40 * i) % 256, 80, 120] * w)] * h, quality=90)

@@ -254,3 +254,26 @@ def test_progressive_fail_fast():
     # a progressive stream must end in EOI to reconstruct
     with pytest.raises(ValueError, match="truncated JPEG: no"):
         decode_jpeg(data[:-2])
+
+
+def test_single_component_scan_ignores_declared_sampling_factors():
+    """T.81 §A.2.2: a single-component scan is non-interleaved — one block
+    per MCU over the component's own raster. Some encoders declare 2x2
+    sampling for grayscale; decoding it with interleaved MCU geometry
+    mis-places blocks whenever ceil(width/8) differs from the MCU-padded
+    grid (regression: silent wrong pixels)."""
+    w, h = 20, 12  # 3x2 block raster vs 2x1 grid of 2x2 MCUs (8 blocks)
+    rows = [bytes((x * 11 + y * 5) % 256 for x in range(w)) for y in range(h)]
+    data = bytearray(encode_jpeg(w, h, rows, channels=1, quality=95))
+    want = decode_jpeg(bytes(data))["pixels"]
+    at = bytes(data).index(b"\xff\xc0") + 11  # SOF0 component h/v byte
+    assert data[at] == 0x11
+    data[at] = 0x22  # declare 2x2 sampling on the sole component
+    got = decode_jpeg(bytes(data))
+    assert got["pixels"] == want
+    # restart markers still line up on the non-interleaved raster
+    data_ri = bytearray(encode_jpeg(w, h, rows, channels=1, quality=95, restart_interval=2))
+    want_ri = decode_jpeg(bytes(data_ri))["pixels"]
+    at = bytes(data_ri).index(b"\xff\xc0") + 11
+    data_ri[at] = 0x22
+    assert decode_jpeg(bytes(data_ri))["pixels"] == want_ri
