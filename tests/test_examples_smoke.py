@@ -3,14 +3,18 @@
 The examples compose only registry-tested components, but until round 9
 nothing executed the COMPOSITION glue in CI — a regression in how the
 stages are wired together (column renames, join keys, argument order)
-would have surfaced only manually. Each test runs the script exactly as a
-user would (`python examples/<name>.py <sf_dir>`) at the smallest scale
-factor in a fresh interpreter, and asserts a clean exit plus the script's
-own closing summary line — the "non-empty composed result" signal.
+would have surfaced only manually. Each script runs through its own
+``__main__`` guard with the argv a user would pass, at the smallest
+scale factor, and must print its closing summary line — the "non-empty
+composed result" signal.
 
-These spawn one Spark JVM per script (the point: the real invocation), so
-the module is the slowest in the suite; scripts run sequentially to keep
-any bench run in a neighbouring session honest.
+Through round 11 each script spawned its own Spark JVM (6 boots, ~40% of
+the whole suite's wall clock). Since round 12 all six run sequentially in
+ONE fresh interpreter (tests/_run_examples.py): each script still calls
+``get_spark`` and ``spark.stop()`` itself, but the stops only tear down
+the SparkContext — the JVM gateway persists, so boot is paid once. Full
+coverage is unchanged: same scripts, same argv, same summary-line
+assertions, plus a per-script SMOKE-DONE sentinel proving each completed.
 """
 
 from __future__ import annotations
@@ -19,8 +23,6 @@ import os
 import subprocess
 import sys
 
-import pytest
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
@@ -28,7 +30,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 # composed flow completed — each script's own final-summary line).
 # stream_multi runs with --live so the smoke drains the actual streaming
 # sink (its closing line only prints on the live path; the batch sync
-# summary prints either way).
+# summary prints either way). It runs LAST so any streaming teardown
+# residue cannot leak into a batch script's session.
 SCRIPTS = {
     "training_pipeline.py": ([], "training pipeline complete"),
     "incremental_cycle.py": ([], "incremental cycle complete"),
@@ -37,24 +40,44 @@ SCRIPTS = {
     "warehouse_cycle.py": ([], "warehouse cycle complete"),
     "stream_multi.py": (["--live"], "live drain complete"),
 }
+_ORDER = [
+    "training_pipeline.py",
+    "incremental_cycle.py",
+    "release_cycle.py",
+    "serving_cycle.py",
+    "warehouse_cycle.py",
+    "stream_multi.py",
+]
 
 
-@pytest.mark.parametrize("script", sorted(SCRIPTS))
-def test_example_script_runs_clean(script):
-    extra, marker = SCRIPTS[script]
+def test_every_example_script_runs_clean_in_one_jvm():
+    assert sorted(_ORDER) == sorted(SCRIPTS)
+    specs = [
+        ":".join([name, *SCRIPTS[name][0]]) for name in _ORDER
+    ]
     proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "examples", script), SF_DIR, *extra],
+        [
+            sys.executable,
+            os.path.join(REPO, "tests", "_run_examples.py"),
+            SF_DIR,
+            *specs,
+        ],
         capture_output=True,
         text=True,
-        timeout=420,
+        timeout=1500,
         cwd=REPO,
     )
     assert proc.returncode == 0, (
-        f"{script} exited {proc.returncode}\n"
-        f"stdout tail:\n{proc.stdout[-2000:]}\n"
-        f"stderr tail:\n{proc.stderr[-2000:]}"
+        f"examples runner exited {proc.returncode}\n"
+        f"stdout tail:\n{proc.stdout[-3000:]}\n"
+        f"stderr tail:\n{proc.stderr[-3000:]}"
     )
-    assert marker in proc.stdout, (
-        f"{script} finished without its summary line; stdout tail:\n"
-        f"{proc.stdout[-2000:]}"
-    )
+    for name in _ORDER:
+        _, marker = SCRIPTS[name]
+        assert f"SMOKE-DONE {name}" in proc.stdout, (
+            f"{name} did not complete; stdout tail:\n{proc.stdout[-3000:]}"
+        )
+        assert marker in proc.stdout, (
+            f"{name} finished without its summary line; stdout tail:\n"
+            f"{proc.stdout[-3000:]}"
+        )
