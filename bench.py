@@ -173,6 +173,11 @@ HEADLINE = [
     # them back, 3-row aggregate oracled arithmetically; per-row Python
     # (DCT/LZW/deflate) is the honest cost being measured
     "multimodal_codec_roundtrip",
+    # round-12 addition (r12-extended, additions only): the audio-segment
+    # analog of the real frame lane — WAV data-chunk byte slices / FLAC
+    # windowed Rice decode into fixed 32-sample segments with per-sample
+    # integer stats the oracle replays arithmetically
+    "multimodal_audio_segments",
 ]
 
 
@@ -230,7 +235,7 @@ def build_short_map(names: list[str]) -> dict[str, str]:
 # within the same set version; compare per-query across versions. The full
 # additions-only history (r4 recomposition through every rN-extended bump)
 # lives in BASELINE.md's membership notes.
-HEADLINE_SET = "r11-extended"
+HEADLINE_SET = "r12-extended"
 
 # Sidecar carrying the FULL per-query map with full names. The archived
 # stdout line is O(1) in registry size (the r7/r8 records were cut by the
@@ -700,10 +705,15 @@ def main() -> None:
         t0 = time.perf_counter()
         run_query(QUERIES["flagship_user_netflow"].fn(spark, SF_DIR))
         retime = min(retime, time.perf_counter() - t0)
+    # self-heal observability: a corpus that silently flips the k-center
+    # contract onto the 2x-cost exact path must show in the record
+    from eth_event_stream_spark.plans.assembly import KCENTER_ESCALATIONS
+
     canary = {
         "loadavg_start": loadavg_start,
         "loadavg_end": list(os.getloadavg()),
         "flagship_retime": round(retime, 3),
+        "kcenter_escalations": KCENTER_ESCALATIONS["count"],
     }
 
     print(emit_record(timings, sf, canary=canary))

@@ -205,11 +205,8 @@ def _decode_subframe(bits: _Bits, block_size: int, bps: int) -> list[int]:
     return samples
 
 
-def decode_flac(data: bytes) -> dict:
-    """Decode a FLAC stream to ``{channels, sample_rate, bits, n_frames,
-    samples}`` (``samples`` interleaved signed ints at the stream's bit
-    width; ``n_frames`` = samples per channel). The STREAMINFO MD5 of the
-    unencoded audio is recomputed and VERIFIED when present."""
+def _parse_stream_head(data: bytes) -> tuple[dict, int]:
+    """Walk the metadata blocks; return (STREAMINFO dict, first-frame pos)."""
     if not is_flac(data):
         raise ValueError("not a FLAC: bad magic")
     pos = 4
@@ -248,9 +245,16 @@ def decode_flac(data: bytes) -> dict:
         raise ValueError("corrupt FLAC: no STREAMINFO")
     if info["total"] * info["channels"] * ((info["bps"] + 7) // 8) > _MAX_DECODED_BYTES:
         raise ValueError("refusing FLAC: decoded size exceeds the ceiling")
+    return info, pos
 
+
+def _iter_frames(data: bytes, info: dict, pos: int):
+    """Decode frames from ``pos`` on, yielding the per-channel sample
+    lists of each frame in stream order. Both CRCs are verified per
+    frame; the whole-stream sample-count and MD5 checks belong to the
+    CALLER (``decode_flac``) because a consumer that stops early
+    (``flac_segment``) cannot perform them."""
     channels = info["channels"]
-    out: list[list[int]] = [[] for _ in range(channels)]
     n_decoded = 0
     while pos < len(data) and (info["total"] == 0 or n_decoded < info["total"]):
         frame_start = pos
@@ -325,9 +329,23 @@ def decode_flac(data: bytes) -> dict:
         if _crc16(data[frame_start : bits.pos]) != bits.read(16):
             raise ValueError("corrupt FLAC: frame CRC-16 mismatch")
         pos = bits.pos
+        n_decoded += block_size
+        yield chans
+
+
+def decode_flac(data: bytes) -> dict:
+    """Decode a FLAC stream to ``{channels, sample_rate, bits, n_frames,
+    samples}`` (``samples`` interleaved signed ints at the stream's bit
+    width; ``n_frames`` = samples per channel). The STREAMINFO MD5 of the
+    unencoded audio is recomputed and VERIFIED when present."""
+    info, pos = _parse_stream_head(data)
+    channels = info["channels"]
+    out: list[list[int]] = [[] for _ in range(channels)]
+    n_decoded = 0
+    for chans in _iter_frames(data, info, pos):
         for c in range(channels):
             out[c].extend(chans[c])
-        n_decoded += block_size
+        n_decoded += len(chans[0])
 
     if info["total"] and n_decoded != info["total"]:
         raise ValueError(
@@ -351,6 +369,48 @@ def decode_flac(data: bytes) -> dict:
         "sample_rate": info["rate"],
         "bits": info["bps"],
         "n_frames": n_decoded,
+        "samples": interleaved,
+    }
+
+
+def flac_segment(data: bytes, start: int, n: int) -> dict:
+    """Decode ONLY samples ``[start, start + n)`` (per-channel positions):
+    frames are walked in stream order — each frame's Rice/LPC payload must
+    be decoded to find the next frame boundary — but decoding STOPS at the
+    first frame past the segment, so a short segment never pays for the
+    tail of a long file. Per-frame CRC-8/CRC-16 are verified as usual; the
+    whole-stream MD5 is NOT (it covers audio this call never decodes —
+    use ``decode_flac`` for full-file integrity).
+
+    Returns ``{channels, sample_rate, bits, n_frames, samples}`` like
+    ``decode_flac`` with ``samples`` the interleaved segment (``n_frames``
+    = per-channel samples actually available in the range — short at EOF).
+    """
+    if start < 0 or n < 0:
+        raise ValueError("flac_segment: negative start or length")
+    info, pos = _parse_stream_head(data)
+    channels = info["channels"]
+    out: list[list[int]] = [[] for _ in range(channels)]
+    seen = 0  # per-channel samples decoded so far (frame-aligned)
+    end = start + n
+    for chans in _iter_frames(data, info, pos):
+        bs = len(chans[0])
+        lo, hi = max(start - seen, 0), min(end - seen, bs)
+        if lo < hi:
+            for c in range(channels):
+                out[c].extend(chans[c][lo:hi])
+        seen += bs
+        if seen >= end:
+            break
+    interleaved: list[int] = []
+    for i in range(len(out[0])):
+        for c in range(channels):
+            interleaved.append(out[c][i])
+    return {
+        "channels": channels,
+        "sample_rate": info["rate"],
+        "bits": info["bps"],
+        "n_frames": len(out[0]),
         "samples": interleaved,
     }
 

@@ -358,6 +358,104 @@ def extract_frame_features(df: DataFrame, every_n: int = 8) -> DataFrame:
     return df.mapInPandas(fn, schema=FRAME_SCHEMA)
 
 
+SEGMENT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("seg_idx", LongType(), False),
+        StructField("start_sample", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("sum_abs", LongType(), False),
+        StructField("peak_abs", LongType(), False),
+    ]
+)
+
+
+def sample_segments(df: DataFrame, window: int = 512, codec: str = "fake") -> DataFrame:
+    """Segment-sampling plumbing for audio rows — the audio analog of
+    ``sample_frames``: explode fixed-window segment indexes
+    (0, 1, ..., ceil(n_frames / window) - 1). With ``codec="real"`` the
+    sample counts come from the real container parse (WAV data-chunk size /
+    FLAC STREAMINFO-verified decode)."""
+    feats = extract_features(df, codec=codec).filter(
+        (F.col("kind") == "audio") & F.col("n_frames").isNotNull()
+    )
+    return feats.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("n_frames") - 1) / F.lit(window)).cast("long"),
+            )
+        ).alias("seg_idx"),
+    )
+
+
+def extract_segment_features(df: DataFrame, window: int = 512) -> DataFrame:
+    """REAL fixed-window audio segmentation for WAV / FLAC rows — the audio
+    analog of ``extract_frame_features``: every ``window``-sample segment's
+    stats come from the actual decoded samples, inside one Arrow-batched
+    mapInPandas pass, no shuffle, media bytes never leave their partition.
+
+    WAV segments are byte slices of the data chunk (uncompressed audio is
+    random-access — ``operators.wav.wav_segment`` is the single-segment
+    primitive); FLAC frames must be Rice-decoded in stream order to find
+    their boundaries, so a row needing ALL its segments decodes once and
+    windows the result (``operators.flac.flac_segment`` is the early-stop
+    random-access primitive for single segments). Stats are integer-exact
+    (count / sum|s| / max|s| over 16-bit-linear samples, all channels), so
+    a SQL oracle can replay them arithmetically."""
+    from ..shipping import ship_package
+
+    if window < 1:
+        raise ValueError("window must be >= 1 sample")
+    ship_package(df.sparkSession)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .flac import decode_flac, is_flac
+        from .wav import _expand, _parse_container, is_wav
+
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "audio":
+                    continue
+                data = bytes(payload) if payload is not None else b""
+                if is_wav(data):
+                    fmt, body = _parse_container(data)
+                    fs = fmt["frame_size"]
+                    total = len(body) // fs
+
+                    def seg_samples(lo: int, hi: int, _b=body, _f=fmt, _fs=fs):
+                        return _expand(
+                            _b[lo * _fs : hi * _fs], _f["tag"], _f["sample_bytes"]
+                        )
+
+                elif is_flac(data):
+                    a = decode_flac(data)  # full row needs every segment:
+                    # one stream-order decode (MD5-verified), then window
+                    ch, total, allsamp = a["channels"], a["n_frames"], a["samples"]
+
+                    def seg_samples(lo: int, hi: int, _s=allsamp, _c=ch):
+                        return _s[lo * _c : hi * _c]
+
+                else:
+                    continue  # non-WAV/FLAC audio rows have no segment lane
+                for si in range((total + window - 1) // window):
+                    lo, hi = si * window, min(total, (si + 1) * window)
+                    seg = seg_samples(lo, hi)
+                    aseg = [abs(s) for s in seg]
+                    rows.append(
+                        (mid, si, lo, hi - lo, sum(aseg), max(aseg))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SEGMENT_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(fn, schema=SEGMENT_SCHEMA)
+
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

@@ -60,10 +60,8 @@ _PCM, _ALAW, _ULAW = 1, 6, 7
 _NAMES = {_PCM: "pcm", _ALAW: "alaw", _ULAW: "ulaw"}
 
 
-def decode_wav(data: bytes) -> dict:
-    """Decode a RIFF-WAVE payload to ``{format, channels, sample_rate,
-    bits, n_frames, samples}`` where ``samples`` is the interleaved
-    16-bit-linear sample list (PCM widths other than 16 are rescaled)."""
+def _parse_container(data: bytes) -> tuple[dict, bytes]:
+    """RIFF chunk walk: return (validated fmt dict + frame_size, data body)."""
     if not is_wav(data):
         raise ValueError("not a WAV: bad RIFF signature")
     (riff_size,) = struct.unpack("<I", data[4:8])
@@ -118,9 +116,14 @@ def decode_wav(data: bytes) -> dict:
     frame_size = sample_bytes * channels
     if len(body) % frame_size:
         raise ValueError("corrupt WAV: data size is not a whole frame count")
-    n_frames = len(body) // frame_size
-    if n_frames * channels * 2 > _MAX_DECODED_BYTES:
-        raise ValueError("refusing WAV: decoded size exceeds the ceiling")
+    fmt["sample_bytes"] = sample_bytes
+    fmt["frame_size"] = frame_size
+    return fmt, body
+
+
+def _expand(body: bytes, tag: int, sample_bytes: int) -> list[int]:
+    """Expand raw sample bytes to 16-bit-linear ints (any whole number of
+    samples — a frame-aligned slice of the data chunk decodes alone)."""
     if tag == _ULAW:
         samples = [_ULAW_TABLE[b] for b in body]
     elif tag == _ALAW:
@@ -139,13 +142,52 @@ def decode_wav(data: bytes) -> dict:
             ) >> shift
             for i in range(0, len(body), sample_bytes)
         ]
+    return samples
+
+
+def decode_wav(data: bytes) -> dict:
+    """Decode a RIFF-WAVE payload to ``{format, channels, sample_rate,
+    bits, n_frames, samples}`` where ``samples`` is the interleaved
+    16-bit-linear sample list (PCM widths other than 16 are rescaled)."""
+    fmt, body = _parse_container(data)
+    n_frames = len(body) // fmt["frame_size"]
+    if n_frames * fmt["channels"] * 2 > _MAX_DECODED_BYTES:
+        raise ValueError("refusing WAV: decoded size exceeds the ceiling")
     return {
-        "format": _NAMES[tag],
-        "channels": channels,
+        "format": _NAMES[fmt["tag"]],
+        "channels": fmt["channels"],
         "sample_rate": fmt["rate"],
         "bits": fmt["bits"],
         "n_frames": n_frames,
-        "samples": samples,
+        "samples": _expand(body, fmt["tag"], fmt["sample_bytes"]),
+    }
+
+
+def wav_segment(data: bytes, start: int, n: int) -> dict:
+    """Decode ONLY frames ``[start, start + n)``: uncompressed (and G.711)
+    WAV is random-access, so the segment is a byte slice of the data chunk
+    — the rest of the file is never expanded. This is the audio analog of
+    ``avi_frame``: locate, slice, decode just the piece.
+
+    Returns the ``decode_wav`` dict shape with ``samples`` the interleaved
+    segment and ``n_frames`` the frames actually available in the range
+    (short at EOF)."""
+    if start < 0 or n < 0:
+        raise ValueError("wav_segment: negative start or length")
+    fmt, body = _parse_container(data)
+    fs = fmt["frame_size"]
+    total = len(body) // fs
+    lo, hi = min(start, total), min(start + n, total)
+    seg = body[lo * fs : hi * fs]
+    if len(seg) * 2 > _MAX_DECODED_BYTES:
+        raise ValueError("refusing WAV: decoded size exceeds the ceiling")
+    return {
+        "format": _NAMES[fmt["tag"]],
+        "channels": fmt["channels"],
+        "sample_rate": fmt["rate"],
+        "bits": fmt["bits"],
+        "n_frames": hi - lo,
+        "samples": _expand(seg, fmt["tag"], fmt["sample_bytes"]),
     }
 
 

@@ -30,6 +30,8 @@ lexicographic tie-breaks.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -660,6 +662,12 @@ def sample_kcenter_batched(
 KCENTER_BATCH_K = 64
 KCENTER_BATCH = 8
 
+# Process-lifetime count of approx-certificate failures that escalated to
+# the exact draw (the contract entry's self-heal). Observability only —
+# bench.py records it in the detail sidecar so a corpus that silently
+# flips every run onto the 2x-cost exact path shows up in the records.
+KCENTER_ESCALATIONS = {"count": 0}
+
 _SQL_KCENTER_BATCHED = f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
@@ -859,8 +867,20 @@ def _kcenter_contract_row(
     escalated = False
     if not cert:
         # escalate-to-exact: the exact draw's certificate is structural
-        # (see the registered entry's docstring) — self-healing TRUE
+        # (see the registered entry's docstring) — self-healing TRUE.
+        # The self-heal must be OBSERVABLE in production (not only via the
+        # tests' escalation_out hook): a corpus regeneration that silently
+        # flips every run onto the 2x-cost exact path would otherwise be
+        # invisible in the records. One stderr line + a process-lifetime
+        # counter that bench.py copies into its detail sidecar.
         escalated = True
+        KCENTER_ESCALATIONS["count"] += 1
+        print(
+            f"kcenter: approx certificate FAILED (k={k}, batch={batch}) — "
+            f"escalated to exact draw "
+            f"(escalations this process: {KCENTER_ESCALATIONS['count']})",
+            file=sys.stderr,
+        )
         xstats: dict = {}
         sample_kcenter_batched(
             spark, sf_dir, k=k, batch=batch, e=e, exact=True, stats_out=xstats

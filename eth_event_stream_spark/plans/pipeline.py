@@ -942,6 +942,61 @@ def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_SEG_WINDOW = 32  # samples per segment (synth clips are 100-149 samples)
+
+
+@register(
+    "multimodal_audio_segments",
+    oracle=f"""
+    WITH audio AS (
+      SELECT doc_id, 100 + doc_id % 50 AS n
+      FROM documents WHERE doc_id % 6 >= 4),
+    vals AS (
+      SELECT doc_id, u.i,
+             ABS((doc_id * 31 + u.i * 7) % 65536 - 32768) AS a
+      FROM audio, LATERAL (SELECT UNNEST(range(0, n)) AS i) u)
+    SELECT doc_id AS media_id,
+           CAST(i // {AUDIO_SEG_WINDOW} AS BIGINT) AS seg_idx,
+           CAST((i // {AUDIO_SEG_WINDOW}) * {AUDIO_SEG_WINDOW} AS BIGINT)
+             AS start_sample,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(a) AS BIGINT) AS sum_abs,
+           CAST(MAX(a) AS BIGINT) AS peak_abs
+    FROM vals GROUP BY doc_id, i // {AUDIO_SEG_WINDOW}
+    """,
+    doc="Real per-segment audio sampling: WAV byte-slice / FLAC windowed "
+    "decode, integer-exact stats the oracle replays per sample.",
+)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio analog of the real per-frame video lane, end to end and
+    oracle-checked: every audio-lane document (doc_id % 6 in {4, 5})
+    becomes a REAL PCM-WAV or FLAC payload encoded by the in-repo codecs
+    in one Arrow-batched mapInPandas, then
+    ``extract_segment_features(window=32)`` slices it into fixed
+    32-sample segments — WAV via data-chunk byte slices (random access),
+    FLAC via one stream-order Rice/LPC decode windowed after — and
+    reports integer-exact per-segment stats (count / sum|s| / max|s|).
+    The synth samples are a pure function of doc_id
+    (``(doc_id*31 + i*7) % 65536 - 32768``), so the DuckDB oracle replays
+    every per-segment sum and peak PER SAMPLE: a decoder that dropped,
+    duplicated, or mis-scaled any sample anywhere in any segment breaks
+    the hash match.
+
+    At 100 TB: both passes are embarrassingly parallel and partition-local
+    (the shape measured for the codec lane in BENCH_SF1.md); output rows
+    are ~n_samples/32 per clip of small typed columns — JVM-side again."""
+    from ..operators.multimodal import (
+        documents_as_encoded_media,
+        extract_segment_features,
+    )
+
+    docs = t_parallel(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 6) >= 4
+    )
+    media = documents_as_encoded_media(docs)
+    return extract_segment_features(media, window=AUDIO_SEG_WINDOW)
+
+
 @register(
     "reducer_funnel_batch",
     oracle="""

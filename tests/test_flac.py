@@ -163,3 +163,87 @@ def test_reserved_sample_size_code_refuses():
     data[crc_at] = _crc8(bytes(data[fs:crc_at]))  # keep the header CRC valid
     with pytest.raises(ValueError, match="reserved sample size"):
         decode_flac(bytes(data))
+
+
+def test_flac_segment_early_stop_matches_full_decode():
+    """flac_segment decodes frames only UP TO the segment end (early
+    stop): the values match the full decode's slice exactly, mono and
+    stereo (per-channel positions, interleaved output), EOF-short ranges
+    truncate. The whole-stream MD5 is deliberately NOT checked here — it
+    covers audio the early stop never decodes."""
+    from eth_event_stream_spark.operators.flac import flac_segment
+
+    mono = _mono(500)
+    data = encode_flac([mono], modes=("fixed2", "fixed3"), block_size=64)
+    full = decode_flac(data)
+    for start, n in ((0, 10), (100, 50), (63, 2), (64, 64), (450, 100)):
+        seg = flac_segment(data, start, n)
+        assert seg["samples"] == full["samples"][start : start + n]
+        assert seg["n_frames"] == len(seg["samples"])
+    left, right = _stereo(300)
+    data = encode_flac([left, right], stereo_mode="mid_side", block_size=64)
+    full = decode_flac(data)
+    seg = flac_segment(data, 33, 10)
+    assert seg["samples"] == full["samples"][66:86]
+    assert seg["n_frames"] == 10
+    with pytest.raises(ValueError, match="negative"):
+        flac_segment(data, 5, -1)
+    # a corrupt frame INSIDE the requested range still fails loudly
+    bad = bytearray(encode_flac([mono], modes=("fixed2",), block_size=64))
+    bad[-40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|corrupt|truncated"):
+        flac_segment(bytes(bad), 0, 500)
+
+
+def test_extract_segment_features_real_wav_and_flac(spark):
+    """The per-segment audio lane (the frame lane's audio analog): WAV and
+    FLAC rows slice into fixed windows with integer-exact per-segment
+    stats, through executor Python workers; non-audio rows and non-WAV/FLAC
+    payloads are skipped."""
+    import io
+    import wave
+
+    from eth_event_stream_spark.operators.multimodal import (
+        extract_segment_features,
+        sample_segments,
+    )
+
+    mono = _mono(100)
+    flac_payload = encode_flac([mono], modes=("fixed2",), block_size=64)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(16000)
+        wv.writeframes(b"".join(s.to_bytes(2, "little", signed=True) for s in mono))
+    wav_payload = buf.getvalue()
+    media = spark.createDataFrame(
+        [
+            (0, "audio", wav_payload, {}),
+            (1, "audio", flac_payload, {}),
+            (2, "image", b"notaudio", {}),
+            (3, "audio", b"alsonotwavorflac", {}),
+        ],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    rows = extract_segment_features(media, window=32).collect()
+    got = {(r["media_id"], r["seg_idx"]): r for r in rows}
+    assert {m for m, _ in got} == {0, 1}  # image + foreign audio skipped
+    for mid in (0, 1):
+        segs = sorted(s for m, s in got if m == mid)
+        assert segs == [0, 1, 2, 3]  # ceil(100/32)
+        for si in segs:
+            lo, hi = si * 32, min(100, (si + 1) * 32)
+            want = [abs(s) for s in mono[lo:hi]]
+            r = got[(mid, si)]
+            assert (r["start_sample"], r["n_samples"]) == (lo, hi - lo)
+            assert r["sum_abs"] == sum(want) and r["peak_abs"] == max(want)
+    # the explode-only sampling plumbing agrees on segment indexes (its
+    # extract_features(codec="real") pass keeps the loud-failure contract,
+    # so it gets only decodable rows)
+    decodable = media.filter("media_id IN (0, 1)")
+    idx = {
+        (r["media_id"], r["seg_idx"])
+        for r in sample_segments(decodable, window=32, codec="real").collect()
+    }
+    assert idx == {(m, s) for m in (0, 1) for s in range(4)}

@@ -263,11 +263,18 @@ def test_kcenter_contract_escalates_to_exact_on_failed_certificate(
     stats: dict = {}
     sample_kcenter_batched(spark, d, k=4, batch=2, stats_out=stats).collect()
     assert not kcenter_certificate_from_r2(stats["r2"], stats["sel_embs"], 4.0)
-    # ... but the contract entry self-heals via the exact escalation
+    # ... but the contract entry self-heals via the exact escalation,
+    # and the self-heal is OBSERVABLE in production: the process-lifetime
+    # counter (bench.py records it in the detail sidecar) and one stderr
+    # line, not just the tests-only escalation_out hook
+    from eth_event_stream_spark.plans import assembly
+
     out: dict = {}
+    n_before = assembly.KCENTER_ESCALATIONS["count"]
     row = _kcenter_contract_row(
         spark, d, k=4, batch=2, escalation_out=out
     ).collect()[0]
+    assert assembly.KCENTER_ESCALATIONS["count"] == n_before + 1
     assert out["escalated"] is True
     assert row.cover_certificate_4x is True
     assert row.passes == 2  # ceil((4-1)/2): the approx draw's pass count
@@ -279,11 +286,14 @@ def test_kcenter_contract_does_not_escalate_on_spread_corpus(spark, sf_dir):
     """On the real corpus the approx certificate passes and NO exact
     re-draw runs — escalation is the exception path, not a second pass
     paid on every call."""
+    from eth_event_stream_spark.plans import assembly
     from eth_event_stream_spark.plans.assembly import _kcenter_contract_row
 
     out: dict = {}
+    n_before = assembly.KCENTER_ESCALATIONS["count"]
     row = _kcenter_contract_row(
         spark, sf_dir, k=16, batch=4, escalation_out=out
     ).collect()[0]
     assert out["escalated"] is False
+    assert assembly.KCENTER_ESCALATIONS["count"] == n_before  # no silent 2x
     assert row.cover_certificate_4x is True

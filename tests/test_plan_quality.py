@@ -43,6 +43,10 @@ PLAN_EXPECTATIONS = {
     # feeding a hash aggregate — per-row Python is the whole point here,
     # so the gate pins the MapInPandas shape rather than banning it
     "multimodal_codec_roundtrip": [r"MapInPandas.*MapInPandas|MapInPandas[\s\S]*MapInPandas", r"HashAggregate"],
+    # the audio-segment lane is the same two-Arrow-pass shape (encode +
+    # segment-decode), with the lane filter applied BEFORE the encode pass
+    # (only audio-lane documents pay the Python encode cost)
+    "multimodal_audio_segments": [r"MapInPandas[\s\S]*MapInPandas", r"Filter"],
     "flagship_user_netflow": [r"HashAggregate"],
     "dedup_minhash_lsh_pairs": [r"HashAggregate"],
     # global token counts must partial-aggregate and top-k via heap

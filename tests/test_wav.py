@@ -124,3 +124,42 @@ def test_extract_features_real_g711_audio(spark):
     row = extract_features(media, codec="real").collect()[0]
     assert row["n_frames"] == 250
     assert row["width"] is None
+
+
+def test_wav_segment_is_a_byte_slice_decode():
+    """wav_segment decodes ONLY the requested frame range — the audio
+    analog of avi_frame: same values as the full decode's slice, EOF-short
+    ranges truncate, negative args refuse."""
+    from eth_event_stream_spark.operators.wav import wav_segment
+
+    samples = [(i * 37) % 4000 - 2000 for i in range(500)]
+    for law in ("ulaw", "alaw"):
+        data = encode_wav_g711(samples, law=law)
+        full = decode_wav(data)
+        seg = wav_segment(data, 100, 50)
+        assert seg["samples"] == full["samples"][100:150]
+        assert seg["n_frames"] == 50
+        assert seg["format"] == law and seg["channels"] == 1
+    # stereo PCM: frame positions are per-channel, samples interleaved
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(2)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        inter = []
+        for i in range(300):
+            inter += [samples[i], -samples[i]]
+        wv.writeframes(b"".join(s.to_bytes(2, "little", signed=True) for s in inter))
+    data = buf.getvalue()
+    full = decode_wav(data)
+    seg = wav_segment(data, 10, 5)
+    assert seg["samples"] == full["samples"][20:30]
+    assert seg["n_frames"] == 5
+    # EOF-short and fully-past-EOF ranges
+    assert wav_segment(data, 290, 100)["n_frames"] == 10
+    assert wav_segment(data, 900, 10)["n_frames"] == 0
+    with pytest.raises(ValueError, match="negative"):
+        wav_segment(data, -1, 5)
