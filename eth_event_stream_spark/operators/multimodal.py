@@ -9,8 +9,10 @@ in-repo stdlib(+numpy) codecs, no new dependencies: PNG
 telephony compression (``operators/wav.py``, expansion tables verified
 against CPython's audioop) — and lossless FLAC audio
 (``operators/flac.py``: Rice/LPC decode with the format's own
-unencoded-audio MD5 verified). Formats that genuinely need an external
-library (WebP, H.264/VP9, MP3/Vorbis) raise ``NotImplementedError``
+unencoded-audio MD5 verified), and lossless WebP
+(``operators/webp.py``: VP8L prefix codes + LZ77 + color cache + all
+four transforms). Formats that genuinely need an external library
+(lossy WebP/VP8, H.264/VP9, MP3/Vorbis) raise ``NotImplementedError``
 loudly; the deterministic ``fake`` codec
 exercises the full path byte-for-byte reproducibly (length/md5/derived
 dims) for the oracle-checked queries.
@@ -71,20 +73,28 @@ def _decode_real(kind: str, payload: bytes) -> dict:
     successive approximation), GIF
     (``operators/gif.py``: LZW, interlace, animation frame counts), MJPEG
     AVI video (``operators/avi.py``: RIFF parsing, per-frame JPEG decode),
-    WAV audio incl. G.711 µ-law/A-law (``operators/wav.py``), and FLAC
-    (``operators/flac.py``: Rice/LPC, in-format MD5 verified) — real
-    dimensions and frame counts from real pixels/samples. Formats that
-    genuinely need an external library (WebP, H.264/VP9, MP3/Vorbis)
-    raise, loudly, rather than guess. The surrounding Spark plumbing (schema,
+    WAV audio incl. G.711 µ-law/A-law (``operators/wav.py``), FLAC
+    (``operators/flac.py``: Rice/LPC, in-format MD5 verified), and
+    lossless WebP (``operators/webp.py``: VP8L) — real dimensions and
+    frame counts from real pixels/samples. Formats that genuinely need
+    an external library (lossy WebP/VP8, H.264/VP9, MP3/Vorbis) raise,
+    loudly, rather than guess. The surrounding Spark plumbing (schema,
     Arrow batching, partitioning) is identical for every codec.
     """
     from .avi import decode_avi, is_avi
     from .gif import decode_gif, is_gif
     from .jpeg import decode_jpeg, is_jpeg
     from .png import decode_png, is_png
+    from .webp import decode_webp, is_webp
 
-    if kind == "image" and (is_png(payload) or is_jpeg(payload)):
-        img = decode_png(payload) if is_png(payload) else decode_jpeg(payload)
+    if kind == "image" and (is_png(payload) or is_jpeg(payload) or is_webp(payload)):
+        if is_png(payload):
+            img = decode_png(payload)
+        elif is_jpeg(payload):
+            img = decode_jpeg(payload)
+        else:
+            # lossless (VP8L) decodes in-repo; lossy VP8 raises inside
+            img = decode_webp(bytes(payload))
         return {
             "n_bytes": len(payload),
             "checksum": hashlib.md5(payload).hexdigest(),
@@ -147,9 +157,9 @@ def _decode_real(kind: str, payload: bytes) -> dict:
             }
     raise NotImplementedError(
         f"real {kind} decoding requires a codec library not present in this "
-        "environment (PNG / JPEG incl. progressive / GIF images, MJPEG AVI "
-        "video, and WAV/G.711/FLAC audio decode via the in-repo codecs); use "
-        "codec='fake' (deterministic) or install a decoder"
+        "environment (PNG / JPEG incl. progressive / lossless-WebP / GIF "
+        "images, MJPEG AVI video, and WAV/G.711/FLAC audio decode via the "
+        "in-repo codecs); use codec='fake' (deterministic) or install a decoder"
     )
 
 
