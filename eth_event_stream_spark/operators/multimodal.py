@@ -212,8 +212,10 @@ _SYNTH_PALETTE = bytes(
 
 
 def synth_media_payload(doc_id: int) -> tuple[str, bytes]:
-    """Deterministic REAL payload for ``doc_id``: kind cycles PNG / JPEG /
-    GIF / MJPEG-AVI / PCM-WAV / FLAC (doc_id % 6), dimensions and frame
+    """Deterministic REAL payload for ``doc_id``: kind cycles PNG-or-WebP /
+    JPEG / GIF / MJPEG-AVI / PCM-WAV / FLAC (doc_id % 6; lane 0 alternates
+    PNG at doc_id % 12 == 0 and lossless WebP at doc_id % 12 == 6 — same
+    dims, so the oracle arithmetic is format-blind), dimensions and frame
     counts are pure functions of doc_id — so a SQL oracle can replay every
     decoded feature without decoding anything:
       images/video: width = 2 + doc_id % 13, height = 2 + doc_id % 7
@@ -227,6 +229,24 @@ def synth_media_payload(doc_id: int) -> tuple[str, bytes]:
     w, h = 2 + doc_id % 13, 2 + doc_id % 7
     nf = 1 + doc_id % 3
     if lane == 0:
+        if doc_id % 12 == 6:
+            from .webp import encode_webp_lossless
+
+            rgba = [
+                bytes(
+                    ((x + 3 * y + doc_id + c) % 256)
+                    for x in range(w)
+                    for c in range(4)
+                )
+                for y in range(h)
+            ]
+            return "image", encode_webp_lossless(
+                w, h, rgba,
+                subtract_green=True,
+                predictor_mode=(doc_id // 12) % 14,
+                run_length=True,
+                cache_bits=1 + (doc_id // 12) % 11,
+            )
         rows = [
             bytes(((x + 3 * y + doc_id) % 256) for x in range(w * 3))
             for y in range(h)

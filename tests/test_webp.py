@@ -256,3 +256,34 @@ def test_extract_features_real_webp(spark):
     row = extract_features(media, codec="real").collect()[0]
     assert (row["width"], row["height"]) == (11, 7)
     assert row["n_frames"] is None
+
+
+def test_synth_media_sweep_decodes_to_oracle_formulas():
+    """Every synth lane (PNG, WebP at doc_id % 12 == 6, JPEG, GIF,
+    MJPEG-AVI, PCM-WAV, FLAC) decodes for every id the driver could draw,
+    and the decoded features equal the registered oracle's arithmetic —
+    the offline version of the sweep that must re-run whenever a
+    registered query's synth input is extended (it caught a FLAC
+    short-frame bug when the % 5 -> % 6 extension landed in round 11)."""
+    from eth_event_stream_spark.operators.multimodal import (
+        _decode_real,
+        synth_media_payload,
+    )
+
+    for doc_id in range(0, 2 * 12 * 7 * 13 + 1, 1):  # full lane x dim cycle
+        kind, payload = synth_media_payload(doc_id)
+        feats = _decode_real(kind, payload)
+        lane = doc_id % 6
+        if lane <= 3:
+            w, h = 2 + doc_id % 13, 2 + doc_id % 7
+            assert (feats["width"], feats["height"]) == (w, h), doc_id
+            if lane == 2:
+                nf = 1 + doc_id % 3
+                assert feats["n_frames"] == (nf if nf > 1 else None), doc_id
+            elif lane == 3:
+                assert feats["n_frames"] == 1 + doc_id % 3, doc_id
+            else:
+                assert feats["n_frames"] is None, doc_id
+        else:
+            assert feats["n_frames"] == 100 + doc_id % 50, doc_id
+            assert feats["width"] is None, doc_id
