@@ -287,3 +287,30 @@ def test_synth_media_sweep_decodes_to_oracle_formulas():
         else:
             assert feats["n_frames"] == 100 + doc_id % 50, doc_id
             assert feats["width"] is None, doc_id
+
+
+def test_corruption_fuzz_always_fails_loudly():
+    """Untrusted bytes reach decode_webp straight from binary columns:
+    flipping any byte must either still decode (entropy streams can be
+    coincidentally valid) or raise the codec's typed errors — never an
+    IndexError/KeyError/hang. 300 seeded single-byte corruptions across
+    feature-rich payloads."""
+    rnd = random.Random(99)
+    payloads = [
+        encode_webp_lossless(11, 7, GRADIENT),
+        encode_webp_lossless(11, 7, GRADIENT, subtract_green=True, predictor_mode=12),
+        encode_webp_lossless(
+            16, 9,
+            _rows(16, 9, lambda x, y: ((y % 4) * 60, 10, 200, 255)),
+            run_length=True, cache_bits=5,
+        ),
+    ]
+    for trial in range(300):
+        data = bytearray(rnd.choice(payloads))
+        at = rnd.randrange(12, len(data))  # keep the RIFF signature
+        data[at] ^= 1 << rnd.randrange(8)
+        try:
+            img = decode_webp(bytes(data))
+            assert img["width"] > 0 and img["height"] > 0
+        except (ValueError, NotImplementedError):
+            pass  # the loud-failure contract
