@@ -87,14 +87,21 @@ def _decode_real(kind: str, payload: bytes) -> dict:
     from .png import decode_png, is_png
     from .webp import decode_webp, is_webp
 
-    if kind == "image" and (is_png(payload) or is_jpeg(payload) or is_webp(payload)):
-        if is_png(payload):
-            img = decode_png(payload)
-        elif is_jpeg(payload):
-            img = decode_jpeg(payload)
-        else:
-            # lossless (VP8L) decodes in-repo; lossy VP8 raises inside
-            img = decode_webp(bytes(payload))
+    if kind in ("image", "video") and is_webp(payload):
+        # lossless (VP8L) decodes in-repo — stills AND all-VP8L
+        # animations (every frame's stream validated, so n_frames is a
+        # real count, the GIF contract); lossy VP8 raises inside
+        img = decode_webp(bytes(payload))
+        nf = img["n_frames"]
+        return {
+            "n_bytes": len(payload),
+            "checksum": hashlib.md5(payload).hexdigest(),
+            "width": img["width"],
+            "height": img["height"],
+            "n_frames": nf if nf is not None and nf > 1 else None,
+        }
+    if kind == "image" and (is_png(payload) or is_jpeg(payload)):
+        img = decode_png(payload) if is_png(payload) else decode_jpeg(payload)
         return {
             "n_bytes": len(payload),
             "checksum": hashlib.md5(payload).hexdigest(),

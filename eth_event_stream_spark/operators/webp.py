@@ -11,10 +11,12 @@ prefix codes (incl. the code-length code, 16/17/18 repeats, and the
 ``max_symbol`` shortcut), color cache, LZ77 with both 2D plane-code and
 linear distances, meta prefix-code groups (entropy image), and all four
 transforms (predictor incl. all 14 modes, cross-color, subtract-green,
-color-indexing incl. sub-8-bit pixel bundling). LOSSY WebP (VP8) and
-animated/extended features beyond a plain VP8X wrapper raise
-``NotImplementedError`` loudly — the reference's fail-fast discipline,
-never a silently wrong decode.
+color-indexing incl. sub-8-bit pixel bundling) — plus ANIMATED lossless
+WebP (VP8X + ANIM/ANMF with all-VP8L frames: first frame composited
+onto the canvas, every later frame's stream decoded and validated, so
+``n_frames`` is a real count — the GIF contract). LOSSY WebP (VP8),
+still or as any animation frame, raises ``NotImplementedError`` loudly
+— the reference's fail-fast discipline, never a silently wrong decode.
 
 The encoder exists so tests can synthesize REAL lossless payloads
 in-container and round-trip every transform and entropy feature through
@@ -479,35 +481,21 @@ def _inv_color_index(pix: list[int], w: int, h: int, wbits: int, n_colors: int, 
     return out
 
 
-def _vp8l_payload(data: bytes) -> bytes:
-    """RIFF walk to the VP8L chunk; loud failure on lossy/animated webp."""
-    if not is_webp(data):
-        raise ValueError("not a WebP: bad RIFF signature")
-    pos = 12
-    while pos + 8 <= len(data):
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Yield (chunk_id, body) over a word-aligned RIFF chunk range."""
+    while pos + 8 <= end:
         cid = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + size]
-        if len(body) != size:
+        if len(body) != size or pos + 8 + size > end:
             raise ValueError(f"truncated WebP: chunk {cid!r} cut short")
-        if cid == b"VP8L":
-            return body
-        if cid == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8) requires a DCT codec library; only "
-                "lossless (VP8L) decodes in-repo"
-            )
-        if cid in (b"ANIM", b"ANMF"):
-            raise NotImplementedError("animated WebP is not supported in-repo")
+        yield cid, body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    raise ValueError("corrupt WebP: no VP8L chunk")
 
 
-def decode_webp(data: bytes) -> dict:
-    """Decode a lossless WebP to ``{width, height, channels, pixels,
-    has_alpha}`` with ``pixels`` a list of ``height`` RGBA rows —
-    the house decode shape (cf. ``decode_png``)."""
-    payload = _vp8l_payload(data)
+def _decode_vp8l(payload: bytes) -> dict:
+    """Decode one VP8L stream (the payload of a VP8L chunk) to
+    ``{width, height, has_alpha, pix}`` with ``pix`` a flat ARGB list."""
     if not payload or payload[0] != 0x2F:
         raise ValueError("corrupt WebP: bad VP8L signature byte")
     r = _Bits(payload, 1)
@@ -535,6 +523,90 @@ def decode_webp(data: bytes) -> dict:
             pix = _inv_color_index(pix, w, h, bits, aux, sub)
     if len(pix) != w * h:
         raise ValueError("corrupt WebP: decoded pixel count mismatch")
+    return {"width": w, "height": h, "has_alpha": has_alpha, "pix": pix}
+
+
+def _anmf_vp8l(body: bytes) -> tuple[int, int, int, int, bytes]:
+    """Parse an ANMF frame: (x, y, w, h, VP8L payload). Lossy frames and
+    separate ALPH chunks (lossy-only per spec) refuse loudly."""
+    if len(body) < 16:
+        raise ValueError("truncated WebP: ANMF header cut short")
+
+    def u24(at: int) -> int:
+        return body[at] | (body[at + 1] << 8) | (body[at + 2] << 16)
+
+    fx, fy = u24(0) * 2, u24(3) * 2
+    fw, fh = u24(6) + 1, u24(9) + 1
+    for cid, sub in _riff_chunks(body, 16, len(body)):
+        if cid == b"VP8L":
+            return fx, fy, fw, fh, sub
+        if cid in (b"VP8 ", b"ALPH"):
+            raise NotImplementedError(
+                "animated WebP with lossy (VP8) frames requires a DCT codec "
+                "library; only all-VP8L animations decode in-repo"
+            )
+    raise ValueError("corrupt WebP: ANMF frame without image data")
+
+
+def decode_webp(data: bytes) -> dict:
+    """Decode a lossless WebP to ``{width, height, channels, pixels,
+    has_alpha, n_frames}`` with ``pixels`` a list of ``height`` RGBA rows
+    — the house decode shape (cf. ``decode_png`` / ``decode_gif``).
+
+    Stills: the plain VP8L stream (a VP8X wrapper is walked through).
+    Animations (VP8X + ANIM/ANMF) decode when every frame is VP8L: the
+    FIRST frame is composited at its offset onto a transparent canvas and
+    every later frame's stream is fully decoded and validated, so
+    ``n_frames`` is a real count (the GIF contract). Lossy VP8 — still or
+    any frame — refuses loudly."""
+    if not is_webp(data):
+        raise ValueError("not a WebP: bad RIFF signature")
+    canvas = None  # (w, h) from VP8X
+    frames = []
+    for cid, body in _riff_chunks(data, 12, len(data)):
+        if cid == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("truncated WebP: VP8X cut short")
+            cw = 1 + (body[4] | (body[5] << 8) | (body[6] << 16))
+            ch = 1 + (body[7] | (body[8] << 8) | (body[9] << 16))
+            canvas = (cw, ch)
+        elif cid == b"VP8L":
+            d = _decode_vp8l(body)
+            return _to_rows(d["pix"], d["width"], d["height"], d["has_alpha"], None)
+        elif cid == b"VP8 ":
+            raise NotImplementedError(
+                "lossy WebP (VP8) requires a DCT codec library; only "
+                "lossless (VP8L) decodes in-repo"
+            )
+        elif cid == b"ANMF":
+            frames.append(_anmf_vp8l(body))
+    if not frames:
+        raise ValueError("corrupt WebP: no VP8L chunk")
+    if canvas is None:
+        raise ValueError("corrupt WebP: animation without a VP8X header")
+    cw, ch = canvas
+    if cw * ch * 4 > _MAX_DECODED_BYTES:
+        raise ValueError("refusing WebP: canvas exceeds the decode ceiling")
+    # composite frame 1 onto a transparent canvas; decode (and thereby
+    # validate) every later frame so n_frames is a real count
+    pix = [0] * (cw * ch)
+    has_alpha = False
+    for i, (fx, fy, fw, fh, payload) in enumerate(frames):
+        d = _decode_vp8l(payload)
+        if (d["width"], d["height"]) != (fw, fh):
+            raise ValueError("corrupt WebP: ANMF dims disagree with VP8L")
+        if fx + fw > cw or fy + fh > ch:
+            raise ValueError("corrupt WebP: frame outside the canvas")
+        has_alpha = has_alpha or d["has_alpha"]
+        if i == 0:
+            for y in range(fh):
+                base = (fy + y) * cw + fx
+                row = d["pix"][y * fw : (y + 1) * fw]
+                pix[base : base + fw] = row
+    return _to_rows(pix, cw, ch, has_alpha, len(frames))
+
+
+def _to_rows(pix: list[int], w: int, h: int, has_alpha: bool, n_frames):
     rows = []
     for y in range(h):
         row = bytearray()
@@ -548,6 +620,7 @@ def decode_webp(data: bytes) -> dict:
         "channels": 4,
         "pixels": rows,
         "has_alpha": has_alpha,
+        "n_frames": n_frames,
     }
 
 
@@ -694,6 +767,7 @@ def encode_webp_lossless(
     run_length: bool = False,
     cache_bits: int = 0,
     use_max_symbol: bool = False,
+    _payload_only: bool = False,
 ) -> bytes:
     """Encode RGBA rows (``height`` rows of ``width * 4`` bytes) as a
     lossless WebP. Tests only — literal-heavy with optional run-length
@@ -822,10 +896,47 @@ def encode_webp_lossless(
         use_max_symbol=use_max_symbol,
     )
     payload = w.bytes()
-    riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) + payload
-    if len(payload) & 1:
-        riff += b"\x00"
+    if _payload_only:
+        return payload
+    riff = b"WEBP" + _chunk(b"VP8L", payload)
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def encode_webp_animation(
+    canvas_w: int,
+    canvas_h: int,
+    frames: list[tuple[int, int, int, int, list[bytes]]],
+    duration_ms: int = 100,
+    **vp8l_kwargs,
+) -> bytes:
+    """Encode an ANIMATED lossless WebP (VP8X + ANIM + one ANMF per
+    frame, each frame a VP8L stream). ``frames`` entries are
+    ``(x, y, w, h, rgba_rows)`` with even x/y (the container stores
+    offsets halved). Tests only."""
+    out = bytearray(b"WEBP")
+    vp8x = bytes([0x02, 0, 0, 0])  # animation flag
+    vp8x += struct.pack("<I", canvas_w - 1)[:3]
+    vp8x += struct.pack("<I", canvas_h - 1)[:3]
+    out += _chunk(b"VP8X", vp8x)
+    out += _chunk(b"ANIM", struct.pack("<IH", 0, 0))  # bg color + loops
+    for fx, fy, fw, fh, rows in frames:
+        if fx % 2 or fy % 2:
+            raise ValueError("ANMF offsets must be even")
+        payload = encode_webp_lossless(fw, fh, rows, _payload_only=True, **vp8l_kwargs)
+        hdr = (
+            struct.pack("<I", fx // 2)[:3]
+            + struct.pack("<I", fy // 2)[:3]
+            + struct.pack("<I", fw - 1)[:3]
+            + struct.pack("<I", fh - 1)[:3]
+            + struct.pack("<I", duration_ms)[:3]
+            + b"\x00"
+        )
+        out += _chunk(b"ANMF", hdr + _chunk(b"VP8L", payload))
+    return b"RIFF" + struct.pack("<I", len(out)) + bytes(out)
 
 
 def _encode_sub_image(w: _BitsW, pix: list[int]) -> None:

@@ -314,3 +314,56 @@ def test_corruption_fuzz_always_fails_loudly():
             assert img["width"] > 0 and img["height"] > 0
         except (ValueError, NotImplementedError):
             pass  # the loud-failure contract
+
+
+def test_animated_lossless_webp_counts_and_composites():
+    """VP8X + ANIM/ANMF with all-VP8L frames: frame 1 composites at its
+    offset onto a transparent canvas, EVERY later frame's stream decodes
+    (so n_frames is a validated count), corrupt last frames fail loudly,
+    and a lossy (VP8) frame refuses with the actionable message."""
+    from eth_event_stream_spark.operators.webp import encode_webp_animation
+
+    f1 = _rows(6, 4, lambda x, y: (200, x * 30 % 256, y * 50 % 256, 255))
+    f2 = _rows(4, 4, lambda x, y: (1, 2, 3, 255))
+    f3 = _rows(8, 2, lambda x, y: (9, 8, 7, 128))
+    anim = encode_webp_animation(
+        16, 12, [(2, 4, 6, 4, f1), (0, 0, 4, 4, f2), (8, 10, 8, 2, f3)],
+        subtract_green=True,
+    )
+    img = decode_webp(anim)
+    assert (img["width"], img["height"], img["n_frames"]) == (16, 12, 3)
+    px = img["pixels"]
+    assert px[0] == b"\x00" * 64  # transparent canvas above frame 1
+    assert px[4][4 * 2 : 4 * 8] == f1[0]  # frame 1 row 0 at x offset 2
+    assert px[4][: 4 * 2] == b"\x00" * 8
+    # stills report n_frames None (the GIF single-frame convention)
+    assert decode_webp(encode_webp_lossless(11, 7, GRADIENT))["n_frames"] is None
+    # corrupting the LAST frame's entropy bytes still fails loudly
+    bad = bytearray(anim)
+    bad[-5] ^= 0xFF
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_webp(bytes(bad))
+    # any lossy frame refuses
+    lossy = bytearray(anim)
+    at = bytes(lossy).index(b"VP8L", 30)
+    lossy[at : at + 4] = b"VP8 "
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_webp(bytes(lossy))
+
+
+def test_animated_webp_through_the_media_lane(spark):
+    """extract_features(codec='real') reports the validated frame count
+    for an animated lossless WebP under both 'image' and 'video' kinds —
+    the same contract as animated GIF."""
+    from eth_event_stream_spark.operators.multimodal import extract_features
+    from eth_event_stream_spark.operators.webp import encode_webp_animation
+
+    f = _rows(6, 4, lambda x, y: (200, x * 30 % 256, y * 50 % 256, 255))
+    anim = encode_webp_animation(8, 6, [(0, 0, 6, 4, f), (2, 2, 6, 4, f)])
+    media = spark.createDataFrame(
+        [(0, "image", anim, {}), (1, "video", anim, {})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    rows = {r["media_id"]: r for r in extract_features(media, codec="real").collect()}
+    for mid in (0, 1):
+        assert (rows[mid]["width"], rows[mid]["height"], rows[mid]["n_frames"]) == (8, 6, 2)
