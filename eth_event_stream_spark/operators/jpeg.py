@@ -615,17 +615,7 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 # expect an RSTn between intervals; byte-align + reset DC
-                r.n = 0  # restart markers are byte-aligned: drop pad bits
-                try:
-                    r.bit()  # force a fill so the pending marker surfaces
-                    raise ValueError("corrupt JPEG: expected restart marker")
-                except _AtMarker:
-                    m = r.align_past_marker()
-                    if not (0xD0 <= m <= 0xD7):
-                        raise ValueError(
-                            f"corrupt JPEG: expected RSTn, got 0x{m:02x}"
-                        )
-                    pred = [0] * len(comps)
+                pred = _expect_restart(r, len(comps))
             for ci, (comp, tdc, tac) in enumerate(scan):
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):

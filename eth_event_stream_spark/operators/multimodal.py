@@ -172,14 +172,23 @@ def _decode_real(kind: str, payload: bytes) -> dict:
 
 def _decode_fake(kind: str, payload: bytes) -> dict:
     """Deterministic fake decode: derives plausible metadata purely from the
-    bytes, so results are reproducible and oracle-checkable."""
+    bytes, so results are reproducible and oracle-checkable. Audio rows get
+    a fake sample count (the real lane's n_frames analog) so segment
+    plumbing works under the fake codec exactly like frame plumbing does
+    for video."""
     n = len(payload)
+    if kind == "video":
+        n_frames = (n % 24) + 1
+    elif kind == "audio":
+        n_frames = (n % 1000) + 1
+    else:
+        n_frames = None
     return {
         "n_bytes": n,
         "checksum": hashlib.md5(payload).hexdigest(),
         "width": (n % 640) + 1 if kind == "image" else None,
         "height": ((n * 7) % 480) + 1 if kind == "image" else None,
-        "n_frames": (n % 24) + 1 if kind == "video" else None,
+        "n_frames": n_frames,
     }
 
 
@@ -413,8 +422,11 @@ def sample_segments(df: DataFrame, window: int = 512, codec: str = "fake") -> Da
     (0, 1, ..., ceil(n_frames / window) - 1). With ``codec="real"`` the
     sample counts come from the real container parse (WAV data-chunk size /
     FLAC STREAMINFO-verified decode)."""
+    # n_frames >= 1: an empty-but-valid clip (n_frames = 0) has no
+    # segments — without the guard, sequence(0, floor(-1/window)) would
+    # DESCEND and emit bogus seg_idx rows 0 and -1
     feats = extract_features(df, codec=codec).filter(
-        (F.col("kind") == "audio") & F.col("n_frames").isNotNull()
+        (F.col("kind") == "audio") & (F.col("n_frames") >= 1)
     )
     return feats.select(
         "media_id",
@@ -439,8 +451,11 @@ def extract_segment_features(df: DataFrame, window: int = 512) -> DataFrame:
     their boundaries, so a row needing ALL its segments decodes once and
     windows the result (``operators.flac.flac_segment`` is the early-stop
     random-access primitive for single segments). Stats are integer-exact
-    (count / sum|s| / max|s| over 16-bit-linear samples, all channels), so
-    a SQL oracle can replay them arithmetically."""
+    over ALL channels' interleaved samples: ``n_samples`` counts the
+    values ``sum_abs``/``peak_abs`` aggregate ((hi - lo) * channels), so
+    ``sum_abs / n_samples`` is a correct mean at any channel count, while
+    ``start_sample`` and the window boundaries are per-channel FRAME
+    positions. A SQL oracle can replay everything arithmetically."""
     from ..shipping import ship_package
 
     if window < 1:
@@ -483,8 +498,12 @@ def extract_segment_features(df: DataFrame, window: int = 512) -> DataFrame:
                     lo, hi = si * window, min(total, (si + 1) * window)
                     seg = seg_samples(lo, hi)
                     aseg = [abs(s) for s in seg]
+                    # n_samples counts the VALUES the stats aggregate —
+                    # (hi - lo) * channels interleaved samples — so
+                    # mean = sum_abs / n_samples is right for any channel
+                    # count; start_sample stays a per-channel frame index
                     rows.append(
-                        (mid, si, lo, hi - lo, sum(aseg), max(aseg))
+                        (mid, si, lo, len(seg), sum(aseg), max(aseg))
                     )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in SEGMENT_SCHEMA.fields]

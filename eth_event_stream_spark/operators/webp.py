@@ -262,11 +262,13 @@ def _decode_entropy_image(r: _Bits, xsize: int, ysize: int, level0: bool):
 
     entropy_bits = 0
     entropy_img = None
+    entropy_w = 0
     n_groups = 1
     if level0 and r.read(1):  # meta prefix codes
         entropy_bits = r.read(3) + 2
-        ew, eh = _subsample(xsize, entropy_bits), _subsample(ysize, entropy_bits)
-        entropy_img, _ = _decode_entropy_image(r, ew, eh, False)
+        entropy_w = _subsample(xsize, entropy_bits)
+        eh = _subsample(ysize, entropy_bits)
+        entropy_img, _ = _decode_entropy_image(r, entropy_w, eh, False)
         n_groups = max(((p >> 8) & 0xFFFF) for p in entropy_img) + 1
 
     alphabets = [256 + 24 + cache_size, 256, 256, 256, 40]
@@ -281,8 +283,7 @@ def _decode_entropy_image(r: _Bits, xsize: int, ysize: int, level0: bool):
         if entropy_img is not None:
             x, y = pos % xsize, pos // xsize
             m = entropy_img[
-                (y >> entropy_bits) * _subsample(xsize, entropy_bits)
-                + (x >> entropy_bits)
+                (y >> entropy_bits) * entropy_w + (x >> entropy_bits)
             ]
             g = groups[(m >> 8) & 0xFFFF]
         else:
@@ -711,7 +712,10 @@ def _write_prefix_code(
     code-length-code path (every alphabet entry written literally — the
     encoder optimizes for coverage of the decode path, not size)."""
     used = [s for s, l in enumerate(lengths) if l > 0]
-    if len(used) <= 2:
+    # the simple form stores symbols in (at most) 8 bits — a stream whose
+    # 1-2 used green symbols include an LZ77 length prefix (>= 256) or a
+    # cache reference (>= 280) MUST take the normal code-length path
+    if len(used) <= 2 and max(used) <= 255:
         w.write(1, 1)  # simple
         w.write(len(used) - 1, 1)
         s0 = used[0]

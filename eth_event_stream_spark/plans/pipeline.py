@@ -868,7 +868,10 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN doc_id % 3 = 0
                 THEN CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) END AS height,
            CASE WHEN doc_id % 3 = 2
-                THEN CAST(octet_length(encode(text)) % 24 + 1 AS BIGINT) END AS n_frames
+                THEN CAST(octet_length(encode(text)) % 24 + 1 AS BIGINT)
+                WHEN doc_id % 3 = 1
+                THEN CAST(octet_length(encode(text)) % 1000 + 1 AS BIGINT)
+           END AS n_frames
     FROM documents
     """,
 )

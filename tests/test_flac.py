@@ -247,3 +247,63 @@ def test_extract_segment_features_real_wav_and_flac(spark):
         for r in sample_segments(decodable, window=32, codec="real").collect()
     }
     assert idx == {(m, s) for m in (0, 1) for s in range(4)}
+
+
+def test_segment_lane_fake_codec_and_degenerate_clips(spark):
+    """Review findings: (1) sample_segments must WORK under its default
+    fake codec (fake audio rows now synthesize a sample count, like fake
+    video synthesizes frame counts); (2) a valid-but-empty clip
+    (n_frames = 0) yields NO segment rows — not the descending
+    sequence(0, -1) pair; (3) stereo consistency: n_samples counts the
+    interleaved values the stats aggregate, so sum_abs / n_samples is a
+    correct mean at any channel count."""
+    import io
+    import wave
+
+    from eth_event_stream_spark.operators.multimodal import (
+        extract_segment_features,
+        sample_segments,
+    )
+
+    def wav_of(frames, channels=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(channels)
+            wv.setsampwidth(2)
+            wv.setframerate(8000)
+            wv.writeframes(
+                b"".join(s.to_bytes(2, "little", signed=True) for s in frames)
+            )
+        return buf.getvalue()
+
+    # (1) fake codec: payload length drives the fake sample count
+    media = spark.createDataFrame(
+        [(0, "audio", b"x" * 70, {}), (1, "video", b"y" * 70, {})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    idx = sorted(
+        (r["media_id"], r["seg_idx"])
+        for r in sample_segments(media, window=32).collect()
+    )
+    assert idx == [(0, 0), (0, 1), (0, 2)]  # fake n_frames = 71 -> 3 segs
+    # (2) empty clip: zero segment rows under the real codec
+    media = spark.createDataFrame(
+        [(0, "audio", wav_of([]), {})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    assert sample_segments(media, window=32, codec="real").count() == 0
+    assert extract_segment_features(media, window=32).count() == 0
+    # (3) stereo: 50 frames -> 2 segments; n_samples doubles with channels
+    inter = []
+    for i in range(50):
+        inter += [100 + i, -(100 + i)]
+    media = spark.createDataFrame(
+        [(0, "audio", wav_of(inter, channels=2), {})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    rows = {r["seg_idx"]: r for r in extract_segment_features(media, window=32).collect()}
+    assert rows[0]["n_samples"] == 64 and rows[1]["n_samples"] == 36
+    want0 = sum(abs(s) for s in inter[:64])
+    assert rows[0]["sum_abs"] == want0
+    assert rows[0]["sum_abs"] / rows[0]["n_samples"] == want0 / 64
+    assert rows[1]["start_sample"] == 32  # per-channel frame position

@@ -367,3 +367,23 @@ def test_animated_webp_through_the_media_lane(spark):
     rows = {r["media_id"]: r for r in extract_features(media, codec="real").collect()}
     for mid in (0, 1):
         assert (rows[mid]["width"], rows[mid]["height"], rows[mid]["n_frames"]) == (8, 6, 2)
+
+
+def test_simple_code_cannot_hold_wide_symbols():
+    """Streams whose 1-2 used green symbols include an LZ77 length prefix
+    (>= 256) or cache reference (>= 280) must take the normal code-length
+    path — the simple form stores symbols in 8 bits and used to silently
+    truncate them into a corrupt stream (review-confirmed bug)."""
+    rows = [b"\x07\x07\x07\xff" * 10] * 10
+    img = decode_webp(encode_webp_lossless(10, 10, rows, run_length=True))
+    assert img["pixels"] == rows
+    # cache-dominated stream: one literal then cache hits (symbol >= 280)
+    rows = [b"\x09\x0a\x0b\xff" * 6] * 5
+    img = decode_webp(encode_webp_lossless(6, 5, rows, cache_bits=4))
+    assert img["pixels"] == rows
+    # and combined
+    img = decode_webp(
+        encode_webp_lossless(10, 10, [b"\x01\x02\x03\xff" * 10] * 10,
+                             run_length=True, cache_bits=2)
+    )
+    assert img["pixels"] == [b"\x01\x02\x03\xff" * 10] * 10
