@@ -2047,3 +2047,69 @@ def test_stream_session_window_parity(spark, tmp_path):
         for r in want_df.collect()
     )
     assert got == want and len(got) == 3, (got, want)
+
+
+def test_audio_segment_lane_stream_matches_batch(spark, tmp_path):
+    """Streaming twin of the per-segment audio lane: media rows arrive
+    file-by-file and extract_segment_features runs as a stateless
+    Arrow-batched map over the stream — every emitted segment row must
+    equal the batch lane's (the stateless stream==batch convention,
+    extended from the text curation stages to the media lane). Real
+    codecs end to end: PCM-WAV and FLAC payloads, decoded in executor
+    Python workers on both paths."""
+    import io
+    import wave
+
+    from eth_event_stream_spark.operators.flac import encode_flac
+    from eth_event_stream_spark.operators.multimodal import (
+        extract_segment_features,
+    )
+
+    def wav_of(frames):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(8000)
+            wv.writeframes(
+                b"".join(s.to_bytes(2, "little", signed=True) for s in frames)
+            )
+        return buf.getvalue()
+
+    rows = []
+    for mid in range(6):
+        frames = [((mid * 31 + i * 7) % 4000) - 2000 for i in range(80 + mid * 13)]
+        payload = (
+            wav_of(frames) if mid % 2 == 0
+            else encode_flac([frames], modes=("fixed2",), block_size=64)
+        )
+        rows.append((mid, "audio", payload, {}))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta map<string,string>"
+    )
+    expected = sorted(
+        tuple(r) for r in extract_segment_features(media, window=32).collect()
+    )
+    assert len(expected) >= 12  # real multi-segment coverage on both codecs
+
+    src = tmp_path / "media_stream"
+    media.repartition(3).write.parquet(str(src))
+    sdf = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        extract_segment_features(sdf, window=32)
+        .writeStream.format("memory")
+        .queryName("seg_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_seg"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.table("seg_stream_sink").collect())
+    assert got == expected
