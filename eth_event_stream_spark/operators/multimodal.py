@@ -523,6 +523,135 @@ RESIZE_SCHEMA = StructType(
 )
 
 
+RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("new_width", LongType(), False),
+        StructField("new_height", LongType(), False),
+        StructField("resized", BinaryType(), False),  # PNG re-encode
+    ]
+)
+
+
+def _target_dims(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
+    """Aspect-preserving integer target dims (the resize_images contract)."""
+    if w <= max_w and h <= max_h:
+        return w, h
+    if w * max_h >= h * max_w:  # width-bound
+        return max_w, max(1, (h * max_w) // w)
+    return max(1, (w * max_h) // h), max_h
+
+
+def resample_images(
+    df: DataFrame, max_w: int = 320, max_h: int = 240
+) -> DataFrame:
+    """REAL aspect-preserving image resample — the formerly-stubbed pixel
+    step, now in-repo end to end: decode (PNG / JPEG / lossless WebP /
+    GIF via the in-repo codecs) -> nearest-neighbor resample
+    (integer-exact floor mapping ``src[y*h//nh][x*w//nw]``, deterministic
+    across runs and engines) -> re-encode as PNG, all inside one
+    Arrow-batched mapInPandas pass, no shuffle, bytes partition-local.
+
+    Nearest-neighbor keeps the contract bit-reproducible (no float
+    filter); swapping in an area/bilinear kernel changes only the numpy
+    expression, not the plan. Rows already inside the bounding box pass
+    through resampled 1:1 (byte-identical pixels, fresh PNG container)."""
+    import numpy as np
+
+    from ..shipping import ship_package
+
+    ship_package(df.sparkSession)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif import is_gif
+        from .jpeg import decode_jpeg, is_jpeg
+        from .png import decode_png, encode_png, is_png
+        from .webp import decode_webp, is_webp
+
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image":
+                    continue
+                data = bytes(payload) if payload is not None else b""
+                if is_png(data):
+                    img = decode_png(data)
+                elif is_jpeg(data):
+                    img = decode_jpeg(data)
+                elif is_webp(data):
+                    img = decode_webp(data)
+                elif is_gif(data):
+                    from .gif import decode_gif
+
+                    img = decode_gif(data)
+                else:
+                    continue  # non-image payloads have no resample lane
+                w, h, ch = img["width"], img["height"], img["channels"]
+                nw, nh = _target_dims(w, h, max_w, max_h)
+                px = np.frombuffer(
+                    b"".join(img["pixels"]), dtype=np.uint8
+                ).reshape(h, w, ch)
+                ys = (np.arange(nh) * h) // nh
+                xs = (np.arange(nw) * w) // nw
+                out = px[ys][:, xs]
+                color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+                resized = encode_png(
+                    nw, nh,
+                    [out[y].tobytes() for y in range(nh)],
+                    color_type=color_type,
+                )
+                rows.append((mid, w, h, nw, nh, bytearray(resized)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESAMPLE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(fn, schema=RESAMPLE_SCHEMA)
+
+
+PNG_SUM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("new_width", LongType(), False),
+        StructField("new_height", LongType(), False),
+        StructField("pixel_sum", LongType(), False),
+    ]
+)
+
+
+def decode_png_byte_sums(df: DataFrame, payload_col: str = "resized") -> DataFrame:
+    """Decode PNG payloads and sum every pixel byte — the verification
+    half of the resample round trip (a wrong resample, wrong floor
+    mapping, or corrupt re-encode changes the sum). One Arrow pass."""
+    from ..shipping import ship_package
+
+    ship_package(df.sparkSession)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                img = decode_png(bytes(payload))
+                rows.append(
+                    (
+                        mid,
+                        img["width"],
+                        img["height"],
+                        sum(sum(r) for r in img["pixels"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PNG_SUM_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(fn, schema=PNG_SUM_SCHEMA)
+
+
 def resize_images(
     df: DataFrame, max_w: int = 320, max_h: int = 240, codec: str = "fake"
 ) -> DataFrame:
@@ -530,9 +659,10 @@ def resize_images(
 
     Target-dimension math is INTEGER-ONLY (compare w*max_h vs h*max_w to
     pick the binding edge, then floor-divide) so it is bit-reproducible and
-    oracle-checkable; the pixel resample itself is the stubbed codec layer
-    (wire Pillow's thumbnail here), which does not change the plan: decode ->
-    compute dims -> resample, all inside one Arrow batch pass, no shuffle.
+    oracle-checkable. This entry reports the dimension decisions only;
+    ``resample_images`` is the full-pixel path (decode -> nearest-neighbor
+    resample -> PNG re-encode, all in-repo). Same plan either way: one
+    Arrow batch pass, no shuffle.
     """
     from ..shipping import ship_package
 
@@ -547,12 +677,7 @@ def resize_images(
                     continue
                 d = decode(kind, payload if payload is not None else b"")
                 w, h = d["width"], d["height"]
-                if w <= max_w and h <= max_h:
-                    nw, nh = w, h
-                elif w * max_h >= h * max_w:  # width-bound
-                    nw, nh = max_w, max(1, (h * max_w) // w)
-                else:
-                    nw, nh = max(1, (w * max_h) // h), max_h
+                nw, nh = _target_dims(w, h, max_w, max_h)
                 rows.append((mid, w, h, nw, nh))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in RESIZE_SCHEMA.fields]

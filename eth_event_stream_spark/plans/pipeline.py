@@ -945,6 +945,68 @@ def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_resample_roundtrip",
+    oracle="""
+    WITH pngs AS (
+      SELECT doc_id, 2 + doc_id % 13 AS w, 2 + doc_id % 7 AS h
+      FROM documents WHERE doc_id % 12 = 0),
+    dims AS (
+      SELECT doc_id, w, h,
+        CASE WHEN w <= 8 AND h <= 8 THEN w
+             WHEN w * 8 >= h * 8 THEN 8
+             ELSE GREATEST(1, (w * 8) // h) END AS nw,
+        CASE WHEN w <= 8 AND h <= 8 THEN h
+             WHEN w * 8 >= h * 8 THEN GREATEST(1, (h * 8) // w)
+             ELSE 8 END AS nh
+      FROM pngs),
+    px AS (
+      SELECT doc_id, nw, nh,
+             ((xx.x * w // nw) * 3 + cc.c + 3 * (yy.y * h // nh) + doc_id)
+               % 256 AS v
+      FROM dims,
+           LATERAL (SELECT UNNEST(range(0, nh)) AS y) yy,
+           LATERAL (SELECT UNNEST(range(0, nw)) AS x) xx,
+           LATERAL (SELECT UNNEST(range(0, 3)) AS c) cc)
+    SELECT doc_id AS media_id,
+           CAST(nw AS BIGINT) AS new_width,
+           CAST(nh AS BIGINT) AS new_height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id, nw, nh
+    """,
+    doc="Real pixel resample round trip: encode PNG -> nearest-neighbor "
+    "resample -> PNG re-encode -> decode back; the oracle replays every "
+    "resized pixel byte arithmetically.",
+)
+def multimodal_resample_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image-resample path, end to end and oracle-checked: every
+    PNG-lane document (doc_id % 12 == 0) becomes a real PNG payload
+    (``synth_media_payload``), ``resample_images`` decodes it and
+    nearest-neighbor-resamples into an 8x8 bounding box (integer floor
+    mapping, PNG re-encode), and ``decode_png_byte_sums`` decodes the
+    RESIZED payload back and sums its pixel bytes. The synth pixel bytes
+    are ``(3*sx + c + 3*sy + doc_id) % 256``, so the DuckDB oracle
+    replays the sum over every resized pixel arithmetically — a wrong
+    floor mapping, a dropped row, a channel swap, or a corrupt re-encode
+    breaks the hash match.
+
+    At 100 TB: three Arrow map passes (encode, resample, verify-decode),
+    all embarrassingly parallel and partition-local; output is one small
+    typed row per image."""
+    from ..operators.multimodal import (
+        decode_png_byte_sums,
+        documents_as_encoded_media,
+        resample_images,
+    )
+
+    docs = t_parallel(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 12) == 0
+    )
+    media = documents_as_encoded_media(docs)
+    resized = resample_images(media, max_w=8, max_h=8)
+    return decode_png_byte_sums(resized)
+
+
 AUDIO_SEG_WINDOW = 32  # samples per segment (synth clips are 100-149 samples)
 
 

@@ -47,6 +47,11 @@ PLAN_EXPECTATIONS = {
     # segment-decode), with the lane filter applied BEFORE the encode pass
     # (only audio-lane documents pay the Python encode cost)
     "multimodal_audio_segments": [r"MapInPandas[\s\S]*MapInPandas", r"Filter"],
+    # resample round trip: THREE Arrow passes (encode, resample,
+    # verify-decode), lane filter before the first
+    "multimodal_resample_roundtrip": [
+        r"MapInPandas[\s\S]*MapInPandas[\s\S]*MapInPandas", r"Filter",
+    ],
     "flagship_user_netflow": [r"HashAggregate"],
     "dedup_minhash_lsh_pairs": [r"HashAggregate"],
     # global token counts must partial-aggregate and top-k via heap

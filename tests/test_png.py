@@ -249,3 +249,82 @@ def test_extract_features_real_wav_audio(spark):
     )
     with pytest.raises(Exception):
         extract_features(cdf, codec="real").collect()
+
+
+def test_resample_images_real_pixels_every_codec(spark):
+    """The real pixel resample (formerly the stubbed step): decode via
+    the in-repo codec, nearest-neighbor to the aspect-preserving target,
+    re-encode PNG — exact floor-mapping pixel equality checked per codec
+    (PNG exact, WebP exact, GIF exact through its palette, JPEG via its
+    own decode since DCT is lossy), and in-bounds rows pass through with
+    byte-identical pixels."""
+    import numpy as np
+
+    from eth_event_stream_spark.operators.gif import encode_gif
+    from eth_event_stream_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from eth_event_stream_spark.operators.multimodal import resample_images
+    from eth_event_stream_spark.operators.webp import encode_webp_lossless
+
+    w, h, mw, mh = 16, 12, 8, 8
+    rgb = [bytes(((x * 17 + y * 5 + c * 3) % 256) for x in range(w) for c in range(3)) for y in range(h)]
+    rgba = [bytes(((x * 17 + y * 5 + c * 3) % 256) for x in range(w) for c in range(4)) for y in range(h)]
+    palette = bytes(i for i in range(256) for _ in range(3))
+    gif_idx = [bytes((x * 16 + y) % 256 for x in range(w)) for y in range(h)]
+    payloads = [
+        (0, "image", encode_png(w, h, rgb, color_type=2), {}),
+        (1, "image", encode_webp_lossless(w, h, rgba), {}),
+        (2, "image", encode_gif(w, h, [b"".join(gif_idx)], palette), {}),
+        (3, "image", encode_jpeg(w, h, rgb, quality=95), {}),
+        (4, "audio", b"not an image", {}),
+    ]
+    media = spark.createDataFrame(
+        payloads,
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    out = {r["media_id"]: r for r in resample_images(media, max_w=mw, max_h=mh).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # target dims: 16x12 -> width-bound? 16*8 >= 12*8 -> (8, 12*8//16=6)
+    for mid in out:
+        assert (out[mid]["new_width"], out[mid]["new_height"]) == (8, 6)
+
+    def expect_nn(src_rows, ch):
+        px = np.frombuffer(b"".join(src_rows), dtype=np.uint8).reshape(h, w, ch)
+        ys = (np.arange(6) * h) // 6
+        xs = (np.arange(8) * w) // 8
+        return px[ys][:, xs]
+
+    # PNG / WebP: exact equality with the floor-mapped source
+    got = decode_png(bytes(out[0]["resized"]))
+    assert np.array_equal(
+        np.frombuffer(b"".join(got["pixels"]), np.uint8).reshape(6, 8, 3),
+        expect_nn(rgb, 3),
+    )
+    gotw = decode_png(bytes(out[1]["resized"]))
+    assert np.array_equal(
+        np.frombuffer(b"".join(gotw["pixels"]), np.uint8).reshape(6, 8, 4),
+        expect_nn(rgba, 4),
+    )
+    # GIF: exact through palette expansion
+    gif_rgb = [
+        b"".join(palette[3 * i : 3 * i + 3] for i in row) for row in gif_idx
+    ]
+    gotg = decode_png(bytes(out[2]["resized"]))
+    assert np.array_equal(
+        np.frombuffer(b"".join(gotg["pixels"]), np.uint8).reshape(6, 8, 3),
+        expect_nn(gif_rgb, 3),
+    )
+    # JPEG: resample of ITS OWN decode (DCT loss happens before resample)
+    jdec = decode_jpeg(payloads[3][2])
+    gotj = decode_png(bytes(out[3]["resized"]))
+    assert np.array_equal(
+        np.frombuffer(b"".join(gotj["pixels"]), np.uint8).reshape(6, 8, 3),
+        expect_nn(jdec["pixels"], 3),
+    )
+    # in-bounds rows pass through byte-identical
+    small = spark.createDataFrame(
+        [(9, "image", encode_png(w, h, rgb, color_type=2), {})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    row = resample_images(small, max_w=100, max_h=100).collect()[0]
+    assert (row["new_width"], row["new_height"]) == (w, h)
+    assert decode_png(bytes(row["resized"]))["pixels"] == rgb
