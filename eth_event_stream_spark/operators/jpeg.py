@@ -171,6 +171,8 @@ def _build_huffman(bits: list[int], vals: list[int]):
     """Canonical Huffman code assignment (T.81 Annex C): returns
     symbol -> (code, length) for encoding and {(length, code): symbol}
     for decoding."""
+    if len(bits) != 16:  # a truncated DHT segment shortens the BITS array
+        raise ValueError("corrupt Huffman table: BITS must have 16 entries")
     if sum(bits) != len(vals):
         raise ValueError("corrupt Huffman table: BITS/HUFFVAL mismatch")
     enc: dict[int, tuple[int, int]] = {}
@@ -485,6 +487,8 @@ def decode_jpeg(data: bytes) -> dict:
                 pq, tq = body[i] >> 4, body[i] & 0x0F
                 if pq != 0:
                     raise NotImplementedError("16-bit quantization tables")
+                if i + 65 > len(body):
+                    raise ValueError("truncated JPEG: DQT table cut short")
                 tab = np.zeros((8, 8), dtype=np.int64)
                 for z, (r, c) in enumerate(_ZIGZAG):
                     tab[r][c] = body[i + 1 + z]
@@ -531,8 +535,12 @@ def decode_jpeg(data: bytes) -> dict:
             scan = []
             for si in range(ns):
                 cs, tt = body[1 + si * 2 : 3 + si * 2]
-                comp = next(c for c in frame[2] if c["id"] == cs)
-                scan.append((comp, tt >> 4, tt & 0x0F))
+                matches = [c for c in frame[2] if c["id"] == cs]
+                if not matches:
+                    raise ValueError(
+                        f"corrupt JPEG: scan selects unknown component {cs}"
+                    )
+                scan.append((matches[0], tt >> 4, tt & 0x0F))
             ss, se, ahl = body[1 + 2 * ns : 4 + 2 * ns]
             if not progressive:
                 if ns != len(frame[2]):
@@ -541,6 +549,10 @@ def decode_jpeg(data: bytes) -> dict:
                     data, pos + 2 + seglen, frame, scan, qt, huff_dc,
                     huff_ac, restart_interval,
                 )
+            # T.81: 0 <= Ss <= Se <= 63 — a corrupt header could declare a
+            # band past the 64-coefficient block and overrun the lattice
+            if ss > 63 or se > 63 or se < ss:
+                raise ValueError("corrupt JPEG: scan spectral range out of bounds")
             if state is None:
                 state = _init_prog_state(frame)
             pos = _decode_prog_scan(
@@ -567,6 +579,17 @@ def _expect_restart(r, n_preds):
         if not (0xD0 <= m <= 0xD7):
             raise ValueError(f"corrupt JPEG: expected RSTn, got 0x{m:02x}")
     return [0] * n_preds
+
+
+def _table(tables, idx, what):
+    """A scan referencing a table id no DHT/DQT defined is corrupt data,
+    not a KeyError for the Arrow worker."""
+    try:
+        return tables[idx]
+    except KeyError:
+        raise ValueError(
+            f"corrupt JPEG: scan references undefined {what} table {idx}"
+        ) from None
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
@@ -621,7 +644,9 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
                     for bx in range(comp["h"]):
                         try:
                             blk = _decode_block(
-                                r, huff_dc[tdc], huff_ac[tac], qt[comp["tq"]], pred, ci
+                                r, _table(huff_dc, tdc, "DC"),
+                                _table(huff_ac, tac, "AC"),
+                                _table(qt, comp["tq"], "quant"), pred, ci
                             )
                         except _AtMarker:
                             raise ValueError(
@@ -665,6 +690,8 @@ def _assemble(frame, planes):
 
 def _decode_block(r, dc_table, ac_table, q, pred, ci):
     size = _decode_symbol(r, dc_table)
+    if size > 15:
+        raise ValueError("corrupt JPEG: DC category > 15")
     diff = _extend(r.bits(size), size)
     pred[ci] += diff
     seq = np.zeros(64, dtype=np.int64)
@@ -806,16 +833,18 @@ def _decode_prog_scan(
                 comp, tdc, tac = scan[si]
                 if ss == 0:
                     if ah == 0:  # DC first
-                        s = _decode_symbol(r, huff_dc[tdc])
+                        s = _decode_symbol(r, _table(huff_dc, tdc, 'DC'))
+                        if s > 15:  # T.81: DC category SSSS <= 15
+                            raise ValueError("corrupt JPEG: DC category > 15")
                         pred[si] += _extend(r.bits(s), s)
                         block[0] = pred[si] << al
                     else:  # DC refinement: one bit, OR into bit Al
                         if r.bit():
                             block[0] |= 1 << al
                 elif ah == 0:
-                    _ac_first_prog(r, block, huff_ac[tac], ss, se, al, eob)
+                    _ac_first_prog(r, block, _table(huff_ac, tac, 'AC'), ss, se, al, eob)
                 else:
-                    _ac_refine_prog(r, block, huff_ac[tac], ss, se, al, eob)
+                    _ac_refine_prog(r, block, _table(huff_ac, tac, 'AC'), ss, se, al, eob)
             count += 1
     except _AtMarker:
         raise ValueError("truncated JPEG: marker inside a progressive scan") from None
@@ -908,7 +937,7 @@ def _reconstruct_progressive(frame, state, qt):
     for ci, c in enumerate(comps):
         coef = state[ci]  # (rows, cols, 64) in zigzag order
         rows, cols = coef.shape[:2]
-        q = qt[c["tq"]]
+        q = _table(qt, c["tq"], "quant")
         qzig = q[(_ZIG_ROWS, _ZIG_COLS)].astype(np.float64)
         deq = coef.astype(np.float64) * qzig  # still zigzag order
         mats = np.zeros((rows, cols, 8, 8))

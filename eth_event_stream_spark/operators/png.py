@@ -56,6 +56,8 @@ def _chunks(data: bytes):
         body = data[pos + 8 : pos + 8 + length]
         if len(body) != length:
             raise ValueError(f"truncated PNG: {ctype!r} body cut short")
+        if pos + 12 + length > len(data):
+            raise ValueError(f"truncated PNG: {ctype!r} CRC cut short")
         (crc,) = struct.unpack(
             ">I", data[pos + 8 + length : pos + 12 + length]
         )
