@@ -506,6 +506,8 @@ def decode_jpeg(data: bytes) -> dict:
                 i += 17 + n
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             progressive = marker == 0xC2
+            if len(body) < 6:
+                raise ValueError("truncated JPEG: SOF header cut short")
             prec, h, w_, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} (only 8)")
@@ -527,10 +529,14 @@ def decode_jpeg(data: bytes) -> dict:
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = (h, w_, comps)
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated JPEG: DRI segment cut short")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
+            if not body:
+                raise ValueError("truncated JPEG: SOS header cut short")
             ns = body[0]
             scan = []
             for si in range(ns):
@@ -603,6 +609,9 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
         # Sequential mode only reaches here for a 1-component frame, so
         # the component raster is the full-resolution block grid.
         comp, tdc, tac = scan[0]
+        dc_t = _table(huff_dc, tdc, "DC")
+        ac_t = _table(huff_ac, tac, "AC")
+        q_t = _table(qt, comp["tq"], "quant")
         bx_total = (width + 7) // 8
         by_total = (height + 7) // 8
         plane = np.zeros((by_total * 8, bx_total * 8))
@@ -614,9 +623,7 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
                 if restart_interval and count and count % restart_interval == 0:
                     pred = _expect_restart(r, 1)
                 try:
-                    blk = _decode_block(
-                        r, huff_dc[tdc], huff_ac[tac], qt[comp["tq"]], pred, 0
-                    )
+                    blk = _decode_block(r, dc_t, ac_t, q_t, pred, 0)
                 except _AtMarker:
                     raise ValueError("truncated JPEG: marker inside an MCU") from None
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk

@@ -589,7 +589,13 @@ def resample_images(
 
                     img = decode_gif(data)
                 else:
-                    continue  # non-image payloads have no resample lane
+                    # an image-kind row whose payload matches no codec
+                    # signature must fail LOUDLY (the extract_features
+                    # contract), never silently vanish from the output
+                    raise ValueError(
+                        f"resample: image payload for media_id {mid} matches "
+                        "no in-repo codec signature (PNG/JPEG/WebP/GIF)"
+                    )
                 w, h, ch = img["width"], img["height"], img["channels"]
                 nw, nh = _target_dims(w, h, max_w, max_h)
                 px = np.frombuffer(

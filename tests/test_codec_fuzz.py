@@ -14,6 +14,7 @@ from __future__ import annotations
 import io
 import random
 import wave
+import zlib
 
 import pytest
 
@@ -48,6 +49,15 @@ CASES = [
         decode_jpeg,
         lambda: encode_jpeg(W, H, RGB, quality=90, progressive=True),
     ),
+    (  # 1-component: the non-interleaved scan path has its own lookups
+        "jpeg_gray",
+        decode_jpeg,
+        lambda: encode_jpeg(
+            W, H,
+            [bytes(((x * 11 + y * 7) % 256) for x in range(W)) for y in range(H)],
+            channels=1, quality=90, restart_interval=2,
+        ),
+    ),
     (
         "gif",
         decode_gif,
@@ -74,7 +84,7 @@ CASES = [
 def test_single_byte_corruptions_fail_loudly(name, decode, make):
     payload = make()
     decode(payload)  # sanity: the pristine payload decodes
-    rnd = random.Random(hash(name) & 0xFFFF)
+    rnd = random.Random(zlib.crc32(name.encode()))  # stable: str hash is salted per process
     for _ in range(150):
         data = bytearray(payload)
         at = rnd.randrange(len(data))
