@@ -167,6 +167,23 @@ def main() -> None:
     print(f"data card: docs={card['docs_total']} tokens={card['ws_tokens_total']} "
           f"langs={card['langs_distinct']} exact_dups={card['docs_exact_dup']}")
 
+    # 8. multimodal curation (round 12): the real-codec lanes — encode
+    #    PNG/WebP/JPEG/GIF/MJPEG-AVI/WAV/FLAC payloads in executors,
+    #    decode them back (multimodal_codec_roundtrip), slice the audio
+    #    into fixed 32-sample segments with integer-exact stats, and
+    #    resample the PNG-lane images with a verify-decode closing the loop
+    media = {
+        r["kind"]: r["n_media"] for r in run("multimodal_codec_roundtrip").collect()
+    }
+    segs = run("multimodal_audio_segments")
+    n_segs = segs.count()
+    peak = segs.agg(F.max("peak_abs").alias("m")).collect()[0]["m"]
+    n_resampled = run("multimodal_resample_roundtrip").count()
+    print(
+        f"media lane: {media} decoded; {n_segs} audio segments "
+        f"(peak |s| {peak}); {n_resampled} images resampled+verified"
+    )
+
     print("training pipeline complete")
     spark.stop()
 
