@@ -229,9 +229,11 @@ _SYNTH_PALETTE = bytes(
 
 def synth_media_payload(doc_id: int) -> tuple[str, bytes]:
     """Deterministic REAL payload for ``doc_id``: kind cycles PNG-or-WebP /
-    JPEG / GIF / MJPEG-AVI / PCM-WAV / FLAC (doc_id % 6; lane 0 alternates
-    PNG at doc_id % 12 == 0 and lossless WebP at doc_id % 12 == 6 — same
-    dims, so the oracle arithmetic is format-blind), dimensions and frame
+    JPEG / GIF-or-animated-WebP / MJPEG-AVI / PCM-WAV / FLAC (doc_id % 6;
+    lane 0 alternates PNG at doc_id % 12 == 0 and lossless WebP at
+    doc_id % 12 == 6, lane 2 alternates GIF at % 12 == 2 and ANIMATED
+    lossless WebP at % 12 == 8 — same dim and frame-count formulas, so
+    the oracle arithmetic is format-blind), dimensions and frame
     counts are pure functions of doc_id — so a SQL oracle can replay every
     decoded feature without decoding anything:
       images/video: width = 2 + doc_id % 13, height = 2 + doc_id % 7
@@ -272,6 +274,29 @@ def synth_media_payload(doc_id: int) -> tuple[str, bytes]:
         rows = [bytes([(doc_id % 256), 128, 64] * w)] * h
         return "image", encode_jpeg(w, h, rows, quality=90)
     if lane == 2:
+        if doc_id % 12 == 8:
+            # animated lossless WebP shares the GIF lane (doc_id % 12 == 8;
+            # GIF keeps % 12 == 2): same dims and frame-count formulas, so
+            # the oracle arithmetic is format-blind here too
+            from .webp import encode_webp_animation
+
+            frames = [
+                (
+                    0, 0, w, h,
+                    [
+                        bytes(
+                            ((x + y + doc_id + f + c) % 256)
+                            for x in range(w)
+                            for c in range(4)
+                        )
+                        for y in range(h)
+                    ],
+                )
+                for f in range(nf)
+            ]
+            return "image", encode_webp_animation(
+                w, h, frames, subtract_green=bool(doc_id % 24 == 8)
+            )
         n_colors = len(_SYNTH_PALETTE) // 3
         frames = [
             bytes(((x + y + doc_id + f) % n_colors) for y in range(h) for x in range(w))
