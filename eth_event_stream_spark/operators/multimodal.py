@@ -6,7 +6,8 @@ in-repo stdlib(+numpy) codecs, no new dependencies: PNG
 (``operators/png.py``), baseline + progressive JPEG
 (``operators/jpeg.py``), GIF (``operators/gif.py``), MJPEG-AVI video
 (``operators/avi.py``), WAV audio — PCM plus G.711 µ-law/A-law
-telephony compression (``operators/wav.py``, expansion tables verified
+telephony compression plus IMA-ADPCM (``operators/wav.py``, G.711 expansion
+tables and every ADPCM (index, nibble) decode transition verified
 against CPython's audioop) — and lossless FLAC audio
 (``operators/flac.py``: Rice/LPC decode with the format's own
 unencoded-audio MD5 verified), and lossless WebP
@@ -148,10 +149,11 @@ def _decode_real(kind: str, payload: bytes) -> dict:
                 "n_frames": a["n_frames"],
             }
         if is_wav(payload):
-            # in-repo RIFF-WAVE parser: PCM (8/16/24/32-bit) AND G.711
-            # µ-law/A-law telephony audio (expansion tables verified
-            # against CPython's audioop), where the stdlib wave module
-            # raises; corrupt containers still fail loudly
+            # in-repo RIFF-WAVE parser: PCM (8/16/24/32-bit), G.711
+            # µ-law/A-law, AND IMA-ADPCM audio (tables and decode
+            # transitions verified against CPython's audioop), where the
+            # stdlib wave module raises; corrupt containers still fail
+            # loudly (ADPCM geometry is cross-checked field by field)
             a = decode_wav(bytes(payload))
             return {
                 "n_bytes": len(payload),
@@ -165,7 +167,7 @@ def _decode_real(kind: str, payload: bytes) -> dict:
     raise NotImplementedError(
         f"real {kind} decoding requires a codec library not present in this "
         "environment (PNG / JPEG incl. progressive / lossless-WebP / GIF "
-        "images, MJPEG AVI video, and WAV/G.711/FLAC audio decode via the "
+        "images, MJPEG AVI video, and WAV/G.711/ADPCM/FLAC audio decode via the "
         "in-repo codecs); use codec='fake' (deterministic) or install a decoder"
     )
 
@@ -229,11 +231,14 @@ _SYNTH_PALETTE = bytes(
 
 def synth_media_payload(doc_id: int) -> tuple[str, bytes]:
     """Deterministic REAL payload for ``doc_id``: kind cycles PNG-or-WebP /
-    JPEG / GIF-or-animated-WebP / MJPEG-AVI / PCM-WAV / FLAC (doc_id % 6;
+    JPEG / GIF-or-animated-WebP / MJPEG-AVI / WAV / FLAC (doc_id % 6;
     lane 0 alternates PNG at doc_id % 12 == 0 and lossless WebP at
     doc_id % 12 == 6, lane 2 alternates GIF at % 12 == 2 and ANIMATED
-    lossless WebP at % 12 == 8 — same dim and frame-count formulas, so
-    the oracle arithmetic is format-blind), dimensions and frame
+    lossless WebP at % 12 == 8, lane 4 alternates PCM-WAV at % 12 == 4
+    and block-constant IMA-ADPCM WAV at % 12 == 10 — same dim, frame- and
+    sample-count formulas, so the oracle arithmetic is format-blind;
+    the ADPCM lane's per-sample values are block-constant so the lossy
+    codec is exact by construction), dimensions and frame
     counts are pure functions of doc_id — so a SQL oracle can replay every
     decoded feature without decoding anything:
       images/video: width = 2 + doc_id % 13, height = 2 + doc_id % 7
@@ -312,11 +317,30 @@ def synth_media_payload(doc_id: int) -> tuple[str, bytes]:
         ]
         return "video", encode_avi(w, h, jf, fps=25)
     n_samples = 100 + doc_id % 50
-    samples = [(doc_id * 31 + i * 7) % 65536 - 32768 for i in range(n_samples)]
     if lane == 4:
+        if doc_id % 12 == 10:
+            # IMA-ADPCM shares the WAV lane (doc_id % 12 == 10; PCM keeps
+            # % 12 == 4): ADPCM is lossy in general, so the synth signal
+            # is BLOCK-CONSTANT — each 9-sample block's value is stored
+            # exactly in its block header and the all-zero nibbles that
+            # follow decode to the same value (step 7 >> 3 == 0 at index
+            # 0), so the decode is exact BY CONSTRUCTION and the oracle
+            # replays every sample as a pure function of doc_id:
+            #   sample[i] = (doc_id*31 + (i//9)*7) % 65536 - 32768
+            from .wav import encode_wav_adpcm
+
+            block = 9
+            samples = [
+                (doc_id * 31 + (i // block) * 7) % 65536 - 32768
+                for i in range(n_samples)
+            ]
+            return "audio", encode_wav_adpcm(
+                [samples], rate=16000, block_samples=block
+            )
         import io
         import wave
 
+        samples = [(doc_id * 31 + i * 7) % 65536 - 32768 for i in range(n_samples)]
         buf = io.BytesIO()
         with wave.open(buf, "wb") as wv:
             wv.setnchannels(1)
@@ -326,6 +350,7 @@ def synth_media_payload(doc_id: int) -> tuple[str, bytes]:
                 b"".join(s.to_bytes(2, "little", signed=True) for s in samples)
             )
         return "audio", buf.getvalue()
+    samples = [(doc_id * 31 + i * 7) % 65536 - 32768 for i in range(n_samples)]
     from .flac import encode_flac
 
     return "audio", encode_flac([samples], modes=("fixed2",), block_size=64)
@@ -489,7 +514,7 @@ def extract_segment_features(df: DataFrame, window: int = 512) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .flac import decode_flac, is_flac
-        from .wav import _expand, _parse_container, is_wav
+        from .wav import _parse_container, _slice_frames, _total_frames, is_wav
 
         for pdf in batches:
             rows = []
@@ -501,13 +526,12 @@ def extract_segment_features(df: DataFrame, window: int = 512) -> DataFrame:
                 data = bytes(payload) if payload is not None else b""
                 if is_wav(data):
                     fmt, body = _parse_container(data)
-                    fs = fmt["frame_size"]
-                    total = len(body) // fs
+                    total = _total_frames(fmt, body)
 
-                    def seg_samples(lo: int, hi: int, _b=body, _f=fmt, _fs=fs):
-                        return _expand(
-                            _b[lo * _fs : hi * _fs], _f["tag"], _f["sample_bytes"]
-                        )
+                    def seg_samples(lo: int, hi: int, _b=body, _f=fmt):
+                        # byte slice for PCM/G.711; overlapping-blocks
+                        # decode for IMA ADPCM (blocks are self-seeding)
+                        return _slice_frames(_f, _b, lo, hi)
 
                 elif is_flac(data):
                     a = decode_flac(data)  # full row needs every segment:
@@ -518,7 +542,13 @@ def extract_segment_features(df: DataFrame, window: int = 512) -> DataFrame:
                         return _s[lo * _c : hi * _c]
 
                 else:
-                    continue  # non-WAV/FLAC audio rows have no segment lane
+                    # an audio-kind row whose payload matches no codec
+                    # signature must fail LOUDLY (the extract_features
+                    # contract), never silently vanish from the output
+                    raise ValueError(
+                        f"segments: audio payload for media_id {mid} matches "
+                        "no in-repo codec signature (WAV/FLAC)"
+                    )
                 for si in range((total + window - 1) // window):
                     lo, hi = si * window, min(total, (si + 1) * window)
                     seg = seg_samples(lo, hi)

@@ -919,8 +919,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL codec lane, end to end and oracle-checked: every document
-    becomes an actual media payload (baseline PNG / JPEG / GIF / MJPEG-AVI
-    / PCM-WAV / FLAC, cycling on doc_id % 6) ENCODED by the in-repo codecs inside
+    becomes an actual media payload (PNG-or-WebP / JPEG / GIF-or-animated-
+    WebP / MJPEG-AVI / PCM-or-IMA-ADPCM-WAV / FLAC, cycling on doc_id % 6
+    with % 12 alternates) ENCODED by the in-repo codecs inside
     one Arrow-batched mapInPandas, then DECODED back by
     ``extract_features(codec="real")`` in a second one. Dimensions and
     frame counts are pure functions of doc_id (see
@@ -1017,8 +1018,13 @@ AUDIO_SEG_WINDOW = 32  # samples per segment (synth clips are 100-149 samples)
       SELECT doc_id, 100 + doc_id % 50 AS n
       FROM documents WHERE doc_id % 6 >= 4),
     vals AS (
+      -- the IMA-ADPCM lane (doc_id % 12 = 10) carries a BLOCK-CONSTANT
+      -- signal (9-sample blocks) so the lossy codec decodes it exactly;
+      -- PCM-WAV (% 12 = 4) and FLAC (% 6 = 5) carry the per-sample ramp
       SELECT doc_id, u.i,
-             ABS((doc_id * 31 + u.i * 7) % 65536 - 32768) AS a
+             ABS((doc_id * 31
+                  + CASE WHEN doc_id % 12 = 10 THEN u.i // 9 ELSE u.i END
+                    * 7) % 65536 - 32768) AS a
       FROM audio, LATERAL (SELECT UNNEST(range(0, n)) AS i) u)
     SELECT doc_id AS media_id,
            CAST(i // {AUDIO_SEG_WINDOW} AS BIGINT) AS seg_idx,
@@ -1035,17 +1041,21 @@ AUDIO_SEG_WINDOW = 32  # samples per segment (synth clips are 100-149 samples)
 def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio analog of the real per-frame video lane, end to end and
     oracle-checked: every audio-lane document (doc_id % 6 in {4, 5})
-    becomes a REAL PCM-WAV or FLAC payload encoded by the in-repo codecs
-    in one Arrow-batched mapInPandas, then
-    ``extract_segment_features(window=32)`` slices it into fixed
-    32-sample segments — WAV via data-chunk byte slices (random access),
-    FLAC via one stream-order Rice/LPC decode windowed after — and
-    reports integer-exact per-segment stats (count / sum|s| / max|s|).
-    The synth samples are a pure function of doc_id
-    (``(doc_id*31 + i*7) % 65536 - 32768``), so the DuckDB oracle replays
-    every per-segment sum and peak PER SAMPLE: a decoder that dropped,
+    becomes a REAL PCM-WAV, IMA-ADPCM WAV (doc_id % 12 == 10), or FLAC
+    payload encoded by the in-repo codecs in one Arrow-batched
+    mapInPandas, then ``extract_segment_features(window=32)`` slices it
+    into fixed 32-sample segments — PCM via data-chunk byte slices
+    (random access), ADPCM via self-seeding-block decode of only the
+    overlapping blocks, FLAC via one stream-order Rice/LPC decode
+    windowed after — and reports integer-exact per-segment stats
+    (count / sum|s| / max|s|). The synth samples are a pure function of
+    doc_id (``(doc_id*31 + i*7) % 65536 - 32768``; the ADPCM lane is
+    block-constant, ``i`` replaced by ``i // 9``, so the lossy codec is
+    exact by construction), so the DuckDB oracle replays every
+    per-segment sum and peak PER SAMPLE: a decoder that dropped,
     duplicated, or mis-scaled any sample anywhere in any segment breaks
-    the hash match.
+    the hash match — including across ADPCM's 9-sample block boundaries,
+    which interleave the 32-sample windows at every offset.
 
     At 100 TB: both passes are embarrassingly parallel and partition-local
     (the shape measured for the codec lane in BENCH_SF1.md); output rows

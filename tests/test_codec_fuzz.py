@@ -23,7 +23,11 @@ from eth_event_stream_spark.operators.flac import decode_flac, encode_flac
 from eth_event_stream_spark.operators.gif import decode_gif, encode_gif
 from eth_event_stream_spark.operators.jpeg import decode_jpeg, encode_jpeg
 from eth_event_stream_spark.operators.png import decode_png, encode_png
-from eth_event_stream_spark.operators.wav import decode_wav, encode_wav_g711
+from eth_event_stream_spark.operators.wav import (
+    decode_wav,
+    encode_wav_adpcm,
+    encode_wav_g711,
+)
 
 W, H = 14, 9
 RGB = [bytes(((x * 11 + y * 7) % 256) for x in range(W * 3)) for y in range(H)]
@@ -72,6 +76,11 @@ CASES = [
     ),
     ("wav_pcm", decode_wav, lambda: _wav_pcm(SAMPLES)),
     ("wav_g711", decode_wav, lambda: encode_wav_g711(SAMPLES, law="alaw")),
+    (  # block-based geometry: header/fact/nibble-group corruption paths
+        "wav_adpcm",
+        decode_wav,
+        lambda: encode_wav_adpcm([SAMPLES], block_samples=33),
+    ),
     (
         "flac",
         decode_flac,

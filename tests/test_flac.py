@@ -198,8 +198,10 @@ def test_flac_segment_early_stop_matches_full_decode():
 def test_extract_segment_features_real_wav_and_flac(spark):
     """The per-segment audio lane (the frame lane's audio analog): WAV and
     FLAC rows slice into fixed windows with integer-exact per-segment
-    stats, through executor Python workers; non-audio rows and non-WAV/FLAC
-    payloads are skipped."""
+    stats, through executor Python workers; non-audio rows are skipped
+    (the lane is audio-only) while an AUDIO row whose payload matches no
+    codec signature fails LOUDLY — the extract_features contract, same as
+    the image resample lane."""
     import io
     import wave
 
@@ -217,18 +219,22 @@ def test_extract_segment_features_real_wav_and_flac(spark):
         wv.setframerate(16000)
         wv.writeframes(b"".join(s.to_bytes(2, "little", signed=True) for s in mono))
     wav_payload = buf.getvalue()
+    schema = "media_id long, kind string, payload binary, meta map<string,string>"
     media = spark.createDataFrame(
         [
             (0, "audio", wav_payload, {}),
             (1, "audio", flac_payload, {}),
             (2, "image", b"notaudio", {}),
-            (3, "audio", b"alsonotwavorflac", {}),
         ],
-        "media_id long, kind string, payload binary, meta map<string,string>",
+        schema,
     )
     rows = extract_segment_features(media, window=32).collect()
     got = {(r["media_id"], r["seg_idx"]): r for r in rows}
-    assert {m for m, _ in got} == {0, 1}  # image + foreign audio skipped
+    assert {m for m, _ in got} == {0, 1}  # non-audio row skipped
+    # an audio-kind row that matches no codec signature fails loudly
+    foreign = spark.createDataFrame([(3, "audio", b"notwavorflac", {})], schema)
+    with pytest.raises(Exception, match="no in-repo codec signature"):
+        extract_segment_features(foreign, window=32).collect()
     for mid in (0, 1):
         segs = sorted(s for m, s in got if m == mid)
         assert segs == [0, 1, 2, 3]  # ceil(100/32)

@@ -163,3 +163,208 @@ def test_wav_segment_is_a_byte_slice_decode():
     assert wav_segment(data, 900, 10)["n_frames"] == 0
     with pytest.raises(ValueError, match="negative"):
         wav_segment(data, -1, 5)
+
+
+# ---------------------------------------------------------------------------
+# IMA (DVI) ADPCM — round 12. audioop ships the reference implementation
+# of the same recurrence (Modules/audioop.c), so every decode transition
+# is pinned against it exhaustively, and whole nibble streams replay
+# bit-exactly (audioop packs the FIRST sample in the HIGH nibble; WAV IMA
+# packs it in the LOW nibble, so the cross-check flips each byte).
+
+
+def _adpcm_body(data: bytes) -> bytes:
+    """The data chunk of an encode_wav_adpcm payload (tests slice headers
+    and nibble bytes out of it directly)."""
+    at = data.index(b"data")
+    (size,) = struct.unpack("<I", data[at + 4 : at + 8])
+    return data[at + 8 : at + 8 + size]
+
+
+def test_adpcm_every_decode_transition_matches_audioop():
+    """All 89 step indexes x 16 nibbles x a predictor sweep: the new
+    predictor equals audioop's first output sample, and the new index
+    equals audioop's state after it also consumes the padding low nibble
+    (audioop decodes two samples per byte, so its returned index is one
+    extra zero-nibble transition ahead)."""
+    audioop = pytest.importorskip("audioop")
+    from eth_event_stream_spark.operators.wav import _adpcm_step
+
+    for idx in range(89):
+        for nib in range(16):
+            for pred in (-32768, -12345, -1, 0, 1, 777, 32767):
+                pcm, (_, aidx) = audioop.adpcm2lin(
+                    bytes([nib << 4]), 2, (pred, idx)
+                )
+                p1, i1 = _adpcm_step(nib, pred, idx)
+                assert struct.unpack("<h", pcm[:2])[0] == p1, (idx, nib, pred)
+                _, i2 = _adpcm_step(0, p1, i1)
+                assert aidx == i2, (idx, nib, pred)
+
+
+def test_adpcm_whole_stream_replays_through_audioop():
+    """Encode a random signal, then decode the SAME nibble stream with
+    audioop (nibble order flipped, state seeded from the block header):
+    every sample after the header sample must match bit-for-bit."""
+    audioop = pytest.importorskip("audioop")
+    import random
+
+    from eth_event_stream_spark.operators.wav import encode_wav_adpcm
+
+    rnd = random.Random(12)
+    sig = [rnd.randint(-32768, 32767) for _ in range(505)]
+    data = encode_wav_adpcm([sig], block_samples=505)
+    full = decode_wav(data)
+    assert full["format"] == "ima_adpcm"
+    assert full["bits"] == 4
+    assert full["n_frames"] == 505
+    assert full["samples"][0] == sig[0]  # header sample is verbatim
+    body = _adpcm_body(data)
+    flipped = bytes(((b & 0x0F) << 4) | (b >> 4) for b in body[4:])
+    state = (struct.unpack("<h", body[:2])[0], body[2])
+    pcm, _ = audioop.adpcm2lin(flipped, 2, state)
+    ref = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+    assert ref == full["samples"][1:]
+
+
+def test_adpcm_multiblock_and_segments():
+    """Multi-block decode: the index carries across blocks while each
+    header re-seeds the predictor; wav_segment decodes ONLY overlapping
+    blocks and equals the full-decode slice at every offset, including
+    mid-block starts and windows spanning block boundaries."""
+    import random
+
+    from eth_event_stream_spark.operators.wav import encode_wav_adpcm, wav_segment
+
+    rnd = random.Random(34)
+    sig = [rnd.randint(-32768, 32767) for _ in range(130)]
+    data = encode_wav_adpcm([sig], block_samples=9)
+    full = decode_wav(data)
+    assert full["n_frames"] == 130  # fact-trimmed (15 blocks hold 135)
+    for st, k in [(0, 9), (5, 20), (8, 2), (9, 9), (120, 50), (129, 1), (130, 4)]:
+        seg = wav_segment(data, st, k)
+        assert seg["samples"] == full["samples"][st : min(st + k, 130)], (st, k)
+        assert seg["n_frames"] == min(st + k, 130) - min(st, 130)
+    # every block's header sample is the signal verbatim (lossless resync)
+    for blk in range(14):
+        assert full["samples"][blk * 9] == sig[blk * 9]
+
+
+def test_adpcm_stereo_interleave_and_segment():
+    """Stereo: per-channel headers, 4-byte nibble groups round-robin by
+    channel, interleaved output; segments slice per-channel FRAME
+    positions like the PCM path."""
+    import random
+
+    from eth_event_stream_spark.operators.wav import encode_wav_adpcm, wav_segment
+
+    rnd = random.Random(56)
+    left = [rnd.randint(-32768, 32767) for _ in range(40)]
+    right = [rnd.randint(-32768, 32767) for _ in range(40)]
+    data = encode_wav_adpcm([left, right], block_samples=17)
+    full = decode_wav(data)
+    assert full["channels"] == 2
+    assert full["n_frames"] == 40
+    assert full["samples"][0] == left[0] and full["samples"][1] == right[0]
+    assert full["samples"][34] == left[17] and full["samples"][35] == right[17]
+    seg = wav_segment(data, 10, 10)
+    assert seg["samples"] == full["samples"][20:40]
+
+
+def test_adpcm_block_constant_signal_is_exact():
+    """The synth-lane contract: a block-constant signal (value stored in
+    each block header, all-zero nibbles after it) round-trips EXACTLY
+    through the lossy codec — step 7 >> 3 == 0 at index 0, so the
+    predictor never moves inside a block and the index never leaves 0."""
+    from eth_event_stream_spark.operators.wav import encode_wav_adpcm
+
+    sig = [((7 * 31 + (i // 9) * 7) % 65536) - 32768 for i in range(121)]
+    data = encode_wav_adpcm([sig], block_samples=9)
+    assert decode_wav(data)["samples"] == sig
+
+
+def test_adpcm_fail_fast():
+    """Geometry contradictions refuse loudly: bad bits, block_align that
+    doesn't hold whole nibble groups, samples-per-block mismatch, missing
+    fact, inconsistent fact, header step index > 88, partial blocks."""
+    from eth_event_stream_spark.operators.wav import encode_wav_adpcm
+
+    data = bytearray(encode_wav_adpcm([[0] * 25], block_samples=9))
+    decode_wav(bytes(data))  # pristine payload decodes
+    fmt_at = data.index(b"fmt ") + 8
+
+    bad = bytearray(data)
+    bad[fmt_at + 14] = 16  # wBitsPerSample 4 -> 16
+    with pytest.raises(ValueError, match="16 bits"):
+        decode_wav(bytes(bad))
+
+    bad = bytearray(data)
+    bad[fmt_at + 12] = 9  # block_align 8 -> 9: not whole 4-byte groups
+    with pytest.raises(ValueError, match="block_align"):
+        decode_wav(bytes(bad))
+
+    bad = bytearray(data)
+    bad[fmt_at + 18] = 10  # wSamplesPerBlock 9 -> 10: contradicts align
+    with pytest.raises(ValueError, match="samples per block"):
+        decode_wav(bytes(bad))
+
+    bad = bytearray(data)
+    at = bad.index(b"fact")
+    bad[at : at + 4] = b"junk"  # fact chunk gone
+    with pytest.raises(ValueError, match="fact"):
+        decode_wav(bytes(bad))
+
+    bad = bytearray(data)
+    at = bad.index(b"fact") + 8
+    bad[at] = 200  # fact says 200 frames; 3 blocks hold at most 27
+    with pytest.raises(ValueError, match="inconsistent"):
+        decode_wav(bytes(bad))
+
+    bad = bytearray(data)
+    at = bad.index(b"data") + 8
+    bad[at + 2] = 89  # first block header step index out of range
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav(bytes(bad))
+
+    bad = bytearray(data)
+    at = bad.index(b"data")
+    (size,) = struct.unpack("<I", bad[at + 4 : at + 8])
+    bad[at + 4 : at + 8] = struct.pack("<I", size - 4)  # torn final block
+    del bad[at + 8 + size - 4 : at + 8 + size]
+    bad[4:8] = struct.pack("<I", struct.unpack("<I", bad[4:8])[0] - 4)
+    with pytest.raises(ValueError, match="whole block"):
+        decode_wav(bytes(bad))
+
+    with pytest.raises(ValueError, match="8k\\+1"):
+        encode_wav_adpcm([[0] * 10], block_samples=10)
+    with pytest.raises(ValueError, match="equal length"):
+        encode_wav_adpcm([[0] * 10, [0] * 9], block_samples=9)
+
+
+def test_adpcm_extract_features_and_segments_real(spark):
+    """The Spark lane end to end on a real ADPCM payload: n_frames is the
+    fact count; extract_segment_features stats equal a straight decode."""
+    from eth_event_stream_spark.operators.multimodal import (
+        extract_features,
+        extract_segment_features,
+    )
+    from eth_event_stream_spark.operators.wav import encode_wav_adpcm
+
+    sig = [((11 * 31 + (i // 9) * 7) % 65536) - 32768 for i in range(119)]
+    payload = encode_wav_adpcm([sig], block_samples=9)
+    media = spark.createDataFrame(
+        [(0, "audio", payload, {})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    feats = extract_features(media, codec="real").collect()
+    assert len(feats) == 1 and feats[0]["n_frames"] == 119
+    rows = {
+        r["seg_idx"]: r
+        for r in extract_segment_features(media, window=32).collect()
+    }
+    assert len(rows) == 4  # ceil(119 / 32)
+    for si, row in rows.items():
+        seg = sig[si * 32 : (si + 1) * 32]
+        assert row["n_samples"] == len(seg)
+        assert row["sum_abs"] == sum(abs(s) for s in seg)
+        assert row["peak_abs"] == max(abs(s) for s in seg)
