@@ -1073,6 +1073,65 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_resample_roundtrip",
+    oracle="""
+    WITH audio AS (
+      SELECT doc_id, 100 + doc_id % 50 AS n
+      FROM documents WHERE doc_id % 6 >= 4),
+    vals AS (
+      -- kept frames are 0, 2, 4, ...; the IMA-ADPCM lane (doc_id % 12 =
+      -- 10) carries the 9-sample block-constant signal, PCM and FLAC the
+      -- per-sample ramp — same formulas as multimodal_audio_segments
+      SELECT doc_id, n,
+             ABS((doc_id * 31
+                  + CASE WHEN doc_id % 12 = 10 THEN (u.j * 2) // 9
+                         ELSE u.j * 2 END
+                    * 7) % 65536 - 32768) AS a
+      FROM audio, LATERAL (SELECT UNNEST(range(0, (n + 1) // 2)) AS j) u)
+    SELECT doc_id AS media_id,
+           CAST((n + 1) // 2 AS BIGINT) AS new_n_frames,
+           CAST(SUM(a) AS BIGINT) AS sum_abs,
+           CAST(MAX(a) AS BIGINT) AS peak_abs
+    FROM vals GROUP BY doc_id, n
+    """,
+    doc="Real audio downsample round trip: decode WAV/ADPCM/FLAC -> "
+    "decimate by 2 -> re-encode PCM WAV -> verify-decode; the oracle "
+    "replays every kept sample arithmetically.",
+)
+def multimodal_audio_resample_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The REAL audio-downsample path, end to end and oracle-checked — the
+    audio analog of ``multimodal_resample_roundtrip``: every audio-lane
+    document (doc_id % 6 in {4, 5}: PCM-WAV, IMA-ADPCM WAV at % 12 == 10,
+    FLAC) becomes a real payload (``synth_media_payload``),
+    ``resample_audio(factor=2)`` decodes it and keeps every second frame
+    (integer decimation — exact, no float filter), re-encodes as 16-bit
+    PCM WAV, and ``decode_wav_sample_sums`` decodes the RESAMPLED payload
+    back and aggregates every sample. The synth samples are pure
+    functions of doc_id, so the DuckDB oracle replays the kept-sample
+    sum and peak arithmetically — a wrong decimation stride, an
+    off-by-one in the kept count, a dropped block, or a corrupt
+    re-encode breaks the hash match.
+
+    At 100 TB: three Arrow map passes (encode, resample, verify-decode),
+    all embarrassingly parallel and partition-local — the measured codec
+    lane shape (BENCH_SF1.md); output is one small typed row per clip."""
+    from ..operators.multimodal import (
+        decode_wav_sample_sums,
+        documents_as_encoded_media,
+        resample_audio,
+    )
+
+    docs = t_parallel(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 6) >= 4
+    )
+    media = documents_as_encoded_media(docs)
+    resampled = resample_audio(media, factor=2)
+    return decode_wav_sample_sums(resampled)
+
+
+@register(
     "reducer_funnel_batch",
     oracle="""
     WITH s1 AS (

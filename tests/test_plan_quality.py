@@ -52,6 +52,10 @@ PLAN_EXPECTATIONS = {
     "multimodal_resample_roundtrip": [
         r"MapInPandas[\s\S]*MapInPandas[\s\S]*MapInPandas", r"Filter",
     ],
+    # audio downsample round trip: the same three-Arrow-pass shape
+    "multimodal_audio_resample_roundtrip": [
+        r"MapInPandas[\s\S]*MapInPandas[\s\S]*MapInPandas", r"Filter",
+    ],
     "flagship_user_netflow": [r"HashAggregate"],
     "dedup_minhash_lsh_pairs": [r"HashAggregate"],
     # global token counts must partial-aggregate and top-k via heap
