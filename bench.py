@@ -178,6 +178,13 @@ HEADLINE = [
     # windowed Rice decode into fixed 32-sample segments with per-sample
     # integer stats the oracle replays arithmetically
     "multimodal_audio_segments",
+    # round-12 continuation (r12-extended2, additions only): the two
+    # resample round trips — image decode -> nearest-neighbor -> PNG
+    # re-encode -> verify-decode, and audio decode (PCM/G.711/ADPCM/FLAC)
+    # -> integer decimation -> PCM re-encode -> verify-decode; per-row
+    # Python across three Arrow passes is the honest cost being measured
+    "multimodal_resample_roundtrip",
+    "multimodal_audio_resample_roundtrip",
 ]
 
 
@@ -235,7 +242,7 @@ def build_short_map(names: list[str]) -> dict[str, str]:
 # within the same set version; compare per-query across versions. The full
 # additions-only history (r4 recomposition through every rN-extended bump)
 # lives in BASELINE.md's membership notes.
-HEADLINE_SET = "r12-extended"
+HEADLINE_SET = "r12-extended2"
 
 # Sidecar carrying the FULL per-query map with full names. The archived
 # stdout line is O(1) in registry size (the r7/r8 records were cut by the

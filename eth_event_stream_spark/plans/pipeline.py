@@ -1132,6 +1132,53 @@ def multimodal_audio_resample_roundtrip(
 
 
 @register(
+    "ingest_warc_documents",
+    oracle="""
+    WITH recs AS (
+      SELECT doc_id, u.r,
+             'doc ' || doc_id || ' rec ' || u.r || ' ' AS unit,
+             1 + (doc_id + u.r) % 5 AS reps
+      FROM documents,
+           LATERAL (SELECT UNNEST(range(0, 1 + doc_id % 3)) AS r) u)
+    SELECT doc_id AS archive_id,
+           CAST(r AS BIGINT) AS rec_idx,
+           'response' AS rectype,
+           'https://example.invalid/' || doc_id || '/' || r AS url,
+           CAST(length(unit) * reps AS BIGINT) AS n_bytes,
+           repeat(unit, reps) AS text
+    FROM recs
+    """,
+    doc="WARC ingest round trip: real .warc.gz archives (per-record gzip "
+    "members) built and parsed in executors; the oracle replays every "
+    "record's url, byte count, and text with string arithmetic.",
+)
+def ingest_warc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common Crawl ingest path, end to end and oracle-checked: every
+    document becomes a REAL ``.warc.gz`` archive (1 + doc_id % 3 response
+    records, each its own gzip member — the random-access framing real
+    crawls use) built by ``operators.warc.encode_warc`` in one
+    Arrow-batched mapInPandas, then ``warc_to_documents`` parses the
+    archives back into one validated row per record (version line,
+    mandatory headers, Content-Length framing, CRLF trailers, gzip member
+    boundaries — a malformed archive fails the job loudly). Record bodies
+    are pure string functions of (doc_id, rec index), so the DuckDB
+    oracle replays every url, byte count, AND full text with string
+    arithmetic — a parser that dropped a record, misread a length, or
+    split a member wrong breaks the hash match.
+
+    At 100 TB this is the shape that matters: archives parse where they
+    live (no shuffle, bytes partition-local), output rows are small typed
+    columns that are JVM-side again for dedup/quality/language-ID
+    downstream, and the per-record gzip framing means a CDX-style index
+    turns the same archives into ranged single-record reads
+    (``operators.warc.warc_record_at``)."""
+    from ..operators.ingest import documents_as_warc, warc_to_documents
+
+    docs = t_parallel(spark, sf_dir, "documents")
+    return warc_to_documents(documents_as_warc(docs))
+
+
+@register(
     "reducer_funnel_batch",
     oracle="""
     WITH s1 AS (

@@ -56,6 +56,9 @@ PLAN_EXPECTATIONS = {
     "multimodal_audio_resample_roundtrip": [
         r"MapInPandas[\s\S]*MapInPandas[\s\S]*MapInPandas", r"Filter",
     ],
+    # WARC ingest: two Arrow passes (build archives, parse records),
+    # bytes partition-local, no shuffle anywhere in the plan
+    "ingest_warc_documents": [r"MapInPandas[\s\S]*MapInPandas"],
     "flagship_user_netflow": [r"HashAggregate"],
     "dedup_minhash_lsh_pairs": [r"HashAggregate"],
     # global token counts must partial-aggregate and top-k via heap
