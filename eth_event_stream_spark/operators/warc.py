@@ -148,6 +148,35 @@ def parse_warc(data: bytes) -> list[dict]:
     return records
 
 
+def warc_member_index(data: bytes) -> list[tuple[int, int]]:
+    """(offset, compressed length) of every gzip member in a ``.warc.gz``
+    — the CDX-style index that makes a crawl random-access: store these
+    two ints per record and any worker can fetch one record with a ranged
+    read (``warc_record_at``) instead of streaming the archive."""
+    if data[:2] != b"\x1f\x8b":
+        raise ValueError("warc_member_index: not a gzip stream")
+    index = []
+    pos = 0
+    budget = _MAX_DECODED_BYTES
+    while pos < len(data):
+        if data[pos : pos + 2] != b"\x1f\x8b":
+            raise ValueError("corrupt warc.gz: garbage between gzip members")
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(data[pos:], budget)
+        except zlib.error as e:
+            raise ValueError(f"corrupt warc.gz: {e}") from None
+        if not d.eof:
+            raise ValueError(
+                "truncated warc.gz member (or decoded size exceeds the ceiling)"
+            )
+        budget -= len(out)
+        end = len(data) - len(d.unused_data)
+        index.append((pos, end - pos))
+        pos = end
+    return index
+
+
 def warc_record_at(data: bytes, offset: int) -> dict:
     """Random access into a ``.warc.gz``: inflate and parse ONLY the gzip
     member starting at byte ``offset`` — the 100 TB access pattern (a

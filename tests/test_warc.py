@@ -177,3 +177,36 @@ def test_warc_ingest_lane_spark(spark):
     )
     with pytest.raises(Exception, match="truncated|corrupt|ValueError"):
         warc_to_documents(bad).collect()
+
+
+def test_warc_member_index_and_cdx_lane(spark):
+    """warc_member_index walks the gzip members (offset, length) and the
+    CDX lane self-verifies every entry by ranged read — two independent
+    code paths (sequential parse vs offset inflate) must agree per row."""
+    from eth_event_stream_spark.operators.ingest import (
+        documents_as_warc,
+        warc_cdx,
+    )
+    from eth_event_stream_spark.operators.warc import warc_member_index
+
+    recs = [_rec(i, f"payload {i}".encode()) for i in range(4)]
+    gz = encode_warc(recs, gzip_members=True)
+    idx = warc_member_index(gz)
+    assert [o for o, _ in idx] == _member_offsets(gz)
+    assert sum(ln for _, ln in idx) == len(gz)  # members tile the archive
+    with pytest.raises(ValueError, match="not a gzip"):
+        warc_member_index(encode_warc(recs))
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    rows = warc_cdx(documents_as_warc(docs)).collect()
+    assert len(rows) == sum(1 + i % 3 for i in range(12))
+    assert all(r["ranged_read_ok"] == "true" for r in rows)
+    by_arch: dict[int, list] = {}
+    for r in rows:
+        by_arch.setdefault(r["archive_id"], []).append(r)
+    for aid, rs in by_arch.items():
+        rs.sort(key=lambda r: r["rec_idx"])
+        assert rs[0]["offset"] == 0  # first member at archive start
+        for a, b in zip(rs, rs[1:]):
+            assert b["offset"] == a["offset"] + a["length"]  # contiguous
+        assert rs[-1]["url"] == f"https://example.invalid/{aid}/{len(rs) - 1}"
