@@ -1,0 +1,73 @@
+"""HTML -> visible text, pure Catalyst — the Common Crawl WET step.
+
+After WARC ingest (``operators/ingest.py``) the canonical next stage of
+a web training pipeline is extracting visible text from HTML so the
+text layers (dedup, quality, language ID) can run on prose instead of
+markup. This module does it entirely with built-in column expressions
+(``regexp_replace`` / ``replace`` chains) — JVM-side, whole-stage
+codegen, no Python in the hot path — which is exactly where a
+per-document string transform belongs at 100 TB.
+
+The CONTRACT (documented, not guessed): script/style/comment content is
+dropped; block-level tags become newlines and every other tag a space;
+the five core named character references (``&lt; &gt; &quot; &#39;
+&amp;`` — ``&amp;`` decoded LAST so ``&amp;lt;`` yields the literal
+``&lt;``, per the HTML standard) plus ``&nbsp;`` are decoded; any other
+entity passes through VERBATIM (numeric references need a character
+table no Catalyst expression provides — a documented pass-through,
+never a wrong guess); runs of spaces collapse and newlines dedupe.
+Entity decoding runs AFTER tag stripping, so decoded ``<`` / ``>`` can
+never be re-parsed as markup (the standard's anti-mXSS ordering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# decode order matters: &amp; LAST (see module docstring)
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+# tags whose boundaries are line breaks in visible text
+_BLOCK_TAGS = "p|br|div|h[1-6]|li|ul|ol|tr|table|title|section|article|header|footer|blockquote|pre"
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Visible text of an HTML column — one codegen'd expression chain:
+    drop ``<script>``/``<style>`` blocks and comments, break on
+    block-level tags, strip every other tag to a space, decode the core
+    named entities (``&amp;`` last), collapse whitespace. Returns a
+    trimmed string column."""
+    c = F.col(col) if isinstance(col, str) else col
+    # (?is): case-insensitive, dot-matches-newline. Java regex supports
+    # the backreference; the oracle side never parses HTML (it replays
+    # expected text arithmetically), so RE2 compatibility is not needed.
+    c = F.regexp_replace(c, r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, rf"(?i)</?({_BLOCK_TAGS})(\s[^>]*)?/?>", "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, ch in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n+", "\n")
+    # trim() strips only spaces; boundary newlines need the regex strip
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def html_title(col: Column | str) -> Column:
+    """The first ``<title>`` element's text (entity-decoded, whitespace
+    collapsed), or empty string when there is none — same pure-Catalyst
+    discipline as ``html_to_text``."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.regexp_extract(c, r"(?is)<title[^>]*>(.*?)</title\s*>", 1)
+    for ent, ch in _ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

@@ -102,6 +102,64 @@ def documents_as_warc(documents: DataFrame) -> DataFrame:
     return ids.mapInPandas(fn, schema=WARC_ARCHIVE_SCHEMA)
 
 
+def synth_warc_html_payload(doc_id: int, text: str) -> bytes:
+    """Deterministic one-record ``.warc.gz`` whose body is an HTML page
+    embedding the document's text (HTML-escaped), plus every markup
+    feature the extraction contract must survive: a comment, a style
+    block, a script block containing ``<`` and quotes, block tags, and
+    pre-escaped entities. The visible text is a pure string function of
+    (doc_id, text), so a SQL oracle replays the extraction end to end."""
+    from .warc import encode_warc
+
+    esc = (
+        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+    html = (
+        f"<html><!-- meta {doc_id} --><head><title>doc {doc_id}</title>"
+        "<style>p { color: red }</style></head>"
+        '<body><script>var x = "1"; if (x < "2") { }</script>'
+        f"<h1>doc {doc_id}</h1><p>A &amp; B &lt;ok&gt;</p>"
+        f"<p>{esc}</p></body></html>"
+    )
+    return encode_warc(
+        [
+            {
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:uuid:{doc_id:032x}>",
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                    "WARC-Target-URI": f"https://example.invalid/{doc_id}",
+                    "Content-Type": "text/html",
+                },
+                "payload": html.encode(),
+            }
+        ],
+        gzip_members=True,
+    )
+
+
+def documents_as_warc_html(documents: DataFrame) -> DataFrame:
+    """Synthesize one-record HTML ``.warc.gz`` archives from the documents
+    table (doc_id + text) in one Arrow-batched ``mapInPandas`` — the
+    encode half of the WET-style extraction round trip."""
+    from ..shipping import ship_package
+
+    ship_package(documents.sparkSession)
+    ids = documents.select(F.col("doc_id").alias("archive_id"), "text")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (int(aid), synth_warc_html_payload(int(aid), str(txt)))
+                for aid, txt in zip(pdf["archive_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                out, columns=[f.name for f in WARC_ARCHIVE_SCHEMA.fields]
+            )
+
+    return ids.mapInPandas(fn, schema=WARC_ARCHIVE_SCHEMA)
+
+
 WARC_CDX_SCHEMA = StructType(
     [
         StructField("archive_id", LongType(), False),

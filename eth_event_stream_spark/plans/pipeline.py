@@ -1179,6 +1179,63 @@ def ingest_warc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ingest_warc_html_text",
+    oracle=r"""
+    SELECT doc_id AS archive_id,
+           'doc ' || doc_id AS title,
+           'doc ' || doc_id || chr(10) || 'doc ' || doc_id || chr(10)
+             || 'A & B <ok>' || chr(10)
+             || trim(regexp_replace(regexp_replace(regexp_replace(
+                  text, '[ \t\r\f]+', ' ', 'g'),
+                  ' ?\n ?', chr(10), 'g'),
+                  '\n+', chr(10), 'g'))
+             AS body_text,
+           CAST(length('doc ' || doc_id) * 2 + length('A & B <ok>') + 3
+                + length(trim(regexp_replace(regexp_replace(regexp_replace(
+                    text, '[ \t\r\f]+', ' ', 'g'),
+                    ' ?\n ?', chr(10), 'g'),
+                    '\n+', chr(10), 'g'))) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc="WET-style extraction: HTML pages inside real .warc.gz archives "
+    "-> visible text via a pure-Catalyst regexp chain; the oracle "
+    "replays title, full extracted text, and length arithmetically.",
+)
+def ingest_warc_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common Crawl WET step, end to end and oracle-checked: every
+    document becomes a one-record HTML ``.warc.gz`` archive (comment,
+    style block, script block containing ``<`` and quotes, block tags,
+    pre-escaped entities, and the HTML-escaped document text), the
+    archives parse back through ``warc_to_documents``, and
+    ``functions.html.html_to_text`` / ``html_title`` extract the visible
+    text ENTIRELY in Catalyst (regexp_replace/replace chains —
+    whole-stage codegen, no Python in the extraction). The visible text
+    is a pure string function of (doc_id, text), so the DuckDB oracle
+    replays the title, the FULL extracted body (script/style dropped,
+    tags stripped, entities decoded — ``&amp;lt;`` correctly yielding a
+    literal ``&lt;``), and its length — a chain that swallowed prose
+    with markup, decoded entities before stripping tags, or collapsed
+    whitespace wrong breaks the hash match.
+
+    At 100 TB: one Arrow pass to parse archives where they live, then
+    pure JVM string expressions — the extraction itself never leaves
+    codegen, which is the whole point of doing it in Catalyst rather
+    than a Python HTML library."""
+    from ..functions.html import html_title, html_to_text
+    from ..operators.ingest import documents_as_warc_html, warc_to_documents
+
+    docs = t_parallel(spark, sf_dir, "documents")
+    recs = warc_to_documents(documents_as_warc_html(docs))
+    body = html_to_text(F.col("text"))
+    return recs.select(
+        "archive_id",
+        html_title(F.col("text")).alias("title"),
+        body.alias("body_text"),
+        F.length(body).cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
     "reducer_funnel_batch",
     oracle="""
     WITH s1 AS (

@@ -1,0 +1,118 @@
+"""Pure-Catalyst HTML -> visible text (functions/html.py, round 12).
+The contract is documented in the module: script/style/comments drop,
+block tags break lines, other tags become spaces, the five core named
+entities (+ nbsp) decode AFTER tag stripping with &amp; last, anything
+else passes through verbatim, whitespace collapses."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eth_event_stream_spark.functions.html import html_title, html_to_text
+
+
+def _extract(spark, html: str) -> tuple[str, str]:
+    row = (
+        spark.createDataFrame([(html,)], "html string")
+        .select(
+            html_to_text("html").alias("t"), html_title("html").alias("ti")
+        )
+        .collect()[0]
+    )
+    return row["t"], row["ti"]
+
+
+def test_html_basic_page(spark):
+    text, title = _extract(
+        spark,
+        "<html><head><title>A Page</title><style>p { x: 1 }</style></head>"
+        "<body><h1>Head</h1><p>one</p><p>two</p></body></html>",
+    )
+    assert title == "A Page"
+    assert text == "A Page\nHead\none\ntwo"
+
+
+def test_html_script_and_comment_content_dropped(spark):
+    text, _ = _extract(
+        spark,
+        '<body><script type="text/javascript">if (a < b) { alert("<p>hi") }'
+        "</script><!-- <p>not me</p> -->visible</body>",
+    )
+    assert text == "visible"
+    # uppercase tags and attribute-laden closers too
+    text, _ = _extract(
+        spark,
+        "<BODY><SCRIPT>x < y</SCRIPT >kept<P CLASS='a'>line</P></BODY>",
+    )
+    assert text == "kept\nline"
+
+
+def test_html_entities_decode_after_tag_strip(spark):
+    # &lt;p&gt; decodes to a literal <p> that must NOT be re-parsed
+    text, _ = _extract(spark, "<p>&lt;p&gt; &amp; &quot;q&quot; &#39;s&#39;</p>")
+    assert text == "<p> & \"q\" 's'"
+    # the HTML-standard double-escape: &amp;lt; is the TEXT "&lt;"
+    text, _ = _extract(spark, "<p>&amp;lt;</p>")
+    assert text == "&lt;"
+    # unknown / numeric entities pass through verbatim (documented)
+    text, _ = _extract(spark, "<p>&#x41; &copy; &nbsp;x</p>")
+    assert text == "&#x41; &copy; x"
+
+
+def test_html_whitespace_and_blocks(spark):
+    text, _ = _extract(
+        spark,
+        "<div>  a   b\t c </div><div></div><div>d</div><span>e</span> f",
+    )
+    assert text == "a b c\nd\ne f"
+    # plain text is (collapsed) identity — no markup, no change
+    text, _ = _extract(spark, "just words here")
+    assert text == "just words here"
+
+
+def test_html_title_edges(spark):
+    _, title = _extract(spark, "<title>  A &amp; B  </title>")
+    assert title == "A & B"
+    _, title = _extract(spark, "<p>no title</p>")
+    assert title == ""
+    # first title wins
+    _, title = _extract(spark, "<title>one</title><title>two</title>")
+    assert title == "one"
+
+
+def test_html_plan_is_pure_codegen(spark):
+    """The extraction must stay JVM-side: no Python eval nodes anywhere
+    in the plan — the 100 TB contract for a per-document transform."""
+    df = spark.createDataFrame([("<p>x</p>",)], "html string").select(
+        html_to_text("html").alias("t")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_warc_html_lane_end_to_end(spark):
+    """The WET-style composition: HTML archives -> parse -> Catalyst
+    extraction; the visible text round-trips the embedded document text
+    exactly (escaping inverted, markup gone)."""
+    from eth_event_stream_spark.operators.ingest import (
+        documents_as_warc_html,
+        warc_to_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "alpha & <beta> gamma"), (8, "plain words")],
+        "doc_id long, text string",
+    )
+    recs = warc_to_documents(documents_as_warc_html(docs))
+    out = {
+        r["archive_id"]: r
+        for r in recs.select(
+            "archive_id",
+            html_title(F.col("text")).alias("title"),
+            html_to_text(F.col("text")).alias("body"),
+        ).collect()
+    }
+    assert out[7]["title"] == "doc 7"
+    assert out[7]["body"] == "doc 7\ndoc 7\nA & B <ok>\nalpha & <beta> gamma"
+    assert out[8]["body"] == "doc 8\ndoc 8\nA & B <ok>\nplain words"

@@ -59,6 +59,9 @@ PLAN_EXPECTATIONS = {
     # WARC ingest: two Arrow passes (build archives, parse records),
     # bytes partition-local, no shuffle anywhere in the plan
     "ingest_warc_documents": [r"MapInPandas[\s\S]*MapInPandas"],
+    # WET extraction: the HTML -> text chain itself is pure Catalyst —
+    # only the two WARC Arrow passes may appear, extraction stays codegen
+    "ingest_warc_html_text": [r"MapInPandas[\s\S]*MapInPandas"],
     "flagship_user_netflow": [r"HashAggregate"],
     "dedup_minhash_lsh_pairs": [r"HashAggregate"],
     # global token counts must partial-aggregate and top-k via heap
