@@ -1236,6 +1236,80 @@ def ingest_warc_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "web_domain_profile",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'site' || (doc_id % 20) || '.example' AS domain,
+             doc_id % 4 AS depth,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS has_q,
+             CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS is_www
+      FROM documents)
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(depth) AS BIGINT) AS sum_depth,
+           CAST(SUM(has_q) AS BIGINT) AS n_with_query,
+           CAST(SUM(is_www) AS BIGINT) AS n_subdomain_pages
+    FROM urls GROUP BY domain
+    """,
+    doc="Domain-level curation profile: parse_url host/path/query features "
+    "aggregated per registrable domain, all JVM-side; the oracle replays "
+    "every feature from the URL formulas.",
+)
+def web_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation profile over synthesized-but-real URLs — the
+    URL-structure step of web-corpus curation (per-domain page budgets,
+    depth heuristics, query-string prevalence), entirely in Catalyst:
+    ``parse_url`` (HOST — port and userinfo stripped by the JVM
+    primitive, not by a regex guess), path-depth via split+filter,
+    query detection, and the registrable-domain approximation collapsing
+    the ``www.`` subdomain pages into their parent domain (the synth
+    URLs exercise ports, www-subdomains, variable path depths, and query
+    strings on formulaic schedules the DuckDB oracle replays). One hash
+    aggregate by domain — at 100 TB this is a classic map-side-combine
+    shape: 20 domains' partials merge in one small shuffle."""
+    from ..functions.url import (
+        url_has_query,
+        url_path_depth,
+        url_registrable_domain,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"),
+            F.when((F.col("doc_id") % 7) == 0, F.lit("www.")).otherwise(
+                F.lit("")
+            ),
+            F.lit("site"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example"),
+            F.when((F.col("doc_id") % 5) == 0, F.lit(":8443")).otherwise(
+                F.lit("")
+            ),
+            F.expr("repeat('/seg', CAST(doc_id % 4 AS INT))"),
+            F.when(
+                (F.col("doc_id") % 2) == 0,
+                F.concat(F.lit("?q="), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+        ((F.col("doc_id") % 7) == 0).alias("is_www"),
+    )
+    return urls.groupBy(
+        url_registrable_domain("url").alias("domain")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pages"),
+        F.sum(url_path_depth("url")).cast("bigint").alias("sum_depth"),
+        F.sum(url_has_query("url").cast("long"))
+        .cast("bigint")
+        .alias("n_with_query"),
+        F.sum(F.col("is_www").cast("long"))
+        .cast("bigint")
+        .alias("n_subdomain_pages"),
+    )
+
+
+@register(
     "reducer_funnel_batch",
     oracle="""
     WITH s1 AS (
