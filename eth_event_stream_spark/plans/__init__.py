@@ -35,6 +35,7 @@ from . import (  # noqa: F401  (registration side effects)
     retrieval,
     vectors,
     warehouse,
+    web,
 )
 from .registry import QUERIES, oracle_sql_dict, queries_dict
 

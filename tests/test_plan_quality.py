@@ -62,6 +62,10 @@ PLAN_EXPECTATIONS = {
     # WET extraction: the HTML -> text chain itself is pure Catalyst —
     # only the two WARC Arrow passes may appear, extraction stays codegen
     "ingest_warc_html_text": [r"MapInPandas[\s\S]*MapInPandas"],
+    # robots decision: rules dim broadcast into the URL fact table, the
+    # longest-match winner via a per-URL group limit — and the whole
+    # parse+decide pipeline is Catalyst (no Python nodes)
+    "web_robots_filter": [r"BroadcastHashJoin", r"WindowGroupLimit"],
     "flagship_user_netflow": [r"HashAggregate"],
     "dedup_minhash_lsh_pairs": [r"HashAggregate"],
     # global token counts must partial-aggregate and top-k via heap

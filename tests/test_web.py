@@ -1,0 +1,127 @@
+"""robots.txt as a relational program (plans/web.py, round 12): the
+Catalyst parse (posexplode + gaps-and-islands groups), the documented
+matching contract (longest literal prefix, Allow wins ties, empty value
+matches nothing, specific group shadows '*'), and the plan shape
+(broadcast rules dim, windowed winner)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eth_event_stream_spark.plans.web import (
+    parse_robots_groups,
+    parse_robots_rules,
+    robots_allowed,
+)
+
+ROBOTS = (
+    "# comment only line\r\n"
+    "User-agent: GoodBot   # inline comment\r\n"
+    "User-agent: OtherBot\r\n"
+    "Disallow: /a/b\r\n"
+    "Allow: /a/b/c\r\n"
+    "Crawl-delay: 10\r\n"
+    "\r\n"
+    "User-agent: *\r\n"
+    "Disallow: /a\r\n"
+    "Disallow:\r\n"
+    "Sitemap: https://example.invalid/map.xml\r\n"
+)
+
+
+def _robots_df(spark, text=ROBOTS, domain="d.example"):
+    return spark.createDataFrame([(domain, text)], "domain string, text string")
+
+
+def test_parse_rules_and_groups(spark):
+    """CRLF + comments stripped; two UA lines share one group; unknown
+    directives ignored; empty Disallow dropped; rules duplicate per UA."""
+    robots = _robots_df(spark)
+    rules = {
+        (r["ua"], r["prefix"], r["allow"])
+        for r in parse_robots_rules(robots).collect()
+    }
+    assert rules == {
+        ("goodbot", "/a/b", False),
+        ("goodbot", "/a/b/c", True),
+        ("otherbot", "/a/b", False),
+        ("otherbot", "/a/b/c", True),
+        ("*", "/a", False),
+    }
+    groups = {
+        (r["grp"], r["ua"]) for r in parse_robots_groups(robots).collect()
+    }
+    assert groups == {(1, "goodbot"), (1, "otherbot"), (2, "*")}
+
+
+def _decide(spark, agent, paths, text=ROBOTS):
+    robots = _robots_df(spark, text)
+    urls = spark.createDataFrame(
+        [(i, "d.example", p) for i, p in enumerate(paths)],
+        "doc_id long, domain string, path string",
+    )
+    out = robots_allowed(
+        urls, parse_robots_rules(robots), parse_robots_groups(robots), agent
+    )
+    return {r["path"]: (r["allowed"], r["matched_rule"]) for r in out.collect()}
+
+def test_matching_contract(spark):
+    """Longest match wins; Allow beats Disallow on the longer match; a
+    URL matching nothing is allowed; '*' applies to unknown agents."""
+    got = _decide(spark, "GoodBot", ["/a/b/c/d", "/a/b/x", "/a", "/zzz"])
+    assert got["/a/b/c/d"] == (True, "/a/b/c")  # longer Allow overrides
+    assert got["/a/b/x"] == (False, "/a/b")
+    assert got["/a"] == (True, None)  # GoodBot group has no /a rule
+    assert got["/zzz"] == (True, None)
+    # unknown agent falls through to '*'
+    got = _decide(spark, "randombot", ["/a/b/c/d", "/zzz"])
+    assert got["/a/b/c/d"] == (False, "/a")  # '*' group: Disallow /a only
+    assert got["/zzz"] == (True, None)
+
+
+def test_empty_specific_group_shadows_star(spark):
+    """A group naming the agent with NO effective rules still shadows
+    '*': everything is allowed even though '*' would deny it."""
+    text = (
+        "User-agent: trainbot\r\nDisallow:\r\n\r\n"
+        "User-agent: *\r\nDisallow: /\r\n"
+    )
+    got = _decide(spark, "trainbot", ["/", "/a/b"], text=text)
+    assert got["/"] == (True, None)
+    assert got["/a/b"] == (True, None)
+    # while any other agent is fully blocked
+    got = _decide(spark, "elsebot", ["/", "/a/b"], text=text)
+    assert got["/"] == (False, "/")
+    assert got["/a/b"] == (False, "/")
+
+
+def test_tie_break_allow_wins(spark):
+    """Same-length Allow and Disallow prefixes: Allow wins (the REP's
+    least-restrictive tie-break)."""
+    text = "User-agent: *\r\nDisallow: /dir\r\nAllow: /dia\r\n"
+    got = _decide(spark, "x", ["/dir/p", "/dia/p"], text=text)
+    assert got["/dir/p"] == (False, "/dir")
+    assert got["/dia/p"] == (True, "/dia")
+    # true equal-length tie on the SAME path needs equal prefixes of both
+    # kinds — /same allowed and disallowed at once: Allow wins
+    text = "User-agent: *\r\nDisallow: /same\r\nAllow: /same\r\n"
+    got = _decide(spark, "x", ["/same/p"], text=text)
+    assert got["/same/p"] == (True, "/same")
+
+
+def test_plan_broadcasts_rules_dim(spark):
+    """The decision plan must broadcast the rules dim into the URL fact
+    table — no shuffle of the facts for the join."""
+    robots = _robots_df(spark)
+    urls = spark.createDataFrame(
+        [(i, "d.example", "/a/b") for i in range(10)],
+        "doc_id long, domain string, path string",
+    )
+    out = robots_allowed(
+        urls,
+        parse_robots_rules(robots),
+        parse_robots_groups(robots),
+        "goodbot",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
