@@ -185,6 +185,12 @@ HEADLINE = [
     # Python across three Arrow passes is the honest cost being measured
     "multimodal_resample_roundtrip",
     "multimodal_audio_resample_roundtrip",
+    # r12-extended2 continued: the web-ingest family — WARC archives
+    # built+parsed in two Arrow passes, the pure-Catalyst WET extraction,
+    # and the robots decision (broadcast rules dim + windowed winner)
+    "ingest_warc_documents",
+    "ingest_warc_html_text",
+    "web_robots_filter",
 ]
 
 

@@ -184,6 +184,21 @@ def main() -> None:
         f"(peak |s| {peak}); {n_resampled} images resampled+verified"
     )
 
+    # 9. web ingest (round 12): the Common Crawl shape — real .warc.gz
+    #    archives parsed where they live, HTML -> visible text in pure
+    #    Catalyst, robots.txt honored via the broadcast rules dim
+    n_recs = run("ingest_warc_documents").count()
+    wet = run("ingest_warc_html_text")
+    n_chars = wet.agg(F.sum("n_chars").alias("s")).collect()[0]["s"]
+    blocked = (
+        run("web_robots_filter").filter("NOT allowed").count()
+    )
+    print(
+        f"web lane: {n_recs} WARC records ingested; "
+        f"{n_chars} chars of visible text extracted; "
+        f"{blocked} pages robots-blocked for trainbot"
+    )
+
     print("training pipeline complete")
     spark.stop()
 
