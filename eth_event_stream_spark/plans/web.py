@@ -261,7 +261,15 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = parse_robots_rules(robots)
     groups = parse_robots_groups(robots)
     docs = t(spark, sf_dir, "documents").select("doc_id")
-    urls = docs.select(
+    return robots_allowed(_synth_urls(docs), rules, groups, "trainbot")
+
+
+def _synth_urls(docs: DataFrame) -> DataFrame:
+    """The deterministic URL per document the web queries share: domain
+    cycles over 20 sites, the path over five shapes the synth robots
+    rules interact with, and the agent group mirrors which domains define
+    a trainbot group."""
+    return docs.select(
         "doc_id",
         F.concat(
             F.lit("site"),
@@ -282,4 +290,118 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("*"))
         .alias("agent_group"),
     )
-    return robots_allowed(urls, rules, groups, "trainbot")
+
+
+@register(
+    "web_pipeline_keep_list",
+    oracle="""
+    WITH domains AS (SELECT UNNEST(range(0, 20)) AS d),
+    rules AS (
+      SELECT d, '*' AS ua, FALSE AS allow, '/private' AS pfx FROM domains
+      UNION ALL
+      SELECT d, '*', TRUE, '/private/ok' FROM domains WHERE d % 2 = 0
+      UNION ALL
+      SELECT d, '*', FALSE, '/seg/seg' FROM domains WHERE d % 3 = 0
+      UNION ALL
+      SELECT d, 'trainbot', FALSE, '/' FROM domains
+      WHERE d % 4 != 1 AND d % 5 = 0),
+    urls AS (
+      SELECT doc_id, doc_id % 20 AS d,
+             CASE doc_id % 5
+               WHEN 0 THEN '/private/ok/page'
+               WHEN 1 THEN '/private/page'
+               WHEN 2 THEN '/seg/seg'
+               WHEN 3 THEN '/'
+               ELSE '/public' END AS path,
+             CASE WHEN doc_id % 20 % 4 != 1 THEN 'trainbot' ELSE '*' END
+               AS agent_group
+      FROM documents),
+    hits AS (
+      SELECT u.doc_id, r.allow,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.doc_id
+               ORDER BY length(r.pfx) DESC, r.allow DESC) AS rn
+      FROM urls u
+      JOIN rules r
+        ON r.d = u.d AND r.ua = u.agent_group
+       AND u.path LIKE r.pfx || '%'),
+    quality AS (
+      -- the WET body is 'doc N'\\n'doc N'\\n'A & B <ok>'\\n<text>:
+      -- 8 header tokens + the text's space-split tokens; digits are the
+      -- two doc ids plus any numbers in the text
+      SELECT doc_id,
+             CAST(8 + LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(2 + LEN(regexp_extract_all(text, '[0-9]+'))
+               AS BIGINT) AS n_numbers
+      FROM documents)
+    SELECT q.doc_id,
+           'site' || u.d || '.example' AS domain,
+           q.n_tokens,
+           q.n_numbers,
+           COALESCE(h.allow, TRUE) AS allowed,
+           (q.n_tokens BETWEEN 45 AND 10000) AS len_pass,
+           (q.n_numbers * 10 <= q.n_tokens * 3) AS digit_pass,
+           (COALESCE(h.allow, TRUE)
+            AND q.n_tokens BETWEEN 45 AND 10000
+            AND q.n_numbers * 10 <= q.n_tokens * 3) AS keep
+    FROM quality q
+    JOIN urls u USING (doc_id)
+    LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h USING (doc_id)
+    """,
+    doc="The composed Common Crawl pipeline: WARC -> Catalyst WET "
+    "extraction -> robots decision -> quality gates -> keep list; the "
+    "oracle replays every stage arithmetically.",
+)
+def web_pipeline_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END web curation pipeline in ONE plan — the composition
+    a Common Crawl user actually runs: real ``.warc.gz`` archives parse
+    in an Arrow pass, the WET extraction runs in pure Catalyst
+    (``html_to_text``), the robots decision joins the broadcast rules
+    dim (longest-match winner), and Gopher-style quality gates
+    (token-count bounds, digit-density cap — both integer-exact) produce
+    the final keep bit with every intermediate signal visible. The
+    DuckDB oracle replays ALL stages arithmetically from the documents
+    table, so a regression anywhere in the chain — archive framing, tag
+    stripping, rule grouping, tie-breaks, token math — flips keep bits
+    and breaks the hash match.
+
+    At 100 TB: the stages FUSE — one Arrow parse pass, then everything
+    is codegen'd string/join/window work with only the tiny robots dim
+    broadcast and no fact-table shuffle before the final projection; the
+    keep list streams out partition-local."""
+    from ..functions.html import html_to_text
+    from ..operators.ingest import documents_as_warc_html, warc_to_documents
+
+    docs = t(spark, sf_dir, "documents")
+    recs = warc_to_documents(documents_as_warc_html(docs)).select(
+        F.col("archive_id").alias("doc_id"),
+        html_to_text(F.col("text")).alias("body"),
+    )
+    toks = F.size(F.split("body", r"\s+")).cast("bigint")
+    nums = F.size(F.expr("regexp_extract_all(body, '[0-9]+', 0)")).cast(
+        "bigint"
+    )
+    quality = recs.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        nums.alias("n_numbers"),
+    )
+    robots = _synth_robots(spark)
+    decided = robots_allowed(
+        _synth_urls(docs.select("doc_id")),
+        parse_robots_rules(robots),
+        parse_robots_groups(robots),
+        "trainbot",
+    ).select("doc_id", "domain", "allowed")
+    len_pass = F.col("n_tokens").between(45, 10000)
+    digit_pass = F.col("n_numbers") * 10 <= F.col("n_tokens") * 3
+    return quality.join(decided, "doc_id").select(
+        "doc_id",
+        "domain",
+        "n_tokens",
+        "n_numbers",
+        "allowed",
+        len_pass.alias("len_pass"),
+        digit_pass.alias("digit_pass"),
+        (F.col("allowed") & len_pass & digit_pass).alias("keep"),
+    )

@@ -66,6 +66,13 @@ PLAN_EXPECTATIONS = {
     # longest-match winner via a per-URL group limit — and the whole
     # parse+decide pipeline is Catalyst (no Python nodes)
     "web_robots_filter": [r"BroadcastHashJoin", r"WindowGroupLimit"],
+    # the composed web pipeline: the WARC Arrow passes feed codegen'd
+    # extraction/quality, the robots dim broadcasts, the winner windows
+    "web_pipeline_keep_list": [
+        r"MapInPandas[\s\S]*MapInPandas",
+        r"BroadcastHashJoin",
+        r"WindowGroupLimit",
+    ],
     "flagship_user_netflow": [r"HashAggregate"],
     "dedup_minhash_lsh_pairs": [r"HashAggregate"],
     # global token counts must partial-aggregate and top-k via heap
