@@ -191,6 +191,8 @@ HEADLINE = [
     "ingest_warc_documents",
     "ingest_warc_html_text",
     "web_robots_filter",
+    "web_domain_profile",
+    "web_pipeline_keep_list",
 ]
 
 
