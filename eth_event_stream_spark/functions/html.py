@@ -39,18 +39,31 @@ _ENTITIES = [
 _BLOCK_TAGS = "p|br|div|h[1-6]|li|ul|ol|tr|table|title|section|article|header|footer|blockquote|pre"
 
 
-def html_to_text(col: Column | str) -> Column:
-    """Visible text of an HTML column — one codegen'd expression chain:
-    drop ``<script>``/``<style>`` blocks and comments, break on
-    block-level tags, strip every other tag to a space, decode the core
-    named entities (``&amp;`` last), collapse whitespace. Returns a
-    trimmed string column."""
-    c = F.col(col) if isinstance(col, str) else col
+def _strip_invisible(c: Column) -> Column:
+    """Drop everything a browser never renders: closed script/style
+    blocks, UNCLOSED script/style (a truncated crawl page's trailing
+    ``<script>...`` must not leak JavaScript into the visible text), and
+    comments. Shared by ``html_to_text`` and ``html_title`` so a title
+    inside a comment or script string can never win."""
     # (?is): case-insensitive, dot-matches-newline. Java regex supports
     # the backreference; the oracle side never parses HTML (it replays
     # expected text arithmetically), so RE2 compatibility is not needed.
-    c = F.regexp_replace(c, r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " ")
-    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    # \b: <styleguide>/<scripted-thing> are ordinary elements, not style/
+    # script openers — without the boundary the unclosed-tag pass would
+    # swallow the rest of the document after one
+    c = F.regexp_replace(c, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<(script|style)\b[^>]*>.*$", " ")
+    return F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Visible text of an HTML column — one codegen'd expression chain:
+    drop ``<script>``/``<style>`` blocks (closed or truncated-open) and
+    comments, break on block-level tags, strip every other tag to a
+    space, decode the core named entities (``&amp;`` last), collapse
+    whitespace. Returns a trimmed string column."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = _strip_invisible(c)
     c = F.regexp_replace(c, rf"(?i)</?({_BLOCK_TAGS})(\s[^>]*)?/?>", "\n")
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
     for ent, ch in _ENTITIES:
@@ -65,9 +78,13 @@ def html_to_text(col: Column | str) -> Column:
 def html_title(col: Column | str) -> Column:
     """The first ``<title>`` element's text (entity-decoded, whitespace
     collapsed), or empty string when there is none — same pure-Catalyst
-    discipline as ``html_to_text``."""
+    discipline as ``html_to_text``. Comments and script/style content are
+    stripped FIRST, so a title inside them can never shadow the real
+    one."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.regexp_extract(c, r"(?is)<title[^>]*>(.*?)</title\s*>", 1)
+    t = F.regexp_extract(
+        _strip_invisible(c), r"(?is)<title[^>]*>(.*?)</title\s*>", 1
+    )
     for ent, ch in _ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(t, r"\s+", " "))

@@ -189,21 +189,32 @@ def warc_cdx(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     ship_package(df.sparkSession)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .warc import parse_warc, warc_member_index, warc_record_at
+        from .warc import _parse_one, _walk_members, warc_record_at
 
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf["archive_id"], pdf[payload_col]):
                 data = bytes(payload)
-                seq = parse_warc(data)
-                idx = warc_member_index(data)
-                if len(seq) != len(idx):
+                if data[:2] != b"\x1f\x8b":
                     raise ValueError(
-                        f"archive {aid}: {len(seq)} records but "
-                        f"{len(idx)} gzip members (multi-record member "
-                        "archives have no per-record index)"
+                        f"archive {aid}: the per-record index requires "
+                        ".warc.gz framing (one gzip member per record)"
                     )
-                for i, (rec, (off, ln)) in enumerate(zip(seq, idx)):
+                # ONE walk yields offsets, lengths, AND the inflated
+                # bytes — the sequential parse pays a single inflation;
+                # the ranged read below is the deliberate independent
+                # second path being verified
+                seq = []
+                for i, (off, ln, out) in enumerate(_walk_members(data)):
+                    rec, end = _parse_one(out, 0)
+                    if end != len(out):
+                        raise ValueError(
+                            f"archive {aid}: gzip member {i} holds more "
+                            "than one record (multi-record member "
+                            "archives have no per-record index)"
+                        )
+                    seq.append((rec, off, ln))
+                for i, (rec, off, ln) in enumerate(seq):
                     fetched = warc_record_at(data, off)
                     ok = (
                         fetched["WARC-Record-ID"] == rec["WARC-Record-ID"]

@@ -317,6 +317,10 @@ def synth_media_payload(doc_id: int) -> tuple[str, bytes]:
         ]
         return "video", encode_avi(w, h, jf, fps=25)
     n_samples = 100 + doc_id % 50
+    # the per-sample ramp both the PCM-WAV and FLAC lanes carry (the
+    # ADPCM lane overrides it with the block-constant variant below) —
+    # ONE statement of the formula the oracles depend on
+    samples = [(doc_id * 31 + i * 7) % 65536 - 32768 for i in range(n_samples)]
     if lane == 4:
         if doc_id % 12 == 10:
             # IMA-ADPCM shares the WAV lane (doc_id % 12 == 10; PCM keeps
@@ -340,7 +344,6 @@ def synth_media_payload(doc_id: int) -> tuple[str, bytes]:
         import io
         import wave
 
-        samples = [(doc_id * 31 + i * 7) % 65536 - 32768 for i in range(n_samples)]
         buf = io.BytesIO()
         with wave.open(buf, "wb") as wv:
             wv.setnchannels(1)
@@ -350,7 +353,6 @@ def synth_media_payload(doc_id: int) -> tuple[str, bytes]:
                 b"".join(s.to_bytes(2, "little", signed=True) for s in samples)
             )
         return "audio", buf.getvalue()
-    samples = [(doc_id * 31 + i * 7) % 65536 - 32768 for i in range(n_samples)]
     from .flac import encode_flac
 
     return "audio", encode_flac([samples], modes=("fixed2",), block_size=64)

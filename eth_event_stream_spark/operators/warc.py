@@ -37,6 +37,9 @@ _MAX_DECODED_BYTES = 256 * 1024 * 1024  # same ceiling as the other codecs
 
 _CRLF = b"\r\n"
 _MANDATORY = ("WARC-Type", "WARC-Record-ID", "WARC-Date", "Content-Length")
+# well-known field names re-keyed to canonical casing on parse (WARC
+# field names are case-insensitive per ISO 28500)
+_CANONICAL = _MANDATORY + ("WARC-Target-URI", "Content-Type")
 
 
 def is_warc(data: bytes) -> bool:
@@ -80,6 +83,17 @@ def _parse_one(data: bytes, pos: int) -> tuple[dict, int]:
     for h in _MANDATORY:
         if h.lower() not in lower:
             raise ValueError(f"corrupt WARC: missing mandatory header {h}")
+    # WARC field names are case-insensitive (ISO 28500): re-key the
+    # well-known headers to canonical casing so consumers can read
+    # rec["WARC-Type"] whatever the writer emitted; unknown headers keep
+    # their original spelling
+    for canon in _CANONICAL:
+        low = canon.lower()
+        if low in lower:
+            for k in list(headers):
+                if k.lower() == low and k != canon:
+                    del headers[k]
+            headers[canon] = lower[low]
     try:
         clen = int(lower["content-length"])
     except ValueError:
@@ -97,19 +111,25 @@ def _parse_one(data: bytes, pos: int) -> tuple[dict, int]:
     return rec, pos + 4
 
 
-def _gzip_members(data: bytes) -> list[bytes]:
-    """Split a multi-member gzip stream and inflate each member — the
-    ``.warc.gz`` per-record framing. zlib tells us where each member ends
-    (``unused_data``), which is exactly the offset a random-access index
-    would record."""
+def _walk_members(data: bytes) -> list[tuple[int, int, bytes]]:
+    """Walk a multi-member gzip stream ONCE: (offset, compressed length,
+    inflated bytes) per member — the ``.warc.gz`` per-record framing.
+    zlib tells us where each member ends (``unused_data``), which is
+    exactly the offset a random-access index records. The shared walk
+    behind ``parse_warc``, ``warc_member_index``, and ``warc_cdx``, so
+    each pays for one inflation."""
     members = []
     budget = _MAX_DECODED_BYTES
-    while data:
-        if data[:2] != b"\x1f\x8b":
+    pos = 0
+    while pos < len(data):
+        if data[pos : pos + 2] != b"\x1f\x8b":
             raise ValueError("corrupt warc.gz: garbage between gzip members")
+        if budget <= 0:
+            # zlib treats max_length=0 as UNLIMITED — never hand it that
+            raise ValueError("refusing warc.gz: decoded size exceeds the ceiling")
         d = zlib.decompressobj(wbits=31)
         try:
-            out = d.decompress(data, budget)
+            out = d.decompress(data[pos:], budget)
         except zlib.error as e:
             raise ValueError(f"corrupt warc.gz: {e}") from None
         if not d.eof:
@@ -117,9 +137,14 @@ def _gzip_members(data: bytes) -> list[bytes]:
                 "truncated warc.gz member (or decoded size exceeds the ceiling)"
             )
         budget -= len(out)
-        members.append(out)
-        data = d.unused_data
+        end = len(data) - len(d.unused_data)
+        members.append((pos, end - pos, out))
+        pos = end
     return members
+
+
+def _gzip_members(data: bytes) -> list[bytes]:
+    return [out for _, _, out in _walk_members(data)]
 
 
 def parse_warc(data: bytes) -> list[dict]:
@@ -155,26 +180,7 @@ def warc_member_index(data: bytes) -> list[tuple[int, int]]:
     read (``warc_record_at``) instead of streaming the archive."""
     if data[:2] != b"\x1f\x8b":
         raise ValueError("warc_member_index: not a gzip stream")
-    index = []
-    pos = 0
-    budget = _MAX_DECODED_BYTES
-    while pos < len(data):
-        if data[pos : pos + 2] != b"\x1f\x8b":
-            raise ValueError("corrupt warc.gz: garbage between gzip members")
-        d = zlib.decompressobj(wbits=31)
-        try:
-            out = d.decompress(data[pos:], budget)
-        except zlib.error as e:
-            raise ValueError(f"corrupt warc.gz: {e}") from None
-        if not d.eof:
-            raise ValueError(
-                "truncated warc.gz member (or decoded size exceeds the ceiling)"
-            )
-        budget -= len(out)
-        end = len(data) - len(d.unused_data)
-        index.append((pos, end - pos))
-        pos = end
-    return index
+    return [(off, ln) for off, ln, _ in _walk_members(data)]
 
 
 def warc_record_at(data: bytes, offset: int) -> dict:

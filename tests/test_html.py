@@ -116,3 +116,35 @@ def test_warc_html_lane_end_to_end(spark):
     assert out[7]["title"] == "doc 7"
     assert out[7]["body"] == "doc 7\ndoc 7\nA & B <ok>\nalpha & <beta> gamma"
     assert out[8]["body"] == "doc 8\ndoc 8\nA & B <ok>\nplain words"
+
+
+def test_html_unclosed_script_and_style_do_not_leak(spark):
+    """A truncated page's trailing <script>/<style> with no closer must
+    not leak its contents into the visible text (review finding), while
+    <styleguide>-style custom elements are ordinary tags, not style
+    openers."""
+    text, _ = _extract(
+        spark, "<p>kept</p><script>var tracker={id:123456}"
+    )
+    assert text == "kept"
+    text, _ = _extract(spark, "<p>a</p><style>.x{color:red}")
+    assert text == "a"
+    # \b guard: a custom element starting with 'style' must NOT swallow
+    # the rest of the document
+    text, _ = _extract(spark, "<styleguide>shown</styleguide><p>more</p>")
+    assert text == "shown\nmore"
+
+
+def test_html_title_ignores_comments_and_scripts(spark):
+    """The first REAL title wins — titles inside comments or script
+    strings never shadow it (review finding)."""
+    _, title = _extract(
+        spark,
+        "<!-- <title>stale draft</title> --><head><title>Real</title></head>",
+    )
+    assert title == "Real"
+    _, title = _extract(
+        spark,
+        '<script>document.title="<title>x</title>"</script><title>Good</title>',
+    )
+    assert title == "Good"

@@ -210,3 +210,52 @@ def test_warc_member_index_and_cdx_lane(spark):
         for a, b in zip(rs, rs[1:]):
             assert b["offset"] == a["offset"] + a["length"]  # contiguous
         assert rs[-1]["url"] == f"https://example.invalid/{aid}/{len(rs) - 1}"
+
+
+def test_warc_header_names_are_case_insensitive():
+    """WARC field names are case-insensitive (ISO 28500): a record
+    written with non-canonical casing parses AND its well-known headers
+    read back under canonical names (review finding: the ingest lane
+    crashed with KeyError on 'warc-type:'); unknown headers keep their
+    original spelling."""
+    raw = (
+        b"WARC/1.0\r\n"
+        b"warc-type: response\r\n"
+        b"WARC-RECORD-ID: <urn:uuid:9>\r\n"
+        b"warc-date: 2026-01-01T00:00:00Z\r\n"
+        b"WARC-TARGET-URI: https://example.invalid/9\r\n"
+        b"X-CaSe: kept\r\n"
+        b"content-length: 2\r\n"
+        b"\r\nhi\r\n\r\n"
+    )
+    (rec,) = parse_warc(raw)
+    assert rec["WARC-Type"] == "response"
+    assert rec["WARC-Record-ID"] == "<urn:uuid:9>"
+    assert rec["WARC-Target-URI"] == "https://example.invalid/9"
+    assert rec["X-CaSe"] == "kept"  # unknown header spelling preserved
+    # and the Spark lane consumes it without KeyError
+    import gzip as _gzip
+    import io as _io
+
+    buf = _io.BytesIO()
+    with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(raw)
+    rec2 = warc_record_at(buf.getvalue(), 0)
+    assert rec2["WARC-Type"] == "response"
+
+
+def test_warc_gz_budget_exhaustion_refuses(monkeypatch):
+    """When earlier members consume the whole decode budget, the next
+    member REFUSES instead of inflating uncapped (review finding: zlib
+    treats max_length=0 as unlimited, silently disabling the bomb
+    ceiling)."""
+    from eth_event_stream_spark.operators import warc as warc_mod
+
+    recs = [_rec(i, b"x" * 600) for i in range(3)]
+    gz = encode_warc(recs, gzip_members=True)
+    # each member inflates to ~700 bytes; let two fit exactly-ish and
+    # the third find budget <= 0
+    one = len(parse_warc(gz)[0]["payload"]) + 200  # header+framing slack
+    monkeypatch.setattr(warc_mod, "_MAX_DECODED_BYTES", 2 * one)
+    with pytest.raises(ValueError, match="ceiling"):
+        parse_warc(gz)
