@@ -125,3 +125,102 @@ def test_plan_broadcasts_rules_dim(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_robots_differential_vs_reference(spark):
+    """Differential verification: 60 random robots files x 6 paths decided
+    by the relational pipeline must match an independent straight-Python
+    reference implementation of the documented contract (longest literal
+    prefix, Allow wins ties, empty value matches nothing, specific group
+    shadows '*', no match allows)."""
+    import random
+
+    rnd = random.Random(20260816)
+    prefixes = ["/", "/a", "/a/b", "/a/b/c", "/ax", "/b", "/b/c"]
+    paths = ["/", "/a", "/a/b/c/d", "/ax/y", "/b/c", "/zz"]
+    agents_pool = ["bot", "*", "other"]
+
+    def ref_decide(text, agent):
+        """Straight-Python implementation of the documented contract,
+        over the raw TEXT (independent of the tuple structure used to
+        generate it): per RFC 9309 blank lines are insignificant and
+        CONSECUTIVE User-agent directive lines merge into one group —
+        the first version of this reference modeled blank-line-separated
+        UA runs as separate groups and the differential flagged the
+        implementation; the implementation was right."""
+        groups = []  # (ua_set, rules)
+        prev_ua = False
+        for line in text.split("\n"):
+            line = line.split("#")[0].strip()
+            if not line or ":" not in line:
+                continue
+            name, _, value = line.partition(":")
+            name, value = name.strip().lower(), value.strip()
+            if name == "user-agent":
+                if not prev_ua:
+                    groups.append((set(), []))
+                groups[-1][0].add(value.lower())
+                prev_ua = True
+            else:
+                prev_ua = False
+                if name in ("allow", "disallow") and value and groups:
+                    groups[-1][1].append((name == "allow", value))
+        named = [g for g in groups if agent in g[0]]
+        chosen = named if named else [g for g in groups if "*" in g[0]]
+        rules = [r for g in chosen for r in g[1]]
+        out = {}
+        for p in paths:
+            hits = [(len(pfx), allow) for allow, pfx in rules if p.startswith(pfx)]
+            if not hits:
+                out[p] = True
+            else:
+                out[p] = sorted(hits, key=lambda h: (-h[0], not h[1]))[0][1]
+        return out
+
+    cases = []
+    for case in range(60):
+        n_groups = rnd.randint(1, 3)
+        groups = []
+        for _ in range(n_groups):
+            uas = rnd.sample(agents_pool, rnd.randint(1, 2))
+            rules = [
+                (rnd.random() < 0.4, rnd.choice(prefixes + [""]))
+                for _ in range(rnd.randint(0, 4))
+            ]
+            groups.append((uas, rules))
+        text = ""
+        for uas, rules in groups:
+            for ua in uas:
+                text += f"User-agent: {ua}\n"
+            for allow, pfx in rules:
+                text += f"{'Allow' if allow else 'Disallow'}: {pfx}\n"
+            text += "\n"
+        cases.append((f"d{case}.example", text, groups))
+
+    robots = spark.createDataFrame(
+        [(d, t) for d, t, _ in cases], "domain string, text string"
+    )
+    urls = spark.createDataFrame(
+        [
+            (i * 10 + j, d, p)
+            for i, (d, _, _) in enumerate(cases)
+            for j, p in enumerate(paths)
+        ],
+        "doc_id long, domain string, path string",
+    )
+    got = {
+        (r["domain"], r["path"]): r["allowed"]
+        for r in robots_allowed(
+            urls,
+            parse_robots_rules(robots),
+            parse_robots_groups(robots),
+            "bot",
+        ).collect()
+    }
+    mismatches = []
+    for d, text, groups in cases:
+        want = ref_decide(text, "bot")
+        for p in paths:
+            if got[(d, p)] != want[p]:
+                mismatches.append((d, p, got[(d, p)], want[p], groups))
+    assert not mismatches, mismatches[:3]
