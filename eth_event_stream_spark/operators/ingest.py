@@ -239,20 +239,29 @@ def warc_cdx(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(fn, schema=WARC_CDX_SCHEMA)
 
 
-def warc_to_documents(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def warc_to_documents(
+    df: DataFrame, payload_col: str = "payload", charset: str = "sniff"
+) -> DataFrame:
     """Parse WARC archives (plain or per-record-gzip) into one row per
     record: (archive_id, rec_idx, rectype, url, n_bytes, text) — the
     ingest step that turns a crawl into a documents table. One
     Arrow-batched ``mapInPandas`` pass; a malformed archive fails LOUDLY
     (the codec-lane contract), never a silently short record list.
 
-    ``text`` is the payload decoded as UTF-8 with replacement — the
-    lossless byte count travels separately in ``n_bytes``."""
+    ``text`` decodes per ``charset``: ``"sniff"`` (default) runs the
+    documented BOM > record Content-Type > meta-prescan > UTF-8
+    precedence (``operators/charset.py``) so legacy-encoded crawl pages
+    come out as the right characters instead of replacement junk; any
+    other value is a fixed codec name. Characters the chosen codec
+    cannot map are REPLACED (a pipeline keeps the page and marks
+    damage); the lossless byte count travels separately in
+    ``n_bytes``."""
     from ..shipping import ship_package
 
     ship_package(df.sparkSession)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .charset import decode_payload
         from .warc import parse_warc
 
         for pdf in batches:
@@ -260,6 +269,11 @@ def warc_to_documents(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             for aid, payload in zip(pdf["archive_id"], pdf[payload_col]):
                 for i, rec in enumerate(parse_warc(bytes(payload))):
                     body = rec["payload"]
+                    text = (
+                        decode_payload(body, rec.get("Content-Type"))
+                        if charset == "sniff"
+                        else body.decode(charset, "replace")
+                    )
                     rows.append(
                         (
                             int(aid),
@@ -267,7 +281,7 @@ def warc_to_documents(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                             rec["WARC-Type"],
                             rec.get("WARC-Target-URI"),
                             len(body),
-                            body.decode("utf-8", "replace"),
+                            text,
                         )
                     )
             yield pd.DataFrame(
