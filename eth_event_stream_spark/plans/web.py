@@ -292,6 +292,132 @@ def _synth_urls(docs: DataFrame) -> DataFrame:
     )
 
 
+def parse_sitemap_urls(sitemaps: DataFrame) -> DataFrame:
+    """(domain, xml) -> one row per ``<url>`` entry: (domain, url_idx,
+    loc, lastmod) — sitemap.xml parsed entirely in Catalyst:
+    ``regexp_extract_all`` pulls the ``<url>`` blocks, posexplode splits
+    them, per-block extracts read ``<loc>``/``<lastmod>``, and the XML
+    character references a conforming ``<loc>`` must escape (``&amp;``
+    in query strings) decode in the same entity order as the HTML chain.
+    ``<sitemapindex>`` files (pointers to child sitemaps) are surfaced
+    with ``is_index = true`` so a crawler can recurse; a file with
+    neither element yields zero rows for its domain (sitemaps are
+    advisory — absence is not an error)."""
+    blocks = sitemaps.select(
+        "domain",
+        F.coalesce(
+            F.expr(
+                r"regexp_extract_all(xml, '(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1)"
+            ),
+            F.array(),
+        ).alias("blocks"),
+        F.col("xml").contains("<sitemapindex").alias("is_index"),
+    )
+    entries = blocks.select(
+        "domain",
+        "is_index",
+        F.posexplode("blocks").alias("url_idx", "block"),
+    )
+    loc = F.regexp_extract("block", r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&amp;", "&")]:
+        loc = F.replace(loc, F.lit(ent), F.lit(ch))
+    return entries.select(
+        "domain",
+        F.col("url_idx").cast("bigint").alias("url_idx"),
+        loc.alias("loc"),
+        F.nullif(
+            F.regexp_extract("block", r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1),
+            F.lit(""),
+        ).alias("lastmod"),
+        "is_index",
+    ).filter(F.col("loc") != "")
+
+
+@register(
+    "web_sitemap_urls",
+    oracle="""
+    WITH sm AS (
+      SELECT doc_id, doc_id % 20 AS d, u.j
+      FROM documents,
+           LATERAL (SELECT UNNEST(range(0, 1 + doc_id % 3)) AS j) u)
+    SELECT 'site' || d || '.example' AS domain,
+           CAST(j AS BIGINT) AS url_idx,
+           'https://site' || d || '.example/page/' || doc_id || '/' || j
+             || '?a=1&b=' || j AS loc,
+           CASE WHEN doc_id % 2 = 0
+                THEN '2026-0' || (1 + doc_id % 9) || '-01' END AS lastmod,
+           FALSE AS is_index
+    FROM sm
+    """,
+    doc="sitemap.xml parsed in pure Catalyst: url blocks via "
+    "regexp_extract_all + posexplode, loc/lastmod per block, XML "
+    "entities decoded; the oracle replays every url string.",
+)
+def web_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-discovery half of the web-metadata pair (robots.txt is
+    the politeness half): every document becomes a sitemap.xml with
+    ``1 + doc_id % 3`` ``<url>`` entries — locs carrying XML-escaped
+    query strings (``&amp;``) and alternating optional ``<lastmod>``
+    fields — and ``parse_sitemap_urls`` extracts them ENTIRELY in
+    Catalyst (regexp_extract_all + posexplode + per-block extracts +
+    entity decode; zero Python anywhere, enforced by the registry-wide
+    no-Python plan gate). The DuckDB oracle replays every loc, lastmod,
+    and index flag with string arithmetic.
+
+    At 100 TB: sitemap parsing is a stateless per-file string transform
+    — it fuses into the scan exactly like the WET extraction, and the
+    output explodes into small typed rows that feed the crawl frontier
+    (or, in a training pipeline, the URL-curation profile) JVM-side."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id") % 20
+    entry = F.concat(
+        F.lit("  <url>\n    <loc>https://site"),
+        d.cast("string"),
+        F.lit(".example/page/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/"),
+        F.col("j").cast("string"),
+        F.lit("?a=1&amp;b="),
+        F.col("j").cast("string"),
+        F.lit("</loc>\n"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("    <lastmod>2026-0"),
+                (F.col("doc_id") % 9 + 1).cast("string"),
+                F.lit("-01</lastmod>\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("  </url>\n"),
+    )
+    # one sitemap per DOCUMENT; entries MUST be in j order (url_idx = j
+    # in the oracle), so collect (j, entry) structs and sort before the
+    # join — collect_list alone has no order guarantee
+    xml = docs.select(
+        "doc_id",
+        F.concat(F.lit("site"), d.cast("string"), F.lit(".example")).alias(
+            "domain"
+        ),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("j"),
+    ).groupBy("doc_id", "domain").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?>\n<urlset>\n'),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("j", entry.alias("e")))),
+                    lambda s: s["e"],
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    return parse_sitemap_urls(xml.select("domain", "xml"))
+
+
 @register(
     "web_pipeline_keep_list",
     oracle="""

@@ -224,3 +224,42 @@ def test_robots_differential_vs_reference(spark):
             if got[(d, p)] != want[p]:
                 mismatches.append((d, p, got[(d, p)], want[p], groups))
     assert not mismatches, mismatches[:3]
+
+
+def test_parse_sitemap_urls(spark):
+    """Sitemap parsing edges: urlset entries in order, XML entities in
+    loc decode, missing lastmod is NULL, whitespace inside loc trims,
+    sitemapindex files flag is_index and surface child locs, an empty
+    file yields zero rows."""
+    from eth_event_stream_spark.plans.web import parse_sitemap_urls
+
+    urlset = (
+        '<?xml version="1.0"?>\n<urlset>\n'
+        "  <url><loc> https://d.example/a?x=1&amp;y=2 </loc>"
+        "<lastmod>2026-01-02</lastmod></url>\n"
+        "  <url>\n    <loc>https://d.example/b</loc>\n  </url>\n"
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://d.example/s1.xml</loc>"
+        "</sitemap><sitemap><loc>https://d.example/s2.xml</loc>"
+        "<lastmod>2026-02-03</lastmod></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("a.example", urlset), ("b.example", index), ("c.example", "<urlset></urlset>")],
+        "domain string, xml string",
+    )
+    rows = {(r["domain"], r["url_idx"]): r for r in parse_sitemap_urls(df).collect()}
+    assert len(rows) == 4  # 2 urls + 2 child sitemaps; empty file: none
+    a0 = rows[("a.example", 0)]
+    assert a0["loc"] == "https://d.example/a?x=1&y=2"  # trimmed + decoded
+    assert a0["lastmod"] == "2026-01-02"
+    assert a0["is_index"] is False
+    a1 = rows[("a.example", 1)]
+    assert a1["loc"] == "https://d.example/b" and a1["lastmod"] is None
+    b0, b1 = rows[("b.example", 0)], rows[("b.example", 1)]
+    assert b0["is_index"] is True and b0["loc"].endswith("s1.xml")
+    assert b1["lastmod"] == "2026-02-03"
+    # pure Catalyst: no Python nodes in the parse plan
+    plan = parse_sitemap_urls(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
