@@ -193,6 +193,7 @@ HEADLINE = [
     "web_robots_filter",
     "web_domain_profile",
     "web_pipeline_keep_list",
+    "web_sitemap_urls",
 ]
 
 
