@@ -11,8 +11,12 @@ content="...charset=...">`` tag inside the first 1024 bytes (the
 standard's prescan window); (4) the caller's default (UTF-8). Labels
 resolve through the stdlib codec registry with the two WHATWG aliases
 the registry spells differently (``latin1`` for ``iso-8859-1``,
-``cp1252`` for ``windows-1252``); an unknown label fails LOUDLY — the
-house discipline, never a silent wrong decode.
+``cp1252`` for ``windows-1252``). An unknown label in a CONTENT source
+(Content-Type param, meta tag) is a failure of that precedence step per
+the WHATWG algorithm and falls through to the next one — crawl pages
+declare garbage charsets and must not abort the job; an unknown label
+handed directly to ``resolve_charset_label`` (a caller-supplied fixed
+codec name) still fails LOUDLY.
 
 Decoding itself is stdlib ``codecs`` — the reference implementation IS
 the implementation, so there is nothing to pin beyond the sniffing
@@ -64,17 +68,31 @@ def resolve_charset_label(label: str) -> str:
 def sniff_charset(payload: bytes, content_type: str | None = None) -> str:
     """The encoding of an HTML/text payload, by the documented precedence:
     BOM > Content-Type charset param > meta tag in the first 1024 bytes >
-    UTF-8. Returns a canonical stdlib codec name."""
+    UTF-8. Returns a canonical stdlib codec name.
+
+    Unknown labels in the CONTENT sources (Content-Type, meta tag) are
+    treated per the WHATWG algorithm: a label that fails to resolve is a
+    failure of that precedence step, and sniffing falls through to the
+    next one — one crawl page declaring ``charset=klingon-9`` (or a
+    false-positive of the loose meta prescan) must not abort a
+    100 TB ingest job. ``resolve_charset_label`` itself stays LOUD for
+    caller-supplied fixed codec names."""
     for bom, name in _BOMS:
         if payload.startswith(bom):
             return codecs.lookup(name).name
     if content_type:
         m = re.search(r"(?i)charset\s*=\s*([^;\s\"']+)", content_type)
         if m:
-            return resolve_charset_label(m.group(1))
+            try:
+                return resolve_charset_label(m.group(1))
+            except ValueError:
+                pass  # WHATWG: unresolvable label -> next precedence step
     m = _META_CHARSET.search(payload[:_PRESCAN])
     if m:
-        return resolve_charset_label(m.group(1).decode("ascii", "replace"))
+        try:
+            return resolve_charset_label(m.group(1).decode("ascii", "replace"))
+        except ValueError:
+            pass
     return "utf-8"
 
 

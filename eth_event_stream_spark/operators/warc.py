@@ -94,13 +94,16 @@ def _parse_one(data: bytes, pos: int) -> tuple[dict, int]:
                 if k.lower() == low and k != canon:
                     del headers[k]
             headers[canon] = lower[low]
-    try:
-        clen = int(lower["content-length"])
-    except ValueError:
+    # strict ASCII digits only: int() would silently accept '+10',
+    # ' 10 ', '1_0' (underscore grouping), and non-ASCII decimal digits —
+    # all nonconforming per ISO 28500, which defines the value as 1*DIGIT
+    clen_raw = lower["content-length"]
+    if not (clen_raw and all("0" <= c <= "9" for c in clen_raw)):
         raise ValueError(
-            f"corrupt WARC: non-integer Content-Length {lower['content-length']!r}"
-        ) from None
-    if clen < 0 or pos + clen + 4 > len(data):
+            f"corrupt WARC: non-digit Content-Length {clen_raw!r}"
+        )
+    clen = int(clen_raw)
+    if pos + clen + 4 > len(data):
         raise ValueError("truncated WARC: payload ran past the end")
     payload = data[pos : pos + clen]
     pos += clen

@@ -47,11 +47,29 @@ def test_meta_tag_variants_inside_prescan():
 def test_default_and_loud_failures():
     assert sniff_charset(b"plain ascii") == "utf-8"
     with pytest.raises(ValueError, match="unknown charset"):
-        sniff_charset(b'<meta charset="klingon-9">')
-    with pytest.raises(ValueError, match="unknown charset"):
         resolve_charset_label("not-a-codec")
     assert resolve_charset_label("ISO-8859-1") == "iso8859-1"
     assert resolve_charset_label("x-user-defined") == "iso8859-1"
+
+
+def test_unknown_content_labels_fall_through():
+    """WHATWG: an unresolvable label in a CONTENT source is a failure of
+    that precedence STEP, not of the job — one garbage charset= on one
+    crawl page must not abort a 100 TB ingest. Content-Type falls
+    through to meta, meta falls through to the UTF-8 default."""
+    # garbage meta label -> default
+    assert sniff_charset(b'<meta charset="klingon-9">') == "utf-8"
+    # garbage Content-Type label -> the meta tag still applies
+    body = b'<meta charset="windows-1252">\xe9'
+    assert sniff_charset(body, "text/html; charset=bogus-1") == "cp1252"
+    # both garbage -> default
+    assert sniff_charset(b'<meta charset="x">', "text/html; charset=y") == "utf-8"
+    # a BOM still wins before any label is consulted
+    import codecs as _c
+
+    assert sniff_charset(_c.BOM_UTF8 + b"x", "text/html; charset=bogus") == "utf-8"
+    # and the fall-through never weakens a RESOLVABLE higher-precedence label
+    assert sniff_charset(body, "text/html; charset=iso-8859-1") == "iso8859-1"
 
 
 def test_legacy_page_round_trip():

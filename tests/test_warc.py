@@ -126,6 +126,14 @@ def test_warc_fail_fast():
     )
     with pytest.raises(ValueError, match="mandatory header"):
         parse_warc(raw_missing)
+    # Content-Length must be ASCII digits only: int() forms that decode
+    # silently ('+10', '1_0') are nonconforming and refuse loudly
+    for bad_len in (b"+10", b"1_0", b"0x10", b"-0"):
+        tampered = plain.replace(
+            b"Content-Length: 10", b"Content-Length: " + bad_len, 1
+        )
+        with pytest.raises(ValueError, match="non-digit Content-Length"):
+            parse_warc(tampered)
 
 
 def test_warc_single_byte_corruptions_fail_loudly():
