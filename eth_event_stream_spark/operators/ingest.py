@@ -52,6 +52,40 @@ WARC_DOC_SCHEMA = StructType(
 )
 
 
+def split_http_response(message: bytes) -> tuple[bytes, bytes]:
+    """Split a full HTTP/1.x response message (RFC 9112 framing: status
+    line, CRLF-terminated header fields, one blank line, entity body)
+    into ``(header_block, body)`` — the byte-level step that must happen
+    BEFORE charset decoding, so header bytes never leak into extracted
+    text and the HTTP-level Content-Type can drive the sniff. Loud on a
+    missing status line or a missing blank line (a WARC response record
+    whose payload claims ``application/http`` but is not an HTTP message
+    is corrupt data, not a judgment call)."""
+    if not message.startswith(b"HTTP/"):
+        raise ValueError(
+            f"not an HTTP response message: starts {message[:12]!r}"
+        )
+    at = message.find(b"\r\n\r\n")
+    if at < 0:
+        raise ValueError(
+            "corrupt HTTP message: no blank line ends the header block"
+        )
+    return message[:at], message[at + 4 :]
+
+
+def _http_content_type(header_block: bytes) -> str | None:
+    """The FIRST Content-Type header value from a raw header block —
+    field names are case-insensitive per RFC 9110. Header bytes are
+    ASCII-structured; latin-1 maps every byte losslessly."""
+    import re
+
+    m = re.search(
+        r"(?im)^content-type[ \t]*:[ \t]*([^\r\n]*)",
+        header_block.decode("latin-1"),
+    )
+    return m.group(1).strip() if m else None
+
+
 def synth_warc_payload(doc_id: int) -> bytes:
     """Deterministic REAL ``.warc.gz`` archive for ``doc_id``:
     ``1 + doc_id % 3`` response records, each its own gzip member
@@ -103,12 +137,17 @@ def documents_as_warc(documents: DataFrame) -> DataFrame:
 
 
 def synth_warc_html_payload(doc_id: int, text: str) -> bytes:
-    """Deterministic one-record ``.warc.gz`` whose body is an HTML page
-    embedding the document's text (HTML-escaped), plus every markup
-    feature the extraction contract must survive: a comment, a style
-    block, a script block containing ``<`` and quotes, block tags, and
-    pre-escaped entities. The visible text is a pure string function of
-    (doc_id, text), so a SQL oracle replays the extraction end to end."""
+    """Deterministic one-record ``.warc.gz`` whose record is a FULL HTTP
+    response (``application/http; msgtype=response`` — the framing real
+    Common Crawl response records use: status line, Content-Type with a
+    charset param, exact Content-Length, blank line) whose entity is an
+    HTML page embedding the document's text (HTML-escaped), plus every
+    markup feature the extraction contract must survive: a comment, a
+    style block, a script block containing ``<`` and quotes, block tags,
+    and pre-escaped entities. The visible text is a pure string function
+    of (doc_id, text), so a SQL oracle replays the extraction end to end
+    — which makes the oracle ALSO verify the HTTP header/body split: a
+    split that leaked header bytes into the text breaks the hash."""
     from .warc import encode_warc
 
     esc = (
@@ -120,6 +159,11 @@ def synth_warc_html_payload(doc_id: int, text: str) -> bytes:
         '<body><script>var x = "1"; if (x < "2") { }</script>'
         f"<h1>doc {doc_id}</h1><p>A &amp; B &lt;ok&gt;</p>"
         f"<p>{esc}</p></body></html>"
+    ).encode()
+    message = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n" + html
     )
     return encode_warc(
         [
@@ -129,9 +173,9 @@ def synth_warc_html_payload(doc_id: int, text: str) -> bytes:
                     "WARC-Record-ID": f"<urn:uuid:{doc_id:032x}>",
                     "WARC-Date": "2026-01-01T00:00:00Z",
                     "WARC-Target-URI": f"https://example.invalid/{doc_id}",
-                    "Content-Type": "text/html",
+                    "Content-Type": "application/http; msgtype=response",
                 },
-                "payload": html.encode(),
+                "payload": message,
             }
         ],
         gzip_members=True,
@@ -248,14 +292,23 @@ def warc_to_documents(
     Arrow-batched ``mapInPandas`` pass; a malformed archive fails LOUDLY
     (the codec-lane contract), never a silently short record list.
 
+    Records whose WARC-level Content-Type is ``application/http`` (the
+    framing real Common Crawl response records use) carry a FULL HTTP
+    message as payload: the HTTP header block is split off BEFORE
+    decoding (``split_http_response``) so header bytes never leak into
+    ``text``, and the HTTP-level Content-Type — not the WARC-level one —
+    feeds the charset sniff. Every other record's payload is the bare
+    entity, decoded directly.
+
     ``text`` decodes per ``charset``: ``"sniff"`` (default) runs the
-    documented BOM > record Content-Type > meta-prescan > UTF-8
-    precedence (``operators/charset.py``) so legacy-encoded crawl pages
-    come out as the right characters instead of replacement junk; any
-    other value is a fixed codec name. Characters the chosen codec
-    cannot map are REPLACED (a pipeline keeps the page and marks
-    damage); the lossless byte count travels separately in
-    ``n_bytes``."""
+    documented BOM > Content-Type > meta-prescan > UTF-8 precedence
+    (``operators/charset.py``) so legacy-encoded crawl pages come out as
+    the right characters instead of replacement junk; any other value is
+    a fixed codec name. Characters the chosen codec cannot map are
+    REPLACED (a pipeline keeps the page and marks damage); the lossless
+    byte count of the decoded entity (the HTTP body for
+    ``application/http`` records, the record payload otherwise) travels
+    separately in ``n_bytes``."""
     from ..shipping import ship_package
 
     ship_package(df.sparkSession)
@@ -269,8 +322,16 @@ def warc_to_documents(
             for aid, payload in zip(pdf["archive_id"], pdf[payload_col]):
                 for i, rec in enumerate(parse_warc(bytes(payload))):
                     body = rec["payload"]
+                    ctype = rec.get("Content-Type")
+                    if (
+                        ctype
+                        and ctype.split(";")[0].strip().lower()
+                        == "application/http"
+                    ):
+                        hdr, body = split_http_response(body)
+                        ctype = _http_content_type(hdr)
                     text = (
-                        decode_payload(body, rec.get("Content-Type"))
+                        decode_payload(body, ctype)
                         if charset == "sniff"
                         else body.decode(charset, "replace")
                     )
@@ -289,3 +350,142 @@ def warc_to_documents(
             )
 
     return df.mapInPandas(fn, schema=WARC_DOC_SCHEMA)
+
+
+WARC_HTTP_SCHEMA = StructType(
+    [
+        StructField("archive_id", LongType(), False),
+        StructField("rec_idx", LongType(), False),
+        StructField("url", StringType(), True),
+        StructField("http_headers", StringType(), False),
+        StructField("n_body_bytes", LongType(), False),
+        StructField("body_text", StringType(), False),
+    ]
+)
+
+
+def synth_warc_http_payload(doc_id: int) -> bytes:
+    """Deterministic one-record ``.warc.gz`` whose record is a full HTTP
+    response exercising the header-parse surface on formulaic schedules
+    a SQL oracle replays: status 301 + Location when ``doc_id % 7 == 0``
+    (checked first), 404 when ``doc_id % 11 == 3``, else 200; media type
+    and charset alternate on ``doc_id % 2``; the Content-Type field NAME
+    is lowercased on ``doc_id % 3 == 0`` (RFC 9110 case-insensitivity);
+    Content-Length is exact except ``doc_id % 13 == 5`` which emits the
+    nonconforming ``+N`` (must parse to NULL, never a silent int); and
+    the BODY contains a header-shaped ``Location:`` line that must NOT
+    match (block isolation)."""
+    from .warc import encode_warc
+
+    if doc_id % 7 == 0:
+        status, reason = 301, "Moved Permanently"
+    elif doc_id % 11 == 3:
+        status, reason = 404, "Not Found"
+    else:
+        status, reason = 200, "OK"
+    body = (
+        f"body {doc_id} " * (1 + doc_id % 4) + "\nLocation: /fake-in-body"
+    ).encode()
+    ct_name = "content-type" if doc_id % 3 == 0 else "Content-Type"
+    ct_val = (
+        "text/html; charset=utf-8"
+        if doc_id % 2 == 0
+        else "text/plain; charset=windows-1252"
+    )
+    clen = f"+{len(body)}" if doc_id % 13 == 5 else str(len(body))
+    lines = [f"HTTP/1.1 {status} {reason}", f"{ct_name}: {ct_val}"]
+    if status == 301:
+        lines.append(
+            f"Location: https://site{doc_id % 20}.example/moved/{doc_id}"
+        )
+    lines.append(f"Content-Length: {clen}")
+    message = ("\r\n".join(lines) + "\r\n\r\n").encode() + body
+    return encode_warc(
+        [
+            {
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:uuid:{doc_id:032x}>",
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                    "WARC-Target-URI": (
+                        f"https://site{doc_id % 20}.example/p/{doc_id}"
+                    ),
+                    "Content-Type": "application/http; msgtype=response",
+                },
+                "payload": message,
+            }
+        ],
+        gzip_members=True,
+    )
+
+
+def documents_as_warc_http(documents: DataFrame) -> DataFrame:
+    """Synthesize the HTTP-response ``.warc.gz`` archives
+    (``synth_warc_http_payload``) in one Arrow-batched ``mapInPandas``."""
+    from ..shipping import ship_package
+
+    ship_package(documents.sparkSession)
+    ids = documents.select(F.col("doc_id").alias("archive_id"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (int(aid), synth_warc_http_payload(int(aid)))
+                for aid in pdf["archive_id"]
+            ]
+            yield pd.DataFrame(
+                out, columns=[f.name for f in WARC_ARCHIVE_SCHEMA.fields]
+            )
+
+    return ids.mapInPandas(fn, schema=WARC_ARCHIVE_SCHEMA)
+
+
+def warc_http_responses(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Parse WARC archives and surface every ``application/http``
+    RESPONSE record as (archive_id, rec_idx, url, http_headers,
+    n_body_bytes, body_text) — the byte-level half of the HTTP layer:
+    the header block splits off BEFORE decoding (headers are ASCII-
+    structured and decode latin-1 losslessly into ``http_headers`` for
+    the pure-Catalyst field extraction in ``functions/http.py``), the
+    body decodes by the documented charset precedence with the
+    HTTP-level Content-Type as its transport input, and ``rec_idx``
+    keeps the record's position in the FULL archive so rows join back
+    against a CDX index. Non-response / non-http records (request,
+    metadata, warcinfo — real crawls interleave them) are SELECTED OUT
+    by contract; a response record whose payload is not a well-formed
+    HTTP message raises. One Arrow pass, bytes partition-local."""
+    from ..shipping import ship_package
+
+    ship_package(df.sparkSession)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .charset import decode_payload
+        from .warc import parse_warc
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["archive_id"], pdf[payload_col]):
+                for i, rec in enumerate(parse_warc(bytes(payload))):
+                    ctype = rec.get("Content-Type", "")
+                    if (
+                        rec["WARC-Type"] != "response"
+                        or ctype.split(";")[0].strip().lower()
+                        != "application/http"
+                    ):
+                        continue
+                    hdr, body = split_http_response(rec["payload"])
+                    rows.append(
+                        (
+                            int(aid),
+                            i,
+                            rec.get("WARC-Target-URI"),
+                            hdr.decode("latin-1"),
+                            len(body),
+                            decode_payload(body, _http_content_type(hdr)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_HTTP_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(fn, schema=WARC_HTTP_SCHEMA)

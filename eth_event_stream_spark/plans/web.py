@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from .catalog import t
+from .catalog import t, t_parallel
 from .registry import register
 
 
@@ -292,19 +292,12 @@ def _synth_urls(docs: DataFrame) -> DataFrame:
     )
 
 
-def parse_sitemap_urls(sitemaps: DataFrame) -> DataFrame:
-    """(domain, xml) -> one row per ``<url>`` entry: (domain, url_idx,
-    loc, lastmod) — sitemap.xml parsed entirely in Catalyst:
-    ``regexp_extract_all`` pulls the ``<url>`` blocks, posexplode splits
-    them, per-block extracts read ``<loc>``/``<lastmod>``, and the XML
-    character references a conforming ``<loc>`` must escape (``&amp;``
-    in query strings) decode in the same entity order as the HTML chain.
-    ``<sitemapindex>`` files (pointers to child sitemaps) are surfaced
-    with ``is_index = true`` so a crawler can recurse; a file with
-    neither element yields zero rows for its domain (sitemaps are
-    advisory — absence is not an error)."""
+def _parse_sitemap_entries(sitemaps: DataFrame, keys: list[str]) -> DataFrame:
+    """(*keys, xml) -> (*keys, url_idx, loc, lastmod, is_index) — the
+    shared Catalyst parse behind ``parse_sitemap_urls`` (keyed by
+    domain) and ``sitemap_frontier`` (keyed by root + parent)."""
     blocks = sitemaps.select(
-        "domain",
+        *keys,
         F.coalesce(
             F.expr(
                 r"regexp_extract_all(xml, '(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1)"
@@ -314,7 +307,7 @@ def parse_sitemap_urls(sitemaps: DataFrame) -> DataFrame:
         F.col("xml").contains("<sitemapindex").alias("is_index"),
     )
     entries = blocks.select(
-        "domain",
+        *keys,
         "is_index",
         F.posexplode("blocks").alias("url_idx", "block"),
     )
@@ -323,7 +316,7 @@ def parse_sitemap_urls(sitemaps: DataFrame) -> DataFrame:
                     ("&#39;", "'"), ("&amp;", "&")]:
         loc = F.replace(loc, F.lit(ent), F.lit(ch))
     return entries.select(
-        "domain",
+        *keys,
         F.col("url_idx").cast("bigint").alias("url_idx"),
         loc.alias("loc"),
         F.nullif(
@@ -332,6 +325,87 @@ def parse_sitemap_urls(sitemaps: DataFrame) -> DataFrame:
         ).alias("lastmod"),
         "is_index",
     ).filter(F.col("loc") != "")
+
+
+def parse_sitemap_urls(sitemaps: DataFrame) -> DataFrame:
+    """(domain, xml) -> one row per ``<url>`` entry: (domain, url_idx,
+    loc, lastmod) — sitemap.xml parsed entirely in Catalyst:
+    ``regexp_extract_all`` pulls the ``<url>`` blocks, posexplode splits
+    them, per-block extracts read ``<loc>``/``<lastmod>``, and the XML
+    character references a conforming ``<loc>`` must escape (``&amp;``
+    in query strings) decode in the same entity order as the HTML chain.
+    ``<sitemapindex>`` files (pointers to child sitemaps) are surfaced
+    with ``is_index = true`` so a crawler can recurse (``sitemap_frontier``
+    performs that recursion); a file with neither element yields zero
+    rows for its domain (sitemaps are advisory — absence is not an
+    error)."""
+    return _parse_sitemap_entries(sitemaps, ["domain"])
+
+
+def sitemap_frontier(roots: DataFrame, fetched: DataFrame) -> DataFrame:
+    """The full crawl-discovery traversal ``is_index`` advertises:
+    (root_id, domain, xml) root sitemaps + a (url, xml) fetch cache ->
+    one row per discovered page URL across BOTH levels the protocol
+    allows: level 0 (plain ``<urlset>`` roots) and level 1 (``<urlset>``
+    children listed by a ``<sitemapindex>`` root, joined back against
+    the fetch cache on the child's ``<loc>``). The sitemaps.org protocol
+    FORBIDS an index listing another index, so two levels IS the
+    complete traversal — a nested index in the fetch cache fails the job
+    loudly (``raise_error``, the house discipline) rather than silently
+    truncating discovery. Index children absent from the fetch cache
+    contribute nothing (not yet fetched — sitemaps are advisory), by
+    contract.
+
+    Output: (root_id, domain, level, parent_loc, url_idx, loc, lastmod)
+    — ``parent_loc`` is NULL at level 0 and the child sitemap's URL at
+    level 1; ``url_idx`` is the entry's position within ITS OWN file.
+
+    Entirely Catalyst: both levels are the shared regexp parse, the only
+    join is child-loc -> fetch-cache (equi-join on url; both sides scale
+    with the crawl and shuffle-partition normally at 100 TB)."""
+    ents = _parse_sitemap_entries(
+        roots.select("root_id", "domain", "xml"), ["root_id", "domain"]
+    )
+    lvl0 = ents.filter(~F.col("is_index")).select(
+        "root_id",
+        "domain",
+        F.lit(0).cast("bigint").alias("level"),
+        F.lit(None).cast("string").alias("parent_loc"),
+        "url_idx",
+        "loc",
+        "lastmod",
+    )
+    kids = ents.filter(F.col("is_index")).select(
+        "root_id", "domain", F.col("loc").alias("url")
+    )
+    kid_docs = kids.join(fetched, "url").select(
+        "root_id", "domain", F.col("url").alias("parent_loc"), "xml"
+    )
+    kents = _parse_sitemap_entries(
+        kid_docs, ["root_id", "domain", "parent_loc"]
+    )
+    lvl1 = kents.select(
+        "root_id",
+        "domain",
+        F.lit(1).cast("bigint").alias("level"),
+        "parent_loc",
+        "url_idx",
+        # the protocol forbids index->index nesting: refuse loudly, never
+        # a silently shallow frontier
+        F.when(
+            F.col("is_index"),
+            F.raise_error(
+                F.concat(
+                    F.lit("nested sitemapindex (forbidden by the protocol): "),
+                    F.col("parent_loc"),
+                )
+            ),
+        )
+        .otherwise(F.col("loc"))
+        .alias("loc"),
+        "lastmod",
+    )
+    return lvl0.unionByName(lvl1)
 
 
 @register(
@@ -416,6 +490,268 @@ def web_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("xml")
     )
     return parse_sitemap_urls(xml.select("domain", "xml"))
+
+
+@register(
+    "web_sitemap_recursive",
+    oracle="""
+    WITH lvl0 AS (
+      SELECT doc_id, u.j
+      FROM documents, LATERAL (SELECT UNNEST(range(0, 2)) AS j) u
+      WHERE doc_id % 4 = 2),
+    kids AS (
+      SELECT doc_id, u.c
+      FROM documents,
+           LATERAL (SELECT UNNEST(range(0, 1 + doc_id % 3)) AS c) u
+      WHERE doc_id % 4 != 2 AND NOT (doc_id % 5 = 1 AND u.c = 0)),
+    lvl1 AS (
+      SELECT doc_id, c, u.j
+      FROM kids,
+           LATERAL (SELECT UNNEST(range(0, 1 + (doc_id + c) % 2)) AS j) u)
+    SELECT doc_id AS root_id,
+           'site' || (doc_id % 20) || '.example' AS domain,
+           CAST(0 AS BIGINT) AS level,
+           CAST(NULL AS VARCHAR) AS parent_loc,
+           CAST(j AS BIGINT) AS url_idx,
+           'https://site' || (doc_id % 20) || '.example/p/' || doc_id
+             || '/r/' || j AS loc,
+           CASE WHEN (doc_id + j) % 2 = 0
+                THEN '2026-0' || (1 + doc_id % 9) || '-01' END AS lastmod
+    FROM lvl0
+    UNION ALL
+    SELECT doc_id,
+           'site' || (doc_id % 20) || '.example',
+           CAST(1 AS BIGINT),
+           'https://site' || (doc_id % 20) || '.example/sm/' || doc_id
+             || '/' || c || '.xml',
+           CAST(j AS BIGINT),
+           'https://site' || (doc_id % 20) || '.example/p/' || doc_id
+             || '/' || c || '/' || j,
+           CASE WHEN (doc_id + c + j) % 2 = 0
+                THEN '2026-0' || (1 + c) || '-02' END
+    FROM lvl1
+    """,
+    doc="sitemapindex recursion: index roots -> child sitemaps joined "
+    "from the fetch cache -> page URLs, plus plain urlset roots; both "
+    "levels pure Catalyst; the oracle replays the whole frontier.",
+)
+def web_sitemap_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The traversal ``is_index`` advertises, performed end to end and
+    oracle-checked: every document becomes a ROOT sitemap — a plain
+    ``<urlset>`` (two page URLs) when ``doc_id % 4 == 2``, else a
+    ``<sitemapindex>`` listing ``1 + doc_id % 3`` child sitemaps — and
+    the fetch cache holds each child's ``<urlset>`` (``1 + (doc_id + c)
+    % 2`` page URLs, alternating optional ``<lastmod>``), EXCEPT child 0
+    of ``doc_id % 5 == 1`` roots, which stays unfetched and must
+    contribute nothing (inner-join contract). ``sitemap_frontier`` runs
+    both protocol levels in pure Catalyst — shared regexp parse, one
+    equi-join of child locs against the cache, a ``raise_error`` guard
+    on spec-forbidden nested indexes — and the DuckDB oracle replays the
+    complete frontier (levels, parents, positions, locs, lastmods) with
+    string arithmetic.
+
+    At 100 TB: roots and the fetch cache are both crawl-scale tables;
+    the parse is stateless per-file string work that fuses into each
+    scan, and the single equi-join on child URL is the only shuffle —
+    the protocol's two-level bound means NO iteration, unlike generic
+    graph traversal."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = (F.col("doc_id") % 20).cast("string")
+    site = F.concat(F.lit("https://site"), d, F.lit(".example"))
+    domain = F.concat(F.lit("site"), d, F.lit(".example"))
+
+    def url_entry(loc, lastmod):
+        return F.concat(
+            F.lit("<url><loc>"),
+            loc,
+            F.lit("</loc>"),
+            F.coalesce(
+                F.concat(F.lit("<lastmod>"), lastmod, F.lit("</lastmod>")),
+                F.lit(""),
+            ),
+            F.lit("</url>"),
+        )
+
+    def root_page(j):
+        loc = F.concat(
+            site, F.lit("/p/"), F.col("doc_id").cast("string"),
+            F.lit("/r/"), F.lit(str(j)),
+        )
+        lastmod = F.when(
+            (F.col("doc_id") + j) % 2 == 0,
+            F.concat(
+                F.lit("2026-0"),
+                (F.col("doc_id") % 9 + 1).cast("string"),
+                F.lit("-01"),
+            ),
+        )
+        return url_entry(loc, lastmod)
+
+    def child_url(c):
+        return F.concat(
+            site, F.lit("/sm/"), F.col("doc_id").cast("string"),
+            F.lit("/"), c.cast("string"), F.lit(".xml"),
+        )
+
+    def index_entry(c):
+        return F.when(
+            F.col("doc_id") % 3 >= c,
+            F.concat(
+                F.lit("<sitemap><loc>"), child_url(F.lit(c)),
+                F.lit("</loc></sitemap>"),
+            ),
+        ).otherwise(F.lit(""))
+
+    urlset_root = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        root_page(0), root_page(1), F.lit("</urlset>"),
+    )
+    index_root = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex>'),
+        index_entry(0), index_entry(1), index_entry(2),
+        F.lit("</sitemapindex>"),
+    )
+    roots = docs.select(
+        F.col("doc_id").alias("root_id"),
+        domain.alias("domain"),
+        F.when(F.col("doc_id") % 4 == 2, urlset_root)
+        .otherwise(index_root)
+        .alias("xml"),
+    )
+
+    # the fetch cache: child c of every index root, EXCEPT child 0 of
+    # doc_id % 5 == 1 roots (deliberately unfetched)
+    kids = (
+        docs.filter(F.col("doc_id") % 4 != 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+            ).alias("c"),
+        )
+        .filter(~((F.col("doc_id") % 5 == 1) & (F.col("c") == 0)))
+    )
+
+    def kid_page(j):
+        loc = F.concat(
+            site, F.lit("/p/"), F.col("doc_id").cast("string"),
+            F.lit("/"), F.col("c").cast("string"), F.lit("/"), F.lit(str(j)),
+        )
+        lastmod = F.when(
+            (F.col("doc_id") + F.col("c") + j) % 2 == 0,
+            F.concat(
+                F.lit("2026-0"), (F.col("c") + 1).cast("string"), F.lit("-02")
+            ),
+        )
+        entry = url_entry(loc, lastmod)
+        if j == 0:
+            return entry
+        return F.when(
+            (F.col("doc_id") + F.col("c")) % 2 == 1, entry
+        ).otherwise(F.lit(""))
+
+    fetched = kids.select(
+        child_url(F.col("c")).alias("url"),
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            kid_page(0), kid_page(1), F.lit("</urlset>"),
+        ).alias("xml"),
+    )
+    return sitemap_frontier(roots, fetched)
+
+
+@register(
+    "web_http_headers",
+    oracle=r"""
+    WITH r AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 301
+                  WHEN doc_id % 11 = 3 THEN 404
+                  ELSE 200 END AS status,
+             repeat('body ' || doc_id || ' ', 1 + doc_id % 4)
+               || chr(10) || 'Location: /fake-in-body' AS body
+      FROM documents)
+    SELECT doc_id AS archive_id,
+           'https://site' || (doc_id % 20) || '.example/p/' || doc_id AS url,
+           '1.1' AS version,
+           CAST(status AS BIGINT) AS status,
+           CASE status WHEN 301 THEN 'Moved Permanently'
+                       WHEN 404 THEN 'Not Found'
+                       ELSE 'OK' END AS reason,
+           CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+                ELSE 'text/plain' END AS content_type,
+           CASE WHEN doc_id % 2 = 0 THEN 'utf-8'
+                ELSE 'windows-1252' END AS charset,
+           CASE WHEN doc_id % 13 = 5 THEN NULL
+                ELSE CAST(length(body) AS BIGINT) END AS content_length,
+           CAST(length(body) AS BIGINT) AS n_body_bytes,
+           (doc_id % 13 != 5) AS length_ok,
+           CASE WHEN doc_id % 7 = 0
+                THEN 'https://site' || (doc_id % 20) || '.example/moved/'
+                     || doc_id END AS location,
+           body AS body_text
+    FROM r
+    """,
+    doc="HTTP response headers parsed relationally from WARC "
+    "application/http records: byte-level header/body split in the "
+    "Arrow pass, then status/Content-Type/charset/Content-Length/"
+    "Location extracted in pure Catalyst; the oracle replays every "
+    "field from the response formulas.",
+)
+def web_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The missing layer between WARC record bytes and the HTML chain,
+    end to end and oracle-checked: every document becomes a one-record
+    ``.warc.gz`` whose record is a FULL HTTP response
+    (``application/http; msgtype=response`` — real Common Crawl
+    framing), ``warc_http_responses`` splits the header block from the
+    body BEFORE charset decoding (the HTTP-level Content-Type drives
+    the sniff — from DATA, not a parameter), and every curation field —
+    status code, reason, media type, declared charset, declared length,
+    redirect target — extracts from the header-block STRING in pure
+    Catalyst (``functions/http.py``), exactly like the robots parse.
+    The synth responses exercise the contract edges: lowercase header
+    names (RFC 9110 case-insensitivity), a nonconforming ``+N``
+    Content-Length that must parse to NULL (never a silent int), a
+    Location header only on 301s, and a header-shaped line INSIDE the
+    body that must not match (block isolation). The DuckDB oracle
+    replays every field and the decoded body from the formulas.
+
+    At 100 TB: one Arrow pass where the archive bytes live, then the
+    field extraction is whole-stage-codegen'd string work over a short
+    header-block column; the typed output (status, media type, length
+    agreement, redirect edges) is what a crawl curator filters and
+    profiles on before any content look."""
+    from ..functions.http import (
+        http_charset,
+        http_content_length,
+        http_content_type,
+        http_location,
+        http_reason,
+        http_status_code,
+        http_version,
+    )
+    from ..operators.ingest import documents_as_warc_http, warc_http_responses
+
+    docs = t_parallel(spark, sf_dir, "documents")
+    recs = warc_http_responses(documents_as_warc_http(docs))
+    h = F.col("http_headers")
+    clen = http_content_length(h)
+    return recs.select(
+        "archive_id",
+        "url",
+        http_version(h).alias("version"),
+        http_status_code(h).alias("status"),
+        http_reason(h).alias("reason"),
+        http_content_type(h).alias("content_type"),
+        http_charset(h).alias("charset"),
+        clen.alias("content_length"),
+        "n_body_bytes",
+        F.coalesce(clen == F.col("n_body_bytes"), F.lit(False)).alias(
+            "length_ok"
+        ),
+        http_location(h).alias("location"),
+        "body_text",
+    )
 
 
 @register(

@@ -1,0 +1,220 @@
+"""The HTTP response layer (round 13): byte-level header/body split
+(operators/ingest.py:split_http_response), pure-Catalyst field
+extraction (functions/http.py), and the Spark lane surfacing WARC
+application/http records (warc_http_responses) — plus the ADVICE-r12
+fix that warc_to_documents must not leak HTTP header bytes into text
+and must consult the HTTP-level charset."""
+
+from __future__ import annotations
+
+import pytest
+
+from eth_event_stream_spark.operators.ingest import (
+    _http_content_type,
+    split_http_response,
+)
+
+
+def _msg(
+    status=b"HTTP/1.1 200 OK",
+    headers=(b"Content-Type: text/html; charset=utf-8",),
+    body=b"<p>hi</p>",
+):
+    return status + b"\r\n" + b"\r\n".join(headers) + b"\r\n\r\n" + body
+
+
+def test_split_http_response():
+    hdr, body = split_http_response(_msg())
+    assert hdr.startswith(b"HTTP/1.1 200 OK") and b"\r\n\r\n" not in hdr
+    assert body == b"<p>hi</p>"
+    # later blank lines belong to the body
+    hdr, body = split_http_response(_msg(body=b"a\r\n\r\nb"))
+    assert body == b"a\r\n\r\nb"
+    with pytest.raises(ValueError, match="not an HTTP response"):
+        split_http_response(b"<html>no status line</html>")
+    with pytest.raises(ValueError, match="no blank line"):
+        split_http_response(b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n")
+
+
+def test_http_content_type_python_side():
+    assert _http_content_type(split_http_response(_msg())[0]) == (
+        "text/html; charset=utf-8"
+    )
+    # case-insensitive field name; first occurrence wins
+    hdr, _ = split_http_response(
+        _msg(headers=(b"CONTENT-TYPE: a/b", b"Content-Type: c/d"))
+    )
+    assert _http_content_type(hdr) == "a/b"
+    hdr, _ = split_http_response(_msg(headers=(b"X-Other: 1",)))
+    assert _http_content_type(hdr) is None
+
+
+def _extract(spark, message: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.functions.http import (
+        http_body,
+        http_charset,
+        http_content_length,
+        http_content_type,
+        http_header,
+        http_location,
+        http_reason,
+        http_status_code,
+        http_version,
+    )
+
+    df = spark.createDataFrame([(message,)], "m string")
+    row = df.select(
+        http_version("m").alias("version"),
+        http_status_code("m").alias("status"),
+        http_reason("m").alias("reason"),
+        http_content_type("m").alias("ctype"),
+        http_charset("m").alias("charset"),
+        http_content_length("m").alias("clen"),
+        http_location("m").alias("location"),
+        http_body("m").alias("body"),
+        http_header("m", "X-Custom").alias("custom"),
+    ).collect()[0]
+    # the extraction must be pure Catalyst
+    plan = df.select(http_status_code("m"))._jdf.queryExecution()
+    assert "Python" not in plan.executedPlan().toString()
+    return row.asDict()
+
+
+def test_catalyst_field_extraction(spark):
+    got = _extract(
+        spark,
+        "HTTP/1.1 301 Moved Permanently\r\n"
+        "content-type: Text/HTML ; charset=\"Windows-1252\"\r\n"
+        "Location: https://d.example/new\r\n"
+        "Content-Length: 12\r\n"
+        "X-Custom:  padded value \r\n"
+        "\r\n"
+        "body\r\nLocation: /fake-in-body",
+    )
+    assert got["version"] == "1.1" and got["status"] == 301
+    assert got["reason"] == "Moved Permanently"
+    # media type lowercased + trimmed; charset param unquoted + lowercased
+    assert got["ctype"] == "text/html" and got["charset"] == "windows-1252"
+    assert got["clen"] == 12
+    # the header-shaped line inside the BODY must not match (block isolation)
+    assert got["location"] == "https://d.example/new"
+    assert got["body"] == "body\r\nLocation: /fake-in-body"
+    assert got["custom"] == "padded value"
+
+
+def test_catalyst_extraction_edges(spark):
+    # empty reason phrase is legal ('' not NULL); absent headers are NULL
+    got = _extract(spark, "HTTP/1.0 204 \r\n\r\n")
+    assert got["status"] == 204 and got["reason"] == ""
+    assert got["ctype"] is None and got["charset"] is None
+    assert got["clen"] is None and got["location"] is None
+    assert got["body"] == ""
+    # nonconforming Content-Length forms parse to NULL, never a silent int
+    for bad in ("+10", "1_0", " 10 x", "0x10"):
+        got = _extract(spark, f"HTTP/1.1 200 OK\r\nContent-Length: {bad}\r\n\r\n")
+        assert got["clen"] is None, bad
+    # malformed status line -> NULL status / NULL reason, '' version
+    got = _extract(spark, "ICY 200 OK\r\n\r\n")
+    assert got["status"] is None and got["reason"] is None
+    assert got["version"] == ""
+    # no blank line -> body NULL (malformed framing surfaced, not guessed)
+    got = _extract(spark, "HTTP/1.1 200 OK\r\nContent-Type: a/b\r\n")
+    assert got["body"] is None and got["status"] == 200
+
+
+def _http_rec(i, message, rectype=b"response"):
+    return {
+        "headers": {
+            "WARC-Type": rectype.decode(),
+            "WARC-Record-ID": f"<urn:uuid:{i}>",
+            "WARC-Date": "2026-01-01T00:00:00Z",
+            "WARC-Target-URI": f"https://example.invalid/{i}",
+            "Content-Type": "application/http; msgtype=response",
+        },
+        "payload": message,
+    }
+
+
+def test_warc_http_responses_lane(spark):
+    """Mixed archive: request/metadata records are selected out,
+    response records split and decode per the HTTP-level charset, and
+    rec_idx keeps the FULL-archive position."""
+    from eth_event_stream_spark.operators.ingest import warc_http_responses
+    from eth_event_stream_spark.operators.warc import encode_warc
+
+    page1252 = "déjà — café"
+    archive = encode_warc(
+        [
+            _http_rec(0, _msg()),
+            _http_rec(1, _msg(), rectype=b"request"),  # selected out
+            _http_rec(
+                2,
+                _msg(
+                    headers=(b"Content-Type: text/plain; charset=windows-1252",),
+                    body=page1252.encode("cp1252"),
+                ),
+            ),
+        ],
+        gzip_members=True,
+    )
+    media = spark.createDataFrame(
+        [(0, archive)], "archive_id long, payload binary"
+    )
+    rows = {r["rec_idx"]: r for r in warc_http_responses(media).collect()}
+    assert sorted(rows) == [0, 2]  # the request record is gone, idx kept
+    assert rows[0]["body_text"] == "<p>hi</p>"
+    assert rows[0]["http_headers"].startswith("HTTP/1.1 200 OK")
+    assert "\r\n\r\n" not in rows[0]["http_headers"]
+    # HTTP-level charset drove the decode; byte count is the raw body
+    assert rows[2]["body_text"] == page1252
+    assert rows[2]["n_body_bytes"] == len(page1252.encode("cp1252"))
+    # a response record that is not an HTTP message fails the job loudly
+    bad = spark.createDataFrame(
+        [(1, encode_warc([_http_rec(0, b"not http")], gzip_members=True))],
+        "archive_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="not an HTTP response"):
+        warc_http_responses(bad).collect()
+
+
+def test_warc_to_documents_splits_http(spark):
+    """The ADVICE-r12 fix: for application/http records, text is the
+    decoded BODY only (no header leak) and the HTTP-level Content-Type
+    feeds the charset sniff; bare records keep the old behavior."""
+    from eth_event_stream_spark.operators.ingest import warc_to_documents
+    from eth_event_stream_spark.operators.warc import encode_warc
+
+    page1252 = "naïve café"
+    bare = {
+        "headers": {
+            "WARC-Type": "response",
+            "WARC-Record-ID": "<urn:uuid:b>",
+            "WARC-Date": "2026-01-01T00:00:00Z",
+            "WARC-Target-URI": "https://example.invalid/bare",
+            "Content-Type": "text/plain",
+        },
+        "payload": b"bare payload",
+    }
+    archive = encode_warc(
+        [
+            _http_rec(
+                0,
+                _msg(
+                    headers=(b"Content-Type: text/plain; charset=iso-8859-1",),
+                    body=page1252.encode("latin-1"),
+                ),
+            ),
+            bare,
+        ],
+        gzip_members=True,
+    )
+    media = spark.createDataFrame(
+        [(0, archive)], "archive_id long, payload binary"
+    )
+    rows = {r["rec_idx"]: r for r in warc_to_documents(media).collect()}
+    assert rows[0]["text"] == page1252  # headers gone, charset honored
+    assert "HTTP/1.1" not in rows[0]["text"]
+    assert rows[0]["n_bytes"] == len(page1252.encode("latin-1"))
+    assert rows[1]["text"] == "bare payload"

@@ -62,6 +62,9 @@ PLAN_EXPECTATIONS = {
     # WET extraction: the HTML -> text chain itself is pure Catalyst —
     # only the two WARC Arrow passes may appear, extraction stays codegen
     "ingest_warc_html_text": [r"MapInPandas[\s\S]*MapInPandas"],
+    # HTTP header layer: two Arrow passes (build archives, split records);
+    # the field extraction over the header block stays codegen
+    "web_http_headers": [r"MapInPandas[\s\S]*MapInPandas"],
     # robots decision: rules dim broadcast into the URL fact table, the
     # longest-match winner via a per-URL group limit — and the whole
     # parse+decide pipeline is Catalyst (no Python nodes)
