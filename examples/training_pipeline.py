@@ -199,6 +199,32 @@ def main() -> None:
         f"{blocked} pages robots-blocked for trainbot"
     )
 
+    # 10. crawl frontier (round 13): sitemapindex recursion discovers the
+    #     page URLs, the HTTP header layer types each fetched response,
+    #     and the keep list consumes the discovery — URLs a sitemap never
+    #     advertised would reach the robots stage but not the frontier
+    frontier = run("web_sitemap_recursive")
+    n_discovered = frontier.count()
+    n_from_index = frontier.filter("level = 1").count()
+    http = run("web_http_headers")
+    n_ok = http.filter("status = 200 AND length_ok").count()
+    keep = run("web_pipeline_keep_list")
+    kept_discovered = (
+        keep.filter("keep")
+        .join(
+            frontier.select(F.col("domain").alias("d")).distinct(),
+            F.col("domain") == F.col("d"),
+            "left_semi",
+        )
+        .count()
+    )
+    print(
+        f"crawl frontier: {n_discovered} URLs discovered "
+        f"({n_from_index} via sitemapindex recursion); "
+        f"{n_ok} responses 200-with-exact-length; "
+        f"{kept_discovered} kept pages on discovered domains"
+    )
+
     print("training pipeline complete")
     spark.stop()
 

@@ -263,3 +263,74 @@ def test_parse_sitemap_urls(spark):
     # pure Catalyst: no Python nodes in the parse plan
     plan = parse_sitemap_urls(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def _frontier_dfs(spark, root_xml, fetched_rows):
+    from eth_event_stream_spark.plans.web import sitemap_frontier
+
+    roots = spark.createDataFrame(
+        [(1, "d.example", root_xml)], "root_id long, domain string, xml string"
+    )
+    fetched = spark.createDataFrame(
+        fetched_rows or [("none", "<urlset></urlset>")], "url string, xml string"
+    )
+    return sitemap_frontier(roots, fetched)
+
+
+def test_sitemap_frontier_recursion(spark):
+    """Index root -> child sitemaps from the fetch cache -> page URLs at
+    level 1 with parent_loc; a plain urlset root stays level 0; an
+    unfetched child contributes nothing; both levels pure Catalyst."""
+    index = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://d.example/s1.xml</loc></sitemap>"
+        "<sitemap><loc>https://d.example/s2.xml</loc></sitemap>"
+        "<sitemap><loc>https://d.example/unfetched.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    s1 = (
+        "<urlset><url><loc>https://d.example/a</loc>"
+        "<lastmod>2026-03-01</lastmod></url>"
+        "<url><loc>https://d.example/b</loc></url></urlset>"
+    )
+    s2 = "<urlset><url><loc>https://d.example/c</loc></url></urlset>"
+    out = _frontier_dfs(
+        spark,
+        index,
+        [("https://d.example/s1.xml", s1), ("https://d.example/s2.xml", s2)],
+    )
+    rows = {(r["parent_loc"], r["url_idx"]): r for r in out.collect()}
+    assert len(rows) == 3  # unfetched child contributed nothing
+    a = rows[("https://d.example/s1.xml", 0)]
+    assert a["level"] == 1 and a["loc"] == "https://d.example/a"
+    assert a["lastmod"] == "2026-03-01"
+    assert rows[("https://d.example/s1.xml", 1)]["loc"] == "https://d.example/b"
+    assert rows[("https://d.example/s2.xml", 0)]["loc"] == "https://d.example/c"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
+    # a plain urlset root surfaces at level 0 with no parent
+    out0 = _frontier_dfs(
+        spark, "<urlset><url><loc>https://d.example/x</loc></url></urlset>", []
+    )
+    (r0,) = out0.collect()
+    assert r0["level"] == 0 and r0["parent_loc"] is None
+    assert r0["loc"] == "https://d.example/x"
+
+
+def test_sitemap_frontier_nested_index_refuses(spark):
+    """The protocol forbids index->index nesting: a fetched child that is
+    itself a sitemapindex fails the job loudly, never a silently shallow
+    frontier."""
+    import pytest
+
+    index = (
+        "<sitemapindex><sitemap><loc>https://d.example/s1.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    nested = (
+        "<sitemapindex><sitemap><loc>https://d.example/deeper.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    out = _frontier_dfs(spark, index, [("https://d.example/s1.xml", nested)])
+    with pytest.raises(Exception, match="nested sitemapindex"):
+        out.collect()
