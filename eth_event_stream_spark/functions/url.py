@@ -32,11 +32,13 @@ def url_tld(col: Column | str) -> Column:
 
 
 def url_registrable_domain(col: Column | str) -> Column:
-    """The last two host labels (``site.example``) — the eTLD+1
-    APPROXIMATION under single-label public suffixes. A real public
-    suffix list (``co.uk``-style multi-label suffixes) is data, not
-    logic; callers with one can join it against ``url_host``. Documented
-    approximation, never a guess presented as exact."""
+    """The last two host labels (``site.example``) — the eTLD+1 under
+    single-label public suffixes ONLY. The real decision against a
+    public-suffix rule table (multi-label ``co.uk`` suffixes, wildcard
+    and exception rules, by the published publicsuffix.org algorithm)
+    is ``plans.web.psl_registrable_domain``, which broadcast-joins the
+    rules dim; use this column form only when no rule table is in
+    play."""
     h = url_host(col)
     return F.when(
         h.rlike(r"\.[^.]+\.[^.]+$"),

@@ -1240,50 +1240,82 @@ def ingest_warc_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH urls AS (
       SELECT doc_id,
-             'site' || (doc_id % 20) || '.example' AS domain,
+             CASE WHEN doc_id % 13 = 6
+                    THEN 'page.sub' || (doc_id % 20) || '.wild.example'
+                  WHEN doc_id % 17 = 8
+                    THEN 'ok.wild.example'
+                  WHEN doc_id % 11 = 4
+                    THEN 'site' || (doc_id % 20) || '.co.example'
+                  ELSE 'site' || (doc_id % 20) || '.example' END AS domain,
+             -- a host with MORE labels than its registrable domain: the
+             -- wildcard case (doc_id % 13 = 6) is its own registrable
+             -- domain (4 labels each), so it does NOT count
+             CASE WHEN doc_id % 13 != 6 AND (doc_id % 17 = 8
+                    OR doc_id % 11 = 4 OR doc_id % 7 = 0)
+                  THEN 1 ELSE 0 END AS is_sub,
              doc_id % 4 AS depth,
-             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS has_q,
-             CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS is_www
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS has_q
       FROM documents)
     SELECT domain,
            CAST(COUNT(*) AS BIGINT) AS n_pages,
            CAST(SUM(depth) AS BIGINT) AS sum_depth,
            CAST(SUM(has_q) AS BIGINT) AS n_with_query,
-           CAST(SUM(is_www) AS BIGINT) AS n_subdomain_pages
+           CAST(SUM(is_sub) AS BIGINT) AS n_subdomain_pages
     FROM urls GROUP BY domain
     """,
-    doc="Domain-level curation profile: parse_url host/path/query features "
-    "aggregated per registrable domain, all JVM-side; the oracle replays "
-    "every feature from the URL formulas.",
+    doc="Domain-level curation profile grouped by TRUE registrable domain "
+    "from a broadcast public-suffix-style rules dim (multi-label "
+    "suffixes, wildcard, exception rules); the oracle replays the rule-"
+    "table decision per URL from the host formulas.",
 )
 def web_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain curation profile over synthesized-but-real URLs — the
     URL-structure step of web-corpus curation (per-domain page budgets,
-    depth heuristics, query-string prevalence), entirely in Catalyst:
-    ``parse_url`` (HOST — port and userinfo stripped by the JVM
-    primitive, not by a regex guess), path-depth via split+filter,
-    query detection, and the registrable-domain approximation collapsing
-    the ``www.`` subdomain pages into their parent domain (the synth
-    URLs exercise ports, www-subdomains, variable path depths, and query
-    strings on formulaic schedules the DuckDB oracle replays). One hash
-    aggregate by domain — at 100 TB this is a classic map-side-combine
-    shape: 20 domains' partials merge in one small shuffle."""
-    from ..functions.url import (
-        url_has_query,
-        url_path_depth,
-        url_registrable_domain,
-    )
+    depth heuristics, query-string prevalence), grouped by the TRUE
+    registrable domain: ``psl_registrable_domain`` evaluates a broadcast
+    public-suffix-style rules dim (``example`` single-label,
+    ``co.example`` multi-label, ``*.wild.example`` wildcard,
+    ``!ok.wild.example`` exception — the four publicsuffix.org rule
+    forms) by the published algorithm, so ``www.siteN.example``
+    collapses into its parent while ``siteN.co.example`` and the
+    wildcard/exception hosts group at their REAL boundary — exactly what
+    the old last-two-labels approximation got wrong on ``co.uk``-style
+    suffixes. Hosts exercise ports (stripped by ``parse_url`` HOST),
+    four-label wildcard subdomains, and the exception override on
+    formulaic schedules; the DuckDB oracle replays every rule-table
+    decision. Subdomain pages are counted FROM THE URL (more labels
+    than the registrable domain), not a side flag.
+
+    At 100 TB: the rules dim broadcasts (the real PSL is ~10k rows),
+    the candidate explode is a bounded flat map, the winner pick is one
+    map-side-combinable MAX aggregate per URL, and the profile is a
+    hash aggregate into a tiny domain key space."""
+    from ..functions.url import url_has_query, url_host, url_path_depth
+    from .web import psl_registrable_domain
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = (F.col("doc_id") % 20).cast("string")
+    host = (
+        F.when(
+            F.col("doc_id") % 13 == 6,
+            F.concat(F.lit("page.sub"), d, F.lit(".wild.example")),
+        )
+        .when(F.col("doc_id") % 17 == 8, F.lit("go.ok.wild.example"))
+        .when(
+            F.col("doc_id") % 11 == 4,
+            F.concat(F.lit("a.site"), d, F.lit(".co.example")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("www.site"), d, F.lit(".example")),
+        )
+        .otherwise(F.concat(F.lit("site"), d, F.lit(".example")))
+    )
     urls = docs.select(
+        "doc_id",
         F.concat(
             F.lit("https://"),
-            F.when((F.col("doc_id") % 7) == 0, F.lit("www.")).otherwise(
-                F.lit("")
-            ),
-            F.lit("site"),
-            (F.col("doc_id") % 20).cast("string"),
-            F.lit(".example"),
+            host,
             F.when((F.col("doc_id") % 5) == 0, F.lit(":8443")).otherwise(
                 F.lit("")
             ),
@@ -1293,19 +1325,33 @@ def web_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("?q="), F.col("doc_id").cast("string")),
             ).otherwise(F.lit("")),
         ).alias("url"),
-        ((F.col("doc_id") % 7) == 0).alias("is_www"),
     )
-    return urls.groupBy(
-        url_registrable_domain("url").alias("domain")
-    ).agg(
+    rules = spark.createDataFrame(
+        [
+            (
+                "// synthetic public-suffix rules\n"
+                "example\n"
+                "co.example\n"
+                "*.wild.example\n"
+                "!ok.wild.example\n"
+            ,)
+        ],
+        "text string",
+    )
+    decided = psl_registrable_domain(
+        urls, url_host("url"), rules, keys=["doc_id"], out="domain"
+    )
+    is_sub = (
+        F.size(F.split(url_host("url"), r"\."))
+        > F.size(F.split("domain", r"\."))
+    ).cast("long")
+    return decided.groupBy("domain").agg(
         F.count("*").cast("bigint").alias("n_pages"),
         F.sum(url_path_depth("url")).cast("bigint").alias("sum_depth"),
         F.sum(url_has_query("url").cast("long"))
         .cast("bigint")
         .alias("n_with_query"),
-        F.sum(F.col("is_www").cast("long"))
-        .cast("bigint")
-        .alias("n_subdomain_pages"),
+        F.sum(is_sub).cast("bigint").alias("n_subdomain_pages"),
     )
 
 

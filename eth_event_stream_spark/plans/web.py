@@ -157,6 +157,110 @@ def robots_allowed(
     )
 
 
+def parse_suffix_rules(rules: DataFrame) -> DataFrame:
+    """(text) -> (pattern, n_labels, is_exception) — a public-suffix-
+    style rule table parsed entirely in Catalyst, the same idiom as the
+    robots parse: lines via split+posexplode, ``//`` comment lines and
+    blanks dropped, ``!`` exception rules flagged and stripped, patterns
+    lowercased. The publicsuffix.org format restricts wildcards to a
+    whole leftmost label (``*.ck``); that is the only wildcard form the
+    matcher generates candidates for. IDN labels are matched as the
+    caller spells them (punycode stays punycode) — normalization is the
+    ingest step's job, documented, not guessed here."""
+    lines = rules.select(
+        F.posexplode(F.split("text", "\n")).alias("pos", "raw")
+    ).select(
+        F.regexp_replace("raw", r"^\s+|\s+$", "").alias("line")
+    )
+    kept = lines.filter(
+        (F.col("line") != "") & ~F.col("line").startswith("//")
+    )
+    pattern = F.lower(F.regexp_replace("line", r"^!", ""))
+    return kept.select(
+        pattern.alias("pattern"),
+        F.size(F.split(pattern, r"\.")).cast("bigint").alias("n_labels"),
+        F.col("line").startswith("!").alias("is_exception"),
+    )
+
+
+def psl_registrable_domain(
+    df: DataFrame,
+    host,
+    rules: DataFrame,
+    keys: list[str],
+    out: str = "registrable_domain",
+) -> DataFrame:
+    """The REAL registrable-domain (eTLD+1) decision against a rule
+    table, by the published publicsuffix.org algorithm: every suffix of
+    the host's label sequence is a candidate (plus the ``*.``-wildcard
+    form of each), candidates broadcast-join the rules dim, the
+    prevailing rule is the exception rule if any matched else the
+    longest match, no match defaults to ``*`` (the bare TLD is the
+    public suffix), an exception rule's public suffix is the rule minus
+    its leftmost label, and the registrable domain is the public suffix
+    plus one label — NULL when the host IS a public suffix. Adds ``out``
+    to ``df``; ``keys`` must uniquely identify rows (the winner pick and
+    the join-back key on them).
+
+    At 100 TB this is the robots shape again: the rule table is a tiny
+    broadcast dim (the real PSL is ~10k rules), the candidate explode is
+    a bounded ×(2·labels) flat map fused into the scan, and the winner
+    pick is one map-side-combinable MAX aggregate per row key — the
+    only fact-scale shuffles are that aggregate and the join back."""
+    h = F.lower(_c_host(host))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    lit_cands = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, -i, i), "."),
+    )
+    wild_cands = F.transform(
+        F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+        lambda i: F.when(
+            i <= n,
+            F.concat(
+                F.lit("*."),
+                F.array_join(F.slice(labels, (i - 1) * -1, i - 1), "."),
+            ),
+        ),
+    )
+    cands = df.select(
+        *keys,
+        F.explode(
+            F.filter(
+                F.concat(lit_cands, wild_cands), lambda c: c.isNotNull()
+            )
+        ).alias("cand"),
+    )
+    hits = cands.join(
+        broadcast(parse_suffix_rules(rules) if "text" in rules.columns else rules),
+        F.col("cand") == F.col("pattern"),
+    )
+    # prevailing rule = exception first, then longest — exactly struct
+    # ordering on (is_exception, n_labels), so the winner pick is a
+    # map-side-combinable MAX aggregate, not a window sort (same-length
+    # literal + wildcard matches yield the same ps_n, so no tiebreak is
+    # needed beyond the struct)
+    winners = hits.groupBy(*keys).agg(
+        F.max(F.struct("is_exception", "n_labels")).alias("__w")
+    ).select(
+        *keys,
+        F.when(F.col("__w.is_exception"), F.col("__w.n_labels") - 1)
+        .otherwise(F.col("__w.n_labels"))
+        .alias("__ps_n"),
+    )
+    joined = df.join(winners, keys, "left")
+    ps_n = F.coalesce(F.col("__ps_n"), F.lit(1)).cast("int")
+    reg = F.when(
+        n > ps_n, F.array_join(F.slice(labels, (ps_n + 1) * -1, ps_n + 1), ".")
+    )
+    return joined.withColumn(out, reg).drop("__ps_n")
+
+
+def _c_host(col):
+    return F.col(col) if isinstance(col, str) else col
+
+
 def _synth_robots(spark: SparkSession) -> DataFrame:
     """Deterministic robots.txt TEXT for the 20 synth domains — comments,
     blank lines, an empty Disallow (matches nothing), an Allow override,

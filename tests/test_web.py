@@ -317,6 +317,116 @@ def test_sitemap_frontier_recursion(spark):
     assert r0["loc"] == "https://d.example/x"
 
 
+PSL_RULES = (
+    "// test rules\n"
+    "com\n"
+    "example\n"
+    "co.example\n"
+    "*.wild.example\n"
+    "!ok.wild.example\n"
+    "uk\n"
+    "co.uk\n"
+)
+
+
+def test_parse_suffix_rules(spark):
+    from eth_event_stream_spark.plans.web import parse_suffix_rules
+
+    df = spark.createDataFrame([(PSL_RULES,)], "text string")
+    rules = {
+        (r["pattern"], r["n_labels"], r["is_exception"])
+        for r in parse_suffix_rules(df).collect()
+    }
+    assert ("co.uk", 2, False) in rules
+    assert ("*.wild.example", 3, False) in rules
+    assert ("ok.wild.example", 3, True) in rules
+    assert not any(p.startswith("//") for p, _, _ in rules)
+
+
+def test_psl_registrable_domain(spark):
+    """The publicsuffix.org algorithm cases: longest match, multi-label
+    suffix, wildcard = one whole label, exception overrides wildcard,
+    no-match defaults to the bare TLD, host == suffix -> NULL."""
+    from eth_event_stream_spark.plans.web import psl_registrable_domain
+
+    cases = {
+        "www.site.example": "site.example",
+        "a.b.site.co.example": "site.co.example",  # co.example beats example
+        "x.sub.wild.example": "x.sub.wild.example",  # *.wild.example
+        "sub.wild.example": None,  # host IS the (wildcard) public suffix
+        "go.ok.wild.example": "ok.wild.example",  # exception beats wildcard
+        "ok.wild.example": "ok.wild.example",  # exception: host registrable
+        "shop.co.uk": "shop.co.uk",
+        "a.shop.co.uk": "shop.co.uk",
+        "unknown.tld": "unknown.tld",  # no match -> '*' default
+        "tldonly": None,  # bare label is a public suffix
+        "MiXeD.Site.Example": "site.example",  # lowercased
+    }
+    rules = spark.createDataFrame([(PSL_RULES,)], "text string")
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(cases)], "k long, host string"
+    )
+    out = psl_registrable_domain(df, "host", rules, keys=["k"])
+    got = {r["host"]: r["registrable_domain"] for r in out.collect()}
+    for host, want in cases.items():
+        assert got[host] == want, (host, got[host], want)
+    # the rules dim must broadcast into the candidate join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_psl_differential_vs_reference(spark):
+    """Differential: 120 random hosts against a straight-Python
+    implementation of the published algorithm (candidate suffixes,
+    exception > longest, wildcard one label, '*' default)."""
+    import random
+
+    rnd = random.Random(20260817)
+    labels = ["a", "b", "co", "ok", "wild", "example", "uk", "com", "zz"]
+    rule_list = [
+        ("com", False), ("example", False), ("co.example", False),
+        ("*.wild.example", False), ("ok.wild.example", True),
+        ("uk", False), ("co.uk", False),
+    ]
+
+    def ref(host):
+        hl = host.lower().split(".")
+        best = None  # (is_exc, n_labels)
+        for pat, exc in rule_list:
+            pl = pat.split(".")
+            if len(pl) > len(hl):
+                continue
+            tail = hl[-len(pl):]
+            if all(p == "*" or p == t for p, t in zip(pl, tail)):
+                key = (exc, len(pl))
+                if best is None or key > best:
+                    best = key
+        ps_n = 1 if best is None else (best[1] - 1 if best[0] else best[1])
+        if len(hl) > ps_n:
+            return ".".join(hl[-(ps_n + 1):])
+        return None
+
+    hosts = [
+        ".".join(rnd.choice(labels) for _ in range(rnd.randint(1, 5)))
+        for _ in range(120)
+    ]
+    from eth_event_stream_spark.plans.web import psl_registrable_domain
+
+    rules = spark.createDataFrame([(PSL_RULES,)], "text string")
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "k long, host string"
+    )
+    got = {
+        r["k"]: r["registrable_domain"]
+        for r in psl_registrable_domain(df, "host", rules, keys=["k"]).collect()
+    }
+    bad = [
+        (h, got[i], ref(h)) for i, h in enumerate(hosts) if got[i] != ref(h)
+    ]
+    assert not bad, bad[:5]
+
+
 def test_sitemap_frontier_nested_index_refuses(spark):
     """The protocol forbids index->index nesting: a fetched child that is
     itself a sitemapindex fails the job loudly, never a silently shallow
