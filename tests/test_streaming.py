@@ -2113,3 +2113,62 @@ def test_audio_segment_lane_stream_matches_batch(spark, tmp_path):
         q.stop()
     got = sorted(tuple(r) for r in spark.table("seg_stream_sink").collect())
     assert got == expected
+
+
+def test_stream_warc_ingest_parity(spark, sf_dir, tmp_path):
+    """Streaming twin of the web-ingest lane (round 13): REAL ``.warc.gz``
+    archives (one-record HTTP responses wrapping HTML pages) arrive
+    file-by-file as a binary-column stream, and the full stateless chain —
+    warc_to_documents (Arrow parse + HTTP header/body split + charset
+    sniff) -> html_to_text (pure Catalyst) -> Gopher-style quality gates —
+    emits exactly the batch result in append mode with no watermark and no
+    state. This proves the Common Crawl curation front HALF is ingest-time
+    runnable: archives can be scored as they land, not in a later sweep."""
+    from eth_event_stream_spark.functions.html import html_to_text
+    from eth_event_stream_spark.operators.ingest import (
+        documents_as_warc_html,
+        warc_to_documents,
+    )
+
+    def chain(archives):
+        recs = warc_to_documents(archives).select(
+            F.col("archive_id").alias("doc_id"),
+            html_to_text(F.col("text")).alias("body"),
+        )
+        toks = F.size(F.split("body", r"\s+")).cast("bigint")
+        nums = F.size(
+            F.expr("regexp_extract_all(body, '[0-9]+', 0)")
+        ).cast("bigint")
+        return recs.select(
+            "doc_id",
+            toks.alias("n_tokens"),
+            nums.alias("n_numbers"),
+            toks.between(45, 10000).alias("len_pass"),
+        )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    src = tmp_path / "warc_stream"
+    documents_as_warc_html(docs).repartition(4).write.parquet(str(src))
+    archives = spark.read.parquet(str(src))
+    batch = {tuple(r) for r in chain(archives).collect()}
+    assert batch  # non-vacuous
+
+    sdf = (
+        spark.readStream.schema(archives.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        chain(sdf)
+        .writeStream.format("memory")
+        .queryName("warc_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_warc"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.table("warc_stream_sink").collect()}
+    assert got == batch
