@@ -194,6 +194,13 @@ HEADLINE = [
     "web_domain_profile",
     "web_pipeline_keep_list",
     "web_sitemap_urls",
+    # round-13 additions (r13-extended): the HTTP header layer (two Arrow
+    # passes + codegen field extraction) and the sitemapindex recursion
+    # (two-level frontier, one equi-join against the fetch cache). NOTE:
+    # web_domain_profile keeps its name but is rule-table-based from r13
+    # (PSL broadcast dim) — compare its row to r12 with that in mind.
+    "web_http_headers",
+    "web_sitemap_recursive",
 ]
 
 
@@ -251,7 +258,7 @@ def build_short_map(names: list[str]) -> dict[str, str]:
 # within the same set version; compare per-query across versions. The full
 # additions-only history (r4 recomposition through every rN-extended bump)
 # lives in BASELINE.md's membership notes.
-HEADLINE_SET = "r12-extended2"
+HEADLINE_SET = "r13-extended"
 
 # Sidecar carrying the FULL per-query map with full names. The archived
 # stdout line is O(1) in registry size (the r7/r8 records were cut by the
@@ -273,6 +280,20 @@ INLINE_ROWS = ("flagship_user_netflow", "flagship_netflow_counters")
 # >1.5x from its solo reference marks the capture as loaded IN the record.
 CANARY_SOLO_REF = {"0.1": 0.33}  # builder solo flagship, BENCH_DETAIL_r10.json
 CANARY_WARN_RATIO = 1.5
+
+# The r12 driver capture exposed the flagship probe's blind spot: the
+# flagship is SCAN-bound and barely feels CPU contention (it retimed 0.289 s
+# "quiet" while the CPU-bound family ran 1.4-1.6x over the clean solo band),
+# so the canary now carries two more signals:
+#  - a CPU-bound mid-weight retime (classify_nb_lang: clean solo band
+#    0.75-0.98 s across BENCH_DETAIL_r12*.json; the loaded r12 driver
+#    capture read 1.39 s) against its own solo reference;
+#  - the 1-minute loadavg at run END, thresholded per core (clean runs end
+#    6.3-9.4 on this 32-core container, the two known-loaded driver
+#    captures 14.7/16.1 -> 0.375 x cores = 12.0 splits the bands).
+CANARY_CPU_ROW = "classify_nb_lang"
+CANARY_CPU_SOLO_REF = {"0.1": 0.8}
+CANARY_LOAD_PER_CORE = 0.375
 
 
 def snapshot_archived_detail(detail_dir: str) -> str | None:
@@ -363,12 +384,35 @@ def emit_record(
     warning = None
     if canary is not None:
         ref = CANARY_SOLO_REF.get(str(sf_val))
-        canary = dict(canary, flagship_solo_ref=ref)
+        cpu_ref = CANARY_CPU_SOLO_REF.get(str(sf_val))
+        canary = dict(canary, flagship_solo_ref=ref, cpu_solo_ref=cpu_ref)
+        reasons = []
         retime = canary.get("flagship_retime")
         if ref is not None and retime is not None and retime > CANARY_WARN_RATIO * ref:
+            reasons.append(
+                f"flagship retime {retime}s > {CANARY_WARN_RATIO}x solo ref {ref}s"
+            )
+        cpu_retime = canary.get("cpu_retime")
+        if (
+            cpu_ref is not None
+            and cpu_retime is not None
+            and cpu_retime > CANARY_WARN_RATIO * cpu_ref
+        ):
+            reasons.append(
+                f"CPU-bound {canary.get('cpu_row', CANARY_CPU_ROW)} retime "
+                f"{cpu_retime}s > {CANARY_WARN_RATIO}x solo ref {cpu_ref}s"
+            )
+        la_end = canary.get("loadavg_end") or []
+        cores = canary.get("cpus") or (os.cpu_count() or 32)
+        load_limit = round(CANARY_LOAD_PER_CORE * cores, 2)
+        if la_end and la_end[0] > load_limit:
+            reasons.append(
+                f"loadavg at run end {la_end[0]:.1f} > {load_limit} "
+                f"({CANARY_LOAD_PER_CORE}/core x {cores} cores)"
+            )
+        if reasons:
             warning = (
-                f"load canary: flagship retime {retime}s > "
-                f"{CANARY_WARN_RATIO}x solo ref {ref}s — capture likely "
+                "load canary: " + "; ".join(reasons) + " — capture likely "
                 "under container load, compare per-query against the solo detail"
             )
     detail = {
@@ -721,6 +765,13 @@ def main() -> None:
         t0 = time.perf_counter()
         run_query(QUERIES["flagship_user_netflow"].fn(spark, SF_DIR))
         retime = min(retime, time.perf_counter() - t0)
+    # second probe, CPU-bound: real container load barely moves the
+    # scan-bound flagship (the r12 blind spot) but shifts this one
+    cpu_retime = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_query(QUERIES[CANARY_CPU_ROW].fn(spark, SF_DIR))
+        cpu_retime = min(cpu_retime, time.perf_counter() - t0)
     # self-heal observability: a corpus that silently flips the k-center
     # contract onto the 2x-cost exact path must show in the record
     from eth_event_stream_spark.plans.assembly import KCENTER_ESCALATIONS
@@ -729,6 +780,9 @@ def main() -> None:
         "loadavg_start": loadavg_start,
         "loadavg_end": list(os.getloadavg()),
         "flagship_retime": round(retime, 3),
+        "cpu_row": CANARY_CPU_ROW,
+        "cpu_retime": round(cpu_retime, 3),
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32)),
         "kcenter_escalations": KCENTER_ESCALATIONS["count"],
     }
 

@@ -179,3 +179,55 @@ def test_malformed_sf_label_cannot_lose_the_record(tmp_path):
     for bad in ("1.2.3", "1..2", "xyz"):
         line = bench.emit_record(timings, bad, detail_dir=str(tmp_path))
         assert json.loads(line)["sf"] == bad
+
+
+def test_canary_fires_on_the_r12_driver_capture_scenario(tmp_path):
+    """The r12 blind spot, pinned: the driver's loaded capture (loadavg_end
+    14.65, classify_nb_lang 1.39 s, flagship retime 0.289 s — all real
+    values from BENCH_DETAIL_driver_r12.json) archived a QUIET line because
+    only the scan-bound flagship was thresholded. The same canary dict must
+    now produce a warned line via BOTH new signals (CPU-bound retime and
+    end-of-run loadavg), while the builder's clean solo run from the same
+    round stays quiet."""
+    timings = {"flagship_user_netflow": 0.34}
+    r12_driver = {
+        "loadavg_start": [3.706, 4.676, 5.091],
+        "loadavg_end": [14.653, 8.759, 6.505],
+        "flagship_retime": 0.289,
+        "cpu_row": "classify_nb_lang",
+        "cpu_retime": 1.393,
+        "cpus": 32,
+    }
+    line = bench.emit_record(
+        timings, "0.1", detail_dir=str(tmp_path), canary=r12_driver
+    )
+    parsed = json.loads(line)
+    warning = parsed["canary_warning"]
+    assert "classify_nb_lang" in warning and "loadavg" in warning
+    # the flagship alone stays below its threshold — exactly the blind spot
+    assert "flagship" not in warning
+    detail = json.loads((tmp_path / bench.DETAIL_NAME).read_bytes())
+    assert detail["canary"]["cpu_solo_ref"] == bench.CANARY_CPU_SOLO_REF["0.1"]
+    assert detail["canary_warning"] == warning
+    assert len(line) < 2000 and json.loads(line[-2000:])
+
+    # the clean solo capture of the same round (BENCH_DETAIL_r12s2.json)
+    r12_solo = {
+        "loadavg_start": [2.056, 4.535, 5.363],
+        "loadavg_end": [7.469, 6.055, 5.773],
+        "flagship_retime": 0.18,
+        "cpu_row": "classify_nb_lang",
+        "cpu_retime": 0.75,
+        "cpus": 32,
+    }
+    line = bench.emit_record(
+        timings, "0.1", detail_dir=str(tmp_path), canary=r12_solo
+    )
+    assert "canary_warning" not in json.loads(line)
+
+    # sf without committed CPU reference: loadavg signal still fires
+    line = bench.emit_record(
+        timings, "1", detail_dir=str(tmp_path), canary=r12_driver
+    )
+    warning = json.loads(line)["canary_warning"]
+    assert "loadavg" in warning and "classify_nb_lang" not in warning
