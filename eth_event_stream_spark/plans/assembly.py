@@ -641,8 +641,15 @@ def sample_kcenter_batched(
                 ),
             )
             .drop("cs")
-            .localCheckpoint()
         )
+        # materialize on a cadence, not every pass: an unmaterialized pass
+        # costs one extra fold recompute on the next action, a materialized
+        # pass costs a full state write — 3 jobs per 2 passes instead of 4
+        # (the r7 PageRank cadence decision, applied here numbers-first:
+        # sf0.1 and sf1 A/B in BENCH_SF1.md round-13 notes). The LAST pass
+        # always checkpoints: the post-loop R^2 aggregate reads the state.
+        if passes % KCENTER_CKPT_CADENCE == 0 or len(selected) >= k:
+            state = state.localCheckpoint()
     if stats_out is not None:
         stats_out["passes"] = passes
         stats_out["sel_embs"] = sel_embs
@@ -661,6 +668,18 @@ def sample_kcenter_batched(
 # instead of 63 (the "passes << k" contract, pinned by the oracle).
 KCENTER_BATCH_K = 64
 KCENTER_BATCH = 8
+
+# Checkpoint the batched draw's state every N passes (1 = every pass).
+# Lineage between checkpoints is a bounded chain of at most N-1 distance
+# folds, so correctness is cadence-independent (pinned by the row-for-row
+# tests); the cadence trades one state write for one fold recompute.
+# MEASURED AND REJECTED at >1 (round 13, interleaved min-of-3 A/B):
+# cadence 2 read 5.87 s vs 4.88 s at sf0.1 and 17.2 s vs 14.2 s at the
+# 10x rehearsal — the 128-dim distance fold costs more to recompute than
+# the in-memory state write it would save, the OPPOSITE trade from
+# PageRank's cheap join-agg rounds. Stays 1; the knob stays for corpora
+# where the fold is cheaper than the write (low-dim embeddings).
+KCENTER_CKPT_CADENCE = 1
 
 # Process-lifetime count of approx-certificate failures that escalated to
 # the exact draw (the contract entry's self-heal). Observability only —
