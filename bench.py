@@ -294,6 +294,12 @@ CANARY_WARN_RATIO = 1.5
 CANARY_CPU_ROW = "classify_nb_lang"
 CANARY_CPU_SOLO_REF = {"0.1": 0.8}
 CANARY_LOAD_PER_CORE = 0.375
+# the loadavg threshold is a PER-SF calibration like the retime refs: at
+# 10x-rehearsal scale the bench's own tail rows keep all 32 cores busy, so
+# a quiet container can legitimately end above the sf0.1 band (observed
+# 12.8 on the first r13 sf1 leg). Uncalibrated sfs record, never warn —
+# the same contract the retime refs already follow.
+CANARY_LOAD_CALIBRATED = {"0.1"}
 
 
 def snapshot_archived_detail(detail_dir: str) -> str | None:
@@ -405,7 +411,7 @@ def emit_record(
         la_end = canary.get("loadavg_end") or []
         cores = canary.get("cpus") or (os.cpu_count() or 32)
         load_limit = round(CANARY_LOAD_PER_CORE * cores, 2)
-        if la_end and la_end[0] > load_limit:
+        if str(sf_val) in CANARY_LOAD_CALIBRATED and la_end and la_end[0] > load_limit:
             reasons.append(
                 f"loadavg at run end {la_end[0]:.1f} > {load_limit} "
                 f"({CANARY_LOAD_PER_CORE}/core x {cores} cores)"

@@ -14,7 +14,15 @@ unencoded-audio MD5 verified), and lossless WebP
 (``operators/webp.py``: VP8L prefix codes + LZ77 + color cache + all
 four transforms). Formats that genuinely need an external library
 (lossy WebP/VP8, H.264/VP9, MP3/Vorbis) raise ``NotImplementedError``
-loudly; the deterministic ``fake`` codec
+loudly. On lossy VP8 specifically (revisited 2026-08, round 13): RFC
+6386 does print the default probability tables and reference decoder
+in full, so an intra-only decoder is spec-FEASIBLE in principle — but
+this container has neither the RFC text nor any network access, and
+those ~2k table bytes cannot be reproduced from memory safely: a
+mistyped table used by BOTH the in-repo encoder and decoder would
+round-trip green while producing nonconformant bitstreams, which is
+strictly worse than this loud stub. Revisit if the RFC text lands
+in-container. The deterministic ``fake`` codec
 exercises the full path byte-for-byte reproducibly (length/md5/derived
 dims) for the oracle-checked queries.
 

@@ -157,6 +157,42 @@ def robots_allowed(
     )
 
 
+def parse_robots_sitemaps(robots: DataFrame) -> DataFrame:
+    """(domain, text) -> (domain, sitemap_idx, sitemap_url) — the
+    ``Sitemap:`` directives of each robots.txt, in file order. Per the
+    sitemaps.org robots extension these are GLOBAL (never scoped to a
+    User-agent group), so they parse from the line relation directly —
+    no group reconstruction — and they are the natural ROOTS input to
+    ``sitemap_frontier``: robots politeness and sitemap discovery meet
+    in the same file. Empty values are dropped (nothing to fetch);
+    matching is case-insensitive like every other directive."""
+    lines = robots.select(
+        "domain",
+        F.posexplode(F.split("text", "\n")).alias("pos", "raw"),
+    ).select(
+        "domain",
+        "pos",
+        F.regexp_replace(
+            F.regexp_replace("raw", r"#.*$", ""), r"^\s+|\s+$", ""
+        ).alias("line"),
+    )
+    hits = lines.select(
+        "domain",
+        "pos",
+        F.regexp_replace(
+            F.regexp_extract("line", r"(?i)^sitemap\s*:(.*)$", 1),
+            r"^\s+|\s+$",
+            "",
+        ).alias("sitemap_url"),
+    ).filter(F.col("sitemap_url") != "")
+    w = Window.partitionBy("domain").orderBy("pos")
+    return hits.select(
+        "domain",
+        (F.row_number().over(w) - 1).cast("bigint").alias("sitemap_idx"),
+        "sitemap_url",
+    )
+
+
 def parse_suffix_rules(rules: DataFrame) -> DataFrame:
     """(text) -> (pattern, n_labels, is_exception) — a public-suffix-
     style rule table parsed entirely in Catalyst, the same idiom as the
@@ -187,7 +223,7 @@ def psl_registrable_domain(
     df: DataFrame,
     host,
     rules: DataFrame,
-    keys: list[str],
+    keys: list[str] | None = None,
     out: str = "registrable_domain",
 ) -> DataFrame:
     """The REAL registrable-domain (eTLD+1) decision against a rule
@@ -199,16 +235,20 @@ def psl_registrable_domain(
     public suffix), an exception rule's public suffix is the rule minus
     its leftmost label, and the registrable domain is the public suffix
     plus one label — NULL when the host IS a public suffix. Adds ``out``
-    to ``df``; ``keys`` must uniquely identify rows (the winner pick and
-    the join-back key on them).
+    to ``df``. ``keys`` is accepted for backward compatibility and
+    ignored — the decision is a pure function of the host string, so it
+    is keyed BY the host itself.
 
-    At 100 TB this is the robots shape again: the rule table is a tiny
-    broadcast dim (the real PSL is ~10k rules), the candidate explode is
-    a bounded ×(2·labels) flat map fused into the scan, and the winner
-    pick is one map-side-combinable MAX aggregate per row key — the
-    only fact-scale shuffles are that aggregate and the join back."""
-    h = F.lower(_c_host(host))
-    labels = F.split(h, r"\.")
+    At 100 TB the crucial shape decision: the algorithm runs on
+    ``DISTINCT host``, not per URL row — a crawl has ~10^7-10^8 hosts
+    under ~10^11 URLs, so the candidate explode and the winner aggregate
+    shrink by the URL-per-host factor, and the fact table pays exactly
+    one equi-join against a decisions dim that AQE can broadcast when
+    small. The rule table itself is a tiny broadcast (the real PSL is
+    ~10k rules)."""
+    h_expr = F.lower(_c_host(host))
+    hosts = df.select(h_expr.alias("__h")).distinct()
+    labels = F.split(F.col("__h"), r"\.")
     n = F.size(labels)
     lit_cands = F.transform(
         F.sequence(F.lit(1), n),
@@ -224,8 +264,8 @@ def psl_registrable_domain(
             ),
         ),
     )
-    cands = df.select(
-        *keys,
+    cands = hosts.select(
+        "__h",
         F.explode(
             F.filter(
                 F.concat(lit_cands, wild_cands), lambda c: c.isNotNull()
@@ -241,20 +281,23 @@ def psl_registrable_domain(
     # map-side-combinable MAX aggregate, not a window sort (same-length
     # literal + wildcard matches yield the same ps_n, so no tiebreak is
     # needed beyond the struct)
-    winners = hits.groupBy(*keys).agg(
+    winners = hits.groupBy("__h").agg(
         F.max(F.struct("is_exception", "n_labels")).alias("__w")
     ).select(
-        *keys,
+        "__h",
         F.when(F.col("__w.is_exception"), F.col("__w.n_labels") - 1)
         .otherwise(F.col("__w.n_labels"))
         .alias("__ps_n"),
     )
-    joined = df.join(winners, keys, "left")
     ps_n = F.coalesce(F.col("__ps_n"), F.lit(1)).cast("int")
     reg = F.when(
         n > ps_n, F.array_join(F.slice(labels, (ps_n + 1) * -1, ps_n + 1), ".")
     )
-    return joined.withColumn(out, reg).drop("__ps_n")
+    decisions = hosts.join(winners, "__h", "left").select(
+        "__h", reg.alias("__reg")
+    )
+    joined = df.join(decisions, h_expr == F.col("__h"), "left")
+    return joined.withColumn(out, F.col("__reg")).drop("__h", "__reg")
 
 
 def _c_host(col):
@@ -971,3 +1014,231 @@ def web_pipeline_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         digit_pass.alias("digit_pass"),
         (F.col("allowed") & len_pass & digit_pass).alias("keep"),
     )
+
+
+def resolve_redirects(resp: DataFrame, max_hops: int = 5) -> DataFrame:
+    """Follow HTTP redirect chains relationally: ``resp`` is one row per
+    fetched URL — (url, status, location) straight out of
+    ``web_http_headers``'s field extraction — and every row's chain is
+    followed through Location edges until a non-3xx terminal, a DANGLING
+    edge (a Location whose target was never fetched), or the ``max_hops``
+    bound. Output per starting URL: (url, final_url, n_hops,
+    terminal_status, resolved) — ``final_url`` is the terminal page for
+    resolved chains and the unfetched target for dangling ones
+    (``terminal_status`` NULL there); a chain still redirecting at the
+    bound (a cycle, or a longer-than-bound chain) also reports
+    ``resolved = false`` with its last Location. n_hops counts edges
+    followed, including the edge into the void for dangling chains.
+
+    The implementation is a BOUNDED driver loop of equi-joins — one join
+    per hop, each shrinking to the still-redirecting survivors; real
+    redirect chains are short (browsers cap near 20), so ``max_hops``
+    joins is the whole cost and there is no unbounded iteration. At
+    100 TB each hop is a standard shuffle join on url; survivors after
+    hop 1 are typically a tiny fraction of the corpus, so later hops are
+    near-free. No window, no explode, no Python."""
+    nxt = resp.select(
+        F.col("url").alias("__nu"),
+        F.col("status").alias("__ns"),
+        F.col("location").alias("__nl"),
+    )
+    is_redirect = F.col("status").between(300, 399) & F.col(
+        "location"
+    ).isNotNull()
+    cur = resp.select(
+        F.col("url").alias("start"),
+        F.col("url").alias("cur_url"),
+        "status",
+        "location",
+        F.lit(0).cast("bigint").alias("hops"),
+    )
+    terminal_cols = [
+        F.col("start").alias("url"),
+        F.col("cur_url").alias("final_url"),
+        F.col("hops").alias("n_hops"),
+        F.col("status").cast("bigint").alias("terminal_status"),
+        F.lit(True).alias("resolved"),
+    ]
+    pieces = []
+    for _ in range(max_hops):
+        pieces.append(cur.filter(~is_redirect).select(*terminal_cols))
+        stepped = cur.filter(is_redirect).join(
+            nxt, F.col("location") == F.col("__nu"), "left"
+        )
+        # dangling: the Location target was never fetched — the chain
+        # ends one hop later at an unknown page, surfaced not guessed
+        pieces.append(
+            stepped.filter(F.col("__nu").isNull()).select(
+                F.col("start").alias("url"),
+                F.col("location").alias("final_url"),
+                (F.col("hops") + 1).alias("n_hops"),
+                F.lit(None).cast("bigint").alias("terminal_status"),
+                F.lit(False).alias("resolved"),
+            )
+        )
+        cur = stepped.filter(F.col("__nu").isNotNull()).select(
+            "start",
+            F.col("__nu").alias("cur_url"),
+            F.col("__ns").alias("status"),
+            F.col("__nl").alias("location"),
+            (F.col("hops") + 1).alias("hops"),
+        )
+    # the hop bound: terminals that arrived exactly at max_hops resolve
+    # normally; chains STILL redirecting are cycles or over-bound chains
+    pieces.append(cur.filter(~is_redirect).select(*terminal_cols))
+    pieces.append(
+        cur.filter(is_redirect).select(
+            F.col("start").alias("url"),
+            F.col("location").alias("final_url"),
+            F.col("hops").alias("n_hops"),
+            F.lit(None).cast("bigint").alias("terminal_status"),
+            F.lit(False).alias("resolved"),
+        )
+    )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "web_robots_sitemap_roots",
+    oracle="""
+    WITH d AS (SELECT DISTINCT doc_id % 20 AS d FROM documents),
+    sm AS (
+      SELECT d, u.j FROM d, LATERAL (SELECT UNNEST(range(0, 1 + d % 2)) AS j) u)
+    SELECT 'site' || d || '.example' AS domain,
+           CAST(j AS BIGINT) AS sitemap_idx,
+           'https://site' || d || '.example/sitemaps/root' || j || '.xml'
+             AS sitemap_url
+    FROM sm
+    """,
+    doc="Sitemap: directives extracted from robots.txt (global, never "
+    "group-scoped) — the discovery roots robots files advertise; the "
+    "oracle replays every URL from the file formulas.",
+)
+def web_robots_sitemap_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where politeness meets discovery: the 20 synthetic robots.txt
+    files gain ``1 + d % 2`` global ``Sitemap:`` directives (mixed-case
+    directive names, comments and rule groups interleaved — Sitemap
+    lines are NOT group-scoped per the sitemaps.org robots extension,
+    and the parse must surface them regardless of surrounding groups),
+    and ``parse_robots_sitemaps`` extracts them in pure Catalyst, in
+    file order. These URLs are exactly the ``roots`` input to
+    ``sitemap_frontier`` — the full chain a crawler runs: robots ->
+    sitemap roots -> recursive frontier -> politeness-filtered fetch.
+
+    The documents table only sets the scale knob (how many domains
+    exist at this sf); each file's content is a pure function of its
+    domain index, which the DuckDB oracle replays."""
+    d = F.col("d")
+    extra = F.concat(
+        F.lit("# discovery\nSitemap: https://site"),
+        d.cast("string"),
+        F.lit(".example/sitemaps/root0.xml\n"),
+        F.when(
+            d % 2 == 1,
+            F.concat(
+                F.lit("siteMAP:   https://site"),
+                d.cast("string"),
+                F.lit(".example/sitemaps/root1.xml  \n"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    dims = spark.range(20).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".example"))
+        .alias("domain"),
+        F.col("id").alias("d"),
+    )
+    present = (
+        t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 20).alias("d"))
+        .distinct()
+    )
+    robots = (
+        _synth_robots(spark)
+        .join(dims, "domain")
+        .join(present, "d", "left_semi")
+        .select("domain", F.concat("text", extra).alias("text"))
+    )
+    return parse_robots_sitemaps(robots)
+
+
+@register(
+    "web_redirect_chains",
+    oracle="""
+    WITH resp AS (
+      SELECT 'https://r.example/u' || doc_id AS url,
+             CASE WHEN doc_id % 4 = 0 THEN 200 ELSE 301 END AS status,
+             CASE WHEN doc_id % 4 = 0 THEN NULL
+                  WHEN doc_id % 7 = 0
+                    THEN 'https://missing.example/' || doc_id
+                  ELSE 'https://r.example/u' || (doc_id - 1) END AS location
+      FROM documents),
+    chain AS (
+      WITH RECURSIVE r AS (
+        SELECT url AS start, url AS cur, status, location,
+               CAST(0 AS BIGINT) AS hops
+        FROM resp
+        UNION ALL
+        SELECT r.start, n.url, n.status, n.location, r.hops + 1
+        FROM r JOIN resp n ON n.url = r.location
+        WHERE r.status BETWEEN 300 AND 399 AND r.location IS NOT NULL
+          AND r.hops < 5)
+      SELECT * FROM r),
+    last AS (
+      SELECT start, MAX(hops) AS hops FROM chain GROUP BY start)
+    SELECT c.start AS url,
+           CASE WHEN c.status BETWEEN 300 AND 399 THEN c.location
+                ELSE c.cur END AS final_url,
+           CASE WHEN c.status BETWEEN 300 AND 399 THEN c.hops + 1
+                ELSE c.hops END AS n_hops,
+           CASE WHEN c.status BETWEEN 300 AND 399
+                THEN CAST(NULL AS BIGINT)
+                ELSE CAST(c.status AS BIGINT) END AS terminal_status,
+           NOT (c.status BETWEEN 300 AND 399) AS resolved
+    FROM chain c JOIN last l ON c.start = l.start AND c.hops = l.hops
+    """,
+    doc="HTTP redirect chains resolved by bounded relational hops "
+    "(one equi-join per hop, survivors shrink); the oracle replays the "
+    "traversal with a recursive CTE.",
+)
+def web_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-frontier edge resolver, end to end and oracle-checked:
+    every document becomes a fetched-URL row — terminal 200 when
+    ``doc_id % 4 == 0``, else a 301 whose Location points at the
+    previous document's URL (chains of length 1-3) or, when
+    ``doc_id % 7 == 0``, at a never-fetched target (the dangling case).
+    ``resolve_redirects`` follows the chains with max_hops bounded
+    equi-joins; the DuckDB oracle replays the same traversal with a
+    recursive CTE — hop counts, terminal statuses, dangling finals, and
+    the resolved bit all hash-checked. Chains crossing a dangling
+    intermediate stop where the data stops; nothing is guessed.
+
+    At 100 TB: hop 1 joins the full response table against itself on
+    url; every later hop joins only the still-redirecting survivors
+    (a shrinking fraction), so the bounded loop costs ~one fact join
+    plus change — the shape a frontier dedup actually needs before
+    re-crawling final URLs."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    resp = docs.select(
+        F.concat(F.lit("https://r.example/u"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(200))
+        .otherwise(F.lit(301))
+        .alias("status"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(None).cast("string"))
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("https://missing.example/"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://r.example/u"),
+                (F.col("doc_id") - 1).cast("string"),
+            )
+        )
+        .alias("location"),
+    )
+    return resolve_redirects(resp, max_hops=5)

@@ -225,9 +225,10 @@ def test_canary_fires_on_the_r12_driver_capture_scenario(tmp_path):
     )
     assert "canary_warning" not in json.loads(line)
 
-    # sf without committed CPU reference: loadavg signal still fires
+    # uncalibrated sf (10x rehearsals legitimately end above the sf0.1
+    # loadavg band because the bench's own tail keeps every core busy):
+    # all three signals record, none warns — same contract as the refs
     line = bench.emit_record(
         timings, "1", detail_dir=str(tmp_path), canary=r12_driver
     )
-    warning = json.loads(line)["canary_warning"]
-    assert "loadavg" in warning and "classify_nb_lang" not in warning
+    assert "canary_warning" not in json.loads(line)

@@ -444,3 +444,62 @@ def test_sitemap_frontier_nested_index_refuses(spark):
     out = _frontier_dfs(spark, index, [("https://d.example/s1.xml", nested)])
     with pytest.raises(Exception, match="nested sitemapindex"):
         out.collect()
+
+
+def test_parse_robots_sitemaps(spark):
+    """Sitemap: directives are global — extracted in file order wherever
+    they sit (inside or between groups), case-insensitively, comments
+    stripped, empty values dropped."""
+    from eth_event_stream_spark.plans.web import parse_robots_sitemaps
+
+    text = (
+        "User-agent: *\r\n"
+        "Sitemap: https://d.example/a.xml  # trailing comment\r\n"
+        "Disallow: /x\r\n\r\n"
+        "SITEMAP:https://d.example/b.xml\r\n"
+        "Sitemap:\r\n"  # empty: nothing to fetch
+        "sitemap-hint: not-a-directive\r\n"
+    )
+    rows = parse_robots_sitemaps(
+        spark.createDataFrame([("d.example", text)], "domain string, text string")
+    ).collect()
+    got = [(r["sitemap_idx"], r["sitemap_url"]) for r in sorted(rows, key=lambda r: r["sitemap_idx"])]
+    assert got == [
+        (0, "https://d.example/a.xml"),
+        (1, "https://d.example/b.xml"),
+    ]
+
+
+def test_resolve_redirects(spark):
+    """Chain semantics: multi-hop resolution, dangling Location, a cycle
+    hitting the hop bound, and terminal rows passing straight through."""
+    from eth_event_stream_spark.plans.web import resolve_redirects
+
+    rows = [
+        ("a", 301, "b"),
+        ("b", 302, "c"),
+        ("c", 200, None),
+        ("d", 301, "ghost"),   # dangling: ghost never fetched
+        ("e", 301, "f"),       # 2-cycle: exhausts the hop bound
+        ("f", 301, "e"),
+        ("g", 404, None),      # terminal error page
+        ("h", 301, None),      # 3xx WITHOUT Location: terminal by contract
+    ]
+    resp = spark.createDataFrame(rows, "url string, status int, location string")
+    got = {
+        r["url"]: (
+            r["final_url"], r["n_hops"], r["terminal_status"], r["resolved"]
+        )
+        for r in resolve_redirects(resp, max_hops=5).collect()
+    }
+    assert got["a"] == ("c", 2, 200, True)
+    assert got["b"] == ("c", 1, 200, True)
+    assert got["c"] == ("c", 0, 200, True)
+    assert got["d"] == ("ghost", 1, None, False)
+    assert got["g"] == ("g", 0, 404, True)
+    assert got["h"] == ("h", 0, 301, True)
+    # the cycle pair: still redirecting at the bound, unresolved
+    assert got["e"][3] is False and got["f"][3] is False
+    assert got["e"][1] == 5 and got["e"][2] is None
+    # exactly one output row per input url
+    assert len(got) == len(rows)
