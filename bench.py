@@ -201,6 +201,11 @@ HEADLINE = [
     # (PSL broadcast dim) — compare its row to r12 with that in mind.
     "web_http_headers",
     "web_sitemap_recursive",
+    # r13-extended, continued: robots-advertised sitemap roots (pure
+    # Catalyst parse) and the bounded-hop redirect resolver (one
+    # equi-join per hop, shrinking survivors)
+    "web_robots_sitemap_roots",
+    "web_redirect_chains",
 ]
 
 

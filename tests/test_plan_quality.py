@@ -336,6 +336,9 @@ JVM_ONLY = [
     "sql_recursive_ancestors",
     "scalar_variant_json",
     "sketch_countmin_heavyhitters",
+    "web_robots_sitemap_roots",
+    "web_redirect_chains",
+    "web_sitemap_recursive",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]
