@@ -206,6 +206,9 @@ HEADLINE = [
     # equi-join per hop, shrinking survivors)
     "web_robots_sitemap_roots",
     "web_redirect_chains",
+    # r13-extended, continued: Crawl-delay politeness budgets (tiny
+    # per-domain dims + one map-side-combined page count)
+    "web_crawl_budget",
 ]
 
 

@@ -157,6 +157,84 @@ def robots_allowed(
     )
 
 
+def parse_robots_delays(robots: DataFrame) -> DataFrame:
+    """(domain, text) -> (domain, grp, ua, delay) — ``Crawl-delay``
+    directives resolved to the User-agent group they follow. Crawl-delay
+    is OUTSIDE RFC 9309, and per its tolerance rule unrecognized lines
+    must not interfere with group parsing — so this parse deliberately
+    does NOT feed the shared ``_robots_grouped`` classifier (a
+    Crawl-delay between two User-agent lines would wrongly split their
+    run); instead each delay line joins to the LAST User-agent line
+    above it, which is how the engines that honor the directive scope
+    it. Several delay lines in one group: the last wins (parsers
+    overwrite). Non-numeric values are dropped (nothing to honor —
+    surfaced by the value staying absent, never a silent 0)."""
+    grouped = _robots_grouped(robots)
+    ua_rows = grouped.filter(F.col("directive") == "user-agent").select(
+        "domain", F.col("pos").alias("ua_pos"), "grp"
+    )
+    lines = robots.select(
+        "domain",
+        F.posexplode(F.split("text", "\n")).alias("pos", "raw"),
+    ).select(
+        "domain",
+        "pos",
+        F.regexp_replace(
+            F.regexp_replace("raw", r"#.*$", ""), r"^\s+|\s+$", ""
+        ).alias("line"),
+    )
+    raw_delays = lines.select(
+        "domain",
+        "pos",
+        F.regexp_replace(
+            F.regexp_extract("line", r"(?i)^crawl-delay\s*:(.*)$", 1),
+            r"^\s+|\s+$",
+            "",
+        ).alias("val"),
+    ).filter(F.col("val").rlike(r"^[0-9]+(\.[0-9]+)?$"))
+    # scope each delay to the group of the last UA line above it; a delay
+    # before any UA line scopes to nothing and is dropped (no group to
+    # honor it for), and the LAST delay of a group wins
+    scoped = (
+        raw_delays.join(ua_rows, "domain")
+        .filter(F.col("ua_pos") < F.col("pos"))
+        .groupBy("domain", "pos", "val")
+        .agg(F.max("grp").alias("grp"))
+    )
+    last = scoped.groupBy("domain", "grp").agg(
+        F.max(F.struct("pos", "val")).alias("__w")
+    ).select("domain", "grp", F.col("__w.val").cast("double").alias("delay"))
+    return last.join(parse_robots_groups(robots), ["domain", "grp"]).select(
+        "domain", "grp", "ua", "delay"
+    )
+
+
+def effective_crawl_delay(
+    delays: DataFrame, groups: DataFrame, agent: str
+) -> DataFrame:
+    """(domain, delay) — the delay the named agent must honor per domain:
+    the agent-specific group's delay when ANY group names the agent
+    (specific SHADOWS ``*`` entirely, even when the specific group
+    carries no delay — same shadowing contract as the rules), else the
+    ``*`` group's. Domains advertising no applicable delay are absent —
+    the caller picks its own politeness default."""
+    agent = agent.lower()
+    specific = groups.filter(F.col("ua") == agent).select("domain").distinct()
+    scoped = delays.filter(F.col("ua").isin(agent, "*"))
+    applicable = (
+        scoped.join(broadcast(specific), "domain", "left_semi")
+        .filter(F.col("ua") == agent)
+        .unionByName(
+            scoped.join(broadcast(specific), "domain", "left_anti").filter(
+                F.col("ua") == "*"
+            )
+        )
+    )
+    # one group can be named by several UA lines; delays are per group so
+    # values agree — MAX collapses duplicates deterministically
+    return applicable.groupBy("domain").agg(F.max("delay").alias("delay"))
+
+
 def parse_robots_sitemaps(robots: DataFrame) -> DataFrame:
     """(domain, text) -> (domain, sitemap_idx, sitemap_url) — the
     ``Sitemap:`` directives of each robots.txt, in file order. Per the
@@ -1242,3 +1320,93 @@ def web_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("location"),
     )
     return resolve_redirects(resp, max_hops=5)
+
+
+@register(
+    "web_crawl_budget",
+    oracle="""
+    WITH pages AS (
+      SELECT doc_id % 20 AS d, COUNT(*) AS n FROM documents GROUP BY 1),
+    delay AS (
+      SELECT d,
+             CASE WHEN d % 4 != 1
+                  THEN (CASE WHEN d % 3 = 0 THEN 2.5 END)
+                  ELSE (CASE WHEN d % 2 = 0
+                             THEN CAST(1 + d % 3 AS DOUBLE) END) END AS delay
+      FROM pages)
+    SELECT 'site' || d || '.example' AS domain,
+           delay,
+           CAST(n AS BIGINT) AS n_pages,
+           delay * n AS est_seconds
+    FROM delay JOIN pages USING (d)
+    """,
+    doc="Crawl-delay honored per domain: group-scoped delays parsed "
+    "without breaking RFC 9309 groups, specific group shadows '*', "
+    "last delay wins; budget = pages x delay; the oracle replays the "
+    "whole politeness schedule.",
+)
+def web_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling, end to end and oracle-checked: 20
+    synthetic robots.txt files carry ``Crawl-delay`` lines on formulaic
+    schedules — the ``*`` group's delay on even domains, a trainbot
+    group (3/4 of domains) whose delay exists only on ``d % 3 == 0`` —
+    and the parse honors the directive's real-world semantics:
+    Crawl-delay is OUTSIDE RFC 9309, so it must scope to the User-agent
+    group ABOVE it without splitting UA runs (RFC tolerance rule), the
+    last delay in a group wins, a specific group SHADOWS ``*`` even
+    when it carries no delay (those domains surface delay=NULL — the
+    caller's politeness default applies, never a silently inherited
+    ``*`` value), and non-numeric values drop. The per-domain budget is
+    one hash aggregate (pages) joined to the tiny delay dim:
+    ``est_seconds = n_pages x delay`` is the serial fetch-time floor a
+    crawl scheduler partitions work by. The DuckDB oracle replays
+    delays, shadowing, and budgets from the formulas.
+
+    At 100 TB: robots files parse once into tiny per-domain dims; the
+    only fact-scale work is the page count — map-side-combined into a
+    20-key space here, domain-key space in a real crawl."""
+    d = F.col("d")
+    dims = spark.range(20).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".example"))
+        .alias("domain"),
+        F.col("id").alias("d"),
+    )
+    text = F.concat(
+        F.lit("# politeness\nUser-agent: *\nDisallow: /private\n"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("Crawl-delay: "),
+                (d % 3 + 1).cast("string"),
+                F.lit("\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 != 1, F.lit("\nUser-agent: trainbot\nDisallow: /tb\n")
+        ).otherwise(F.lit("")),
+        F.when(
+            (d % 4 != 1) & (d % 3 == 0), F.lit("Crawl-delay: 2.5\n")
+        ).otherwise(F.lit("")),
+    )
+    robots = dims.select("domain", "d", text.alias("text"))
+    delays = effective_crawl_delay(
+        parse_robots_delays(robots.select("domain", "text")),
+        parse_robots_groups(robots.select("domain", "text")),
+        "trainbot",
+    )
+    pages = (
+        t(spark, sf_dir, "documents")
+        .groupBy((F.col("doc_id") % 20).alias("d"))
+        .agg(F.count("*").cast("bigint").alias("n_pages"))
+    )
+    return (
+        robots.select("domain", "d")
+        .join(pages, "d")
+        .join(delays, "domain", "left")
+        .select(
+            "domain",
+            "delay",
+            "n_pages",
+            (F.col("delay") * F.col("n_pages")).alias("est_seconds"),
+        )
+    )

@@ -339,6 +339,7 @@ JVM_ONLY = [
     "web_robots_sitemap_roots",
     "web_redirect_chains",
     "web_sitemap_recursive",
+    "web_crawl_budget",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]

@@ -503,3 +503,54 @@ def test_resolve_redirects(spark):
     assert got["e"][1] == 5 and got["e"][2] is None
     # exactly one output row per input url
     assert len(got) == len(rows)
+
+
+def test_parse_robots_delays_scoping(spark):
+    """Crawl-delay semantics: scopes to the UA group above it WITHOUT
+    splitting UA runs (RFC 9309 tolerance), last delay in a group wins,
+    non-numeric values drop, a delay above any UA line drops, and the
+    effective delay shadows '*' exactly like the rules (an agent-specific
+    group with NO delay yields NO delay, not the '*' value)."""
+    from eth_event_stream_spark.plans.web import (
+        effective_crawl_delay,
+        parse_robots_delays,
+        parse_robots_groups,
+    )
+
+    text = (
+        "Crawl-delay: 99\r\n"            # above any group: dropped
+        "User-agent: A\r\n"
+        "Crawl-delay: 1\r\n"             # must NOT split the A/B UA run...
+        "User-agent: B\r\n"              # ...so A and B still share a group
+        "Disallow: /x\r\n"
+        "Crawl-delay: nonsense\r\n"      # non-numeric: dropped
+        "Crawl-delay: 2.5\r\n"           # last wins for the A+B group
+        "\r\n"
+        # the Disallow matters: without a rule line, the RFC contract
+        # ignores the unknown Crawl-delay entirely and the '*' and C
+        # User-agent lines would merge into ONE group
+        "User-agent: *\r\nCrawl-delay: 7\r\nDisallow: /star\r\n"
+        "\r\n"
+        "User-agent: C\r\nDisallow: /c\r\n"  # specific group, NO delay
+    )
+    robots = spark.createDataFrame(
+        [("d.example", text)], "domain string, text string"
+    )
+    delays = {
+        (r["ua"], r["delay"]) for r in parse_robots_delays(robots).collect()
+    }
+    assert delays == {("a", 2.5), ("b", 2.5), ("*", 7.0)}
+    groups = parse_robots_groups(robots)
+    # RFC tolerance held: A and B share one group
+    grp_of = {r["ua"]: r["grp"] for r in groups.collect()}
+    assert grp_of["a"] == grp_of["b"]
+
+    def eff(agent):
+        rows = effective_crawl_delay(
+            parse_robots_delays(robots), groups, agent
+        ).collect()
+        return rows[0]["delay"] if rows else None
+
+    assert eff("B") == 2.5
+    assert eff("unknownbot") == 7.0   # '*' applies
+    assert eff("C") is None           # specific group shadows '*', no delay
