@@ -209,6 +209,11 @@ HEADLINE = [
     # r13-extended, continued: Crawl-delay politeness budgets (tiny
     # per-domain dims + one map-side-combined page count)
     "web_crawl_budget",
+    # r13-extended, continued: the politeness schedule (per-domain
+    # window x delay dim) and jusText-style boilerplate removal (block
+    # explode + link/stopword density, pure Catalyst)
+    "web_fetch_schedule",
+    "web_boilerplate_filter",
 ]
 
 

@@ -75,6 +75,46 @@ def html_to_text(col: Column | str) -> Column:
     return F.regexp_replace(c, r"^\s+|\s+$", "")
 
 
+def html_blocks(col: Column | str) -> Column:
+    """The page split into RAW segments at block-level tag boundaries
+    (script/style/comments stripped first) — ``array<string>`` whose
+    entries still carry their inline markup, so per-block metrics that
+    need the markup (anchor text for link density) can read it before
+    stripping. Segments BETWEEN adjacent block tags are empty strings;
+    callers filter on the extracted text, keeping indices deterministic.
+    The splitting tag set is exactly ``html_to_text``'s newline set, so
+    joining each block's ``html_inline_text`` reproduces that function's
+    line structure."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(
+        _strip_invisible(c), rf"(?i)</?({_BLOCK_TAGS})(\s[^>]*)?/?>"
+    )
+
+
+def html_inline_text(col: Column | str) -> Column:
+    """Visible text of ONE block segment: inline tags to spaces, core
+    entities decoded (``&amp;`` last), whitespace collapsed, trimmed —
+    the per-segment half of ``html_to_text``'s contract."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, ch in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_anchor_text(col: Column | str) -> Column:
+    """The concatenated visible text of a segment's ``<a>`` elements —
+    the numerator of link density. Anchors are extracted from the RAW
+    segment (before inline-tag stripping), then flattened through the
+    same inline-text chain."""
+    c = F.col(col) if isinstance(col, str) else col
+    joined = F.array_join(
+        F.regexp_extract_all(c, F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"), F.lit(1)),
+        " ",
+    )
+    return html_inline_text(joined)
+
+
 def html_title(col: Column | str) -> Column:
     """The first ``<title>`` element's text (entity-decoded, whitespace
     collapsed), or empty string when there is none — same pure-Catalyst

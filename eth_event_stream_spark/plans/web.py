@@ -1410,3 +1410,252 @@ def web_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("delay") * F.col("n_pages")).alias("est_seconds"),
         )
     )
+
+
+@register(
+    "web_fetch_schedule",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, doc_id % 20 AS d,
+             CASE doc_id % 5
+               WHEN 0 THEN '/private/ok/page'
+               WHEN 1 THEN '/private/page'
+               WHEN 2 THEN '/seg/seg'
+               WHEN 3 THEN '/'
+               ELSE '/public' END AS path
+      FROM documents),
+    delay AS (
+      SELECT DISTINCT doc_id % 20 AS d,
+             CASE WHEN (doc_id % 20) % 4 != 1
+                  THEN (CASE WHEN (doc_id % 20) % 3 = 0 THEN 2.5 END)
+                  ELSE (CASE WHEN (doc_id % 20) % 2 = 0
+                             THEN CAST(1 + (doc_id % 20) % 3 AS DOUBLE) END)
+             END AS delay
+      FROM documents)
+    SELECT u.doc_id,
+           'site' || u.d || '.example' AS domain,
+           u.path,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY u.d ORDER BY u.doc_id) AS BIGINT) AS fetch_rank,
+           (ROW_NUMBER() OVER (PARTITION BY u.d ORDER BY u.doc_id) - 1)
+             * COALESCE(dl.delay, 1.0) AS offset_seconds
+    FROM urls u JOIN delay dl USING (d)
+    """,
+    doc="Politeness fetch schedule: per-domain row_number x effective "
+    "Crawl-delay (default 1s) = each URL's fetch offset; the oracle "
+    "replays ranks and offsets.",
+)
+def web_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From budget to SCHEDULE, end to end and oracle-checked: every
+    URL gets a per-domain fetch rank (deterministic doc_id order) and a
+    start offset ``(rank - 1) x effective_delay`` with a 1-second
+    politeness default where robots advertises no applicable delay —
+    the exact assignment a distributed fetcher partitions by domain and
+    replays. Delays come from the same synthetic robots schedule as
+    ``web_crawl_budget`` (specific-shadows-'*' and all), so the two
+    rows cross-check each other: a budget is the schedule's last
+    offset plus one delay.
+
+    At 100 TB: the window is partitioned BY DOMAIN — the politeness
+    constraint itself is per-domain, so the shuffle key is forced and
+    correct, and no domain's queue ever funnels through another's
+    partition. The delay dim broadcasts."""
+    d = F.col("d")
+    dims = spark.range(20).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".example"))
+        .alias("domain"),
+        F.col("id").alias("d"),
+    )
+    text = F.concat(
+        F.lit("# politeness\nUser-agent: *\nDisallow: /private\n"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("Crawl-delay: "), (d % 3 + 1).cast("string"), F.lit("\n")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 != 1, F.lit("\nUser-agent: trainbot\nDisallow: /tb\n")
+        ).otherwise(F.lit("")),
+        F.when(
+            (d % 4 != 1) & (d % 3 == 0), F.lit("Crawl-delay: 2.5\n")
+        ).otherwise(F.lit("")),
+    )
+    robots = dims.select("domain", text.alias("text"))
+    delays = effective_crawl_delay(
+        parse_robots_delays(robots),
+        parse_robots_groups(robots),
+        "trainbot",
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    urls = _synth_urls(docs).select("doc_id", "domain", "path")
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    rank = F.row_number().over(w).cast("bigint")
+    return (
+        urls.join(broadcast(delays), "domain", "left")
+        .select(
+            "doc_id",
+            "domain",
+            "path",
+            rank.alias("fetch_rank"),
+            ((rank - 1) * F.coalesce(F.col("delay"), F.lit(1.0))).alias(
+                "offset_seconds"
+            ),
+        )
+    )
+
+
+# The boilerplate classification contract (jusText-style, made integer-
+# exact so a SQL oracle can replay every decision): a block is CONTENT
+# iff it has >= 5 words, its anchor-text chars are under 40% of its
+# chars (10*link < 4*chars), and its function-word density reaches 20%
+# (5*stop_hits >= n_words) OR it is long (>= 30 words). The stopword
+# set is a deliberately tiny function-word list — density of closed-
+# class words separates prose from nav/footer fragments; the list is
+# part of the contract, not a tuning knob.
+BOILERPLATE_STOPWORDS = [
+    "the", "a", "an", "of", "to", "in", "and", "is", "on", "for",
+    "with", "that", "it", "as", "was", "at", "by", "be",
+]
+
+
+def html_content_blocks(df: DataFrame, html_col: str, keys: list[str]) -> DataFrame:
+    """Paragraph-level boilerplate removal, entirely in Catalyst: split
+    the page into block segments (``html_blocks`` — script/style/
+    comments already gone), extract each segment's visible text AND its
+    anchor text (from the raw markup, before inline stripping), compute
+    integer-exact metrics (word count, char count, anchor chars,
+    stopword hits), and classify per the module contract above. Returns
+    one row per NON-EMPTY block: (*keys, block_idx, text, n_words,
+    n_chars, link_chars, stop_hits, keep). ``block_idx`` is the
+    segment's position in the raw split (empty segments between
+    adjacent tags keep their slots), so indices are deterministic.
+
+    At 100 TB this is the WET extraction's shape with one explode: a
+    stateless per-page string transform fused into the scan, small
+    typed rows out, no shuffle — and the keep bit is what separates
+    prose from the nav/footer/link-farm mass that dominates raw crawl
+    bytes."""
+    from ..functions.html import html_anchor_text, html_blocks, html_inline_text
+
+    segs = df.select(
+        *keys,
+        F.posexplode(html_blocks(html_col)).alias("block_idx", "raw"),
+    )
+    text = html_inline_text(F.col("raw"))
+    link = html_anchor_text(F.col("raw"))
+    m = segs.select(
+        *keys,
+        F.col("block_idx").cast("bigint").alias("block_idx"),
+        text.alias("text"),
+        F.length(text).cast("bigint").alias("n_chars"),
+        F.when(text == "", F.lit(0))
+        .otherwise(F.size(F.split(text, r"\s+")))
+        .cast("bigint")
+        .alias("n_words"),
+        F.length(link).cast("bigint").alias("link_chars"),
+        F.size(
+            F.filter(
+                F.split(F.lower(text), r"\s+"),
+                lambda w: F.array_contains(
+                    F.array(*[F.lit(s) for s in BOILERPLATE_STOPWORDS]), w
+                ),
+            )
+        )
+        .cast("bigint")
+        .alias("stop_hits"),
+    ).filter(F.col("text") != "")
+    keep = (
+        (F.col("n_words") >= 5)
+        & (F.col("link_chars") * 10 < F.col("n_chars") * 4)
+        & (
+            (F.col("stop_hits") * 5 >= F.col("n_words"))
+            | (F.col("n_words") >= 30)
+        )
+    )
+    return m.withColumn("keep", keep)
+
+
+@register(
+    "web_boilerplate_filter",
+    oracle="""
+    WITH content AS (
+      SELECT doc_id,
+             'the quick & brown fox is on the hill and it was at rest '
+               || text AS body
+      FROM documents),
+    blocks AS (
+      SELECT doc_id, 1 AS block_idx, 'Home About us' AS t,
+             CAST(13 AS BIGINT) AS link_chars FROM documents
+      UNION ALL
+      SELECT doc_id, 3,
+             chr(169) || ' 2026 site' || (doc_id % 20), 0 FROM documents
+      UNION ALL
+      SELECT doc_id, 5, body, 0 FROM content
+      UNION ALL
+      SELECT doc_id, 7,
+             'the fox and the dog was at rest more here now',
+             CAST(31 AS BIGINT) FROM documents),
+    m AS (
+      SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx, t AS text,
+             CAST(length(t) AS BIGINT) AS n_chars,
+             CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+             link_chars,
+             CAST(len(list_filter(string_split(lower(t), ' '),
+                    w -> list_contains(['the','a','an','of','to','in',
+                      'and','is','on','for','with','that','it','as',
+                      'was','at','by','be'], w)))
+               AS BIGINT) AS stop_hits
+      FROM blocks)
+    SELECT doc_id, block_idx, text, n_chars, n_words, link_chars,
+           stop_hits,
+           (n_words >= 5 AND link_chars * 10 < n_chars * 4
+            AND (stop_hits * 5 >= n_words OR n_words >= 30)) AS keep
+    FROM m
+    """,
+    doc="jusText-style boilerplate removal: block split + link-density "
+    "+ stopword-density classification, pure Catalyst; the oracle "
+    "replays every metric and keep bit per block.",
+)
+def web_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The missing middle of the WET chain, end to end and oracle-
+    checked: every document becomes an HTML page of four block-tagged
+    segments — a pure-link nav bar (dropped: 3 words, 100% link
+    density), a short copyright footer (dropped: 3 words), the CONTENT
+    paragraph carrying a function-word-rich prefix plus the document's
+    HTML-escaped text with an ``&amp;`` decode case (kept), and a
+    link-heavy paragraph whose words and stopwords PASS but whose
+    anchor chars exceed the 40% density cap (dropped — link density is
+    the deciding signal, pinned). ``html_content_blocks`` computes every
+    metric in pure Catalyst over the raw split segments; the DuckDB
+    oracle rebuilds the same four blocks per document with string
+    arithmetic and replays words, chars, anchor chars, stopword hits,
+    and the keep bit. Block indices are raw-split positions (1,3,5,7 —
+    the even slots are the empty between-tag segments), so a split
+    regression shifts indices and breaks the hash.
+
+    At 100 TB: one stateless explode fused into the WET scan; the keep
+    bit typically drops the majority of raw crawl blocks before dedup
+    and quality ever see them."""
+    docs = t_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    page = F.concat(
+        F.lit('<div><a href="/">Home</a> <a href="/a">About us</a></div>'),
+        F.lit("<p>© 2026 site"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit("</p><p>the quick &amp; brown fox is on the hill and it "
+              "was at rest "),
+        esc,
+        F.lit("</p><p><a>the fox and the dog was at rest</a> more here "
+              "now</p>"),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    return html_content_blocks(pages, "html", ["doc_id"])

@@ -148,3 +148,60 @@ def test_html_title_ignores_comments_and_scripts(spark):
         '<script>document.title="<title>x</title>"</script><title>Good</title>',
     )
     assert title == "Good"
+
+
+def test_html_blocks_and_content_classification(spark):
+    """Block split keeps deterministic indices (empty between-tag slots),
+    inline text matches html_to_text's line structure, anchor text reads
+    the RAW markup, and the keep contract classifies nav/short/content/
+    link-heavy blocks the documented way."""
+    from eth_event_stream_spark.functions.html import (
+        html_blocks,
+        html_inline_text,
+        html_to_text,
+    )
+    from eth_event_stream_spark.plans.web import html_content_blocks
+
+    html = (
+        '<div><a href="/">Home</a> <a href="/x">About us</a></div>'
+        "<p>tiny</p>"
+        "<p>the quick &amp; brown fox is on the hill and it was at rest "
+        "here today</p>"
+        "<p><a>the fox and the dog was at rest</a> more here now</p>"
+        "<script>var a = '<p>not a block</p>';</script>"
+    )
+    df = spark.createDataFrame([(1, html)], "k long, html string")
+    out = {
+        r["block_idx"]: r
+        for r in html_content_blocks(df, "html", ["k"]).collect()
+    }
+    assert sorted(out) == [1, 3, 5, 7]  # script block never splits
+    assert out[1]["text"] == "Home About us" and not out[1]["keep"]
+    assert out[3]["text"] == "tiny" and not out[3]["keep"]
+    c = out[5]
+    assert c["keep"] and c["text"].startswith("the quick & brown fox")
+    assert c["stop_hits"] >= 8 and c["link_chars"] == 0
+    d = out[7]
+    # words and stopwords pass; anchor density is the deciding drop
+    assert d["n_words"] >= 5 and d["stop_hits"] * 5 >= d["n_words"]
+    assert not d["keep"] and d["link_chars"] == 31
+    # joining per-block inline text reproduces html_to_text's lines
+    joined = spark.createDataFrame([(html,)], "h string").select(
+        F.array_join(
+            F.filter(
+                F.transform(html_blocks("h"), html_inline_text),
+                lambda x: x != "",
+            ),
+            "\n",
+        ).alias("j"),
+        html_to_text("h").alias("t"),
+    ).collect()[0]
+    assert joined["j"] == joined["t"]
+    # pure Catalyst
+    plan = (
+        html_content_blocks(df, "html", ["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "MapInPandas" not in plan

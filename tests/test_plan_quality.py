@@ -340,6 +340,8 @@ JVM_ONLY = [
     "web_redirect_chains",
     "web_sitemap_recursive",
     "web_crawl_budget",
+    "web_fetch_schedule",
+    "web_boilerplate_filter",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]
