@@ -214,6 +214,9 @@ HEADLINE = [
     # explode + link/stopword density, pure Catalyst)
     "web_fetch_schedule",
     "web_boilerplate_filter",
+    # r13-extended, continued: churn-sized recrawl planning (two
+    # anti-joins + one null-safe inner join on one key partitioning)
+    "web_frontier_delta",
 ]
 
 

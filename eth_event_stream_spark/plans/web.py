@@ -1659,3 +1659,143 @@ def web_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = docs.select("doc_id", page.alias("html"))
     return html_content_blocks(pages, "html", ["doc_id"])
+
+
+def frontier_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Incremental crawl maintenance: diff two sitemap-URL frontiers
+    keyed by (domain, loc) into ADDED / REMOVED / LASTMOD_CHANGED rows —
+    exactly the set a recrawler fetches (added + changed) and retires
+    (removed) without touching the unchanged mass. Anti-joins for
+    membership, an inner join with a NULL-SAFE lastmod comparison for
+    changes (a lastmod appearing or disappearing IS a change). Both
+    sides carry (domain, loc, lastmod).
+
+    At 100 TB: two anti-joins and one inner join, all on the same
+    (domain, loc) key — one shuffle partitioning serves all three, and
+    the output is proportional to the CHURN, not the frontier."""
+    o = old.select(
+        "domain", "loc", F.col("lastmod").alias("old_lastmod")
+    )
+    n = new.select(
+        "domain", "loc", F.col("lastmod").alias("new_lastmod")
+    )
+    key = ["domain", "loc"]
+    added = n.join(o, key, "left_anti").select(
+        "domain",
+        "loc",
+        F.lit("added").alias("change"),
+        F.lit(None).cast("string").alias("old_lastmod"),
+        "new_lastmod",
+    )
+    removed = o.join(n, key, "left_anti").select(
+        "domain",
+        "loc",
+        F.lit("removed").alias("change"),
+        "old_lastmod",
+        F.lit(None).cast("string").alias("new_lastmod"),
+    )
+    changed = (
+        o.join(n, key)
+        .filter(~F.col("old_lastmod").eqNullSafe(F.col("new_lastmod")))
+        .select(
+            "domain",
+            "loc",
+            F.lit("lastmod_changed").alias("change"),
+            "old_lastmod",
+            "new_lastmod",
+        )
+    )
+    return added.unionByName(removed).unionByName(changed)
+
+
+@register(
+    "web_frontier_delta",
+    oracle="""
+    WITH sm AS (
+      SELECT doc_id, doc_id % 20 AS d, u.j,
+             'https://site' || (doc_id % 20) || '.example/page/' || doc_id
+               || '/' || u.j AS loc
+      FROM documents,
+           LATERAL (SELECT UNNEST(range(0, 1 + doc_id % 3)) AS j) u),
+    old AS (
+      SELECT *, CASE WHEN doc_id % 2 = 0
+                     THEN '2026-0' || (1 + doc_id % 9) || '-01' END AS lm
+      FROM sm WHERE doc_id % 10 != 7),
+    new AS (
+      SELECT *, CASE WHEN doc_id % 2 = 0 THEN
+               CASE WHEN doc_id % 6 = 2
+                    THEN '2026-0' || (1 + doc_id % 9) || '-15'
+                    ELSE '2026-0' || (1 + doc_id % 9) || '-01' END END AS lm
+      FROM sm WHERE doc_id % 10 != 3)
+    SELECT 'site' || d || '.example' AS domain, loc,
+           'added' AS change, CAST(NULL AS VARCHAR) AS old_lastmod,
+           lm AS new_lastmod
+    FROM new WHERE doc_id % 10 = 7
+    UNION ALL
+    SELECT 'site' || d || '.example', loc, 'removed', lm, NULL
+    FROM old WHERE doc_id % 10 = 3
+    UNION ALL
+    SELECT 'site' || d || '.example', loc, 'lastmod_changed',
+           '2026-0' || (1 + doc_id % 9) || '-01',
+           '2026-0' || (1 + doc_id % 9) || '-15'
+    FROM new WHERE doc_id % 6 = 2 AND doc_id % 10 NOT IN (3, 7)
+    """,
+    doc="Crawl frontier diff: added/removed/lastmod-changed URLs via two "
+    "anti-joins and one null-safe inner join on (domain, loc); the "
+    "oracle replays the churn set from the schedule formulas.",
+)
+def web_frontier_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recrawl planner, end to end and oracle-checked: yesterday's
+    frontier (docs except ``% 10 == 7``) against today's (docs except
+    ``% 10 == 3``), with today's lastmod bumped on ``% 6 == 2`` docs —
+    so the delta is exactly: every URL of the ``% 10 == 7`` docs ADDED,
+    every URL of the ``% 10 == 3`` docs REMOVED, and the even-doc
+    lastmod bumps CHANGED (null-safe: odd docs carry no lastmod on
+    either side and must NOT report). Both frontiers synthesize in pure
+    Catalyst from the documents table; ``frontier_delta`` diffs them
+    with two anti-joins plus one null-safe inner join on the shared
+    (domain, loc) key; the DuckDB oracle replays the full churn set.
+
+    At 100 TB the output is churn-sized, not frontier-sized — the whole
+    point of incremental recrawl planning."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = (F.col("doc_id") % 20).cast("string")
+    base = docs.select(
+        "doc_id",
+        F.concat(F.lit("site"), d, F.lit(".example")).alias("domain"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("j"),
+    ).select(
+        "doc_id",
+        "domain",
+        F.concat(
+            F.lit("https://site"), d, F.lit(".example/page/"),
+            F.col("doc_id").cast("string"), F.lit("/"),
+            F.col("j").cast("string"),
+        ).alias("loc"),
+    )
+    lm_old = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("2026-0"), (F.col("doc_id") % 9 + 1).cast("string"),
+            F.lit("-01"),
+        ),
+    )
+    lm_new = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("2026-0"),
+            (F.col("doc_id") % 9 + 1).cast("string"),
+            F.when(F.col("doc_id") % 6 == 2, F.lit("-15")).otherwise(
+                F.lit("-01")
+            ),
+        ),
+    )
+    old = base.filter(F.col("doc_id") % 10 != 7).select(
+        "domain", "loc", lm_old.alias("lastmod")
+    )
+    new = base.filter(F.col("doc_id") % 10 != 3).select(
+        "domain", "loc", lm_new.alias("lastmod")
+    )
+    return frontier_delta(old, new)
