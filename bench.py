@@ -217,6 +217,9 @@ HEADLINE = [
     # r13-extended, continued: churn-sized recrawl planning (two
     # anti-joins + one null-safe inner join on one key partitioning)
     "web_frontier_delta",
+    # r13-extended, continued: the composed bytes-to-content-blocks
+    # chain (WARC Arrow parse + HTTP split + codegen block classify)
+    "web_content_extraction",
 ]
 
 

@@ -1799,3 +1799,66 @@ def web_frontier_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "domain", "loc", lm_new.alias("lastmod")
     )
     return frontier_delta(old, new)
+
+
+@register(
+    "web_content_extraction",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+      FROM documents),
+    blocks AS (
+      SELECT doc_id, 1 AS block_idx, 'doc ' || doc_id AS t FROM documents
+      UNION ALL
+      SELECT doc_id, 3, 'doc ' || doc_id FROM documents
+      UNION ALL
+      SELECT doc_id, 5, 'A & B <ok>' FROM documents
+      UNION ALL
+      SELECT doc_id, 7, t FROM norm),
+    m AS (
+      SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx, t AS text,
+             CAST(length(t) AS BIGINT) AS n_chars,
+             CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+             CAST(0 AS BIGINT) AS link_chars,
+             CAST(len(list_filter(string_split(lower(t), ' '),
+                    w -> list_contains(['the','a','an','of','to','in',
+                      'and','is','on','for','with','that','it','as',
+                      'was','at','by','be'], w)))
+               AS BIGINT) AS stop_hits
+      FROM blocks)
+    SELECT doc_id AS archive_id, block_idx, text, n_chars, n_words,
+           link_chars, stop_hits,
+           (n_words >= 5 AND link_chars * 10 < n_chars * 4
+            AND (stop_hits * 5 >= n_words OR n_words >= 30)) AS keep
+    FROM m
+    """,
+    doc="The full content-extraction chain over real archive bytes: "
+    ".warc.gz -> HTTP header/body split -> block split -> boilerplate "
+    "classification; the oracle replays every block's metrics and keep "
+    "bit from the page structure.",
+)
+def web_content_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed extraction a Common Crawl curator actually runs,
+    end to end from BYTES: real one-record ``.warc.gz`` archives (HTTP-
+    wrapped HTML pages) parse in one Arrow pass, the HTTP header block
+    splits off before charset decode, and ``html_content_blocks``
+    classifies each block of the RECOVERED page in pure Catalyst. The
+    synth page's structure is fixed (title block, h1, a short entity
+    paragraph, the document's escaped text), so the DuckDB oracle
+    replays every block index (1,3,5,7 — raw-split slots), the decoded
+    entity text (``A & B <ok>``), the whitespace-normalized document
+    text, and all four keep decisions: title/h1/entity blocks drop on
+    word count, the content block decides by the real stopword-density
+    contract on the document's own words.
+
+    At 100 TB: one Arrow parse where the bytes live, then a stateless
+    codegen explode — the boilerplate keep bit lands BEFORE dedup and
+    quality, which is where it belongs (most raw crawl blocks die
+    here)."""
+    from ..operators.ingest import documents_as_warc_html, warc_to_documents
+
+    docs = t_parallel(spark, sf_dir, "documents")
+    recs = warc_to_documents(documents_as_warc_html(docs)).select(
+        F.col("archive_id"), F.col("text").alias("html")
+    )
+    return html_content_blocks(recs, "html", ["archive_id"])

@@ -65,6 +65,9 @@ PLAN_EXPECTATIONS = {
     # HTTP header layer: two Arrow passes (build archives, split records);
     # the field extraction over the header block stays codegen
     "web_http_headers": [r"MapInPandas[\s\S]*MapInPandas"],
+    # bytes -> content blocks: the two WARC Arrow passes feed a pure-
+    # codegen block explode + classification
+    "web_content_extraction": [r"MapInPandas[\s\S]*MapInPandas"],
     # robots decision: rules dim broadcast into the URL fact table, the
     # longest-match winner via a per-URL group limit — and the whole
     # parse+decide pipeline is Catalyst (no Python nodes)
