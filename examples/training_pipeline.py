@@ -225,6 +225,25 @@ def main() -> None:
         f"{kept_discovered} kept pages on discovered domains"
     )
 
+    # 11. crawl operations (round 13, continued): boilerplate blocks
+    #     classified from real archive bytes, politeness schedule from
+    #     Crawl-delay, churn-sized recrawl plan from the frontier diff
+    blocks = run("web_content_extraction")
+    n_blocks = blocks.count()
+    n_content = blocks.filter("keep").count()
+    horizon = (
+        run("web_fetch_schedule")
+        .agg(F.max("offset_seconds").alias("m"))
+        .collect()[0]["m"]
+    )
+    churn = run("web_frontier_delta").groupBy("change").count().collect()
+    churn_s = ", ".join(f"{r['change']}={r['count']}" for r in sorted(
+        churn, key=lambda r: r["change"]))
+    print(
+        f"crawl ops: {n_content}/{n_blocks} blocks kept as content; "
+        f"politeness horizon {horizon:.1f}s; recrawl churn: {churn_s}"
+    )
+
     print("training pipeline complete")
     spark.stop()
 
