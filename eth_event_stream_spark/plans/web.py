@@ -10,10 +10,13 @@ lines, window functions reconstruct the User-agent groups (a group is a
 run of consecutive ``User-agent`` lines plus the rules that follow —
 the classic gaps-and-islands shape), and everything stays in Catalyst.
 
-The MATCHING CONTRACT (the original REP core, documented — Google's
-``*``/``$`` wildcard extensions are out of scope and such patterns are
-treated as literals): rules are literal path prefixes; the most
-specific (longest) matching rule wins; on a length tie Allow wins; a
+The MATCHING CONTRACT (RFC 9309, round 13 — the special characters
+are in scope): a rule is a path pattern where ``*`` matches any octet
+sequence and a TRAILING ``$`` anchors the end of the path (a
+mid-pattern ``$`` is literal); patterns without wildcards match as
+literal prefixes. The most specific matching rule wins — specificity
+is the octet length of the pattern AS WRITTEN (wildcards and anchor
+count, the RFC's longest-match measure); on a length tie Allow wins; a
 directive with an EMPTY value matches nothing; a URL matching no rule
 is allowed; when a group names the requested agent specifically, ONLY
 that group applies (an empty specific group therefore allows
@@ -88,12 +91,18 @@ def parse_robots_groups(robots: DataFrame) -> DataFrame:
 
 
 def parse_robots_rules(robots: DataFrame) -> DataFrame:
-    """(domain, text) -> (domain, grp, ua, allow, prefix) — the rules
-    relation, parsed entirely in Catalyst: lines via split+posexplode,
-    comments stripped, User-agent groups reconstructed with the
-    lag/running-sum gaps-and-islands idiom, empty-valued directives
-    dropped (they match nothing). Unknown directives are ignored, as the
-    REP requires."""
+    """(domain, text) -> (domain, grp, ua, allow, prefix, rule_re) — the
+    rules relation, parsed entirely in Catalyst: lines via
+    split+posexplode, comments stripped, User-agent groups reconstructed
+    with the lag/running-sum gaps-and-islands idiom, empty-valued
+    directives dropped (they match nothing). Unknown directives are
+    ignored, as the REP requires. ``rule_re`` is the rule's RFC 9309
+    matching regex, compiled IN CATALYST from the written pattern:
+    ``*`` matches any octet sequence, a TRAILING ``$`` anchors the end
+    (a mid-pattern ``$`` is literal), every other character matches
+    literally (regex metachars escaped) — a plain literal rule compiles
+    to exactly the anchored-prefix regex ``startswith`` used to
+    implement."""
     grouped = _robots_grouped(robots)
     rules = grouped.filter(
         F.col("directive").isin("allow", "disallow") & (F.col("value") != "")
@@ -103,9 +112,23 @@ def parse_robots_rules(robots: DataFrame) -> DataFrame:
         (F.col("directive") == "allow").alias("allow"),
         F.col("value").alias("prefix"),
     )
+    anchored = F.col("prefix").endswith("$") & (F.length("prefix") > 1)
+    body = F.when(
+        anchored,
+        F.substring(F.col("prefix"), F.lit(1), F.length("prefix") - 1),
+    ).otherwise(F.col("prefix"))
+    esc = F.regexp_replace(body, r"([.\[\]{}()+\-^$|?\\])", r"\\$1")
+    rules = rules.withColumn(
+        "rule_re",
+        F.concat(
+            F.lit("^"),
+            F.replace(esc, F.lit("*"), F.lit(".*")),
+            F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+        ),
+    )
     # a rule belongs to every agent its group names
     return rules.join(parse_robots_groups(robots), ["domain", "grp"]).select(
-        "domain", "grp", "ua", "allow", "prefix"
+        "domain", "grp", "ua", "allow", "prefix", "rule_re"
     )
 
 
@@ -116,8 +139,9 @@ def robots_allowed(
     ``agent``: pick the applicable group (specific beats ``*``, and a
     specific group SHADOWS ``*`` entirely — even an EMPTY one, which is
     why ``groups`` is a separate input), broadcast-join the rules on
-    domain + prefix match, take the longest-match winner per URL (Allow
-    wins length ties), default allowed. Adds ``allowed`` and
+    domain + RFC 9309 pattern match (``rule_re``, wildcards and end
+    anchor included), take the longest-written-pattern winner per URL
+    (Allow wins length ties), default allowed. Adds ``allowed`` and
     ``matched_rule``."""
     agent = agent.lower()
     scoped = rules.filter(F.col("ua").isin(agent, "*"))
@@ -138,7 +162,7 @@ def robots_allowed(
     hits = urls.join(
         broadcast(applicable),
         (urls["domain"] == applicable["domain"])
-        & F.col("path").startswith(F.col("prefix")),
+        & F.expr("regexp_like(path, rule_re)"),
         "left",
     ).drop(applicable["domain"])
     w = (
@@ -457,7 +481,7 @@ def _synth_robots(spark: SparkSession) -> DataFrame:
     LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h USING (doc_id)
     """,
     doc="robots.txt honored relationally: Catalyst-parsed rule groups, "
-    "broadcast longest-prefix-match join, Allow-wins tie-break; the "
+    "broadcast RFC 9309 pattern-match join, Allow-wins tie-break; the "
     "oracle replays the whole decision from the rule formulas.",
 )
 def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,10 +490,11 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Allow overrides, and a trainbot group on 3/4 of domains) are parsed
     INTO A RULES RELATION entirely in Catalyst (split + posexplode +
     gaps-and-islands windows — no Python anywhere), then every document's
-    URL is decided for agent ``trainbot`` by a BROADCAST longest-prefix-
-    match join (the rules are a tiny dim; URLs are the fact table) with a
-    per-URL window taking the longest matching rule, Allow winning length
-    ties, default allowed. The synth paths hit every semantic: the
+    URL is decided for agent ``trainbot`` by a BROADCAST pattern-match
+    join (RFC 9309 semantics — rules compile to matching regexes in
+    Catalyst; the rules are a tiny dim, URLs are the fact table) with a
+    per-URL window taking the longest-written matching rule, Allow
+    winning length ties, default allowed. The synth paths hit every semantic: the
     ``Allow: /private/ok`` override beating the shorter ``Disallow:
     /private``, the blanket ``Disallow: /``, an empty specific group
     SHADOWING the ``*`` rules (allowed despite a matching Disallow

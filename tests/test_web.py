@@ -1,7 +1,8 @@
 """robots.txt as a relational program (plans/web.py, round 12): the
 Catalyst parse (posexplode + gaps-and-islands groups), the documented
-matching contract (longest literal prefix, Allow wins ties, empty value
-matches nothing, specific group shadows '*'), and the plan shape
+matching contract (RFC 9309 patterns incl. '*'/'$' since round 13,
+longest written pattern wins, Allow wins ties, empty value matches
+nothing, specific group shadows '*'), and the plan shape
 (broadcast rules dim, windowed winner)."""
 
 from __future__ import annotations
@@ -109,6 +110,43 @@ def test_tie_break_allow_wins(spark):
     assert got["/same/p"] == (True, "/same")
 
 
+def test_rfc9309_wildcards_and_anchor(spark):
+    """The RFC 9309 special characters: '*' spans any octets, a trailing
+    '$' anchors the end, a mid-pattern '$' is literal, regex metachars in
+    paths stay literal, and specificity is the WRITTEN pattern length."""
+    text = (
+        "User-agent: *\r\n"
+        "Disallow: /*.pdf$\r\n"          # any .pdf, anchored
+        "Allow: /pub/*.pdf$\r\n"         # longer written pattern wins
+        "Disallow: /a*e\r\n"
+        "Disallow: /lit$eral\r\n"        # mid-pattern $ is literal
+        "Disallow: /dot.d\r\n"           # '.' must not act as regex dot
+    )
+    got = _decide(
+        spark,
+        "anybot",
+        [
+            "/x/report.pdf",        # blocked by /*.pdf$
+            "/pub/report.pdf",      # allowed: /pub/*.pdf$ is longer
+            "/x/report.pdfx",       # NOT anchored-match -> no rule -> allowed
+            "/apple",               # /a*e matches a..e prefix
+            "/lit$eral/page",       # literal mid-$ matches
+            "/literal/page",        # and without the $ it must NOT
+            "/dot.d/x",             # literal dot matches
+            "/dotXd/x",             # regex-dot behavior would wrongly match
+        ],
+        text=text,
+    )
+    assert got["/x/report.pdf"] == (False, "/*.pdf$")
+    assert got["/pub/report.pdf"] == (True, "/pub/*.pdf$")
+    assert got["/x/report.pdfx"] == (True, None)
+    assert got["/apple"] == (False, "/a*e")
+    assert got["/lit$eral/page"] == (False, "/lit$eral")
+    assert got["/literal/page"] == (True, None)
+    assert got["/dot.d/x"] == (False, "/dot.d")
+    assert got["/dotXd/x"] == (True, None)
+
+
 def test_plan_broadcasts_rules_dim(spark):
     """The decision plan must broadcast the rules dim into the URL fact
     table — no shuffle of the facts for the join."""
@@ -130,15 +168,29 @@ def test_plan_broadcasts_rules_dim(spark):
 def test_robots_differential_vs_reference(spark):
     """Differential verification: 60 random robots files x 6 paths decided
     by the relational pipeline must match an independent straight-Python
-    reference implementation of the documented contract (longest literal
-    prefix, Allow wins ties, empty value matches nothing, specific group
-    shadows '*', no match allows)."""
+    reference implementation of the documented contract (RFC 9309
+    patterns — '*' spans octets, trailing '$' anchors — longest written
+    pattern wins, Allow wins ties, empty value matches nothing, specific
+    group shadows '*', no match allows)."""
     import random
 
+    import re
+
     rnd = random.Random(20260816)
-    prefixes = ["/", "/a", "/a/b", "/a/b/c", "/ax", "/b", "/b/c"]
-    paths = ["/", "/a", "/a/b/c/d", "/ax/y", "/b/c", "/zz"]
+    prefixes = [
+        "/", "/a", "/a/b", "/a/b/c", "/ax", "/b", "/b/c",
+        # RFC 9309 special characters (round 13): '*' spans octets, a
+        # trailing '$' anchors — the differential must cover them too
+        "/a/*", "/*.d$", "/a*d", "/b$", "/*/c",
+    ]
+    paths = ["/", "/a", "/a/b/c/d", "/ax/y", "/b/c", "/zz", "/a/x.d"]
     agents_pool = ["bot", "*", "other"]
+
+    def rule_match(path, pat):
+        anchored = pat.endswith("$") and len(pat) > 1
+        body = pat[:-1] if anchored else pat
+        rx = "^" + re.escape(body).replace(r"\*", ".*") + ("$" if anchored else "")
+        return re.match(rx, path) is not None
 
     def ref_decide(text, agent):
         """Straight-Python implementation of the documented contract,
@@ -170,7 +222,7 @@ def test_robots_differential_vs_reference(spark):
         rules = [r for g in chosen for r in g[1]]
         out = {}
         for p in paths:
-            hits = [(len(pfx), allow) for allow, pfx in rules if p.startswith(pfx)]
+            hits = [(len(pfx), allow) for allow, pfx in rules if rule_match(p, pfx)]
             if not hits:
                 out[p] = True
             else:
