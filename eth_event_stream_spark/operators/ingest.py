@@ -52,6 +52,19 @@ WARC_DOC_SCHEMA = StructType(
 )
 
 
+def split_http_message(message: bytes) -> tuple[bytes, bytes]:
+    """Split ANY HTTP/1.x message (request or response) at its first
+    blank line into ``(header_block, body)`` — requests start with a
+    method line rather than ``HTTP/``, so this validates only the RFC
+    9112 blank-line framing. Loud when the blank line is missing."""
+    at = message.find(b"\r\n\r\n")
+    if at < 0:
+        raise ValueError(
+            "corrupt HTTP message: no blank line ends the header block"
+        )
+    return message[:at], message[at + 4 :]
+
+
 def split_http_response(message: bytes) -> tuple[bytes, bytes]:
     """Split a full HTTP/1.x response message (RFC 9112 framing: status
     line, CRLF-terminated header fields, one blank line, entity body)
@@ -65,12 +78,7 @@ def split_http_response(message: bytes) -> tuple[bytes, bytes]:
         raise ValueError(
             f"not an HTTP response message: starts {message[:12]!r}"
         )
-    at = message.find(b"\r\n\r\n")
-    if at < 0:
-        raise ValueError(
-            "corrupt HTTP message: no blank line ends the header block"
-        )
-    return message[:at], message[at + 4 :]
+    return split_http_message(message)
 
 
 def _http_content_type(header_block: bytes) -> str | None:
@@ -328,7 +336,14 @@ def warc_to_documents(
                         and ctype.split(";")[0].strip().lower()
                         == "application/http"
                     ):
-                        hdr, body = split_http_response(body)
+                        # responses must carry a status line; requests
+                        # (and other msgtypes real crawls interleave)
+                        # start with a method line — only the blank-line
+                        # framing is common to both
+                        if rec["WARC-Type"] == "response":
+                            hdr, body = split_http_response(body)
+                        else:
+                            hdr, body = split_http_message(body)
                         ctype = _http_content_type(hdr)
                     text = (
                         decode_payload(body, ctype)

@@ -254,8 +254,10 @@ def effective_crawl_delay(
             )
         )
     )
-    # one group can be named by several UA lines; delays are per group so
-    # values agree — MAX collapses duplicates deterministically
+    # one group can be named by several UA lines (same value, per-group),
+    # and RFC 9309 merges MULTIPLE groups naming the same agent — when
+    # those carry different delays, MAX is the deliberate pick: the most
+    # POLITE of the advertised values, never a silently faster crawl
     return applicable.groupBy("domain").agg(F.max("delay").alias("delay"))
 
 
@@ -634,25 +636,26 @@ def sitemap_frontier(roots: DataFrame, fetched: DataFrame) -> DataFrame:
     kents = _parse_sitemap_entries(
         kid_docs, ["root_id", "domain", "parent_loc"]
     )
-    lvl1 = kents.select(
+    # the protocol forbids index->index nesting: refuse loudly, never a
+    # silently shallow frontier. The guard lives in a FILTER, not a
+    # projected column — Catalyst prunes unused projections, and a
+    # caller selecting only (domain, level) must still trip it.
+    guarded = kents.filter(
+        F.assert_true(
+            ~F.col("is_index"),
+            F.concat(
+                F.lit("nested sitemapindex (forbidden by the protocol): "),
+                F.col("parent_loc"),
+            ),
+        ).isNull()
+    )
+    lvl1 = guarded.select(
         "root_id",
         "domain",
         F.lit(1).cast("bigint").alias("level"),
         "parent_loc",
         "url_idx",
-        # the protocol forbids index->index nesting: refuse loudly, never
-        # a silently shallow frontier
-        F.when(
-            F.col("is_index"),
-            F.raise_error(
-                F.concat(
-                    F.lit("nested sitemapindex (forbidden by the protocol): "),
-                    F.col("parent_loc"),
-                )
-            ),
-        )
-        .otherwise(F.col("loc"))
-        .alias("loc"),
+        "loc",
         "lastmod",
     )
     return lvl0.unionByName(lvl1)

@@ -179,6 +179,44 @@ def test_warc_http_responses_lane(spark):
         warc_http_responses(bad).collect()
 
 
+def test_warc_to_documents_handles_request_records(spark):
+    """Real crawls interleave request records (application/http;
+    msgtype=request — a METHOD line, not a status line). warc_to_documents
+    must split them at the blank line like any HTTP message, never raise,
+    and never leak the request headers into text."""
+    from eth_event_stream_spark.operators.ingest import (
+        split_http_message,
+        warc_to_documents,
+    )
+    from eth_event_stream_spark.operators.warc import encode_warc
+
+    req = (
+        b"GET /page HTTP/1.1\r\nHost: example.invalid\r\n"
+        b"User-Agent: trainbot\r\n\r\n"
+    )
+    hdr, body = split_http_message(req)
+    assert hdr.startswith(b"GET /page") and body == b""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no blank line"):
+        split_http_message(b"GET / HTTP/1.1\r\nHost: x\r\n")
+
+    archive = encode_warc(
+        [
+            _http_rec(0, req, rectype=b"request"),
+            _http_rec(1, _msg(body=b"the page")),
+        ],
+        gzip_members=True,
+    )
+    media = spark.createDataFrame(
+        [(0, archive)], "archive_id long, payload binary"
+    )
+    rows = {r["rec_idx"]: r for r in warc_to_documents(media).collect()}
+    assert rows[0]["rectype"] == "request" and rows[0]["text"] == ""
+    assert "GET /page" not in rows[0]["text"]
+    assert rows[1]["text"] == "the page"
+
+
 def test_warc_to_documents_splits_http(spark):
     """The ADVICE-r12 fix: for application/http records, text is the
     decoded BODY only (no header leak) and the HTTP-level Content-Type
