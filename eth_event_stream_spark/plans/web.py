@@ -125,10 +125,20 @@ def parse_robots_rules(robots: DataFrame) -> DataFrame:
             F.replace(esc, F.lit("*"), F.lit(".*")),
             F.when(anchored, F.lit("$")).otherwise(F.lit("")),
         ),
+    ).withColumn(
+        # most real rules are plain literals; flagging them lets the
+        # decision join keep the cheap startswith branch. A non-literal
+        # RLIKE pattern recompiles per evaluated row — at sf0.1 an
+        # interleaved probe could NOT separate the variants from noise
+        # (all ~1.3 s), so this is kept on the asymptotic argument
+        # (billions of url x rule evaluations at crawl scale), not a
+        # measured local win
+        "is_pattern",
+        F.col("prefix").contains("*") | anchored,
     )
     # a rule belongs to every agent its group names
     return rules.join(parse_robots_groups(robots), ["domain", "grp"]).select(
-        "domain", "grp", "ua", "allow", "prefix", "rule_re"
+        "domain", "grp", "ua", "allow", "prefix", "rule_re", "is_pattern"
     )
 
 
@@ -162,7 +172,9 @@ def robots_allowed(
     hits = urls.join(
         broadcast(applicable),
         (urls["domain"] == applicable["domain"])
-        & F.expr("regexp_like(path, rule_re)"),
+        & F.when(
+            F.col("is_pattern"), F.expr("regexp_like(path, rule_re)")
+        ).otherwise(F.col("path").startswith(F.col("prefix"))),
         "left",
     ).drop(applicable["domain"])
     w = (
