@@ -68,6 +68,10 @@ PLAN_EXPECTATIONS = {
     # bytes -> content blocks: the two WARC Arrow passes feed a pure-
     # codegen block explode + classification
     "web_content_extraction": [r"MapInPandas[\s\S]*MapInPandas"],
+    # registrable-domain profile: the PSL rules dim must broadcast and
+    # the politeness window must partition by domain (never one task)
+    "web_domain_profile": [r"BroadcastHashJoin"],
+    "web_fetch_schedule": [r"hashpartitioning\(domain"],
     # robots decision: rules dim broadcast into the URL fact table, the
     # longest-match winner via a per-URL group limit — and the whole
     # parse+decide pipeline is Catalyst (no Python nodes)
