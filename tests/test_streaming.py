@@ -2172,3 +2172,52 @@ def test_stream_warc_ingest_parity(spark, sf_dir, tmp_path):
         q.stop()
     got = {tuple(r) for r in spark.table("warc_stream_sink").collect()}
     assert got == batch
+
+
+def test_stream_boilerplate_blocks_parity(spark, sf_dir, tmp_path):
+    """Streaming twin of the boilerplate classifier (round 13): HTML
+    pages arrive file-by-file and html_content_blocks — block explode,
+    link/stopword density, keep bit — is a stateless per-page transform,
+    so the streamed result matches the batch sweep exactly in append
+    mode with no state. Together with the WARC ingest twin this makes
+    the whole bytes->content-blocks chain ingest-time runnable."""
+    from pyspark.sql import functions as F2
+
+    from eth_event_stream_spark.plans.web import html_content_blocks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    pages = docs.select(
+        "doc_id",
+        F2.concat(
+            F2.lit('<div><a href="/">Home</a> <a>More links</a></div><p>'),
+            F2.col("text"),
+            F2.lit("</p>"),
+        ).alias("html"),
+    )
+    src = tmp_path / "boiler_stream"
+    pages.repartition(4).write.parquet(str(src))
+    stored = spark.read.parquet(str(src))
+    batch = {
+        tuple(r) for r in html_content_blocks(stored, "html", ["doc_id"]).collect()
+    }
+    assert batch and any(r[-1] for r in batch)  # some kept content
+
+    sdf = (
+        spark.readStream.schema(stored.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        html_content_blocks(sdf, "html", ["doc_id"])
+        .writeStream.format("memory")
+        .queryName("boiler_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_boiler"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.table("boiler_stream_sink").collect()}
+    assert got == batch
