@@ -220,6 +220,9 @@ HEADLINE = [
     # r13-extended, continued: the composed bytes-to-content-blocks
     # chain (WARC Arrow parse + HTTP split + codegen block classify)
     "web_content_extraction",
+    # r13-extended, continued: HTTP-caching-aware recrawl planning
+    # (two url-keyed left joins sharing one partitioning)
+    "web_revalidation_plan",
 ]
 
 

@@ -1902,3 +1902,144 @@ def web_content_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("archive_id"), F.col("text").alias("html")
     )
     return html_content_blocks(recs, "html", ["archive_id"])
+
+
+def revalidation_plan(urls: DataFrame, stored: DataFrame, frontier: DataFrame) -> DataFrame:
+    """HTTP-caching-aware recrawl planning: for every URL decide the
+    CHEAPEST correct fetch using what the last crawl stored (ETag /
+    Last-Modified validators, RFC 9110 conditional requests) and what
+    discovery advertises (the sitemap ``lastmod``). Decision order, per
+    URL: never fetched -> ``full``; sitemap lastmod present and not
+    newer than the stored Last-Modified -> ``skip`` (discovery says
+    unchanged); a stored ETag -> ``conditional_etag`` (If-None-Match —
+    RFC 9110 prefers entity validators); a stored Last-Modified ->
+    ``conditional_modified`` (If-Modified-Since); else ``full``. The
+    conditional header VALUES ride along so a fetcher can execute the
+    plan directly. Inputs: ``urls (url)``, ``stored (url, stored_etag,
+    stored_lastmod)``, ``frontier (url, frontier_lastmod)``; lastmods
+    compare as ISO-8601 strings (lexicographic == chronological).
+
+    At 100 TB: two left joins on url — one shuffle partitioning serves
+    both — and the output splits a recrawl into the skip mass (free),
+    the conditional mass (header-only 304s), and the full fetches."""
+    j = (
+        urls.join(stored, "url", "left")
+        .join(frontier, "url", "left")
+    )
+    never = F.col("stored_etag").isNull() & F.col("stored_lastmod").isNull()
+    sitemap_stale = (
+        F.col("frontier_lastmod").isNotNull()
+        & F.col("stored_lastmod").isNotNull()
+        & (F.col("frontier_lastmod") <= F.col("stored_lastmod"))
+    )
+    action = (
+        F.when(never, F.lit("full"))
+        .when(sitemap_stale, F.lit("skip"))
+        .when(F.col("stored_etag").isNotNull(), F.lit("conditional_etag"))
+        .when(
+            F.col("stored_lastmod").isNotNull(),
+            F.lit("conditional_modified"),
+        )
+        .otherwise(F.lit("full"))
+    )
+    return j.select(
+        "url",
+        action.alias("action"),
+        F.when(
+            action == "conditional_etag", F.col("stored_etag")
+        ).alias("if_none_match"),
+        F.when(
+            action == "conditional_modified", F.col("stored_lastmod")
+        ).alias("if_modified_since"),
+    )
+
+
+@register(
+    "web_revalidation_plan",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 'https://r.example/u' || doc_id AS url FROM documents),
+    stored AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN '"e' || doc_id || '"' END AS et,
+             CASE WHEN doc_id % 2 = 0
+                  THEN '2026-0' || (1 + doc_id % 9) || '-01' END AS lm
+      FROM base WHERE doc_id % 5 != 2),
+    fr AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                    THEN '2026-0' || (1 + doc_id % 9) || '-01'
+                  WHEN doc_id % 4 = 1 THEN '2026-08-15' END AS flm
+      FROM base),
+    j AS (
+      SELECT b.doc_id, b.url, s.et, s.lm, f.flm,
+             CASE
+               WHEN s.doc_id IS NULL THEN 'full'
+               WHEN f.flm IS NOT NULL AND s.lm IS NOT NULL
+                    AND f.flm <= s.lm THEN 'skip'
+               WHEN s.et IS NOT NULL THEN 'conditional_etag'
+               WHEN s.lm IS NOT NULL THEN 'conditional_modified'
+               ELSE 'full' END AS action
+      FROM base b LEFT JOIN stored s USING (doc_id)
+                  LEFT JOIN fr f USING (doc_id))
+    SELECT url, action,
+           CASE WHEN action = 'conditional_etag' THEN et END
+             AS if_none_match,
+           CASE WHEN action = 'conditional_modified' THEN lm END
+             AS if_modified_since
+    FROM j
+    """,
+    doc="HTTP-caching-aware recrawl plan: skip on sitemap-says-unchanged, "
+    "If-None-Match when an ETag is stored, If-Modified-Since on "
+    "Last-Modified, full fetch otherwise; the oracle replays every "
+    "decision and header value.",
+)
+def web_revalidation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conditional-refetch planner, end to end and oracle-checked:
+    every document is a URL with a formulaic crawl history — never
+    fetched on ``doc_id % 5 == 2``; a stored ETag on ``% 3 == 0``; a
+    stored Last-Modified on ``% 2 == 0``; a frontier lastmod that is
+    unchanged (``% 4 == 0``), newer (``% 4 == 1``), or absent — and
+    ``revalidation_plan`` decides skip / If-None-Match /
+    If-Modified-Since / full per RFC 9110 validator precedence (entity
+    tags beat dates), with the sitemap-says-unchanged shortcut taking
+    priority because it costs NOTHING. The overlaps exercise every
+    branch ordering: an unchanged frontier lastmod beats a stored ETag
+    (skip, not 304); a newer frontier lastmod falls through to the
+    conditional path. The DuckDB oracle replays every action and header
+    value.
+
+    At 100 TB: two url-keyed left joins sharing one partitioning; the
+    plan splits the recrawl into free skips, header-only 304 rounds,
+    and the residual full fetches — the difference between re-reading a
+    crawl and refreshing one."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(F.lit("https://r.example/u"), F.col("doc_id").cast("string"))
+    urls = docs.select(url.alias("url"))
+    stored = docs.filter(F.col("doc_id") % 5 != 2).select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('"e'), F.col("doc_id").cast("string"), F.lit('"')),
+        ).alias("stored_etag"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("2026-0"), (F.col("doc_id") % 9 + 1).cast("string"),
+                F.lit("-01"),
+            ),
+        ).alias("stored_lastmod"),
+    )
+    frontier = docs.select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("2026-0"), (F.col("doc_id") % 9 + 1).cast("string"),
+                F.lit("-01"),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit("2026-08-15"))
+        .alias("frontier_lastmod"),
+    )
+    return revalidation_plan(urls, stored, frontier)

@@ -350,6 +350,7 @@ JVM_ONLY = [
     "web_fetch_schedule",
     "web_boilerplate_filter",
     "web_frontier_delta",
+    "web_revalidation_plan",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]

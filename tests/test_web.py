@@ -606,3 +606,37 @@ def test_parse_robots_delays_scoping(spark):
     assert eff("B") == 2.5
     assert eff("unknownbot") == 7.0   # '*' applies
     assert eff("C") is None           # specific group shadows '*', no delay
+
+
+def test_revalidation_plan_branch_order(spark):
+    """RFC 9110 validator precedence under the sitemap shortcut: an
+    unchanged frontier lastmod beats a stored ETag (skip costs nothing),
+    a newer frontier lastmod falls through to the ETag conditional,
+    never-fetched is always full — even when discovery advertises a
+    lastmod — and ETag beats Last-Modified when both are stored."""
+    from eth_event_stream_spark.plans.web import revalidation_plan
+
+    urls = spark.createDataFrame([(u,) for u in "abcdef"], "url string")
+    stored = spark.createDataFrame(
+        [
+            ("a", '"ea"', "2026-05-01"),   # both validators
+            ("b", '"eb"', "2026-05-01"),
+            ("c", None, "2026-05-01"),
+            ("d", None, None),             # fetched, no validators
+        ],
+        "url string, stored_etag string, stored_lastmod string",
+    )
+    frontier = spark.createDataFrame(
+        [("a", "2026-05-01"), ("b", "2026-08-15"), ("e", "2026-08-15")],
+        "url string, frontier_lastmod string",
+    )
+    got = {
+        r["url"]: (r["action"], r["if_none_match"], r["if_modified_since"])
+        for r in revalidation_plan(urls, stored, frontier).collect()
+    }
+    assert got["a"] == ("skip", None, None)            # unchanged beats ETag
+    assert got["b"] == ("conditional_etag", '"eb"', None)  # newer -> 304 round
+    assert got["c"] == ("conditional_modified", None, "2026-05-01")
+    assert got["d"] == ("full", None, None)
+    assert got["e"] == ("full", None, None)            # never fetched
+    assert got["f"] == ("full", None, None)
