@@ -105,7 +105,11 @@ def http_charset(col: Column | str) -> Column:
     quotes stripped, NULL when undeclared — the data-driven input to the
     sniffing precedence (``operators/charset.py``)."""
     ct = http_header(col, "Content-Type")
-    got = F.regexp_extract(ct, r"""(?i)charset[ \t]*=[ \t]*"?([^;"\s]+)""", 1)
+    # parameter name anchored at a boundary so a parameter merely ENDING
+    # in 'charset' (e.g. x-charset=foo) is never read as the charset
+    got = F.regexp_extract(
+        ct, r"""(?i)(?:^|[;\s])charset[ \t]*=[ \t]*"?([^;"\s]+)""", 1
+    )
     return F.lower(F.nullif(got, F.lit("")))
 
 

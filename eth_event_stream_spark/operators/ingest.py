@@ -56,13 +56,22 @@ def split_http_message(message: bytes) -> tuple[bytes, bytes]:
     """Split ANY HTTP/1.x message (request or response) at its first
     blank line into ``(header_block, body)`` — requests start with a
     method line rather than ``HTTP/``, so this validates only the RFC
-    9112 blank-line framing. Loud when the blank line is missing."""
-    at = message.find(b"\r\n\r\n")
-    if at < 0:
+    9112 blank-line framing. Real Common Crawl archives occasionally
+    carry LF-only-framed messages (RFC 9112 §2.2 tells recipients they
+    MAY recognize bare LF as a line terminator), so bare ``\\n\\n``
+    framing is tolerated — whichever blank line comes FIRST wins, so a
+    conforming CRLF message is never re-split at a stray LF pair inside
+    its body. Loud only when NO blank line exists in either framing (a
+    header block that never ends is corrupt, not a judgment call)."""
+    at_crlf = message.find(b"\r\n\r\n")
+    at_lf = message.find(b"\n\n")
+    if at_crlf < 0 and at_lf < 0:
         raise ValueError(
             "corrupt HTTP message: no blank line ends the header block"
         )
-    return message[:at], message[at + 4 :]
+    if at_lf < 0 or (0 <= at_crlf and at_crlf <= at_lf):
+        return message[:at_crlf], message[at_crlf + 4 :]
+    return message[:at_lf], message[at_lf + 2 :]
 
 
 def split_http_response(message: bytes) -> tuple[bytes, bytes]:

@@ -1202,13 +1202,16 @@ def resolve_redirects(resp: DataFrame, max_hops: int = 5) -> DataFrame:
             (F.col("hops") + 1).alias("hops"),
         )
     # the hop bound: terminals that arrived exactly at max_hops resolve
-    # normally; chains STILL redirecting are cycles or over-bound chains
+    # normally; chains STILL redirecting are cycles or over-bound chains —
+    # they report the Location edge they were ABOUT to follow, so n_hops
+    # counts that edge exactly as the dangling branch does (and as the
+    # web_redirect_chains oracle's recursive-CTE mirror computes)
     pieces.append(cur.filter(~is_redirect).select(*terminal_cols))
     pieces.append(
         cur.filter(is_redirect).select(
             F.col("start").alias("url"),
             F.col("location").alias("final_url"),
-            F.col("hops").alias("n_hops"),
+            (F.col("hops") + 1).alias("n_hops"),
             F.lit(None).cast("bigint").alias("terminal_status"),
             F.lit(False).alias("resolved"),
         )
@@ -1618,11 +1621,11 @@ def html_content_blocks(df: DataFrame, html_col: str, keys: list[str]) -> DataFr
 
 @register(
     "web_boilerplate_filter",
-    oracle="""
+    oracle=r"""
     WITH content AS (
       SELECT doc_id,
              'the quick & brown fox is on the hill and it was at rest '
-               || text AS body
+               || trim(regexp_replace(text, '\s+', ' ', 'g')) AS body
       FROM documents),
     blocks AS (
       SELECT doc_id, 1 AS block_idx, 'Home About us' AS t,

@@ -36,6 +36,30 @@ def test_split_http_response():
         split_http_response(b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n")
 
 
+def test_split_http_lf_only_framing():
+    """ADVICE-r13: real archives occasionally carry LF-only-framed
+    messages (RFC 9112 §2.2 bare-LF tolerance); one such record must not
+    kill a 100 TB ingest pass. The FIRST blank line wins in either
+    framing, so conforming CRLF messages never re-split at an LF pair
+    inside their body."""
+    from eth_event_stream_spark.operators.ingest import split_http_message
+
+    hdr, body = split_http_response(
+        b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\nlf body"
+    )
+    assert hdr == b"HTTP/1.1 200 OK\nContent-Type: text/plain"
+    assert body == b"lf body"
+    # CRLF framing wins when its blank line comes first, even with a
+    # bare \n\n later in the body
+    hdr, body = split_http_response(_msg(body=b"x\n\ny"))
+    assert body == b"x\n\ny"
+    # LF blank line before a CRLF one: LF framing is the real split
+    hdr, body = split_http_message(b"GET / HTTP/1.1\nHost: x\n\na\r\n\r\nb")
+    assert hdr == b"GET / HTTP/1.1\nHost: x" and body == b"a\r\n\r\nb"
+    with pytest.raises(ValueError, match="no blank line"):
+        split_http_message(b"GET / HTTP/1.1\nHost: x\n")
+
+
 def test_http_content_type_python_side():
     assert _http_content_type(split_http_response(_msg())[0]) == (
         "text/html; charset=utf-8"
@@ -122,6 +146,18 @@ def test_catalyst_extraction_edges(spark):
     # no blank line -> body NULL (malformed framing surfaced, not guessed)
     got = _extract(spark, "HTTP/1.1 200 OK\r\nContent-Type: a/b\r\n")
     assert got["body"] is None and got["status"] == 200
+    # ADVICE-r13: a parameter merely ENDING in 'charset' must not be read
+    # as the charset; a real charset after it still is
+    got = _extract(
+        spark, "HTTP/1.1 200 OK\r\nContent-Type: a/b; x-charset=foo\r\n\r\n"
+    )
+    assert got["charset"] is None
+    got = _extract(
+        spark,
+        "HTTP/1.1 200 OK\r\n"
+        "Content-Type: a/b; x-charset=foo; charset=utf-8\r\n\r\n",
+    )
+    assert got["charset"] == "utf-8"
 
 
 def _http_rec(i, message, rectype=b"response"):

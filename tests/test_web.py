@@ -550,11 +550,30 @@ def test_resolve_redirects(spark):
     assert got["d"] == ("ghost", 1, None, False)
     assert got["g"] == ("g", 0, 404, True)
     assert got["h"] == ("h", 0, 301, True)
-    # the cycle pair: still redirecting at the bound, unresolved
+    # the cycle pair: still redirecting at the bound, unresolved; n_hops
+    # counts the edge they were ABOUT to follow (the oracle's recursive
+    # CTE computes hops+1 for still-3xx last rows), matching the
+    # dangling branch's edge-into-the-void count
     assert got["e"][3] is False and got["f"][3] is False
-    assert got["e"][1] == 5 and got["e"][2] is None
+    assert got["e"][1] == 6 and got["e"][2] is None
+    assert got["e"][0] in ("e", "f")
     # exactly one output row per input url
     assert len(got) == len(rows)
+
+    # short bound: a 2-hop linear chain truncated at max_hops=1 reports
+    # the unfollowed edge's target with n_hops = 1 (followed) + 1
+    # (about-to-follow), unresolved — pins the bound branch the synth
+    # schedule (chains <= 3 < 5) never exercises
+    short = {
+        r["url"]: (
+            r["final_url"], r["n_hops"], r["terminal_status"], r["resolved"]
+        )
+        for r in resolve_redirects(resp, max_hops=1).collect()
+    }
+    assert short["a"] == ("c", 2, None, False)
+    assert short["b"] == ("c", 1, 200, True)
+    assert short["d"] == ("ghost", 1, None, False)
+    assert len(short) == len(rows)
 
 
 def test_parse_robots_delays_scoping(spark):
