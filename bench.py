@@ -223,6 +223,12 @@ HEADLINE = [
     # r13-extended, continued: HTTP-caching-aware recrawl planning
     # (two url-keyed left joins sharing one partitioning)
     "web_revalidation_plan",
+    # round-14 additions (r14-extended): WARC revisit resolution — the
+    # captures relation materializes once (localCheckpoint), then two
+    # relational left joins resolve crawl-time dedup; and the
+    # unique-payload accounting view over the same served-from output
+    "ingest_warc_revisits",
+    "ingest_warc_unique_payloads",
 ]
 
 
@@ -280,7 +286,7 @@ def build_short_map(names: list[str]) -> dict[str, str]:
 # within the same set version; compare per-query across versions. The full
 # additions-only history (r4 recomposition through every rN-extended bump)
 # lives in BASELINE.md's membership notes.
-HEADLINE_SET = "r13-extended"
+HEADLINE_SET = "r14-extended"
 
 # Sidecar carrying the FULL per-query map with full names. The archived
 # stdout line is O(1) in registry size (the r7/r8 records were cut by the

@@ -513,3 +513,172 @@ def warc_http_responses(df: DataFrame, payload_col: str = "payload") -> DataFram
             )
 
     return df.mapInPandas(fn, schema=WARC_HTTP_SCHEMA)
+
+
+WARC_CAPTURE_SCHEMA = StructType(
+    [
+        StructField("archive_id", LongType(), False),
+        StructField("rec_idx", LongType(), False),
+        StructField("rectype", StringType(), False),
+        StructField("url", StringType(), True),
+        StructField("record_id", StringType(), False),
+        StructField("warc_date", StringType(), False),
+        StructField("payload_digest", StringType(), True),
+        StructField("refers_to", StringType(), True),
+        StructField("concurrent_to", StringType(), True),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+
+def warc_captures(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Surface every CAPTURE-shaped record (response, revisit, request —
+    the record types that participate in crawl-time dedup and
+    request/response pairing; metadata/warcinfo/conversion are selected
+    out by contract) with its linkage headers: ``WARC-Payload-Digest``
+    (the crawl-time dedup key, ISO 28500 §5.9), ``WARC-Refers-To`` (the
+    revisit's explicit pointer at the original capture, §6.7.2), and
+    ``WARC-Concurrent-To`` (the request<->response pairing edge, §5.7).
+    ``rec_idx`` keeps the FULL-archive position so rows join back
+    against a CDX index; ``n_bytes`` is the record payload length as
+    stored (a conforming identical-payload-digest revisit stores 0 —
+    exactly the under-count a pipeline inherits if it drops revisits
+    instead of resolving them). One Arrow pass, bytes partition-local;
+    the RESOLUTION of these edges is relational and lives in
+    ``plans/web.py:resolve_revisits`` where it runs as ordinary joins.
+
+    Reference parity note: the reference repo has no web-archive layer
+    (SURVEY.md §2.4); this extends the training-data ingest surface from
+    the public ISO 28500 specification only."""
+    from ..shipping import ship_package
+
+    ship_package(df.sparkSession)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .warc import parse_warc
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["archive_id"], pdf[payload_col]):
+                for i, rec in enumerate(parse_warc(bytes(payload))):
+                    if rec["WARC-Type"] not in (
+                        "response",
+                        "revisit",
+                        "request",
+                    ):
+                        continue
+                    rows.append(
+                        (
+                            int(aid),
+                            i,
+                            rec["WARC-Type"],
+                            rec.get("WARC-Target-URI"),
+                            rec["WARC-Record-ID"],
+                            rec["WARC-Date"],
+                            rec.get("WARC-Payload-Digest"),
+                            rec.get("WARC-Refers-To"),
+                            rec.get("WARC-Concurrent-To"),
+                            len(rec["payload"]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_CAPTURE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(fn, schema=WARC_CAPTURE_SCHEMA)
+
+
+def synth_warc_revisit_payload(doc_id: int) -> bytes:
+    """Deterministic ``.warc.gz`` interleaving response and REVISIT
+    records on formulaic schedules a SQL oracle replays relationally.
+    Archives come in groups of four sharing one page: with
+    ``g = doc_id - doc_id % 4`` and ``r = doc_id % 4``, archive ``g``
+    (r == 0) holds the ORIGINAL response — url ``/p/{g}``, body
+    ``("page {g} ") * (1 + g % 5)``, payload digest ``sha1:SYN{g}`` (a
+    formulaic stand-in: the digest is a join key here, not a checksum —
+    resolution semantics are what's under test) — and archives r in
+    1..3 hold identical-payload-digest REVISITS of it (zero-length
+    stored payload, per the revisit profile): r == 1 carries an explicit
+    ``WARC-Refers-To`` pointing at the original's record id; r in {2,3}
+    resolve by digest alone. When ``doc_id % 11 == 7`` the digest is
+    ``sha1:MISSING{doc_id}`` — dangling for the digest-only rows
+    (unresolvable: the bytes were never captured) while the r == 1 row
+    still resolves via its explicit pointer (refers-to precedence,
+    pinned). When ``doc_id % 6 == 2`` a metadata record precedes the
+    capture (selected out by ``warc_captures``) so rec_idx must keep the
+    full-archive position."""
+    from .warc import encode_warc
+
+    g = doc_id - doc_id % 4
+    r = doc_id % 4
+    recs = []
+    if doc_id % 6 == 2:
+        recs.append(
+            {
+                "headers": {
+                    "WARC-Type": "metadata",
+                    "WARC-Record-ID": f"<urn:uuid:meta-{doc_id}>",
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                },
+                "payload": b"fetch-notes: ok",
+            }
+        )
+    digest = (
+        f"sha1:MISSING{doc_id}" if doc_id % 11 == 7 else f"sha1:SYN{g}"
+    )
+    if r == 0:
+        body = (f"page {g} " * (1 + g % 5)).encode()
+        recs.append(
+            {
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:uuid:rec-{doc_id}>",
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                    "WARC-Target-URI": f"https://cc.example/p/{g}",
+                    "WARC-Payload-Digest": digest,
+                },
+                "payload": body,
+            }
+        )
+    else:
+        headers = {
+            "WARC-Type": "revisit",
+            "WARC-Record-ID": f"<urn:uuid:rec-{doc_id}>",
+            "WARC-Date": f"2026-01-0{1 + r}T00:00:00Z",
+            "WARC-Target-URI": f"https://cc.example/p/{g}?visit={r}",
+            "WARC-Payload-Digest": digest,
+            "WARC-Profile": (
+                "http://netpreserve.org/warc/1.0/revisit/"
+                "identical-payload-digest"
+            ),
+        }
+        if r == 1:
+            headers["WARC-Refers-To"] = f"<urn:uuid:rec-{g}>"
+            headers["WARC-Refers-To-Target-URI"] = (
+                f"https://cc.example/p/{g}"
+            )
+            headers["WARC-Refers-To-Date"] = "2026-01-01T00:00:00Z"
+        recs.append({"headers": headers, "payload": b""})
+    return encode_warc(recs, gzip_members=True)
+
+
+def documents_as_warc_revisit(documents: DataFrame) -> DataFrame:
+    """Synthesize the revisit-interleaved ``.warc.gz`` archives
+    (``synth_warc_revisit_payload``) in one Arrow-batched
+    ``mapInPandas``."""
+    from ..shipping import ship_package
+
+    ship_package(documents.sparkSession)
+    ids = documents.select(F.col("doc_id").alias("archive_id"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (int(aid), synth_warc_revisit_payload(int(aid)))
+                for aid in pdf["archive_id"]
+            ]
+            yield pd.DataFrame(
+                out, columns=[f.name for f in WARC_ARCHIVE_SCHEMA.fields]
+            )
+
+    return ids.mapInPandas(fn, schema=WARC_ARCHIVE_SCHEMA)

@@ -38,8 +38,19 @@ _MAX_DECODED_BYTES = 256 * 1024 * 1024  # same ceiling as the other codecs
 _CRLF = b"\r\n"
 _MANDATORY = ("WARC-Type", "WARC-Record-ID", "WARC-Date", "Content-Length")
 # well-known field names re-keyed to canonical casing on parse (WARC
-# field names are case-insensitive per ISO 28500)
-_CANONICAL = _MANDATORY + ("WARC-Target-URI", "Content-Type")
+# field names are case-insensitive per ISO 28500); the revisit /
+# concurrency linkage headers (ISO 28500 §6.7.2 / §5.7) are included so
+# the captures lane reads them whatever casing the writer emitted
+_CANONICAL = _MANDATORY + (
+    "WARC-Target-URI",
+    "Content-Type",
+    "WARC-Payload-Digest",
+    "WARC-Refers-To",
+    "WARC-Refers-To-Target-URI",
+    "WARC-Refers-To-Date",
+    "WARC-Concurrent-To",
+    "WARC-Profile",
+)
 
 
 def is_warc(data: bytes) -> bool:

@@ -2046,3 +2046,293 @@ def web_revalidation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("frontier_lastmod"),
     )
     return revalidation_plan(urls, stored, frontier)
+
+
+def resolve_revisits(captures: DataFrame) -> DataFrame:
+    """Resolve WARC revisit records to the capture that actually holds
+    their bytes — the missing half of crawl-time dedup (ISO 28500
+    §6.7.2): real Common Crawl archives store a page's payload ONCE and
+    emit zero-length ``revisit`` records for every later identical
+    fetch, so a pipeline that drops revisits silently under-counts URL
+    coverage and over-trusts "unique" page counts. Input is the
+    ``warc_captures`` relation (response + revisit rows; request rows
+    pass through unresolved — their pairing is ``WARC-Concurrent-To``,
+    a different edge). Output is one row per capture, the per-URL
+    "served-from" view: (archive_id, rec_idx, rectype, url, served_url,
+    served_archive_id, served_rec_idx, via, resolved) where ``via`` is
+    ``self`` for responses, ``refers-to`` when the revisit's explicit
+    ``WARC-Refers-To`` pointer matched a response record id, ``digest``
+    when only the payload digest matched, and NULL (resolved = false)
+    when the referenced bytes were never captured.
+
+    Resolution precedence follows the spec's intent: the explicit
+    record-id pointer wins over the digest (a digest can legitimately
+    match many stored captures; the pointer names one). When resolving
+    by digest alone and several responses share the digest, the
+    EARLIEST capture wins — min (archive_id, rec_idx), deterministic —
+    via a MAX-struct-free aggregation of the response side into a
+    one-row-per-digest dimension, so the join never multiplies rows.
+
+    At 100 TB: responses collapse to two small dimensions (one keyed by
+    record id — unique by spec, one by digest after a single groupBy),
+    and revisits resolve with two equi-joins against them; output rows
+    = input rows, no explode, no window over the fact table, no Python.
+    """
+    resp = captures.filter(F.col("rectype") == "response")
+    by_id = resp.select(
+        F.col("record_id").alias("__rid"),
+        F.col("url").alias("__rid_url"),
+        F.col("archive_id").alias("__rid_aid"),
+        F.col("rec_idx").alias("__rid_idx"),
+    )
+    by_digest = (
+        resp.filter(F.col("payload_digest").isNotNull())
+        .groupBy(F.col("payload_digest").alias("__dig"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("archive_id").alias("aid"),
+                    F.col("rec_idx").alias("idx"),
+                    F.col("url").alias("url"),
+                )
+            ).alias("__first")
+        )
+        .select(
+            "__dig",
+            F.col("__first.url").alias("__dig_url"),
+            F.col("__first.aid").alias("__dig_aid"),
+            F.col("__first.idx").alias("__dig_idx"),
+        )
+    )
+    revisits = captures.filter(F.col("rectype") == "revisit")
+    resolved_rev = (
+        revisits.join(
+            by_id, F.col("refers_to") == F.col("__rid"), "left"
+        )
+        .join(
+            by_digest,
+            F.col("payload_digest") == F.col("__dig"),
+            "left",
+        )
+        .select(
+            "archive_id",
+            "rec_idx",
+            "rectype",
+            "url",
+            F.coalesce("__rid_url", "__dig_url").alias("served_url"),
+            F.coalesce("__rid_aid", "__dig_aid").alias(
+                "served_archive_id"
+            ),
+            F.coalesce("__rid_idx", "__dig_idx").alias("served_rec_idx"),
+            F.when(F.col("__rid").isNotNull(), F.lit("refers-to"))
+            .when(F.col("__dig").isNotNull(), F.lit("digest"))
+            .alias("via"),
+            (F.col("__rid").isNotNull() | F.col("__dig").isNotNull()).alias(
+                "resolved"
+            ),
+        )
+    )
+    self_served = captures.filter(F.col("rectype") != "revisit").select(
+        "archive_id",
+        "rec_idx",
+        "rectype",
+        "url",
+        F.when(F.col("rectype") == "response", F.col("url")).alias(
+            "served_url"
+        ),
+        F.when(F.col("rectype") == "response", F.col("archive_id")).alias(
+            "served_archive_id"
+        ),
+        F.when(F.col("rectype") == "response", F.col("rec_idx")).alias(
+            "served_rec_idx"
+        ),
+        F.when(F.col("rectype") == "response", F.lit("self")).alias("via"),
+        (F.col("rectype") == "response").alias("resolved"),
+    )
+    return self_served.unionByName(resolved_rev)
+
+
+@register(
+    "ingest_warc_revisits",
+    oracle="""
+    WITH caps AS (
+      SELECT doc_id AS d, doc_id % 4 AS r, doc_id - doc_id % 4 AS g,
+             CAST(CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END AS BIGINT)
+               AS idx,
+             CASE WHEN doc_id % 11 = 7 THEN 'sha1:MISSING' || doc_id
+                  ELSE 'sha1:SYN' || (doc_id - doc_id % 4) END AS digest
+      FROM documents),
+    resp AS (
+      SELECT d, idx, 'https://cc.example/p/' || d AS url, digest
+      FROM caps WHERE r = 0),
+    rev AS (
+      SELECT d, g, r, idx,
+             'https://cc.example/p/' || g || '?visit=' || r AS url,
+             digest,
+             CASE WHEN r = 1 THEN g END AS ref_d
+      FROM caps WHERE r > 0),
+    by_ref AS (
+      SELECT v.*, o.d AS rid_d, o.idx AS rid_idx, o.url AS rid_url
+      FROM rev v LEFT JOIN resp o ON v.ref_d = o.d),
+    by_dig AS (
+      SELECT b.*, o2.d AS dig_d, o2.idx AS dig_idx, o2.url AS dig_url
+      FROM by_ref b LEFT JOIN resp o2
+        ON b.rid_d IS NULL AND b.digest = o2.digest)
+    SELECT CAST(d AS BIGINT) AS archive_id, idx AS rec_idx,
+           'response' AS rectype, url, url AS served_url,
+           CAST(d AS BIGINT) AS served_archive_id,
+           idx AS served_rec_idx, 'self' AS via, TRUE AS resolved
+    FROM resp
+    UNION ALL
+    SELECT CAST(d AS BIGINT), idx, 'revisit', url,
+           COALESCE(rid_url, dig_url),
+           CAST(COALESCE(rid_d, dig_d) AS BIGINT),
+           CAST(COALESCE(rid_idx, dig_idx) AS BIGINT),
+           CASE WHEN rid_d IS NOT NULL THEN 'refers-to'
+                WHEN dig_d IS NOT NULL THEN 'digest' END,
+           rid_d IS NOT NULL OR dig_d IS NOT NULL
+    FROM by_dig
+    """,
+    doc="WARC revisit resolution: real .warc.gz archives interleave "
+    "response, revisit (refers-to AND digest-only AND dangling), and "
+    "metadata records; warc_captures parses the linkage headers and "
+    "resolve_revisits replays crawl-time dedup relationally — the "
+    "oracle mirrors every resolution with its own joins.",
+)
+def ingest_warc_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-time dedup resolved end to end and oracle-checked: every
+    document becomes a real ``.warc.gz`` (``synth_warc_revisit_payload``
+    — groups of four archives share one page; the anchor holds the
+    response, the rest hold identical-payload-digest revisits, with
+    explicit-pointer, digest-only, DANGLING-digest, and
+    metadata-interleaved cases all on formulaic schedules),
+    ``warc_captures`` surfaces the linkage headers in one Arrow pass,
+    and ``resolve_revisits`` turns them into the served-from view with
+    two equi-joins. The DuckDB oracle rebuilds the capture relation
+    with string arithmetic and REPLAYS the resolution with its own
+    left joins — precedence (refers-to over digest), the dangling
+    fail-open, and full-archive rec_idx positions all hash-checked.
+
+    At 100 TB: archives parse where they live; the response side
+    collapses to two small keyed dimensions; revisit resolution is two
+    shuffle joins whose output is exactly one row per capture."""
+    from ..operators.ingest import documents_as_warc_revisit, warc_captures
+
+    docs = t_parallel(spark, sf_dir, "documents")
+    # materialize the capture relation ONCE: resolve_revisits consumes it
+    # three ways (record-id dim, digest dim, revisit fact) and without
+    # the checkpoint each branch would re-run both Arrow lanes — at
+    # 100 TB captures are a persisted table, not a re-parse
+    caps = warc_captures(documents_as_warc_revisit(docs)).localCheckpoint(
+        eager=False
+    )
+    return resolve_revisits(caps)
+
+
+@register(
+    "ingest_warc_unique_payloads",
+    oracle="""
+    WITH caps AS (
+      SELECT doc_id AS d, doc_id % 4 AS r, doc_id - doc_id % 4 AS g,
+             CASE WHEN doc_id % 11 = 7 THEN 'sha1:MISSING' || doc_id
+                  ELSE 'sha1:SYN' || (doc_id - doc_id % 4) END AS digest
+      FROM documents),
+    resp AS (
+      SELECT d, 'https://cc.example/p/' || d AS url, digest
+      FROM caps WHERE r = 0),
+    rev AS (
+      SELECT d, g, r, digest, CASE WHEN r = 1 THEN g END AS ref_d
+      FROM caps WHERE r > 0),
+    by_ref AS (
+      SELECT v.*, o.url AS rid_url
+      FROM rev v LEFT JOIN resp o ON v.ref_d = o.d),
+    by_dig AS (
+      SELECT b.*, o2.url AS dig_url
+      FROM by_ref b LEFT JOIN resp o2
+        ON b.rid_url IS NULL AND b.digest = o2.digest),
+    serv AS (
+      SELECT url AS served_url FROM resp
+      UNION ALL
+      SELECT COALESCE(rid_url, dig_url) FROM by_dig),
+    per_page AS (
+      SELECT served_url, CAST(COUNT(*) AS BIGINT) AS n_captures
+      FROM serv WHERE served_url IS NOT NULL GROUP BY served_url),
+    resp_bytes AS (
+      SELECT 'https://cc.example/p/' || d AS served_url,
+             CAST(length('page ' || d || ' ') * (1 + d % 5) AS BIGINT)
+               AS stored_bytes
+      FROM caps WHERE r = 0),
+    unres AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM serv
+      WHERE served_url IS NULL)
+    SELECT p.served_url,
+           p.n_captures,
+           b.stored_bytes,
+           p.n_captures * b.stored_bytes AS logical_bytes
+    FROM per_page p JOIN resp_bytes b USING (served_url)
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR), n, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM unres WHERE n > 0
+    """,
+    doc="Unique-payload accounting over resolved revisits: captures per "
+    "stored payload, stored vs logical bytes (the under-count a "
+    "revisit-dropping pipeline inherits); unresolved captures surface "
+    "as a NULL-url row, never vanish.",
+)
+def ingest_warc_unique_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accounting view crawl dedup exists for, oracle-checked: after
+    ``resolve_revisits``, group captures by the payload that actually
+    served them — ``n_captures`` fetches collapsed onto one stored copy,
+    ``stored_bytes`` (bytes on disk, once) vs ``logical_bytes`` (bytes a
+    revisit-blind pipeline would claim to have) — and keep UNRESOLVED
+    captures visible as a NULL-url row instead of dropping them. This is
+    the query that makes the under-count concrete: coverage counted on
+    stored payloads alone misses every revisit's fetch.
+
+    At 100 TB: one hash aggregation over the served-from view keyed by
+    served_url (already the join output), a broadcast-sized join against
+    the per-page stored-byte dimension, no window, no explode."""
+    from ..operators.ingest import documents_as_warc_revisit, warc_captures
+
+    docs = t_parallel(spark, sf_dir, "documents")
+    # one materialized capture relation feeds the served-from view AND
+    # the stored-byte dimension (same reasoning as ingest_warc_revisits)
+    caps = warc_captures(documents_as_warc_revisit(docs)).localCheckpoint(
+        eager=False
+    )
+    served = resolve_revisits(caps)
+    resp_bytes = (
+        caps.filter(F.col("rectype") == "response")
+        .select(
+            F.col("url").alias("served_url"),
+            F.col("n_bytes").alias("stored_bytes"),
+        )
+    )
+    per_page = (
+        served.filter(F.col("resolved"))
+        .groupBy("served_url")
+        .agg(F.count(F.lit(1)).alias("n_captures"))
+        .join(resp_bytes, "served_url")
+        .select(
+            "served_url",
+            "n_captures",
+            "stored_bytes",
+            (F.col("n_captures") * F.col("stored_bytes")).alias(
+                "logical_bytes"
+            ),
+        )
+    )
+    unresolved = (
+        served.filter(~F.col("resolved"))
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_captures"))
+        .filter(F.col("n_captures") > 0)
+        .select(
+            F.lit(None).cast("string").alias("served_url"),
+            "n_captures",
+            F.lit(None).cast("bigint").alias("stored_bytes"),
+            F.lit(None).cast("bigint").alias("logical_bytes"),
+        )
+    )
+    return per_page.unionByName(unresolved)

@@ -301,6 +301,15 @@ PLAN_EXPECTATIONS = {
         r"hashpartitioning\(user_id",
         r"TakeOrderedAndProject",
     ],
+    # revisit resolution: the captures relation materializes ONCE
+    # (localCheckpoint -> ExistingRDD scans), then pure relational
+    # left joins against the record-id and digest dims — no window
+    # over the capture fact, no explode
+    "ingest_warc_revisits": [r"Scan ExistingRDD", r"LeftOuter"],
+    "ingest_warc_unique_payloads": [
+        r"Scan ExistingRDD",
+        r"HashAggregate|SortAggregate",
+    ],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -351,6 +360,10 @@ JVM_ONLY = [
     "web_boilerplate_filter",
     "web_frontier_delta",
     "web_revalidation_plan",
+    # the Arrow parse lanes hide behind the captures checkpoint; the
+    # RESOLUTION itself must stay JVM-side
+    "ingest_warc_revisits",
+    "ingest_warc_unique_payloads",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]

@@ -267,3 +267,112 @@ def test_warc_gz_budget_exhaustion_refuses(monkeypatch):
     monkeypatch.setattr(warc_mod, "_MAX_DECODED_BYTES", 2 * one)
     with pytest.raises(ValueError, match="ceiling"):
         parse_warc(gz)
+
+
+def _cap_rows(rows):
+    """captures-relation rows as (archive_id, rec_idx, rectype, url,
+    record_id, warc_date, payload_digest, refers_to, concurrent_to,
+    n_bytes) tuples for createDataFrame."""
+    return [
+        (
+            r.get("aid", 0),
+            r.get("idx", 0),
+            r["rectype"],
+            r.get("url"),
+            r.get("rid", f"<urn:uuid:x-{r.get('aid', 0)}-{r.get('idx', 0)}>"),
+            "2026-01-01T00:00:00Z",
+            r.get("digest"),
+            r.get("refers_to"),
+            r.get("concurrent_to"),
+            r.get("n", 0),
+        )
+        for r in rows
+    ]
+
+
+_CAP_DDL = (
+    "archive_id long, rec_idx long, rectype string, url string, "
+    "record_id string, warc_date string, payload_digest string, "
+    "refers_to string, concurrent_to string, n_bytes long"
+)
+
+
+def test_resolve_revisits_semantics(spark):
+    """Unit contract for the relational revisit resolver: refers-to wins
+    over digest, a refers-to MISS falls back to digest, a shared digest
+    resolves to the EARLIEST stored capture (min archive_id, rec_idx),
+    requests pass through unresolved-but-present, and a dangling digest
+    yields resolved=false with NULL served columns."""
+    from eth_event_stream_spark.plans.web import resolve_revisits
+
+    caps = spark.createDataFrame(
+        _cap_rows(
+            [
+                # two responses SHARING a digest: earliest (aid 1) wins
+                {"aid": 1, "rectype": "response", "url": "u1",
+                 "rid": "<id:r1>", "digest": "sha1:D", "n": 10},
+                {"aid": 2, "rectype": "response", "url": "u2",
+                 "rid": "<id:r2>", "digest": "sha1:D", "n": 10},
+                # revisit with explicit pointer at the LATER copy:
+                # refers-to wins over the digest's earliest-capture rule
+                {"aid": 3, "rectype": "revisit", "url": "v1",
+                 "digest": "sha1:D", "refers_to": "<id:r2>"},
+                # digest-only revisit: earliest capture serves
+                {"aid": 4, "rectype": "revisit", "url": "v2",
+                 "digest": "sha1:D"},
+                # refers-to MISS + live digest: falls back to digest
+                {"aid": 5, "rectype": "revisit", "url": "v3",
+                 "digest": "sha1:D", "refers_to": "<id:ghost>"},
+                # dangling: digest never stored, no pointer
+                {"aid": 6, "rectype": "revisit", "url": "v4",
+                 "digest": "sha1:GONE"},
+                # request: passes through, never "served"
+                {"aid": 7, "rectype": "request", "url": "u1",
+                 "concurrent_to": "<id:r1>"},
+            ]
+        ),
+        _CAP_DDL,
+    )
+    got = {
+        r["archive_id"]: (
+            r["served_archive_id"], r["via"], r["resolved"], r["served_url"]
+        )
+        for r in resolve_revisits(caps).collect()
+    }
+    assert got[1] == (1, "self", True, "u1")
+    assert got[2] == (2, "self", True, "u2")
+    assert got[3] == (2, "refers-to", True, "u2")
+    assert got[4] == (1, "digest", True, "u1")
+    assert got[5] == (1, "digest", True, "u1")
+    assert got[6] == (None, None, False, None)
+    assert got[7] == (None, None, False, None)
+    assert len(got) == 7
+
+
+def test_warc_captures_lane_spark(spark):
+    """The captures lane end to end on a real synth archive: linkage
+    headers surface, metadata records are selected out but keep their
+    slot in rec_idx, and revisit payloads store zero bytes."""
+    from eth_event_stream_spark.operators.ingest import (
+        synth_warc_revisit_payload,
+        warc_captures,
+    )
+
+    # doc 2: metadata-first (2 % 6 == 2), revisit r=2 (digest-only)
+    # doc 0: anchor response; doc 1: refers-to revisit
+    df = spark.createDataFrame(
+        [(d, synth_warc_revisit_payload(d)) for d in (0, 1, 2)],
+        "archive_id long, payload binary",
+    )
+    rows = {r["archive_id"]: r for r in warc_captures(df).collect()}
+    assert rows[0]["rectype"] == "response" and rows[0]["rec_idx"] == 0
+    assert rows[0]["payload_digest"] == "sha1:SYN0"
+    assert rows[0]["n_bytes"] > 0
+    assert rows[1]["rectype"] == "revisit"
+    assert rows[1]["refers_to"] == "<urn:uuid:rec-0>"
+    assert rows[1]["n_bytes"] == 0
+    # metadata record held slot 0; the capture keeps full-archive idx 1
+    assert rows[2]["rec_idx"] == 1
+    assert rows[2]["refers_to"] is None
+    assert rows[2]["payload_digest"] == "sha1:SYN0"
+    assert len(rows) == 3
