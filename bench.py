@@ -229,6 +229,11 @@ HEADLINE = [
     # unique-payload accounting view over the same served-from output
     "ingest_warc_revisits",
     "ingest_warc_unique_payloads",
+    # r14-extended, continued: RFC 3986 canonicalization + tracking-param
+    # strip (codegen string work + a one-row broadcast regex dim) and the
+    # frontier diff re-keyed on canonical urls
+    "web_url_canonicalize",
+    "web_frontier_delta_canonical",
 ]
 
 

@@ -60,3 +60,139 @@ def url_strip_query(col: Column | str) -> Column:
     """The URL without its query string or fragment — the key URL-level
     dedup canonicalizes on."""
     return F.regexp_replace(_c(col), r"[?#].*$", "")
+
+
+_UNRESERVED_RE = r"^[A-Za-z0-9._~-]$"
+_BIG = 2147483647
+
+
+def url_normalize_percent(col: Column | str) -> Column:
+    """RFC 3986 §6.2.2.1-2 percent-encoding normalization, pure
+    Catalyst: hex digits of every percent triplet uppercased
+    (``%2f`` -> ``%2F``) and triplets encoding UNRESERVED characters
+    (ALPHA / DIGIT / ``-._~``) decoded (``%7E`` -> ``~``) — decoding
+    anything else would change meaning (``%2F`` is not ``/``), so
+    everything else stays encoded. A ``%`` not followed by two hex
+    digits is nonconforming input and passes through untouched (never
+    guessed at). Implementation: one ``split`` on ``%`` + one
+    ``transform`` over the tail pieces — each piece decides its own
+    leading escape — then ``array_join``; no UDF, no explode."""
+    s = _c(col)
+    parts = F.split(s, "%", -1)
+
+    def piece(x):
+        pr = F.upper(F.substring(x, 1, 2))
+        rest = F.substring(x, 3, _BIG)
+        valid = pr.rlike(r"^[0-9A-F]{2}$")
+        ch = F.chr(F.conv(pr, 16, 10).cast("bigint"))
+        return (
+            F.when(valid & ch.rlike(_UNRESERVED_RE), F.concat(ch, rest))
+            .when(valid, F.concat(F.lit("%"), pr, rest))
+            .otherwise(F.concat(F.lit("%"), x))
+        )
+
+    return F.when(F.size(parts) <= 1, s).otherwise(
+        F.concat(
+            F.element_at(parts, 1),
+            F.array_join(
+                F.transform(
+                    F.slice(parts, 2, F.size(parts) - 1), lambda x: piece(x)
+                ),
+                "",
+            ),
+        )
+    )
+
+
+def url_remove_dot_segments(path: Column | str) -> Column:
+    """RFC 3986 §5.2.4 remove_dot_segments over an ABSOLUTE path, as one
+    Catalyst ``aggregate`` over the split segments: ``.`` drops, ``..``
+    pops (never past the root), anything else — including empty
+    segments from ``//`` runs, which the RFC preserves — appends; a
+    trailing ``.``/``..`` leaves the trailing slash the RFC's algorithm
+    leaves. Relative references are a resolver's job (§5.2), not this
+    column's; crawl URLs are absolute."""
+    p = _c(path)
+    segs = F.split(p, "/", -1)
+    folded = F.aggregate(
+        segs,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, seg: F.when(seg == ".", acc)
+        .when(
+            seg == "..",
+            F.when(
+                F.size(acc) > 1, F.slice(acc, 1, F.size(acc) - 1)
+            ).otherwise(acc),
+        )
+        .otherwise(F.concat(acc, F.array(seg))),
+    )
+    closed = F.when(
+        F.element_at(segs, -1).isin(".", ".."),
+        F.concat(folded, F.array(F.lit(""))),
+    ).otherwise(folded)
+    return F.when(p == "", p).otherwise(F.array_join(closed, "/"))
+
+
+def url_canonicalize(col: Column | str, sort_query: bool = False) -> Column:
+    """RFC 3986 §6 syntax-based normalization in pure Catalyst — the
+    canonical form crawl-level URL dedup keys on: scheme and host
+    lowercased (§6.2.2.1), percent-encoding normalized
+    (``url_normalize_percent``), the default port of the scheme dropped
+    (§6.2.3: ``:80`` for http, ``:443`` for https; any explicit empty
+    ``:`` drops too), the fragment removed (it never reaches the
+    server), dot-segments removed from the path
+    (``url_remove_dot_segments``), an empty path normalized to ``/``
+    for http(s) (§6.2.3), and an EMPTY query dropped (a crawl treats
+    ``/p?`` and ``/p`` as one fetch; documented choice — RFC 3986
+    technically distinguishes them). With ``sort_query`` the query
+    parameters are additionally sorted byte-wise — NOT an RFC
+    normalization (order can matter to servers) but the standard
+    crawl-dedup strengthening; off by default. Tracking-parameter
+    stripping is data-driven and lives in
+    ``plans.web.strip_tracking_params`` (broadcast rules dim).
+
+    One regexp parse (the RFC appendix-B grammar), string expressions
+    throughout, no UDF, no shuffle."""
+    u = url_normalize_percent(F.regexp_replace(_c(col), "#.*$", ""))
+    scheme = F.lower(F.regexp_extract(u, r"^([^:/?#]+):", 1))
+    auth = F.regexp_extract(u, r"^[^:/?#]+://([^/?#]*)", 1)
+    path = F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"^[^#]*?\?([^#]*)", 1)
+    has_query = u.rlike(r"^[^#]*\?")
+    userinfo = F.regexp_extract(auth, r"^([^@]*)@", 1)
+    hostport = F.regexp_replace(auth, r"^[^@]*@", "")
+    host = F.lower(F.regexp_replace(hostport, r":[0-9]*$", ""))
+    port = F.regexp_extract(hostport, r":([0-9]*)$", 1)
+    default_port = F.when(scheme == "http", F.lit("80")).when(
+        scheme == "https", F.lit("443")
+    )
+    keep_port = (
+        hostport.rlike(r":[0-9]*$")
+        & (port != "")
+        & ~port.eqNullSafe(default_port)
+    )
+    norm_path = url_remove_dot_segments(path)
+    norm_path = F.when(
+        (norm_path == "") & scheme.isin("http", "https"), F.lit("/")
+    ).otherwise(norm_path)
+    q = (
+        F.array_join(F.sort_array(F.split(query, "&", -1)), "&")
+        if sort_query
+        else query
+    )
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        F.when(userinfo != "", F.concat(userinfo, F.lit("@"))).otherwise(
+            F.lit("")
+        ),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        norm_path,
+        F.when(has_query & (q != ""), F.concat(F.lit("?"), q)).otherwise(
+            F.lit("")
+        ),
+    )
+    # non-hierarchical references (mailto:, data:, a bare path) have no
+    # authority to normalize — they keep the fragment/percent pass only
+    return F.when(u.rlike(r"^[^:/?#]+://"), rebuilt).otherwise(u)

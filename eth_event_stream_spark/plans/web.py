@@ -2336,3 +2336,326 @@ def ingest_warc_unique_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_page.unionByName(unresolved)
+
+
+def parse_tracking_rules(rules: DataFrame) -> DataFrame:
+    """(text) -> (pattern, base, is_prefix) — a tracking-parameter rule
+    table parsed entirely in Catalyst, the same idiom as the PSL and
+    robots parses: lines via split+posexplode, ``//`` comments and
+    blanks dropped, a trailing ``*`` marking a PREFIX rule (``utm_*``
+    matches every parameter starting ``utm_``), anything else an exact
+    parameter name. Patterns lowercase by contract (parameter matching
+    is case-sensitive per the URL spec, but tracking params are
+    conventionally lowercase; the matcher compares as written)."""
+    lines = rules.select(
+        F.posexplode(F.split("text", "\n")).alias("pos", "raw")
+    ).select(F.regexp_replace("raw", r"^\s+|\s+$", "").alias("line"))
+    kept = lines.filter(
+        (F.col("line") != "") & ~F.col("line").startswith("//")
+    )
+    is_prefix = F.col("line").endswith("*")
+    return kept.select(
+        F.col("line").alias("pattern"),
+        F.when(is_prefix, F.expr("substring(line, 1, length(line) - 1)"))
+        .otherwise(F.col("line"))
+        .alias("base"),
+        is_prefix.alias("is_prefix"),
+    )
+
+
+def tracking_rules_regex(rules: DataFrame) -> DataFrame:
+    """Aggregate the tracking-rules dim into a ONE-ROW dimension holding
+    a single anchored alternation regex (``^(?:utm_.*|gclid|ref)$``) —
+    the shape that makes the strip ROW-LOCAL: the one-row dim broadcast
+    cross-joins the URL fact and each row filters its own split query
+    params with ``regexp_like`` against the constant-valued column (the
+    regex engine caches an unchanged pattern), so there is no per-param
+    explode, no re-aggregation shuffle, and parameter order survives.
+    Rule bases are regex-escaped in Catalyst before the join — a rule
+    is a parameter NAME, never a regex."""
+    parsed = (
+        parse_tracking_rules(rules) if "text" in rules.columns else rules
+    )
+    esc = F.regexp_replace(
+        "base", r"([.\^\$\*\+\?\(\)\[\]\{\}\|\\])", r"\\$1"
+    )
+    piece = F.when(
+        F.col("is_prefix"), F.concat(esc, F.lit(".*"))
+    ).otherwise(esc)
+    return parsed.agg(
+        F.concat(
+            F.lit("^(?:"),
+            F.concat_ws("|", F.collect_list(piece)),
+            F.lit(")$"),
+        ).alias("__trk_re")
+    )
+
+
+def strip_tracking_params(
+    df: DataFrame, url_col, rules: DataFrame, out: str = "canonical_url"
+) -> DataFrame:
+    """Drop tracking parameters from a URL column, data-driven by a
+    rules dim (the PSL idiom — the rule list is DATA a curation team
+    maintains, not code): the rules collapse to a one-row regex
+    dimension (``tracking_rules_regex``) that broadcast-cross-joins the
+    fact table, and each row filters its own query parameters in a
+    higher-order ``filter`` — row-local, order-preserving, no explode,
+    no shuffle. A query left EMPTY by the strip drops its ``?``
+    entirely (matching ``url_canonicalize``'s empty-query choice). Runs
+    AFTER ``url_canonicalize`` by convention so the fragment is already
+    gone and parameter spellings are percent-normalized. Adds ``out``.
+
+    At 100 TB: one broadcast of one row; everything else is codegen
+    string work fused into the scan."""
+    u = _c_host(url_col)
+    j = df.crossJoin(broadcast(tracking_rules_regex(rules)))
+    base = F.regexp_replace(u, r"\?.*$", "")
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&", -1),
+        lambda p: ~F.regexp_like(
+            F.substring_index(p, "=", 1), F.col("__trk_re")
+        ),
+    )
+    newq = F.array_join(kept, "&")
+    stripped = F.when(query == "", u).otherwise(
+        F.when(newq != "", F.concat(base, F.lit("?"), newq)).otherwise(base)
+    )
+    return j.withColumn(out, stripped).drop("__trk_re")
+
+
+def _synth_tracking_rules(spark: SparkSession) -> DataFrame:
+    """The synthetic tracking-parameter rule file: one prefix rule, two
+    exact rules, comments and blanks — enough to exercise every parse
+    branch."""
+    return spark.range(1).select(
+        F.lit(
+            "// synthetic tracking params\n"
+            "utm_*\n"
+            "gclid\n"
+            "\n"
+            "ref\n"
+        ).alias("text")
+    )
+
+
+@register(
+    "web_url_canonicalize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id AS d, doc_id % 20 AS h FROM documents),
+    pieces AS (
+      SELECT d, h,
+        CASE d % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+             ELSE 'http' END AS sch_raw,
+        CASE d % 3 WHEN 1 THEN 'https' ELSE 'http' END AS sch,
+        CASE WHEN d % 4 = 0 THEN 'WWW.Site' || h || '.EXAMPLE'
+             ELSE 'site' || h || '.example' END AS host_raw,
+        CASE WHEN d % 4 = 0 THEN 'www.site' || h || '.example'
+             ELSE 'site' || h || '.example' END AS host,
+        CASE d % 5
+          WHEN 0 THEN (CASE WHEN d % 3 = 1 THEN ':443' ELSE ':80' END)
+          WHEN 1 THEN ':8080' ELSE '' END AS port_raw,
+        CASE d % 5 WHEN 1 THEN ':8080' ELSE '' END AS port,
+        CASE d % 6 WHEN 0 THEN '/a/./b' WHEN 1 THEN '/a/b/../c'
+             WHEN 2 THEN '/%7Euser/p' WHEN 3 THEN '/a%2fb/p'
+             WHEN 4 THEN '' ELSE '/p/' || d END AS path_raw,
+        CASE d % 6 WHEN 0 THEN '/a/b' WHEN 1 THEN '/a/c'
+             WHEN 2 THEN '/~user/p' WHEN 3 THEN '/a%2Fb/p'
+             WHEN 4 THEN '/' ELSE '/p/' || d END AS path,
+        CASE d % 7
+          WHEN 0 THEN '?utm_source=x&id=' || d || '&utm_campaign=y'
+          WHEN 1 THEN '?gclid=abc'
+          WHEN 2 THEN '?b=2&a=1&ref=rss' ELSE '' END AS q_raw,
+        CASE d % 7 WHEN 0 THEN '?id=' || d
+          WHEN 2 THEN '?b=2&a=1' ELSE '' END AS q,
+        CASE WHEN d % 2 = 0 THEN '#frag' ELSE '' END AS frag
+      FROM d)
+    SELECT d AS doc_id,
+           sch_raw || '://' || host_raw || port_raw || path_raw
+             || q_raw || frag AS url,
+           sch || '://' || host || port || path || q AS canonical_url
+    FROM pieces
+    """,
+    doc="RFC 3986 §6 URL canonicalization (case, default port, "
+    "fragment, percent, dot-segments, empty path/query) plus "
+    "tracking-param stripping from a broadcast rules dim; the oracle "
+    "replays every canonical form from the dirt schedules.",
+)
+def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-level URL canonicalization, end to end and oracle-checked:
+    every document becomes a DIRTY url exercising one case of each
+    normalization on independent schedules — mixed-case scheme
+    (``d%3``), mixed-case www host (``d%4``), default vs explicit port
+    (``d%5``, the default port matching the scheme so it always
+    drops), dot-segments / unreserved and reserved percent escapes /
+    empty path (``d%6``), tracking params interleaved with real ones
+    (``d%7``, stripped by the broadcast rules dim: ``utm_*`` prefix,
+    ``gclid``/``ref`` exact), and a fragment on even docs —
+    ``url_canonicalize`` then ``strip_tracking_params`` produce the
+    canonical key, and the DuckDB oracle replays every canonical form
+    with CASE arithmetic over the same schedules. This is the key
+    crawl dedup, frontier maintenance, and revisit accounting all join
+    on; composing the schedules independently means a regression in
+    any one normalization breaks the hash.
+
+    At 100 TB: pure codegen string expressions plus one broadcast of a
+    ONE-ROW regex dim — no shuffle, no explode, no Python."""
+    from ..functions.url import url_canonicalize
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    h = (d % 20).cast("string")
+    sch = (
+        F.when(d % 3 == 0, F.lit("HTTP"))
+        .when(d % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("http"))
+    )
+    host = F.when(
+        d % 4 == 0, F.concat(F.lit("WWW.Site"), h, F.lit(".EXAMPLE"))
+    ).otherwise(F.concat(F.lit("site"), h, F.lit(".example")))
+    port = (
+        F.when(
+            d % 5 == 0,
+            F.when(d % 3 == 1, F.lit(":443")).otherwise(F.lit(":80")),
+        )
+        .when(d % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = (
+        F.when(d % 6 == 0, F.lit("/a/./b"))
+        .when(d % 6 == 1, F.lit("/a/b/../c"))
+        .when(d % 6 == 2, F.lit("/%7Euser/p"))
+        .when(d % 6 == 3, F.lit("/a%2fb/p"))
+        .when(d % 6 == 4, F.lit(""))
+        .otherwise(F.concat(F.lit("/p/"), d.cast("string")))
+    )
+    q = (
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit("?utm_source=x&id="),
+                d.cast("string"),
+                F.lit("&utm_campaign=y"),
+            ),
+        )
+        .when(d % 7 == 1, F.lit("?gclid=abc"))
+        .when(d % 7 == 2, F.lit("?b=2&a=1&ref=rss"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 2 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    dirty = docs.select(
+        "doc_id",
+        F.concat(sch, F.lit("://"), host, port, path, q, frag).alias("url"),
+    )
+    canon = dirty.withColumn("__c", url_canonicalize(F.col("url")))
+    return strip_tracking_params(
+        canon, "__c", _synth_tracking_rules(spark), out="canonical_url"
+    ).select("doc_id", "url", "canonical_url")
+
+
+@register(
+    "web_frontier_delta_canonical",
+    oracle="""
+    WITH sm AS (
+      SELECT doc_id, doc_id % 20 AS d,
+             'https://site' || (doc_id % 20) || '.example/page/' || doc_id
+               AS loc
+      FROM documents),
+    old AS (
+      SELECT *, CASE WHEN doc_id % 2 = 0
+                     THEN '2026-0' || (1 + doc_id % 9) || '-01' END AS lm
+      FROM sm WHERE doc_id % 10 != 7),
+    new AS (
+      SELECT *, CASE WHEN doc_id % 2 = 0 THEN
+               CASE WHEN doc_id % 6 = 2
+                    THEN '2026-0' || (1 + doc_id % 9) || '-15'
+                    ELSE '2026-0' || (1 + doc_id % 9) || '-01' END END AS lm
+      FROM sm WHERE doc_id % 10 != 3)
+    SELECT 'site' || d || '.example' AS domain, loc,
+           'added' AS change, CAST(NULL AS VARCHAR) AS old_lastmod,
+           lm AS new_lastmod
+    FROM new WHERE doc_id % 10 = 7
+    UNION ALL
+    SELECT 'site' || d || '.example', loc, 'removed', lm, NULL
+    FROM old WHERE doc_id % 10 = 3
+    UNION ALL
+    SELECT 'site' || d || '.example', loc, 'lastmod_changed',
+           '2026-0' || (1 + doc_id % 9) || '-01',
+           '2026-0' || (1 + doc_id % 9) || '-15'
+    FROM new WHERE doc_id % 6 = 2 AND doc_id % 10 NOT IN (3, 7)
+    """,
+    doc="Frontier diff keyed on CANONICAL urls: today's frontier "
+    "carries tracking params / default ports / fragments / case dirt "
+    "that canonicalization must erase before the diff — the oracle's "
+    "churn set contains no dirt-only rows.",
+)
+def web_frontier_delta_canonical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reason canonicalization exists, end to end and
+    oracle-checked: the SAME churn schedule as ``web_frontier_delta``
+    (adds on ``% 10 == 7``, removes on ``% 10 == 3``, lastmod bumps on
+    ``% 6 == 2``) — but today's frontier reports every url in a DIRTY
+    surface form (tracking params on ``% 3 == 0``, explicit default
+    port + fragment on ``% 3 == 1``, mixed-case scheme/host on
+    ``% 3 == 2``). A diff keyed on raw urls would flag nearly every
+    url as simultaneously added and removed; keyed on
+    ``url_canonicalize`` + ``strip_tracking_params`` output, the delta
+    is EXACTLY the real churn — the oracle replays that churn set with
+    no dirt anywhere, so one surviving dirt-only row breaks the hash.
+
+    At 100 TB: canonicalization is codegen string work fused into both
+    frontier scans plus one one-row broadcast; the diff itself stays
+    the shared-key anti-join/inner-join shape of ``frontier_delta``."""
+    from ..functions.url import url_canonicalize
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    h = (d % 20).cast("string")
+    clean = F.concat(
+        F.lit("https://site"), h, F.lit(".example/page/"), d.cast("string")
+    )
+    dirty = (
+        F.when(d % 3 == 0, F.concat(clean, F.lit("?utm_source=feed")))
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit("https://site"), h, F.lit(".example:443/page/"),
+                d.cast("string"), F.lit("#sec"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://Site"), h, F.lit(".EXAMPLE/page/"),
+                d.cast("string"),
+            )
+        )
+    )
+    lm_old = F.when(
+        d % 2 == 0,
+        F.concat(F.lit("2026-0"), (d % 9 + 1).cast("string"), F.lit("-01")),
+    )
+    lm_new = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit("2026-0"),
+            (d % 9 + 1).cast("string"),
+            F.when(d % 6 == 2, F.lit("-15")).otherwise(F.lit("-01")),
+        ),
+    )
+    domain = F.concat(F.lit("site"), h, F.lit(".example"))
+    rules = _synth_tracking_rules(spark)
+    old = docs.filter(d % 10 != 7).select(
+        domain.alias("domain"), clean.alias("loc"), lm_old.alias("lastmod")
+    )
+    new_raw = docs.filter(d % 10 != 3).select(
+        domain.alias("domain"), dirty.alias("__raw"), lm_new.alias("lastmod")
+    )
+    new = strip_tracking_params(
+        new_raw.withColumn("__c", url_canonicalize(F.col("__raw"))),
+        "__c",
+        rules,
+        out="loc",
+    ).select("domain", "loc", "lastmod")
+    return frontier_delta(old, new)

@@ -310,6 +310,10 @@ PLAN_EXPECTATIONS = {
         r"Scan ExistingRDD",
         r"HashAggregate|SortAggregate",
     ],
+    # URL canonicalization: codegen string work plus ONE one-row regex
+    # dim broadcast (the row-local strip) — never a per-param explode
+    # (Generate) or a SortMergeJoin against the rules
+    "web_url_canonicalize": [r"BroadcastNestedLoopJoin"],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -364,6 +368,9 @@ JVM_ONLY = [
     # RESOLUTION itself must stay JVM-side
     "ingest_warc_revisits",
     "ingest_warc_unique_payloads",
+    # canonicalization is codegen string work + a one-row regex dim
+    "web_url_canonicalize",
+    "web_frontier_delta_canonical",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]

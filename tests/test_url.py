@@ -68,3 +68,89 @@ def test_url_plan_is_pure_codegen(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_url_normalize_percent(spark):
+    from eth_event_stream_spark.functions.url import url_normalize_percent
+
+    cases = [
+        # unreserved decodes; reserved stays (uppercased)
+        ("http://x/%7Euser/%2Fp", "http://x/~user/%2Fp"),
+        ("http://x/a%2fb", "http://x/a%2Fb"),
+        ("http://x/%41%39%2d%5f", "http://x/A9-_"),
+        # no escapes: untouched
+        ("http://x/plain", "http://x/plain"),
+        # nonconforming: bare % / short escape pass through
+        ("http://x/100%", "http://x/100%"),
+        ("http://x/a%zzb", "http://x/a%zzb"),
+        ("http://x/a%2", "http://x/a%2"),
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in cases], "u string")
+    got = [r[0] for r in df.select(url_normalize_percent("u")).collect()]
+    assert got == [b for _, b in cases]
+
+
+def test_url_remove_dot_segments(spark):
+    from eth_event_stream_spark.functions.url import url_remove_dot_segments
+
+    cases = [
+        ("/a/./b", "/a/b"),
+        ("/a/b/../c", "/a/c"),
+        ("/a/b/..", "/a/"),          # RFC 5.2.4: trailing slash survives
+        ("/a/.", "/a/"),
+        ("/../../x", "/x"),          # never pops past the root
+        ("/a//b/./c", "/a//b/c"),    # empty segments preserved
+        ("/", "/"),
+        ("", ""),
+        ("/a/b/c", "/a/b/c"),
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in cases], "p string")
+    got = [r[0] for r in df.select(url_remove_dot_segments("p")).collect()]
+    assert got == [b for _, b in cases]
+
+
+def test_url_canonicalize(spark):
+    from eth_event_stream_spark.functions.url import url_canonicalize
+
+    cases = [
+        # scheme+host case, default port, fragment
+        ("HTTP://WWW.Example.COM:80/a#f", "http://www.example.com/a"),
+        ("https://Site.Example:443/p?q=1", "https://site.example/p?q=1"),
+        # non-default / non-http ports survive
+        ("http://h.example:8080/p", "http://h.example:8080/p"),
+        ("ftp://h.example:21/p", "ftp://h.example:21/p"),
+        # empty port drops
+        ("http://h.example:/p", "http://h.example/p"),
+        # empty path -> '/' for http(s)
+        ("https://h.example", "https://h.example/"),
+        ("https://h.example?a=1", "https://h.example/?a=1"),
+        # dot segments + percent normalization compose
+        ("http://h.example/a/./b/%7Ec/../d", "http://h.example/a/b/d"),
+        # empty query drops (documented crawl choice)
+        ("http://h.example/p?", "http://h.example/p"),
+        # userinfo preserved, host after it lowercased
+        ("http://u:pw@H.Example/p", "http://u:pw@h.example/p"),
+        # non-hierarchical: fragment/percent pass only
+        ("mailto:a@b.example#x", "mailto:a@b.example"),
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in cases], "u string")
+    got = [r[0] for r in df.select(url_canonicalize("u")).collect()]
+    assert got == [b for _, b in cases]
+    # sort_query: byte-wise param sort, the crawl-dedup strengthening
+    df2 = spark.createDataFrame(
+        [("http://h.example/p?b=2&a=1&a=0",)], "u string"
+    )
+    assert (
+        df2.select(url_canonicalize("u", sort_query=True)).collect()[0][0]
+        == "http://h.example/p?a=0&a=1&b=2"
+    )
+
+
+def test_url_canonicalize_is_pure_codegen(spark):
+    from eth_event_stream_spark.functions.url import url_canonicalize
+
+    df = spark.createDataFrame([("https://x.test/a",)], "url string").select(
+        url_canonicalize("url")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan

@@ -659,3 +659,45 @@ def test_revalidation_plan_branch_order(spark):
     assert got["d"] == ("full", None, None)
     assert got["e"] == ("full", None, None)            # never fetched
     assert got["f"] == ("full", None, None)
+
+
+def test_strip_tracking_params(spark):
+    """The data-driven strip: prefix and exact rules, regex-special rule
+    names matched literally, order preserved, all-stripped queries drop
+    their '?', and query-less urls pass untouched."""
+    from eth_event_stream_spark.plans.web import (
+        parse_tracking_rules,
+        strip_tracking_params,
+    )
+
+    rules = spark.createDataFrame(
+        [("// c\nutm_*\ngclid\na.b\n\nref\n",)], "text string"
+    )
+    parsed = {
+        r["pattern"]: (r["base"], r["is_prefix"])
+        for r in parse_tracking_rules(rules).collect()
+    }
+    assert parsed == {
+        "utm_*": ("utm_", True),
+        "gclid": ("gclid", False),
+        "a.b": ("a.b", False),
+        "ref": ("ref", False),
+    }
+    urls = [
+        ("http://h/p?utm_source=x&id=1&utm_c=y", "http://h/p?id=1"),
+        ("http://h/p?gclid=z", "http://h/p"),
+        # 'a.b' must match literally — 'axb' must NOT strip
+        ("http://h/p?a.b=1&axb=2", "http://h/p?axb=2"),
+        ("http://h/p?b=2&a=1", "http://h/p?b=2&a=1"),
+        ("http://h/p", "http://h/p"),
+        # bare '?': empty query, url unchanged (canonicalize's job)
+        ("http://h/p?", "http://h/p?"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in urls], "u string")
+    got = [
+        r["out"]
+        for r in strip_tracking_params(df, "u", rules, out="out")
+        .select("out")
+        .collect()
+    ]
+    assert got == [w for _, w in urls]
