@@ -234,6 +234,9 @@ HEADLINE = [
     # frontier diff re-keyed on canonical urls
     "web_url_canonicalize",
     "web_frontier_delta_canonical",
+    # r14-extended, continued: the WARC-Concurrent-To fetch-event view
+    # (one Arrow parse + one left equi-join against the record-id dim)
+    "web_request_response_pairs",
 ]
 
 

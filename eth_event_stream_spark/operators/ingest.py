@@ -682,3 +682,85 @@ def documents_as_warc_revisit(documents: DataFrame) -> DataFrame:
             )
 
     return ids.mapInPandas(fn, schema=WARC_ARCHIVE_SCHEMA)
+
+
+def synth_warc_pair_payload(doc_id: int) -> bytes:
+    """Deterministic ``.warc.gz`` holding a REQUEST record and its
+    RESPONSE, linked the way real crawls link them (ISO 28500 §5.7: the
+    request's ``WARC-Concurrent-To`` names the response record written
+    for the same capture event). Schedules a SQL oracle replays: the
+    response's WARC-Date lands ``doc_id % 5`` seconds after the
+    request's (the fetch-latency signal a politeness audit reads); when
+    ``doc_id % 9 == 4`` the request carries NO ``WARC-Concurrent-To``
+    (sloppy writer — must surface unpaired, never join by guesswork);
+    when ``doc_id % 6 == 2`` a metadata record precedes both (rec_idx
+    keeps full-archive positions)."""
+    from .warc import encode_warc
+
+    recs = []
+    if doc_id % 6 == 2:
+        recs.append(
+            {
+                "headers": {
+                    "WARC-Type": "metadata",
+                    "WARC-Record-ID": f"<urn:uuid:meta-{doc_id}>",
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                },
+                "payload": b"fetch-notes: ok",
+            }
+        )
+    req_headers = {
+        "WARC-Type": "request",
+        "WARC-Record-ID": f"<urn:uuid:req-{doc_id}>",
+        "WARC-Date": "2026-01-01T00:00:00Z",
+        "WARC-Target-URI": f"https://site{doc_id % 20}.example/p/{doc_id}",
+        "Content-Type": "application/http; msgtype=request",
+    }
+    if doc_id % 9 != 4:
+        req_headers["WARC-Concurrent-To"] = f"<urn:uuid:resp-{doc_id}>"
+    body = (f"page {doc_id} " * (1 + doc_id % 3)).encode()
+    recs.append(
+        {
+            "headers": req_headers,
+            "payload": (
+                b"GET /p/" + str(doc_id).encode() + b" HTTP/1.1\r\n"
+                b"Host: site" + str(doc_id % 20).encode()
+                + b".example\r\n\r\n"
+            ),
+        }
+    )
+    recs.append(
+        {
+            "headers": {
+                "WARC-Type": "response",
+                "WARC-Record-ID": f"<urn:uuid:resp-{doc_id}>",
+                "WARC-Date": f"2026-01-01T00:00:0{doc_id % 5}Z",
+                "WARC-Target-URI": (
+                    f"https://site{doc_id % 20}.example/p/{doc_id}"
+                ),
+            },
+            "payload": body,
+        }
+    )
+    return encode_warc(recs, gzip_members=True)
+
+
+def documents_as_warc_pairs(documents: DataFrame) -> DataFrame:
+    """Synthesize the request/response-paired ``.warc.gz`` archives
+    (``synth_warc_pair_payload``) in one Arrow-batched ``mapInPandas``."""
+    from ..shipping import ship_package
+
+    ship_package(documents.sparkSession)
+    ids = documents.select(F.col("doc_id").alias("archive_id"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (int(aid), synth_warc_pair_payload(int(aid)))
+                for aid in pdf["archive_id"]
+            ]
+            yield pd.DataFrame(
+                out, columns=[f.name for f in WARC_ARCHIVE_SCHEMA.fields]
+            )
+
+    return ids.mapInPandas(fn, schema=WARC_ARCHIVE_SCHEMA)

@@ -2659,3 +2659,97 @@ def web_frontier_delta_canonical(
         out="loc",
     ).select("domain", "loc", "lastmod")
     return frontier_delta(old, new)
+
+
+def pair_requests_responses(captures: DataFrame) -> DataFrame:
+    """Join WARC request records to the responses they produced — the
+    ``WARC-Concurrent-To`` edge (ISO 28500 §5.7) — yielding the
+    per-fetch view politeness and latency audits read: one row per
+    REQUEST with (archive_id, url, req_idx, resp_idx, req_date,
+    resp_date, latency_s, paired). ``latency_s`` is the whole-second
+    gap between the two records' WARC-Dates (the capture timestamps;
+    NULL when unpaired). A request without a ``WARC-Concurrent-To`` —
+    real archives contain them — surfaces ``paired = false`` with NULL
+    response columns; pairing by target-URI guesswork would silently
+    mis-attribute retried fetches, so it is not attempted.
+
+    At 100 TB: responses collapse to a record-id-keyed dimension
+    (unique by spec) and requests pay one left equi-join — same shape
+    as ``resolve_revisits``' refers-to leg; no window, no explode."""
+    resp = captures.filter(F.col("rectype") == "response").select(
+        F.col("record_id").alias("__rid"),
+        F.col("rec_idx").alias("__resp_idx"),
+        F.col("warc_date").alias("__resp_date"),
+    )
+    req = captures.filter(F.col("rectype") == "request")
+    j = req.join(resp, F.col("concurrent_to") == F.col("__rid"), "left")
+    lat = (
+        F.unix_timestamp(
+            F.col("__resp_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        )
+        - F.unix_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    ).cast("bigint")
+    return j.select(
+        "archive_id",
+        "url",
+        F.col("rec_idx").alias("req_idx"),
+        F.col("__resp_idx").alias("resp_idx"),
+        F.col("warc_date").alias("req_date"),
+        F.col("__resp_date").alias("resp_date"),
+        F.when(F.col("__rid").isNotNull(), lat).alias("latency_s"),
+        F.col("__rid").isNotNull().alias("paired"),
+    )
+
+
+@register(
+    "web_request_response_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id AS d,
+             CAST(CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END AS BIGINT)
+               AS base
+      FROM documents)
+    SELECT d AS archive_id,
+           'https://site' || (d % 20) || '.example/p/' || d AS url,
+           base AS req_idx,
+           CASE WHEN d % 9 != 4 THEN base + 1 END AS resp_idx,
+           '2026-01-01T00:00:00Z' AS req_date,
+           CASE WHEN d % 9 != 4
+                THEN '2026-01-01T00:00:0' || (d % 5) || 'Z' END AS resp_date,
+           CASE WHEN d % 9 != 4 THEN CAST(d % 5 AS BIGINT) END
+             AS latency_s,
+           d % 9 != 4 AS paired
+    FROM d
+    """,
+    doc="Request<->response pairing via WARC-Concurrent-To: one left "
+    "equi-join against the record-id dim; fetch latency from the "
+    "WARC-Date gap; linkless requests surface unpaired. The oracle "
+    "replays every pair, index, and latency from the schedules.",
+)
+def web_request_response_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The fetch-event view, end to end and oracle-checked: every
+    document becomes a real ``.warc.gz`` holding a request and its
+    response (``synth_warc_pair_payload`` — the request's
+    ``WARC-Concurrent-To`` names the response record; ``d % 9 == 4``
+    requests LACK the link and must surface unpaired; ``d % 6 == 2``
+    archives interleave a metadata record so rec_idx stays the
+    full-archive position; response WARC-Dates land ``d % 5`` seconds
+    after the request's). ``warc_captures`` surfaces the linkage in
+    one Arrow pass; ``pair_requests_responses`` joins and computes the
+    latency; the DuckDB oracle replays every pair, both indices, both
+    dates, and the latency from the schedules. This is the view a
+    per-domain politeness audit aggregates (fetch cadence vs the
+    Crawl-delay budgets of ``web_crawl_budget``).
+
+    At 100 TB: one Arrow parse where the bytes live, one left
+    equi-join against a record-id dim, output one small typed row per
+    request."""
+    from ..operators.ingest import documents_as_warc_pairs, warc_captures
+
+    docs = t_parallel(spark, sf_dir, "documents")
+    caps = warc_captures(documents_as_warc_pairs(docs)).localCheckpoint(
+        eager=False
+    )
+    return pair_requests_responses(caps)

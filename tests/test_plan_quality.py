@@ -314,6 +314,8 @@ PLAN_EXPECTATIONS = {
     # dim broadcast (the row-local strip) — never a per-param explode
     # (Generate) or a SortMergeJoin against the rules
     "web_url_canonicalize": [r"BroadcastNestedLoopJoin"],
+    # request/response pairing: checkpointed captures + one left join
+    "web_request_response_pairs": [r"Scan ExistingRDD", r"LeftOuter"],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -371,6 +373,7 @@ JVM_ONLY = [
     # canonicalization is codegen string work + a one-row regex dim
     "web_url_canonicalize",
     "web_frontier_delta_canonical",
+    "web_request_response_pairs",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]

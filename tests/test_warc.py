@@ -376,3 +376,52 @@ def test_warc_captures_lane_spark(spark):
     assert rows[2]["refers_to"] is None
     assert rows[2]["payload_digest"] == "sha1:SYN0"
     assert len(rows) == 3
+
+
+def test_pair_requests_responses_semantics(spark):
+    """Pairing contract: the Concurrent-To edge joins, a dangling edge
+    and a missing edge both surface unpaired (no target-URI guessing),
+    two requests may legitimately point at one response (retries), and
+    latency is the whole-second WARC-Date gap."""
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.plans.web import pair_requests_responses
+
+    caps = spark.createDataFrame(
+        _cap_rows(
+            [
+                {"aid": 1, "idx": 1, "rectype": "response", "url": "u1",
+                 "rid": "<id:r1>"},
+                {"aid": 1, "idx": 0, "rectype": "request", "url": "u1",
+                 "concurrent_to": "<id:r1>"},
+                # retry: second request to the same response
+                {"aid": 2, "idx": 0, "rectype": "request", "url": "u1",
+                 "concurrent_to": "<id:r1>"},
+                # dangling edge
+                {"aid": 3, "idx": 0, "rectype": "request", "url": "u3",
+                 "concurrent_to": "<id:ghost>"},
+                # no edge at all
+                {"aid": 4, "idx": 0, "rectype": "request", "url": "u4"},
+            ]
+        ),
+        _CAP_DDL,
+    )
+    # give the response a later date for a 3-second latency
+    caps = caps.withColumn(
+        "warc_date",
+        F.when(
+            F.col("rectype") == "response", F.lit("2026-01-01T00:00:03Z")
+        ).otherwise(F.lit("2026-01-01T00:00:00Z")),
+    )
+    got = {
+        r["archive_id"]: (
+            r["resp_idx"], r["latency_s"], r["paired"]
+        )
+        for r in pair_requests_responses(caps).collect()
+    }
+    assert got[1] == (1, 3, True)
+    assert got[2] == (1, 3, True)
+    assert got[3] == (None, None, False)
+    assert got[4] == (None, None, False)
+    # one row per REQUEST only (the response row itself is not emitted)
+    assert len(got) == 4
