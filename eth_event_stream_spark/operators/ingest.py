@@ -353,6 +353,9 @@ def warc_to_documents(
                             hdr, body = split_http_response(body)
                         else:
                             hdr, body = split_http_message(body)
+                        # message body -> entity (chunked / gzip /
+                        # deflate undone) before the charset decode
+                        body = http_entity_bytes(hdr, body)
                         ctype = _http_content_type(hdr)
                     text = (
                         decode_payload(body, ctype)
@@ -498,6 +501,11 @@ def warc_http_responses(df: DataFrame, payload_col: str = "payload") -> DataFram
                     ):
                         continue
                     hdr, body = split_http_response(rec["payload"])
+                    # message body -> entity: undo chunked transfer
+                    # coding and Content-Encoding BEFORE the charset
+                    # sniff; n_body_bytes is the DECODED entity length
+                    # (the bytes the text actually came from)
+                    body = http_entity_bytes(hdr, body)
                     rows.append(
                         (
                             int(aid),
@@ -757,6 +765,198 @@ def documents_as_warc_pairs(documents: DataFrame) -> DataFrame:
         for pdf in batches:
             out = [
                 (int(aid), synth_warc_pair_payload(int(aid)))
+                for aid in pdf["archive_id"]
+            ]
+            yield pd.DataFrame(
+                out, columns=[f.name for f in WARC_ARCHIVE_SCHEMA.fields]
+            )
+
+    return ids.mapInPandas(fn, schema=WARC_ARCHIVE_SCHEMA)
+
+
+def dechunk_http_body(body: bytes) -> tuple[bytes, bytes]:
+    """Decode an RFC 9112 §7.1 chunked transfer coding into
+    ``(entity, trailer_block)``: hex chunk-size lines (chunk extensions
+    after ``;`` ignored per spec), exact chunk bytes each followed by
+    CRLF, a ``0`` last-chunk, then an optional trailer section ended by
+    a blank line. Malformed chunk framing — a non-hex size line, chunk
+    bytes not followed by CRLF, a missing last-chunk — raises
+    ``ValueError`` (that is CORRUPT data, the same contract as the WARC
+    framing checks; an unsupported-but-legal coding is a different case
+    and passes through in ``decode_content_encoding``)."""
+    out = []
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("corrupt chunked body: no chunk-size line")
+        size_line = body[pos:eol].split(b";", 1)[0].strip()
+        if not size_line or any(
+            c not in b"0123456789abcdefABCDEF" for c in size_line
+        ):
+            raise ValueError(
+                f"corrupt chunked body: bad chunk size {size_line[:16]!r}"
+            )
+        size = int(size_line, 16)
+        pos = eol + 2
+        if size == 0:
+            break
+        if pos + size + 2 > len(body):
+            raise ValueError("corrupt chunked body: chunk ran past the end")
+        out.append(body[pos : pos + size])
+        if body[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError("corrupt chunked body: chunk lacks CRLF")
+        pos += size + 2
+    # trailer section: zero or more header lines, then a blank line
+    trailer_end = body.find(b"\r\n\r\n", pos - 2)
+    trailer = body[pos:] if trailer_end < 0 else body[pos : trailer_end + 2]
+    return b"".join(out), trailer.rstrip(b"\r\n")
+
+
+def decode_content_encoding(body: bytes, encoding: str | None) -> bytes:
+    """Undo an RFC 9110 Content-Encoding: ``gzip``/``x-gzip`` (RFC 1952),
+    ``deflate`` (RFC 1950 zlib framing, with the documented raw-deflate
+    fallback — real servers send both), ``identity``/absent passthrough.
+    Any OTHER coding (``br``, ``zstd``, …) is LEGAL HTTP this container
+    cannot decode (no brotli/zstd libs): the raw bytes pass through
+    UNCHANGED — the caller sees the coding name in the headers and
+    filters or routes; raising would kill a 100 TB pass over records
+    that are merely unsupported, not corrupt. Corrupt framing WITHIN a
+    supported coding raises."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    enc = (encoding or "identity").strip().lower()
+    if enc in ("identity", ""):
+        return body
+    if enc in ("gzip", "x-gzip"):
+        try:
+            return _gzip.decompress(body)
+        except (OSError, EOFError, _zlib.error) as e:
+            raise ValueError(f"corrupt gzip entity: {e}") from None
+    if enc == "deflate":
+        try:
+            return _zlib.decompress(body)
+        except _zlib.error:
+            try:
+                return _zlib.decompress(body, -15)  # raw-deflate fallback
+            except _zlib.error as e:
+                raise ValueError(f"corrupt deflate entity: {e}") from None
+    return body
+
+
+def http_entity_bytes(header_block: bytes, body: bytes) -> bytes:
+    """The full RFC message-body -> entity decode: undo
+    ``Transfer-Encoding: chunked`` first (it is the WIRE framing,
+    applied last by the sender), then ``Content-Encoding`` (the entity
+    representation). Values read case-insensitively from the raw header
+    block; a Transfer-Encoding list ending in ``chunked``
+    (``gzip, chunked``) dechunks — any earlier codings in the list are
+    then handled by the same decode_content_encoding table. Returns the
+    entity bytes the charset sniff should see."""
+    import re
+
+    hdrs = header_block.decode("latin-1")
+
+    def h(name):
+        m = re.search(
+            rf"(?im)^{name}[ \t]*:[ \t]*([^\r\n]*)", hdrs
+        )
+        return m.group(1).strip() if m else None
+
+    te = (h("Transfer-Encoding") or "").lower()
+    codings = [c.strip() for c in te.split(",") if c.strip()]
+    if codings and codings[-1] == "chunked":
+        body, _trailer = dechunk_http_body(body)
+        codings = codings[:-1]
+    for c in reversed(codings):
+        body = decode_content_encoding(body, c)
+    return decode_content_encoding(body, h("Content-Encoding"))
+
+
+def synth_warc_encoded_payload(doc_id: int) -> bytes:
+    """Deterministic one-record ``.warc.gz`` whose HTTP response body
+    travels in a different WIRE form per schedule while the ENTITY is
+    always the same pure string function of doc_id — so one oracle
+    replays text and decoded length across all four lanes and any
+    decode bug breaks the hash:
+      d % 4 == 0: plain (Content-Length)
+      d % 4 == 1: Transfer-Encoding: chunked (two chunks, a chunk
+                  extension on the first, a trailer on d % 8 == 1)
+      d % 4 == 2: Content-Encoding: gzip (RFC 1952, mtime pinned)
+      d % 4 == 3: gzip entity INSIDE chunked framing (CE then TE,
+                  the order the RFCs compose them)
+    """
+    import gzip as _gzip
+
+    from .warc import encode_warc
+
+    entity = (f"enc {doc_id} " * (1 + doc_id % 5)).encode()
+    te = doc_id % 4 in (1, 3)
+    ce = doc_id % 4 in (2, 3)
+    wire = _gzip.compress(entity, mtime=0) if ce else entity
+    lines = [
+        b"HTTP/1.1 200 OK",
+        b"Content-Type: text/plain; charset=utf-8",
+    ]
+    if ce:
+        lines.append(b"Content-Encoding: gzip")
+    if te:
+        lines.append(b"Transfer-Encoding: chunked")
+        cut = min(10, len(wire))
+        chunks = [wire[:cut], wire[cut:]]
+        ext = b";why=split" if doc_id % 8 == 1 else b""
+        framed = b""
+        for c in chunks:
+            if not c:
+                continue
+            framed += (
+                format(len(c), "x").encode()
+                + (ext if c is chunks[0] else b"")
+                + b"\r\n"
+                + c
+                + b"\r\n"
+            )
+        framed += b"0\r\n"
+        if doc_id % 8 == 1:
+            framed += b"X-Trailer: 1\r\n"
+        framed += b"\r\n"
+        wire = framed
+    else:
+        lines.append(b"Content-Length: " + str(len(wire)).encode())
+    message = b"\r\n".join(lines) + b"\r\n\r\n" + wire
+    return encode_warc(
+        [
+            {
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:uuid:enc-{doc_id}>",
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                    "WARC-Target-URI": (
+                        f"https://enc.example/p/{doc_id}"
+                    ),
+                    "Content-Type": "application/http; msgtype=response",
+                },
+                "payload": message,
+            }
+        ],
+        gzip_members=True,
+    )
+
+
+def documents_as_warc_encoded(documents: DataFrame) -> DataFrame:
+    """Synthesize the wire-encoded ``.warc.gz`` archives
+    (``synth_warc_encoded_payload``) in one Arrow-batched
+    ``mapInPandas``."""
+    from ..shipping import ship_package
+
+    ship_package(documents.sparkSession)
+    ids = documents.select(F.col("doc_id").alias("archive_id"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (int(aid), synth_warc_encoded_payload(int(aid)))
                 for aid in pdf["archive_id"]
             ]
             yield pd.DataFrame(

@@ -2753,3 +2753,178 @@ def web_request_response_pairs(
         eager=False
     )
     return pair_requests_responses(caps)
+
+
+@register(
+    "web_http_entity_decoding",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id AS d,
+             repeat('enc ' || doc_id || ' ', 1 + doc_id % 5) AS entity
+      FROM documents)
+    SELECT d AS archive_id,
+           'https://enc.example/p/' || d AS url,
+           CASE WHEN d % 4 IN (1, 3) THEN 'chunked' END
+             AS transfer_encoding,
+           CASE WHEN d % 4 IN (2, 3) THEN 'gzip' END AS content_encoding,
+           CAST(length(entity) AS BIGINT) AS n_body_bytes,
+           entity AS body_text
+    FROM d
+    """,
+    doc="HTTP entity decoding: chunked transfer framing (extensions, "
+    "trailers) and gzip Content-Encoding undone — alone and composed — "
+    "before the charset decode; the oracle replays the identical "
+    "entity across all four wire forms, so any decode bug breaks the "
+    "hash.",
+)
+def web_http_entity_decoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wire-to-entity step real archives need, end to end and
+    oracle-checked: every document becomes a real ``.warc.gz`` whose
+    HTTP response carries the SAME entity in one of four wire forms
+    (plain / chunked with an extension and a trailer / gzip /
+    gzip-inside-chunked — ``synth_warc_encoded_payload``), and
+    ``warc_http_responses`` must produce identical text and byte counts
+    for all of them: the chunk framing is removed first (it is the wire
+    layer), then the Content-Encoding, then the charset decode. The
+    transfer/content encodings are ALSO surfaced from the raw header
+    block by the pure-Catalyst field extraction, so the oracle pins
+    both the decode AND the header schedule.
+
+    At 100 TB: the decode happens inside the same Arrow pass that
+    already holds the record bytes — no extra pass, no shuffle; a
+    pipeline without it either ships gzip bytes into its text columns
+    or dies on the first chunked record."""
+    from ..functions.http import http_header
+    from ..operators.ingest import (
+        documents_as_warc_encoded,
+        warc_http_responses,
+    )
+
+    docs = t_parallel(spark, sf_dir, "documents")
+    resp = warc_http_responses(documents_as_warc_encoded(docs))
+    return resp.select(
+        "archive_id",
+        "url",
+        F.lower(http_header("http_headers", "Transfer-Encoding")).alias(
+            "transfer_encoding"
+        ),
+        F.lower(http_header("http_headers", "Content-Encoding")).alias(
+            "content_encoding"
+        ),
+        "n_body_bytes",
+        F.col("body_text"),
+    )
+
+
+def politeness_audit(fetches: DataFrame, delays: DataFrame) -> DataFrame:
+    """Did the crawler actually honor Crawl-delay? ``fetches`` is the
+    observed fetch log — (domain, fetch_ts) integer epoch seconds, the
+    view ``web_request_response_pairs`` yields from real archives —
+    and ``delays`` the per-domain budget dim (``effective_crawl_delay``
+    output, or any (domain, delay) relation). Output per domain:
+    (domain, n_fetches, min_gap_s, crawl_delay, compliant) where
+    ``min_gap_s`` is the smallest gap between CONSECUTIVE fetches (NULL
+    for single-fetch domains) and ``compliant`` is min_gap >= delay —
+    vacuously true when the domain advertises no delay or was fetched
+    once. The aggregate keeps every domain visible; a compliance report
+    that silently drops the violating domains is worse than none.
+
+    At 100 TB: one window pass partitioned BY DOMAIN (the politeness
+    key — never a global sort), one hash aggregation on the same
+    partitioning, and a broadcast-sized join against the delay dim."""
+    w = Window.partitionBy("domain").orderBy("fetch_ts")
+    gaps = fetches.select(
+        "domain",
+        (F.col("fetch_ts") - F.lag("fetch_ts").over(w)).alias("gap"),
+    )
+    per_domain = gaps.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fetches"),
+        F.min("gap").cast("bigint").alias("min_gap_s"),
+    )
+    d = delays.select("domain", F.col("delay").alias("crawl_delay"))
+    joined = per_domain.join(broadcast(d), "domain", "left")
+    compliant = F.when(
+        F.col("crawl_delay").isNull() | F.col("min_gap_s").isNull(),
+        F.lit(True),
+    ).otherwise(
+        F.col("min_gap_s").cast("double") >= F.col("crawl_delay")
+    )
+    return joined.select(
+        "domain", "n_fetches", "min_gap_s", "crawl_delay",
+        compliant.alias("compliant"),
+    )
+
+
+@register(
+    "web_politeness_audit",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id % 20 AS h, COUNT(*) AS n FROM documents GROUP BY 1),
+    gap AS (
+      SELECT h, n,
+             CASE h % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2
+                  ELSE 5 END AS g
+      FROM f),
+    delay AS (
+      SELECT h, CASE WHEN h % 3 = 0 THEN 2.5
+                     WHEN h % 5 = 1 THEN CAST(1 + h % 3 AS DOUBLE)
+                END AS delay
+      FROM f)
+    SELECT 'site' || h || '.example' AS domain,
+           CAST(n AS BIGINT) AS n_fetches,
+           CASE WHEN n > 1 THEN CAST(g AS BIGINT) END AS min_gap_s,
+           delay AS crawl_delay,
+           (delay IS NULL OR n <= 1 OR CAST(g AS DOUBLE) >= delay)
+             AS compliant
+    FROM gap JOIN delay USING (h)
+    """,
+    doc="Crawl-delay compliance over an observed fetch log: per-domain "
+    "consecutive-gap minimum (domain-partitioned window) vs the "
+    "broadcast delay dim; violating domains flagged, never dropped. "
+    "The oracle replays gaps and verdicts from the schedules.",
+)
+def web_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compliance report a crawl operator actually reads, end to
+    end and oracle-checked: every document is a fetch of its domain
+    (``site{d%20}``), fetch timestamps within a domain arrive at a
+    constant per-domain cadence (1/3/2/5 seconds by ``h % 4`` — so the
+    min gap IS the cadence and the oracle replays it exactly), and the
+    delay dim advertises 2.5 s on ``h % 3 == 0`` domains, ``1 + h % 3``
+    on ``h % 5 == 1``, nothing elsewhere. Domains fetched faster than
+    their advertised delay surface ``compliant = false`` (the 1 s and
+    2 s cadences under a 2.5 s delay); no-delay domains and
+    single-fetch domains are vacuously compliant and stay VISIBLE.
+
+    At 100 TB: one domain-partitioned window + one hash agg + one
+    broadcast join — the fetch log never sorts globally."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    h = d % 20
+    cadence = (
+        F.when(h % 4 == 0, F.lit(1))
+        .when(h % 4 == 1, F.lit(3))
+        .when(h % 4 == 2, F.lit(2))
+        .otherwise(F.lit(5))
+    )
+    fetches = docs.select(
+        F.concat(F.lit("site"), h.cast("string"), F.lit(".example")).alias(
+            "domain"
+        ),
+        (F.floor(d / 20) * cadence).cast("bigint").alias("fetch_ts"),
+    )
+    delays = (
+        docs.select(h.alias("h"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("site"), F.col("h").cast("string"), F.lit(".example")
+            ).alias("domain"),
+            F.when(F.col("h") % 3 == 0, F.lit(2.5))
+            .when(
+                F.col("h") % 5 == 1,
+                (F.col("h") % 3 + 1).cast("double"),
+            )
+            .alias("delay"),
+        )
+    )
+    return politeness_audit(fetches, delays)

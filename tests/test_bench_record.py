@@ -232,3 +232,58 @@ def test_canary_fires_on_the_r12_driver_capture_scenario(tmp_path):
         timings, "1", detail_dir=str(tmp_path), canary=r12_driver
     )
     assert "canary_warning" not in json.loads(line)
+
+
+def test_canary_fires_on_the_r13_mid_run_load_shape(tmp_path):
+    """The r13 blind spot, pinned: load that rises MID-run and subsides
+    before the end probes (the r13 driver capture ran rows 1.3-2.1x the
+    solo sidecars while cpu_retime 1.39x < 1.5x and loadavg_end 8.5 < 12
+    both read quiet). The max BETWEEN-query loadavg sample catches it:
+    a canary with quiet end probes but a high mid-run max must warn via
+    the new signal ONLY. Thresholds from the round-14 calibration pair:
+    a genuinely loaded run (rows 1.22x solo) peaked 22.1, a clean run
+    (1.05x) peaked 13.8 -> 0.55/core x 32 = 17.6 splits them."""
+    timings = {"flagship_user_netflow": 0.34}
+    r13_shape = {
+        "loadavg_start": [4.5, 4.0, 3.5],
+        "loadavg_end": [8.5, 7.0, 6.0],          # quiet (< 12.0)
+        "loadavg_max_between": 22.1,              # the mid-run spike
+        "loadavg_max_row": "web_robots_filter",
+        "flagship_retime": 0.29,                  # quiet
+        "cpu_row": "classify_nb_lang",
+        "cpu_retime": 1.11,                       # 1.39x ref < 1.5x: quiet
+        "cpus": 32,
+    }
+    line = bench.emit_record(
+        timings, "0.1", detail_dir=str(tmp_path), canary=r13_shape
+    )
+    warning = json.loads(line)["canary_warning"]
+    assert "between-query loadavg 22.1" in warning
+    assert "web_robots_filter" in warning
+    # the OLD signals must all stay quiet — mid-run max is the only one
+    assert "retime" not in warning and "run end" not in warning
+
+    # the clean run from the same calibration pair stays quiet on ALL
+    # signals (max 13.8 < 17.6)
+    clean = dict(
+        r13_shape,
+        loadavg_max_between=13.772,
+        loadavg_end=[8.7, 8.5, 5.3],
+        cpu_retime=0.872,
+    )
+    line = bench.emit_record(
+        timings, "0.1", detail_dir=str(tmp_path), canary=clean
+    )
+    assert "canary_warning" not in json.loads(line)
+
+    # records without the field (pre-r14 shapes, uncalibrated sfs):
+    # record-never-warn, same contract as the refs
+    legacy = {k: v for k, v in clean.items() if k != "loadavg_max_between"}
+    line = bench.emit_record(
+        timings, "0.1", detail_dir=str(tmp_path), canary=legacy
+    )
+    assert "canary_warning" not in json.loads(line)
+    line = bench.emit_record(
+        timings, "1", detail_dir=str(tmp_path), canary=r13_shape
+    )
+    assert "canary_warning" not in json.loads(line)

@@ -292,3 +292,68 @@ def test_warc_to_documents_splits_http(spark):
     assert "HTTP/1.1" not in rows[0]["text"]
     assert rows[0]["n_bytes"] == len(page1252.encode("latin-1"))
     assert rows[1]["text"] == "bare payload"
+
+
+def test_dechunk_http_body():
+    """RFC 9112 §7.1 framing: extensions ignored, trailers surfaced,
+    exact chunk byte counts enforced, malformed framing loud."""
+    from eth_event_stream_spark.operators.ingest import dechunk_http_body
+
+    body = b"5;x=1\r\nhello\r\n6\r\n world\r\n0\r\nX-T: 1\r\n\r\n"
+    entity, trailer = dechunk_http_body(body)
+    assert entity == b"hello world" and trailer == b"X-T: 1"
+    # empty trailer
+    assert dechunk_http_body(b"0\r\n\r\n") == (b"", b"")
+    # binary-safe: chunk bytes may contain CRLF
+    e, _ = dechunk_http_body(b"4\r\na\r\nb\r\n0\r\n\r\n")
+    assert e == b"a\r\nb"
+    for bad in (
+        b"zz\r\nhello\r\n0\r\n\r\n",     # non-hex size
+        b"5\r\nhell\r\n0\r\n\r\n",       # chunk short of its size
+        b"5\r\nhelloX\r\n0\r\n\r\n",     # missing CRLF after chunk
+        b"5\r\nhello\r\n",               # missing last-chunk
+    ):
+        with pytest.raises(ValueError):
+            dechunk_http_body(bad)
+
+
+def test_decode_content_encoding():
+    """gzip/x-gzip/deflate (zlib AND raw) decode; identity and UNKNOWN
+    codings pass through raw (legal HTTP this container cannot decode
+    must not kill a pass); corrupt framing within a supported coding is
+    loud."""
+    import gzip
+    import zlib
+
+    from eth_event_stream_spark.operators.ingest import (
+        decode_content_encoding,
+        http_entity_bytes,
+    )
+
+    raw = b"the entity bytes"
+    assert decode_content_encoding(gzip.compress(raw, mtime=0), "gzip") == raw
+    assert decode_content_encoding(gzip.compress(raw, mtime=0), "X-Gzip") == raw
+    assert decode_content_encoding(zlib.compress(raw), "deflate") == raw
+    co = zlib.compressobj(wbits=-15)
+    assert decode_content_encoding(co.compress(raw) + co.flush(), "deflate") == raw
+    assert decode_content_encoding(raw, None) == raw
+    assert decode_content_encoding(raw, "identity") == raw
+    assert decode_content_encoding(b"\x0b\x02brotli-ish", "br") == b"\x0b\x02brotli-ish"
+    with pytest.raises(ValueError, match="gzip"):
+        decode_content_encoding(b"\x1f\x8btruncated", "gzip")
+
+    # composition: CE inside TE, undone wire-first
+    hdr = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked"
+    )
+    gz = gzip.compress(raw, mtime=0)
+    wire = (
+        format(len(gz), "x").encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    )
+    assert http_entity_bytes(hdr, wire) == raw
+    # TE list ending in chunked: earlier codings also undone
+    hdr2 = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked"
+    assert http_entity_bytes(hdr2, wire) == raw
+    # no TE/CE headers: passthrough (the pre-r14 contract unchanged)
+    assert http_entity_bytes(b"HTTP/1.1 200 OK", raw) == raw

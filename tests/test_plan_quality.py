@@ -316,6 +316,14 @@ PLAN_EXPECTATIONS = {
     "web_url_canonicalize": [r"BroadcastNestedLoopJoin"],
     # request/response pairing: checkpointed captures + one left join
     "web_request_response_pairs": [r"Scan ExistingRDD", r"LeftOuter"],
+    # wire-to-entity decode rides the SAME two Arrow passes as the
+    # plain HTTP layer — no extra pass, field extraction stays codegen
+    "web_http_entity_decoding": [r"MapInPandas[\s\S]*MapInPandas"],
+    # compliance window partitions by domain; delay dim broadcasts
+    "web_politeness_audit": [
+        r"hashpartitioning\(domain",
+        r"BroadcastHashJoin",
+    ],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -374,6 +382,7 @@ JVM_ONLY = [
     "web_url_canonicalize",
     "web_frontier_delta_canonical",
     "web_request_response_pairs",
+    "web_politeness_audit",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]
