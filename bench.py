@@ -243,6 +243,11 @@ HEADLINE = [
     # r14-extended, continued: Crawl-delay compliance over an observed
     # fetch log (domain-partitioned window + broadcast delay dim)
     "web_politeness_audit",
+    # r14-extended, continued: RFC 9309 fetch-status semantics (2xx
+    # parse / 4xx allow-all / 5xx+dangling deny-all, redirects first)
+    # and the cc-index SURT key transform
+    "web_robots_availability",
+    "web_url_surt_keys",
 ]
 
 

@@ -196,3 +196,40 @@ def url_canonicalize(col: Column | str, sort_query: bool = False) -> Column:
     # non-hierarchical references (mailto:, data:, a bare path) have no
     # authority to normalize — they keep the fragment/percent pass only
     return F.when(u.rlike(r"^[^:/?#]+://"), rebuilt).otherwise(u)
+
+
+def url_surt(col: Column | str, strip_www: bool = True) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the ordering
+    CDX / cc-index-style URL indexes sort and range-scan on: host
+    labels REVERSED and comma-joined, a ``)`` separator, then the path
+    and (byte-wise sorted) query — ``https://www.example.com:8080/a?b=2&a=1``
+    -> ``com,example:8080)/a?a=1&b=2``. Reversing the host puts every
+    page of a registrable domain (and every subdomain under it) in ONE
+    contiguous key range, which is what makes per-site scans, prefix
+    dedup, and domain sharding range-prunable at 100 TB. Expects a
+    CANONICAL url (``url_canonicalize``); applies the conventional
+    ``www.`` strip by default (cc-index does; pass ``strip_www=False``
+    for the strict transform). Non-default ports stay in the key —
+    different ports are different services. Pure Catalyst."""
+    u = _c(col)
+    auth = F.regexp_extract(u, r"^[^:/?#]+://([^/?#]*)", 1)
+    hostport = F.regexp_replace(auth, r"^[^@]*@", "")
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    rest = F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*([^#]*)", 1)
+    path = F.regexp_replace(rest, r"\?.*$", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    sorted_q = F.array_join(F.sort_array(F.split(query, "&", -1)), "&")
+    return F.concat(
+        rev,
+        F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.lit(")"),
+        path,
+        F.when(
+            rest.rlike(r"\?") & (sorted_q != ""),
+            F.concat(F.lit("?"), sorted_q),
+        ).otherwise(F.lit("")),
+    )

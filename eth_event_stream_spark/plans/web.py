@@ -2928,3 +2928,206 @@ def web_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return politeness_audit(fetches, delays)
+
+
+def robots_fetch_mode(resolved: DataFrame) -> DataFrame:
+    """RFC 9309 §2.3.1: what a crawler must ASSUME when fetching
+    robots.txt itself succeeds, fails, or redirects. Input is the
+    ``resolve_redirects`` output over the robots.txt fetch log (one row
+    per robots url, redirects already followed to a terminal). Mode per
+    the spec's access-results taxonomy:
+      2xx terminal  -> ``parse``     (use the file's rules)
+      4xx terminal  -> ``allow_all`` ("unavailable": MAY access any
+                       resources)
+      5xx terminal, an unresolved chain (dangling redirect target or a
+      cycle), or any other terminal -> ``deny_all`` ("unreachable":
+      MUST assume complete disallow)
+    Adds (mode) to the resolver's columns. Pure column mapping — the
+    redirect following (the spec's "at least five consecutive hops")
+    was already the resolver's bounded-join job."""
+    status = F.col("terminal_status")
+    mode = (
+        F.when(~F.col("resolved"), F.lit("deny_all"))
+        .when(status.between(200, 299), F.lit("parse"))
+        .when(status.between(400, 499), F.lit("allow_all"))
+        .otherwise(F.lit("deny_all"))
+    )
+    return resolved.withColumn("mode", mode)
+
+
+@register(
+    "web_robots_availability",
+    oracle="""
+    WITH d AS (SELECT DISTINCT doc_id % 20 AS h FROM documents),
+    fstat AS (
+      SELECT h,
+             CASE WHEN h % 7 = 0 THEN 301
+                  WHEN h % 5 = 0 THEN 500
+                  WHEN h % 3 = 0 THEN 404 ELSE 200 END AS status,
+             CASE WHEN h % 7 = 0 AND h % 2 = 0 THEN 200
+                  WHEN h % 7 = 0 THEN NULL END AS redirected_status
+      FROM d),
+    m AS (
+      SELECT h, status,
+             CASE WHEN status = 301 THEN redirected_status
+                  ELSE status END AS final_status,
+             CASE WHEN status = 301 AND redirected_status IS NULL
+                    THEN 'deny_all'
+                  WHEN COALESCE(CASE WHEN status = 301
+                         THEN redirected_status ELSE status END, 0)
+                         BETWEEN 200 AND 299 THEN 'parse'
+                  WHEN CASE WHEN status = 301 THEN redirected_status
+                         ELSE status END BETWEEN 400 AND 499
+                    THEN 'allow_all'
+                  ELSE 'deny_all' END AS mode
+      FROM fstat)
+    SELECT 'site' || h || '.example' AS domain,
+           CAST(status AS BIGINT) AS fetch_status,
+           CAST(final_status AS BIGINT) AS final_status,
+           mode,
+           CASE mode WHEN 'allow_all' THEN TRUE
+                WHEN 'deny_all' THEN FALSE
+                ELSE h % 2 = 0 END AS private_ok_allowed
+    FROM m
+    """,
+    doc="RFC 9309 §2.3.1 fetch-status semantics: 2xx parse, 4xx "
+    "allow-all (unavailable), 5xx/dangling-redirect deny-all "
+    "(unreachable), redirects followed first; composed with the real "
+    "rules decision on the parse-mode domains. Oracle replays every "
+    "mode and decision.",
+)
+def web_robots_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robots decision a real crawler makes BEFORE it has a file,
+    end to end and oracle-checked: each of the 20 synth domains' robots
+    fetch gets a scheduled outcome — 301 on ``h % 7 == 0`` (redirecting
+    to a 200 copy on even h, DANGLING otherwise), 500 on ``h % 5 == 0``,
+    404 on ``h % 3 == 0``, else 200 — ``resolve_redirects`` follows the
+    chains, ``robots_fetch_mode`` maps terminals to the RFC 9309
+    §2.3.1 assumption (parse / allow_all / deny_all), and the
+    parse-mode domains then decide the probe path ``/private/ok``
+    against their REAL parsed rules (``_synth_robots``: Disallowed
+    under ``/private`` for agents without a trainbot group; Allowed by
+    the ``Allow: /private/ok`` override on even domains — which is
+    exactly ``h % 2 = 0`` here because parse-mode survivors of the
+    schedules are even). A crawler that treats a 500 like a 404 (or
+    vice versa) flips rows and breaks the hash.
+
+    At 100 TB: the robots fetch log is domains-sized (tiny vs the URL
+    fact table); everything here is dim-scale joins and column maps."""
+    docs = t(spark, sf_dir, "documents").select((F.col("doc_id") % 20).alias("h"))
+    hosts = docs.distinct()
+    h = F.col("h")
+    url = F.concat(F.lit("robots://site"), h.cast("string"), F.lit(".example"))
+    status = (
+        F.when(h % 7 == 0, F.lit(301))
+        .when(h % 5 == 0, F.lit(500))
+        .when(h % 3 == 0, F.lit(404))
+        .otherwise(F.lit(200))
+    )
+    location = F.when(
+        h % 7 == 0,
+        F.concat(F.lit("robots-final://site"), h.cast("string"), F.lit(".example")),
+    )
+    first = hosts.select(
+        h.alias("h0"), url.alias("url"), status.alias("status"),
+        location.alias("location"),
+    )
+    # the redirect targets: fetched (200) only for even redirecting hosts
+    targets = hosts.filter((h % 7 == 0) & (h % 2 == 0)).select(
+        F.concat(
+            F.lit("robots-final://site"), h.cast("string"), F.lit(".example")
+        ).alias("url"),
+        F.lit(200).alias("status"),
+        F.lit(None).cast("string").alias("location"),
+    )
+    resp = first.select("url", "status", "location").unionByName(targets)
+    modes = robots_fetch_mode(resolve_redirects(resp, max_hops=5)).filter(
+        F.col("url").startswith("robots://")
+    )
+    keyed = modes.select(
+        F.regexp_extract("url", r"robots://site([0-9]+)\.example", 1)
+        .cast("int")
+        .alias("h"),
+        F.col("terminal_status").alias("final_status"),
+        "mode",
+    ).join(first.select(F.col("h0").alias("h"), F.col("status").alias("fetch_status")), "h")
+    # parse-mode domains decide the probe path against their REAL rules
+    robots = _synth_robots(spark)
+    probe = keyed.filter(F.col("mode") == "parse").select(
+        # the winner window partitions by doc_id — one probe per domain
+        # needs one id per domain
+        F.col("h").cast("bigint").alias("doc_id"),
+        F.concat(F.lit("site"), F.col("h").cast("string"), F.lit(".example")).alias("domain"),
+        F.lit("/private/ok").alias("path"),
+        "h",
+    )
+    decided = robots_allowed(
+        probe,
+        parse_robots_rules(robots),
+        parse_robots_groups(robots),
+        "otherbot",
+    ).select(F.col("h"), F.col("allowed").alias("__rule_allowed"))
+    out = keyed.join(decided, "h", "left")
+    allowed = (
+        F.when(F.col("mode") == "allow_all", F.lit(True))
+        .when(F.col("mode") == "deny_all", F.lit(False))
+        .otherwise(F.col("__rule_allowed"))
+    )
+    return out.select(
+        F.concat(F.lit("site"), F.col("h").cast("string"), F.lit(".example")).alias("domain"),
+        F.col("fetch_status").cast("bigint"),
+        F.col("final_status").cast("bigint"),
+        "mode",
+        allowed.alias("private_ok_allowed"),
+    )
+
+
+@register(
+    "web_url_surt_keys",
+    oracle="""
+    WITH d AS (SELECT doc_id AS d, doc_id % 20 AS h FROM documents)
+    SELECT d AS doc_id,
+           'https://WWW.Site' || h || '.EXAMPLE' ||
+             CASE WHEN d % 5 = 1 THEN ':8080' ELSE '' END ||
+             '/a/' || d ||
+             CASE WHEN d % 3 = 0 THEN '?b=2&a=1' ELSE '' END AS url,
+           'example,site' || h ||
+             CASE WHEN d % 5 = 1 THEN ':8080' ELSE '' END ||
+             ')/a/' || d ||
+             CASE WHEN d % 3 = 0 THEN '?a=1&b=2' ELSE '' END AS surt_key
+    FROM d
+    """,
+    doc="SURT keys (reversed host labels + sorted query) over "
+    "canonicalized urls — the cc-index ordering that makes per-site "
+    "scans range-prunable; the oracle replays every key.",
+)
+def web_url_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index key a 100 TB URL store sorts on, end to end and
+    oracle-checked: dirty urls (mixed-case www hosts, an explicit
+    non-default port on ``d % 5 == 1``, unsorted query params on
+    ``d % 3 == 0``) canonicalize (``url_canonicalize``) and transform
+    to SURT (``url_surt``): host labels reversed and comma-joined (all
+    of ``site{h}.example`` — and any subdomain — lands in one
+    contiguous ``example,site{h}`` range), conventional ``www.`` strip,
+    ports kept (different services), query byte-sorted. The oracle
+    replays every key with string arithmetic.
+
+    At 100 TB: pure codegen string work; the value is downstream —
+    a URL store sorted by this key turns per-site reads into range
+    scans instead of full-index shuffles."""
+    from ..functions.url import url_canonicalize, url_surt
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    h = (d % 20).cast("string")
+    url = F.concat(
+        F.lit("https://WWW.Site"), h, F.lit(".EXAMPLE"),
+        F.when(d % 5 == 1, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/a/"), d.cast("string"),
+        F.when(d % 3 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        url_surt(url_canonicalize(url)).alias("surt_key"),
+    )

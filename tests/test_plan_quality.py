@@ -324,6 +324,8 @@ PLAN_EXPECTATIONS = {
         r"hashpartitioning\(domain",
         r"BroadcastHashJoin",
     ],
+    # SURT keys: pure codegen string work over the documents scan
+    "web_url_surt_keys": [r"Project"],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -383,6 +385,8 @@ JVM_ONLY = [
     "web_frontier_delta_canonical",
     "web_request_response_pairs",
     "web_politeness_audit",
+    "web_robots_availability",
+    "web_url_surt_keys",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]

@@ -154,3 +154,24 @@ def test_url_canonicalize_is_pure_codegen(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_url_surt(spark):
+    from eth_event_stream_spark.functions.url import url_surt
+
+    cases = [
+        ("https://www.example.com/a?b=2&a=1", "com,example)/a?a=1&b=2"),
+        ("http://sub.site.co.uk:8080/p", "uk,co,site,sub:8080)/p"),
+        ("https://example.com/", "com,example)/"),
+        # empty query dropped; userinfo never leaks into the key
+        ("https://u:p@example.com/x", "com,example)/x"),
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in cases], "u string")
+    got = [r[0] for r in df.select(url_surt("u")).collect()]
+    assert got == [b for _, b in cases]
+    # strict transform keeps www
+    df2 = spark.createDataFrame([("https://www.example.com/a",)], "u string")
+    assert (
+        df2.select(url_surt("u", strip_www=False)).collect()[0][0]
+        == "com,example,www)/a"
+    )

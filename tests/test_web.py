@@ -701,3 +701,30 @@ def test_strip_tracking_params(spark):
         .collect()
     ]
     assert got == [w for _, w in urls]
+
+
+def test_robots_fetch_mode(spark):
+    """RFC 9309 §2.3.1 taxonomy over resolver terminals: 2xx parse,
+    4xx allow-all, 5xx deny-all, unresolved (dangling/cycle) deny-all."""
+    from eth_event_stream_spark.plans.web import robots_fetch_mode
+
+    rows = [
+        ("a", "a", 0, 200, True),
+        ("b", "b", 0, 404, True),
+        ("c", "c", 0, 503, True),
+        ("d", "ghost", 1, None, False),   # dangling redirect target
+        ("e", "e", 0, 301, True),         # 3xx terminal (no Location)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, final_url string, n_hops int, "
+        "terminal_status int, resolved boolean",
+    )
+    got = {r["url"]: r["mode"] for r in robots_fetch_mode(df).collect()}
+    assert got == {
+        "a": "parse",
+        "b": "allow_all",
+        "c": "deny_all",
+        "d": "deny_all",
+        "e": "deny_all",
+    }
