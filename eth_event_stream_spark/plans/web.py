@@ -2048,7 +2048,9 @@ def web_revalidation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revalidation_plan(urls, stored, frontier)
 
 
-def resolve_revisits(captures: DataFrame) -> DataFrame:
+def resolve_revisits(
+    captures: DataFrame, response_index: DataFrame | None = None
+) -> DataFrame:
     """Resolve WARC revisit records to the capture that actually holds
     their bytes — the missing half of crawl-time dedup (ISO 28500
     §6.7.2): real Common Crawl archives store a page's payload ONCE and
@@ -2077,8 +2079,18 @@ def resolve_revisits(captures: DataFrame) -> DataFrame:
     record id — unique by spec, one by digest after a single groupBy),
     and revisits resolve with two equi-joins against them; output rows
     = input rows, no explode, no window over the fact table, no Python.
+
+    ``response_index`` (optional) supplies the stored-capture relation
+    the dims build from INSTEAD of ``captures`` itself — the
+    incremental/streaming shape: today's arriving captures resolve
+    against the PERSISTED index of everything already ingested, and
+    because the dims are then static, the same plan runs under
+    Structured Streaming in append mode with no streaming aggregation
+    (stream==batch parity pinned in tests/test_streaming.py).
     """
-    resp = captures.filter(F.col("rectype") == "response")
+    resp = (response_index if response_index is not None else captures).filter(
+        F.col("rectype") == "response"
+    )
     by_id = resp.select(
         F.col("record_id").alias("__rid"),
         F.col("url").alias("__rid_url"),

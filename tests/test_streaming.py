@@ -2221,3 +2221,53 @@ def test_stream_boilerplate_blocks_parity(spark, sf_dir, tmp_path):
         q.stop()
     got = {tuple(r) for r in spark.table("boiler_stream_sink").collect()}
     assert got == batch
+
+
+def test_stream_warc_revisit_resolution_parity(spark, sf_dir, tmp_path):
+    """Streaming twin of revisit resolution (round 14): archives arrive
+    file-by-file, ``warc_captures`` extracts the linkage headers
+    statelessly in-stream, and each micro-batch's rows resolve against
+    the STATIC capture index (the production shape: today's revisits
+    point at payloads already ingested) via ``resolve_revisits`` — one
+    row per capture in append mode, exactly the batch result. Proves
+    crawl-time dedup accounting is ingest-time runnable."""
+    from eth_event_stream_spark.operators.ingest import (
+        documents_as_warc_revisit,
+        warc_captures,
+    )
+    from eth_event_stream_spark.plans.web import resolve_revisits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(64)
+    src = tmp_path / "revisit_stream"
+    documents_as_warc_revisit(docs).repartition(4).write.parquet(str(src))
+    archives = spark.read.parquet(str(src))
+    static_caps = warc_captures(archives).localCheckpoint(eager=True)
+    batch = {
+        tuple(r) for r in resolve_revisits(static_caps).collect()
+    }
+    assert batch and any(not r[-1] for r in batch)  # some unresolved
+
+    # the stream re-reads the same archives; every arriving capture
+    # resolves against the static PERSISTED index (response_index) --
+    # the dims are static, so no streaming aggregation is needed and
+    # append mode is legal
+    sdf = (
+        spark.readStream.schema(archives.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    stream_caps = warc_captures(sdf)
+    q = (
+        resolve_revisits(stream_caps, response_index=static_caps)
+        .writeStream.format("memory")
+        .queryName("revisit_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_revisit"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.table("revisit_stream_sink").collect()}
+    assert got == batch
