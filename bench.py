@@ -248,6 +248,9 @@ HEADLINE = [
     # and the cc-index SURT key transform
     "web_robots_availability",
     "web_url_surt_keys",
+    # r14-extended, continued: outlink frontier discovery (href harvest
+    # + RFC 3986 §5.2 resolution + canonicalization, one fused scan)
+    "web_outlink_frontier",
 ]
 
 

@@ -128,3 +128,36 @@ def html_title(col: Column | str) -> Column:
     for ent, ch in _ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def html_links(col: Column | str) -> Column:
+    """Every ``<a href=...>`` value in the page, in document order, as
+    ``array<string>`` — the raw outlink harvest frontier discovery
+    starts from. Pure Catalyst: script/style/comment regions are
+    stripped first (a link inside a commented-out nav or a JS string
+    literal is not a link), then ``regexp_extract_all`` over the anchor
+    openers — double-quoted, single-quoted, and bare attribute forms
+    all parse (the three capture groups come back as three aligned
+    arrays, exactly one non-empty per match, zipped back together), the
+    basic entity set decodes (query separators arrive entity-escaped in
+    real markup), and surrounding whitespace trims. Resolution against
+    the page URL is ``functions.url.url_resolve``'s job; scheme
+    filtering (javascript:, mailto:) is the frontier builder's."""
+    c = _strip_invisible(F.col(col) if isinstance(col, str) else col)
+    pat = (
+        "(?is)<a\\b[^>]*?\\shref\\s*=\\s*"
+        "(\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))"
+    )
+    g2 = F.regexp_extract_all(c, F.lit(pat), F.lit(2))
+    g3 = F.regexp_extract_all(c, F.lit(pat), F.lit(3))
+    g4 = F.regexp_extract_all(c, F.lit(pat), F.lit(4))
+    pick = lambda a, b: F.when(a != "", a).otherwise(b)  # noqa: E731
+    merged = F.zip_with(F.zip_with(g2, g3, pick), g4, pick)
+
+    def clean(x: Column) -> Column:
+        x = F.trim(x)
+        for ent, ch in _ENTITIES:
+            x = F.replace(x, F.lit(ent), F.lit(ch))
+        return x
+
+    return F.transform(merged, clean)

@@ -233,3 +233,66 @@ def url_surt(col: Column | str, strip_www: bool = True) -> Column:
             F.concat(F.lit("?"), sorted_q),
         ).otherwise(F.lit("")),
     )
+
+
+def url_resolve(base: Column | str, ref: Column | str) -> Column:
+    """RFC 3986 §5.2 relative-reference resolution, pure Catalyst — the
+    step that turns a page's raw ``href`` values into fetchable frontier
+    URLs. Covers the whole §5.2.2 algorithm over hierarchical bases:
+    absolute refs pass through (their own path dot-normalized),
+    scheme-relative ``//host/p`` takes the base scheme, absolute-path
+    ``/p`` takes the base authority, query-only ``?q`` keeps the base
+    path, empty and fragment-only refs resolve to the base itself
+    (fragments never reach the server and are dropped throughout), and
+    RELATIVE paths merge per §5.2.3 — the base path up to its last
+    ``/`` prepends the ref, then ``url_remove_dot_segments`` normalizes
+    ``..``/``.`` exactly as the spec's algorithm does. The RFC's own
+    §5.4 test vectors are pinned in tests/test_url.py. Non-hierarchical
+    refs (``mailto:``, ``javascript:``) pass through for the caller to
+    filter — a frontier builder drops them by scheme."""
+    b = _c(base)
+    r = _c(ref)
+    r = F.regexp_replace(r, "#.*$", "")  # fragments never reach the server
+    b_scheme = F.regexp_extract(b, r"^([^:/?#]+):", 1)
+    b_auth = F.regexp_extract(b, r"^[^:/?#]+://([^/?#]*)", 1)
+    b_path = F.regexp_extract(b, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    b_noq = F.concat(b_scheme, F.lit("://"), b_auth, b_path)
+    b_root = F.concat(b_scheme, F.lit("://"), b_auth)
+    has_scheme = r.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+    # merge (§5.2.3): base path up to the last '/', or '/' when the
+    # base has an authority but an empty path
+    b_dir = F.when(b_path == "", F.lit("/")).otherwise(
+        F.regexp_replace(b_path, r"[^/]*$", "")
+    )
+    r_path = F.regexp_replace(r, r"\?.*$", "")
+    r_query = F.regexp_extract(r, r"(\?.*)$", 1)
+    merged = F.concat(
+        b_root, url_remove_dot_segments(F.concat(b_dir, r_path)), r_query
+    )
+    abs_path = F.concat(
+        b_root, url_remove_dot_segments(r_path), r_query
+    )
+    # absolute ref: normalize its own dot-segments (§5.2.2 does)
+    a_auth = F.regexp_extract(r, r"^[^:/?#]+://([^/?#]*)", 1)
+    a_scheme = F.regexp_extract(r, r"^([^:/?#]+):", 1)
+    a_path = F.regexp_extract(r, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    a_norm = F.concat(
+        a_scheme,
+        F.lit("://"),
+        a_auth,
+        url_remove_dot_segments(a_path),
+        F.regexp_extract(r, r"^[^?#]*(\?.*)$", 1),
+    )
+    return (
+        F.when(r == "", b_noq)  # empty / fragment-only -> the base page
+        .when(
+            has_scheme & r.rlike(r"^[^:/?#]+://"), a_norm
+        )  # full absolute
+        .when(has_scheme, r)  # non-hierarchical (mailto:, javascript:)
+        .when(
+            r.startswith("//"), F.concat(b_scheme, F.lit(":"), r)
+        )  # scheme-relative
+        .when(r.startswith("?"), F.concat(b_noq, r))  # query-only
+        .when(r.startswith("/"), abs_path)  # absolute path
+        .otherwise(merged)  # relative path (§5.2.3 merge)
+    )

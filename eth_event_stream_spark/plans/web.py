@@ -3143,3 +3143,90 @@ def web_url_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         url.alias("url"),
         url_surt(url_canonicalize(url)).alias("surt_key"),
     )
+
+
+@register(
+    "web_outlink_frontier",
+    oracle="""
+    WITH d AS (SELECT doc_id AS d, doc_id % 20 AS h FROM documents),
+    base AS (
+      SELECT d, h, 'https://site' || h || '.example' AS root FROM d),
+    l AS (
+      SELECT d, h, CAST(0 AS BIGINT) AS link_idx,
+             root || '/dir/g' || d AS outlink FROM base
+      UNION ALL
+      SELECT d, h, 1, root || '/up/' || d FROM base
+      UNION ALL
+      SELECT d, h, 2, root || '/abs/' || d || '?b=2&a=1' FROM base
+      UNION ALL
+      SELECT d, h, 3, 'https://cdn.example/x/' || d FROM base
+      UNION ALL
+      SELECT d, h, 4, 'https://other.example/p/' || d FROM base
+      UNION ALL
+      SELECT d, h, CASE WHEN d % 3 = 0 THEN 6 ELSE 5 END,
+             root || '/dir/page' || d || '?q=' || d
+      FROM base WHERE d % 2 = 0)
+    SELECT d AS doc_id, link_idx, outlink FROM l
+    """,
+    doc="Outlink frontier discovery: href harvest (quote forms, entity "
+    "decode, script/comment exclusion) -> RFC 3986 §5.2 resolution "
+    "against the page URL -> scheme filter -> canonicalization; the "
+    "oracle replays every resolved canonical outlink and its document "
+    "position.",
+)
+def web_outlink_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl's discovery step, end to end and oracle-checked: every
+    document becomes an HTML page at ``/dir/page{d}`` whose anchors
+    exercise each resolution class in document order — a relative path
+    (``g{d}``, §5.2.3 merge), a ``../`` climb, an absolute path
+    carrying an ``&amp;``-escaped query (entity decode before
+    resolution), a scheme-relative ``//cdn...``, a DIRTY absolute
+    (mixed case, explicit :443, dot-segment, fragment — erased by
+    ``url_canonicalize``), a ``javascript:`` link on ``d % 3 == 0``
+    (filtered by scheme, which SHIFTS later indices — pinned by the
+    oracle's CASE), and a query-only ``?q={d}`` ref on even docs
+    (resolves onto the page's own path). ``html_links`` harvests,
+    ``url_resolve`` resolves, the frontier keeps http(s) only, and the
+    DuckDB oracle replays every (position, canonical outlink) pair.
+
+    At 100 TB: one posexplode per page over pure-codegen extraction and
+    resolution — the same stateless fused-scan shape as the WET
+    extraction; the output IS the next crawl round's frontier input
+    (dedup against it with web_frontier_delta_canonical)."""
+    from ..functions.html import html_links
+    from ..functions.url import url_canonicalize, url_resolve
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    h = (d % 20).cast("string")
+    root = F.concat(F.lit("https://site"), h, F.lit(".example"))
+    page_url = F.concat(root, F.lit("/dir/page"), ds)
+    html = F.concat(
+        F.lit("<html><body><a href=\"g"), ds, F.lit("\">r</a>"),
+        F.lit("<a href='../up/"), ds, F.lit("'>u</a>"),
+        F.lit('<a href="/abs/'), ds, F.lit('?b=2&amp;a=1">a</a>'),
+        F.lit('<a href="//cdn.example/x/'), ds, F.lit('">c</a>'),
+        F.lit('<a href="HTTPS://Other.EXAMPLE:443/p/./'), ds,
+        F.lit('#f">o</a>'),
+        F.when(
+            d % 3 == 0, F.lit('<a href="javascript:void(0)">j</a>')
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit('<a href="?q='), ds, F.lit('">q</a>')),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select("doc_id", page_url.alias("page_url"), html.alias("html"))
+    exploded = pages.select(
+        "doc_id",
+        "page_url",
+        F.posexplode(html_links("html")).alias("link_idx", "href"),
+    )
+    resolved = exploded.select(
+        "doc_id",
+        F.col("link_idx").cast("bigint"),
+        url_canonicalize(url_resolve("page_url", "href")).alias("outlink"),
+    )
+    return resolved.filter(F.col("outlink").rlike(r"^https?://"))

@@ -205,3 +205,35 @@ def test_html_blocks_and_content_classification(spark):
         .toString()
     )
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_html_links(spark):
+    """Outlink harvest: quote forms, document order, entity decode,
+    script/comment regions excluded, non-anchor hrefs (link rel) and
+    area/base tags out of scope by contract."""
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.functions.html import html_links
+
+    page = (
+        '<html><head><link href="/style.css" rel="stylesheet">'
+        "<script>var a = '<a href=\"/from-js\">';</script></head>"
+        '<body><!-- <a href="/commented-out">x</a> -->'
+        '<a href="/first">1</a>'
+        "<a class='x' href='/second?a=1&amp;b=2'>2</a>"
+        "<a href=/bare>3</a>"
+        '<A HREF="../up">4</A>'
+        '<a name="anchor-without-href">5</a>'
+        '<a href=" /padded ">6</a></body></html>'
+    )
+    df = spark.createDataFrame([(page,)], "html string")
+    got = df.select(html_links("html").alias("ls")).collect()[0]["ls"]
+    assert got == [
+        "/first",
+        "/second?a=1&b=2",
+        "/bare",
+        "../up",
+        "/padded",
+    ]
+    plan = df.select(html_links("html"))._jdf.queryExecution()
+    assert "Python" not in plan.executedPlan().toString()

@@ -326,6 +326,10 @@ PLAN_EXPECTATIONS = {
     ],
     # SURT keys: pure codegen string work over the documents scan
     "web_url_surt_keys": [r"Project"],
+    # outlink discovery: ONE explode (Generate) over fused codegen
+    # extraction+resolution; the tracking-rules one-row dim is absent
+    # here (no strip), so no join should appear at all
+    "web_outlink_frontier": [r"Generate"],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -387,6 +391,7 @@ JVM_ONLY = [
     "web_politeness_audit",
     "web_robots_availability",
     "web_url_surt_keys",
+    "web_outlink_frontier",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]

@@ -175,3 +175,59 @@ def test_url_surt(spark):
         df2.select(url_surt("u", strip_www=False)).collect()[0][0]
         == "com,example,www)/a"
     )
+
+
+def test_url_resolve_rfc3986_vectors(spark):
+    """RFC 3986 §5.4 normal-example vectors (base
+    http://a/b/c/d;p?q), fragments dropped by contract, plus the
+    authority/scheme cases and the non-hierarchical passthrough."""
+    from eth_event_stream_spark.functions.url import url_resolve
+
+    base = "http://a/b/c/d;p?q"
+    cases = [
+        ("g", "http://a/b/c/g"),
+        ("./g", "http://a/b/c/g"),
+        ("g/", "http://a/b/c/g/"),
+        ("/g", "http://a/g"),
+        ("//g", "http://g"),
+        ("?y", "http://a/b/c/d;p?y"),
+        ("g?y", "http://a/b/c/g?y"),
+        (";x", "http://a/b/c/;x"),
+        ("g;x", "http://a/b/c/g;x"),
+        ("", "http://a/b/c/d;p"),        # RFC keeps ?q; we key on the PAGE
+        (".", "http://a/b/c/"),
+        ("./", "http://a/b/c/"),
+        ("..", "http://a/b/"),
+        ("../", "http://a/b/"),
+        ("../g", "http://a/b/g"),
+        ("../..", "http://a/"),
+        ("../../", "http://a/"),
+        ("../../g", "http://a/g"),
+        # abnormal: never pop past the root (§5.4.2)
+        ("../../../g", "http://a/g"),
+        ("/./g", "http://a/g"),
+        ("/../g", "http://a/g"),
+        ("g.", "http://a/b/c/g."),
+        (".g", "http://a/b/c/.g"),
+        ("g..", "http://a/b/c/g.."),
+        ("..g", "http://a/b/c/..g"),
+        ("./../g", "http://a/b/g"),
+        ("./g/.", "http://a/b/c/g/"),
+        ("g/./h", "http://a/b/c/g/h"),
+        ("g/../h", "http://a/b/c/h"),
+        # fragments dropped everywhere (crawl keys never carry them)
+        ("g#s", "http://a/b/c/g"),
+        ("#s", "http://a/b/c/d;p"),
+        # full absolute ref passes through, own path normalized
+        ("https://x.test/a/../b", "https://x.test/b"),
+        # non-hierarchical passthrough for the caller's scheme filter
+        ("mailto:u@x.test", "mailto:u@x.test"),
+    ]
+    df = spark.createDataFrame([(base, r) for r, _ in cases], "b string, r string")
+    got = [x[0] for x in df.select(url_resolve("b", "r")).collect()]
+    want = [w for _, w in cases]
+    assert got == want, [
+        (cases[i][0], got[i], want[i])
+        for i in range(len(cases))
+        if got[i] != want[i]
+    ]
