@@ -161,3 +161,27 @@ def html_links(col: Column | str) -> Column:
         return x
 
     return F.transform(merged, clean)
+
+
+def html_base_href(col: Column | str) -> Column:
+    """The page's ``<base href=...>`` value — when present it replaces
+    the page URL as the base every relative reference resolves against
+    (HTML's one global override of RFC 3986 §5.1; the FIRST base
+    element wins per the HTML spec and later ones are ignored). NULL
+    when absent — callers ``coalesce`` with the fetch URL:
+    ``url_resolve(coalesce(html_base_href(h), page_url), href)``.
+    Script/comment regions are stripped first, same as the link
+    harvest."""
+    c = _strip_invisible(F.col(col) if isinstance(col, str) else col)
+    pat = (
+        "(?is)<base\\b[^>]*?\\shref\\s*=\\s*"
+        "(\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))"
+    )
+    got = F.trim(
+        F.concat(
+            F.regexp_extract(c, pat, 2),
+            F.regexp_extract(c, pat, 3),
+            F.regexp_extract(c, pat, 4),
+        )
+    )
+    return F.nullif(got, F.lit(""))

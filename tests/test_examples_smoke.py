@@ -38,6 +38,7 @@ SCRIPTS = {
     "release_cycle.py": ([], "release cycle complete"),
     "serving_cycle.py": ([], "serving cycle complete"),
     "warehouse_cycle.py": ([], "warehouse cycle complete"),
+    "crawl_cycle.py": ([], "crawl cycle complete"),
     "stream_multi.py": (["--live"], "live drain complete"),
 }
 _ORDER = [
@@ -46,6 +47,7 @@ _ORDER = [
     "release_cycle.py",
     "serving_cycle.py",
     "warehouse_cycle.py",
+    "crawl_cycle.py",
     "stream_multi.py",
 ]
 

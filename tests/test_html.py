@@ -237,3 +237,18 @@ def test_html_links(spark):
     ]
     plan = df.select(html_links("html"))._jdf.queryExecution()
     assert "Python" not in plan.executedPlan().toString()
+
+
+def test_html_base_href(spark):
+    from eth_event_stream_spark.functions.html import html_base_href
+
+    rows = [
+        ('<head><base href="https://b.example/dir/"></head>', "https://b.example/dir/"),
+        ("<base href='/root/'>", "/root/"),
+        ("<base target=_top href=/bare>", "/bare"),
+        ("<p>no base</p>", None),
+        ("<!-- <base href='/commented'> --><p>x</p>", None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "h string")
+    got = [r[0] for r in df.select(html_base_href("h")).collect()]
+    assert got == [w for _, w in rows]
