@@ -251,6 +251,8 @@ HEADLINE = [
     # r14-extended, continued: outlink frontier discovery (href harvest
     # + RFC 3986 §5.2 resolution + canonicalization, one fused scan)
     "web_outlink_frontier",
+    # r14-extended, continued: RFC 9111 freshness over stored headers
+    "web_cache_freshness",
 ]
 
 

@@ -126,3 +126,54 @@ def http_location(col: Column | str) -> Column:
     """The redirect target (3xx responses) — the crawl-frontier edge a
     curation pipeline follows or prunes."""
     return http_header(col, "Location")
+
+
+def http_date(col: Column | str, name: str = "Date") -> Column:
+    """An RFC 9110 §5.6.7 IMF-fixdate header (``Sun, 06 Nov 1994
+    08:49:37 GMT``) parsed to a UTC epoch-seconds BIGINT — NULL when
+    absent or not in the preferred format (the obsolete RFC 850 and
+    asctime forms are rare in archived crawls and parse to NULL rather
+    than guessed; a pipeline can count them). ``name`` picks the header
+    (Date, Last-Modified, Expires)."""
+    v = http_header(col, name)
+    # Spark's post-3.0 pattern table makes 'E' (day name) FORMAT-only,
+    # so the weekday prefix is validated then stripped by regex; 'zzz'
+    # parses the GMT zone designator, so the instant is UTC regardless
+    # of the session timezone; try_to_timestamp keeps malformed values
+    # NULL instead of failing the job under ANSI mode
+    body = F.regexp_extract(
+        v, r"^(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun), ([0-9]{2} .+)$", 1
+    )
+    return F.unix_timestamp(
+        F.try_to_timestamp(
+            F.nullif(body, F.lit("")),
+            F.lit("dd MMM yyyy HH:mm:ss zzz"),
+        )
+    ).cast("bigint")
+
+
+def http_cache_control(col: Column | str, directive: str) -> Column:
+    """One Cache-Control directive's value (RFC 9111 §5.2): the seconds
+    argument for valued directives (``max-age=3600`` -> ``3600``) or
+    the directive name itself for boolean ones (``no-store`` ->
+    ``no-store``); NULL when the directive is absent. The directive
+    name is anchored at a list boundary so ``s-maxage`` never matches a
+    ``max-age`` probe."""
+    cc = http_header(col, "Cache-Control")
+    pat = (
+        r"(?i)(?:^|[,\s])"
+        + re.escape(directive)
+        + r"(?:[ \t]*=[ \t]*\"?([0-9]+)\"?)?"
+        + r"(?=$|[,\s])"
+    )
+    hit = F.regexp_extract(cc, pat, 0)
+    val = F.regexp_extract(cc, pat, 1)
+    return F.when(F.trim(hit) != "", F.coalesce(F.nullif(val, F.lit("")), F.lit(directive)))
+
+
+def http_age(col: Column | str) -> Column:
+    """The Age header as BIGINT seconds (RFC 9111 §5.1) — NULL when
+    absent or nonconforming (digits only, same discipline as
+    Content-Length)."""
+    v = http_header(col, "Age")
+    return F.when(v.rlike(r"^[0-9]+$"), v).cast("bigint")

@@ -3230,3 +3230,136 @@ def web_outlink_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_canonicalize(url_resolve("page_url", "href")).alias("outlink"),
     )
     return resolved.filter(F.col("outlink").rlike(r"^https?://"))
+
+
+def cache_freshness(resp: DataFrame, as_of, headers_col: str = "http_headers") -> DataFrame:
+    """RFC 9111 §4.2 freshness over archived responses: per row compute
+    ``freshness_lifetime`` (max-age directive first, else Expires − Date
+    — §4.2.1's explicit forms; NULL means only a heuristic would apply,
+    surfaced rather than guessed), ``current_age`` (the archive
+    simplification of §4.2.3: the Age header plus the wall time since
+    the response's Date, both from stored bytes), and ``fresh`` —
+    lifetime known, age strictly under it, and no ``no-store``/
+    ``no-cache`` directive (either forces revalidation regardless of
+    age). ``as_of`` is the evaluation instant in epoch seconds — an
+    explicit column/literal so the decision is reproducible (and the
+    oracle can replay it), never a hidden now(). Adds the parsed
+    columns; pure Catalyst."""
+    from ..functions.http import http_age, http_cache_control, http_date
+
+    as_of_c = F.lit(as_of) if isinstance(as_of, int) else as_of
+    date_ts = http_date(headers_col, "Date")
+    expires_ts = http_date(headers_col, "Expires")
+    max_age = http_cache_control(headers_col, "max-age").cast("bigint")
+    no_store = (
+        http_cache_control(headers_col, "no-store").isNotNull()
+        | http_cache_control(headers_col, "no-cache").isNotNull()
+    )
+    lifetime = F.coalesce(max_age, expires_ts - date_ts)
+    age = F.coalesce(http_age(headers_col), F.lit(0)) + (as_of_c - date_ts)
+    fresh = (
+        ~no_store
+        & lifetime.isNotNull()
+        & date_ts.isNotNull()
+        & (age < lifetime)
+    )
+    return (
+        resp.withColumn("date_ts", date_ts)
+        .withColumn("freshness_lifetime_s", lifetime)
+        .withColumn("current_age_s", F.when(date_ts.isNotNull(), age))
+        .withColumn("no_store", no_store)
+        .withColumn("fresh", fresh)
+    )
+
+
+@register(
+    "web_cache_freshness",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS d,
+             CAST(epoch(TIMESTAMP '2026-01-01 00:00:00') AS BIGINT)
+               AS date_ts
+      FROM documents),
+    m AS (
+      SELECT d, date_ts,
+             CASE WHEN d % 3 = 0 THEN 600 * (1 + d % 5)
+                  WHEN d % 3 = 1 THEN 3600 END AS lifetime,
+             CASE WHEN d % 4 = 0 THEN (d % 7) * 10 ELSE 0 END + 1800
+               AS age,
+             d % 11 = 3 AS no_store
+      FROM base)
+    SELECT 'https://c.example/p/' || d AS url,
+           date_ts,
+           CAST(lifetime AS BIGINT) AS freshness_lifetime_s,
+           CAST(age AS BIGINT) AS current_age_s,
+           no_store,
+           (NOT no_store AND lifetime IS NOT NULL AND age < lifetime)
+             AS fresh
+    FROM m
+    """,
+    doc="RFC 9111 freshness: max-age / Expires-Date lifetime, Age + "
+    "elapsed current age, no-store/no-cache override — all parsed from "
+    "raw header blocks in Catalyst; the oracle replays every lifetime, "
+    "age, and verdict.",
+)
+def web_cache_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The don't-refetch-what's-fresh decision, end to end and
+    oracle-checked: every document becomes a stored response whose raw
+    header block carries a fixed IMF-fixdate Date plus scheduled cache
+    metadata — a ``max-age`` directive (``600 * (1 + d % 5)``, embedded
+    in a multi-directive Cache-Control list with ``public`` noise) on
+    ``d % 3 == 0``, an Expires one hour past Date on ``d % 3 == 1``,
+    neither on the rest (lifetime NULL — only a heuristic would apply,
+    and the engine surfaces that instead of inventing one), an Age
+    header on ``d % 4 == 0``, and ``no-store`` on ``d % 11 == 3``.
+    Evaluated at Date + 1800 s: the short max-ages are stale, the long
+    ones fresh (strict <; the 1800-lifetime row pins the boundary), the
+    Expires rows fresh unless no-store. ``http_date`` parses the
+    IMF-fixdate as a real zoned instant, so a session-timezone bug
+    breaks every row.
+
+    At 100 TB: pure codegen over the already-split header strings —
+    composes with web_revalidation_plan (freshness says WHETHER to
+    revalidate, the plan says HOW)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    date_line = F.lit("Date: Thu, 01 Jan 2026 00:00:00 GMT\r\n")
+    cc = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit("Cache-Control: public, max-age="),
+            (600 * (1 + d % 5)).cast("string"),
+            F.when(d % 11 == 3, F.lit(", no-store")).otherwise(F.lit("")),
+            F.lit("\r\n"),
+        ),
+    ).when(
+        d % 11 == 3, F.lit("Cache-Control: no-store\r\n")
+    ).otherwise(F.lit(""))
+    expires = F.when(
+        d % 3 == 1, F.lit("Expires: Thu, 01 Jan 2026 01:00:00 GMT\r\n")
+    ).otherwise(F.lit(""))
+    age = F.when(
+        d % 4 == 0,
+        F.concat(F.lit("Age: "), ((d % 7) * 10).cast("string"), F.lit("\r\n")),
+    ).otherwise(F.lit(""))
+    hdr = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\n"), date_line, cc, expires, age,
+        F.lit("Content-Type: text/html"),
+    )
+    resp = docs.select(
+        F.concat(F.lit("https://c.example/p/"), ds).alias("url"),
+        hdr.alias("http_headers"),
+    )
+    # 2026-01-01T00:00:00Z + 1800 s, computed not hard-coded
+    as_of = 1800 + int(
+        __import__("calendar").timegm((2026, 1, 1, 0, 0, 0))
+    )
+    return cache_freshness(resp, as_of).select(
+        "url",
+        "date_ts",
+        "freshness_lifetime_s",
+        "current_age_s",
+        "no_store",
+        "fresh",
+    )

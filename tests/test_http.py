@@ -357,3 +357,48 @@ def test_decode_content_encoding():
     assert http_entity_bytes(hdr2, wire) == raw
     # no TE/CE headers: passthrough (the pre-r14 contract unchanged)
     assert http_entity_bytes(b"HTTP/1.1 200 OK", raw) == raw
+
+
+def test_http_caching_fields(spark):
+    """RFC 9111 parse surface: IMF-fixdate to UTC epoch (weekday
+    validated, zone honored), Cache-Control directive extraction with
+    list-boundary anchoring (s-maxage never answers a max-age probe),
+    Age digit discipline."""
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.functions.http import (
+        http_age,
+        http_cache_control,
+        http_date,
+    )
+
+    hdr = (
+        "HTTP/1.1 200 OK\r\n"
+        "Date: Sun, 06 Nov 1994 08:49:37 GMT\r\n"
+        "Last-Modified: Thu, 01 Jan 2026 00:00:00 GMT\r\n"
+        "Expires: not-a-date\r\n"
+        "Cache-Control: public, s-maxage=99, max-age=3600, no-cache\r\n"
+        "Age: 42\r\n"
+    )
+    df = spark.createDataFrame([(hdr,)], "m string")
+    row = df.select(
+        http_date("m").alias("date"),
+        http_date("m", "Last-Modified").alias("lm"),
+        http_date("m", "Expires").alias("exp"),
+        http_cache_control("m", "max-age").alias("ma"),
+        http_cache_control("m", "s-maxage").alias("sma"),
+        http_cache_control("m", "no-cache").alias("nc"),
+        http_cache_control("m", "no-store").alias("ns"),
+        http_age("m").alias("age"),
+    ).collect()[0]
+    assert row["date"] == 784111777          # the RFC's own example instant
+    assert row["lm"] == 1767225600           # 2026-01-01T00:00:00Z
+    assert row["exp"] is None                # malformed -> NULL, no raise
+    assert row["ma"] == "3600" and row["sma"] == "99"
+    assert row["nc"] == "no-cache" and row["ns"] is None
+    assert row["age"] == 42
+    # Age digit discipline
+    df2 = spark.createDataFrame(
+        [("HTTP/1.1 200 OK\r\nAge: +5\r\n",)], "m string"
+    )
+    assert df2.select(http_age("m")).collect()[0][0] is None

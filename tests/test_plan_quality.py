@@ -330,6 +330,8 @@ PLAN_EXPECTATIONS = {
     # extraction+resolution; the tracking-rules one-row dim is absent
     # here (no strip), so no join should appear at all
     "web_outlink_frontier": [r"Generate"],
+    # freshness: pure codegen over header strings, no join, no window
+    "web_cache_freshness": [r"Project"],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -392,6 +394,7 @@ JVM_ONLY = [
     "web_robots_availability",
     "web_url_surt_keys",
     "web_outlink_frontier",
+    "web_cache_freshness",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]
