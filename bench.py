@@ -253,6 +253,9 @@ HEADLINE = [
     "web_outlink_frontier",
     # r14-extended, continued: RFC 9111 freshness over stored headers
     "web_cache_freshness",
+    # r14-extended, continued: the composed recrawl artifact (freshness
+    # gate -> validator choice -> politeness-ordered stale mass)
+    "web_recrawl_fetch_list",
 ]
 
 

@@ -3363,3 +3363,208 @@ def web_cache_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "no_store",
         "fresh",
     )
+
+
+def recrawl_fetch_list(
+    resp: DataFrame, delays: DataFrame, as_of, headers_col: str = "http_headers"
+) -> DataFrame:
+    """The composed recrawl artifact a fetcher executes: freshness
+    first (RFC 9111 — a fresh stored copy is never refetched), then the
+    cheapest correct fetch for the stale mass (RFC 9110 validator
+    precedence: a stored ETag -> If-None-Match, else a stored
+    Last-Modified -> If-Modified-Since, else an unconditional fetch),
+    then Crawl-delay politeness ordering per domain (fetch_order by
+    url — deterministic — and est_start_s = (order-1) x delay). Fresh
+    urls STAY VISIBLE as ``skip`` rows with NULL order; a fetch list
+    that silently drops the skip mass cannot be audited against the
+    frontier. Inputs: ``resp (url, domain, <headers_col>)``, ``delays
+    (domain, delay)``, ``as_of`` epoch seconds.
+
+    At 100 TB: freshness and validator choice are codegen over the
+    stored header strings; the only shuffle is the per-domain window
+    over the STALE subset, plus a broadcast of the delay dim."""
+    from ..functions.http import http_header
+
+    f = cache_freshness(resp, as_of, headers_col=headers_col)
+    etag = http_header(headers_col, "ETag")
+    lastmod = http_header(headers_col, "Last-Modified")
+    action = (
+        F.when(F.col("fresh"), F.lit("skip"))
+        .when(etag.isNotNull(), F.lit("conditional_etag"))
+        .when(lastmod.isNotNull(), F.lit("conditional_modified"))
+        .otherwise(F.lit("full"))
+    )
+    cond_header = (
+        F.when(F.col("action") == "conditional_etag", F.lit("If-None-Match"))
+        .when(
+            F.col("action") == "conditional_modified",
+            F.lit("If-Modified-Since"),
+        )
+    )
+    cond_value = F.when(
+        F.col("action") == "conditional_etag", etag
+    ).when(F.col("action") == "conditional_modified", lastmod)
+    staged = f.withColumn("action", action).withColumn(
+        "cond_header", cond_header
+    ).withColumn("cond_value", cond_value)
+    w = Window.partitionBy("domain").orderBy("url")
+    # rank only the stale mass: fresh rows carry no order, and the
+    # window runs over the stale subset so skips never burn slots
+    stale = staged.filter(F.col("action") != "skip").withColumn(
+        "fetch_order", F.row_number().over(w).cast("bigint")
+    )
+    fresh_rows = staged.filter(F.col("action") == "skip").withColumn(
+        "fetch_order", F.lit(None).cast("bigint")
+    )
+    ranked = stale.unionByName(fresh_rows)
+    d = delays.select("domain", F.col("delay").alias("__delay"))
+    out = ranked.join(broadcast(d), "domain", "left")
+    est = (F.col("fetch_order") - 1) * F.coalesce(
+        F.col("__delay"), F.lit(1.0)
+    )
+    return out.select(
+        "url",
+        "domain",
+        "fresh",
+        "action",
+        "cond_header",
+        "cond_value",
+        "fetch_order",
+        est.alias("est_start_s"),
+    )
+
+
+@register(
+    "web_recrawl_fetch_list",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS d, doc_id % 20 AS h,
+             'https://site' || (doc_id % 20) || '.example/p/' || doc_id
+               AS url
+      FROM documents),
+    m AS (
+      SELECT d, h, url,
+             CASE WHEN d % 3 = 0 THEN 600 * (1 + d % 5)
+                  WHEN d % 3 = 1 THEN 3600 END AS lifetime,
+             CASE WHEN d % 4 = 0 THEN (d % 7) * 10 ELSE 0 END + 1800
+               AS age,
+             d % 11 = 3 AS no_store,
+             d % 3 = 0 AS has_etag,
+             d % 2 = 0 AS has_lm
+      FROM base),
+    fr AS (
+      SELECT *,
+             (NOT no_store AND lifetime IS NOT NULL AND age < lifetime)
+               AS fresh
+      FROM m),
+    act AS (
+      SELECT *,
+             CASE WHEN fresh THEN 'skip'
+                  WHEN has_etag THEN 'conditional_etag'
+                  WHEN has_lm THEN 'conditional_modified'
+                  ELSE 'full' END AS action
+      FROM fr),
+    ranked AS (
+      SELECT *,
+             CASE WHEN action != 'skip' THEN
+               ROW_NUMBER() OVER (
+                 PARTITION BY h,
+                   CASE WHEN action = 'skip' THEN 1 ELSE 0 END
+                 ORDER BY url)
+             END AS fetch_order
+      FROM act),
+    delay AS (
+      SELECT DISTINCT h,
+             CASE WHEN h % 3 = 0 THEN 2.5 ELSE 1.0 END AS delay
+      FROM base)
+    SELECT url, 'site' || h || '.example' AS domain, fresh, action,
+           CASE action WHEN 'conditional_etag' THEN 'If-None-Match'
+                WHEN 'conditional_modified' THEN 'If-Modified-Since'
+           END AS cond_header,
+           CASE action WHEN 'conditional_etag' THEN '"e' || d || '"'
+                WHEN 'conditional_modified'
+                  THEN 'Thu, 01 Jan 2026 00:00:00 GMT'
+           END AS cond_value,
+           CAST(fetch_order AS BIGINT) AS fetch_order,
+           (fetch_order - 1) * delay AS est_start_s
+    FROM ranked JOIN delay USING (h)
+    """,
+    doc="The composed recrawl artifact: RFC 9111 freshness gate -> "
+    "RFC 9110 validator choice for the stale mass -> Crawl-delay "
+    "politeness ordering per domain, fresh urls visible as skip rows; "
+    "the oracle replays every action, validator value, rank, and "
+    "start offset.",
+)
+def web_recrawl_fetch_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Everything the caching layer exists for, composed and
+    oracle-checked: the stored responses reuse web_cache_freshness's
+    header schedules (max-age / Expires / Age / no-store) PLUS an ETag
+    on ``d % 3 == 0`` (exactly the max-age rows — so stale short-max-age
+    pages revalidate by entity validator) and a Last-Modified on even
+    docs; the per-domain delay dim advertises 2.5 s on ``h % 3 == 0``
+    domains, 1 s elsewhere. ``recrawl_fetch_list`` gates on freshness,
+    picks If-None-Match over If-Modified-Since per RFC 9110, ranks ONLY
+    the stale mass per domain, and prices each slot at (order-1) x
+    delay. The DuckDB oracle replays every decision relationally —
+    a fetcher could execute either side's output verbatim.
+
+    At 100 TB: codegen + one stale-subset window per domain + one
+    broadcast dim — the skip mass costs a filter."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    h = d % 20
+    date_line = F.lit("Date: Thu, 01 Jan 2026 00:00:00 GMT\r\n")
+    cc = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit("Cache-Control: public, max-age="),
+            (600 * (1 + d % 5)).cast("string"),
+            F.when(d % 11 == 3, F.lit(", no-store")).otherwise(F.lit("")),
+            F.lit("\r\n"),
+        ),
+    ).when(
+        d % 11 == 3, F.lit("Cache-Control: no-store\r\n")
+    ).otherwise(F.lit(""))
+    expires = F.when(
+        d % 3 == 1, F.lit("Expires: Thu, 01 Jan 2026 01:00:00 GMT\r\n")
+    ).otherwise(F.lit(""))
+    age = F.when(
+        d % 4 == 0,
+        F.concat(F.lit("Age: "), ((d % 7) * 10).cast("string"), F.lit("\r\n")),
+    ).otherwise(F.lit(""))
+    etag = F.when(
+        d % 3 == 0,
+        F.concat(F.lit('ETag: "e'), ds, F.lit('"\r\n')),
+    ).otherwise(F.lit(""))
+    lm = F.when(
+        d % 2 == 0,
+        F.lit("Last-Modified: Thu, 01 Jan 2026 00:00:00 GMT\r\n"),
+    ).otherwise(F.lit(""))
+    hdr = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\n"), date_line, cc, expires, age, etag, lm,
+        F.lit("Content-Type: text/html"),
+    )
+    resp = docs.select(
+        F.concat(
+            F.lit("https://site"), h.cast("string"), F.lit(".example/p/"), ds
+        ).alias("url"),
+        F.concat(F.lit("site"), h.cast("string"), F.lit(".example")).alias(
+            "domain"
+        ),
+        hdr.alias("http_headers"),
+    )
+    delays = (
+        docs.select(h.alias("h"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("site"), F.col("h").cast("string"), F.lit(".example")
+            ).alias("domain"),
+            F.when(F.col("h") % 3 == 0, F.lit(2.5))
+            .otherwise(F.lit(1.0))
+            .alias("delay"),
+        )
+    )
+    as_of = 1800 + int(__import__("calendar").timegm((2026, 1, 1, 0, 0, 0)))
+    return recrawl_fetch_list(resp, delays, as_of)

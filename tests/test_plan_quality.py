@@ -332,6 +332,12 @@ PLAN_EXPECTATIONS = {
     "web_outlink_frontier": [r"Generate"],
     # freshness: pure codegen over header strings, no join, no window
     "web_cache_freshness": [r"Project"],
+    # the composed fetch list: stale-subset window per DOMAIN + the
+    # broadcast delay dim — never a global window
+    "web_recrawl_fetch_list": [
+        r"hashpartitioning\(domain",
+        r"BroadcastHashJoin",
+    ],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -395,6 +401,7 @@ JVM_ONLY = [
     "web_url_surt_keys",
     "web_outlink_frontier",
     "web_cache_freshness",
+    "web_recrawl_fetch_list",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]
