@@ -256,6 +256,8 @@ HEADLINE = [
     # r14-extended, continued: the composed recrawl artifact (freshness
     # gate -> validator choice -> politeness-ordered stale mass)
     "web_recrawl_fetch_list",
+    # r14-extended, continued: the WET publish round trip (write side)
+    "ingest_wet_roundtrip",
 ]
 
 

@@ -573,6 +573,9 @@ def warc_captures(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                         "response",
                         "revisit",
                         "request",
+                        # WET derivations carry WARC-Refers-To linkage
+                        # back at their source response (ISO 28500 §6.8)
+                        "conversion",
                     ):
                         continue
                     rows.append(
@@ -964,3 +967,63 @@ def documents_as_warc_encoded(documents: DataFrame) -> DataFrame:
             )
 
     return ids.mapInPandas(fn, schema=WARC_ARCHIVE_SCHEMA)
+
+
+def documents_to_wet(
+    docs: DataFrame,
+    id_col: str = "archive_id",
+    url_col: str = "url",
+    text_col: str = "text",
+    refers_col: str | None = None,
+) -> DataFrame:
+    """The WRITE side of the WET pipeline: one real ``.warc.gz`` per row
+    holding a ``conversion`` record (ISO 28500 §6.8 — the record type
+    WET extracts ship as), UTF-8 text payload, ``text/plain`` content
+    type, and — when ``refers_col`` names a column — a ``WARC-Refers-To``
+    pointer back at the response record the text was derived from (the
+    linkage real Common Crawl WET files carry). Arrow-batched
+    ``mapInPandas``; records are byte-reproducible (gzip mtime pinned)
+    so a re-publish of unchanged text is binary-identical — the
+    property release diffing relies on."""
+    from ..shipping import ship_package
+
+    ship_package(docs.sparkSession)
+    cols = [id_col, url_col, text_col] + (
+        [refers_col] if refers_col else []
+    )
+    src = docs.select(*cols)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .warc import encode_warc
+
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                aid = int(getattr(tup, id_col))
+                url = getattr(tup, url_col)
+                text = str(getattr(tup, text_col))
+                headers = {
+                    "WARC-Type": "conversion",
+                    "WARC-Record-ID": f"<urn:uuid:wet-{aid}>",
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                    "WARC-Target-URI": url,
+                    "Content-Type": "text/plain",
+                }
+                if refers_col:
+                    headers["WARC-Refers-To"] = str(
+                        getattr(tup, refers_col)
+                    )
+                rows.append(
+                    (
+                        aid,
+                        encode_warc(
+                            [{"headers": headers, "payload": text.encode()}],
+                            gzip_members=True,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_ARCHIVE_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(fn, schema=WARC_ARCHIVE_SCHEMA)

@@ -3213,3 +3213,95 @@ def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (lane, n_flagged, n_unique)"
         )
     )
+
+
+@register(
+    "ingest_wet_roundtrip",
+    oracle=r"""
+    WITH body AS (
+      SELECT doc_id,
+             'doc ' || doc_id || chr(10) || 'doc ' || doc_id || chr(10)
+               || 'A & B <ok>' || chr(10)
+               || trim(regexp_replace(regexp_replace(regexp_replace(
+                    text, '[ \t\r\f]+', ' ', 'g'),
+                    ' ?\n ?', chr(10), 'g'),
+                    '\n+', chr(10), 'g'))
+               AS t
+      FROM documents)
+    SELECT doc_id AS archive_id,
+           'conversion' AS rectype,
+           'https://example.invalid/' || doc_id AS url,
+           '<urn:uuid:wet-' || doc_id || '>' AS record_id,
+           '<urn:uuid:' || printf('%032x', doc_id) || '>' AS refers_to,
+           CAST(octet_length(encode(t)) AS BIGINT) AS n_bytes,
+           t AS text
+    FROM body
+    """,
+    doc="WET publish round trip: extracted text re-emitted as REAL "
+    "conversion-record .warc.gz archives (WARC-Refers-To back at the "
+    "source response) and parsed back; the oracle replays text, UTF-8 "
+    "byte counts, and record ids.",
+)
+def ingest_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the WET pipeline, end to end and
+    oracle-checked: every document becomes an HTML ``.warc.gz``
+    (``documents_as_warc_html``), parses back, extracts visible text in
+    Catalyst (``html_to_text``), is RE-PUBLISHED as a real
+    ``conversion``-record archive carrying a ``WARC-Refers-To`` pointer
+    at the source response (``documents_to_wet`` — the structure real
+    Common Crawl WET files have), and parses back AGAIN through the
+    same reader. Output per document: the conversion record's type,
+    url, record id (read back through the captures-style header
+    surface), UTF-8 byte count, and FULL text — the DuckDB oracle
+    replays all of it, so a lossy encode, a charset slip (the text
+    carries multi-byte characters whenever the corpus does), or a
+    dropped linkage header breaks the hash.
+
+    At 100 TB: two Arrow passes per direction, bytes partition-local
+    throughout — publishing a derived corpus costs the same shape as
+    reading one."""
+    from ..functions.html import html_to_text
+    from ..operators.ingest import (
+        documents_as_warc_html,
+        documents_to_wet,
+        warc_to_documents,
+    )
+
+    docs = t_parallel(spark, sf_dir, "documents")
+    pages = warc_to_documents(documents_as_warc_html(docs))
+    extracted = pages.select(
+        F.col("archive_id"),
+        F.col("url"),
+        html_to_text(F.col("text")).alias("text"),
+        F.concat(
+            F.lit("<urn:uuid:"),
+            F.lpad(
+                F.lower(F.conv(F.col("archive_id").cast("string"), 10, 16)),
+                32,
+                "0",
+            ),
+            F.lit(">"),
+        ).alias("src_record"),
+    )
+    wet = documents_to_wet(extracted, refers_col="src_record").localCheckpoint(
+        eager=False
+    )
+    # parse back through BOTH read lanes: the documents lane carries the
+    # text and byte count, the captures lane carries the record id and
+    # the WARC-Refers-To linkage — all READ from the published bytes,
+    # never recomputed, so the oracle's replay is a real round trip
+    back = warc_to_documents(wet)
+    from ..operators.ingest import warc_captures
+
+    linkage = warc_captures(wet).select(
+        "archive_id", "record_id", "refers_to"
+    )
+    return back.join(linkage, "archive_id").select(
+        "archive_id",
+        "rectype",
+        "url",
+        "record_id",
+        "refers_to",
+        "n_bytes",
+        "text",
+    )

@@ -338,6 +338,9 @@ PLAN_EXPECTATIONS = {
         r"hashpartitioning\(domain",
         r"BroadcastHashJoin",
     ],
+    # WET publish round trip: the read-back lanes join on archive_id
+    # behind the published-bytes checkpoint
+    "ingest_wet_roundtrip": [r"Scan ExistingRDD"],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
