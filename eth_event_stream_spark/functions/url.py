@@ -249,16 +249,22 @@ def url_resolve(base: Column | str, ref: Column | str) -> Column:
     ``..``/``.`` exactly as the spec's algorithm does. The RFC's own
     §5.4 test vectors are pinned in tests/test_url.py. Non-hierarchical
     refs (``mailto:``, ``javascript:``) pass through for the caller to
-    filter — a frontier builder drops them by scheme."""
+    filter — a frontier builder drops them by scheme.
+
+    Plan-size note: the branches pick (root, raw path, query) FIRST and
+    ONE shared ``url_remove_dot_segments`` runs on the chosen path — a
+    per-branch normalization would triple the expression tree, and this
+    column is built to be composed under ``url_canonicalize`` (stage
+    the result as a real column before composing; see
+    ``web_outlink_frontier``)."""
     b = _c(base)
-    r = _c(ref)
-    r = F.regexp_replace(r, "#.*$", "")  # fragments never reach the server
+    r = F.regexp_replace(_c(ref), "#.*$", "")  # fragments never arrive
     b_scheme = F.regexp_extract(b, r"^([^:/?#]+):", 1)
-    b_auth = F.regexp_extract(b, r"^[^:/?#]+://([^/?#]*)", 1)
+    b_root = F.regexp_extract(b, r"^([^:/?#]+://[^/?#]*)", 1)
     b_path = F.regexp_extract(b, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
-    b_noq = F.concat(b_scheme, F.lit("://"), b_auth, b_path)
-    b_root = F.concat(b_scheme, F.lit("://"), b_auth)
     has_scheme = r.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+    is_abs = r.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+    is_schemerel = r.startswith("//")
     # merge (§5.2.3): base path up to the last '/', or '/' when the
     # base has an authority but an empty path
     b_dir = F.when(b_path == "", F.lit("/")).otherwise(
@@ -266,33 +272,25 @@ def url_resolve(base: Column | str, ref: Column | str) -> Column:
     )
     r_path = F.regexp_replace(r, r"\?.*$", "")
     r_query = F.regexp_extract(r, r"(\?.*)$", 1)
-    merged = F.concat(
-        b_root, url_remove_dot_segments(F.concat(b_dir, r_path)), r_query
-    )
-    abs_path = F.concat(
-        b_root, url_remove_dot_segments(r_path), r_query
-    )
-    # absolute ref: normalize its own dot-segments (§5.2.2 does)
-    a_auth = F.regexp_extract(r, r"^[^:/?#]+://([^/?#]*)", 1)
-    a_scheme = F.regexp_extract(r, r"^([^:/?#]+):", 1)
-    a_path = F.regexp_extract(r, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
-    a_norm = F.concat(
-        a_scheme,
-        F.lit("://"),
-        a_auth,
-        url_remove_dot_segments(a_path),
-        F.regexp_extract(r, r"^[^?#]*(\?.*)$", 1),
-    )
-    return (
-        F.when(r == "", b_noq)  # empty / fragment-only -> the base page
+    root = (
+        F.when(is_abs, F.regexp_extract(r, r"^([^:/?#]+://[^/?#]*)", 1))
         .when(
-            has_scheme & r.rlike(r"^[^:/?#]+://"), a_norm
-        )  # full absolute
-        .when(has_scheme, r)  # non-hierarchical (mailto:, javascript:)
-        .when(
-            r.startswith("//"), F.concat(b_scheme, F.lit(":"), r)
-        )  # scheme-relative
-        .when(r.startswith("?"), F.concat(b_noq, r))  # query-only
-        .when(r.startswith("/"), abs_path)  # absolute path
-        .otherwise(merged)  # relative path (§5.2.3 merge)
+            is_schemerel,
+            F.concat(
+                b_scheme, F.lit(":"), F.regexp_extract(r, r"^(//[^/?#]*)", 1)
+            ),
+        )
+        .otherwise(b_root)
     )
+    raw_path = (
+        F.when(is_abs, F.regexp_extract(r, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1))
+        .when(is_schemerel, F.regexp_extract(r, r"^//[^/?#]*([^?#]*)", 1))
+        .when((r == "") | r.startswith("?"), b_path)
+        .when(r.startswith("/"), r_path)
+        .otherwise(F.concat(b_dir, r_path))
+    )
+    query = F.when(r == "", F.lit("")).otherwise(r_query)
+    hier = F.concat(root, url_remove_dot_segments(raw_path), query)
+    # non-hierarchical (mailto:, javascript:): passthrough for the
+    # caller's scheme filter
+    return F.when(has_scheme & ~is_abs, r).otherwise(hier)
