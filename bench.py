@@ -367,7 +367,14 @@ CANARY_LOAD_CALIBRATED = {"0.1"}
 # container busy by design): clean solo sf0.1 runs peak at <calibration
 # below>; external load stacks on top of that. Uncalibrated sfs record
 # the max, never warn.
-CANARY_LOAD_MAX_PER_CORE = {"0.1": 0.55}  # calibrated from clean solo runs
+# Calibration history (sf0.1, 32 cores): clean solo maxima 12.5 / 13.8 /
+# 18.1 (the 18.1 came from the FASTEST capture yet, median 0.92x the r13
+# solo — a fast run packs CPU-heavy rows tighter, so the 1-min loadavg
+# decays less between samples and SELF-load peaks higher); the one
+# confirmed-loaded capture (rows 1.22x solo) peaked 22.1. 0.65/core =
+# 20.8 sits above every clean observation and below the loaded one —
+# a deliberately narrow band, re-examine if either side drifts.
+CANARY_LOAD_MAX_PER_CORE = {"0.1": 0.65}
 
 
 def snapshot_archived_detail(detail_dir: str) -> str | None:

@@ -241,8 +241,10 @@ def test_canary_fires_on_the_r13_mid_run_load_shape(tmp_path):
     both read quiet). The max BETWEEN-query loadavg sample catches it:
     a canary with quiet end probes but a high mid-run max must warn via
     the new signal ONLY. Thresholds from the round-14 calibration pair:
-    a genuinely loaded run (rows 1.22x solo) peaked 22.1, a clean run
-    (1.05x) peaked 13.8 -> 0.55/core x 32 = 17.6 splits them."""
+    a genuinely loaded run (rows 1.22x solo) peaked 22.1; clean runs
+    peaked 12.5/13.8/18.1 (the 18.1 from the FASTEST capture of the
+    round, median 0.92x solo — self-load packs tighter on fast runs)
+    -> 0.65/core x 32 = 20.8 splits the bands."""
     timings = {"flagship_user_netflow": 0.34}
     r13_shape = {
         "loadavg_start": [4.5, 4.0, 3.5],
@@ -263,8 +265,20 @@ def test_canary_fires_on_the_r13_mid_run_load_shape(tmp_path):
     # the OLD signals must all stay quiet — mid-run max is the only one
     assert "retime" not in warning and "run end" not in warning
 
-    # the clean run from the same calibration pair stays quiet on ALL
-    # signals (max 13.8 < 17.6)
+    # the clean runs from the calibration set stay quiet on ALL
+    # signals — INCLUDING the fastest capture's 18.1 peak (a threshold
+    # that flags the engine's best run is miscalibrated)
+    for clean_max in (13.772, 18.119):
+        line = bench.emit_record(
+            timings, "0.1", detail_dir=str(tmp_path),
+            canary=dict(
+                r13_shape,
+                loadavg_max_between=clean_max,
+                loadavg_end=[8.7, 8.5, 5.3],
+                cpu_retime=0.872,
+            ),
+        )
+        assert "canary_warning" not in json.loads(line), clean_max
     clean = dict(
         r13_shape,
         loadavg_max_between=13.772,
