@@ -258,6 +258,9 @@ HEADLINE = [
     "web_recrawl_fetch_list",
     # r14-extended, continued: the WET publish round trip (write side)
     "ingest_wet_roundtrip",
+    # r14-extended, continued: page-level robots (meta UNION
+    # X-Robots-Tag, rel=nofollow per link) — pure codegen
+    "web_page_robots",
 ]
 
 

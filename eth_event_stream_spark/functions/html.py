@@ -185,3 +185,87 @@ def html_base_href(col: Column | str) -> Column:
         )
     )
     return F.nullif(got, F.lit(""))
+
+
+def html_meta_content(col: Column | str, name: str) -> Column:
+    """The ``content`` value of ``<meta name="..." content="...">`` for
+    a literal ``name`` (case-insensitive, either attribute order,
+    quoted or bare values) — NULL when absent. First match wins.
+    Script/comment regions are stripped first, like the link harvest.
+    The crawl-relevant instance is ``name="robots"`` (page-level
+    indexing/following directives); the caller merges it with the
+    ``X-Robots-Tag`` HTTP header per the documented union semantics in
+    ``plans.web.page_robots_directives``."""
+    import re as _re
+
+    c = _strip_invisible(F.col(col) if isinstance(col, str) else col)
+    nm = _re.escape(name)
+    pre = (
+        f"(?is)<meta\\b[^>]*?\\sname\\s*=\\s*[\"']?{nm}[\"']?[^>]*?"
+        "\\scontent\\s*=\\s*"
+    )
+    post = (
+        f"(?is)<meta\\b[^>]*?\\scontent\\s*=\\s*"
+        "(\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))"
+        f"[^>]*?\\sname\\s*=\\s*[\"']?{nm}[\"']?"
+    )
+    val_pat = "(\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))"
+
+    def first_nonempty(*cols):
+        out = F.lit("")
+        for x in cols:
+            out = F.when(out != "", out).otherwise(x)
+        return out
+
+    name_first = first_nonempty(
+        F.regexp_extract(c, pre + val_pat, 2),
+        F.regexp_extract(c, pre + val_pat, 3),
+        F.regexp_extract(c, pre + val_pat, 4),
+    )
+    content_first = first_nonempty(
+        F.regexp_extract(c, post, 2),
+        F.regexp_extract(c, post, 3),
+        F.regexp_extract(c, post, 4),
+    )
+    return F.nullif(
+        F.trim(first_nonempty(name_first, content_first)), F.lit("")
+    )
+
+
+def html_links_followable(col: Column | str) -> Column:
+    """Like ``html_links`` but EXCLUDING anchors whose ``rel`` attribute
+    contains the ``nofollow`` token (the per-link opt-out crawlers must
+    honor; ``rel`` may carry several space-separated tokens — ``rel=
+    "nofollow noopener"`` — and sit on either side of ``href``).
+    Returns ``array<string>`` of trimmed, entity-decoded href values in
+    document order. One ``regexp_extract_all`` over the anchor openers'
+    ATTRIBUTE BODIES, then per-element href/rel extraction inside array
+    lambdas — still pure Catalyst, no explode."""
+    c = _strip_invisible(F.col(col) if isinstance(col, str) else col)
+    bodies = F.regexp_extract_all(
+        c, F.lit("(?is)<a\\b([^>]*)>"), F.lit(1)
+    )
+    href_pat = "(?is)\\shref\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))"
+    rel_pat = "(?is)\\srel\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))"
+
+    def attr(x: Column, pat: str) -> Column:
+        out = F.lit("")
+        for g in (2, 3, 4):
+            v = F.regexp_extract(x, pat, g)
+            out = F.when(out != "", out).otherwise(v)
+        return out
+
+    def clean(x: Column) -> Column:
+        x = F.trim(x)
+        for ent, ch in _ENTITIES:
+            x = F.replace(x, F.lit(ent), F.lit(ch))
+        return x
+
+    followable = F.filter(
+        bodies,
+        lambda x: (attr(x, href_pat) != "")
+        & ~F.lower(attr(x, rel_pat)).rlike(
+            "(^|\\s)nofollow(\\s|$)"
+        ),
+    )
+    return F.transform(followable, lambda x: clean(attr(x, href_pat)))

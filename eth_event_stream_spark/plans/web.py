@@ -3593,3 +3593,117 @@ def web_recrawl_fetch_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     as_of = 1800 + int(__import__("calendar").timegm((2026, 1, 1, 0, 0, 0)))
     return recrawl_fetch_list(resp, delays, as_of)
+
+
+def page_robots_directives(
+    pages: DataFrame, html_col: str = "html", headers_col: str | None = None
+) -> DataFrame:
+    """Page-level robots semantics, merged the way crawlers must merge
+    them: the ``<meta name=robots>`` content and (when ``headers_col``
+    names the stored HTTP header block) the ``X-Robots-Tag`` header
+    both carry comma-separated directives, and the effective rule is
+    the RESTRICTIVE UNION — ``noindex``/``nofollow`` bind if EITHER
+    source says so (obeying only one channel is how pages leak into
+    indexes). Adds ``indexable`` and ``followable`` booleans. Token
+    matching is list-boundary-anchored, so a hypothetical
+    ``nofollowup`` token never reads as ``nofollow``."""
+    from ..functions.html import html_meta_content
+    from ..functions.http import http_header
+
+    meta = F.lower(
+        F.coalesce(html_meta_content(html_col, "robots"), F.lit(""))
+    )
+    xrt = (
+        F.lower(F.coalesce(http_header(headers_col, "X-Robots-Tag"), F.lit("")))
+        if headers_col
+        else F.lit("")
+    )
+    both = F.concat(meta, F.lit(","), xrt)
+    tok = lambda t: both.rlike(rf"(^|[,\s]){t}($|[,\s])")  # noqa: E731
+    return pages.withColumn("indexable", ~tok("noindex")).withColumn(
+        "followable", ~tok("nofollow")
+    )
+
+
+@register(
+    "web_page_robots",
+    oracle="""
+    WITH d AS (SELECT doc_id AS d FROM documents),
+    m AS (
+      SELECT d,
+             d % 4 IN (1, 3) AS meta_noindex,
+             d % 4 IN (2, 3) AS meta_nofollow,
+             d % 7 = 2 AS hdr_noindex
+      FROM d)
+    SELECT d AS doc_id,
+           NOT (meta_noindex OR hdr_noindex) AS indexable,
+           NOT meta_nofollow AS followable,
+           CAST(3 AS BIGINT) AS n_links,
+           CAST(CASE WHEN meta_nofollow THEN 0 ELSE 2 END AS BIGINT)
+             AS n_followed
+    FROM m
+    """,
+    doc="Page-level robots: meta name=robots UNION X-Robots-Tag "
+    "(restrictive merge), rel=nofollow excluded per link, page-level "
+    "nofollow zeroing the followed set; the oracle replays every bit.",
+)
+def web_page_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The page-level politeness layer, end to end and oracle-checked:
+    every document becomes a page whose ``<meta name=robots>`` carries
+    ``noindex`` (``d % 4 == 1``), ``nofollow`` (``d % 4 == 2``), both
+    (``d % 4 == 3``), or nothing — while the stored HTTP header block
+    ADDS ``X-Robots-Tag: noindex`` on ``d % 7 == 2`` (the overlap rows
+    pin the restrictive union: a meta-clean page with a header noindex
+    must NOT be indexable). Each page carries three links, one
+    ``rel=nofollow``: the followed count is 2 on followable pages and 0
+    on page-level-nofollow pages (link-level and page-level opt-outs
+    compose). The DuckDB oracle replays every bit and count.
+
+    At 100 TB: pure codegen over the page scan — the same fused shape
+    as the link harvest it composes with."""
+    from ..functions.html import html_links_followable
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    meta = (
+        F.when(d % 4 == 1, F.lit('<meta name="robots" content="noindex">'))
+        .when(d % 4 == 2, F.lit('<meta name="robots" content="nofollow">'))
+        .when(
+            d % 4 == 3,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<head>"), meta, F.lit("</head><body>"),
+        F.lit('<a href="/a/'), ds, F.lit('">a</a>'),
+        F.lit('<a rel="nofollow" href="/n/'), ds, F.lit('">n</a>'),
+        F.lit('<a href="/b/'), ds, F.lit('">b</a></body>'),
+    )
+    hdr = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html"),
+        F.when(d % 7 == 2, F.lit("\r\nX-Robots-Tag: noindex")).otherwise(
+            F.lit("")
+        ),
+    )
+    pages = docs.select(
+        "doc_id", html.alias("html"), hdr.alias("http_headers")
+    )
+    out = page_robots_directives(
+        pages, html_col="html", headers_col="http_headers"
+    )
+    from ..functions.html import html_links
+
+    return out.select(
+        "doc_id",
+        "indexable",
+        "followable",
+        F.size(html_links("html")).cast("bigint").alias("n_links"),
+        F.when(
+            F.col("followable"),
+            F.size(html_links_followable("html")).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("n_followed"),
+    )

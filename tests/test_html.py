@@ -252,3 +252,36 @@ def test_html_base_href(spark):
     df = spark.createDataFrame([(h,) for h, _ in rows], "h string")
     got = [r[0] for r in df.select(html_base_href("h")).collect()]
     assert got == [w for _, w in rows]
+
+
+def test_html_meta_content_and_followable_links(spark):
+    """Page-level robots surface: meta name=robots in either attribute
+    order and any quote form; rel=nofollow token excluded from the
+    followable harvest (multi-token rel, either side of href)."""
+    from eth_event_stream_spark.functions.html import (
+        html_links_followable,
+        html_meta_content,
+    )
+
+    page = (
+        '<head><meta charset="utf-8">'
+        '<meta name="ROBOTS" content="noindex, nofollow">'
+        '<meta content="desc text" name="description"></head>'
+        '<body><a href="/a">a</a>'
+        '<a rel="nofollow" href="/no1">n</a>'
+        "<a href='/b' rel='noopener nofollow'>n</a>"
+        '<a rel="noopener" href="/c">c</a>'
+        '<a href="/d?x=1&amp;y=2">d</a>'
+        "<!-- <a href='/commented'>x</a> --></body>"
+    )
+    df = spark.createDataFrame([(page,)], "h string")
+    row = df.select(
+        html_meta_content("h", "robots").alias("robots"),
+        html_meta_content("h", "description").alias("desc"),
+        html_meta_content("h", "keywords").alias("kw"),
+        html_links_followable("h").alias("ls"),
+    ).collect()[0]
+    assert row["robots"] == "noindex, nofollow"
+    assert row["desc"] == "desc text"      # content-before-name order
+    assert row["kw"] is None
+    assert row["ls"] == ["/a", "/c", "/d?x=1&y=2"]

@@ -341,6 +341,8 @@ PLAN_EXPECTATIONS = {
     # WET publish round trip: the read-back lanes join on archive_id
     # behind the published-bytes checkpoint
     "ingest_wet_roundtrip": [r"Scan ExistingRDD"],
+    # page-level robots: codegen string work, no join, no explode
+    "web_page_robots": [r"Project"],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -405,6 +407,7 @@ JVM_ONLY = [
     "web_outlink_frontier",
     "web_cache_freshness",
     "web_recrawl_fetch_list",
+    "web_page_robots",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]
