@@ -2695,11 +2695,12 @@ def pair_requests_responses(captures: DataFrame) -> DataFrame:
     )
     req = captures.filter(F.col("rectype") == "request")
     j = req.join(resp, F.col("concurrent_to") == F.col("__rid"), "left")
+    # try_to_timestamp: a malformed WARC-Date in a real archive yields a
+    # NULL latency for that row, never a failed job under ANSI mode
+    fmt = F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")
     lat = (
-        F.unix_timestamp(
-            F.col("__resp_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
-        )
-        - F.unix_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        F.unix_timestamp(F.try_to_timestamp(F.col("__resp_date"), fmt))
+        - F.unix_timestamp(F.try_to_timestamp(F.col("warc_date"), fmt))
     ).cast("bigint")
     return j.select(
         "archive_id",
