@@ -261,6 +261,8 @@ HEADLINE = [
     # r14-extended, continued: page-level robots (meta UNION
     # X-Robots-Tag, rel=nofollow per link) — pure codegen
     "web_page_robots",
+    # r14-extended, continued: regex PII scrub with audit counts
+    "curation_pii_redaction",
 ]
 
 

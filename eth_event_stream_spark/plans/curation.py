@@ -1303,3 +1303,134 @@ def prepare_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("target_text", F.lit("")).alias("target_text"),
         )
     )
+
+
+# PII patterns, deliberately RE2-safe (no backrefs, no lookaround) so the
+# SAME pattern text runs in Catalyst (Java regex) and any RE2-family
+# engine a curation team might audit with. Swappable DATA, not code —
+# callers pass their own table; these are the defaults.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (
+        "phone",
+        r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}",
+        "[PHONE]",
+    ),
+    (
+        "ipv4",
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "[IP]",
+    ),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", patterns=None
+) -> DataFrame:
+    """Training-data PII scrub, pure Catalyst: for each (name, regex,
+    token) rule count the matches (``regexp_extract_all`` size — the
+    release-audit number) and replace them with the placeholder token,
+    applied in rule order over one projection. Counts are computed on
+    the ORIGINAL text per rule (a count computed after an earlier rule's
+    replacement would undercount overlapping classes — the email rule
+    never overlaps the phone rule here, but the contract must not
+    depend on it). Adds ``n_<name>`` per rule and ``clean_<text_col>``.
+
+    This is pattern-based redaction: it catches FORMATTED identifiers
+    (emails, phone shapes, bare IPv4s), not free-text names — the
+    documented scope every regex-based scrub has. At 100 TB: codegen
+    string work fused into the scan, no shuffle, no Python."""
+    patterns = PII_PATTERNS if patterns is None else patterns
+    out = df
+    cleaned = F.col(text_col)
+    for name, rx, token in patterns:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(0))
+            ).cast("bigint"),
+        )
+        cleaned = F.regexp_replace(cleaned, rx, token)
+    return out.withColumn(f"clean_{text_col}", cleaned)
+
+
+@register(
+    "curation_pii_redaction",
+    oracle=r"""
+    WITH planted AS (
+      SELECT doc_id AS d, text,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                  THEN ' contact bob' || doc_id || '@mail'
+                       || (doc_id % 7) || '.example' ELSE '' END
+             || CASE WHEN doc_id % 4 = 1
+                  THEN ' call +1-555-100-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+             || CASE WHEN doc_id % 5 = 2
+                  THEN ' from 10.0.' || (doc_id % 256) || '.'
+                       || (doc_id % 100) ELSE '' END AS dirty
+      FROM documents)
+    SELECT d AS doc_id,
+           CAST(CASE WHEN d % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_email,
+           CAST(CASE WHEN d % 4 = 1 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_phone,
+           CAST(CASE WHEN d % 5 = 2 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_ipv4,
+           text
+             || CASE WHEN d % 3 = 0 THEN ' contact [EMAIL]' ELSE '' END
+             || CASE WHEN d % 4 = 1 THEN ' call [PHONE]' ELSE '' END
+             || CASE WHEN d % 5 = 2 THEN ' from [IP]' ELSE '' END
+             AS clean_text
+    FROM planted
+    """,
+    doc="Regex PII scrub (emails, phone shapes, IPv4) with per-class "
+    "audit counts, pure Catalyst; the oracle replays every count and "
+    "the full redacted text from the planting schedules.",
+)
+def curation_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release-blocking scrub, end to end and oracle-checked: every
+    document's text gains a planted email (``d % 3 == 0``), a formatted
+    phone number (``d % 4 == 1``), and a bare IPv4 (``d % 5 == 2``) on
+    independent schedules (so rows carry 0-3 findings in every
+    combination), ``redact_pii`` counts and replaces them, and the
+    DuckDB oracle replays the counts AND the full redacted text — a
+    pattern that over-matches into the surrounding prose (the corpus
+    words must survive untouched) or under-matches a planted identifier
+    breaks the hash. The base corpus text itself contains no PII shapes
+    (token words only), which the zero-count rows verify.
+
+    At 100 TB: codegen string work fused into the scan; the audit
+    counts aggregate map-side wherever the caller rolls them up."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" contact bob"), d.cast("string"), F.lit("@mail"),
+                (d % 7).cast("string"), F.lit(".example"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 1,
+            F.concat(
+                F.lit(" call +1-555-100-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 2,
+            F.concat(
+                F.lit(" from 10.0."), (d % 256).cast("string"), F.lit("."),
+                (d % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", dirty.alias("text"))
+    return redact_pii(staged, "text").select(
+        "doc_id", "n_email", "n_phone", "n_ipv4",
+        F.col("clean_text"),
+    )

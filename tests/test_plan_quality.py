@@ -343,6 +343,8 @@ PLAN_EXPECTATIONS = {
     "ingest_wet_roundtrip": [r"Scan ExistingRDD"],
     # page-level robots: codegen string work, no join, no explode
     "web_page_robots": [r"Project"],
+    # PII scrub: codegen string work fused into the scan
+    "curation_pii_redaction": [r"Project"],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -408,6 +410,7 @@ JVM_ONLY = [
     "web_cache_freshness",
     "web_recrawl_fetch_list",
     "web_page_robots",
+    "curation_pii_redaction",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]
