@@ -200,14 +200,21 @@ def html_meta_content(col: Column | str, name: str) -> Column:
 
     c = _strip_invisible(F.col(col) if isinstance(col, str) else col)
     nm = _re.escape(name)
+    # The name must match LITERALLY: either exactly quoted, or bare and
+    # immediately followed by an attribute boundary ([\s/>]). A lone
+    # optional quote ([\"']?) would let [^>]*? absorb the tail of a
+    # LONGER name (name="robots-custom" answering a "robots" probe) —
+    # the alternation is non-capturing so value group numbers are
+    # stable.
+    nm_lit = f"(?:\"{nm}\"|'{nm}'|{nm}(?=[\\s/>]))"
     pre = (
-        f"(?is)<meta\\b[^>]*?\\sname\\s*=\\s*[\"']?{nm}[\"']?[^>]*?"
+        f"(?is)<meta\\b[^>]*?\\sname\\s*=\\s*{nm_lit}[^>]*?"
         "\\scontent\\s*=\\s*"
     )
     post = (
         f"(?is)<meta\\b[^>]*?\\scontent\\s*=\\s*"
         "(\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))"
-        f"[^>]*?\\sname\\s*=\\s*[\"']?{nm}[\"']?"
+        f"[^>]*?\\sname\\s*=\\s*{nm_lit}"
     )
     val_pat = "(\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))"
 

@@ -158,17 +158,28 @@ def http_cache_control(col: Column | str, directive: str) -> Column:
     the directive name itself for boolean ones (``no-store`` ->
     ``no-store``); NULL when the directive is absent. The directive
     name is anchored at a list boundary so ``s-maxage`` never matches a
-    ``max-age`` probe."""
+    ``max-age`` probe. Non-numeric arguments are legal (RFC 9111 §5.2.2
+    field-name lists: ``no-cache="set-cookie"``) — the directive still
+    reads as PRESENT (name returned, argument dropped); only an
+    all-digits argument comes back as the seconds value."""
     cc = http_header(col, "Cache-Control")
+    # The optional argument is a quoted-string (may contain commas and
+    # spaces) or an unquoted token — matching it fully is what keeps
+    # the trailing list-boundary lookahead from rejecting the whole
+    # directive when the argument is non-numeric.
     pat = (
         r"(?i)(?:^|[,\s])"
         + re.escape(directive)
-        + r"(?:[ \t]*=[ \t]*\"?([0-9]+)\"?)?"
+        + r"(?:[ \t]*=[ \t]*(?:\"([^\"]*)\"|([^,\s\"]+)))?"
         + r"(?=$|[,\s])"
     )
     hit = F.regexp_extract(cc, pat, 0)
-    val = F.regexp_extract(cc, pat, 1)
-    return F.when(F.trim(hit) != "", F.coalesce(F.nullif(val, F.lit("")), F.lit(directive)))
+    val = F.coalesce(
+        F.nullif(F.regexp_extract(cc, pat, 1), F.lit("")),
+        F.nullif(F.regexp_extract(cc, pat, 2), F.lit("")),
+    )
+    num = F.when(val.rlike(r"^[0-9]+$"), val)
+    return F.when(F.trim(hit) != "", F.coalesce(num, F.lit(directive)))
 
 
 def http_age(col: Column | str) -> Column:

@@ -243,7 +243,11 @@ def url_resolve(base: Column | str, ref: Column | str) -> Column:
     scheme-relative ``//host/p`` takes the base scheme, absolute-path
     ``/p`` takes the base authority, query-only ``?q`` keeps the base
     path, empty and fragment-only refs resolve to the base itself
-    (fragments never reach the server and are dropped throughout), and
+    WITHOUT its query (documented deviation: §5.4 says ``""`` yields
+    ``http://a/b/c/d;p?q`` — this resolver keys on the PAGE and drops
+    ``?q``, the right identity for a frontier builder; pinned beside
+    the RFC vectors in tests/test_url.py), fragments never reach the
+    server and are dropped throughout, and
     RELATIVE paths merge per §5.2.3 — the base path up to its last
     ``/`` prepends the ref, then ``url_remove_dot_segments`` normalizes
     ``..``/``.`` exactly as the spec's algorithm does. The RFC's own

@@ -856,7 +856,19 @@ def http_entity_bytes(header_block: bytes, body: bytes) -> bytes:
     block; a Transfer-Encoding list ending in ``chunked``
     (``gzip, chunked``) dechunks — any earlier codings in the list are
     then handled by the same decode_content_encoding table. Returns the
-    entity bytes the charset sniff should see."""
+    entity bytes the charset sniff should see.
+
+    FAIL-OPEN per record: archive writers that store the DECODED
+    payload without renaming the framing headers exist (Common Crawl
+    renames to ``X-Crawler-Transfer-Encoding`` precisely because
+    others don't) — for such records the stored body is already the
+    entity, and attempting the advertised decode hits corrupt-looking
+    framing. A ValueError from any decode stage therefore falls back
+    to the ORIGINAL stored bytes instead of killing the whole Arrow
+    pass; truly corrupt payloads surface downstream as mojibake text,
+    not a dead job. The component decoders (``dechunk_http_body``,
+    ``decode_content_encoding``) keep their loud contracts for callers
+    that want them."""
     import re
 
     hdrs = header_block.decode("latin-1")
@@ -867,14 +879,18 @@ def http_entity_bytes(header_block: bytes, body: bytes) -> bytes:
         )
         return m.group(1).strip() if m else None
 
+    original = body
     te = (h("Transfer-Encoding") or "").lower()
     codings = [c.strip() for c in te.split(",") if c.strip()]
-    if codings and codings[-1] == "chunked":
-        body, _trailer = dechunk_http_body(body)
-        codings = codings[:-1]
-    for c in reversed(codings):
-        body = decode_content_encoding(body, c)
-    return decode_content_encoding(body, h("Content-Encoding"))
+    try:
+        if codings and codings[-1] == "chunked":
+            body, _trailer = dechunk_http_body(body)
+            codings = codings[:-1]
+        for c in reversed(codings):
+            body = decode_content_encoding(body, c)
+        return decode_content_encoding(body, h("Content-Encoding"))
+    except ValueError:
+        return original
 
 
 def synth_warc_encoded_payload(doc_id: int) -> bytes:

@@ -285,3 +285,41 @@ def test_html_meta_content_and_followable_links(spark):
     assert row["desc"] == "desc text"      # content-before-name order
     assert row["kw"] is None
     assert row["ls"] == ["/a", "/c", "/d?x=1&y=2"]
+
+
+def test_html_meta_content_literal_name_binding(spark):
+    """The meta name must match LITERALLY (r15 ADVICE): a LONGER name
+    sharing the probe as a prefix (robots-custom) must not answer a
+    "robots" probe in either attribute order or quote form, while exact
+    bare/quoted names still hit."""
+    from eth_event_stream_spark.functions.html import html_meta_content
+
+    rows = [
+        # prefix impostors: must NOT answer
+        ('<meta name="robots-custom" content="nofollow">', None, None),
+        ("<meta name='robotsx' content='nofollow'>", None, None),
+        ("<meta name=robots-custom content=nofollow>", None, None),
+        ('<meta content="nofollow" name="robots-custom">', None, None),
+        ('<meta name="description-long" content="d">', None, None),
+        # exact names: all forms still hit
+        ('<meta name="robots" content="noindex">', "noindex", None),
+        ("<meta name=robots content=noindex>", "noindex", None),
+        ("<meta content='x y' name=robots>", "x y", None),
+        ('<meta name=robots content="a, b"/>', "a, b", None),
+        ('<meta name="description" content="d">', None, "d"),
+        # impostor BEFORE the real one: first LITERAL match wins
+        (
+            '<meta name="robots-custom" content="bad">'
+            '<meta name="robots" content="good">',
+            "good",
+            None,
+        ),
+    ]
+    df = spark.createDataFrame([(h,) for h, _, _ in rows], "h string")
+    got = df.select(
+        html_meta_content("h", "robots").alias("r"),
+        html_meta_content("h", "description").alias("d"),
+    ).collect()
+    for (h, wr, wd), g in zip(rows, got):
+        assert g["r"] == wr, (h, g["r"])
+        assert g["d"] == wd, (h, g["d"])

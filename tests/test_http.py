@@ -402,3 +402,63 @@ def test_http_caching_fields(spark):
         [("HTTP/1.1 200 OK\r\nAge: +5\r\n",)], "m string"
     )
     assert df2.select(http_age("m")).collect()[0][0] is None
+
+
+def test_http_cache_control_non_numeric_arguments(spark):
+    """RFC 9111 §5.2.2 field-name arguments (r15 ADVICE): a directive
+    with a NON-numeric argument — quoted (no-cache="set-cookie", commas
+    inside the quotes legal) or token — still reads as PRESENT (the
+    directive name comes back, boolean-style); only all-digit arguments
+    come back as seconds, quoted or bare."""
+    from eth_event_stream_spark.functions.http import http_cache_control
+
+    rows = [
+        ('no-cache="set-cookie"', "nc", "no-cache"),
+        ('private="x-internal", no-cache="set-cookie, age"', "nc", "no-cache"),
+        ("no-cache=etag-only", "nc", "no-cache"),
+        ('max-age=3600, no-cache="set-cookie"', "ma", "3600"),
+        ('no-cache="set-cookie", max-age=60', "ma", "60"),
+        ('max-age="120"', "ma", "120"),
+        ("max-age=abc", "ma", "max-age"),  # present, argument unusable
+        ('private="no-cache"', "nc", None),  # name INSIDE quotes: absent
+        ("public", "nc", None),
+    ]
+    hdrs = [f"HTTP/1.1 200 OK\r\nCache-Control: {cc}\r\n" for cc, _, _ in rows]
+    df = spark.createDataFrame([(h,) for h in hdrs], "m string")
+    got = df.select(
+        http_cache_control("m", "max-age").alias("ma"),
+        http_cache_control("m", "no-cache").alias("nc"),
+    ).collect()
+    for (cc, which, want), g in zip(rows, got):
+        assert g[which] == want, (cc, which, g[which])
+
+
+def test_http_entity_bytes_fail_open_on_predecoded_body(spark):
+    """Archive writers that store the DECODED payload without renaming
+    the framing headers (r15 ADVICE): headers advertise chunked / gzip
+    but the body is already plain — http_entity_bytes falls back to the
+    stored bytes instead of raising out of the Arrow lane. The
+    component decoders keep their loud contracts."""
+    import pytest as _pytest
+
+    from eth_event_stream_spark.operators.ingest import (
+        dechunk_http_body,
+        http_entity_bytes,
+    )
+
+    plain = b"already-decoded entity text"
+    hdr_chunked = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+    hdr_gzip = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+    hdr_both = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Encoding: gzip\r\n"
+    )
+    assert http_entity_bytes(hdr_chunked, plain) == plain
+    assert http_entity_bytes(hdr_gzip, plain) == plain
+    assert http_entity_bytes(hdr_both, plain) == plain
+    # honest framing still decodes through the same path
+    wire = b"1b\r\n" + plain + b"\r\n0\r\n\r\n"
+    assert http_entity_bytes(hdr_chunked, wire) == plain
+    # the component keeps its loud contract
+    with _pytest.raises(ValueError):
+        dechunk_http_body(plain)
