@@ -263,6 +263,16 @@ HEADLINE = [
     "web_page_robots",
     # r14-extended, continued: regex PII scrub with audit counts
     "curation_pii_redaction",
+    # r15-extended: the WAT publish round trip — completes the
+    # WARC/WAT/WET derived-format triple (metadata records, JSON
+    # envelope replayed byte-for-byte by the oracle)
+    "ingest_wat_roundtrip",
+    # r15-extended: RFC 9309 §2.4 robots cache lifetime composition
+    "web_robots_refetch",
+    # r15-extended: SURT as an access path — persisted site-partitioned
+    # store, per-site read via partition pruning (build amortized once
+    # per process, the ann_index/serving pattern)
+    "web_surt_site_read",
 ]
 
 
@@ -320,7 +330,7 @@ def build_short_map(names: list[str]) -> dict[str, str]:
 # within the same set version; compare per-query across versions. The full
 # additions-only history (r4 recomposition through every rN-extended bump)
 # lives in BASELINE.md's membership notes.
-HEADLINE_SET = "r14-extended"
+HEADLINE_SET = "r15-extended"
 
 # Sidecar carrying the FULL per-query map with full names. The archived
 # stdout line is O(1) in registry size (the r7/r8 records were cut by the
@@ -340,7 +350,16 @@ INLINE_ROWS = ("flagship_user_netflow", "flagship_netflow_counters")
 # under container load and read 1.2x on rows whose files were untouched —
 # undetectable from the record itself. A constant-work probe that drifts
 # >1.5x from its solo reference marks the capture as loaded IN the record.
-CANARY_SOLO_REF = {"0.1": 0.33}  # builder solo flagship, BENCH_DETAIL_r10.json
+# sf1-rehearsal calibration (round 15, loaded/clean pair): clean legs read
+# flagship 0.27-0.35 s across BENCH_DETAIL_r{13,13b,14}_sf1.json and the
+# r15 idle-start leg; a deliberate 10-busy-core external load read 0.284 s
+# (scan-bound, the documented r12 blind spot) while per-row medians ran
+# 1.09x and loadavg_end separated cleanly — the retime refs at this sf
+# catch only SEVERE load, loadavg_end below is the discriminating probe.
+CANARY_SOLO_REF = {
+    "0.1": 0.33,  # builder solo flagship, BENCH_DETAIL_r10.json
+    "1_rehearsal": 0.33,  # clean band 0.27-0.35 (r13-r15 sf1 legs)
+}
 CANARY_WARN_RATIO = 1.5
 
 # The r12 driver capture exposed the flagship probe's blind spot: the
@@ -354,14 +373,25 @@ CANARY_WARN_RATIO = 1.5
 #    6.3-9.4 on this 32-core container, the two known-loaded driver
 #    captures 14.7/16.1 -> 0.375 x cores = 12.0 splits the bands).
 CANARY_CPU_ROW = "classify_nb_lang"
-CANARY_CPU_SOLO_REF = {"0.1": 0.8}
-CANARY_LOAD_PER_CORE = 0.375
-# the loadavg threshold is a PER-SF calibration like the retime refs: at
-# 10x-rehearsal scale the bench's own tail rows keep all 32 cores busy, so
-# a quiet container can legitimately end above the sf0.1 band (observed
-# 12.8 on the first r13 sf1 leg). Uncalibrated sfs record, never warn —
-# the same contract the retime refs already follow.
-CANARY_LOAD_CALIBRATED = {"0.1"}
+CANARY_CPU_SOLO_REF = {
+    "0.1": 0.8,
+    # clean sf1 band 1.26-1.74 s (r13b/r13/r15-idle/r14 legs); the
+    # 10-core loaded probe read 1.33 s — 22 free cores absorb a midsize
+    # retime, so this warns only on heavy CPU contention at this sf
+    "1_rehearsal": 1.5,
+}
+# the loadavg-at-end threshold is a PER-SF calibration like the retime
+# refs: at 10x-rehearsal scale the bench's own tail rows keep all 32
+# cores busy, so a quiet container legitimately ends above the sf0.1
+# band. Keys absent -> uncalibrated sf: record, never warn (the same
+# contract the retime refs already follow).
+# sf1 calibration (round 15 loaded/clean pair): clean legs END at
+# 10.2-16.5 (0.32-0.52/core, four runs r13-r15); the 10-busy-core loaded
+# leg ended at 23.4 (0.73/core). 0.6/core = 19.2 splits the bands with
+# margin on both sides — at this sf loadavg_end is the DISCRIMINATING
+# canary (the retimes above are scan-bound/under-subscribed and read
+# inside the clean band under that same load).
+CANARY_LOAD_PER_CORE = {"0.1": 0.375, "1_rehearsal": 0.6}
 
 # The r13 driver capture exposed the END-probe's blind spot: load that
 # rises MID-run and subsides before the probes (rows uniformly 1.3-2.1x
@@ -379,7 +409,13 @@ CANARY_LOAD_CALIBRATED = {"0.1"}
 # confirmed-loaded capture (rows 1.22x solo) peaked 22.1. 0.65/core =
 # 20.8 sits above every clean observation and below the loaded one —
 # a deliberately narrow band, re-examine if either side drifts.
-CANARY_LOAD_MAX_PER_CORE = {"0.1": 0.65}
+# sf1: the bench's OWN mid-run peaks reach 25.2-30.1 on clean runs
+# (r15 idle-start / r14 legs) and the 10-core loaded leg peaked only
+# 31.7 — the bands nearly touch, so this probe is self-load-dominated at
+# rehearsal scale. 1.05/core = 33.6 sits above every observation either
+# way: it catches only HEAVY mid-run load; loadavg_end (0.6/core above,
+# measured separation 16.5 clean vs 23.4 loaded) is the sf1 workhorse.
+CANARY_LOAD_MAX_PER_CORE = {"0.1": 0.65, "1_rehearsal": 1.05}
 
 
 def snapshot_archived_detail(detail_dir: str) -> str | None:
@@ -490,12 +526,14 @@ def emit_record(
             )
         la_end = canary.get("loadavg_end") or []
         cores = canary.get("cpus") or (os.cpu_count() or 32)
-        load_limit = round(CANARY_LOAD_PER_CORE * cores, 2)
-        if str(sf_val) in CANARY_LOAD_CALIBRATED and la_end and la_end[0] > load_limit:
-            reasons.append(
-                f"loadavg at run end {la_end[0]:.1f} > {load_limit} "
-                f"({CANARY_LOAD_PER_CORE}/core x {cores} cores)"
-            )
+        end_pc = CANARY_LOAD_PER_CORE.get(str(sf_val))
+        if end_pc is not None and la_end:
+            load_limit = round(end_pc * cores, 2)
+            if la_end[0] > load_limit:
+                reasons.append(
+                    f"loadavg at run end {la_end[0]:.1f} > {load_limit} "
+                    f"({end_pc}/core x {cores} cores)"
+                )
         la_max = canary.get("loadavg_max_between")
         max_pc = CANARY_LOAD_MAX_PER_CORE.get(str(sf_val))
         if max_pc is not None and la_max is not None:

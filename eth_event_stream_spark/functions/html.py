@@ -12,10 +12,13 @@ The CONTRACT (documented, not guessed): script/style/comment content is
 dropped; block-level tags become newlines and every other tag a space;
 the five core named character references (``&lt; &gt; &quot; &#39;
 &amp;`` — ``&amp;`` decoded LAST so ``&amp;lt;`` yields the literal
-``&lt;``, per the HTML standard) plus ``&nbsp;`` are decoded; any other
-entity passes through VERBATIM (numeric references need a character
-table no Catalyst expression provides — a documented pass-through,
-never a wrong guess); runs of spaces collapse and newlines dedupe.
+``&lt;``, per the HTML standard) plus ``&nbsp;`` are decoded, and —
+round 15 — NUMERIC references (``&#47;`` / ``&#x2F;``) whose codepoint
+lands in printable ASCII decode too (``_decode_numeric_refs``; an
+encoded ``/`` left verbatim in an href yields an unfetchable frontier
+URL); any other entity — named beyond the core set, numeric outside
+32..126 — passes through VERBATIM (a documented boundary, never a
+wrong guess); runs of spaces collapse and newlines dedupe.
 Entity decoding runs AFTER tag stripping, so decoded ``<`` / ``>`` can
 never be re-parsed as markup (the standard's anti-mXSS ordering).
 """
@@ -34,6 +37,71 @@ _ENTITIES = [
     ("&nbsp;", " "),
     ("&amp;", "&"),
 ]
+
+# A decoded &#38; must not combine with following text into a named
+# entity (&#38;lt; is the TEXT "&lt;" per the HTML standard's one-pass
+# decode), so the numeric pass emits this private-use sentinel for 38
+# and the chain restores it to "&" AFTER the named replaces run. Pages
+# containing U+E000 itself (private use, never emitted by real markup
+# generators) would alias — a documented boundary.
+_AMP_SENTINEL = ""
+_HTML_BIG = 2147483647
+
+
+def _decode_numeric_refs(c: Column) -> Column:
+    """Bounded numeric character reference decode (round 15):
+    ``&#47;`` / ``&#x2F;`` forms whose codepoint lands in printable
+    ASCII (32..126 — the href-critical band: an encoded ``/`` or ``:``
+    left verbatim in an anchor yields an unfetchable frontier URL)
+    decode via ``chr(conv(...))``; everything else — larger codepoints
+    (Catalyst's ``chr`` is byte-ranged), control codes, unterminated or
+    over-long references — passes through VERBATIM, the same documented
+    never-guess boundary the module always had. Implementation is the
+    ``url_normalize_percent`` idiom: one ``split`` on the literal
+    ``&#`` + one ``transform`` where each tail piece decides its own
+    leading reference — no UDF, no explode, whole-stage codegen."""
+    parts = F.split(c, "&#", -1)
+
+    def piece(x: Column) -> Column:
+        dec = F.regexp_extract(x, r"^([0-9]{1,7});", 1)
+        hx = F.regexp_extract(x, r"^[xX]([0-9A-Fa-f]{1,6});", 1)
+        code = (
+            F.when(dec != "", dec.cast("bigint"))
+            .when(hx != "", F.conv(hx, 16, 10).cast("bigint"))
+        )
+        reflen = F.when(dec != "", F.length(dec) + 1).when(
+            hx != "", F.length(hx) + 2
+        )
+        rest = F.substr(x, reflen + 1, F.lit(_HTML_BIG))
+        ch = F.when(code == 38, F.lit(_AMP_SENTINEL)).otherwise(F.chr(code))
+        ok = code.isNotNull() & (code >= 32) & (code <= 126)
+        return F.when(ok, F.concat(ch, rest)).otherwise(
+            F.concat(F.lit("&#"), x)
+        )
+
+    return F.when(F.size(parts) <= 1, c).otherwise(
+        F.concat(
+            F.element_at(parts, 1),
+            F.array_join(
+                F.transform(
+                    F.slice(parts, 2, F.size(parts) - 1), lambda x: piece(x)
+                ),
+                "",
+            ),
+        )
+    )
+
+
+def _decode_entities(c: Column) -> Column:
+    """The full entity chain in HTML-standard one-pass order: numeric
+    references first (``&#38;`` to the sentinel so it can never combine
+    into a named form), the core named set with ``&amp;`` LAST (so
+    ``&amp;lt;`` yields the literal ``&lt;``), then the sentinel
+    restores to ``&``."""
+    c = _decode_numeric_refs(c)
+    for ent, ch in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.replace(c, F.lit(_AMP_SENTINEL), F.lit("&"))
 
 # tags whose boundaries are line breaks in visible text
 _BLOCK_TAGS = "p|br|div|h[1-6]|li|ul|ol|tr|table|title|section|article|header|footer|blockquote|pre"
@@ -66,8 +134,7 @@ def html_to_text(col: Column | str) -> Column:
     c = _strip_invisible(c)
     c = F.regexp_replace(c, rf"(?i)</?({_BLOCK_TAGS})(\s[^>]*)?/?>", "\n")
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
-    for ent, ch in _ENTITIES:
-        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = _decode_entities(c)
     c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
     c = F.regexp_replace(c, r" ?\n ?", "\n")
     c = F.regexp_replace(c, r"\n+", "\n")
@@ -97,8 +164,7 @@ def html_inline_text(col: Column | str) -> Column:
     the per-segment half of ``html_to_text``'s contract."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
-    for ent, ch in _ENTITIES:
-        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = _decode_entities(c)
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
@@ -125,8 +191,7 @@ def html_title(col: Column | str) -> Column:
     t = F.regexp_extract(
         _strip_invisible(c), r"(?is)<title[^>]*>(.*?)</title\s*>", 1
     )
-    for ent, ch in _ENTITIES:
-        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = _decode_entities(t)
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
@@ -155,10 +220,7 @@ def html_links(col: Column | str) -> Column:
     merged = F.zip_with(F.zip_with(g2, g3, pick), g4, pick)
 
     def clean(x: Column) -> Column:
-        x = F.trim(x)
-        for ent, ch in _ENTITIES:
-            x = F.replace(x, F.lit(ent), F.lit(ch))
-        return x
+        return _decode_entities(F.trim(x))
 
     return F.transform(merged, clean)
 
@@ -263,10 +325,7 @@ def html_links_followable(col: Column | str) -> Column:
         return out
 
     def clean(x: Column) -> Column:
-        x = F.trim(x)
-        for ent, ch in _ENTITIES:
-            x = F.replace(x, F.lit(ent), F.lit(ch))
-        return x
+        return _decode_entities(F.trim(x))
 
     followable = F.filter(
         bodies,

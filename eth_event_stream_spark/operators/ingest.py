@@ -1043,3 +1043,226 @@ def documents_to_wet(
             )
 
     return src.mapInPandas(fn, schema=WARC_ARCHIVE_SCHEMA)
+
+
+def synth_warc_linked_payload(doc_id: int) -> bytes:
+    """Deterministic one-record ``.warc.gz`` holding a full HTTP
+    response whose HTML body carries a formulaic ANCHOR schedule — the
+    source material a WAT derivation harvests. With ``h = doc_id % 20``
+    the page lives at ``https://site{h}.example/dir/page{doc_id}`` and
+    links, in document order: a relative path ``g{d}``, an absolute
+    path with an ``&amp;``-escaped query (entity decode is part of the
+    harvest contract), an absolute ``https://cdn.example/x/{d}``, and a
+    query-only ``?q={d}`` ref on even docs — every href a pure string
+    function of doc_id so a SQL oracle replays the harvested link list
+    verbatim. Record id ``<urn:uuid:{doc_id:032x}>`` (the same shape the
+    WET lane derives its ``WARC-Refers-To`` from), gzip mtime pinned."""
+    from .warc import encode_warc
+
+    d = doc_id
+    anchors = (
+        f'<a href="g{d}">r</a>'
+        f'<a href="/abs/{d}?b=2&amp;a=1">a</a>'
+        f'<a href="https://cdn.example/x/{d}">c</a>'
+    )
+    if d % 2 == 0:
+        anchors += f'<a href="?q={d}">q</a>'
+    html = (
+        f"<html><head><title>page {d}</title></head>"
+        f"<body><h1>page {d}</h1>{anchors}</body></html>"
+    ).encode()
+    message = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n" + html
+    )
+    return encode_warc(
+        [
+            {
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:uuid:{doc_id:032x}>",
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                    "WARC-Target-URI": (
+                        f"https://site{doc_id % 20}.example/dir/page{doc_id}"
+                    ),
+                    "Content-Type": "application/http; msgtype=response",
+                },
+                "payload": message,
+            }
+        ],
+        gzip_members=True,
+    )
+
+
+def documents_as_warc_linked(documents: DataFrame) -> DataFrame:
+    """Synthesize the linked-page ``.warc.gz`` archives
+    (``synth_warc_linked_payload``) in one Arrow-batched
+    ``mapInPandas`` — the WARC input of the WAT derivation round
+    trip."""
+    from ..shipping import ship_package
+
+    ship_package(documents.sparkSession)
+    ids = documents.select(F.col("doc_id").alias("archive_id"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (int(aid), synth_warc_linked_payload(int(aid)))
+                for aid in pdf["archive_id"]
+            ]
+            yield pd.DataFrame(
+                out, columns=[f.name for f in WARC_ARCHIVE_SCHEMA.fields]
+            )
+
+    return ids.mapInPandas(fn, schema=WARC_ARCHIVE_SCHEMA)
+
+
+def documents_to_wat(
+    meta: DataFrame,
+    id_col: str = "archive_id",
+    url_col: str = "url",
+    refers_col: str = "refers_to",
+    ctype_col: str = "content_type",
+    links_col: str = "links",
+) -> DataFrame:
+    """The WRITE side of the WAT pipeline — the third member of the
+    Common Crawl derived-format triple (WARC/WAT/WET). One real
+    ``.warc.gz`` per page holding a ``metadata`` record (ISO 28500
+    §6.9) whose payload is the WAT JSON envelope: the source page's
+    ``WARC-Target-URI`` under ``Envelope.WARC-Header-Metadata``, the
+    stored response ``Content-Type`` under
+    ``HTTP-Response-Metadata.Headers``, and the harvested outlinks as
+    ``HTML-Metadata.Links`` (``[{"url": ...}]`` — the shape real WAT
+    files use). A ``WARC-Refers-To`` header points back at the source
+    response record, the same linkage discipline as
+    ``documents_to_wet``. JSON is serialized with sorted keys and
+    compact separators so a re-publish of unchanged metadata is
+    byte-identical (gzip mtime pinned) — release diffing works on WAT
+    exactly as it does on WET. Arrow-batched ``mapInPandas``, bytes
+    partition-local."""
+    import json as _json
+
+    from ..shipping import ship_package
+
+    ship_package(meta.sparkSession)
+    src = meta.select(id_col, url_col, refers_col, ctype_col, links_col)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .warc import encode_warc
+
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                aid = int(getattr(tup, id_col))
+                url = getattr(tup, url_col)
+                # Arrow hands array columns over as numpy arrays, whose
+                # truthiness is ambiguous — test None explicitly
+                raw_links = getattr(tup, links_col)
+                links = [] if raw_links is None else list(raw_links)
+                envelope = {
+                    "Envelope": {
+                        "WARC-Header-Metadata": {"WARC-Target-URI": url},
+                        "Payload-Metadata": {
+                            "HTTP-Response-Metadata": {
+                                "Headers": {
+                                    "Content-Type": getattr(tup, ctype_col)
+                                },
+                                "HTML-Metadata": {
+                                    "Links": [{"url": u} for u in links]
+                                },
+                            }
+                        },
+                    }
+                }
+                payload = _json.dumps(
+                    envelope, sort_keys=True, separators=(",", ":")
+                ).encode()
+                rows.append(
+                    (
+                        aid,
+                        encode_warc(
+                            [
+                                {
+                                    "headers": {
+                                        "WARC-Type": "metadata",
+                                        "WARC-Record-ID": (
+                                            f"<urn:uuid:wat-{aid}>"
+                                        ),
+                                        "WARC-Date": "2026-01-01T00:00:00Z",
+                                        "WARC-Target-URI": url,
+                                        "Content-Type": "application/json",
+                                        "WARC-Refers-To": str(
+                                            getattr(tup, refers_col)
+                                        ),
+                                    },
+                                    "payload": payload,
+                                }
+                            ],
+                            gzip_members=True,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_ARCHIVE_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(fn, schema=WARC_ARCHIVE_SCHEMA)
+
+
+WARC_METADATA_SCHEMA = StructType(
+    [
+        StructField("archive_id", LongType(), False),
+        StructField("rec_idx", LongType(), False),
+        StructField("rectype", StringType(), False),
+        StructField("url", StringType(), True),
+        StructField("record_id", StringType(), False),
+        StructField("refers_to", StringType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("n_bytes", LongType(), False),
+        StructField("json_text", StringType(), False),
+    ]
+)
+
+
+def warc_metadata_records(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """The READ side of the WAT pipeline: surface every ``metadata``
+    record (ISO 28500 §6.9) with its linkage headers and UTF-8 payload
+    text — everything read from the published bytes, nothing
+    recomputed. ``warc_captures`` deliberately selects metadata records
+    OUT (they are not captures and must not join crawl-time dedup);
+    this is the lane that reads them. ``rec_idx`` keeps the
+    full-archive position so rows join a CDX index; parsing the JSON
+    envelope is Catalyst's job downstream (``from_json`` — see
+    ``ingest_wat_roundtrip``). One Arrow pass, bytes partition-local."""
+    from ..shipping import ship_package
+
+    ship_package(df.sparkSession)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .warc import parse_warc
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["archive_id"], pdf[payload_col]):
+                for i, rec in enumerate(parse_warc(bytes(payload))):
+                    if rec["WARC-Type"] != "metadata":
+                        continue
+                    rows.append(
+                        (
+                            int(aid),
+                            i,
+                            rec["WARC-Type"],
+                            rec.get("WARC-Target-URI"),
+                            rec["WARC-Record-ID"],
+                            rec.get("WARC-Refers-To"),
+                            rec.get("Content-Type"),
+                            len(rec["payload"]),
+                            rec["payload"].decode("utf-8"),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_METADATA_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(fn, schema=WARC_METADATA_SCHEMA)

@@ -3305,3 +3305,141 @@ def ingest_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "text",
     )
+
+
+@register(
+    "ingest_wat_roundtrip",
+    oracle=r"""
+    WITH d AS (SELECT doc_id AS d, doc_id % 20 AS h FROM documents),
+    base AS (
+      SELECT d, h,
+             'https://site' || h || '.example/dir/page' || d AS url,
+             '{"url":"g' || d || '"},{"url":"/abs/' || d
+               || '?b=2&a=1"},{"url":"https://cdn.example/x/' || d || '"}'
+               || CASE WHEN d % 2 = 0
+                       THEN ',{"url":"?q=' || d || '"}' ELSE '' END
+               AS links_json
+      FROM d)
+    SELECT d AS archive_id,
+           'metadata' AS rectype,
+           url,
+           '<urn:uuid:wat-' || d || '>' AS record_id,
+           '<urn:uuid:' || printf('%032x', d) || '>' AS refers_to,
+           'application/json' AS record_content_type,
+           'text/html; charset=utf-8' AS content_type,
+           CAST(3 + CASE WHEN d % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_links,
+           'g' || d AS first_link,
+           CASE WHEN d % 2 = 0 THEN '?q=' || d
+                ELSE 'https://cdn.example/x/' || d END AS last_link,
+           CAST(octet_length(encode(
+             '{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":'
+             || '{"HTML-Metadata":{"Links":[' || links_json
+             || ']},"Headers":{"Content-Type":"text/html; charset=utf-8"}'
+             || '}},"WARC-Header-Metadata":{"WARC-Target-URI":"' || url
+             || '"}}}')) AS BIGINT) AS n_bytes,
+           '{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":'
+             || '{"HTML-Metadata":{"Links":[' || links_json
+             || ']},"Headers":{"Content-Type":"text/html; charset=utf-8"}'
+             || '}},"WARC-Header-Metadata":{"WARC-Target-URI":"' || url
+             || '"}}}' AS wat_json
+    FROM base
+    """,
+    doc="WAT publish round trip (completes the WARC/WAT/WET derived-"
+    "format triple): linked HTML pages in real .warc.gz archives -> "
+    "header + link harvest -> metadata-record WAT archives (JSON "
+    "envelope, WARC-Refers-To linkage) -> parsed back; the oracle "
+    "replays the FULL JSON envelope byte for byte plus every parsed "
+    "field.",
+)
+def ingest_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the WAT pipeline, end to end and
+    oracle-checked — the metadata member of Common Crawl's derived-
+    format triple (the repo already publishes and re-reads WET;
+    this is the same round-trip discipline for WAT). Every document
+    becomes a linked HTML page in a real response ``.warc.gz``
+    (``documents_as_warc_linked``), parses back through the HTTP lane
+    (``warc_http_responses`` — header block + body text from the
+    published bytes), the anchors are harvested in Catalyst
+    (``html_links`` — quote forms, entity decode), and the page's
+    metadata is RE-PUBLISHED as a real ``metadata``-record archive
+    (``documents_to_wat``: WAT JSON envelope with the response
+    Content-Type and the link list, ``WARC-Refers-To`` at the source
+    record) and parsed back AGAIN (``warc_metadata_records``). Every
+    output column is READ from the published WAT bytes — the record
+    id, linkage, and content type from the WARC headers, the link
+    count/first/last from the JSON envelope via ``from_json`` — and
+    the DuckDB oracle replays the FULL envelope string byte for byte,
+    so a key-order drift, an escaping slip, or a dropped linkage
+    header breaks the hash.
+
+    At 100 TB: two Arrow passes per direction (synth+parse, publish+
+    parse), bytes partition-local throughout; the JSON envelope parse
+    is Catalyst ``from_json`` — deriving WAT from a crawl costs the
+    same shape as reading it back."""
+    from ..functions.html import html_links
+    from ..functions.http import http_header
+    from ..operators.ingest import (
+        documents_as_warc_linked,
+        documents_to_wat,
+        warc_http_responses,
+        warc_metadata_records,
+    )
+
+    docs = t_parallel(spark, sf_dir, "documents").select("doc_id")
+    pages = warc_http_responses(documents_as_warc_linked(docs))
+    harvested = pages.select(
+        "archive_id",
+        "url",
+        F.concat(
+            F.lit("<urn:uuid:"),
+            F.lpad(
+                F.lower(F.conv(F.col("archive_id").cast("string"), 10, 16)),
+                32,
+                "0",
+            ),
+            F.lit(">"),
+        ).alias("refers_to"),
+        http_header("http_headers", "Content-Type").alias("content_type"),
+        html_links("body_text").alias("links"),
+    )
+    wat = documents_to_wat(harvested).localCheckpoint(eager=False)
+    back = warc_metadata_records(wat)
+    links_schema = "array<struct<url:string>>"
+    parsed = back.select(
+        "archive_id",
+        "rectype",
+        "url",
+        "record_id",
+        "refers_to",
+        F.col("content_type").alias("record_content_type"),
+        F.get_json_object(
+            "json_text",
+            "$.Envelope.Payload-Metadata.HTTP-Response-Metadata"
+            ".Headers.Content-Type",
+        ).alias("content_type"),
+        "n_bytes",
+        F.col("json_text").alias("wat_json"),
+        F.from_json(
+            F.get_json_object(
+                "json_text",
+                "$.Envelope.Payload-Metadata.HTTP-Response-Metadata"
+                ".HTML-Metadata.Links",
+            ),
+            links_schema,
+        ).alias("__links"),
+    )
+    return parsed.select(
+        "archive_id",
+        "rectype",
+        "url",
+        "record_id",
+        "refers_to",
+        "record_content_type",
+        "content_type",
+        F.size("__links").cast("bigint").alias("n_links"),
+        F.col("__links")[0]["url"].alias("first_link"),
+        F.element_at("__links", -1)["url"].alias("last_link"),
+        "n_bytes",
+        "wat_json",
+    )

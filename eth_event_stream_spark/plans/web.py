@@ -1134,7 +1134,11 @@ def web_pipeline_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def resolve_redirects(resp: DataFrame, max_hops: int = 5) -> DataFrame:
+def resolve_redirects(
+    resp: DataFrame,
+    max_hops: int = 5,
+    response_index: DataFrame | None = None,
+) -> DataFrame:
     """Follow HTTP redirect chains relationally: ``resp`` is one row per
     fetched URL — (url, status, location) straight out of
     ``web_http_headers``'s field extraction — and every row's chain is
@@ -1148,6 +1152,13 @@ def resolve_redirects(resp: DataFrame, max_hops: int = 5) -> DataFrame:
     ``resolved = false`` with its last Location. n_hops counts edges
     followed, including the edge into the void for dangling chains.
 
+    ``response_index`` (optional) is a SEPARATE response snapshot the
+    Location hops look up in — the streaming shape: newly fetched rows
+    arrive as ``resp`` and resolve against the static index of pages
+    already fetched (the ``resolve_revisits(response_index=...)``
+    pattern; stream-static left joins are append-mode legal). Default
+    ``None`` keeps the batch semantics where ``resp`` is its own index.
+
     The implementation is a BOUNDED driver loop of equi-joins — one join
     per hop, each shrinking to the still-redirecting survivors; real
     redirect chains are short (browsers cap near 20), so ``max_hops``
@@ -1155,7 +1166,7 @@ def resolve_redirects(resp: DataFrame, max_hops: int = 5) -> DataFrame:
     100 TB each hop is a standard shuffle join on url; survivors after
     hop 1 are typically a tiny fraction of the corpus, so later hops are
     near-free. No window, no explode, no Python."""
-    nxt = resp.select(
+    nxt = (response_index if response_index is not None else resp).select(
         F.col("url").alias("__nu"),
         F.col("status").alias("__ns"),
         F.col("location").alias("__nl"),
@@ -3174,7 +3185,11 @@ def web_url_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT d, h, CASE WHEN d % 3 = 0 THEN 6 ELSE 5 END,
              root || '/dir/page' || d || '?q=' || d
-      FROM base WHERE d % 2 = 0)
+      FROM base WHERE d % 2 = 0
+      UNION ALL
+      SELECT d, h, 5 + CASE WHEN d % 3 = 0 THEN 1 ELSE 0 END
+                     + CASE WHEN d % 2 = 0 THEN 1 ELSE 0 END,
+             root || '/esc/' || d FROM base)
     SELECT d AS doc_id, link_idx, outlink FROM l
     """,
     doc="Outlink frontier discovery: href harvest (quote forms, entity "
@@ -3193,8 +3208,10 @@ def web_outlink_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mixed case, explicit :443, dot-segment, fragment — erased by
     ``url_canonicalize``), a ``javascript:`` link on ``d % 3 == 0``
     (filtered by scheme, which SHIFTS later indices — pinned by the
-    oracle's CASE), and a query-only ``?q={d}`` ref on even docs
-    (resolves onto the page's own path). ``html_links`` harvests,
+    oracle's CASE), a query-only ``?q={d}`` ref on even docs
+    (resolves onto the page's own path), and — round 15 — a
+    NUMERIC-escaped absolute path (``&#47;esc&#x2F;{d}``) exercising
+    the bounded numeric-reference decode. ``html_links`` harvests,
     ``url_resolve`` resolves, the frontier keeps http(s) only, and the
     DuckDB oracle replays every (position, canonical outlink) pair.
 
@@ -3225,6 +3242,10 @@ def web_outlink_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             d % 2 == 0,
             F.concat(F.lit('<a href="?q='), ds, F.lit('">q</a>')),
         ).otherwise(F.lit("")),
+        # round 15: a NUMERIC-escaped absolute path (&#47; / &#x2F;) —
+        # the href that was an unfetchable verbatim string before the
+        # bounded numeric-reference decode landed in html_links
+        F.lit('<a href="&#47;esc&#x2F;'), ds, F.lit('">n</a>'),
         F.lit("</body></html>"),
     )
     pages = docs.select("doc_id", page_url.alias("page_url"), html.alias("html"))
@@ -3276,7 +3297,11 @@ def cache_freshness(resp: DataFrame, as_of, headers_col: str = "http_headers") -
     as_of_c = F.lit(as_of) if isinstance(as_of, int) else as_of
     date_ts = http_date(headers_col, "Date")
     expires_ts = http_date(headers_col, "Expires")
-    max_age = http_cache_control(headers_col, "max-age").cast("bigint")
+    # http_cache_control returns the directive NAME for boolean-style
+    # presence (including a non-numeric argument, legal per RFC 9111
+    # §5.2.2) — gate the cast so ANSI mode never throws on it
+    ma = http_cache_control(headers_col, "max-age")
+    max_age = F.when(ma.rlike(r"^[0-9]+$"), ma).cast("bigint")
     no_store = (
         http_cache_control(headers_col, "no-store").isNotNull()
         | http_cache_control(headers_col, "no-cache").isNotNull()
@@ -3391,24 +3416,21 @@ def web_cache_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def recrawl_fetch_list(
-    resp: DataFrame, delays: DataFrame, as_of, headers_col: str = "http_headers"
+def recrawl_fetch_actions(
+    resp: DataFrame, as_of, headers_col: str = "http_headers"
 ) -> DataFrame:
-    """The composed recrawl artifact a fetcher executes: freshness
-    first (RFC 9111 — a fresh stored copy is never refetched), then the
-    cheapest correct fetch for the stale mass (RFC 9110 validator
-    precedence: a stored ETag -> If-None-Match, else a stored
-    Last-Modified -> If-Modified-Since, else an unconditional fetch),
-    then Crawl-delay politeness ordering per domain (fetch_order by
-    url — deterministic — and est_start_s = (order-1) x delay). Fresh
-    urls STAY VISIBLE as ``skip`` rows with NULL order; a fetch list
-    that silently drops the skip mass cannot be audited against the
-    frontier. Inputs: ``resp (url, domain, <headers_col>)``, ``delays
-    (domain, delay)``, ``as_of`` epoch seconds.
-
-    At 100 TB: freshness and validator choice are codegen over the
-    stored header strings; the only shuffle is the per-domain window
-    over the STALE subset, plus a broadcast of the delay dim."""
+    """The STATELESS prefix of the recrawl plan — per stored response,
+    independent of every other row: RFC 9111 freshness
+    (``cache_freshness``) then the RFC 9110 validator choice for the
+    stale mass (stored ETag -> If-None-Match takes precedence over
+    Last-Modified -> If-Modified-Since, else an unconditional fetch).
+    Adds ``action``/``cond_header``/``cond_value`` to the freshness
+    columns. Factored out of ``recrawl_fetch_list`` because this half
+    is append-mode streamable as-is (pure codegen, no window): fetched
+    rows can be classified AT INGEST; only the per-domain politeness
+    ORDERING — scheduling, inherently a rank over the assembled stale
+    set — stays batch-side in ``recrawl_fetch_list``. The stream==batch
+    parity twin pins exactly this split."""
     from ..functions.http import http_header
 
     f = cache_freshness(resp, as_of, headers_col=headers_col)
@@ -3430,9 +3452,30 @@ def recrawl_fetch_list(
     cond_value = F.when(
         F.col("action") == "conditional_etag", etag
     ).when(F.col("action") == "conditional_modified", lastmod)
-    staged = f.withColumn("action", action).withColumn(
+    return f.withColumn("action", action).withColumn(
         "cond_header", cond_header
     ).withColumn("cond_value", cond_value)
+
+
+def recrawl_fetch_list(
+    resp: DataFrame, delays: DataFrame, as_of, headers_col: str = "http_headers"
+) -> DataFrame:
+    """The composed recrawl artifact a fetcher executes: freshness
+    first (RFC 9111 — a fresh stored copy is never refetched), then the
+    cheapest correct fetch for the stale mass (RFC 9110 validator
+    precedence: a stored ETag -> If-None-Match, else a stored
+    Last-Modified -> If-Modified-Since, else an unconditional fetch),
+    then Crawl-delay politeness ordering per domain (fetch_order by
+    url — deterministic — and est_start_s = (order-1) x delay). Fresh
+    urls STAY VISIBLE as ``skip`` rows with NULL order; a fetch list
+    that silently drops the skip mass cannot be audited against the
+    frontier. Inputs: ``resp (url, domain, <headers_col>)``, ``delays
+    (domain, delay)``, ``as_of`` epoch seconds.
+
+    At 100 TB: freshness and validator choice are codegen over the
+    stored header strings; the only shuffle is the per-domain window
+    over the STALE subset, plus a broadcast of the delay dim."""
+    staged = recrawl_fetch_actions(resp, as_of, headers_col=headers_col)
     w = Window.partitionBy("domain").orderBy("url")
     # rank only the stale mass: fresh rows carry no order, and the
     # window runs over the stale subset so skips never burn slots
@@ -3708,3 +3751,270 @@ def web_page_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0).cast("bigint"))
         .alias("n_followed"),
     )
+
+
+def robots_refetch_list(
+    fetch_log: DataFrame, as_of, headers_col: str = "http_headers"
+) -> DataFrame:
+    """RFC 9309 §2.4 robots.txt cache lifetime, composed the same way
+    ``recrawl_fetch_list`` composes the page-side caching layer: the
+    spec lets crawlers cache a robots.txt (conventionally up to 24
+    hours, "or longer if ... based on standard cache-control"), so the
+    effective lifetime is the header-derived one when the stored
+    response carries Cache-Control/Expires (``cache_freshness``) and
+    the 86 400 s conventional default when the headers are silent;
+    ``no-store``/``no-cache`` force refetch. Input is one row per
+    DOMAIN — (domain, url, status, location, ``<headers_col>``), the
+    robots fetch log. Redirect chains resolve first
+    (``resolve_redirects`` — §2.3.1.2's five-hop follow), the terminal
+    maps to the §2.3.1 assumption (``robots_fetch_mode``: parse /
+    allow_all / deny_all), and the CACHED ARTIFACT — the parsed file
+    or the fallback assumption alike — expires under the same clock
+    (documented choice: the spec's cache language covers the file;
+    applying it uniformly to the assumption rows keeps unreachable
+    hosts re-probed instead of denied forever). A missing/unparseable
+    Date makes the age unknowable — conservative refetch, surfaced not
+    guessed.
+
+    At 100 TB: the robots fetch log is domains-sized; everything here
+    is dim-scale joins and codegen column maps — the refetch list is
+    the tiny input a scheduler merges ahead of the page-side fetch
+    list."""
+    resolved = resolve_redirects(
+        fetch_log.select("url", "status", "location")
+    )
+    modes = robots_fetch_mode(resolved).select(
+        "url", "terminal_status", "mode"
+    )
+    f = cache_freshness(
+        fetch_log.join(modes, "url"), as_of, headers_col=headers_col
+    )
+    lifetime = F.coalesce(
+        F.col("freshness_lifetime_s"), F.lit(86400)
+    ).cast("bigint")
+    staged = f.withColumn("lifetime_s", lifetime)
+    refetch = F.col("no_store") | F.coalesce(
+        F.col("current_age_s") >= F.col("lifetime_s"), F.lit(True)
+    )
+    return staged.withColumn("refetch", refetch)
+
+
+@register(
+    "web_robots_refetch",
+    oracle="""
+    WITH d AS (SELECT DISTINCT doc_id % 20 AS h FROM documents),
+    m AS (
+      SELECT h,
+             CASE WHEN h % 5 = 0 THEN 'allow_all'
+                  WHEN h % 5 = 1 THEN 'deny_all'
+                  ELSE 'parse' END AS mode,
+             CASE WHEN h % 3 = 0 THEN 7200 ELSE 86400 END AS lifetime,
+             CASE WHEN h % 2 = 0 THEN 43200 ELSE 216000 END AS age,
+             h % 4 = 2 AS no_store
+      FROM d)
+    SELECT 'site' || h || '.example' AS domain,
+           mode,
+           CAST(lifetime AS BIGINT) AS lifetime_s,
+           CAST(age AS BIGINT) AS age_s,
+           (no_store OR age >= lifetime) AS refetch
+    FROM m
+    """,
+    doc="RFC 9309 §2.4 robots.txt cache lifetime: Cache-Control "
+    "honored when present, the 24 h conventional default when silent, "
+    "no-store forces refetch, fetch-status assumptions expire on the "
+    "same clock; the oracle replays every domain's verdict.",
+)
+def web_robots_refetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robots-side recrawl artifact, end to end and oracle-checked:
+    each of the 20 synth domains' stored robots fetch carries a
+    scheduled Date (12 h old on even domains, 2.5 days on odd), a
+    ``Cache-Control: max-age=7200`` on ``h % 3 == 0`` (shortening the
+    24 h convention per §2.4), ``no-store`` on ``h % 4 == 2``, and a
+    fetch status (404 -> allow_all on ``h % 5 == 0``, 503 -> deny_all
+    on ``h % 5 == 1``, else 200 -> parse). ``robots_refetch_list``
+    resolves status to the §2.3.1 mode, computes freshness from the
+    stored headers, applies the default-lifetime rule, and flags the
+    refetch set: short-max-age domains and stale odd domains refetch,
+    no-store always refetches, 12-h-old default-lifetime domains do
+    not. The DuckDB oracle replays every verdict arithmetically.
+
+    At 100 TB: domains-sized input, codegen decisions — the robots
+    cache never touches the URL fact table."""
+    hosts = (
+        t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 20).alias("h"))
+        .distinct()
+    )
+    h = F.col("h")
+    hs = h.cast("string")
+    date_line = F.when(
+        h % 2 == 0, F.lit("Date: Thu, 01 Jan 2026 00:00:00 GMT\r\n")
+    ).otherwise(F.lit("Date: Tue, 30 Dec 2025 00:00:00 GMT\r\n"))
+    cc = (
+        F.when(
+            (h % 3 == 0) & (h % 4 == 2),
+            F.lit("Cache-Control: max-age=7200, no-store\r\n"),
+        )
+        .when(h % 3 == 0, F.lit("Cache-Control: max-age=7200\r\n"))
+        .when(h % 4 == 2, F.lit("Cache-Control: no-store\r\n"))
+        .otherwise(F.lit(""))
+    )
+    status = (
+        F.when(h % 5 == 0, F.lit(404))
+        .when(h % 5 == 1, F.lit(503))
+        .otherwise(F.lit(200))
+    )
+    fetch_log = hosts.select(
+        F.concat(F.lit("site"), hs, F.lit(".example")).alias("domain"),
+        F.concat(F.lit("https://site"), hs, F.lit(".example/robots.txt")).alias(
+            "url"
+        ),
+        status.alias("status"),
+        F.lit(None).cast("string").alias("location"),
+        F.concat(
+            F.lit("HTTP/1.1 200 OK\r\n"),
+            date_line,
+            cc,
+            F.lit("Content-Type: text/plain"),
+        ).alias("http_headers"),
+    )
+    as_of = 43200 + int(__import__("calendar").timegm((2026, 1, 1, 0, 0, 0)))
+    out = robots_refetch_list(fetch_log, as_of)
+    return out.select(
+        "domain",
+        "mode",
+        "lifetime_s",
+        F.col("current_age_s").alias("age_s"),
+        "refetch",
+    )
+
+
+def persist_surt_index(urls: DataFrame, out_dir: str) -> None:
+    """Persist a URL store keyed for PER-SITE range reads — SURT as an
+    access path, not just a key (the cc-index layout): canonicalize
+    (RFC 3986 §6), derive the SURT key, and extract ``site_key`` — the
+    reversed-host section of the SURT WITHOUT the port (ports are
+    different services but a site read wants both, so they group under
+    the host; the full key still orders them apart). The store writes
+    ``partitionBy(site_key)`` parquet with rows SORTED by ``surt_key``
+    within each partition — every site is its own directory holding a
+    SURT-ordered run, so a per-site scan is a directory read (parquet
+    partition pruning; asserted in tests/test_surt_index.py) and a
+    key-range probe within a site never sorts.
+
+    The same physical-layout-is-the-index pattern as
+    ``plans/ann_index.py``'s cell store: pay the shuffle once at
+    publish, then every per-site access lists one directory out of
+    millions instead of shuffling the 100 TB URL fact table."""
+    from ..functions.url import url_canonicalize, url_surt
+
+    # stage canonical url, then the surt key, as REAL columns —
+    # url_surt references its input several times (the measured
+    # expression-blowup lesson at web_url_surt_keys)
+    staged = urls.select(
+        "*", url_canonicalize(F.col("url")).alias("__c")
+    ).select(
+        *[c for c in urls.columns],
+        url_surt(F.col("__c")).alias("surt_key"),
+    )
+    keyed = staged.withColumn(
+        "site_key", F.regexp_extract("surt_key", r"^([^):]*)[):]", 1)
+    )
+    # sort by (site_key, surt_key): the dynamic-partition writer
+    # REQUIRES an ordering on the partition column and would insert its
+    # own (unstable) sort if the data didn't already satisfy it —
+    # destroying the surt order; leading with site_key makes the
+    # existing sort satisfy the requirement, so the per-site surt run
+    # survives into the files
+    (
+        keyed.repartition("site_key")
+        .sortWithinPartitions("site_key", "surt_key")
+        .write.mode("overwrite")
+        .partitionBy("site_key")
+        .parquet(out_dir)
+    )
+
+
+def surt_site_read(
+    spark: SparkSession, idx_dir: str, site_key: str
+) -> DataFrame:
+    """Read ONE site's rows from a ``persist_surt_index`` store. The
+    equality filter on the partition column prunes at PLANNING time —
+    the scan lists exactly one directory (PartitionFilters in the
+    plan; file-level assertion in tests/test_surt_index.py) and rows
+    arrive in SURT order within each file."""
+    return spark.read.parquet(idx_dir).filter(
+        F.col("site_key") == site_key
+    )
+
+
+# per-process memo: sf_dir -> temp dir holding the persisted SURT store
+# (the retrieval._SERVED_WORK pattern: dies with the process, amortizes
+# across a bench/driver session like production's once-per-release build)
+_SURT_WORK: dict[str, str] = {}
+
+
+def _surt_store(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    work = _SURT_WORK.get(key)
+    if work is None:
+        work = tempfile.mkdtemp(prefix="surt_index_")
+        docs = t(spark, sf_dir, "documents").select("doc_id")
+        d = F.col("doc_id")
+        h = (d % 20).cast("string")
+        url = F.concat(
+            F.lit("https://WWW.Site"), h, F.lit(".EXAMPLE"),
+            F.when(d % 5 == 1, F.lit(":8080")).otherwise(F.lit("")),
+            F.lit("/a/"), d.cast("string"),
+            F.when(d % 3 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+        )
+        persist_surt_index(
+            docs.select("doc_id", url.alias("url")), os.path.join(work, "surt")
+        )
+        _SURT_WORK[key] = work
+    return os.path.join(work, "surt")
+
+
+@register(
+    "web_surt_site_read",
+    oracle="""
+    WITH d AS (SELECT doc_id AS d FROM documents WHERE doc_id % 20 = 3)
+    SELECT d AS doc_id,
+           'https://WWW.Site3.EXAMPLE' ||
+             CASE WHEN d % 5 = 1 THEN ':8080' ELSE '' END ||
+             '/a/' || d ||
+             CASE WHEN d % 3 = 0 THEN '?b=2&a=1' ELSE '' END AS url,
+           'example,site3' ||
+             CASE WHEN d % 5 = 1 THEN ':8080' ELSE '' END ||
+             ')/a/' || d ||
+             CASE WHEN d % 3 = 0 THEN '?a=1&b=2' ELSE '' END AS surt_key,
+           'example,site3' AS site_key
+    FROM d
+    """,
+    doc="SURT as an access path: the persisted site-partitioned URL "
+    "store read back for ONE site via partition pruning (one directory "
+    "listed, not a fact-table shuffle); the oracle replays the site's "
+    "rows from the url schedule.",
+)
+def web_surt_site_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The read half of the SURT index cycle, end to end and
+    oracle-checked: the dirty-url schedule from ``web_url_surt_keys``
+    persists once per process as a ``site_key``-partitioned,
+    SURT-sorted parquet store (``persist_surt_index`` — the publish
+    shuffle), and this query performs the per-site access a cc-index
+    serves: read ``site3``'s directory (ports included — ``:8080``
+    rows group under the host by design), every row carrying the full
+    SURT key. The plan prunes to one partition directory
+    (tests/test_surt_index.py asserts the file list); the DuckDB
+    oracle replays the site's membership and keys arithmetically.
+
+    At 100 TB: the publish pays one shuffle by site; every later
+    per-site read lists one directory — the difference between a
+    range scan and a full-index shuffle, same argument as the IVF
+    cell store."""
+    idx = _surt_store(spark, sf_dir)
+    out = surt_site_read(spark, idx, "example,site3")
+    return out.select("doc_id", "url", "surt_key", "site_key")

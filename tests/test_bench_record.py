@@ -301,3 +301,69 @@ def test_canary_fires_on_the_r13_mid_run_load_shape(tmp_path):
         timings, "1", detail_dir=str(tmp_path), canary=r13_shape
     )
     assert "canary_warning" not in json.loads(line)
+
+
+def test_canary_sf1_calibration(tmp_path):
+    """The sf1-rehearsal calibration (round 15, measured loaded/clean
+    pair): at rehearsal scale the retimes are scan-bound/
+    under-subscribed (a deliberate 10-busy-core external load read
+    flagship 0.284 s and cpu 1.334 s — both inside the clean band) and
+    the mid-run max is self-load-dominated (clean peaks 25.2/30.1 vs
+    31.7 loaded), so loadavg AT END is the discriminating probe: clean
+    legs end 10.2-16.5, the loaded leg ended 23.4, and 0.6/core = 19.2
+    splits the bands. Pins: (a) the loaded shape warns via loadavg_end
+    ONLY; (b) every clean observation stays quiet; (c) "1_rehearsal" is
+    now calibrated — the record-never-warn contract moved to truly
+    unknown sfs ("10")."""
+    timings = {"flagship_user_netflow": 0.34}
+    loaded = {
+        "loadavg_start": [8.1, 11.0, 11.3],
+        "loadavg_end": [23.4, 20.0, 16.0],        # the 10-core burn
+        "loadavg_max_between": 31.704,             # < 33.6: quiet
+        "loadavg_max_row": "multimodal_audio_resample_roundtrip",
+        "flagship_retime": 0.284,                  # inside clean band
+        "cpu_row": "classify_nb_lang",
+        "cpu_retime": 1.334,                       # inside clean band
+        "cpus": 32,
+    }
+    line = bench.emit_record(
+        timings, "1_rehearsal", detail_dir=str(tmp_path), canary=loaded
+    )
+    warning = json.loads(line)["canary_warning"]
+    assert "run end 23.4 > 19.2" in warning
+    assert "retime" not in warning and "between-query" not in warning
+    # refs are recorded into the detail for the sf
+    detail = json.loads((tmp_path / bench.DETAIL_NAME).read_bytes())
+    assert detail["canary"]["flagship_solo_ref"] == 0.33
+    assert detail["canary"]["cpu_solo_ref"] == 1.5
+
+    # every CLEAN sf1 observation from the calibration set stays quiet:
+    # (end, max_between, flagship, cpu) from r13/r13b/r14/r15 legs
+    clean_legs = [
+        (12.76, None, 0.314, 1.489),
+        (10.24, None, 0.269, 1.262),
+        (16.46, 30.132, 0.339, 1.744),
+        (12.83, 25.163, 0.350, 1.431),
+    ]
+    for end, mx, fl, cpu in clean_legs:
+        canary = {
+            "loadavg_start": [2.0, 2.0, 2.0],
+            "loadavg_end": [end, end, end],
+            "flagship_retime": fl,
+            "cpu_row": "classify_nb_lang",
+            "cpu_retime": cpu,
+            "cpus": 32,
+        }
+        if mx is not None:
+            canary["loadavg_max_between"] = mx
+            canary["loadavg_max_row"] = "web_url_canonicalize"
+        line = bench.emit_record(
+            timings, "1_rehearsal", detail_dir=str(tmp_path), canary=canary
+        )
+        assert "canary_warning" not in json.loads(line), (end, mx, fl, cpu)
+
+    # truly uncalibrated sf: record, never warn
+    line = bench.emit_record(
+        timings, "10", detail_dir=str(tmp_path), canary=loaded
+    )
+    assert "canary_warning" not in json.loads(line)

@@ -55,9 +55,10 @@ def test_html_entities_decode_after_tag_strip(spark):
     # the HTML-standard double-escape: &amp;lt; is the TEXT "&lt;"
     text, _ = _extract(spark, "<p>&amp;lt;</p>")
     assert text == "&lt;"
-    # unknown / numeric entities pass through verbatim (documented)
+    # printable-ASCII numeric references decode (round 15); unknown
+    # NAMED entities still pass through verbatim (documented)
     text, _ = _extract(spark, "<p>&#x41; &copy; &nbsp;x</p>")
-    assert text == "&#x41; &copy; x"
+    assert text == "A &copy; x"
 
 
 def test_html_whitespace_and_blocks(spark):
@@ -323,3 +324,48 @@ def test_html_meta_content_literal_name_binding(spark):
     for (h, wr, wd), g in zip(rows, got):
         assert g["r"] == wr, (h, g["r"])
         assert g["d"] == wd, (h, g["d"])
+
+
+def test_html_numeric_character_references(spark):
+    """Bounded numeric-reference decode (round 15): printable-ASCII
+    decimal and hex forms decode in text and hrefs; the HTML standard's
+    one-pass semantics hold (&#38;lt; is the TEXT "&lt;" — a decoded
+    ampersand never combines into a named entity; &amp;#47; is the
+    TEXT "&#47;"); out-of-band codepoints, unterminated and over-long
+    references pass through verbatim."""
+    from eth_event_stream_spark.functions.html import (
+        html_links,
+        html_to_text,
+    )
+
+    rows = [
+        ("<p>&#47;&#x2F;</p>", "//"),
+        ("<p>a&#32;b</p>", "a b"),
+        ("<p>&#65;&#x41;</p>", "AA"),
+        # one-pass decode semantics
+        ("<p>&#38;lt;</p>", "&lt;"),
+        ("<p>&amp;#47;</p>", "&#47;"),
+        ("<p>&#38;amp;</p>", "&amp;"),
+        ("<p>&#38; B</p>", "& B"),
+        # boundaries: control code, beyond-ASCII, unterminated, overlong
+        ("<p>&#7;</p>", "&#7;"),
+        ("<p>&#233;</p>", "&#233;"),
+        ("<p>&#x10FFFF;</p>", "&#x10FFFF;"),
+        ("<p>&#47</p>", "&#47"),
+        ("<p>&#12345678;</p>", "&#12345678;"),
+        ("<p>tail&#</p>", "tail&#"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "h string")
+    got = [r[0] for r in df.select(html_to_text("h")).collect()]
+    for (h, want), g in zip(rows, got):
+        assert g == want, (h, g)
+
+    # href harvest: the frontier-critical case — encoded slashes and a
+    # numeric-escaped query separator inside an anchor
+    page = (
+        '<a href="&#47;p&#x2F;1&#63;a=1&#38;b=2">x</a>'
+        '<a href="&#104;ttps://h.example/">y</a>'
+    )
+    df2 = spark.createDataFrame([(page,)], "h string")
+    links = df2.select(html_links("h")).collect()[0][0]
+    assert links == ["/p/1?a=1&b=2", "https://h.example/"]

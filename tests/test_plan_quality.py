@@ -343,6 +343,17 @@ PLAN_EXPECTATIONS = {
     "ingest_wet_roundtrip": [r"Scan ExistingRDD"],
     # page-level robots: codegen string work, no join, no explode
     "web_page_robots": [r"Project"],
+    # WAT publish round trip: the read-back runs entirely behind the
+    # published-bytes checkpoint (ExistingRDD), JSON envelope parse is
+    # Catalyst from_json — no join at all after the publish
+    "ingest_wat_roundtrip": [r"Scan ExistingRDD"],
+    # robots refetch: dim-scale joins + codegen freshness — never the
+    # URL fact table
+    "web_robots_refetch": [r"Project"],
+    # SURT access path: the per-site read prunes at PLANNING time —
+    # the site equality must land in PartitionFilters (directory
+    # listing), never in DataFilters over the row columns
+    "web_surt_site_read": [r"PartitionFilters: \[[^\]]*site_key"],
     # PII scrub: codegen string work fused into the scan
     "curation_pii_redaction": [r"Project"],
 }
@@ -411,6 +422,8 @@ JVM_ONLY = [
     "web_recrawl_fetch_list",
     "web_page_robots",
     "curation_pii_redaction",
+    "web_robots_refetch",
+    "web_surt_site_read",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]

@@ -2271,3 +2271,155 @@ def test_stream_warc_revisit_resolution_parity(spark, sf_dir, tmp_path):
         q.stop()
     got = {tuple(r) for r in spark.table("revisit_stream_sink").collect()}
     assert got == batch
+
+
+def test_stream_redirect_resolution_parity(spark, tmp_path):
+    """Streaming twin of redirect resolution (round 15): newly fetched
+    rows arrive file-by-file and their chains resolve against the
+    STATIC response snapshot (``response_index`` — the pages already
+    fetched), the same shape as the revisit twin. Stream-static left
+    joins per hop are append-mode legal; every micro-batch row yields
+    exactly the batch verdict."""
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.plans.web import resolve_redirects
+
+    docs = spark.range(64).select(F.col("id").alias("doc_id"))
+    d = F.col("doc_id")
+    resp = docs.select(
+        F.concat(F.lit("https://r.example/u"), d.cast("string")).alias("url"),
+        F.when(d % 4 == 0, F.lit(200)).otherwise(F.lit(301)).alias("status"),
+        F.when(d % 4 == 0, F.lit(None).cast("string"))
+        .when(
+            d % 7 == 0,
+            F.concat(F.lit("https://missing.example/"), d.cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://r.example/u"), (d - 1).cast("string"))
+        )
+        .alias("location"),
+    )
+    src = tmp_path / "redirect_stream"
+    resp.repartition(4).write.parquet(str(src))
+    stored = spark.read.parquet(str(src))
+    static_index = stored.localCheckpoint(eager=True)
+    batch = {
+        tuple(r)
+        for r in resolve_redirects(
+            stored, max_hops=5, response_index=static_index
+        ).collect()
+    }
+    # the snapshot semantics match the self-indexed batch on this data
+    assert batch == {
+        tuple(r) for r in resolve_redirects(stored, max_hops=5).collect()
+    }
+    assert any(not r[-1] for r in batch)  # some dangling/over-bound
+
+    sdf = (
+        spark.readStream.schema(stored.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        resolve_redirects(sdf, max_hops=5, response_index=static_index)
+        .writeStream.format("memory")
+        .queryName("redirect_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_redirect"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.table("redirect_stream_sink").collect()}
+    assert got == batch
+
+
+def test_stream_recrawl_actions_parity(spark, tmp_path):
+    """Streaming twin of the recrawl plan's STATELESS half (round 15):
+    freshness gate + RFC 9110 validator choice classify each stored
+    response independently, so fetched rows can be classified at
+    ingest — ``recrawl_fetch_actions`` runs unchanged on a stream in
+    append mode. Only the per-domain politeness ORDERING (the
+    ``row_number`` over the assembled stale set in
+    ``recrawl_fetch_list``) is inherently batch-side; this parity pin
+    documents exactly that split."""
+    import calendar
+
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.plans.web import recrawl_fetch_actions
+
+    docs = spark.range(64).select(F.col("id").alias("doc_id"))
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    h = d % 20
+    cc = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit("Cache-Control: public, max-age="),
+            (600 * (1 + d % 5)).cast("string"),
+            F.when(d % 11 == 3, F.lit(", no-store")).otherwise(F.lit("")),
+            F.lit("\r\n"),
+        ),
+    ).when(d % 11 == 3, F.lit("Cache-Control: no-store\r\n")).otherwise(
+        F.lit("")
+    )
+    hdr = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\n"),
+        F.lit("Date: Thu, 01 Jan 2026 00:00:00 GMT\r\n"),
+        cc,
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("Age: "), ((d % 7) * 10).cast("string"), F.lit("\r\n")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0, F.concat(F.lit('ETag: "e'), ds, F.lit('"\r\n'))
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 2 == 0,
+            F.lit("Last-Modified: Thu, 01 Jan 2026 00:00:00 GMT\r\n"),
+        ).otherwise(F.lit("")),
+        F.lit("Content-Type: text/html"),
+    )
+    resp = docs.select(
+        F.concat(
+            F.lit("https://site"), h.cast("string"), F.lit(".example/p/"), ds
+        ).alias("url"),
+        F.concat(F.lit("site"), h.cast("string"), F.lit(".example")).alias(
+            "domain"
+        ),
+        hdr.alias("http_headers"),
+    )
+    src = tmp_path / "recrawl_stream"
+    resp.repartition(4).write.parquet(str(src))
+    stored = spark.read.parquet(str(src))
+    as_of = 1800 + calendar.timegm((2026, 1, 1, 0, 0, 0))
+    staged = recrawl_fetch_actions(stored, as_of)
+    idx = staged.columns.index("action")
+    batch = {tuple(r) for r in staged.collect()}
+    acts = {r[idx] for r in batch}
+    assert {"skip", "conditional_etag", "conditional_modified", "full"} <= acts
+
+    sdf = (
+        spark.readStream.schema(stored.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        recrawl_fetch_actions(sdf, as_of)
+        .writeStream.format("memory")
+        .queryName("recrawl_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_recrawl"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.table("recrawl_stream_sink").collect()}
+    assert got == batch

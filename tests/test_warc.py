@@ -425,3 +425,68 @@ def test_pair_requests_responses_semantics(spark):
     assert got[4] == (None, None, False)
     # one row per REQUEST only (the response row itself is not emitted)
     assert len(got) == 4
+
+
+def test_wat_publish_roundtrip(spark):
+    """WAT lane (round 15): linked pages publish as metadata-record
+    .warc.gz archives whose JSON envelope and linkage read back from
+    the published bytes; re-publishing unchanged metadata is
+    byte-identical (release diffing contract, same as WET)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.operators.ingest import (
+        documents_as_warc_linked,
+        documents_to_wat,
+        warc_http_responses,
+        warc_metadata_records,
+    )
+    from eth_event_stream_spark.functions.html import html_links
+    from eth_event_stream_spark.functions.http import http_header
+
+    docs = spark.createDataFrame([(5,), (6,)], "doc_id long")
+    pages = warc_http_responses(documents_as_warc_linked(docs))
+    harvested = pages.select(
+        "archive_id",
+        "url",
+        F.concat(
+            F.lit("<urn:uuid:"),
+            F.lpad(
+                F.lower(F.conv(F.col("archive_id").cast("string"), 10, 16)),
+                32,
+                "0",
+            ),
+            F.lit(">"),
+        ).alias("refers_to"),
+        http_header("http_headers", "Content-Type").alias("content_type"),
+        html_links("body_text").alias("links"),
+    )
+    wat1 = {r["archive_id"]: bytes(r["payload"])
+            for r in documents_to_wat(harvested).collect()}
+    wat2 = {r["archive_id"]: bytes(r["payload"])
+            for r in documents_to_wat(harvested).collect()}
+    assert wat1 == wat2  # byte-reproducible publish
+    back = {
+        r["archive_id"]: r.asDict()
+        for r in warc_metadata_records(
+            documents_to_wat(harvested)
+        ).collect()
+    }
+    for d in (5, 6):
+        r = back[d]
+        assert r["rectype"] == "metadata"
+        assert r["record_id"] == f"<urn:uuid:wat-{d}>"
+        assert r["refers_to"] == f"<urn:uuid:{d:032x}>"
+        assert r["url"] == f"https://site{d % 20}.example/dir/page{d}"
+        assert r["content_type"] == "application/json"
+        env = json.loads(r["json_text"])["Envelope"]
+        assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == r["url"]
+        meta = env["Payload-Metadata"]["HTTP-Response-Metadata"]
+        assert meta["Headers"]["Content-Type"] == "text/html; charset=utf-8"
+        links = [x["url"] for x in meta["HTML-Metadata"]["Links"]]
+        want = [f"g{d}", f"/abs/{d}?b=2&a=1", f"https://cdn.example/x/{d}"]
+        if d % 2 == 0:
+            want.append(f"?q={d}")
+        assert links == want
+        assert r["n_bytes"] == len(r["json_text"].encode())
