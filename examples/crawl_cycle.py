@@ -108,13 +108,26 @@ def main() -> None:
         f"{n_unres} unresolved; {stored} B stored vs {logical} B logical"
     )
 
-    # -- 6. audit ---------------------------------------------------------
+    # -- 6. publish ------------------------------------------------------
+    # derive the WAT metadata member of the WARC/WAT/WET triple from the
+    # round's pages and read the linkage back from the published bytes
+    wat = QUERIES["ingest_wat_roundtrip"].fn(spark, sf_dir)
+    n_wat = wat.count()
+    n_linked = wat.filter(F.col("refers_to").isNotNull()).count()
+    links_total = wat.agg(F.sum("n_links").alias("n")).collect()[0]["n"]
+    print(
+        f"publish: {n_wat} WAT records, {n_linked} linked to their "
+        f"source response, {links_total} outlinks recorded"
+    )
+
+    # -- 7. audit ---------------------------------------------------------
     audit = QUERIES["web_politeness_audit"].fn(spark, sf_dir)
     n_domains = audit.count()
     n_bad = audit.filter(~F.col("compliant")).count()
     print(f"audit: {n_domains} domains, {n_bad} violated their Crawl-delay")
 
     assert n_out > 0 and n_based > 0 and n_rev > 0 and logical > stored
+    assert n_wat == n_linked and links_total > n_wat
     print("crawl cycle complete")
     spark.stop()
 
