@@ -273,6 +273,12 @@ HEADLINE = [
     # store, per-site read via partition pruning (build amortized once
     # per process, the ann_index/serving pattern)
     "web_surt_site_read",
+    # r15-extended: webgraph from published WAT bytes (the sidecar
+    # read that avoids re-parsing HTML)
+    "web_wat_outlink_edges",
+    # r15-extended: SURT key-range probe (partition prune + pushed
+    # startswith over the sorted runs)
+    "web_surt_prefix_read",
 ]
 
 

@@ -3307,6 +3307,42 @@ def ingest_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _published_wat_records(spark: SparkSession, sf_dir: str):
+    """The shared WAT publish flow: linked pages in real response
+    archives -> HTTP parse -> Catalyst link harvest -> metadata-record
+    WAT archives -> parsed back. Returns the ``warc_metadata_records``
+    read-back (everything downstream reads PUBLISHED bytes). Used by
+    the round-trip row and the webgraph-from-WAT edge list."""
+    from ..functions.html import html_links
+    from ..functions.http import http_header
+    from ..operators.ingest import (
+        documents_as_warc_linked,
+        documents_to_wat,
+        warc_http_responses,
+        warc_metadata_records,
+    )
+
+    docs = t_parallel(spark, sf_dir, "documents").select("doc_id")
+    pages = warc_http_responses(documents_as_warc_linked(docs))
+    harvested = pages.select(
+        "archive_id",
+        "url",
+        F.concat(
+            F.lit("<urn:uuid:"),
+            F.lpad(
+                F.lower(F.conv(F.col("archive_id").cast("string"), 10, 16)),
+                32,
+                "0",
+            ),
+            F.lit(">"),
+        ).alias("refers_to"),
+        http_header("http_headers", "Content-Type").alias("content_type"),
+        html_links("body_text").alias("links"),
+    )
+    wat = documents_to_wat(harvested).localCheckpoint(eager=False)
+    return warc_metadata_records(wat)
+
+
 @register(
     "ingest_wat_roundtrip",
     oracle=r"""
@@ -3377,34 +3413,7 @@ def ingest_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse), bytes partition-local throughout; the JSON envelope parse
     is Catalyst ``from_json`` — deriving WAT from a crawl costs the
     same shape as reading it back."""
-    from ..functions.html import html_links
-    from ..functions.http import http_header
-    from ..operators.ingest import (
-        documents_as_warc_linked,
-        documents_to_wat,
-        warc_http_responses,
-        warc_metadata_records,
-    )
-
-    docs = t_parallel(spark, sf_dir, "documents").select("doc_id")
-    pages = warc_http_responses(documents_as_warc_linked(docs))
-    harvested = pages.select(
-        "archive_id",
-        "url",
-        F.concat(
-            F.lit("<urn:uuid:"),
-            F.lpad(
-                F.lower(F.conv(F.col("archive_id").cast("string"), 10, 16)),
-                32,
-                "0",
-            ),
-            F.lit(">"),
-        ).alias("refers_to"),
-        http_header("http_headers", "Content-Type").alias("content_type"),
-        html_links("body_text").alias("links"),
-    )
-    wat = documents_to_wat(harvested).localCheckpoint(eager=False)
-    back = warc_metadata_records(wat)
+    back = _published_wat_records(spark, sf_dir)
     links_schema = "array<struct<url:string>>"
     parsed = back.select(
         "archive_id",
@@ -3442,4 +3451,82 @@ def ingest_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("__links", -1)["url"].alias("last_link"),
         "n_bytes",
         "wat_json",
+    )
+
+
+@register(
+    "web_wat_outlink_edges",
+    oracle="""
+    WITH d AS (SELECT doc_id AS d, doc_id % 20 AS h FROM documents),
+    base AS (
+      SELECT d, h, 'https://site' || h || '.example' AS root FROM d),
+    l AS (
+      SELECT d, h, CAST(0 AS BIGINT) AS link_idx,
+             root || '/dir/g' || d AS outlink,
+             'site' || h || '.example' AS target_host FROM base
+      UNION ALL
+      SELECT d, h, 1, root || '/abs/' || d || '?b=2&a=1',
+             'site' || h || '.example' FROM base
+      UNION ALL
+      SELECT d, h, 2, 'https://cdn.example/x/' || d, 'cdn.example'
+      FROM base
+      UNION ALL
+      SELECT d, h, 3, root || '/dir/page' || d || '?q=' || d,
+             'site' || h || '.example' FROM base WHERE d % 2 = 0)
+    SELECT d AS archive_id, link_idx, outlink, target_host FROM l
+    """,
+    doc="Webgraph from WAT: the outlink edge list built from PUBLISHED "
+    "WAT bytes only (page url from the record header, raw hrefs from "
+    "the JSON envelope, resolved + canonicalized in Catalyst) — the "
+    "Common Crawl workflow that avoids re-parsing HTML; the oracle "
+    "replays every edge.",
+)
+def web_wat_outlink_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reason WAT exists, exercised end to end: build the link
+    graph WITHOUT touching HTML. The published WAT archives
+    (``_published_wat_records`` — same flow as the round-trip row) are
+    the ONLY input past the publish: each record's page URL comes from
+    the WARC header, its raw harvested hrefs from the JSON envelope
+    (``from_json`` + ``posexplode``), and the edge targets resolve
+    (RFC 3986 §5.2 against the page URL) and canonicalize in pure
+    Catalyst — resolve staged as a real column before canonicalize,
+    the measured expression-tree lesson. Output one row per edge:
+    (archive_id, link_idx, outlink, target_host); the DuckDB oracle
+    replays all of them, so a dropped link, an unresolved relative
+    ref, or an unsorted query breaks the hash.
+
+    At 100 TB: this is why a crawl publishes WAT at all — the graph
+    build reads the metadata sidecar (a small fraction of the corpus
+    bytes) instead of re-parsing every page; one Arrow parse pass,
+    then codegen explode/resolve, no shuffle until the caller
+    aggregates."""
+    from ..functions.url import url_canonicalize, url_resolve
+
+    back = _published_wat_records(spark, sf_dir)
+    links = back.select(
+        "archive_id",
+        F.col("url").alias("page_url"),
+        F.posexplode(
+            F.from_json(
+                F.get_json_object(
+                    "json_text",
+                    "$.Envelope.Payload-Metadata.HTTP-Response-Metadata"
+                    ".HTML-Metadata.Links",
+                ),
+                "array<struct<url:string>>",
+            )
+        ).alias("link_idx", "l"),
+    )
+    staged = links.select(
+        "archive_id",
+        F.col("link_idx").cast("bigint"),
+        url_resolve("page_url", F.col("l")["url"]).alias("__resolved"),
+    )
+    return staged.select(
+        "archive_id",
+        "link_idx",
+        url_canonicalize(F.col("__resolved")).alias("outlink"),
+    ).withColumn(
+        "target_host",
+        F.regexp_extract("outlink", r"^[a-z]+://([^/]+)", 1),
     )

@@ -4020,3 +4020,56 @@ def web_surt_site_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _surt_store(spark, sf_dir)
     out = surt_site_read(spark, idx, "example,site3")
     return out.select("doc_id", "url", "surt_key", "site_key")
+
+
+def surt_prefix_read(
+    spark: SparkSession, idx_dir: str, site_key: str, key_prefix: str
+) -> DataFrame:
+    """The range half of the SURT access path: one site's directory
+    (partition-pruned, as ``surt_site_read``) further narrowed to a
+    SURT KEY PREFIX — a per-path-subtree probe. Because the store's
+    files hold surt-sorted runs, the ``startswith`` predicate reaches
+    the parquet scan (``PushedFilters: StringStartsWith(surt_key``,
+    plan-gated) where row-group min/max stats skip non-overlapping
+    ranges — at cc-index scale the difference between reading a path
+    subtree and reading the site."""
+    return spark.read.parquet(idx_dir).filter(
+        (F.col("site_key") == site_key)
+        & F.col("surt_key").startswith(key_prefix)
+    )
+
+
+@register(
+    "web_surt_prefix_read",
+    oracle="""
+    WITH d AS (SELECT doc_id AS d FROM documents
+               WHERE doc_id % 20 = 3 AND CAST(doc_id AS VARCHAR) LIKE '1%')
+    SELECT d AS doc_id,
+           'https://WWW.Site3.EXAMPLE/a/' || d ||
+             CASE WHEN d % 3 = 0 THEN '?b=2&a=1' ELSE '' END AS url,
+           'example,site3)/a/' || d ||
+             CASE WHEN d % 3 = 0 THEN '?a=1&b=2' ELSE '' END AS surt_key,
+           'example,site3' AS site_key
+    FROM d
+    """,
+    doc="SURT range probe: partition prune to one site, then a surt_key "
+    "prefix predicate pushed to the parquet scan (row-group stats over "
+    "sorted runs); the oracle replays the subtree membership.",
+)
+def web_surt_prefix_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The path-subtree read a cc-index serves, end to end and
+    oracle-checked: the per-process SURT store (same build as
+    ``web_surt_site_read``) probed for site3's ``/a/1...`` key range —
+    partition pruning lists one directory, the prefix predicate lands
+    in PushedFilters over the sorted run. The DuckDB oracle replays
+    the subtree membership arithmetically.
+
+    At 100 TB: partition prune (directory) x row-group prune (sorted
+    min/max) is what turns a trillion-row URL index into a two-level
+    seek — the read cost tracks the SUBTREE size, not the site or the
+    corpus."""
+    idx = _surt_store(spark, sf_dir)
+    out = surt_prefix_read(
+        spark, idx, "example,site3", "example,site3)/a/1"
+    )
+    return out.select("doc_id", "url", "surt_key", "site_key")

@@ -354,6 +354,16 @@ PLAN_EXPECTATIONS = {
     # the site equality must land in PartitionFilters (directory
     # listing), never in DataFilters over the row columns
     "web_surt_site_read": [r"PartitionFilters: \[[^\]]*site_key"],
+    # SURT range probe: the prefix predicate must REACH the parquet
+    # scan (row-group stats over the sorted runs), on top of the same
+    # partition prune
+    "web_surt_prefix_read": [
+        r"PartitionFilters: \[[^\]]*site_key",
+        r"PushedFilters: \[[^\]]*StringStartsWith\(surt_key",
+    ],
+    # webgraph from WAT: everything past the publish reads the
+    # checkpointed published bytes; the explode is the only Generate
+    "web_wat_outlink_edges": [r"Scan ExistingRDD", r"Generate"],
     # PII scrub: codegen string work fused into the scan
     "curation_pii_redaction": [r"Project"],
 }
@@ -424,6 +434,7 @@ JVM_ONLY = [
     "curation_pii_redaction",
     "web_robots_refetch",
     "web_surt_site_read",
+    "web_surt_prefix_read",
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]
