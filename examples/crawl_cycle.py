@@ -120,7 +120,14 @@ def main() -> None:
         f"source response, {links_total} outlinks recorded"
     )
 
-    # -- 7. audit ---------------------------------------------------------
+    # -- 7. robots cache -------------------------------------------------
+    # RFC 9309 §2.4: which domains' cached robots verdicts expired
+    refetch = QUERIES["web_robots_refetch"].fn(spark, sf_dir)
+    n_dom = refetch.count()
+    n_refetch = refetch.filter(F.col("refetch")).count()
+    print(f"robots cache: {n_refetch}/{n_dom} domains due for refetch")
+
+    # -- 8. audit ---------------------------------------------------------
     audit = QUERIES["web_politeness_audit"].fn(spark, sf_dir)
     n_domains = audit.count()
     n_bad = audit.filter(~F.col("compliant")).count()
@@ -128,6 +135,7 @@ def main() -> None:
 
     assert n_out > 0 and n_based > 0 and n_rev > 0 and logical > stored
     assert n_wat == n_linked and links_total > n_wat
+    assert 0 < n_refetch < n_dom
     print("crawl cycle complete")
     spark.stop()
 

@@ -2423,3 +2423,69 @@ def test_stream_recrawl_actions_parity(spark, tmp_path):
         q.stop()
     got = {tuple(r) for r in spark.table("recrawl_stream_sink").collect()}
     assert got == batch
+
+
+def test_stream_wat_derivation_parity(spark, tmp_path):
+    """Streaming twin of the WAT derivation (round 15): harvested pages
+    arrive file-by-file and publish as metadata-record WAT archives
+    in-stream — the derivation is per-page stateless (one Arrow pass),
+    so append mode is legal and every micro-batch's published BYTES are
+    identical to the batch publish (the sorted-key JSON envelope and
+    pinned gzip mtime make records byte-reproducible)."""
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.functions.html import html_links
+    from eth_event_stream_spark.functions.http import http_header
+    from eth_event_stream_spark.operators.ingest import (
+        documents_as_warc_linked,
+        documents_to_wat,
+        warc_http_responses,
+    )
+
+    docs = spark.range(32).select(F.col("id").alias("doc_id"))
+    harvested = warc_http_responses(documents_as_warc_linked(docs)).select(
+        "archive_id",
+        "url",
+        F.concat(
+            F.lit("<urn:uuid:"),
+            F.lpad(
+                F.lower(F.conv(F.col("archive_id").cast("string"), 10, 16)),
+                32,
+                "0",
+            ),
+            F.lit(">"),
+        ).alias("refers_to"),
+        http_header("http_headers", "Content-Type").alias("content_type"),
+        html_links("body_text").alias("links"),
+    )
+    src = tmp_path / "wat_stream"
+    harvested.repartition(4).write.parquet(str(src))
+    stored = spark.read.parquet(str(src))
+    batch = {
+        r["archive_id"]: bytes(r["payload"])
+        for r in documents_to_wat(stored).collect()
+    }
+    assert len(batch) == 32
+
+    sdf = (
+        spark.readStream.schema(stored.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        documents_to_wat(sdf)
+        .writeStream.format("memory")
+        .queryName("wat_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_wat"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["archive_id"]: bytes(r["payload"])
+        for r in spark.table("wat_stream_sink").collect()
+    }
+    assert got == batch  # byte-identical published archives
