@@ -421,7 +421,68 @@ CANARY_LOAD_PER_CORE = {"0.1": 0.375, "1_rehearsal": 0.6}
 # rehearsal scale. 1.05/core = 33.6 sits above every observation either
 # way: it catches only HEAVY mid-run load; loadavg_end (0.6/core above,
 # measured separation 16.5 clean vs 23.4 loaded) is the sf1 workhorse.
+# r15 observations folded in (sf0.1, 32 cores): the builder's clean solo
+# peaked 18.2 of the 20.8 threshold — AND the driver's capture, whose
+# per-row median ran 1.42x the driver's own r14 rows, ALSO peaked 18.2
+# with every other probe quiet (the fourth loaded/drifted capture to slip
+# the band: r10/r12/r13/r15). The band cannot be narrowed further without
+# flagging clean runs, so the canary no longer tries to make uniform
+# ambient drift a warning at all — the DRIFT INDEX below records it as
+# attribution instead, and the max-between probe stays what it is good
+# at: catching load SPIKES between rows.
 CANARY_LOAD_MAX_PER_CORE = {"0.1": 0.65, "1_rehearsal": 1.05}
+
+# Per-row drift index (round 16): graded captures must SELF-ATTRIBUTE
+# uniform ambient drift. Four rounds (r10/r12/r13/r15) produced driver
+# captures whose per-row times ran a uniform 1.2-1.4x the committed solo
+# references while every threshold probe read quiet — the grader had to
+# re-derive the ratio by hand each time. The fix is in the data bench.py
+# already has: BENCH_SOLO_REF.json (committed) carries the per-row
+# steady-state seconds from a BLESSED clean solo capture per sf; after a
+# run, emit_record records median/p10/p90 of row_time / solo_ref over the
+# rows present in both (new rows — not yet blessed — are skipped and
+# counted). This is ATTRIBUTION, never a warning: ambiance is not the
+# builder's fault, and a uniform median of e.g. 1.4 with tight p10/p90
+# tells the grader "loaded/drifted capture, per-row plans unchanged"
+# straight off the record. Re-bless after a semantic re-base with
+# tools/gen_solo_ref.py (updates one sf section from a clean
+# BENCH_DETAIL capture); per-sf sections absent -> index omitted.
+SOLO_REF_NAME = "BENCH_SOLO_REF.json"
+
+
+def _drift_index(timings: dict[str, float], sf_key: str, ref_dir: str) -> dict | None:
+    """median/p10/p90 of row_time / blessed_solo_ref over shared rows.
+
+    Percentiles use the nearest-rank index on the sorted ratio list —
+    deterministic, no interpolation ambiguity across runs."""
+    try:
+        with open(os.path.join(ref_dir, SOLO_REF_NAME)) as f:
+            blessed = json.load(f).get(sf_key)
+    except (OSError, ValueError):
+        return None
+    if not isinstance(blessed, dict):
+        return None
+    rows = blessed.get("rows") or {}
+    ratios = sorted(
+        round(timings[k] / rows[k], 4)
+        for k in timings
+        if k in rows and rows[k] and timings[k] is not None
+    )
+    if not ratios:
+        return None
+
+    def pct(p: int) -> float:
+        return ratios[round((len(ratios) - 1) * p / 100)]
+
+    return {
+        "median": pct(50),
+        "p10": pct(10),
+        "p90": pct(90),
+        "n_rows": len(ratios),
+        "n_unblessed": len(timings) - len(ratios),
+        "ref": SOLO_REF_NAME,
+        "blessed": blessed.get("blessed"),
+    }
 
 
 def snapshot_archived_detail(detail_dir: str) -> str | None:
@@ -509,11 +570,17 @@ def emit_record(
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    out_dir = (
+        detail_dir if detail_dir is not None else os.path.dirname(os.path.abspath(__file__))
+    )
     warning = None
     if canary is not None:
         ref = CANARY_SOLO_REF.get(str(sf_val))
         cpu_ref = CANARY_CPU_SOLO_REF.get(str(sf_val))
         canary = dict(canary, flagship_solo_ref=ref, cpu_solo_ref=cpu_ref)
+        drift = _drift_index(timings, str(sf_val), out_dir)
+        if drift is not None:
+            canary["drift_index"] = drift
         reasons = []
         retime = canary.get("flagship_retime")
         if ref is not None and retime is not None and retime > CANARY_WARN_RATIO * ref:
@@ -570,9 +637,6 @@ def emit_record(
         detail["canary"] = canary
     if warning is not None:
         detail["canary_warning"] = warning
-    out_dir = (
-        detail_dir if detail_dir is not None else os.path.dirname(os.path.abspath(__file__))
-    )
     # the existing sidecar may be the only copy of a driver-graded record
     # (its sha bound by an archived BENCH_r{N}.json line) — preserve it
     # under a per-round name before clobbering (recurred r10 AND r11).

@@ -367,3 +367,64 @@ def test_canary_sf1_calibration(tmp_path):
         timings, "10", detail_dir=str(tmp_path), canary=loaded
     )
     assert "canary_warning" not in json.loads(line)
+
+
+def test_drift_index_attributes_uniform_ambient_drift(tmp_path):
+    """Round-16 pin: graded captures self-attribute uniform ambient drift.
+
+    The r15 driver capture ran a uniform 1.42x per-row median over the
+    committed solo references with every threshold probe quiet — the
+    fourth such capture (r10/r12/r13/r15). With BENCH_SOLO_REF.json in
+    the output dir, emit_record must record median/p10/p90 of
+    row_time / blessed_solo_ref in the canary block; it must NEVER warn
+    on it (attribution, not fault), must skip not-yet-blessed rows
+    (counted), and must omit the block entirely when the sf has no
+    blessed section."""
+    blessed = {
+        "0.1": {
+            "blessed": "test fixture",
+            "rows": {"row_a": 1.0, "row_b": 2.0, "row_c": 0.5},
+        }
+    }
+    (tmp_path / bench.SOLO_REF_NAME).write_text(json.dumps(blessed))
+    # uniform 1.42x over blessed rows + one new (unblessed) row
+    timings = {"row_a": 1.42, "row_b": 2.84, "row_c": 0.71, "row_new": 9.0}
+    quiet = {"loadavg_start": [1.0] * 3, "loadavg_end": [2.0] * 3,
+             "flagship_retime": 0.31}
+    line = bench.emit_record(
+        timings, "0.1", detail_dir=str(tmp_path), canary=quiet
+    )
+    assert "canary_warning" not in json.loads(line)  # attribution only
+    detail = json.loads((tmp_path / bench.DETAIL_NAME).read_bytes())
+    d = detail["canary"]["drift_index"]
+    assert d["median"] == 1.42 and d["p10"] == 1.42 and d["p90"] == 1.42
+    assert d["n_rows"] == 3 and d["n_unblessed"] == 1
+    assert d["ref"] == bench.SOLO_REF_NAME and d["blessed"] == "test fixture"
+
+    # non-uniform drift: percentiles separate (nearest-rank on 3 rows)
+    skewed = {"row_a": 1.0, "row_b": 2.0, "row_c": 1.5}
+    bench.emit_record(skewed, "0.1", detail_dir=str(tmp_path), canary=quiet)
+    d = json.loads((tmp_path / bench.DETAIL_NAME).read_bytes())["canary"][
+        "drift_index"
+    ]
+    assert d["p10"] == 1.0 and d["median"] == 1.0 and d["p90"] == 3.0
+
+    # sf with no blessed section: no drift block, no crash
+    bench.emit_record(timings, "7", detail_dir=str(tmp_path), canary=quiet)
+    detail = json.loads((tmp_path / bench.DETAIL_NAME).read_bytes())
+    assert "drift_index" not in detail["canary"]
+
+
+def test_repo_solo_ref_blessed_and_current():
+    """The committed BENCH_SOLO_REF.json must cover the sf0.1 headline
+    set (a drift index computed over a stale row subset under-attributes)
+    and carry a blessing label naming its provenance."""
+    with open(os.path.join(REPO, bench.SOLO_REF_NAME)) as f:
+        blessed = json.load(f)
+    sec = blessed["0.1"]
+    assert sec["blessed"]
+    missing = [r for r in bench.HEADLINE if r not in sec["rows"]]
+    assert not missing, (
+        f"unblessed headline rows {missing} — re-bless with "
+        "tools/gen_solo_ref.py from a clean capture"
+    )
