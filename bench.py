@@ -279,6 +279,13 @@ HEADLINE = [
     # r15-extended: SURT key-range probe (partition prune + pushed
     # startswith over the sorted runs)
     "web_surt_prefix_read",
+    # round-16 additions (r16-extended): the composed WAT consumer —
+    # host-level weighted edges from published WAT bytes + directed
+    # PageRank with dangling-mass redistribution
+    "web_host_rank",
+    # r16-extended: batched CDX-style lookup — broadcast query batch,
+    # dynamic partition prune to the touched site directories
+    "web_surt_batch_lookup",
 ]
 
 
@@ -336,7 +343,7 @@ def build_short_map(names: list[str]) -> dict[str, str]:
 # within the same set version; compare per-query across versions. The full
 # additions-only history (r4 recomposition through every rN-extended bump)
 # lives in BASELINE.md's membership notes.
-HEADLINE_SET = "r15-extended"
+HEADLINE_SET = "r16-extended"
 
 # Sidecar carrying the FULL per-query map with full names. The archived
 # stdout line is O(1) in registry size (the r7/r8 records were cut by the

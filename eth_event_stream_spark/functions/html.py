@@ -358,3 +358,49 @@ def html_links_followable(col: Column | str) -> Column:
         ),
     )
     return F.transform(followable, lambda x: clean(attr(x, href_pat)))
+
+
+def html_meta_pairs(col: Column | str) -> Column:
+    """Every ``<meta name=... content=...>`` pair in the page head (or
+    body — HTML tolerates both), in document order, as
+    ``array<struct<name:string,content:string>>`` — the harvest a
+    CC-shaped WAT envelope publishes under ``HTML-Metadata.Head.Metas``.
+    ``html_meta_content`` answers a SINGLE literal name; this is the
+    enumerating twin. Same pure-Catalyst discipline: script/style/
+    comment regions are stripped first, one ``regexp_extract_all`` over
+    the meta tags' attribute bodies, then per-element name/content
+    extraction inside array lambdas (the ``html_links_followable``
+    idiom — no explode). Both attribute orders and all three value
+    quoting forms parse; values entity-decode and trim; entries missing
+    either attribute (charset-only metas, property-only OpenGraph tags)
+    are filtered out — this harvest is the name/content family."""
+    c = _strip_invisible(F.col(col) if isinstance(col, str) else col)
+    bodies = F.regexp_extract_all(
+        c, F.lit("(?is)<meta\\b([^>]*)>"), F.lit(1)
+    )
+    name_pat = "(?is)\\sname\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))"
+    content_pat = (
+        "(?is)\\scontent\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))"
+    )
+
+    def attr(x: Column, pat: str) -> Column:
+        out = F.lit("")
+        for g in (2, 3, 4):
+            v = F.regexp_extract(x, pat, g)
+            out = F.when(out != "", out).otherwise(v)
+        return out
+
+    def clean(x: Column) -> Column:
+        return _decode_entities(F.trim(x))
+
+    named = F.filter(
+        bodies,
+        lambda x: (attr(x, name_pat) != "") & (attr(x, content_pat) != ""),
+    )
+    return F.transform(
+        named,
+        lambda x: F.struct(
+            clean(attr(x, name_pat)).alias("name"),
+            clean(attr(x, content_pat)).alias("content"),
+        ),
+    )

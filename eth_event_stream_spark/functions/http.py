@@ -191,3 +191,26 @@ def http_age(col: Column | str) -> Column:
     Content-Length)."""
     v = http_header(col, "Age")
     return F.when(v.rlike(r"^[0-9]+$"), v).cast("bigint")
+
+
+def http_header_pairs(col: Column | str) -> Column:
+    """Every header field of the block, in wire order, as
+    ``array<struct<name:string,value:string>>`` — the full-response-
+    header harvest a CC-shaped WAT envelope publishes under
+    ``HTTP-Response-Metadata.Headers``. ``http_header`` answers a
+    SINGLE literal name; this is the enumerating twin. The status line
+    (no colon before its first space) is excluded by requiring a
+    colon-terminated field name; names and values trim optional
+    whitespace per RFC 9110. Deprecated line folding (obs-fold,
+    RFC 9112 §5.2) is not unfolded — folded continuations lack a colon
+    and drop out, surfacing as a shorter map rather than a corrupt
+    value. Pure Catalyst (split + array lambdas), no UDF."""
+    lines = F.split(http_headers_block(col), r"\r\n")
+    fields = F.filter(lines, lambda x: x.rlike("^[^\\s:][^:]*:"))
+    return F.transform(
+        fields,
+        lambda x: F.struct(
+            F.trim(F.substring_index(x, ":", 1)).alias("name"),
+            F.trim(F.regexp_replace(x, "^[^:]*:", "")).alias("value"),
+        ),
+    )

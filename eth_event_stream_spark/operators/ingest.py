@@ -1025,7 +1025,8 @@ def documents_to_wet(
                     "WARC-Target-URI": url,
                     "Content-Type": "text/plain",
                 }
-                if refers_col:
+                # a NULL linkage is omitted, never serialized as 'None'
+                if refers_col and getattr(tup, refers_col) is not None:
                     headers["WARC-Refers-To"] = str(
                         getattr(tup, refers_col)
                     )
@@ -1055,7 +1056,9 @@ def synth_warc_linked_payload(doc_id: int) -> bytes:
     harvest contract), an absolute ``https://cdn.example/x/{d}``, and a
     query-only ``?q={d}`` ref on even docs — every href a pure string
     function of doc_id so a SQL oracle replays the harvested link list
-    verbatim. Record id ``<urn:uuid:{doc_id:032x}>`` (the same shape the
+    verbatim. The head carries a ``<title>`` and one
+    ``<meta name="description">`` (round 16) — the ``Head`` material a
+    CC-shaped WAT envelope publishes. Record id ``<urn:uuid:{doc_id:032x}>`` (the same shape the
     WET lane derives its ``WARC-Refers-To`` from), gzip mtime pinned."""
     from .warc import encode_warc
 
@@ -1068,8 +1071,9 @@ def synth_warc_linked_payload(doc_id: int) -> bytes:
     if d % 2 == 0:
         anchors += f'<a href="?q={d}">q</a>'
     html = (
-        f"<html><head><title>page {d}</title></head>"
-        f"<body><h1>page {d}</h1>{anchors}</body></html>"
+        f"<html><head><title>page {d}</title>"
+        f'<meta name="description" content="synthetic page {d}">'
+        f"</head><body><h1>page {d}</h1>{anchors}</body></html>"
     ).encode()
     message = (
         b"HTTP/1.1 200 OK\r\n"
@@ -1125,28 +1129,46 @@ def documents_to_wat(
     refers_col: str = "refers_to",
     ctype_col: str = "content_type",
     links_col: str = "links",
+    headers_col: str | None = None,
+    title_col: str | None = None,
+    metas_col: str | None = None,
 ) -> DataFrame:
     """The WRITE side of the WAT pipeline — the third member of the
     Common Crawl derived-format triple (WARC/WAT/WET). One real
     ``.warc.gz`` per page holding a ``metadata`` record (ISO 28500
     §6.9) whose payload is the WAT JSON envelope: the source page's
     ``WARC-Target-URI`` under ``Envelope.WARC-Header-Metadata``, the
-    stored response ``Content-Type`` under
-    ``HTTP-Response-Metadata.Headers``, and the harvested outlinks as
-    ``HTML-Metadata.Links`` (``[{"url": ...}]`` — the shape real WAT
-    files use). A ``WARC-Refers-To`` header points back at the source
-    response record, the same linkage discipline as
-    ``documents_to_wet``. JSON is serialized with sorted keys and
-    compact separators so a re-publish of unchanged metadata is
-    byte-identical (gzip mtime pinned) — release diffing works on WAT
-    exactly as it does on WET. Arrow-batched ``mapInPandas``, bytes
-    partition-local."""
+    response headers under ``HTTP-Response-Metadata.Headers`` — the
+    FULL header map when ``headers_col`` names an
+    ``array<struct<name,value>>`` column (``functions.http.
+    http_header_pairs``; duplicate field names keep the LAST value,
+    a JSON object cannot repeat keys), else the single stored
+    ``Content-Type`` from ``ctype_col`` — and the harvested outlinks
+    as ``HTML-Metadata.Links`` (``[{"path": "A@/href", "url": ...}]``
+    — url plus the ``path`` provenance key real CC WAT link objects
+    carry). When ``title_col``/``metas_col`` are given (``html_title``
+    / ``html_meta_pairs`` harvests), an ``HTML-Metadata.Head`` object
+    publishes the page title and ``<meta name/content>`` list the way
+    CC WAT does. A ``WARC-Refers-To`` header points back at the source
+    response record when the value is non-null (omitted otherwise —
+    an absent linkage must not serialize as the literal string
+    ``None``), the same discipline as ``documents_to_wet``. JSON is
+    serialized with sorted keys and compact separators so a re-publish
+    of unchanged metadata is byte-identical (gzip mtime pinned) —
+    release diffing works on WAT exactly as it does on WET.
+    Arrow-batched ``mapInPandas``, bytes partition-local."""
     import json as _json
 
     from ..shipping import ship_package
 
     ship_package(meta.sparkSession)
-    src = meta.select(id_col, url_col, refers_col, ctype_col, links_col)
+    cols = [id_col, url_col, refers_col, links_col]
+    cols.append(headers_col if headers_col else ctype_col)
+    if title_col:
+        cols.append(title_col)
+    if metas_col:
+        cols.append(metas_col)
+    src = meta.select(*cols)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .warc import encode_warc
@@ -1160,45 +1182,59 @@ def documents_to_wat(
                 # truthiness is ambiguous — test None explicitly
                 raw_links = getattr(tup, links_col)
                 links = [] if raw_links is None else list(raw_links)
+                if headers_col:
+                    raw_h = getattr(tup, headers_col)
+                    hdr_map = {
+                        p["name"]: p["value"]
+                        for p in ([] if raw_h is None else list(raw_h))
+                    }
+                else:
+                    hdr_map = {"Content-Type": getattr(tup, ctype_col)}
+                resp_meta: dict = {
+                    "Headers": hdr_map,
+                    "HTML-Metadata": {
+                        "Links": [
+                            {"path": "A@/href", "url": u} for u in links
+                        ]
+                    },
+                }
+                if title_col or metas_col:
+                    head: dict = {}
+                    if metas_col:
+                        raw_m = getattr(tup, metas_col)
+                        head["Metas"] = [
+                            {"content": p["content"], "name": p["name"]}
+                            for p in ([] if raw_m is None else list(raw_m))
+                        ]
+                    if title_col:
+                        head["Title"] = getattr(tup, title_col)
+                    resp_meta["HTML-Metadata"]["Head"] = head
                 envelope = {
                     "Envelope": {
                         "WARC-Header-Metadata": {"WARC-Target-URI": url},
                         "Payload-Metadata": {
-                            "HTTP-Response-Metadata": {
-                                "Headers": {
-                                    "Content-Type": getattr(tup, ctype_col)
-                                },
-                                "HTML-Metadata": {
-                                    "Links": [{"url": u} for u in links]
-                                },
-                            }
+                            "HTTP-Response-Metadata": resp_meta
                         },
                     }
                 }
                 payload = _json.dumps(
                     envelope, sort_keys=True, separators=(",", ":")
                 ).encode()
+                headers = {
+                    "WARC-Type": "metadata",
+                    "WARC-Record-ID": f"<urn:uuid:wat-{aid}>",
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                    "WARC-Target-URI": url,
+                    "Content-Type": "application/json",
+                }
+                refers = getattr(tup, refers_col)
+                if refers is not None:
+                    headers["WARC-Refers-To"] = str(refers)
                 rows.append(
                     (
                         aid,
                         encode_warc(
-                            [
-                                {
-                                    "headers": {
-                                        "WARC-Type": "metadata",
-                                        "WARC-Record-ID": (
-                                            f"<urn:uuid:wat-{aid}>"
-                                        ),
-                                        "WARC-Date": "2026-01-01T00:00:00Z",
-                                        "WARC-Target-URI": url,
-                                        "Content-Type": "application/json",
-                                        "WARC-Refers-To": str(
-                                            getattr(tup, refers_col)
-                                        ),
-                                    },
-                                    "payload": payload,
-                                }
-                            ],
+                            [{"headers": headers, "payload": payload}],
                             gzip_members=True,
                         ),
                     )

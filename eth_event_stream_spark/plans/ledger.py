@@ -514,6 +514,87 @@ def pagerank_weighted_of(
     return ranks.select("node", "rank_scaled")
 
 
+def pagerank_directed_of(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = _PR_ROUNDS,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Weighted PageRank over a genuinely DIRECTED graph — the variant a
+    web host graph needs, where ``pagerank_of``/``pagerank_weighted_of``'s
+    "every node appears as a src" contract does not hold: a host with
+    in-links but no out-links (a CDN, an image host) is a DANGLING node
+    whose rank mass would silently vanish under the undirected forms'
+    inner joins. Standard dangling treatment in the same BIGINT
+    fixed-point contract as the existing rows: each round, the summed
+    rank of dangling nodes redistributes uniformly —
+
+        rank_v = BASE + (85 * (mass_v + dangling_total div N)) div 100
+
+    with ``mass_v = sum over in-edges((rank_u * w_uv) div wout_u)``,
+    every div a floor on positive operands so DuckDB's ``//`` replays it
+    bit for bit. ``nodes`` is the full node set (one ``node`` column —
+    zero-in-degree nodes keep their base rank via the left join);
+    ``edges`` is (src, dst, w BIGINT), one direction per arc.
+
+    Per-round shape: one src-keyed join + dst-keyed agg (the real
+    shuffle), a LEFT join back to ``nodes`` (node-keyed), the wtot
+    re-attach broadcast (same measured trade-off as ``pagerank_of``'s
+    rejected carried form), and the dangling total as a 1-row
+    broadcast crossJoin — no driver-side scalar, the N constant rides
+    in the same 1-row frame. Overflow headroom: ``85 * total_mass``
+    must stay under LONG, i.e. ~10^5 nodes at scale 1e12 if one node
+    captures ALL mass; promote ``rank_scaled`` to DECIMAL(38,0) (or
+    drop ``_PR_SCALE`` to 1e9) for host graphs beyond that — same
+    documented boundary as ``graph_pagerank``. ``checkpoint_dir`` /
+    ``checkpoint_every`` as in ``pagerank_of``."""
+    mat = _round_boundary(edges, checkpoint_dir)
+    edges = mat(edges)
+    nodes = mat(nodes.select("node"))
+    wtot = edges.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").cast("bigint").alias("wout")
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    # wout NULL marks dangling; the left join keeps every node ranked
+    ranks = mat(
+        nodes.join(wtot, "node", "left").select(
+            "node", F.lit(_PR_SCALE).cast("bigint").alias("rank_scaled"), "wout"
+        )
+    )
+    for rnd in range(rounds):
+        share = (
+            ranks.filter(F.col("wout").isNull())
+            .agg(
+                F.coalesce(F.sum("rank_scaled"), F.lit(0))
+                .cast("bigint")
+                .alias("dmass")
+            )
+            .crossJoin(nn)
+            .select(F.expr("dmass div n_nodes").alias("dang_share"))
+        )
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .groupBy(edges["dst"].alias("node"))
+            .agg(F.sum(F.expr("(rank_scaled * w) div wout")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(share))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({_PR_BASE} + (85 * (coalesce(mass, 0) + dang_share))"
+                    " div 100 AS BIGINT)"
+                ).alias("rank_scaled"),
+            )
+            .join(wtot, "node", "left")
+        )
+        if rnd < rounds - 1 and (rnd + 1) % checkpoint_every == 0:
+            ranks = mat(ranks)
+    return ranks.select("node", "rank_scaled")
+
+
 _SQL_TRIANGLES = """
 WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 e AS (

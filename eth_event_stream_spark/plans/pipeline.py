@@ -3312,9 +3312,15 @@ def _published_wat_records(spark: SparkSession, sf_dir: str):
     archives -> HTTP parse -> Catalyst link harvest -> metadata-record
     WAT archives -> parsed back. Returns the ``warc_metadata_records``
     read-back (everything downstream reads PUBLISHED bytes). Used by
-    the round-trip row and the webgraph-from-WAT edge list."""
-    from ..functions.html import html_links
-    from ..functions.http import http_header
+    the round-trip row and the webgraph-from-WAT edge list.
+
+    Round 16: the envelope publishes at CC shape — the FULL response
+    header map (``http_header_pairs``), ``HTML-Metadata.Head`` (title +
+    ``<meta name/content>`` pairs), and per-link ``path`` provenance —
+    all harvested in Catalyst from the parsed pages, serialized by
+    ``documents_to_wat``'s sorted-key byte-reproducible JSON."""
+    from ..functions.html import html_links, html_meta_pairs, html_title
+    from ..functions.http import http_header_pairs
     from ..operators.ingest import (
         documents_as_warc_linked,
         documents_to_wat,
@@ -3336,10 +3342,17 @@ def _published_wat_records(spark: SparkSession, sf_dir: str):
             ),
             F.lit(">"),
         ).alias("refers_to"),
-        http_header("http_headers", "Content-Type").alias("content_type"),
+        http_header_pairs("http_headers").alias("resp_headers"),
+        html_title("body_text").alias("page_title"),
+        html_meta_pairs("body_text").alias("page_metas"),
         html_links("body_text").alias("links"),
     )
-    wat = documents_to_wat(harvested).localCheckpoint(eager=False)
+    wat = documents_to_wat(
+        harvested,
+        headers_col="resp_headers",
+        title_col="page_title",
+        metas_col="page_metas",
+    ).localCheckpoint(eager=False)
     return warc_metadata_records(wat)
 
 
@@ -3350,12 +3363,36 @@ def _published_wat_records(spark: SparkSession, sf_dir: str):
     base AS (
       SELECT d, h,
              'https://site' || h || '.example/dir/page' || d AS url,
-             '{"url":"g' || d || '"},{"url":"/abs/' || d
-               || '?b=2&a=1"},{"url":"https://cdn.example/x/' || d || '"}'
+             '{"path":"A@/href","url":"g' || d
+               || '"},{"path":"A@/href","url":"/abs/' || d
+               || '?b=2&a=1"},{"path":"A@/href","url":"https://cdn.example/x/'
+               || d || '"}'
                || CASE WHEN d % 2 = 0
-                       THEN ',{"url":"?q=' || d || '"}' ELSE '' END
-               AS links_json
-      FROM d)
+                       THEN ',{"path":"A@/href","url":"?q=' || d || '"}'
+                       ELSE '' END
+               AS links_json,
+             '<html><head><title>page ' || d
+               || '</title><meta name="description" content="synthetic page '
+               || d || '"></head><body><h1>page ' || d || '</h1>'
+               || '<a href="g' || d || '">r</a><a href="/abs/' || d
+               || '?b=2&amp;a=1">a</a><a href="https://cdn.example/x/' || d
+               || '">c</a>'
+               || CASE WHEN d % 2 = 0
+                       THEN '<a href="?q=' || d || '">q</a>' ELSE '' END
+               || '</body></html>' AS html
+      FROM d),
+    env AS (
+      SELECT d, url, octet_length(encode(html)) AS clen,
+             '{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":'
+               || '{"HTML-Metadata":{"Head":{"Metas":[{"content":'
+               || '"synthetic page ' || d || '","name":"description"}],'
+               || '"Title":"page ' || d || '"},"Links":[' || links_json
+               || ']},"Headers":{"Content-Length":"'
+               || CAST(octet_length(encode(html)) AS VARCHAR)
+               || '","Content-Type":"text/html; charset=utf-8"}}},'
+               || '"WARC-Header-Metadata":{"WARC-Target-URI":"' || url
+               || '"}}}' AS wat_json
+      FROM base)
     SELECT d AS archive_id,
            'metadata' AS rectype,
            url,
@@ -3368,25 +3405,19 @@ def _published_wat_records(spark: SparkSession, sf_dir: str):
            'g' || d AS first_link,
            CASE WHEN d % 2 = 0 THEN '?q=' || d
                 ELSE 'https://cdn.example/x/' || d END AS last_link,
-           CAST(octet_length(encode(
-             '{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":'
-             || '{"HTML-Metadata":{"Links":[' || links_json
-             || ']},"Headers":{"Content-Type":"text/html; charset=utf-8"}'
-             || '}},"WARC-Header-Metadata":{"WARC-Target-URI":"' || url
-             || '"}}}')) AS BIGINT) AS n_bytes,
-           '{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":'
-             || '{"HTML-Metadata":{"Links":[' || links_json
-             || ']},"Headers":{"Content-Type":"text/html; charset=utf-8"}'
-             || '}},"WARC-Header-Metadata":{"WARC-Target-URI":"' || url
-             || '"}}}' AS wat_json
-    FROM base
+           'page ' || d AS title,
+           'synthetic page ' || d AS meta_description,
+           CAST(clen AS BIGINT) AS content_length,
+           CAST(octet_length(encode(wat_json)) AS BIGINT) AS n_bytes,
+           wat_json
+    FROM env
     """,
     doc="WAT publish round trip (completes the WARC/WAT/WET derived-"
     "format triple): linked HTML pages in real .warc.gz archives -> "
-    "header + link harvest -> metadata-record WAT archives (JSON "
-    "envelope, WARC-Refers-To linkage) -> parsed back; the oracle "
-    "replays the FULL JSON envelope byte for byte plus every parsed "
-    "field.",
+    "full-header + title/meta/link harvest -> metadata-record WAT "
+    "archives at CC envelope shape (Headers map, HTML-Metadata.Head, "
+    "per-link path provenance) -> parsed back; the oracle replays the "
+    "FULL JSON envelope byte for byte plus every parsed field.",
 )
 def ingest_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WRITE half of the WAT pipeline, end to end and
@@ -3396,25 +3427,30 @@ def ingest_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes a linked HTML page in a real response ``.warc.gz``
     (``documents_as_warc_linked``), parses back through the HTTP lane
     (``warc_http_responses`` — header block + body text from the
-    published bytes), the anchors are harvested in Catalyst
-    (``html_links`` — quote forms, entity decode), and the page's
-    metadata is RE-PUBLISHED as a real ``metadata``-record archive
-    (``documents_to_wat``: WAT JSON envelope with the response
-    Content-Type and the link list, ``WARC-Refers-To`` at the source
-    record) and parsed back AGAIN (``warc_metadata_records``). Every
-    output column is READ from the published WAT bytes — the record
-    id, linkage, and content type from the WARC headers, the link
-    count/first/last from the JSON envelope via ``from_json`` — and
-    the DuckDB oracle replays the FULL envelope string byte for byte,
-    so a key-order drift, an escaping slip, or a dropped linkage
-    header breaks the hash.
+    published bytes), the FULL response header map, page title,
+    ``<meta name/content>`` pairs, and anchors are harvested in
+    Catalyst (``http_header_pairs`` / ``html_title`` /
+    ``html_meta_pairs`` / ``html_links``), and the page's metadata is
+    RE-PUBLISHED as a real ``metadata``-record archive
+    (``documents_to_wat`` at CC envelope shape, round 16: the Headers
+    map with Content-Length AND Content-Type, ``HTML-Metadata.Head``
+    with Title and Metas, per-link ``path`` provenance,
+    ``WARC-Refers-To`` at the source record) and parsed back AGAIN
+    (``warc_metadata_records``). Every output column is READ from the
+    published WAT bytes — the record id, linkage, and content type
+    from the WARC headers; the link count/first/last, title, meta
+    description, and Content-Length from the JSON envelope — and the
+    DuckDB oracle replays the FULL envelope string byte for byte, so
+    a key-order drift, an escaping slip, a dropped header, or a Head
+    field that failed to round-trip breaks the hash.
 
     At 100 TB: two Arrow passes per direction (synth+parse, publish+
     parse), bytes partition-local throughout; the JSON envelope parse
-    is Catalyst ``from_json`` — deriving WAT from a crawl costs the
-    same shape as reading it back."""
+    is Catalyst ``from_json``/``get_json_object`` — deriving WAT from
+    a crawl costs the same shape as reading it back."""
     back = _published_wat_records(spark, sf_dir)
     links_schema = "array<struct<url:string>>"
+    meta_root = "$.Envelope.Payload-Metadata.HTTP-Response-Metadata"
     parsed = back.select(
         "archive_id",
         "rectype",
@@ -3423,17 +3459,25 @@ def ingest_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "refers_to",
         F.col("content_type").alias("record_content_type"),
         F.get_json_object(
-            "json_text",
-            "$.Envelope.Payload-Metadata.HTTP-Response-Metadata"
-            ".Headers.Content-Type",
+            "json_text", meta_root + ".Headers.Content-Type"
         ).alias("content_type"),
+        F.get_json_object(
+            "json_text", meta_root + ".HTML-Metadata.Head.Title"
+        ).alias("title"),
+        F.get_json_object(
+            "json_text",
+            meta_root + ".HTML-Metadata.Head.Metas[0].content",
+        ).alias("meta_description"),
+        F.get_json_object(
+            "json_text", meta_root + ".Headers.Content-Length"
+        )
+        .cast("bigint")
+        .alias("content_length"),
         "n_bytes",
         F.col("json_text").alias("wat_json"),
         F.from_json(
             F.get_json_object(
-                "json_text",
-                "$.Envelope.Payload-Metadata.HTTP-Response-Metadata"
-                ".HTML-Metadata.Links",
+                "json_text", meta_root + ".HTML-Metadata.Links"
             ),
             links_schema,
         ).alias("__links"),
@@ -3449,6 +3493,9 @@ def ingest_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("__links").cast("bigint").alias("n_links"),
         F.col("__links")[0]["url"].alias("first_link"),
         F.element_at("__links", -1)["url"].alias("last_link"),
+        "title",
+        "meta_description",
+        "content_length",
         "n_bytes",
         "wat_json",
     )
@@ -3500,6 +3547,17 @@ def web_wat_outlink_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes) instead of re-parsing every page; one Arrow parse pass,
     then codegen explode/resolve, no shuffle until the caller
     aggregates."""
+    return _wat_outlink_frame(spark, sf_dir).select(
+        "archive_id", "link_idx", "outlink", "target_host"
+    )
+
+
+def _wat_outlink_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared WAT edge build: (archive_id, src_host, link_idx, outlink,
+    target_host) from published WAT bytes only. ``web_wat_outlink_edges``
+    projects ``src_host`` away (Catalyst prunes its expression tree, so
+    that row's plan is unchanged by the factoring); ``web_host_rank``
+    keeps it as the edge source."""
     from ..functions.url import url_canonicalize, url_resolve
 
     back = _published_wat_records(spark, sf_dir)
@@ -3519,14 +3577,115 @@ def web_wat_outlink_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged = links.select(
         "archive_id",
+        F.regexp_extract("page_url", r"^[a-z]+://([^/]+)", 1).alias("src_host"),
         F.col("link_idx").cast("bigint"),
         url_resolve("page_url", F.col("l")["url"]).alias("__resolved"),
     )
     return staged.select(
         "archive_id",
+        "src_host",
         "link_idx",
         url_canonicalize(F.col("__resolved")).alias("outlink"),
     ).withColumn(
         "target_host",
         F.regexp_extract("outlink", r"^[a-z]+://([^/]+)", 1),
     )
+
+
+def _host_rank_oracle() -> str:
+    """Unrolled directed-PageRank replay over the synthetic WAT host
+    graph: host edges re-derived relationally from the documents table
+    (every page links once to cdn.example; intra-host links are
+    self-loops and excluded), then 5 fixed-point rounds with the
+    dangling-mass redistribution ``pagerank_directed_of`` computes —
+    each round one join+group-by, a scalar dangling CTE, and a left
+    join keeping zero-in-degree hosts ranked. ``//`` floors on positive
+    operands in both engines."""
+    scale, base = 1_000_000_000_000, 150_000_000_000
+    head = f"""
+    WITH d AS (SELECT doc_id % 20 AS h FROM documents),
+    hedges AS (
+      SELECT 'site' || h || '.example' AS src, 'cdn.example' AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM d GROUP BY h),
+    nodes AS (SELECT src AS node FROM hedges UNION SELECT dst FROM hedges),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    wtot AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS wout
+             FROM hedges GROUP BY src),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_scaled FROM nodes)"""
+    rounds = []
+    for i in range(1, 6):
+        rounds.append(f"""
+    d{i} AS (
+      SELECT CAST(COALESCE(SUM(r.rank_scaled), 0) AS BIGINT) AS dmass
+      FROM r{i - 1} r LEFT JOIN wtot t ON t.node = r.node
+      WHERE t.node IS NULL),
+    a{i} AS (
+      SELECT e.dst AS node,
+             CAST(SUM((r.rank_scaled * e.w) // t.wout) AS BIGINT) AS mass
+      FROM hedges e
+      JOIN r{i - 1} r ON r.node = e.src
+      JOIN wtot t ON t.node = e.src
+      GROUP BY e.dst),
+    r{i} AS (
+      SELECT n.node,
+             CAST({base} + (85 * (COALESCE(a.mass, 0) + dd.dmass // nn.n))
+                  // 100 AS BIGINT) AS rank_scaled
+      FROM nodes n LEFT JOIN a{i} a ON a.node = n.node, d{i} dd, nn)""")
+    return (
+        head
+        + ","
+        + ",".join(rounds)
+        + "\n    SELECT node AS host, rank_scaled FROM r5"
+    )
+
+
+@register(
+    "web_host_rank",
+    oracle=_host_rank_oracle(),
+    doc="The canonical WAT consumer, composed end to end: published WAT "
+    "bytes -> outlink edges -> host-level weighted edge list (self-loops "
+    "excluded) -> directed PageRank with dangling-mass redistribution in "
+    "BIGINT fixed-point; the oracle replays the host aggregation and all "
+    "five rounds relationally.",
+)
+def web_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level rank from WAT — the workflow Common Crawl publishes WAT
+    *for*, joined up: ``_wat_outlink_frame`` reads the page URL and the
+    harvested hrefs from PUBLISHED metadata sidecars (never the HTML),
+    edges aggregate to host pairs weighted by link count, intra-host
+    links (self-loops) are EXCLUDED — host rank measures cross-host
+    endorsement, and navigation links would otherwise dominate every
+    weight — and ``pagerank_directed_of`` runs the same integer
+    fixed-point contract as the ledger PageRank rows, extended with
+    uniform dangling-mass redistribution (the synth graph's cdn host has
+    in-links only; without redistribution its mass would vanish and
+    every engine would disagree on the leak). Output one row per host:
+    (host, rank_scaled); the DuckDB oracle replays the aggregation and
+    all five rounds, so a dropped edge, a self-loop slip, or a dangling
+    leak breaks the hash.
+
+    At 100 TB: the edge list reads metadata sidecars (a small fraction
+    of corpus bytes); host aggregation is one shuffle on (src, dst) —
+    hosts are ~10^8 at web scale, far under the per-page fact table —
+    and each rank round is one host-keyed join+agg, the same bounded
+    iteration the ledger rows carry. Promote the fixed-point to
+    DECIMAL(38,0) beyond ~10^5 hosts (overflow boundary documented at
+    ``pagerank_directed_of``)."""
+    from .ledger import pagerank_directed_of
+
+    f = _wat_outlink_frame(spark, sf_dir)
+    hedges = (
+        f.filter(F.col("src_host") != F.col("target_host"))
+        .groupBy(
+            F.col("src_host").alias("src"), F.col("target_host").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    nodes = (
+        hedges.select(F.col("src").alias("node"))
+        .unionByName(hedges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = pagerank_directed_of(nodes, hedges)
+    return ranks.select(F.col("node").alias("host"), "rank_scaled")

@@ -3293,7 +3293,17 @@ def cache_freshness(resp: DataFrame, as_of, headers_col: str = "http_headers") -
     age). ``as_of`` is the evaluation instant in epoch seconds — an
     explicit column/literal so the decision is reproducible (and the
     oracle can replay it), never a hidden now(). Adds the parsed
-    columns; pure Catalyst."""
+    columns; pure Catalyst.
+
+    Documented conservative choice: a QUALIFIED ``no-cache`` —
+    ``no-cache="set-cookie"`` — is treated as unqualified, i.e. full
+    revalidation, although RFC 9111 §5.2.2.4 scopes the qualified form
+    to the listed fields only (a cache may serve the response with
+    those fields stripped). A crawler never serves stripped responses,
+    so the field-scoped semantics buy nothing here and the strict
+    reading only costs extra refetches — flip to
+    cacheable-with-field-strip only if a serving cache is ever built
+    on this function."""
     from ..functions.http import http_age, http_cache_control, http_date
 
     as_of_c = F.lit(as_of) if isinstance(as_of, int) else as_of
@@ -3756,7 +3766,10 @@ def web_page_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def robots_refetch_list(
-    fetch_log: DataFrame, as_of, headers_col: str = "http_headers"
+    fetch_log: DataFrame,
+    as_of,
+    headers_col: str = "http_headers",
+    response_index: DataFrame | None = None,
 ) -> DataFrame:
     """RFC 9309 §2.4 robots.txt cache lifetime, composed the same way
     ``recrawl_fetch_list`` composes the page-side caching layer: the
@@ -3781,9 +3794,20 @@ def robots_refetch_list(
     At 100 TB: the robots fetch log is domains-sized; everything here
     is dim-scale joins and codegen column maps — the refetch list is
     the tiny input a scheduler merges ahead of the page-side fetch
-    list."""
+    list.
+
+    ``response_index`` (optional) is the streaming shape, same
+    snapshot discipline as ``resolve_redirects(response_index=...)``:
+    the redirect resolution AND the mode table derive from the static
+    index, so an arriving robots-fetch row classifies via one
+    stream-static equi-join on url — append-mode legal; the freshness
+    arithmetic is per-row codegen either way. Default ``None`` keeps
+    the batch semantics where the log indexes itself (parity pinned in
+    tests/test_streaming.py)."""
+    mode_src = response_index if response_index is not None else fetch_log
     resolved = resolve_redirects(
-        fetch_log.select("url", "status", "location")
+        mode_src.select("url", "status", "location"),
+        response_index=response_index,
     )
     modes = robots_fetch_mode(resolved).select(
         "url", "terminal_status", "mode"
@@ -4073,3 +4097,136 @@ def web_surt_prefix_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx, "example,site3", "example,site3)/a/1"
     )
     return out.select("doc_id", "url", "surt_key", "site_key")
+
+
+def surt_batch_lookup(
+    spark: SparkSession,
+    idx_dir: str,
+    queries: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Batched CDX-style lookup over a ``persist_surt_index`` store —
+    the production access pattern ``surt_site_read`` and
+    ``surt_prefix_read`` are single-key special cases of: "here are N
+    URLs — which are captured, and where?". The query side
+    canonicalizes (RFC 3986 §6) and derives (surt_key, site_key)
+    exactly as the publish side did, then BROADCASTS into an equi-join
+    on ``(site_key, surt_key)``. Because ``site_key`` is the store's
+    partition column and the build side is a broadcast, Spark's dynamic
+    partition pruning turns the broadcast keys into the scan's
+    PartitionFilters — the store lists ONLY the site directories the
+    query batch touches (plan- and file-level gates in
+    tests/test_surt_index.py), and within each directory the surt-
+    sorted runs keep row-group stats tight. Output: one row per HIT —
+    ``query_url`` beside the stored row; misses simply don't match
+    (anti-join the result against the queries for a miss list).
+
+    At 100 TB: the query batch is 10^4-ish rows against a 10^12-row
+    store — without DPP this is a full-store scan per lookup batch;
+    with it the cost tracks the number of DISTINCT QUERY SITES, the
+    same directory-read argument as the single-site path."""
+    from ..functions.url import url_canonicalize, url_surt
+
+    q = queries.select(
+        F.col(url_col).alias("query_url"),
+        url_canonicalize(F.col(url_col)).alias("__c"),
+    ).select(
+        "query_url", url_surt(F.col("__c")).alias("q_surt")
+    ).withColumn(
+        "q_site", F.regexp_extract("q_surt", r"^([^):]*)[):]", 1)
+    )
+    store = spark.read.parquet(idx_dir)
+    hits = store.join(
+        F.broadcast(q),
+        (store["site_key"] == q["q_site"])
+        & (store["surt_key"] == q["q_surt"]),
+    )
+    return hits.select("query_url", *[store[c] for c in store.columns])
+
+
+@register(
+    "web_surt_batch_lookup",
+    oracle="""
+    WITH a AS (SELECT doc_id AS d, 3 AS h FROM documents
+               WHERE doc_id % 20 = 3 AND doc_id % 6 = 3),
+    b AS (SELECT doc_id AS d, 7 AS h FROM documents
+          WHERE doc_id % 20 = 7 AND doc_id % 3 = 1),
+    hits AS (
+      SELECT 'HTTPS://Www.Site3.Example'
+               || CASE WHEN d % 5 = 1 THEN ':8080' ELSE ':443' END
+               || '/a/' || d
+               || CASE WHEN d % 3 = 0 THEN '?b=2&a=1' ELSE '' END
+               AS query_url,
+             d, h
+      FROM a
+      UNION ALL
+      SELECT 'https://site7.example'
+               || CASE WHEN d % 5 = 1 THEN ':8080' ELSE '' END
+               || '/a/../a/' || d
+               || CASE WHEN d % 3 = 0 THEN '?b=2&a=1' ELSE '' END,
+             d, h
+      FROM b)
+    SELECT query_url,
+           d AS doc_id,
+           'https://WWW.Site' || h || '.EXAMPLE' ||
+             CASE WHEN d % 5 = 1 THEN ':8080' ELSE '' END ||
+             '/a/' || d ||
+             CASE WHEN d % 3 = 0 THEN '?b=2&a=1' ELSE '' END AS url,
+           'example,site' || h ||
+             CASE WHEN d % 5 = 1 THEN ':8080' ELSE '' END ||
+             ')/a/' || d ||
+             CASE WHEN d % 3 = 0 THEN '?a=1&b=2' ELSE '' END AS surt_key,
+           'example,site' || h AS site_key
+    FROM hits
+    """,
+    doc="Batched CDX lookup over the SURT store: a broadcast query batch "
+    "(dirty spellings — casing, default ports, dot-segments) joins on "
+    "(site_key, surt_key) with dynamic partition pruning listing only "
+    "the probed site directories; the oracle replays the full hit set.",
+)
+def web_surt_batch_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched read of the SURT index cycle, end to end and
+    oracle-checked: against the per-process store (same build as
+    ``web_surt_site_read``), a query batch probes three sites in three
+    different dirty spellings — site3 with shouted casing and an
+    explicit ``:443`` (canonicalization drops the default port, keeps
+    ``:8080``), site7 through a ``/a/../a/`` dot-segment path (§6
+    path normalization), and site11 with ``/z/`` paths that exist
+    nowhere (every probe a MISS — the directory is still pruned-to,
+    proving the prune follows the query sites, not the hits). The hit
+    set — every site3/site7 probe — comes back with the stored row,
+    and the DuckDB oracle replays it arithmetically. Plan + file gates
+    (only the three probed directories listed; a corrupted unprobed
+    directory never read) live in tests/test_surt_index.py.
+
+    At 100 TB: one broadcast + one partition-pruned directory read per
+    distinct query site — the CDX lookup cost a crawler actually pays,
+    independent of store size."""
+    idx = _surt_store(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    port_8080 = F.when(d % 5 == 1, F.lit(":8080")).otherwise(F.lit(""))
+    qtail = F.when(d % 3 == 0, F.lit("?b=2&a=1")).otherwise(F.lit(""))
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    qa = docs.filter((d % 20 == 3) & (d % 6 == 3)).select(
+        F.concat(
+            F.lit("HTTPS://Www.Site3.Example"),
+            F.when(d % 5 == 1, F.lit(":8080")).otherwise(F.lit(":443")),
+            F.lit("/a/"), ds, qtail,
+        ).alias("url")
+    )
+    qb = docs.filter((d % 20 == 7) & (d % 3 == 1)).select(
+        F.concat(
+            F.lit("https://site7.example"), port_8080,
+            F.lit("/a/../a/"), ds, qtail,
+        ).alias("url")
+    )
+    qc = docs.filter((d % 20 == 11) & (d % 8 == 3)).select(
+        F.concat(
+            F.lit("https://www.site11.example/z/"), ds
+        ).alias("url")
+    )
+    out = surt_batch_lookup(
+        spark, idx, qa.unionByName(qb).unionByName(qc)
+    )
+    return out.select("query_url", "doc_id", "url", "surt_key", "site_key")

@@ -366,6 +366,20 @@ PLAN_EXPECTATIONS = {
     "web_wat_outlink_edges": [r"Scan ExistingRDD", r"Generate"],
     # PII scrub: codegen string work fused into the scan
     "curation_pii_redaction": [r"Project"],
+    # batched CDX lookup (round 16): the store scan must carry a
+    # DYNAMIC pruning expression on the partition column — the
+    # broadcast query batch's site keys become PartitionFilters at
+    # runtime (the web_surt_site_read static gate generalized), and
+    # the query side must arrive broadcast
+    "web_surt_batch_lookup": [
+        r"PartitionFilters: \[[^\]]*dynamicpruningexpression\([^\)]*site_key",
+        r"BroadcastHashJoin",
+    ],
+    # host rank from WAT (round 16): the host aggregation must be a
+    # partial (map-side-combining) hash agg on the edge pairs, and the
+    # per-round dangling share arrives as a broadcast, never a shuffle
+    # of the rank table
+    "web_host_rank": [r"HashAggregate", r"BroadcastNestedLoopJoin"],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -435,6 +449,10 @@ JVM_ONLY = [
     "web_robots_refetch",
     "web_surt_site_read",
     "web_surt_prefix_read",
+    "web_surt_batch_lookup",
+    # web_host_rank is NOT here: like web_wat_outlink_edges, its input
+    # is the WAT publish's Arrow lane (behind the published-bytes
+    # checkpoint); the rank loop itself is pure JVM
 ]
 
 NO_SORT_MERGE = ["q1_pricing_summary", "join_broadcast_dim", "q5_local_supplier_volume"]

@@ -2489,3 +2489,105 @@ def test_stream_wat_derivation_parity(spark, tmp_path):
         for r in spark.table("wat_stream_sink").collect()
     }
     assert got == batch  # byte-identical published archives
+
+
+def test_stream_robots_refetch_parity(spark, tmp_path):
+    """Streaming twin of the RFC 9309 §2.4 robots cache lifetime
+    (round 16): with ``response_index=`` a static snapshot (the same
+    pattern as the redirect/recrawl/WAT twins), redirect resolution and
+    the fetch-status mode table derive from the index, so each arriving
+    robots-fetch row classifies via one stream-static equi-join plus
+    per-row freshness codegen — append-mode legal, and every verdict
+    matches the self-indexed batch run on the same data."""
+    import calendar
+
+    from pyspark.sql import functions as F
+
+    from eth_event_stream_spark.plans.web import robots_refetch_list
+
+    hosts = spark.range(20).select(F.col("id").alias("h"))
+    h = F.col("h")
+    hs = h.cast("string")
+    date_line = F.when(
+        h % 2 == 0, F.lit("Date: Thu, 01 Jan 2026 00:00:00 GMT\r\n")
+    ).otherwise(F.lit("Date: Tue, 30 Dec 2025 00:00:00 GMT\r\n"))
+    cc = (
+        F.when(h % 3 == 0, F.lit("Cache-Control: max-age=7200\r\n"))
+        .when(h % 4 == 2, F.lit("Cache-Control: no-store\r\n"))
+        .otherwise(F.lit(""))
+    )
+    status = (
+        F.when(h % 7 == 2, F.lit(301))
+        .when(h % 5 == 0, F.lit(404))
+        .when(h % 5 == 1, F.lit(503))
+        .otherwise(F.lit(200))
+    )
+    primary = hosts.select(
+        F.concat(F.lit("site"), hs, F.lit(".example")).alias("domain"),
+        F.concat(
+            F.lit("https://site"), hs, F.lit(".example/robots.txt")
+        ).alias("url"),
+        status.alias("status"),
+        F.when(
+            h % 7 == 2,
+            F.concat(
+                F.lit("https://site"), hs, F.lit(".example/robots2.txt")
+            ),
+        ).alias("location"),
+        F.concat(
+            F.lit("HTTP/1.1 200 OK\r\n"), date_line, cc,
+            F.lit("Content-Type: text/plain"),
+        ).alias("http_headers"),
+    )
+    targets = hosts.filter(h % 7 == 2).select(
+        F.concat(F.lit("site"), hs, F.lit(".example")).alias("domain"),
+        F.concat(
+            F.lit("https://site"), hs, F.lit(".example/robots2.txt")
+        ).alias("url"),
+        F.lit(200).alias("status"),
+        F.lit(None).cast("string").alias("location"),
+        F.lit(
+            "HTTP/1.1 200 OK\r\n"
+            "Date: Thu, 01 Jan 2026 00:00:00 GMT\r\n"
+            "Content-Type: text/plain"
+        ).alias("http_headers"),
+    )
+    src = tmp_path / "robots_refetch_stream"
+    primary.unionByName(targets).repartition(4).write.parquet(str(src))
+    stored = spark.read.parquet(str(src))
+    static_index = stored.localCheckpoint(eager=True)
+    as_of = 43200 + calendar.timegm((2026, 1, 1, 0, 0, 0))
+
+    batch = {
+        tuple(r)
+        for r in robots_refetch_list(
+            stored, as_of, response_index=static_index
+        ).collect()
+    }
+    # snapshot semantics match the self-indexed batch on this data
+    assert batch == {
+        tuple(r) for r in robots_refetch_list(stored, as_of).collect()
+    }
+    cols = robots_refetch_list(stored, as_of).columns
+    refetch_at = cols.index("refetch")
+    assert {r[refetch_at] for r in batch} == {True, False}
+
+    sdf = (
+        spark.readStream.schema(stored.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        robots_refetch_list(sdf, as_of, response_index=static_index)
+        .writeStream.format("memory")
+        .queryName("robots_refetch_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_robots_refetch"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.table("robots_refetch_sink").collect()}
+    assert got == batch

@@ -100,3 +100,86 @@ def test_surt_index_registered_query_matches_store(spark, sf_dir):
         )
     )
     assert got == {tuple(r) for r in fresh.collect()}
+
+
+def test_surt_batch_lookup_dynamic_prune(spark, tmp_path):
+    """Round-16 gates for the batched CDX-style lookup: the broadcast
+    query batch's site keys become the store scan's PartitionFilters
+    (dynamicpruningexpression — the web_surt_site_read static gate
+    generalized to a multi-site DYNAMIC prune), and at the file level
+    only the probed directories are read — proven by corrupting an
+    UNPROBED site's parquet after publish: the lookup still succeeds
+    while a full store scan fails loudly."""
+    import glob
+    import os
+
+    import pytest
+
+    from eth_event_stream_spark.plans.web import (
+        persist_surt_index,
+        surt_batch_lookup,
+    )
+
+    idx = str(tmp_path / "surt")
+    persist_surt_index(_synth_urls(spark), idx)
+
+    # query batch: dirty spellings for sites 3 and 7 (hits), site 11
+    # probes a path that exists nowhere (misses — directory still pruned
+    # to, never an error)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    qtail = F.when(d % 3 == 0, F.lit("?b=2&a=1")).otherwise(F.lit(""))
+    qa = docs.filter(d % 20 == 3).select(
+        F.concat(
+            F.lit("HTTPS://Www.Site3.Example"),
+            F.when(d % 5 == 1, F.lit(":8080")).otherwise(F.lit(":443")),
+            F.lit("/a/"), ds, qtail,
+        ).alias("url")
+    )
+    qb = docs.filter(d % 20 == 7).select(
+        F.concat(
+            F.lit("https://site7.example"),
+            F.when(d % 5 == 1, F.lit(":8080")).otherwise(F.lit("")),
+            F.lit("/a/../a/"), ds, qtail,
+        ).alias("url")
+    )
+    qc = docs.filter(d % 20 == 11).select(
+        F.concat(F.lit("https://www.site11.example/z/"), ds).alias("url")
+    )
+    queries = qa.unionByName(qb).unionByName(qc)
+
+    out = surt_batch_lookup(spark, idx, queries)
+    rows = out.collect()
+    # hit set: every site3/site7 probe, no site11 probe
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        x for x in range(200) if x % 20 in (3, 7)
+    )
+    assert all(r["site_key"] in ("example,site3", "example,site7") for r in rows)
+    # canonicalization did the matching: the query spelling differs from
+    # the stored url on every hit
+    assert all(r["query_url"] != r["url"] for r in rows)
+
+    # (1) plan gate: the store scan's PartitionFilters carry a
+    # dynamicpruningexpression on site_key (NOT a static literal — the
+    # keys arrive from the broadcast query side at runtime)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "surt" in ln
+    ]
+    assert scan, plan
+    pf = scan[0].split("PartitionFilters:", 1)[1]
+    assert "dynamicpruningexpression" in pf and "site_key" in pf
+
+    # (2) file gate: corrupt an UNPROBED site's parquet — the pruned
+    # lookup never opens it, a full scan fails loudly on it
+    victim = glob.glob(os.path.join(idx, "site_key=example,site5", "*.parquet"))
+    assert victim
+    for f in victim:
+        with open(f, "wb") as fh:
+            fh.write(b"not a parquet file")
+    again = {tuple(r) for r in surt_batch_lookup(spark, idx, queries).collect()}
+    assert again == {tuple(r) for r in rows}
+    with pytest.raises(Exception):
+        spark.read.parquet(idx).groupBy("site_key").count().collect()
