@@ -286,6 +286,9 @@ HEADLINE = [
     # r16-extended: batched CDX-style lookup — broadcast query batch,
     # dynamic partition prune to the touched site directories
     "web_surt_batch_lookup",
+    # r16-extended: harmonic centrality via KMV neighborhood sketches
+    # (integer-exact HyperBall analog) over the WAT host graph
+    "web_host_harmonic",
 ]
 
 

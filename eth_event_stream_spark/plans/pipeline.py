@@ -3689,3 +3689,100 @@ def web_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank_directed_of(nodes, hedges)
     return ranks.select(F.col("node").alias("host"), "rank_scaled")
+
+
+def _host_harmonic_oracle() -> str:
+    """Unrolled KMV-HyperBall replay: sketches AS ROWS (the k smallest
+    distinct node hashes per ball via row_number), the integer KMV
+    estimate per round, and the fixed-point harmonic accumulation —
+    the same md5-prefix hash contract as the Spark side
+    (``ledger.kmv_node_hash``)."""
+    k, m, fp = 8, 16 ** 13, 1_000_000
+    head = """
+    WITH d AS (SELECT doc_id % 20 AS h FROM documents),
+    hedges AS (
+      SELECT 'site' || h || '.example' AS src, 'cdn.example' AS dst
+      FROM d GROUP BY h),
+    nodes AS (SELECT src AS node FROM hedges UNION SELECT dst FROM hedges),
+    s0 AS (SELECT node, ('0x' || substring(md5(node), 1, 13))::BIGINT AS hv
+           FROM nodes)"""
+    rounds = []
+    for t in (1, 2, 3):
+        rounds.append(f"""
+    s{t} AS (
+      SELECT node, hv FROM (
+        SELECT node, hv,
+               row_number() OVER (PARTITION BY node ORDER BY hv) AS rn
+        FROM (SELECT DISTINCT node, hv FROM (
+          SELECT node, hv FROM s{t - 1}
+          UNION ALL
+          SELECT e.dst AS node, s.hv
+          FROM hedges e JOIN s{t - 1} s ON s.node = e.src) u1) u2
+      ) u3 WHERE rn <= {k}),
+    e{t} AS (
+      SELECT node,
+             CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS BIGINT)
+                  ELSE CAST(({k - 1} * {m}) // MAX(hv) AS BIGINT)
+             END AS est
+      FROM s{t} GROUP BY node)""")
+    return (
+        head
+        + ","
+        + ",".join(rounds)
+        + f"""
+    SELECT n.node AS host,
+           CAST(GREATEST(0, e1.est - 1) * {fp} // 1
+                + GREATEST(0, e2.est - e1.est) * {fp} // 2
+                + GREATEST(0, e3.est - e2.est) * {fp} // 3
+                AS BIGINT) AS harmonic_fp,
+           e3.est AS ball_est
+    FROM nodes n
+    JOIN e1 ON e1.node = n.node
+    JOIN e2 ON e2.node = n.node
+    JOIN e3 ON e3.node = n.node"""
+    )
+
+
+@register(
+    "web_host_harmonic",
+    oracle=_host_harmonic_oracle(),
+    doc="Harmonic centrality over the WAT host graph via KMV neighborhood "
+    "sketches (the integer-exact HyperBall analog Common Crawl-style "
+    "host ranks are computed with): bounded sketch-merge rounds, "
+    "integer KMV ball estimates, fixed-point 1/t accumulation; the "
+    "oracle replays every sketch row and estimate.",
+)
+def web_host_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER canonical host-rank metric, beside ``web_host_rank``'s
+    PageRank: harmonic centrality to radius 3, computed the way
+    web-scale graphs actually compute it — bounded neighborhood-sketch
+    rounds (HyperBall; Boldi & Vigna 2013), not all-pairs BFS. The
+    host edge list derives from PUBLISHED WAT bytes exactly as
+    ``web_host_rank``'s does (self-loops excluded); sketches are k=8
+    KMV sets of md5-prefix hashes, so every merge, estimate, and the
+    1/t fixed-point accumulation is pure integer arithmetic the DuckDB
+    oracle replays bit for bit (sketches as rows, row_number k-min).
+
+    At 100 TB: per round one src-keyed join + one dst-keyed k-min agg —
+    the same bounded-iteration shuffle shape as PageRank, with k BIGINTs
+    of state per host; the centrality of every host lands in
+    ``rounds`` passes over the edge list where exact BFS would need one
+    pass per SOURCE. See ``harmonic_centrality_of`` for the celebrity-
+    in-degree two-level aggregation note."""
+    from .ledger import harmonic_centrality_of
+
+    f = _wat_outlink_frame(spark, sf_dir)
+    hedges = (
+        f.filter(F.col("src_host") != F.col("target_host"))
+        .select(
+            F.col("src_host").alias("src"), F.col("target_host").alias("dst")
+        )
+        .distinct()
+    )
+    nodes = (
+        hedges.select(F.col("src").alias("node"))
+        .unionByName(hedges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out = harmonic_centrality_of(nodes, hedges, rounds=3, k=8)
+    return out.select(F.col("node").alias("host"), "harmonic_fp", "ball_est")

@@ -324,3 +324,74 @@ def test_pagerank_directed_reliable_checkpoint_matches_local(spark, tmp_path):
         ).collect()
     }
     assert reliable == local
+
+
+def _sim_harmonic_kmv(nodes, edges, rounds, k):
+    """Dense dict simulation of the KMV-HyperBall contract: md5-prefix
+    hashes, k-min set merges over in-neighbors, integer KMV estimate,
+    fixed-point 1/t accumulation."""
+    import hashlib
+
+    M = 16 ** 13
+    hv = {
+        v: int(hashlib.md5(v.encode()).hexdigest()[:13], 16) for v in nodes
+    }
+    in_nbrs = {}
+    for s, d in edges:
+        in_nbrs.setdefault(d, []).append(s)
+
+    def est(s):
+        ss = sorted(s)
+        return len(ss) if len(ss) < k else (k - 1) * M // ss[k - 1]
+
+    sk = {v: {hv[v]} for v in nodes}
+    prev = {v: 1 for v in nodes}
+    harm = {v: 0 for v in nodes}
+    for t in range(1, rounds + 1):
+        new = {}
+        for v in nodes:
+            u = set(sk[v])
+            for w in in_nbrs.get(v, []):
+                u |= sk[w]
+            new[v] = set(sorted(u)[:k])
+        sk = new
+        for v in nodes:
+            e = est(sk[v])
+            harm[v] += max(0, e - prev[v]) * 1_000_000 // t
+            prev[v] = e
+    return {v: (harm[v], est(sk[v])) for v in nodes}
+
+
+def test_harmonic_kmv_matches_dense_simulation(spark):
+    """Random directed graph with multi-hop chains, sinks, and enough
+    density that balls EXCEED the sketch capacity (k=4) — both the
+    exact-count regime and the KMV-estimator regime must match the
+    dense simulation bit for bit, including the capped-sketch kth-min
+    arithmetic and the per-round 1/t accumulation."""
+    from eth_event_stream_spark.plans.ledger import harmonic_centrality_of
+
+    rng = random.Random(1618)
+    edges = sorted(
+        {
+            (f"n{rng.randint(0, 19)}", f"n{rng.randint(0, 19)}")
+            for _ in range(70)
+        }
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    # a near-isolated appendage keeps the exact-count (< k) regime in
+    # play: z1 has no in-edges, so its ball stays {z1} forever
+    edges.append(("z1", "z2"))
+    nodes = sorted({x for e in edges for x in e})
+    k = 4
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: (r["harmonic_fp"], r["ball_est"])
+        for r in harmonic_centrality_of(ndf, edf, rounds=3, k=k).collect()
+    }
+    want = _sim_harmonic_kmv(nodes, edges, rounds=3, k=k)
+    assert got == want
+    # both regimes were exercised: some ball still exact-counted under
+    # capacity, some capped into the KMV-estimator arithmetic
+    assert any(b < k for _, b in want.values())
+    assert any(b >= k for _, b in want.values())

@@ -380,6 +380,11 @@ PLAN_EXPECTATIONS = {
     # per-round dangling share arrives as a broadcast, never a shuffle
     # of the rank table
     "web_host_rank": [r"HashAggregate", r"BroadcastNestedLoopJoin"],
+    # harmonic centrality (round 16): the sketch-merge rounds run behind
+    # eager per-round checkpoints (the PageRank materialization
+    # contract), so the visible plan is the final accumulator-state
+    # join over the checkpointed frames
+    "web_host_harmonic": [r"Scan ExistingRDD"],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
