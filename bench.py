@@ -289,6 +289,9 @@ HEADLINE = [
     # r16-extended: harmonic centrality via KMV neighborhood sketches
     # (integer-exact HyperBall analog) over the WAT host graph
     "web_host_harmonic",
+    # r16-extended: the complete CDX coverage answer (hits + misses)
+    # composed from the pruned inner lookup + hit-set anti-join
+    "web_surt_batch_coverage",
 ]
 
 

@@ -4230,3 +4230,133 @@ def web_surt_batch_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx, qa.unionByName(qb).unionByName(qc)
     )
     return out.select("query_url", "doc_id", "url", "surt_key", "site_key")
+
+
+def surt_batch_coverage(
+    spark: SparkSession,
+    idx_dir: str,
+    queries: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """The full CDX answer — every query row back with a ``found`` flag
+    and the stored row when present. Deliberately COMPOSED from the
+    pruned inner lookup rather than one left join against the store:
+    Spark's dynamic partition pruning does not apply to the
+    null-producing side of an outer join (measured — the left-join
+    formulation scans every site directory), so the scalable shape is
+    the DPP inner join for hits (``surt_batch_lookup`` — store cost
+    tracks the probed directories) plus a left-anti join of the query
+    batch against the HIT SET (batch-sized, broadcast) for misses. The
+    store is touched exactly once, pruned; the tiny query side is read
+    twice."""
+    hits = surt_batch_lookup(spark, idx_dir, queries, url_col=url_col)
+    store_cols = [c for c in hits.columns if c != "query_url"]
+    found = hits.select(
+        "query_url", F.lit(True).alias("found"), *store_cols
+    )
+    misses = queries.select(F.col(url_col).alias("query_url")).join(
+        F.broadcast(hits.select("query_url")), "query_url", "left_anti"
+    )
+    missing = misses.select(
+        "query_url",
+        F.lit(False).alias("found"),
+        *[F.lit(None).cast(found.schema[c].dataType).alias(c) for c in store_cols],
+    )
+    return found.unionByName(missing)
+
+
+@register(
+    "web_surt_batch_coverage",
+    oracle="""
+    WITH a AS (SELECT doc_id AS d, 3 AS h FROM documents
+               WHERE doc_id % 20 = 3 AND doc_id % 6 = 3),
+    b AS (SELECT doc_id AS d, 7 AS h FROM documents
+          WHERE doc_id % 20 = 7 AND doc_id % 3 = 1),
+    c AS (SELECT doc_id AS d FROM documents
+          WHERE doc_id % 20 = 11 AND doc_id % 8 = 3),
+    hits AS (
+      SELECT 'HTTPS://Www.Site3.Example'
+               || CASE WHEN d % 5 = 1 THEN ':8080' ELSE ':443' END
+               || '/a/' || d
+               || CASE WHEN d % 3 = 0 THEN '?b=2&a=1' ELSE '' END
+               AS query_url,
+             d, h
+      FROM a
+      UNION ALL
+      SELECT 'https://site7.example'
+               || CASE WHEN d % 5 = 1 THEN ':8080' ELSE '' END
+               || '/a/../a/' || d
+               || CASE WHEN d % 3 = 0 THEN '?b=2&a=1' ELSE '' END,
+             d, h
+      FROM b)
+    SELECT query_url,
+           TRUE AS found,
+           d AS doc_id,
+           'https://WWW.Site' || h || '.EXAMPLE' ||
+             CASE WHEN d % 5 = 1 THEN ':8080' ELSE '' END ||
+             '/a/' || d ||
+             CASE WHEN d % 3 = 0 THEN '?b=2&a=1' ELSE '' END AS url,
+           'example,site' || h ||
+             CASE WHEN d % 5 = 1 THEN ':8080' ELSE '' END ||
+             ')/a/' || d ||
+             CASE WHEN d % 3 = 0 THEN '?a=1&b=2' ELSE '' END AS surt_key,
+           'example,site' || h AS site_key
+    FROM hits
+    UNION ALL
+    SELECT 'https://www.site11.example/z/' || d,
+           FALSE,
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM c
+    """,
+    doc="Batched CDX coverage: the same three-site probe batch answered "
+    "COMPLETELY — hits carry the stored row, misses (site11's /z/ "
+    "probes) come back found=false; composed as pruned-inner-join hits "
+    "plus an anti-join of the batch against the hit set, so the store "
+    "is scanned once, partition-pruned.",
+)
+def web_surt_batch_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``web_surt_batch_lookup``'s completing twin: the CDX client's
+    actual question is "which of these N URLs are archived, and where"
+    — BOTH halves. Same query batch (site3 shouted casing + ``:443``,
+    site7 dot-segments, site11 nonexistent ``/z/`` paths); hits return
+    the stored row with ``found=true``, every site11 probe returns
+    ``found=false`` with null store columns, and the DuckDB oracle
+    replays the complete coverage. The store scan is the SAME dynamic-
+    partition-pruned inner join as the lookup row (the left-join
+    formulation that would scan the whole store is documented-and-
+    rejected in ``surt_batch_coverage``); the miss side is an anti-join
+    against the batch-sized hit set.
+
+    At 100 TB: store cost still tracks the probed directories; the
+    coverage flag costs one broadcast anti-join over the query batch."""
+    idx = _surt_store(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    port_8080 = F.when(d % 5 == 1, F.lit(":8080")).otherwise(F.lit(""))
+    qtail = F.when(d % 3 == 0, F.lit("?b=2&a=1")).otherwise(F.lit(""))
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    qa = docs.filter((d % 20 == 3) & (d % 6 == 3)).select(
+        F.concat(
+            F.lit("HTTPS://Www.Site3.Example"),
+            F.when(d % 5 == 1, F.lit(":8080")).otherwise(F.lit(":443")),
+            F.lit("/a/"), ds, qtail,
+        ).alias("url")
+    )
+    qb = docs.filter((d % 20 == 7) & (d % 3 == 1)).select(
+        F.concat(
+            F.lit("https://site7.example"), port_8080,
+            F.lit("/a/../a/"), ds, qtail,
+        ).alias("url")
+    )
+    qc = docs.filter((d % 20 == 11) & (d % 8 == 3)).select(
+        F.concat(
+            F.lit("https://www.site11.example/z/"), ds
+        ).alias("url")
+    )
+    out = surt_batch_coverage(
+        spark, idx, qa.unionByName(qb).unionByName(qc)
+    )
+    return out.select(
+        "query_url", "found", "doc_id", "url", "surt_key", "site_key"
+    )

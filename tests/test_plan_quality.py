@@ -385,6 +385,13 @@ PLAN_EXPECTATIONS = {
     # contract), so the visible plan is the final accumulator-state
     # join over the checkpointed frames
     "web_host_harmonic": [r"Scan ExistingRDD"],
+    # CDX coverage (round 16): the store side must still be the DPP
+    # inner join (never a left join against the store), misses via a
+    # broadcast anti-join against the batch-sized hit set
+    "web_surt_batch_coverage": [
+        r"PartitionFilters: \[[^\]]*dynamicpruningexpression\([^\)]*site_key",
+        r"BroadcastHashJoin LeftAnti",
+    ],
 }
 
 # queries that must stay fully JVM-side (no Python workers in the plan)
@@ -455,6 +462,7 @@ JVM_ONLY = [
     "web_surt_site_read",
     "web_surt_prefix_read",
     "web_surt_batch_lookup",
+    "web_surt_batch_coverage",
     # web_host_rank is NOT here: like web_wat_outlink_edges, its input
     # is the WAT publish's Arrow lane (behind the published-bytes
     # checkpoint); the rank loop itself is pure JVM
