@@ -120,6 +120,20 @@ def main() -> None:
         f"source response, {links_total} outlinks recorded"
     )
 
+    # -- 6b. rank --------------------------------------------------------
+    # the canonical WAT consumers (round 16): host-level PageRank and
+    # harmonic centrality built from the published metadata sidecars
+    # only — the graph pass that never re-parses HTML
+    rank = QUERIES["web_host_rank"].fn(spark, sf_dir)
+    top = rank.orderBy(F.col("rank_scaled").desc()).first()
+    harm = QUERIES["web_host_harmonic"].fn(spark, sf_dir)
+    htop = harm.orderBy(F.col("harmonic_fp").desc()).first()
+    n_hosts = rank.count()
+    print(
+        f"rank: {n_hosts} hosts; pagerank top {top['host']}, "
+        f"harmonic top {htop['host']} (ball {htop['ball_est']})"
+    )
+
     # -- 7. robots cache -------------------------------------------------
     # RFC 9309 §2.4: which domains' cached robots verdicts expired
     refetch = QUERIES["web_robots_refetch"].fn(spark, sf_dir)
@@ -135,6 +149,12 @@ def main() -> None:
 
     assert n_out > 0 and n_based > 0 and n_rev > 0 and logical > stored
     assert n_wat == n_linked and links_total > n_wat
+    # the cross-host sink (every page links to the cdn) must top both
+    # centralities, and its estimated ball must have grown beyond
+    # itself (the KMV estimate at k=8 is approximate — no exact-count
+    # claim against n_hosts)
+    assert top["host"] == "cdn.example" == htop["host"]
+    assert htop["ball_est"] > 1
     assert 0 < n_refetch < n_dom
     print("crawl cycle complete")
     spark.stop()
