@@ -3674,14 +3674,7 @@ def web_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pagerank_directed_of``)."""
     from .ledger import pagerank_directed_of
 
-    f = _wat_outlink_frame(spark, sf_dir)
-    hedges = (
-        f.filter(F.col("src_host") != F.col("target_host"))
-        .groupBy(
-            F.col("src_host").alias("src"), F.col("target_host").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-    )
+    hedges = _wat_host_edges(spark, sf_dir)
     nodes = (
         hedges.select(F.col("src").alias("node"))
         .unionByName(hedges.select(F.col("dst").alias("node")))
@@ -3689,6 +3682,34 @@ def web_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank_directed_of(nodes, hedges)
     return ranks.select(F.col("node").alias("host"), "rank_scaled")
+
+
+def _wat_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level weighted edge list from published WAT bytes, shared by
+    the rank and harmonic rows. Two measured plan decisions (round 16,
+    sf0.1, 32 cores): (1) the outlink frame passes through a LAZY
+    ``localCheckpoint`` BEFORE the host aggregation — grouping directly
+    on the resolve/canonicalize expression towers triggers the
+    optimizer's constraint-propagation blowup (the same quadratic
+    substitution class as the SURT batch join: ~8 s of planning per
+    action vs ~0 with the lineage cut); (2) the aggregated edge list
+    materializes EAGERLY before callers derive the node set from it —
+    otherwise the node derivation and the rank loop's own edge
+    checkpoint each re-execute the full publish+harvest (~10 s each at
+    sf0.1, measured 18.8 s -> ~4 s for the composed row)."""
+    raw = (
+        _wat_outlink_frame(spark, sf_dir)
+        .select("src_host", "target_host")
+        .localCheckpoint(eager=False)
+    )
+    return (
+        raw.filter(F.col("src_host") != F.col("target_host"))
+        .groupBy(
+            F.col("src_host").alias("src"), F.col("target_host").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
+    )
 
 
 def _host_harmonic_oracle() -> str:
@@ -3771,14 +3792,7 @@ def web_host_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-degree two-level aggregation note."""
     from .ledger import harmonic_centrality_of
 
-    f = _wat_outlink_frame(spark, sf_dir)
-    hedges = (
-        f.filter(F.col("src_host") != F.col("target_host"))
-        .select(
-            F.col("src_host").alias("src"), F.col("target_host").alias("dst")
-        )
-        .distinct()
-    )
+    hedges = _wat_host_edges(spark, sf_dir).select("src", "dst")
     nodes = (
         hedges.select(F.col("src").alias("node"))
         .unionByName(hedges.select(F.col("dst").alias("node")))

@@ -4135,6 +4135,20 @@ def surt_batch_lookup(
     ).withColumn(
         "q_site", F.regexp_extract("q_surt", r"^([^):]*)[):]", 1)
     )
+    # Two load-bearing lines, both measured (round 16, sf0.1, 32 cores):
+    # the lazy checkpoint cuts the canonicalize/surt expression towers
+    # out of the join's optimizer view — joining on the raw expressions
+    # triggers Catalyst's constraint-propagation substitution blowup
+    # (~12-14 s of PLANNING per action vs 0.6 s with the lineage cut;
+    # disabling spark.sql.constraintPropagation confirms the attribution
+    # but is a session-wide hammer, rejected). The filter is not
+    # decoration: dynamic partition pruning only triggers when the build
+    # side carries a selective (non-IsNotNull) predicate, and a bare
+    # checkpointed RDD has none — without it the store scan silently
+    # reverts to listing every site directory (measured, plan-gated in
+    # tests/test_surt_index.py). The query batch is lookup-sized by
+    # contract, so materializing it is O(batch).
+    q = q.localCheckpoint(eager=False).filter(F.col("q_surt") != "")
     store = spark.read.parquet(idx_dir)
     hits = store.join(
         F.broadcast(q),
