@@ -1140,6 +1140,7 @@ def resolve_redirects(
     resp: DataFrame,
     max_hops: int = 5,
     response_index: DataFrame | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Follow HTTP redirect chains relationally: ``resp`` is one row per
     fetched URL — (url, status, location) straight out of
@@ -1167,7 +1168,31 @@ def resolve_redirects(
     joins is the whole cost and there is no unbounded iteration. At
     100 TB each hop is a standard shuffle join on url; survivors after
     hop 1 are typically a tiny fraction of the corpus, so later hops are
-    near-free. No window, no explode, no Python."""
+    near-free. No window, no explode, no Python.
+
+    ``materialize`` (round 16, measured): the loop's output is a union
+    of ``2*max_hops + 2`` branches, and each branch embeds the whole
+    upstream ``resp`` tower plus the hop-join chain — O(hops^2) joins in
+    one plan, with the input re-executed per branch (12 extra towers at
+    ``max_hops=5``; web_robots_availability read 222 KB of plan and
+    ~150 Exchanges from exactly this). With ``materialize=True`` the
+    narrow (url, status, location) projection is localCheckpoint'd
+    LAZILY once and each hop's join output likewise — every hop executes
+    once, branches read cached RDDs, and the plan is linear in
+    ``max_hops``; only 3-column redirect metadata materializes, never
+    page payloads. It is OPT-IN because the checkpoint also blocks
+    whole-stage codegen across the cut and constant folding of synthetic
+    literal inputs: back-to-back min-of-3 A/B at sf0.1 read
+    web_robots_availability 4.52 s -> 2.99 s (expensive scan+distinct
+    tower, big win) but web_redirect_chains 2.08 s -> 2.08 s (cheap
+    input, neutral) and web_robots_refetch 1.29 s -> 1.54 s (literal dim
+    whose branches previously constant-folded away, a loss). Callers
+    whose ``resp`` tower is expensive to recompute opt in; streaming
+    inputs must not (checkpoint unsupported there)."""
+    if materialize:
+        resp = resp.select("url", "status", "location").localCheckpoint(
+            eager=False
+        )
     nxt = (response_index if response_index is not None else resp).select(
         F.col("url").alias("__nu"),
         F.col("status").alias("__ns"),
@@ -1196,6 +1221,11 @@ def resolve_redirects(
         stepped = cur.filter(is_redirect).join(
             nxt, F.col("location") == F.col("__nu"), "left"
         )
+        if materialize:
+            # one cached hop: consumed by the dangling branch AND the
+            # next hop's survivors — without this each consumer re-runs
+            # the join chain back to the input
+            stepped = stepped.localCheckpoint(eager=False)
         # dangling: the Location target was never fetched — the chain
         # ends one hop later at an unknown page, surfaced not guessed
         pieces.append(
@@ -3041,7 +3071,12 @@ def web_robots_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: the robots fetch log is domains-sized (tiny vs the URL
     fact table); everything here is dim-scale joins and column maps."""
     docs = t(spark, sf_dir, "documents").select((F.col("doc_id") % 20).alias("h"))
-    hosts = docs.distinct()
+    # the 20-row domains dim feeds the fetch log, the redirect targets,
+    # AND the fetch-status join below — checkpoint it lazily so the
+    # corpus scan + distinct behind it executes once, not once per
+    # consumer branch (round 16: this row's plan carried ~150 Exchanges,
+    # nearly all replicas of this tower)
+    hosts = docs.distinct().localCheckpoint(eager=False)
     h = F.col("h")
     url = F.concat(F.lit("robots://site"), h.cast("string"), F.lit(".example"))
     status = (
@@ -3067,9 +3102,12 @@ def web_robots_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("location"),
     )
     resp = first.select("url", "status", "location").unionByName(targets)
-    modes = robots_fetch_mode(resolve_redirects(resp, max_hops=5)).filter(
-        F.col("url").startswith("robots://")
-    )
+    # materialize=True: resp embeds the documents scan + distinct tower,
+    # which the stacked redirect plan re-executes per union branch —
+    # measured 4.52 s -> 2.99 s min-of-3 (rationale at resolve_redirects)
+    modes = robots_fetch_mode(
+        resolve_redirects(resp, max_hops=5, materialize=True)
+    ).filter(F.col("url").startswith("robots://"))
     keyed = modes.select(
         F.regexp_extract("url", r"robots://site([0-9]+)\.example", 1)
         .cast("int")
