@@ -286,7 +286,10 @@ def search_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path."""
     from .vectors import ivf_build_centroids, ivf_candidates_scored
 
-    cent = ivf_build_centroids(spark, sf_dir)
+    # materialize the Lloyd build once: the K-row centroid table is
+    # consumed by BOTH the cell assignment and the probe-cell ranking,
+    # and each re-runs the whole iterative refinement tower otherwise
+    cent = ivf_build_centroids(spark, sf_dir).localCheckpoint(eager=False)
     scored = ivf_candidates_scored(spark, sf_dir, cent).select(
         F.col("vec_id").alias("doc_id"), "cosine"
     )
