@@ -3672,7 +3672,13 @@ def web_recrawl_fetch_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             "domain"
         ),
         hdr.alias("http_headers"),
-    )
+    # lazy checkpoint between synthesis and parse (round 16): every one
+    # of the freshness/validator tower's ~270 header references inlined
+    # the whole synthetic hdr concat tree (115 KB formatted plan, ~3 s
+    # of optimizer time per action measured via the analyze/execute
+    # split) — the cut makes each reference a plain column read of the
+    # 3-column dim-scale log
+    ).localCheckpoint(eager=False)
     delays = (
         docs.select(h.alias("h"))
         .distinct()
