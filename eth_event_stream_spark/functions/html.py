@@ -230,22 +230,35 @@ def html_links(col: Column | str) -> Column:
     basic entity set decodes (query separators arrive entity-escaped in
     real markup), and surrounding whitespace trims. Resolution against
     the page URL is ``functions.url.url_resolve``'s job; scheme
-    filtering (javascript:, mailto:) is the frontier builder's."""
+    filtering (javascript:, mailto:) is the frontier builder's.
+
+    Shape note (round 16): ONE ``regexp_extract_all`` of the whole
+    alternation (group 1) + a per-element quote strip, not three
+    per-group extractions. The strip/extract tower sits inside a
+    Generate (posexplode) at the main call site, which Spark does not
+    codegen — no runtime subexpression elimination — so the old
+    three-group form ran the 3-regex script/comment strip AND the
+    full-text anchor scan three times per row (12 full-text regex
+    passes); this form runs them once each (4). The quote strip is
+    exactly the group-2/3/4 pick: a token starting with a quote is a
+    quoted form (bare hrefs cannot start with ``"``/``'`` by the
+    pattern), so dropping first+last char equals the inner group."""
     c = _strip_invisible(F.col(col) if isinstance(col, str) else col)
     pat = (
         "(?is)<a\\b[^>]*?\\shref\\s*=\\s*"
         "(\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))"
     )
-    g2 = F.regexp_extract_all(c, F.lit(pat), F.lit(2))
-    g3 = F.regexp_extract_all(c, F.lit(pat), F.lit(3))
-    g4 = F.regexp_extract_all(c, F.lit(pat), F.lit(4))
-    pick = lambda a, b: F.when(a != "", a).otherwise(b)  # noqa: E731
-    merged = F.zip_with(F.zip_with(g2, g3, pick), g4, pick)
+    toks = F.regexp_extract_all(c, F.lit(pat), F.lit(1))
 
     def clean(x: Column) -> Column:
-        return _decode_entities(F.trim(x))
+        first = F.substring(x, 1, 1)
+        unq = F.when(
+            (first == '"') | (first == "'"),
+            F.substring(x, 2, F.length(x) - F.lit(2)),
+        ).otherwise(x)
+        return _decode_entities(F.trim(unq))
 
-    return F.transform(merged, clean)
+    return F.transform(toks, clean)
 
 
 def html_base_href(col: Column | str) -> Column:
