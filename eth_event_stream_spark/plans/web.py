@@ -1628,18 +1628,32 @@ def html_content_blocks(df: DataFrame, html_col: str, keys: list[str]) -> DataFr
         *keys,
         F.posexplode(html_blocks(html_col)).alias("block_idx", "raw"),
     )
-    text = html_inline_text(F.col("raw"))
-    link = html_anchor_text(F.col("raw"))
-    m = segs.select(
+    # STAGE the two extraction chains as real columns before the metric
+    # projection (round 16): n_chars / n_words / stop_hits each
+    # referenced the text expression, and every reference re-ran the
+    # whole inline-strip + entity-decode tower (the numeric-reference
+    # lambda chain is interpreted, no subexpression elimination) — the
+    # before-plan carried ~4 copies of it per row. As multiply-
+    # referenced non-cheap aliases, CollapseProject keeps the boundary
+    # and each chain runs once per block — the same staging lesson as
+    # web_outlink_frontier's resolve/canonicalize split.
+    staged = segs.select(
         *keys,
         F.col("block_idx").cast("bigint").alias("block_idx"),
-        text.alias("text"),
+        html_inline_text(F.col("raw")).alias("text"),
+        html_anchor_text(F.col("raw")).alias("__link"),
+    )
+    text = F.col("text")
+    m = staged.select(
+        *keys,
+        "block_idx",
+        "text",
         F.length(text).cast("bigint").alias("n_chars"),
         F.when(text == "", F.lit(0))
         .otherwise(F.size(F.split(text, r"\s+")))
         .cast("bigint")
         .alias("n_words"),
-        F.length(link).cast("bigint").alias("link_chars"),
+        F.length(F.col("__link")).cast("bigint").alias("link_chars"),
         F.size(
             F.filter(
                 F.split(F.lower(text), r"\s+"),
@@ -2713,7 +2727,14 @@ def web_frontier_delta_canonical(
         rules,
         out="loc",
     ).select("domain", "loc", "lastmod")
-    return frontier_delta(old, new)
+    # lazy checkpoint before the diff (round 16): frontier_delta consumes
+    # the new side THREE times (added anti, removed anti, changed inner),
+    # and each consumer re-ran the whole canonicalize + strip-tracking
+    # tower over the scan (3 of the before-plan's 12 in-plan scans were
+    # this tower). What materializes is the 3-column (domain, loc,
+    # lastmod) frontier — guide §8 "decide with small rows"; the old
+    # side is a cheap concat and stays inline
+    return frontier_delta(old, new.localCheckpoint(eager=False))
 
 
 def pair_requests_responses(captures: DataFrame) -> DataFrame:
