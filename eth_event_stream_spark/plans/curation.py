@@ -1247,6 +1247,11 @@ def prepare_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.row_number().over(Window.partitionBy("doc_id").orderBy("istart")) - 1,
     ).select("doc_id", "istart", "iend", "k")
+    # lazy checkpoint (round 16): the island list is SPARSE (~6% of
+    # positions merged into spans) but its tower — candidate draw over the
+    # full position explode + two windows — re-ran once per consumer of
+    # the join below (input assembly and target assembly both read it)
+    ki = ki.localCheckpoint(eager=False)
     j = (
         pos.alias("P")
         .join(

@@ -2839,12 +2839,16 @@ def dedup_chunk_scrub_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine), same-key keep join, per-doc reassembly."""
     from .curation import _ENC_FIRST, _reassemble
 
+    # lazy checkpoint (round 16): the CDC chunker (an md5-per-bigram
+    # boundary filter — the expensive part of this row) is consumed three
+    # times downstream (first-occurrence agg, keep join, reassembly total)
+    # and re-ran per consumer; one cut runs it once
     chunks = cdc_chunks_of(t(spark, sf_dir, "documents")).select(
         "doc_id",
         "chunk_idx",
         F.col("chunk_text").alias("chunk"),
         F.col("chunk_hash").alias("h"),
-    )
+    ).localCheckpoint(eager=False)
     enc = F.expr(_ENC_FIRST)
     firsts = chunks.groupBy("h").agg(F.min(enc).alias("first_key"))
     kept = (

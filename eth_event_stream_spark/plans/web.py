@@ -2370,6 +2370,12 @@ def ingest_warc_unique_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps = warc_captures(documents_as_warc_revisit(docs)).localCheckpoint(
         eager=False
     )
+    # round 16 measured-and-rejected: checkpointing the resolved view too
+    # (it is consumed twice: per-page counts + unresolved tally) read
+    # NEUTRAL at sf0.1 and +16% at the 10x rehearsal on the clean A/B
+    # pair — the resolution joins over the already-cached captures are
+    # cheap enough that the extra materialize-then-consume serialization
+    # only costs; the caps cut above is the one that pays
     served = resolve_revisits(caps)
     resp_bytes = (
         caps.filter(F.col("rectype") == "response")
