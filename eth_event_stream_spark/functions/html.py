@@ -204,21 +204,25 @@ def html_anchor_text(col: Column | str) -> Column:
     return html_inline_text(joined)
 
 
-def html_title(col: Column | str) -> Column:
+def html_title(col: Column | str, *, stripped: bool = False) -> Column:
     """The first ``<title>`` element's text (entity-decoded, whitespace
     collapsed), or empty string when there is none — same pure-Catalyst
     discipline as ``html_to_text``. Comments and script/style content are
     stripped FIRST, so a title inside them can never shadow the real
-    one."""
+    one. ``stripped=True`` promises the caller already applied
+    ``_strip_invisible`` (staged as a real column so several harvests
+    share ONE strip pass — the WAT envelope publish does this)."""
     c = F.col(col) if isinstance(col, str) else col
     t = F.regexp_extract(
-        _strip_invisible(c), r"(?is)<title[^>]*>(.*?)</title\s*>", 1
+        c if stripped else _strip_invisible(c),
+        r"(?is)<title[^>]*>(.*?)</title\s*>",
+        1,
     )
     t = _decode_entities(t)
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
-def html_links(col: Column | str) -> Column:
+def html_links(col: Column | str, *, stripped: bool = False) -> Column:
     """Every ``<a href=...>`` value in the page, in document order, as
     ``array<string>`` — the raw outlink harvest frontier discovery
     starts from. Pure Catalyst: script/style/comment regions are
@@ -242,8 +246,12 @@ def html_links(col: Column | str) -> Column:
     passes); this form runs them once each (4). The quote strip is
     exactly the group-2/3/4 pick: a token starting with a quote is a
     quoted form (bare hrefs cannot start with ``"``/``'`` by the
-    pattern), so dropping first+last char equals the inner group."""
-    c = _strip_invisible(F.col(col) if isinstance(col, str) else col)
+    pattern), so dropping first+last char equals the inner group.
+    ``stripped=True``: caller already applied ``_strip_invisible``
+    (staged once as a real column, shared by several harvests — the
+    WAT envelope publish)."""
+    raw = F.col(col) if isinstance(col, str) else col
+    c = raw if stripped else _strip_invisible(raw)
     pat = (
         "(?is)<a\\b[^>]*?\\shref\\s*=\\s*"
         "(\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))"
@@ -373,7 +381,7 @@ def html_links_followable(col: Column | str) -> Column:
     return F.transform(followable, lambda x: clean(attr(x, href_pat)))
 
 
-def html_meta_pairs(col: Column | str) -> Column:
+def html_meta_pairs(col: Column | str, *, stripped: bool = False) -> Column:
     """Every ``<meta name=... content=...>`` pair in the page head (or
     body — HTML tolerates both), in document order, as
     ``array<struct<name:string,content:string>>`` — the harvest a
@@ -386,8 +394,11 @@ def html_meta_pairs(col: Column | str) -> Column:
     idiom — no explode). Both attribute orders and all three value
     quoting forms parse; values entity-decode and trim; entries missing
     either attribute (charset-only metas, property-only OpenGraph tags)
-    are filtered out — this harvest is the name/content family."""
-    c = _strip_invisible(F.col(col) if isinstance(col, str) else col)
+    are filtered out — this harvest is the name/content family.
+    ``stripped=True``: caller already applied ``_strip_invisible``
+    (staged once, shared by several harvests — the WAT publish)."""
+    raw = F.col(col) if isinstance(col, str) else col
+    c = raw if stripped else _strip_invisible(raw)
     bodies = F.regexp_extract_all(
         c, F.lit("(?is)<meta\\b([^>]*)>"), F.lit(1)
     )

@@ -3323,7 +3323,12 @@ def _published_wat_records(spark: SparkSession, sf_dir: str):
     ``<meta name/content>`` pairs), and per-link ``path`` provenance —
     all harvested in Catalyst from the parsed pages, serialized by
     ``documents_to_wat``'s sorted-key byte-reproducible JSON."""
-    from ..functions.html import html_links, html_meta_pairs, html_title
+    from ..functions.html import (
+        _strip_invisible,
+        html_links,
+        html_meta_pairs,
+        html_title,
+    )
     from ..functions.http import http_header_pairs
     from ..operators.ingest import (
         documents_as_warc_linked,
@@ -3334,7 +3339,18 @@ def _published_wat_records(spark: SparkSession, sf_dir: str):
 
     docs = t_parallel(spark, sf_dir, "documents").select("doc_id")
     pages = warc_http_responses(documents_as_warc_linked(docs))
-    harvested = pages.select(
+    # STAGE one script/comment-stripped copy of the body (round 16): the
+    # three head/link harvests each began with their own _strip_invisible
+    # pass — 9 full-text regex passes per page; a multiply-referenced
+    # non-cheap alias keeps the projection boundary (CollapseProject), so
+    # the strip runs once and each harvest scans the staged column
+    staged = pages.select(
+        "archive_id",
+        "url",
+        "http_headers",
+        _strip_invisible(F.col("body_text")).alias("__body_stripped"),
+    )
+    harvested = staged.select(
         "archive_id",
         "url",
         F.concat(
@@ -3347,9 +3363,9 @@ def _published_wat_records(spark: SparkSession, sf_dir: str):
             F.lit(">"),
         ).alias("refers_to"),
         http_header_pairs("http_headers").alias("resp_headers"),
-        html_title("body_text").alias("page_title"),
-        html_meta_pairs("body_text").alias("page_metas"),
-        html_links("body_text").alias("links"),
+        html_title("__body_stripped", stripped=True).alias("page_title"),
+        html_meta_pairs("__body_stripped", stripped=True).alias("page_metas"),
+        html_links("__body_stripped", stripped=True).alias("links"),
     )
     wat = documents_to_wat(
         harvested,
