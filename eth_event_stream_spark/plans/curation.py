@@ -1248,9 +1248,10 @@ def prepare_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.partitionBy("doc_id").orderBy("istart")) - 1,
     ).select("doc_id", "istart", "iend", "k")
     # lazy checkpoint (round 16): the island list is SPARSE (~6% of
-    # positions merged into spans) but its tower — candidate draw over the
-    # full position explode + two windows — re-ran once per consumer of
-    # the join below (input assembly and target assembly both read it)
+    # positions merged into spans); its tower — candidate draw over the
+    # full position explode + two windows — materializes once here (and
+    # with the single-aggregation assembly below the cut also keeps the
+    # optimizer from inlining the window tower into the join)
     ki = ki.localCheckpoint(eager=False)
     j = (
         pos.alias("P")
@@ -1272,41 +1273,45 @@ def prepare_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">")),
         )
     )
-    inp = j.withColumn("piece", piece).groupBy("doc_id", "n_tokens").agg(
+    # SINGLE per-doc aggregation (round 16 restructure): the input and the
+    # target assemble from ONE groupBy — the masked (k, p, tok) rows are
+    # collected alongside the input pieces (collect_list drops the NULL
+    # the CASE yields for unmasked positions), and the target string is
+    # rebuilt from the (k, p)-sorted array with an index-aware transform
+    # that emits the sentinel exactly where k changes. Provably the same
+    # string the old spans/tgt two-level aggregation produced: per k
+    # ascending, tokens p ascending, single-space joined, sentinel
+    # prefixed to each span's first token. This removes the second
+    # consumer of the positions join (the explode + join ran twice), the
+    # (doc_id, k) shuffle, and the final inp-tgt join — one explode, one
+    # join, one doc-keyed aggregation. Before/after plans and A/B numbers
+    # in OPTIMIZATION_r16.md; byte-equivalence held by the DuckDB oracle
+    # (which still computes the two-level form) and the round-trip test.
+    agg = j.withColumn("piece", piece).groupBy("doc_id", "n_tokens").agg(
         F.expr(
             "array_join(transform(array_sort(collect_list(struct(p, piece))),"
             " s -> s.piece), ' ')"
         ).alias("input_text"),
         F.count("k").cast("long").alias("n_masked"),
-    )
-    spans = (
-        j.filter(F.col("k").isNotNull())
-        .groupBy("doc_id", "k")
-        .agg(
-            F.expr(
-                "array_join(transform(array_sort(collect_list(struct(p, tok))),"
-                " s -> s.tok), ' ')"
-            ).alias("stext")
-        )
-    )
-    tgt = spans.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_spans"),
         F.expr(
-            "array_join(transform(array_sort(collect_list(struct(k, "
-            "concat('<extra_id_', cast(k as string), '> ', stext) as piece))),"
-            " s -> s.piece), ' ')"
-        ).alias("target_text"),
+            "array_sort(collect_list(CASE WHEN k IS NOT NULL"
+            " THEN struct(k, p, tok) END))"
+        ).alias("__m"),
     )
-    return (
-        inp.join(tgt, ["doc_id"], "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-            "n_masked",
-            "input_text",
-            F.coalesce("target_text", F.lit("")).alias("target_text"),
-        )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "cast(size(array_distinct(transform(__m, x -> x.k))) as bigint)"
+        ).alias("n_spans"),
+        "n_masked",
+        "input_text",
+        F.expr(
+            "array_join(transform(__m, (x, i) -> concat("
+            "IF(i = 0 OR __m[i - 1].k != x.k,"
+            " concat('<extra_id_', cast(x.k as string), '> '), ''),"
+            " x.tok)), ' ')"
+        ).alias("target_text"),
     )
 
 

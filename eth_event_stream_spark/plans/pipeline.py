@@ -3469,38 +3469,54 @@ def ingest_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     is Catalyst ``from_json``/``get_json_object`` — deriving WAT from
     a crawl costs the same shape as reading it back."""
     back = _published_wat_records(spark, sf_dir)
-    links_schema = "array<struct<url:string>>"
-    meta_root = "$.Envelope.Payload-Metadata.HTTP-Response-Metadata"
-    parsed = back.select(
+    # ONE envelope parse (round 16): the five get_json_object calls each
+    # re-parsed the full JSON envelope per record (plus a sixth parse for
+    # the links array); a single typed from_json builds every field in one
+    # Jackson pass. Same null semantics (missing path -> NULL both ways),
+    # same unescaping; the byte-for-byte oracle holds the equivalence.
+    env_schema = (
+        "struct<Envelope:struct<`Payload-Metadata`:struct<"
+        "`HTTP-Response-Metadata`:struct<"
+        "Headers:struct<`Content-Length`:string,`Content-Type`:string>,"
+        "`HTML-Metadata`:struct<Head:struct<"
+        "Metas:array<struct<content:string>>,Title:string>,"
+        "Links:array<struct<url:string>>>>>>>"
+    )
+    # the parse is STAGED as a real column (multiply-referenced non-cheap
+    # alias, so CollapseProject keeps the projection boundary) — putting
+    # the from_json expression inline in each output column hands the
+    # optimizer five copies of the parse again (measured: the collapsed
+    # single-select form printed five from_json nodes in the plan)
+    env = back.select(
         "archive_id",
         "rectype",
         "url",
         "record_id",
         "refers_to",
         F.col("content_type").alias("record_content_type"),
-        F.get_json_object(
-            "json_text", meta_root + ".Headers.Content-Type"
-        ).alias("content_type"),
-        F.get_json_object(
-            "json_text", meta_root + ".HTML-Metadata.Head.Title"
-        ).alias("title"),
-        F.get_json_object(
-            "json_text",
-            meta_root + ".HTML-Metadata.Head.Metas[0].content",
-        ).alias("meta_description"),
-        F.get_json_object(
-            "json_text", meta_root + ".Headers.Content-Length"
-        )
-        .cast("bigint")
-        .alias("content_length"),
+        "n_bytes",
+        "json_text",
+        F.from_json("json_text", env_schema)["Envelope"][
+            "Payload-Metadata"
+        ]["HTTP-Response-Metadata"].alias("__meta"),
+    )
+    m = F.col("__meta")
+    parsed = env.select(
+        "archive_id",
+        "rectype",
+        "url",
+        "record_id",
+        "refers_to",
+        "record_content_type",
+        m["Headers"]["Content-Type"].alias("content_type"),
+        m["HTML-Metadata"]["Head"]["Title"].alias("title"),
+        m["HTML-Metadata"]["Head"]["Metas"][0]["content"].alias(
+            "meta_description"
+        ),
+        m["Headers"]["Content-Length"].cast("bigint").alias("content_length"),
         "n_bytes",
         F.col("json_text").alias("wat_json"),
-        F.from_json(
-            F.get_json_object(
-                "json_text", meta_root + ".HTML-Metadata.Links"
-            ),
-            links_schema,
-        ).alias("__links"),
+        m["HTML-Metadata"]["Links"].alias("__links"),
     )
     return parsed.select(
         "archive_id",
@@ -3581,18 +3597,22 @@ def _wat_outlink_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.url import url_canonicalize, url_resolve
 
     back = _published_wat_records(spark, sf_dir)
+    # ONE envelope parse (round 16, same cut as ingest_wat_roundtrip):
+    # get_json_object re-parsed the whole envelope to cut out the Links
+    # array string, then from_json parsed that string AGAIN; a typed
+    # from_json straight to the array does it in one pass.
+    links_path = (
+        "struct<Envelope:struct<`Payload-Metadata`:struct<"
+        "`HTTP-Response-Metadata`:struct<`HTML-Metadata`:struct<"
+        "Links:array<struct<url:string>>>>>>>"
+    )
     links = back.select(
         "archive_id",
         F.col("url").alias("page_url"),
         F.posexplode(
-            F.from_json(
-                F.get_json_object(
-                    "json_text",
-                    "$.Envelope.Payload-Metadata.HTTP-Response-Metadata"
-                    ".HTML-Metadata.Links",
-                ),
-                "array<struct<url:string>>",
-            )
+            F.from_json("json_text", links_path)["Envelope"][
+                "Payload-Metadata"
+            ]["HTTP-Response-Metadata"]["HTML-Metadata"]["Links"]
         ).alias("link_idx", "l"),
     )
     staged = links.select(

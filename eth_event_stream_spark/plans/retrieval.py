@@ -87,10 +87,30 @@ def search_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _keyword_lane(spark, sf_dir).select("doc_id", "score", "rnk")
 
 
-def _rank_topk(scored: DataFrame, id_col: str, score_col: str, k: int) -> DataFrame:
+def _rank_topk(
+    scored: DataFrame,
+    id_col: str,
+    score_col: str,
+    k: int,
+    materialize: bool = False,
+) -> DataFrame:
     """TakeOrdered top-k by (score desc, id asc), then ROW_NUMBER-equal
-    ranks via broadcast self-join on the k-row frame."""
+    ranks via broadcast self-join on the k-row frame.
+
+    ``materialize=True`` (round 16): the k-row ``top`` frame is consumed
+    TWICE by the rank self-join (left side + the broadcast projection),
+    and Spark plans each copy independently — the whole scoring tower
+    (keyword postings build, brute cosine cross join, IVF probe) executed
+    once per copy. A lazy ``localCheckpoint`` of the k-row cut runs the
+    tower once and rank-joins the cached rows — the guide's "decide with
+    small rows" shape (k rows of 2 narrow columns). Opt-in
+    because cheap towers lose by it (the ``web_robots_refetch``
+    constant-folding lesson): ``search_keyword_topk``'s single-lane row
+    keeps its stacked plan (its gate pins the visible TakeOrdered cut),
+    the hybrid rows' expensive lanes opt in."""
     top = scored.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+    if materialize:
+        top = top.localCheckpoint(eager=False)
     o = top.select(
         F.col(id_col).alias("_id2"), F.col(score_col).alias("_score2")
     )
@@ -104,7 +124,7 @@ def _rank_topk(scored: DataFrame, id_col: str, score_col: str, k: int) -> DataFr
     )
 
 
-def _keyword_lane(spark: SparkSession, sf_dir: str):
+def _keyword_lane(spark: SparkSession, sf_dir: str, materialize: bool = False):
     d = t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("tok")
@@ -122,7 +142,7 @@ def _keyword_lane(spark: SparkSession, sf_dir: str):
             .alias("score")
         )
     )
-    return _rank_topk(scored, "doc_id", "score", TOPK_LANE)
+    return _rank_topk(scored, "doc_id", "score", TOPK_LANE, materialize)
 
 
 # cosine fragments shared with the similarity family (pipeline.py's
@@ -151,7 +171,9 @@ _SQL_COS = (
 )
 
 
-def _vector_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _vector_lane(
+    spark: SparkSession, sf_dir: str, materialize: bool = False
+) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("b"))
     scored = (
@@ -164,7 +186,7 @@ def _vector_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return _rank_topk(scored, "doc_id", "cosine", TOPK_LANE)
+    return _rank_topk(scored, "doc_id", "cosine", TOPK_LANE, materialize)
 
 
 @register(
@@ -205,6 +227,16 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     {TOPK_LANE}-row frames — constant work after the lane scans, and the
     lanes themselves are the already-benched keyword and brute-cosine
     shapes (swap in the IVF/PQ lane for the corpus-scale path)."""
+    # NOT materialized (round 16, measured): both of this row's lane
+    # towers are single parallel scans (postings explode / brute cosine),
+    # so their duplicated copies run as parallel stages of one job and
+    # wall-clock tracks the critical path — the k-row checkpoint
+    # SERIALIZES the query and read a repeated ~1.10x at the 10x
+    # rehearsal (clean A/B mins, two sessions) against ~0.90-noise at
+    # sf0.1. The IVF twin keeps materialize=True: its lane is a
+    # SEQUENTIAL Lloyd-build chain, where deduplication shortens the
+    # critical path (measured 0.93-0.99 at both scales, plan 39 KB ->
+    # 5.9 KB). Numbers in OPTIMIZATION_r16.md.
     return _rrf_fuse(_keyword_lane(spark, sf_dir), _vector_lane(spark, sf_dir))
 
 
@@ -293,8 +325,8 @@ def search_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = ivf_candidates_scored(spark, sf_dir, cent).select(
         F.col("vec_id").alias("doc_id"), "cosine"
     )
-    vec = _rank_topk(scored, "doc_id", "cosine", TOPK_LANE)
-    return _rrf_fuse(_keyword_lane(spark, sf_dir), vec)
+    vec = _rank_topk(scored, "doc_id", "cosine", TOPK_LANE, materialize=True)
+    return _rrf_fuse(_keyword_lane(spark, sf_dir, materialize=True), vec)
 
 
 # per-process memo: sf_dir -> work dir holding the persisted serving state

@@ -143,6 +143,17 @@ def test_span_corruption_round_trips_and_is_deterministic(spark, sf_dir):
     assert again.equals(out.sort_index())
 
 
+def test_span_corruption_single_aggregation(spark, sf_dir):
+    """Round-16 restructure gate: the input and target assemble from ONE
+    per-doc aggregation — the corpus is scanned once (the positions
+    explode + islands join used to run twice, once per assembly) and the
+    final inp-to-tgt SortMergeJoin is gone."""
+    df = QUERIES["prepare_span_corruption"].fn(spark, sf_dir)
+    p = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert p.count("documents.parquet") == 1, p[:3000]
+    assert "SortMergeJoin" not in p, p[:3000]
+
+
 def test_span_corruption_is_doc_local(spark, sf_dir):
     """Scale gate: the transform is document-local — no corpus-global
     window (no SinglePartition Window), no CartesianProduct; the

@@ -204,8 +204,17 @@ PLAN_EXPECTATIONS = {
     # batched ANN: per-query cut must be WindowGroupLimit heaps, probes
     # and query embeddings broadcast into the shared candidate join
     "similarity_topk_batch_queries": [r"WindowGroupLimit", r"BroadcastHashJoin"],
-    # the hybrid fusion's lanes broadcast; its final cut is a heap
-    "search_hybrid_rrf_ivf": [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+    # the hybrid fusion's lanes cut to k rows and materialize (round 16:
+    # the rank self-join consumed each lane's 20-row cut twice, so the
+    # postings/probe towers ran once per copy — the lazy localCheckpoint
+    # runs them once; the lanes' broadcast joins now live inside the
+    # checkpoint jobs); the visible plan is the cached k-row lanes
+    # (ExistingRDD), the fusion hash aggregate, and the final heap cut
+    "search_hybrid_rrf_ivf": [
+        r"Scan ExistingRDD",
+        r"HashAggregate",
+        r"TakeOrderedAndProject",
+    ],
     # KMV: top-K via per-partition heaps, constant-size reduction
     "sketch_kmv_distinct": [r"TakeOrderedAndProject", r"HashAggregate"],
     # keyword lane: term-filtered postings, broadcast df, TakeOrdered cut,
