@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for named registered queries to plans/r16/.
+"""Dump .explain("formatted") for named registered queries to plans/<round>/.
 
 Usage: python tools/dump_plans.py <suffix> <query> [<query> ...]
-Writes plans/r16/<query>_<suffix>.txt for each. Driver-loop rows (k-center,
-PageRank) execute their loop while the frame is built; their plan file shows
-the final frame, and the loop structure is documented in OPTIMIZATION_r16.md.
+Writes plans/$SPARK_GRAFT_PLAN_DIR/<query>_<suffix>.txt for each (default
+r17). Driver-loop rows (k-center, PageRank) execute their loop while the
+frame is built; their plan file shows the final frame, and the loop
+structure is documented in the round's OPTIMIZATION notes.
 """
 from __future__ import annotations
 
@@ -17,7 +18,11 @@ from eth_event_stream_spark.plans import QUERIES  # noqa: E402
 from eth_event_stream_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLAN_DIR", "r17"),
+)
 
 
 def main() -> None:
