@@ -484,7 +484,12 @@ def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c", lit_center(seed["e"]))
         .withColumn("mind", F.round(F.expr(_SPARK_D2.format(a="e", b="c")), 6))
         .drop("c")
-        .localCheckpoint()
+        # LAZY checkpoint (round 17): the round's argmax probe is the
+        # materializing action, so distance fold + cache write + top-1
+        # run as ONE job per round instead of an eager write job followed
+        # by a cached-read probe job — same blocks cached, half the jobs
+        # (guide §8 decide-with-small-rows: the probe IS the decision)
+        .localCheckpoint(eager=False)
     )
     for r in range(2, KCENTER_K + 1):
         # one probe per round: the argmax row carries the center embedding
@@ -502,7 +507,10 @@ def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least("mind", F.round(F.expr(_SPARK_D2.format(a="e", b="c")), 6)),
             )
             .drop("c")
-            .localCheckpoint()
+            # lazy: materialized by the NEXT round's argmax probe (one job
+            # per round); the final round's state is never read, so its
+            # eager write was pure waste
+            .localCheckpoint(eager=False)
         )
     return spark.createDataFrame(selected, "sel_rank long, vec_id long, min_d2 double")
 
@@ -581,7 +589,12 @@ def sample_kcenter_batched(
         .withColumn("c", lit_center(seed["e"]))
         .withColumn("mind", F.round(F.expr(_SPARK_D2.format(a="e", b="c")), 6))
         .drop("c")
-        .localCheckpoint()
+        # LAZY checkpoint (round 17): the pass's candidate fetch is the
+        # materializing action — fold + cache write + top-n_fetch run as
+        # ONE job per pass instead of an eager write job plus a
+        # cached-read probe job (measured: jobs per pass 2 -> 1, numbers
+        # in OPTIMIZATION_r17.md)
+        .localCheckpoint(eager=False)
     )
     passes = 0
     while len(selected) < k:
@@ -648,8 +661,11 @@ def sample_kcenter_batched(
         # (the r7 PageRank cadence decision, applied here numbers-first:
         # sf0.1 and sf1 A/B in BENCH_SF1.md round-13 notes). The LAST pass
         # always checkpoints: the post-loop R^2 aggregate reads the state.
+        # Lazy (round 17): the next pass's fetch — or the post-loop R^2
+        # aggregate — is the materializing action; when neither ever runs
+        # (exact path without stats_out), the final write is skipped.
         if passes % KCENTER_CKPT_CADENCE == 0 or len(selected) >= k:
-            state = state.localCheckpoint()
+            state = state.localCheckpoint(eager=False)
     if stats_out is not None:
         stats_out["passes"] = passes
         stats_out["sel_embs"] = sel_embs

@@ -1307,8 +1307,11 @@ def prepare_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_masked",
         "input_text",
         F.expr(
+            # the i=0 guard is an explicit IF, not an OR short-circuit:
+            # under ANSI mode __m[-1] would be INVALID_ARRAY_INDEX if any
+            # evaluation path stopped short-circuiting the OR
             "array_join(transform(__m, (x, i) -> concat("
-            "IF(i = 0 OR __m[i - 1].k != x.k,"
+            "IF(IF(i = 0, true, __m[i - 1].k != x.k),"
             " concat('<extra_id_', cast(x.k as string), '> '), ''),"
             " x.tok)), ' ')"
         ).alias("target_text"),

@@ -1647,12 +1647,25 @@ def _verify_candidates_spark(
         ex = _distinct_shingles(d)
     if df_cap is not None:
         ex = _df_capped_shingles(ex, df_cap)
-    cand_docs = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .union(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
+    # one consumer of the nominate tower instead of two (round 17): the
+    # union of two selects planned the whole candidate pipeline twice;
+    # exploding each pair into both ids reads it once — same distinct set.
+    # A/B (alternating mins vs the r16 tree): lsh_capped 0.93-0.94,
+    # collapse_then_lsh 0.89-1.01, collapse_then_prefix 0.70-0.80,
+    # prefix_filter_pairs 0.90-0.94 at sf0.1 and the 10x rehearsal.
+    cand_docs = cands.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
     ex_c = ex.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    # sizes stays on the FULL index, not the candidate-pruned ex_c
+    # (measured and REJECTED, round 17): the inner joins below only read
+    # candidate docs' sizes, so sizes-from-ex_c is equivalent and prunes
+    # the aggregation — but it chains sizes BEHIND the candidate tower,
+    # serializing work that runs as a parallel stage here (the r16
+    # checkpoint-rejection mechanism): dedup_collapse_then_prefix_verify
+    # read 1.30 at sf0.1 and dedup_collapse_then_lsh_verify 1.27 at 10x
+    # with the pruned form, against 0.78/0.90 wins on the standalone
+    # capped row — the standalone win survives via the explode cut alone.
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
 
     a = ex_c.select(F.col("doc_id").alias("doc_a"), "s")
@@ -3510,7 +3523,12 @@ def ingest_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_content_type",
         m["Headers"]["Content-Type"].alias("content_type"),
         m["HTML-Metadata"]["Head"]["Title"].alias("title"),
-        m["HTML-Metadata"]["Head"]["Metas"][0]["content"].alias(
+        # F.get (0-based, NULL on out-of-bounds) instead of [0]: under ANSI
+        # mode GetArrayItem throws INVALID_ARRAY_INDEX on a present-but-empty
+        # Metas array (real CC WAT has them; the synthetic generator always
+        # emits one meta, so the oracle can't see the difference) — get()
+        # restores the get_json_object NULL-on-missing semantics exactly.
+        F.get(m["HTML-Metadata"]["Head"]["Metas"], 0)["content"].alias(
             "meta_description"
         ),
         m["Headers"]["Content-Length"].cast("bigint").alias("content_length"),
@@ -3527,8 +3545,10 @@ def ingest_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_content_type",
         "content_type",
         F.size("__links").cast("bigint").alias("n_links"),
-        F.col("__links")[0]["url"].alias("first_link"),
-        F.element_at("__links", -1)["url"].alias("last_link"),
+        # same ANSI hardening for an empty Links array: get() and
+        # try_element_at() yield NULL where [0] / element_at(-1) throw
+        F.get(F.col("__links"), 0)["url"].alias("first_link"),
+        F.try_element_at(F.col("__links"), F.lit(-1))["url"].alias("last_link"),
         "title",
         "meta_description",
         "content_length",
@@ -3748,6 +3768,13 @@ def _wat_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src_host").alias("src"), F.col("target_host").alias("dst")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        # EAGER re-measured and kept (round 17, VERDICT item 9): the lazy
+        # form read 1.42x at sf0.1 / 2.31x at 10x on web_host_rank and
+        # 1.15-1.16x on web_host_harmonic (alternating A/B mins; the
+        # untouched graph_pagerank control drifted the OTHER way, 0.70,
+        # so the signal is not ambiance) — consumers re-enter this edge
+        # list through the rank loop's own lineage cuts, and only the
+        # eager write guarantees exactly one publish+harvest execution.
         .localCheckpoint(eager=True)
     )
 

@@ -107,7 +107,13 @@ def _rank_topk(
     because cheap towers lose by it (the ``web_robots_refetch``
     constant-folding lesson): ``search_keyword_topk``'s single-lane row
     keeps its stacked plan (its gate pins the visible TakeOrdered cut),
-    the hybrid rows' expensive lanes opt in."""
+    the hybrid rows' expensive lanes opt in.
+
+    Fault-tolerance trade (same as ledger.py's localCheckpoint sites):
+    the k-row cut lives in executor-local blocks with no lineage — on a
+    real cluster a lost executor fails the query instead of recomputing.
+    Acceptable for a k-row intermediate inside one interactive query;
+    a long pipeline would use reliable checkpoint() or a staged table."""
     top = scored.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
     if materialize:
         top = top.localCheckpoint(eager=False)

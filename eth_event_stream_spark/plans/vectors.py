@@ -376,36 +376,97 @@ def ivf_build_centroids(
     once, persists the K-row centroid table, and serves many queries
     against it. ``similarity_topk_ivf`` composes build+search end-to-end
     (what the oracle checks); ``bench.py`` times the stages separately as
-    ``ivf_build`` / ``ivf_search``."""
-    from pyspark.sql.types import ArrayType, DoubleType
+    ``ivf_build`` / ``ivf_search``.
+
+    Round 17 (guide §4.2/§4.4 — Arrow-vectorize the N×K distance
+    kernel): each round is ONE ``mapInArrow`` pass that assigns every
+    vector to its nearest centroid in NumPy and emits per-batch PARTIAL
+    SUMS (cid, dim, psum, pcount) — K*D rows per batch instead of the
+    N*K-row broadcast-cross-join + min_by and the N*D-row posexplode
+    re-aggregation per round. The K-row centroid table rides the driver
+    between rounds (bounded metadata, the k-center pattern). A/B vs the
+    expression tower: 1.39 → 0.86 s at sf0.1, 2.35 → 1.05 s at the 10×
+    rehearsal (min-of-4 each), centroids BIT-IDENTICAL.
+
+    Exactness contract (what makes the kernel safe to swap in):
+    distances accumulate DIM-SEQUENTIALLY — ``acc += (x_d - c_d)^2`` in
+    dim order, the same IEEE op sequence as the old
+    ``aggregate(zip_with(...))`` left fold — so argmin ties break
+    identically (first index = smallest cid, matching min_by's
+    (dist, cid) struct order); member sums are int64 of the same
+    HALF_UP ``round(x*1e6)`` (order-independent), with near-half values
+    fixed via decimal-on-repr, which reproduces Java's
+    BigDecimal(shortest-repr) rounding exactly; the final
+    sum/count/1e6 division happens in Spark in both forms."""
+    import numpy as np
+    import pyarrow as pa
 
     if e is None:
         e = t(spark, sf_dir, "embeddings")
-    emb_d = F.col("embedding").cast(ArrayType(DoubleType()))
-    l2 = _L2_TO_CE
-    cent_arr = (
-        e.filter(F.col("vec_id").between(1, K_CELLS))
-        .select(F.col("vec_id").alias("cid"), emb_d.alias("ce"))
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    seeds = (
+        ed.filter(F.col("vec_id").between(1, K_CELLS))
+        .selectExpr("vec_id AS cid", "e AS ce")
+        .collect()
     )
+    cents = sorted((r["cid"], list(r["ce"])) for r in seeds)
+    if not cents:
+        return spark.createDataFrame([], "cid bigint, ce array<double>")
+    body = ed.select("e")  # only the column the kernel needs crosses (§4.1)
     for _ in range(LLOYD_ROUNDS):
-        d = e.crossJoin(F.broadcast(cent_arr)).select(
-            "vec_id", "cid", F.expr(l2).alias("dist")
-        )
-        # argmin per vector: min_by over a (dist, cid) struct =
-        # partial-aggregable, deterministic tie-break — no window sort
-        members = d.groupBy("vec_id").agg(
-            F.min_by("cid", F.struct("dist", "cid")).alias("cid")
-        )
-        m = members.join(e, "vec_id").select(
-            "cid", F.posexplode(emb_d).alias("dim", "x")
-        )
-        cent = m.groupBy("cid", "dim").agg(
-            (
-                (
-                    F.sum(F.round(F.col("x") * 1000000, 0).cast("bigint")).cast("double")
-                    / F.count("*")
+        cid_arr = np.array([c[0] for c in cents], dtype=np.int64)
+        C = np.array([c[1] for c in cents], dtype=np.float64)  # K x D
+
+        def partials(batches, C=C, cid_arr=cid_arr):
+            K, D = C.shape
+            cids = np.repeat(cid_arr, D)
+            dims = np.tile(np.arange(D, dtype=np.int64), K)
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                E = np.stack(b.column("e").to_numpy(zero_copy_only=False))
+                acc = np.zeros((E.shape[0], K), dtype=np.float64)
+                for d in range(D):  # dim-sequential: the SQL fold's order
+                    diff = E[:, d, None] - C[None, :, d]
+                    acc += diff * diff
+                assign = np.argmin(acc, axis=1)
+                V = E * 1e6
+                scaled = np.rint(V).astype(np.int64)  # half-to-even bulk
+                near_half = np.argwhere(
+                    np.abs(V - np.floor(V) - 0.5) < 1e-9
                 )
-                / 1000000
+                if near_half.size:  # exact HALF_UP on the rare suspects
+                    from decimal import ROUND_HALF_UP, Decimal
+
+                    for i, j in near_half:
+                        scaled[i, j] = int(
+                            Decimal(repr(V[i, j])).quantize(
+                                Decimal(1), rounding=ROUND_HALF_UP
+                            )
+                        )
+                psum = np.zeros((K, D), dtype=np.int64)
+                pcount = np.zeros(K, dtype=np.int64)
+                np.add.at(psum, assign, scaled)
+                np.add.at(pcount, assign, 1)
+                mask = np.repeat(pcount > 0, D)  # empty cells DROP, as
+                # the old groupBy over members dropped them
+                yield pa.record_batch(
+                    {
+                        "cid": pa.array(cids[mask], pa.int64()),
+                        "dim": pa.array(dims[mask], pa.int64()),
+                        "psum": pa.array(psum.reshape(-1)[mask], pa.int64()),
+                        "pcount": pa.array(
+                            np.repeat(pcount, D)[mask], pa.int64()
+                        ),
+                    }
+                )
+
+        part = body.mapInArrow(
+            partials, "cid long, dim long, psum long, pcount long"
+        )
+        cent = part.groupBy("cid", "dim").agg(
+            (
+                (F.sum("psum").cast("double") / F.sum("pcount")) / 1000000
             ).alias("c")
         )
         cent_arr = cent.groupBy("cid").agg(
@@ -413,7 +474,10 @@ def ivf_build_centroids(
                 F.sort_array(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
             ).alias("ce")
         )
-    return cent_arr
+        cents = sorted((r["cid"], list(r["ce"])) for r in cent_arr.collect())
+    return spark.createDataFrame(
+        [(c, list(ce)) for c, ce in cents], "cid bigint, ce array<double>"
+    )
 
 
 def probe_cells(query_vec: DataFrame, cent_arr: DataFrame) -> DataFrame:

@@ -535,3 +535,93 @@ def test_streaming_append_exactly_once_across_checkpoint_restart(
     assert (
         store.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
     )
+
+
+def _lloyd_reference_expression(spark, e):
+    """The pre-round-17 expression-tower Lloyd build, kept as the value
+    reference the Arrow kernel in ivf_build_centroids must reproduce
+    bit-for-bit (same seeds, same HALF_UP member rounding, same
+    dim-ordered distance fold, same empty-cell drop)."""
+    from eth_event_stream_spark.plans.vectors import (
+        K_CELLS,
+        LLOYD_ROUNDS,
+        _L2_TO_CE,
+    )
+
+    emb_d = F.col("embedding").cast("array<double>")
+    cent_arr = e.filter(F.col("vec_id").between(1, K_CELLS)).select(
+        F.col("vec_id").alias("cid"), emb_d.alias("ce")
+    )
+    for _ in range(LLOYD_ROUNDS):
+        d = e.crossJoin(F.broadcast(cent_arr)).select(
+            "vec_id", "cid", F.expr(_L2_TO_CE).alias("dist")
+        )
+        members = d.groupBy("vec_id").agg(
+            F.min_by("cid", F.struct("dist", "cid")).alias("cid")
+        )
+        m = members.join(e, "vec_id").select(
+            "cid", F.posexplode(emb_d).alias("dim", "x")
+        )
+        cent = m.groupBy("cid", "dim").agg(
+            (
+                (
+                    F.sum(
+                        F.round(F.col("x") * 1000000, 0).cast("bigint")
+                    ).cast("double")
+                    / F.count("*")
+                )
+                / 1000000
+            ).alias("c")
+        )
+        cent_arr = cent.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("ce")
+        )
+    return cent_arr
+
+
+@pytest.mark.parametrize("case", ["fixture", "empty_cell", "near_half"])
+def test_arrow_lloyd_kernel_matches_expression_tower(spark, sf_dir, case):
+    """Round-17 gate for the Arrow-vectorized Lloyd kernel: centroids must
+    be BIT-IDENTICAL to the replaced expression tower — including the
+    empty-cell drop (a seed no vector assigns to must vanish from the
+    output, not become a NaN row) and the HALF_UP member rounding at
+    exact .5 boundaries of round(x * 1e6) where numpy's rint would round
+    half-to-even."""
+    from eth_event_stream_spark.plans.vectors import ivf_build_centroids
+
+    if case == "fixture":
+        e = None
+    elif case == "empty_cell":
+        # seeds 1..K_CELLS cluster at the origin; vec 100 sits far out, so
+        # after round 1 every vector assigns to one near centroid and the
+        # other seed cells empty out
+        rows = [(i, [0.001 * i, 0.0]) for i in range(1, 9)] + [
+            (100, [500.0, 500.0]),
+            (101, [0.002, 0.0]),
+        ]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    else:
+        # components whose *1e6 lands exactly on k + 0.5 in float64 — the
+        # half-to-even vs HALF_UP divergence the kernel must fix
+        halves = [v for v in (2.5e-06, 3.5e-06, 0.0000005, 4.5e-06)
+                  if (v * 1e6) == int(v * 1e6) + 0.5]
+        assert halves, "no exactly-representable half survived float math"
+        rows = [(i, [halves[i % len(halves)], float(i)]) for i in range(1, 12)]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    if e is None:
+        kern = ivf_build_centroids(spark, sf_dir).collect()
+        ref_e = None
+        from eth_event_stream_spark.plans.catalog import t
+
+        ref_e = t(spark, sf_dir, "embeddings")
+    else:
+        kern = ivf_build_centroids(spark, sf_dir, e=e).collect()
+        ref_e = e
+    ref = _lloyd_reference_expression(spark, ref_e).collect()
+    k = sorted((r["cid"], list(r["ce"])) for r in kern)
+    r = sorted((r["cid"], list(r["ce"])) for r in ref)
+    assert k == r

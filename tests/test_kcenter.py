@@ -297,3 +297,28 @@ def test_kcenter_contract_does_not_escalate_on_spread_corpus(spark, sf_dir):
     assert out["escalated"] is False
     assert assembly.KCENTER_ESCALATIONS["count"] == n_before  # no silent 2x
     assert row.cover_certificate_4x is True
+
+
+def test_kcenter_batched_runs_one_job_per_pass(spark):
+    """Round-17 plan-shape gate: the per-pass state checkpoint is LAZY, so
+    the pass's candidate fetch is the materializing action — distance
+    fold + cache write + top-k run as ONE Spark job per pass (the eager
+    form paid a write job plus a cached-read probe job). Expected jobs:
+    1 seed probe + 1 fused fetch per pass; the final pass's state is
+    never read without stats_out, so no extra job."""
+    from eth_event_stream_spark.plans.assembly import sample_kcenter_batched
+
+    e = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(1, 30)],
+        "vec_id long, e array<double>",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("kcenter-job-count", "round-17 gate")
+    try:
+        # k=9, batch=4 -> seed + 2 passes; the loop executes during the
+        # call (driver-side greedy), so no action on the returned frame
+        sample_kcenter_batched(spark, "", k=9, batch=4, e=e)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("kcenter-job-count")
+    assert len(jobs) <= 3, f"expected <=3 jobs (seed + 1/pass), got {len(jobs)}"

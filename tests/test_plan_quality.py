@@ -725,12 +725,17 @@ def test_pq_code_assignment_hash_aggregates(spark, sf_dir):
 def test_ivf_plan_broadcasts_and_stays_jvm(spark, sf_dir):
     """IVF ANN (learned centroids): the centroid table and probe list must
     BROADCAST (K rows each — a shuffle join on them would be absurd at any
-    scale), the per-vector argmin must be a partial-aggregable HashAggregate
-    (min_by), NOT a window sort over the N x K distance matrix, and the whole
-    index build + search must stay JVM-side (no Python eval)."""
+    scale), the per-vector argmin must be a partial-aggregable min_by
+    aggregate (SortAggregate: struct-ordered min_by), NOT a window sort
+    over the N x K distance matrix, and the SEARCH must stay JVM-side.
+    Since round 17 the Lloyd BUILD runs ahead of this plan as mapInArrow
+    jobs with the K-row centroid table carried on the driver (the
+    k-center pattern), so the search plan reads centroids from a local
+    relation and contains no build aggregates."""
     p = plan_of(spark, sf_dir, "similarity_topk_ivf")
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p[:2000]
-    assert "HashAggregate" in p, p[:2000]
+    # partial-aggregable argmin (min_by over a (dist, cid) struct)
+    assert "min_by" in p and "Aggregate" in p, p[:2000]
     # the argmin must not be a running-rank window over the distance matrix
     assert "Window" not in p, f"window sort leaked into the IVF argmin\n{p[:2000]}"
     assert "SortMergeJoin" not in p, f"centroid join degraded to SMJ\n{p[:2000]}"
