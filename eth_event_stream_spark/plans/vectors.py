@@ -821,84 +821,197 @@ def _sql_pq_search(rounds: int) -> str:
 )
 
 
-def _pq_codes(spark: SparkSession, sf_dir: str, rounds: int = 0):
+def _half_up_micro(V):
+    """int64 of Spark's ``ROUND(x, 0)`` (Java HALF_UP on the shortest
+    decimal repr) applied to an ndarray: bulk ``np.rint`` (half-to-even),
+    then the rare exact-half suspects fixed with decimal-on-repr — the
+    same reproduction the ivf_build_centroids kernel carries inline,
+    pinned there by the near-half adversary gate."""
+    import numpy as np
+
+    scaled = np.rint(V).astype(np.int64)
+    near_half = np.argwhere(np.abs(V - np.floor(V) - 0.5) < 1e-9)
+    if near_half.size:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        for idx in near_half:
+            i = tuple(idx)
+            scaled[i] = int(
+                Decimal(repr(V[i])).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+            )
+    return scaled
+
+
+def _pq_codes(
+    spark: SparkSession, sf_dir: str, rounds: int = 0, e: DataFrame | None = None
+):
     """(codes, codebook, e): PQ-encode every vector.
 
     Codebook = the PQ_K seed vectors sliced into PQ_M subvectors, then
     ``rounds`` Lloyd refinements per subspace (assign by encoded argmin,
-    recompute per-dimension means in integer micro-units — the
-    ivf_build_centroids loop applied per subspace; empty cells drop).
-    Encoding is a broadcast join against the M*K-row codebook + a
-    partial-agg argmin per (vector, subspace) — the N x M x K distance
-    tensor never shuffles, only the (vec_id, m, code) triples."""
-    e = t(spark, sf_dir, "embeddings")
+    recompute per-dimension means in integer micro-units; empty cells
+    drop).
+
+    Round 17 (guide §4.2/§4.4 — the same Arrow treatment as
+    ivf_build_centroids): the M*K-row codebook rides the DRIVER between
+    rounds; each refinement round is ONE ``mapInArrow`` pass that assigns
+    every (vector, subspace) in NumPy and emits per-batch PARTIAL SUMS
+    (m, j, i, psum, pcount) — M*K*PQ_SUB rows per batch instead of the
+    N*M*K-row broadcast-join distance relation plus the N*M*PQ_SUB-row
+    posexplode re-aggregation; the final encode is one more ``mapInArrow``
+    pass emitting the (vec_id, m, code) triples the consumers join/write.
+
+    Exactness contract (what makes the kernel swap-safe, mirroring the
+    ivf kernel's): subspace distances accumulate DIM-SEQUENTIALLY (the
+    ``aggregate(zip_with(...))`` left fold's IEEE op order); the argmin
+    key is the same BIGINT encoding ``HALF_UP(dist * 1e6) * 16 + j`` the
+    replaced ``MIN`` aggregated — Java's shortest-repr HALF_UP on the
+    DISTANCE value reproduced by ``_half_up_micro`` (a second rounding
+    layer on top of the member-value rounding, both replayed by the
+    oracle); member sums are int64 of ``HALF_UP(x * 1e6)``
+    (order-independent), and the final sum/count/1e6 division happens in
+    Spark. Pinned bit-for-bit against the retained expression tower by
+    ``test_arrow_pq_kernel_matches_expression_tower``."""
+    import numpy as np
+    import pyarrow as pa
+
+    if e is None:
+        e = t(spark, sf_dir, "embeddings")
     emb_d = F.col("embedding").cast("array<double>")
-    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
-    cb = (
+    seeds = (
         e.filter(F.col("vec_id").between(1, PQ_K))
         .select(F.col("vec_id").alias("j"), emb_d.alias("emb"))
-        .select("j", "emb", ms)
-        .select(
-            "m", "j", F.slice("emb", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("ce")
+        .collect()
+    )
+    # cb_rows: per subspace m, the sorted [(j, ce)] codebook — bounded
+    # M*K-row metadata carried on the driver (the k-center pattern)
+    cb_rows = {
+        m: sorted(
+            (int(r["j"]), list(r["emb"])[m * PQ_SUB : (m + 1) * PQ_SUB])
+            for r in seeds
         )
-    )
-    sub = (
-        e.select("vec_id", emb_d.alias("emb"))
-        .select("vec_id", "emb", ms)
-        .select(
-            "vec_id", "m", F.slice("emb", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("sv")
-        )
-    )
-    l2 = (
-        "aggregate(zip_with(sv, ce, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    enc16 = "CAST(ROUND(dist * 1000000, 0) AS BIGINT) * 16 + j"
-    # Lloyd refinement per subspace: assign by encoded argmin, recompute
-    # per-dimension means in integer micro-units (exact, order-independent;
-    # the ivf_build_centroids loop applied per subspace)
+        for m in range(PQ_M)
+    }
+    if not seeds:
+        codes = spark.createDataFrame([], "vec_id bigint, m int, code bigint")
+        cb = spark.createDataFrame([], "m int, j bigint, ce array<double>")
+        return codes, cb, e
+    body = e.select("vec_id", emb_d.alias("e"))
+
+    def _np_cb(cb_rows):
+        # per-subspace (j ids, K_m x PQ_SUB centroid matrix) — K_m can
+        # shrink across rounds as cells empty out
+        return {
+            m: (
+                np.array([j for j, _ in rows], dtype=np.int64),
+                np.array([ce for _, ce in rows], dtype=np.float64),
+            )
+            for m, rows in cb_rows.items()
+            if rows
+        }
+
+    def _assign(E, jm, Cm, m):
+        # E: n x EMB_DIM batch; subspace slice vs K_m x PQ_SUB codebook.
+        # Dim-sequential accumulation = the SQL fold's IEEE op order.
+        S = E[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+        acc = np.zeros((E.shape[0], Cm.shape[0]), dtype=np.float64)
+        for d in range(PQ_SUB):
+            diff = S[:, d, None] - Cm[None, :, d]
+            acc += diff * diff
+        enc = _half_up_micro(acc * 1e6) * 16 + jm[None, :]
+        return np.argmin(enc, axis=1)
+
     for _ in range(rounds):
-        d0 = sub.join(F.broadcast(cb), "m").select(
-            "vec_id", "m", "j", F.expr(l2).alias("dist")
+        npcb = _np_cb(cb_rows)
+
+        def partials(batches, npcb=npcb):
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                E = np.stack(b.column("e").to_numpy(zero_copy_only=False))
+                scaled = _half_up_micro(E * 1e6)
+                out_m, out_j, out_i, out_s, out_c = [], [], [], [], []
+                for m, (jm, Cm) in npcb.items():
+                    k = _assign(E, jm, Cm, m)
+                    K = jm.shape[0]
+                    psum = np.zeros((K, PQ_SUB), dtype=np.int64)
+                    pcount = np.zeros(K, dtype=np.int64)
+                    np.add.at(
+                        psum, k, scaled[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+                    )
+                    np.add.at(pcount, k, 1)
+                    mask = np.repeat(pcount > 0, PQ_SUB)  # empty cells DROP
+                    out_m.append(np.full(int(mask.sum()), m, dtype=np.int32))
+                    out_j.append(np.repeat(jm, PQ_SUB)[mask])
+                    out_i.append(
+                        np.tile(np.arange(PQ_SUB, dtype=np.int32), K)[mask]
+                    )
+                    out_s.append(psum.reshape(-1)[mask])
+                    out_c.append(np.repeat(pcount, PQ_SUB)[mask])
+                yield pa.record_batch(
+                    {
+                        "m": pa.array(np.concatenate(out_m), pa.int32()),
+                        "j": pa.array(np.concatenate(out_j), pa.int64()),
+                        "i": pa.array(np.concatenate(out_i), pa.int32()),
+                        "psum": pa.array(np.concatenate(out_s), pa.int64()),
+                        "pcount": pa.array(np.concatenate(out_c), pa.int64()),
+                    }
+                )
+
+        part = body.select("e").mapInArrow(
+            partials, "m int, j long, i int, psum long, pcount long"
         )
-        assign = (
-            d0.groupBy("vec_id", "m")
-            .agg(F.min(F.expr(enc16)).alias("enc"))
-            .select("vec_id", "m", F.expr("enc % 16").alias("j"))
-        )
+        # the sum/count/1e6 division happens in Spark, as in the old form
         cbm = (
-            assign.join(sub, ["vec_id", "m"])
-            .select("m", "j", F.posexplode("sv").alias("i", "x"))
-            .groupBy("m", "j", "i")
+            part.groupBy("m", "j", "i")
             .agg(
                 (
-                    (
-                        F.sum(F.round(F.col("x") * 1000000, 0).cast("bigint")).cast(
-                            "double"
-                        )
-                        / F.count("*")
-                    )
-                    / 1000000
+                    (F.sum("psum").cast("double") / F.sum("pcount")) / 1000000
                 ).alias("c")
             )
+            .groupBy("m", "j")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("i", "c"))),
+                    lambda s: s["c"],
+                ).alias("ce")
+            )
         )
-        cb = cbm.groupBy("m", "j").agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
-            ).alias("ce")
-        )
-    d = sub.join(F.broadcast(cb), "m").select(
-        "vec_id", "m", "j", F.expr(l2).alias("dist")
-    )
-    # argmin over the BIGINT-encoded (micro-rounded dist, j) key: min_by
-    # with a struct ordering key only SortAggregates (no mutable buffer);
-    # the encoding keeps the aggregate a partial-agg HashAggregate. The
-    # micro quantization (ties -> smaller j) IS the assignment semantics,
-    # replayed identically by the oracle.
-    codes = (
-        d.groupBy("vec_id", "m")
-        .agg(F.min(F.expr(enc16)).alias("enc"))
-        .select("vec_id", "m", F.expr("enc % 16").alias("code"))
+        cb_rows = {m: [] for m in range(PQ_M)}
+        for r in cbm.collect():
+            cb_rows[r["m"]].append((int(r["j"]), list(r["ce"])))
+        for m in cb_rows:
+            cb_rows[m].sort()
+    npcb = _np_cb(cb_rows)
+
+    def encode(batches, npcb=npcb):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            vids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            E = np.stack(b.column("e").to_numpy(zero_copy_only=False))
+            n = E.shape[0]
+            ms = sorted(npcb)
+            codes = np.empty((n, len(ms)), dtype=np.int64)
+            for c, m in enumerate(ms):
+                jm, Cm = npcb[m]
+                codes[:, c] = jm[_assign(E, jm, Cm, m)]
+            yield pa.record_batch(
+                {
+                    "vec_id": pa.array(np.repeat(vids, len(ms)), pa.int64()),
+                    "m": pa.array(
+                        np.tile(np.array(ms, dtype=np.int32), n), pa.int32()
+                    ),
+                    "code": pa.array(codes.reshape(-1), pa.int64()),
+                }
+            )
+
+    codes = body.mapInArrow(encode, "vec_id long, m int, code long")
+    cb = spark.createDataFrame(
+        [(m, j, ce) for m in sorted(cb_rows) for j, ce in cb_rows[m]],
+        "m int, j bigint, ce array<double>",
     )
     return codes, cb, e
 

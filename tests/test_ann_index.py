@@ -625,3 +625,169 @@ def test_arrow_lloyd_kernel_matches_expression_tower(spark, sf_dir, case):
     k = sorted((r["cid"], list(r["ce"])) for r in kern)
     r = sorted((r["cid"], list(r["ce"])) for r in ref)
     assert k == r
+
+
+def _pq_reference_expression(spark, e, rounds):
+    """The pre-round-17 expression-tower PQ build (broadcast join against
+    the M*K codebook + encoded-argmin partial agg, posexplode member
+    re-aggregation per refinement round), kept as the value reference the
+    Arrow kernel in _pq_codes must reproduce bit-for-bit — codes AND
+    refined codebook, including the double rounding contract
+    (HALF_UP(dist * 1e6) in the argmin key, HALF_UP(x * 1e6) in the
+    member means) and the per-subspace empty-cell drop."""
+    from eth_event_stream_spark.plans.vectors import PQ_K, PQ_M, PQ_SUB
+
+    emb_d = F.col("embedding").cast("array<double>")
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    cb = (
+        e.filter(F.col("vec_id").between(1, PQ_K))
+        .select(F.col("vec_id").alias("j"), emb_d.alias("emb"))
+        .select("j", "emb", ms)
+        .select(
+            "m", "j", F.slice("emb", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("ce")
+        )
+    )
+    sub = (
+        e.select("vec_id", emb_d.alias("emb"))
+        .select("vec_id", "emb", ms)
+        .select(
+            "vec_id", "m", F.slice("emb", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("sv")
+        )
+    )
+    l2 = (
+        "aggregate(zip_with(sv, ce, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    enc16 = "CAST(ROUND(dist * 1000000, 0) AS BIGINT) * 16 + j"
+    for _ in range(rounds):
+        d0 = sub.join(F.broadcast(cb), "m").select(
+            "vec_id", "m", "j", F.expr(l2).alias("dist")
+        )
+        assign = (
+            d0.groupBy("vec_id", "m")
+            .agg(F.min(F.expr(enc16)).alias("enc"))
+            .select("vec_id", "m", F.expr("enc % 16").alias("j"))
+        )
+        cbm = (
+            assign.join(sub, ["vec_id", "m"])
+            .select("m", "j", F.posexplode("sv").alias("i", "x"))
+            .groupBy("m", "j", "i")
+            .agg(
+                (
+                    (
+                        F.sum(
+                            F.round(F.col("x") * 1000000, 0).cast("bigint")
+                        ).cast("double")
+                        / F.count("*")
+                    )
+                    / 1000000
+                ).alias("c")
+            )
+        )
+        cb = cbm.groupBy("m", "j").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+            ).alias("ce")
+        )
+    d = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "j", F.expr(l2).alias("dist")
+    )
+    codes = (
+        d.groupBy("vec_id", "m")
+        .agg(F.min(F.expr(enc16)).alias("enc"))
+        .select("vec_id", "m", F.expr("enc % 16").alias("code"))
+    )
+    return codes, cb
+
+
+@pytest.mark.parametrize("case,rounds", [
+    ("fixture", 0), ("fixture", 1), ("empty_cell", 1), ("near_half", 1),
+])
+def test_arrow_pq_kernel_matches_expression_tower(spark, sf_dir, case, rounds):
+    """Round-17 gate for the Arrow-vectorized PQ build: the (vec_id, m,
+    code) triples AND the refined codebook must be BIT-IDENTICAL to the
+    replaced expression tower — including the per-subspace empty-cell
+    drop and BOTH HALF_UP layers (member values at exact .5 boundaries
+    of round(x * 1e6), and the micro-quantized argmin key on the
+    DISTANCE itself, whose near-half suspects route through the exact
+    decimal path)."""
+    from eth_event_stream_spark.plans.catalog import t
+    from eth_event_stream_spark.plans.vectors import _pq_codes
+
+    if case == "fixture":
+        e = t(spark, sf_dir, "embeddings")
+        kwargs = {}
+    elif case == "empty_cell":
+        # seeds 2 and 3 are IDENTICAL, so every vector at that position
+        # (including seed 3 itself) encodes to j=2 via the argmin key's
+        # tie-break and cell 3 gets zero members — it must VANISH from
+        # every subspace of the refined codebook, in both forms
+        rows = [
+            (i, ([0.1] * 64 if i == 3 else [0.05 * i] * 64))
+            for i in range(1, 9)
+        ] + [(100 + i, [0.05 + 0.0001 * i] * 64) for i in range(6)]
+        assert rows[1][1] == rows[2][1]  # 2 and 3 collide
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        kwargs = {"e": e}
+    else:
+        # components whose *1e6 lands exactly on k + 0.5 — the
+        # member-rounding HALF_UP vs rint divergence that flips the
+        # refined codebook means (the argmin key's own rounding layer is
+        # pinned directly by test_half_up_micro_matches_spark_round)
+        halves = [v for v in (2.5e-06, 3.5e-06, 0.0000005, 4.5e-06)
+                  if (v * 1e6) == int(v * 1e6) + 0.5]
+        assert halves, "no exactly-representable half survived float math"
+        rows = [(i, [0.01 * i] * 64) for i in range(1, 9)]
+        rows += [
+            (200 + i, [halves[i % len(halves)]] * 32 + [0.01 * (1 + i % 8)] * 32)
+            for i in range(6)
+        ]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        kwargs = {"e": e}
+
+    codes_k, cb_k, _ = _pq_codes(spark, sf_dir, rounds=rounds, **kwargs)
+    codes_r, cb_r = _pq_reference_expression(
+        spark, e, rounds
+    )
+    ck = sorted((r["vec_id"], r["m"], r["code"]) for r in codes_k.collect())
+    cr = sorted((r["vec_id"], r["m"], r["code"]) for r in codes_r.collect())
+    assert ck == cr
+    bk = sorted((r["m"], r["j"], list(r["ce"])) for r in cb_k.collect())
+    br = sorted((r["m"], r["j"], list(r["ce"])) for r in cb_r.collect())
+    assert bk == br
+    if case == "empty_cell":
+        assert bk, "refined codebook unexpectedly empty"
+        assert all(j != 3 for _, j, _ in bk), "cell 3 should have emptied"
+        assert all(c != 3 for _, _, c in ck), "no code may point at it"
+
+
+def test_half_up_micro_matches_spark_round(spark):
+    """Pins _half_up_micro — the kernel-side reproduction of Spark's
+    ROUND(x, 0) used for BOTH rounding layers of the PQ build (member
+    values and the micro-quantized argmin DISTANCE key) — against Spark
+    itself, on exact halves (where rint's half-to-even diverges from
+    Java's HALF_UP), one-ulp neighbors of halves (inside the suspect
+    window, must follow the actual value), negatives (HALF_UP rounds
+    away from zero), and plain values."""
+    import math
+
+    import numpy as np
+
+    from eth_event_stream_spark.plans.vectors import _half_up_micro
+
+    vals = []
+    for k in (0, 1, 2, 3, 7, 100, 4096, 12345678):
+        h = k + 0.5
+        vals += [h, -h, math.nextafter(h, 0.0), math.nextafter(h, math.inf)]
+    vals += [0.0, 1.0, -1.0, 2.4999999, 2.5000001, -2.4999999, 1e-12, -1e-12,
+             0.49999999999999994, 123.456, -123.456]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got_spark = [
+        r["r"]
+        for r in df.select(F.round(F.col("v"), 0).cast("bigint").alias("r"))
+        .collect()
+    ]
+    got_kernel = _half_up_micro(np.array(vals, dtype=np.float64)).tolist()
+    assert got_kernel == got_spark, list(
+        (v, s, k) for v, s, k in zip(vals, got_spark, got_kernel) if s != k
+    )

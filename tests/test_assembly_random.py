@@ -15,6 +15,7 @@ from __future__ import annotations
 import hashlib
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -87,6 +88,8 @@ def _spark_waterfill(spark, avails: dict[str, int], budget: int) -> dict[str, in
     return {r["lang"]: r["alloc"] for r in rows}
 
 
+@pytest.mark.slow  # 12-trial random simulation grid (~13 s) — full tier;
+# test_waterfill_degenerate_budgets keeps the operator in the default tier
 def test_waterfill_matches_unit_step_simulation(spark):
     rng = random.Random(6)
     for trial in range(12):
@@ -141,6 +144,7 @@ def _brute_pairs(docs: dict[int, str]) -> set[tuple[int, int]]:
     return out
 
 
+@pytest.mark.slow  # random-corpus completeness grid — full tier
 def test_prefix_filter_pairs_complete_on_random_corpora(spark):
     """Losslessness on data the oracle never sees: random near-dup corpora
     (mutated copies of base docs) — the prefix join must find EXACTLY the

@@ -22,7 +22,12 @@ import os
 import random
 import unittest.mock as mock
 
+import pytest
 from pyspark.sql import functions as F
+
+# Randomized crash/soak sweeps (~70 s) — slow tier (conftest), run with
+# SPARK_GRAFT_FULL_TESTS=1.
+pytestmark = pytest.mark.slow
 
 
 class Injected(RuntimeError):

@@ -23,6 +23,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+# Whole-file smoke drive: every example script in its own subprocess JVM
+# (~3.5 min) — slow tier (conftest), run with SPARK_GRAFT_FULL_TESTS=1.
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 import duckdb
 import numpy as np
 import pandas as pd
+import pytest
 
 from eth_event_stream_spark.plans import QUERIES
 from eth_event_stream_spark.plans.assembly import KCENTER_K
@@ -44,6 +45,8 @@ def test_kcenter_picks_the_far_corners_first(spark, tmp_path_factory):
     assert dists == sorted(dists, reverse=True)
 
 
+@pytest.mark.slow  # ~150 s multi-k property sweep; the per-row oracle parity
+# tests and the functional kcenter tests below stay in the default tier
 def test_kcenter_matches_oracle_and_cover_radius_shrinks(spark, sf_dir):
     q = QUERIES["sample_kcenter_diverse"]
     sdf = q.fn(spark, sf_dir).toPandas().sort_values("sel_rank").reset_index(drop=True)
@@ -302,10 +305,14 @@ def test_kcenter_contract_does_not_escalate_on_spread_corpus(spark, sf_dir):
 def test_kcenter_batched_runs_one_job_per_pass(spark):
     """Round-17 plan-shape gate: the per-pass state checkpoint is LAZY, so
     the pass's candidate fetch is the materializing action — distance
-    fold + cache write + top-k run as ONE Spark job per pass (the eager
-    form paid a write job plus a cached-read probe job). Expected jobs:
-    1 seed probe + 1 fused fetch per pass; the final pass's state is
-    never read without stats_out, so no extra job."""
+    fold + cache write + top-k run as ONE job per pass, and the final
+    pass's state (never read without stats_out) costs no job at all.
+    Measured on this driver (k=9, batch=4 -> seed + 2 passes): lazy =
+    5 jobs / 160 tasks (seed, 2 fused fetches, plus AQE's per-broadcast
+    stage jobs); flipping the checkpoints back to eager = 8 jobs /
+    256 tasks (an extra full-state write job per pass incl. the
+    never-read final one). The bound pins the fused shape with one job
+    of headroom for AQE stage-accounting drift across Spark versions."""
     from eth_event_stream_spark.plans.assembly import sample_kcenter_batched
 
     e = spark.createDataFrame(
@@ -315,10 +322,10 @@ def test_kcenter_batched_runs_one_job_per_pass(spark):
     sc = spark.sparkContext
     sc.setJobGroup("kcenter-job-count", "round-17 gate")
     try:
-        # k=9, batch=4 -> seed + 2 passes; the loop executes during the
-        # call (driver-side greedy), so no action on the returned frame
+        # the loop executes during the call (driver-side greedy), so no
+        # action on the returned frame is needed
         sample_kcenter_batched(spark, "", k=9, batch=4, e=e)
     finally:
         sc.setJobGroup("", "")
     jobs = sc.statusTracker().getJobIdsForGroup("kcenter-job-count")
-    assert len(jobs) <= 3, f"expected <=3 jobs (seed + 1/pass), got {len(jobs)}"
+    assert len(jobs) <= 6, f"expected <=6 jobs (eager form ran 8), got {len(jobs)}"

@@ -271,6 +271,7 @@ def test_bpe_apply_unmerged_word_stays_char_split(spark, tmp_path_factory):
     ],
     ids=["runs", "metachars", "exhaustion"],
 )
+@pytest.mark.slow  # adversarial-corpus grid (~13 s x3) — full tier
 def test_bpe_apply_engine_symmetry_on_adversarial_corpora(
     spark, tmp_path_factory, corpus
 ):

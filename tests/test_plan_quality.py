@@ -247,7 +247,10 @@ PLAN_EXPECTATIONS = {
         r"TakeOrderedAndProject",
         r"HashAggregate",
     ],
-    "vector_pq_codes": [r"BroadcastHashJoin", r"HashAggregate"],
+    # since round 17 the encode runs as one MapInArrow pass against the
+    # driver-carried codebook (the ivf kernel pattern); the final
+    # per-vector assembly is still a hash aggregate
+    "vector_pq_codes": [r"MapInArrow", r"HashAggregate"],
     # ordered funnel: three keyed MIN aggregations on the same key — all
     # hash-based, no window over per-user history
     "event_funnel_stages": [r"HashAggregate"],
@@ -429,9 +432,10 @@ JVM_ONLY = [
     "dedup_chunk_scrub",
     "quality_quantile_filter",
     "text_cooccur_lift",
-    "similarity_topk_pq",
-    "similarity_topk_pq_refined",
-    "vector_pq_codes",
+    # the PQ rows left this list in round 17: their BUILD is the sanctioned
+    # MapInArrow kernel (guide §4.4, pinned bit-for-bit by
+    # test_arrow_pq_kernel_matches_expression_tower); the ADC search side
+    # remains pure JVM and is pinned by PLAN_EXPECTATIONS above
     "dedup_chunk_scrub_incremental",
     "event_funnel_stages",
     "event_retention_cohorts",
@@ -620,6 +624,7 @@ FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
 GLOBAL_WINDOW_ALLOWED = {"pack_sequences_unsharded_baseline"}
 
 
+@pytest.mark.slow  # exhaustive all-282-query plan sweep (~110 s) — full tier
 def test_no_registered_query_globally_windows_a_fact_table(spark, sf_dir):
     """Registry-wide structural gate: NO registered query may run a window
     over a SinglePartition exchange while scanning a fact table — the
@@ -708,11 +713,13 @@ def test_cdc_chunker_is_shuffle_free(spark, sf_dir):
 
 
 def test_pq_code_assignment_hash_aggregates(spark, sf_dir):
-    """PQ code assignment must never SortAggregate: min_by over a
-    (dist, j) struct has no mutable agg buffer, so the argmin is encoded
-    as min over a single BIGINT (micro-rounded dist * 16 + j) that
-    partial-agg HashAggregates — the N x M x K distance tensor reduces
-    map-side to one code per (vector, subspace)."""
+    """PQ plans must never SortAggregate. Historically this pinned the
+    encoded-BIGINT argmin (micro-rounded dist * 16 + j) over min_by's
+    struct ordering; since round 17 the assignment itself runs inside the
+    MapInArrow build kernel (pinned by
+    test_arrow_pq_kernel_matches_expression_tower), and this gate keeps
+    the REMAINING aggregations — ADC distance sums, per-vector code
+    assembly — hash-based."""
     for name in (
         "similarity_topk_pq",
         "similarity_topk_pq_refined",
@@ -838,6 +845,7 @@ def test_runtime_bloom_filter_injects_on_shuffled_fact_fact_join(spark, sf_dir):
             spark.conf.set(k, v)
 
 
+@pytest.mark.slow  # exhaustive all-282-query plan sweep (~95 s) — full tier
 def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
     """Registry-wide scale gate: no registered query may plan a
     CartesianProduct — the physical operator Spark falls back to when a

@@ -1313,6 +1313,7 @@ def test_keep_best_picks_the_cluster_argmax(spark, sf_dir):
     assert seen_clusters == {c for c, m in members.items() if len(m) > 1}
 
 
+@pytest.mark.slow  # full-recompute equivalence soak (~17 s) — full tier
 def test_cc_merge_batch_equals_full_recompute(spark):
     """cc_merge_batch == full min-label propagation over the union edge
     set, across seeded random graphs and multi-batch arrival orders —

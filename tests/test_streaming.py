@@ -540,6 +540,7 @@ def test_batch_source_filter_pushdown(source_registered, eth_logs_fixture):
     assert shared.count() == n_before
 
 
+@pytest.mark.slow  # multi-batch watermark soak (~25 s) — full tier
 def test_late_data_drop_metrics(spark, tmp_path):
     """Late-data contract (S5/B7 event-time path): rows that arrive BEHIND
     the watermark are dropped from stateful windowed aggregation — visible
@@ -699,6 +700,7 @@ def test_reducer_rocksdb_state_store(source_registered, eth_logs_fixture, tmp_pa
     assert got == expected
 
 
+@pytest.mark.slow  # long stream/batch soak (~31 s) — full tier
 def test_sequence_reducer_stream_matches_batch(
     source_registered, eth_logs_fixture, tmp_path
 ):
@@ -837,6 +839,7 @@ def test_checkpoint_restart_exactly_once(source_registered, eth_logs_fixture, tm
     )
 
 
+@pytest.mark.slow  # repeated availableNow restart soak (~32 s) — full tier
 def test_available_now_incremental_runs(source_registered, eth_logs_fixture, tmp_path):
     """Incremental-batch pattern: repeated trigger(availableNow=True) runs
     sharing one checkpoint each self-terminate after advancing the frontier
